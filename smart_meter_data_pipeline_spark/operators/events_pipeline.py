@@ -1,0 +1,397 @@
+"""Reference pipeline semantics over the driver's ``events`` table.
+
+The reference engine's analytical core (stg_meter_readings.sql →
+fact_customer_billing_daily.sql / fact_grid_load_hourly.sql) is:
+
+    per-key LAG delta → project/convert/flag → two-level rollup
+    (day×entity then day×owner; hour×entity then hour×zone) with
+    dim joins, conditional aggregation, exact count-distinct,
+    rate application and guarded percentages.
+
+This module expresses exactly those operators over the driver's
+``events`` table (user_id ~ meter_id, ts ~ reading_timestamp, value ~
+reading, customer ~ dim_customers, nation ~ dim_grid_zones), each with a
+DuckDB oracle. The meter-schema twin lives in ``meter_pipeline.py``.
+
+Scale design (100 TB):
+
+- The LAG window and the daily rollup share the shuffle: Catalyst plans
+  one exchange on ``user_id`` for the window sort and reuses the
+  hash-partitioning for the partial aggregation above it.
+- Dimension joins are declared broadcast (reference J1-J4: 1M-row dims
+  ≈ tens of MB — broadcastable; 25-row nation trivially so).
+- All sums use exact-decimal accumulation (see ``common.dsum``), which
+  keeps map-side partial aggregation correct and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.common import dsum, guarded_pct
+from smart_meter_data_pipeline_spark.plans.registry import register
+from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+def _user_time_window():
+    """Per-user event-time order; event_id breaks timestamp ties
+    deterministically (reference relies on Kafka per-key ordering instead,
+    producer/meter_simulator.py:283-284 — a sort key is the Spark-first
+    way). Built lazily: Window exprs need an active session."""
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def stg_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging transform: W1-W2 LAG + P1-P6 projections.
+
+    Mirrors stg_meter_readings.sql:22-82 — LAG() per key ordered by
+    event time, delta vs previous, COALESCE first-row fallback
+    (stg:46-54), unit conversion (stg:56-65), boolean flags (stg:76-82).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    prev = F.lag("value").over(_user_time_window())
+    return (
+        ev.select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            prev.alias("prev_value"),
+        )
+        .withColumn("delta", F.col("value") - F.col("prev_value"))
+        .withColumn("delta_or_value", F.coalesce("delta", "value"))
+        .withColumn("value_k", F.col("value") / F.lit(1000.0))
+        .withColumn("is_error", F.col("event_type") == F.lit("error"))
+        .withColumn("is_purchase", F.col("event_type") == F.lit("purchase"))
+    )
+
+
+_STG_SQL = """
+SELECT event_id, ts, user_id, event_type, value,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+       COALESCE(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                value) AS delta_or_value,
+       value / 1000.0 AS value_k,
+       event_type = 'error' AS is_error,
+       event_type = 'purchase' AS is_purchase
+FROM events
+"""
+
+register("stg_event_deltas", _STG_SQL)(stg_event_deltas)
+
+
+def daily_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-level mart rollup: A1 + P7 + P12.
+
+    Mirrors fact_customer_billing_daily.sql:25-46 — GROUP BY (day, key)
+    with plain sums, COUNT(*), conditional counts
+    (``SUM(CASE WHEN flag THEN 1 ELSE 0 END)``) and the
+    ``MAX(bool::int)::boolean`` idiom (billing:42).
+    """
+    stg = stg_event_deltas(spark, sf_dir)
+    return stg.groupBy(
+        F.to_date("ts").alias("activity_date"), "user_id"
+    ).agg(
+        dsum("delta_or_value", "total_delta"),
+        dsum("value", "total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("is_error"), 1).otherwise(0)).alias("n_error"),
+        F.sum(F.when(~F.col("is_error"), 1).otherwise(0)).alias("n_ok"),
+        F.max(F.col("is_purchase").cast("int")).cast("boolean").alias("has_purchase"),
+    )
+
+
+_DAILY_USER_SQL = f"""
+WITH stg AS ({_STG_SQL})
+SELECT CAST(date_trunc('day', ts) AS DATE) AS activity_date,
+       user_id,
+       CAST(SUM(CAST(delta_or_value AS DECIMAL(25,6))) AS DOUBLE) AS total_delta,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN NOT is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(MAX(CASE WHEN is_purchase THEN 1 ELSE 0 END) AS BOOLEAN) AS has_purchase
+FROM stg
+GROUP BY 1, 2
+"""
+
+register("daily_user_rollup", _DAILY_USER_SQL)(daily_user_rollup)
+
+
+def daily_customer_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-level billing mart: A2 + J1/J2 + P9/P10 + A5.
+
+    Mirrors fact_customer_billing_daily.sql:49-114 — re-aggregate the
+    first-level rollup after joining dimensions (inner-join drop
+    semantics, billing:70-72), apply the 0.28 rate (billing:88-96),
+    exact COUNT(DISTINCT) (billing:61), guarded percentage
+    (billing:106-111).
+
+    The customer dim is broadcast: at reference scale it is 1M rows ≈
+    tens of MB — well under the broadcast threshold a production
+    cluster would set; the events side never shuffles for this join.
+    """
+    rollup = daily_user_rollup(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    joined = rollup.join(
+        F.broadcast(cust), rollup.user_id == cust.c_custkey, "inner"
+    )
+    total_events = F.sum("n_events")
+    return (
+        joined.groupBy("activity_date", "c_custkey", "c_name")
+        .agg(
+            dsum("total_value", "billed_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            total_events.alias("n_events"),
+            F.sum("n_error").alias("n_error"),
+        )
+        .withColumn("charge", F.col("billed_value") * F.lit(0.28))
+        .withColumn(
+            "pct_error",
+            F.when(
+                F.col("n_events") > 0,
+                F.col("n_error").cast("double")
+                / F.col("n_events").cast("double")
+                * 100.0,
+            ).otherwise(0.0),
+        )
+    )
+
+
+_DAILY_BILLING_SQL = f"""
+WITH rollup AS ({_DAILY_USER_SQL})
+SELECT activity_date, c_custkey, c_name,
+       CAST(SUM(CAST(total_value AS DECIMAL(25,6))) AS DOUBLE) AS billed_value,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(n_error) AS BIGINT) AS n_error,
+       CAST(SUM(CAST(total_value AS DECIMAL(25,6))) AS DOUBLE) * 0.28 AS charge,
+       CASE WHEN SUM(n_events) > 0
+            THEN CAST(SUM(n_error) AS DOUBLE) / CAST(SUM(n_events) AS DOUBLE) * 100.0
+            ELSE 0.0 END AS pct_error
+FROM rollup
+INNER JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2, 3
+"""
+
+register("daily_customer_billing", _DAILY_BILLING_SQL)(daily_customer_billing)
+
+
+def hourly_nation_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly zone-load mart: A3/A4 + J3/J4 + P8/P11.
+
+    Mirrors fact_grid_load_hourly.sql:25-119 — hourly per-entity rollup,
+    re-aggregated per zone (nation stands in for dim_grid_zones) with a
+    capacity-utilization percentage and peak/critical threshold flags
+    (grid:85-104, both guarded on capacity > 0). Capacity here is the
+    deterministic expression ``n_nationkey*10 + 100`` (the testdata has
+    no capacity column).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("load_hour"), "user_id"
+    ).agg(
+        dsum("value", "user_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        hourly.join(F.broadcast(cust), hourly.user_id == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .withColumn("capacity", F.col("n_nationkey") * 10 + 100)
+    )
+    out = joined.groupBy("load_hour", "n_nationkey", "n_name", "capacity").agg(
+        dsum("user_value", "zone_value"),
+        F.countDistinct("user_id").alias("active_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_error").alias("n_error"),
+    )
+    util = F.col("zone_value") / (F.col("capacity").cast("double") * 1000.0) * 100.0
+    return (
+        out.withColumn(
+            "utilization_pct",
+            F.when(F.col("capacity") > 0, util).otherwise(0.0),
+        )
+        .withColumn("is_peak_load", F.col("utilization_pct") > 80.0)
+        .withColumn("is_critical_load", F.col("utilization_pct") > 95.0)
+        .withColumn(
+            "pct_error",
+            F.when(
+                F.col("n_events") > 0,
+                F.col("n_error").cast("double")
+                / F.col("n_events").cast("double")
+                * 100.0,
+            ).otherwise(0.0),
+        )
+    )
+
+
+_HOURLY_NATION_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS load_hour, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS user_value,
+         COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT h.*, n.n_nationkey, n.n_name, n.n_nationkey * 10 + 100 AS capacity
+  FROM hourly h
+  INNER JOIN customer c ON h.user_id = c.c_custkey
+  INNER JOIN nation n ON c.c_nationkey = n.n_nationkey
+), agg AS (
+  SELECT load_hour, n_nationkey, n_name, capacity,
+         CAST(SUM(CAST(user_value AS DECIMAL(25,6))) AS DOUBLE) AS zone_value,
+         COUNT(DISTINCT user_id) AS active_users,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(n_error) AS BIGINT) AS n_error
+  FROM joined GROUP BY 1, 2, 3, 4
+)
+SELECT *,
+       CASE WHEN capacity > 0
+            THEN zone_value / (CAST(capacity AS DOUBLE) * 1000.0) * 100.0
+            ELSE 0.0 END AS utilization_pct,
+       CASE WHEN capacity > 0
+            THEN zone_value / (CAST(capacity AS DOUBLE) * 1000.0) * 100.0
+            ELSE 0.0 END > 80.0 AS is_peak_load,
+       CASE WHEN capacity > 0
+            THEN zone_value / (CAST(capacity AS DOUBLE) * 1000.0) * 100.0
+            ELSE 0.0 END > 95.0 AS is_critical_load,
+       CASE WHEN n_events > 0
+            THEN CAST(n_error AS DOUBLE) / CAST(n_events AS DOUBLE) * 100.0
+            ELSE 0.0 END AS pct_error
+FROM agg
+"""
+
+register("hourly_nation_load", _HOURLY_NATION_SQL)(hourly_nation_load)
+
+
+def cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key cumulative sum (reference G2 — the generator's
+    cumulative-counter semantics, producer/meter_simulator.py:198-203),
+    as an exact-decimal windowed sum."""
+    ev = load_table(spark, sf_dir, "events")
+    running = (
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(_user_time_window().rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+    )
+    return ev.select(
+        "event_id", "ts", "user_id", "value", running.alias("cumulative_value")
+    )
+
+
+_CUMULATIVE_SQL = """
+SELECT event_id, ts, user_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(25,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cumulative_value
+FROM events
+"""
+
+register("cumulative_user_value", _CUMULATIVE_SQL)(cumulative_user_value)
+
+
+def validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest validation / quarantine split: F1 + F4 semantics.
+
+    Mirrors the consumer's required-field check
+    (consumer/meter_consumer.py:213-215) and the schema CHECK
+    constraints (01_create_schema.sql:84-93): classify every row into a
+    reject reason (first violated rule wins) and count per bucket —
+    the valid/quarantine split an ingest run would perform.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    reason = (
+        F.when(F.col("ts").isNull() | F.col("user_id").isNull(), "missing_required")
+        .when(F.col("value").isNull() | (F.col("value") < 0), "bad_value")
+        .when(~F.col("event_type").isin(*EVENT_TYPES), "bad_type")
+        .otherwise("ok")
+    )
+    return (
+        ev.select(reason.alias("reject_reason"))
+        .groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_VALIDATION_SQL = """
+SELECT CASE
+         WHEN ts IS NULL OR user_id IS NULL THEN 'missing_required'
+         WHEN value IS NULL OR value < 0 THEN 'bad_value'
+         WHEN event_type NOT IN ('click','view','purchase','signup','error')
+              THEN 'bad_type'
+         ELSE 'ok' END AS reject_reason,
+       COUNT(*) AS n_rows
+FROM events
+GROUP BY 1
+"""
+
+register("validation_summary", _VALIDATION_SQL)(validation_summary)
+
+
+def dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-ingest semantics: T1 / S5.
+
+    The reference survives Kafka at-least-once redelivery via
+    ``INSERT ... ON CONFLICT DO NOTHING`` (consumer/meter_consumer.py:
+    104-114). Spark-first equivalent: duplicate the stream (simulated
+    redelivery), then dedup on the natural key before aggregating —
+    output must equal the single-delivery result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.unionByName(ev)
+    deduped = redelivered.dropDuplicates(["event_id"])
+    return deduped.groupBy(F.to_date("ts").alias("activity_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+_DEDUP_SQL = """
+WITH redelivered AS (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+), deduped AS (
+  SELECT DISTINCT * FROM redelivered
+)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS activity_date,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM deduped
+GROUP BY 1
+"""
+
+register("dedup_redelivery", _DEDUP_SQL)(dedup_redelivery)
+
+
+def top_value_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (the README.md:59 ad-hoc query shape): top 10
+    users by total value, deterministic tiebreak on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(dsum("value", "total_value"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+_TOP_USERS_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+"""
+
+register("top_value_users", _TOP_USERS_SQL)(top_value_users)
