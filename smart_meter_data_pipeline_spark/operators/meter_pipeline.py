@@ -1,1 +1,833 @@
-"""Placeholder — filled in by the meter-parity milestone."""
+"""The smart-meter pipeline itself: generator → staging → marts.
+
+This is the reference's analytical core rebuilt Spark-first:
+
+- ``gen_*``: deterministic synthetic data (reference G1-G5 +
+  02_populate_dimensions.sql) built from ``spark.range`` — no Kafka, no
+  Python loops. Randomness comes from a *portable* integer-mix PRNG
+  (two LCG rounds mod 2^31-1) that produces bit-identical doubles in
+  Spark and DuckDB, so the entire pipeline is oracle-checkable
+  end-to-end. ``F.rand(seed)`` would not be (engine-specific streams).
+- ``stg_transform``: stg_meter_readings.sql:22-82 — per-meter LAG over
+  cumulative counters → interval deltas, first-reading COALESCE
+  fallback, mWh→kWh conversion, quality flags.
+- ``fact_customer_billing_daily`` / ``fact_grid_load_hourly``: the two
+  marts (fact_customer_billing_daily.sql, fact_grid_load_hourly.sql)
+  as composable DataFrame functions.
+
+Numeric-parity design: energy is generated and aggregated as INTEGER
+milliwatt-hours (mirroring the reference's deliberate INTEGER columns,
+01_create_schema.sql:78-79) through *both* rollup levels; the single
+``/ 1e6`` happens in the final projection. Integer sums are exact and
+order-insensitive, so results are deterministic under any shuffle
+layout — and hash-identical to the DuckDB oracle. At 100 TB this is
+also the fast path: integer partial aggregation map-side, one double
+division per output row.
+
+Scale notes: the LAG window and the daily rollup both hash-partition
+by meter_id, so Catalyst reuses one exchange; dim joins are broadcast
+(1M-row dims ≈ tens of MB); the generator is a single ``range`` with
+``div``/``%`` decomposition — no cross join, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.plans.registry import register
+
+GEN_START = "2024-01-01 00:00:00"
+N_METERS = 200  # fixed size for the oracle-checked queries
+N_TICKS = 96  # one day at 15-minute cadence
+
+# ---------------------------------------------------------------------------
+# Portable PRNG: h2(h1(m, t, salt)) with MINSTD-style rounds. All
+# intermediates < 2^52, so the arithmetic is exact in BIGINT on both
+# engines (no overflow under Spark ANSI mode).
+# ---------------------------------------------------------------------------
+
+_M31 = 2147483647
+
+
+def _u(salt: int, m, t):
+    """Pseudo-uniform double in [0,1) from (meter, tick, salt) — Spark side."""
+    h1 = (m * F.lit(2654435761) + t * F.lit(40503) + F.lit(salt * 97)) % F.lit(_M31)
+    h2 = (h1 * F.lit(48271)) % F.lit(_M31)
+    return h2.cast("double") / F.lit(float(_M31))
+
+
+def _u_sql(salt: int, m: str, t: str) -> str:
+    """The DuckDB twin of :func:`_u` (same expression, SQL text)."""
+    return (
+        f"(CAST((((({m}) * 2654435761 + ({t}) * 40503 + {salt * 97}) % {_M31})"
+        f" * 48271) % {_M31} AS DOUBLE) / {_M31}.0)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generators (reference: producer/meter_simulator.py:149-252 semantics,
+# 02_populate_dimensions.sql dims)
+# ---------------------------------------------------------------------------
+
+
+def gen_meter_readings(
+    spark: SparkSession, n_meters: int = N_METERS, n_ticks: int = N_TICKS
+) -> DataFrame:
+    """Deterministic raw_meter_readings (reference G1-G5).
+
+    One ``spark.range(n_meters*n_ticks)`` decomposed with div/% — no
+    cross join, scales linearly to any meter count. Emitted values are
+    CUMULATIVE integer milliwatt-hours per meter
+    (producer/meter_simulator.py:198-203, :243-250); production is NULL
+    for odd meters (no solar, :206-207), status sampled ≈98/1.5/0.5
+    V/E/R (:70-81).
+    """
+    grid = spark.range(0, n_meters * n_ticks).select(
+        (F.expr(f"id div {n_ticks}") + 1).alias("meter_id"),
+        (F.col("id") % n_ticks).alias("tick"),
+    )
+    m, t = F.col("meter_id"), F.col("tick")
+    hour = F.expr("(tick div 4) % 24")
+
+    peak = ((hour >= 6) & (hour < 9)) | ((hour >= 17) & (hour < 22))
+    night = (hour >= 22) | (hour < 6)
+    base_w = (
+        F.when(peak, F.lit(2000.0) + _u(1, m, t) * 3000.0)
+        .when(night, F.lit(500.0) + _u(1, m, t) * 1000.0)
+        .otherwise(F.lit(1000.0) + _u(1, m, t) * 2000.0)
+    )
+    jit = F.lit(0.8) + _u(2, m, t) * 0.4
+    # W × 1000 (→mW) × 0.25h (15 min) = × 250 → integer mWh per interval
+    cons_delta = F.floor((base_w * jit) * F.lit(250.0)).cast("bigint")
+
+    daylight = (hour >= 6) & (hour < 18)
+    sol_fac = F.lit(1.0) - F.abs(hour - 12) / F.lit(6.0)
+    sol_peak_w = F.lit(3000.0) + _u(3, m, t) * 3000.0
+    sol_jit = F.lit(0.8) + _u(4, m, t) * 0.4
+    prod_delta = F.when(
+        m % 2 == 0,
+        F.when(
+            daylight,
+            F.floor(((sol_peak_w * sol_fac) * sol_jit) * F.lit(250.0)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )  # odd meters → NULL
+
+    r = _u(5, m, t) * 100.0
+    status = (
+        F.when(r < 98.0, "V").when(r < 99.5, "E").otherwise("R")
+    )
+
+    w = Window.partitionBy("meter_id").orderBy("tick")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.select(
+            "meter_id",
+            "tick",
+            cons_delta.alias("cons_delta"),
+            prod_delta.alias("prod_delta"),
+            status.alias("status"),
+        )
+        .select(
+            F.expr(
+                f"timestampadd(MINUTE, CAST(tick*15 AS INT), timestamp'{GEN_START}')"
+            ).alias("reading_timestamp"),
+            F.col("meter_id").cast("int").alias("meter_id"),
+            F.sum("cons_delta").over(cum).cast("int").alias(
+                "reading_consumption_milliwatts"
+            ),
+            F.sum("prod_delta").over(cum).cast("int").alias(
+                "reading_production_milliwatts"
+            ),
+            "status",
+        )
+    )
+
+
+def _readings_cte(n_meters: int = N_METERS, n_ticks: int = N_TICKS) -> str:
+    """DuckDB CTE generating the identical readings table."""
+    u1 = _u_sql(1, "meter_id", "tick")
+    u2 = _u_sql(2, "meter_id", "tick")
+    u3 = _u_sql(3, "meter_id", "tick")
+    u4 = _u_sql(4, "meter_id", "tick")
+    u5 = _u_sql(5, "meter_id", "tick")
+    return f"""
+grid AS (
+  SELECT i // {n_ticks} + 1 AS meter_id, i % {n_ticks} AS tick,
+         ((i % {n_ticks}) // 4) % 24 AS hour
+  FROM range(0, {n_meters * n_ticks}) t(i)
+),
+deltas AS (
+  SELECT meter_id, tick,
+    CAST(FLOOR((
+      (CASE
+         WHEN (hour >= 6 AND hour < 9) OR (hour >= 17 AND hour < 22)
+           THEN 2000.0 + {u1} * 3000.0
+         WHEN hour >= 22 OR hour < 6
+           THEN 500.0 + {u1} * 1000.0
+         ELSE 1000.0 + {u1} * 2000.0 END)
+      * (0.8 + {u2} * 0.4)) * 250.0) AS BIGINT) AS cons_delta,
+    CASE WHEN meter_id % 2 = 0 THEN
+      CASE WHEN hour >= 6 AND hour < 18 THEN
+        CAST(FLOOR((((3000.0 + {u3} * 3000.0)
+                     * (1.0 - ABS(hour - 12) / 6.0))
+                    * (0.8 + {u4} * 0.4)) * 250.0) AS BIGINT)
+      ELSE 0 END
+    ELSE NULL END AS prod_delta,
+    CASE WHEN {u5} * 100.0 < 98.0 THEN 'V'
+         WHEN {u5} * 100.0 < 99.5 THEN 'E'
+         ELSE 'R' END AS status
+  FROM grid
+),
+readings AS (
+  SELECT TIMESTAMP '{GEN_START}' + to_minutes(CAST(tick * 15 AS BIGINT))
+           AS reading_timestamp,
+         CAST(meter_id AS INT) AS meter_id,
+         CAST(SUM(cons_delta) OVER (PARTITION BY meter_id ORDER BY tick
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS reading_consumption_milliwatts,
+         CAST(SUM(prod_delta) OVER (PARTITION BY meter_id ORDER BY tick
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS reading_production_milliwatts,
+         status
+  FROM deltas
+)"""
+
+
+def gen_dim_meters(spark: SparkSession, n_meters: int = N_METERS) -> DataFrame:
+    """dim_meters (02_populate_dimensions.sql:66-91): 1:1 with
+    customers, 50% solar (even ids), ~200 meters/gateway, zones 5..20."""
+    id_ = F.col("id")
+    ids = id_.cast("string")
+    return spark.range(1, n_meters + 1).select(
+        id_.cast("int").alias("meter_id"),
+        F.concat(F.lit("MTR-"), F.lpad(ids, 10, "0")).alias("meter_idn"),
+        id_.cast("int").alias("customer_id"),
+        F.concat(F.lit("MELO-"), F.lpad(ids, 10, "0")).alias("melo"),
+        (F.lit(10000000) + id_).cast("int").alias("malo_cons"),
+        F.when(id_ % 2 == 0, (F.lit(20000000) + id_).cast("int")).alias("malo_prod"),
+        F.concat(
+            F.lit("GW-"), F.lpad(((id_ % 5000) + 1).cast("string"), 6, "0")
+        ).alias("gateway_idn"),
+        ((id_ % 16) + 5).cast("int").alias("grid_zone_id"),
+    )
+
+
+def _dim_meters_sql(n_meters: int = N_METERS) -> str:
+    return f"""
+SELECT CAST(id AS INT) AS meter_id,
+       'MTR-' || lpad(CAST(id AS VARCHAR), 10, '0') AS meter_idn,
+       CAST(id AS INT) AS customer_id,
+       'MELO-' || lpad(CAST(id AS VARCHAR), 10, '0') AS melo,
+       CAST(10000000 + id AS INT) AS malo_cons,
+       CASE WHEN id % 2 = 0 THEN CAST(20000000 + id AS INT) END AS malo_prod,
+       'GW-' || lpad(CAST((id % 5000) + 1 AS VARCHAR), 6, '0') AS gateway_idn,
+       CAST((id % 16) + 5 AS INT) AS grid_zone_id
+FROM range(1, {n_meters + 1}) t(id)"""
+
+
+def gen_dim_customers(spark: SparkSession, n_meters: int = N_METERS) -> DataFrame:
+    """dim_customers (02_populate_dimensions.sql:48-58)."""
+    id_ = F.col("id")
+    return spark.range(1, n_meters + 1).select(
+        id_.cast("int").alias("customer_id"),
+        F.concat(F.lit("Customer-"), F.lpad(id_.cast("string"), 7, "0")).alias(
+            "customer_name"
+        ),
+        F.when(id_ % 200 == 0, "inactive")
+        .when(id_ % 500 == 0, "suspended")
+        .otherwise("active")
+        .alias("account_status"),
+    )
+
+
+def _dim_customers_sql(n_meters: int = N_METERS) -> str:
+    return f"""
+SELECT CAST(id AS INT) AS customer_id,
+       'Customer-' || lpad(CAST(id AS VARCHAR), 7, '0') AS customer_name,
+       CASE WHEN id % 200 = 0 THEN 'inactive'
+            WHEN id % 500 = 0 THEN 'suspended'
+            ELSE 'active' END AS account_status
+FROM range(1, {n_meters + 1}) t(id)"""
+
+
+# The exact 20 zones from 02_populate_dimensions.sql:12-41.
+GRID_ZONES = [
+    (1, "Downtown Core", "Central", "urban", 500),
+    (2, "North Business District", "Central", "urban", 450),
+    (3, "South Commercial Hub", "Central", "urban", 480),
+    (4, "East Financial District", "East", "urban", 420),
+    (5, "North Residential Area", "North", "suburban", 300),
+    (6, "Northeast Suburbs", "North", "suburban", 280),
+    (7, "Northwest Suburbs", "North", "suburban", 290),
+    (8, "South Residential Area", "South", "suburban", 320),
+    (9, "Southeast Suburbs", "South", "suburban", 310),
+    (10, "Southwest Suburbs", "South", "suburban", 300),
+    (11, "West Residential Area", "West", "suburban", 340),
+    (12, "East Residential Area", "East", "suburban", 330),
+    (13, "North Rural District", "North", "rural", 150),
+    (14, "South Rural District", "South", "rural", 140),
+    (15, "East Rural District", "East", "rural", 160),
+    (16, "West Rural District", "West", "rural", 155),
+    (17, "Industrial Park North", "North", "urban", 600),
+    (18, "Industrial Park South", "South", "urban", 580),
+    (19, "Port Industrial Zone", "East", "urban", 550),
+    (20, "Airport Industrial Zone", "West", "urban", 520),
+]
+
+
+def gen_dim_grid_zones(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(
+        GRID_ZONES,
+        "grid_zone_id int, zone_name string, region string, zone_type string,"
+        " max_capacity_megawatts int",
+    )
+    return df
+
+
+def _grid_zones_sql() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{n}', '{r}', '{t}', {c})" for i, n, r, t, c in GRID_ZONES
+    )
+    return f"""
+SELECT CAST(grid_zone_id AS INT) AS grid_zone_id, zone_name, region, zone_type,
+       CAST(max_capacity_megawatts AS INT) AS max_capacity_megawatts
+FROM (VALUES
+    {rows}
+) AS z(grid_zone_id, zone_name, region, zone_type, max_capacity_megawatts)"""
+
+
+def gen_dim_tariff_rates(spark: SparkSession) -> DataFrame:
+    """dim_tariff_rates (01_create_schema.sql:10-18): one row, 0.2800.
+
+    The reference defines this dim but hard-codes 0.28 in the mart
+    (fact_customer_billing_daily.sql:88-96, the §2.9 gap); we join it
+    properly — output still matches 0.28."""
+    return spark.sql(
+        "SELECT CAST(1 AS INT) AS tariff_id,"
+        " CAST(0.2800 AS DECIMAL(6,4)) AS base_rate_per_kwh"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Staging transform (stg_meter_readings.sql)
+# ---------------------------------------------------------------------------
+
+
+def stg_transform(readings: DataFrame) -> DataFrame:
+    """stg_meter_readings: cumulative counters → interval deltas.
+
+    The semantic heart of the pipeline (stg_meter_readings.sql:22-82):
+    LAG per meter ordered by reading_timestamp, delta vs previous,
+    first-reading fallback to the cumulative itself (stg:46-54),
+    mWh→kWh conversion (stg:56-65), net consumption (stg:67-74),
+    status flags and has_solar (stg:76-82). NULL production stays NULL
+    (never coerced to 0) — the NULL-vs-0 distinction is load-bearing.
+
+    Integer deltas (``*_delta_mwh``) are kept alongside the kWh doubles
+    so downstream marts can aggregate exactly.
+    """
+    w = Window.partitionBy("meter_id").orderBy("reading_timestamp")
+    cum_c = F.col("cumulative_consumption_mwh")
+    cum_p = F.col("cumulative_production_mwh")
+    cons_delta = F.coalesce(cum_c - F.lag(cum_c).over(w), cum_c)
+    prod_delta = F.coalesce(cum_p - F.lag(cum_p).over(w), cum_p)
+    net_mwh = cons_delta - F.coalesce(prod_delta, F.lit(0))
+    return (
+        readings.select(
+            "reading_timestamp",
+            "meter_id",
+            F.col("reading_consumption_milliwatts").alias(
+                "cumulative_consumption_mwh"
+            ),
+            F.col("reading_production_milliwatts").alias("cumulative_production_mwh"),
+            "status",
+        )
+        .withColumn("consumption_delta_mwh", cons_delta)
+        .withColumn("production_delta_mwh", prod_delta)
+        .withColumn("net_delta_mwh", net_mwh)
+        .withColumn(
+            "consumption_kwh", F.col("consumption_delta_mwh").cast("double") / 1000000.0
+        )
+        .withColumn(
+            "production_kwh", F.col("production_delta_mwh").cast("double") / 1000000.0
+        )
+        .withColumn(
+            "net_consumption_kwh", F.col("net_delta_mwh").cast("double") / 1000000.0
+        )
+        .withColumn("is_valid", F.col("status") == "V")
+        .withColumn("is_estimated", F.col("status") == "E")
+        .withColumn("is_error", F.col("status") == "R")
+        .withColumn("has_solar", F.col("cumulative_production_mwh").isNotNull())
+    )
+
+
+_STG_SELECT = """
+  SELECT reading_timestamp, meter_id,
+         reading_consumption_milliwatts AS cumulative_consumption_mwh,
+         reading_production_milliwatts AS cumulative_production_mwh,
+         status,
+         COALESCE(reading_consumption_milliwatts
+                  - LAG(reading_consumption_milliwatts) OVER w,
+                  reading_consumption_milliwatts) AS consumption_delta_mwh,
+         COALESCE(reading_production_milliwatts
+                  - LAG(reading_production_milliwatts) OVER w,
+                  reading_production_milliwatts) AS production_delta_mwh,
+         COALESCE(reading_consumption_milliwatts
+                  - LAG(reading_consumption_milliwatts) OVER w,
+                  reading_consumption_milliwatts)
+           - COALESCE(COALESCE(reading_production_milliwatts
+                  - LAG(reading_production_milliwatts) OVER w,
+                  reading_production_milliwatts), 0) AS net_delta_mwh,
+         status = 'V' AS is_valid,
+         status = 'E' AS is_estimated,
+         status = 'R' AS is_error,
+         reading_production_milliwatts IS NOT NULL AS has_solar
+  FROM readings
+  WINDOW w AS (PARTITION BY meter_id ORDER BY reading_timestamp)
+"""
+
+
+def _stg_cte(n_meters: int = N_METERS, n_ticks: int = N_TICKS) -> str:
+    return f"""WITH {_readings_cte(n_meters, n_ticks)},
+stg AS (
+  SELECT *,
+         CAST(consumption_delta_mwh AS DOUBLE) / 1000000.0 AS consumption_kwh,
+         CAST(production_delta_mwh AS DOUBLE) / 1000000.0 AS production_kwh,
+         CAST(net_delta_mwh AS DOUBLE) / 1000000.0 AS net_consumption_kwh
+  FROM ({_STG_SELECT})
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Marts
+# ---------------------------------------------------------------------------
+
+
+def fact_customer_billing_daily(
+    stg: DataFrame,
+    dim_meters: DataFrame,
+    dim_customers: DataFrame,
+    dim_tariff_rates: DataFrame,
+) -> DataFrame:
+    """fact_customer_billing_daily.sql:25-114, DataFrame-first.
+
+    Two-level rollup: (day, meter) hash-agg → broadcast-join dims →
+    (day, customer) re-agg → rate application + quality pct. The rate
+    comes from dim_tariff_rates via a broadcast cross join (the
+    principled version of the reference's hard-coded 0.28 — §2.9).
+    Energy aggregates as integer mWh through both levels; kWh appears
+    only in the final projection.
+    """
+    daily_meter = stg.groupBy(
+        F.to_date("reading_timestamp").alias("billing_date"), "meter_id"
+    ).agg(
+        F.sum("consumption_delta_mwh").alias("cons_mwh"),
+        F.sum("production_delta_mwh").alias("prod_mwh"),
+        F.sum("net_delta_mwh").alias("net_mwh"),
+        F.count(F.lit(1)).alias("reading_count"),
+        F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid_reading_count"),
+        F.sum(F.when(F.col("is_estimated"), 1).otherwise(0)).alias(
+            "estimated_reading_count"
+        ),
+        F.sum(F.when(F.col("is_error"), 1).otherwise(0)).alias("error_reading_count"),
+        F.max(F.col("has_solar").cast("int")).cast("boolean").alias("has_solar"),
+    )
+    rate = dim_tariff_rates.select(
+        F.col("base_rate_per_kwh").cast("double").alias("rate")
+    )
+    cust_level = (
+        daily_meter.join(
+            F.broadcast(dim_meters.select("meter_id", "customer_id")),
+            "meter_id",
+            "inner",
+        )
+        .join(
+            F.broadcast(dim_customers.select("customer_id", "customer_name")),
+            "customer_id",
+            "inner",
+        )
+        .groupBy("billing_date", "customer_id", "customer_name")
+        .agg(
+            F.sum("cons_mwh").alias("cons_mwh"),
+            F.sum("prod_mwh").alias("prod_mwh"),
+            F.sum("net_mwh").alias("net_mwh"),
+            F.countDistinct("meter_id").alias("meter_count"),
+            F.sum("reading_count").alias("total_reading_count"),
+            F.sum("valid_reading_count").alias("valid_reading_count"),
+            F.sum("estimated_reading_count").alias("estimated_reading_count"),
+            F.sum("error_reading_count").alias("error_reading_count"),
+            F.max(F.col("has_solar").cast("int")).cast("boolean").alias("has_solar"),
+        )
+        .crossJoin(F.broadcast(rate))
+    )
+    kwh = lambda c: (F.col(c).cast("double") / 1000000.0)  # noqa: E731
+    return cust_level.select(
+        "billing_date",
+        "customer_id",
+        "customer_name",
+        kwh("cons_mwh").alias("total_consumption_kwh"),
+        kwh("prod_mwh").alias("total_production_kwh"),
+        kwh("net_mwh").alias("total_net_consumption_kwh"),
+        (kwh("cons_mwh") * F.col("rate")).alias("consumption_charge"),
+        (kwh("prod_mwh") * F.col("rate")).alias("production_credit"),
+        (kwh("net_mwh") * F.col("rate")).alias("net_charge"),
+        "meter_count",
+        "total_reading_count",
+        "valid_reading_count",
+        "estimated_reading_count",
+        "error_reading_count",
+        "has_solar",
+        F.when(
+            F.col("total_reading_count") > 0,
+            F.col("valid_reading_count").cast("double")
+            / F.col("total_reading_count").cast("double")
+            * 100.0,
+        )
+        .otherwise(0.0)
+        .alias("data_quality_pct"),
+    )
+
+
+def fact_grid_load_hourly(
+    stg: DataFrame, dim_meters: DataFrame, dim_grid_zones: DataFrame
+) -> DataFrame:
+    """fact_grid_load_hourly.sql:25-119, DataFrame-first.
+
+    (hour, meter) rollup → broadcast dims → (hour, zone) re-agg with
+    capacity utilization and peak/critical flags (grid:85-104, guarded
+    on capacity > 0)."""
+    hourly_meter = stg.groupBy(
+        F.date_trunc("hour", "reading_timestamp").alias("load_hour"), "meter_id"
+    ).agg(
+        F.sum("consumption_delta_mwh").alias("cons_mwh"),
+        F.sum("production_delta_mwh").alias("prod_mwh"),
+        F.sum("net_delta_mwh").alias("net_mwh"),
+        F.count(F.lit(1)).alias("reading_count"),
+        F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid_reading_count"),
+    )
+    zone_level = (
+        hourly_meter.join(
+            F.broadcast(dim_meters.select("meter_id", "grid_zone_id")),
+            "meter_id",
+            "inner",
+        )
+        .join(F.broadcast(dim_grid_zones), "grid_zone_id", "inner")
+        .groupBy(
+            "load_hour",
+            "grid_zone_id",
+            "zone_name",
+            "zone_type",
+            "max_capacity_megawatts",
+        )
+        .agg(
+            F.sum("cons_mwh").alias("cons_mwh"),
+            F.sum("prod_mwh").alias("prod_mwh"),
+            F.sum("net_mwh").alias("net_mwh"),
+            F.countDistinct("meter_id").alias("active_meter_count"),
+            F.sum("reading_count").alias("total_reading_count"),
+            F.sum("valid_reading_count").alias("valid_reading_count"),
+        )
+    )
+    net_kwh = F.col("net_mwh").cast("double") / 1000000.0
+    util = (net_kwh / 1000.0) / F.col("max_capacity_megawatts")
+    cap_ok = F.col("max_capacity_megawatts") > 0
+    return zone_level.select(
+        "load_hour",
+        "grid_zone_id",
+        "zone_name",
+        "zone_type",
+        "max_capacity_megawatts",
+        (F.col("cons_mwh").cast("double") / 1000000.0).alias("total_consumption_kwh"),
+        (F.col("prod_mwh").cast("double") / 1000000.0).alias("total_production_kwh"),
+        net_kwh.alias("total_net_consumption_kwh"),
+        (net_kwh / 1000.0).alias("total_net_consumption_mwh"),
+        F.when(cap_ok, util * 100.0).otherwise(0.0).alias("capacity_utilization_pct"),
+        (cap_ok & (util > 0.8)).alias("is_peak_load"),
+        (cap_ok & (util > 0.95)).alias("is_critical_load"),
+        "active_meter_count",
+        "total_reading_count",
+        "valid_reading_count",
+        F.when(
+            F.col("total_reading_count") > 0,
+            F.col("valid_reading_count").cast("double")
+            / F.col("total_reading_count").cast("double")
+            * 100.0,
+        )
+        .otherwise(0.0)
+        .alias("data_quality_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checked queries (fixed N_METERS×N_TICKS — they verify
+# semantics; bench.py exercises scale)
+# ---------------------------------------------------------------------------
+
+
+def meter_readings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_meter_readings(spark)
+
+
+register(
+    "meter_readings",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings""",
+)(meter_readings_q)
+
+
+def meter_stg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stg_transform(gen_meter_readings(spark))
+
+
+register(
+    "meter_stg",
+    f"""{_stg_cte()}
+SELECT reading_timestamp, meter_id, cumulative_consumption_mwh,
+       cumulative_production_mwh, status, consumption_delta_mwh,
+       production_delta_mwh, net_delta_mwh, consumption_kwh, production_kwh,
+       net_consumption_kwh, is_valid, is_estimated, is_error, has_solar
+FROM stg""",
+)(meter_stg_q)
+
+
+def meter_billing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = stg_transform(gen_meter_readings(spark))
+    return fact_customer_billing_daily(
+        stg,
+        gen_dim_meters(spark),
+        gen_dim_customers(spark),
+        gen_dim_tariff_rates(spark),
+    )
+
+
+_BILLING_SQL = f"""{_stg_cte()},
+dim_meters AS ({_dim_meters_sql()}),
+dim_customers AS ({_dim_customers_sql()}),
+daily_meter AS (
+  SELECT CAST(date_trunc('day', reading_timestamp) AS DATE) AS billing_date,
+         meter_id,
+         SUM(consumption_delta_mwh) AS cons_mwh,
+         SUM(production_delta_mwh) AS prod_mwh,
+         SUM(net_delta_mwh) AS net_mwh,
+         COUNT(*) AS reading_count,
+         CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_reading_count,
+         CAST(SUM(CASE WHEN is_estimated THEN 1 ELSE 0 END) AS BIGINT) AS estimated_reading_count,
+         CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS error_reading_count,
+         CAST(MAX(CASE WHEN has_solar THEN 1 ELSE 0 END) AS BOOLEAN) AS has_solar
+  FROM stg GROUP BY 1, 2
+),
+cust AS (
+  SELECT billing_date, m.customer_id, c.customer_name,
+         CAST(SUM(cons_mwh) AS BIGINT) AS cons_mwh,
+         CAST(SUM(prod_mwh) AS BIGINT) AS prod_mwh,
+         CAST(SUM(net_mwh) AS BIGINT) AS net_mwh,
+         COUNT(DISTINCT d.meter_id) AS meter_count,
+         CAST(SUM(reading_count) AS BIGINT) AS total_reading_count,
+         CAST(SUM(valid_reading_count) AS BIGINT) AS valid_reading_count,
+         CAST(SUM(estimated_reading_count) AS BIGINT) AS estimated_reading_count,
+         CAST(SUM(error_reading_count) AS BIGINT) AS error_reading_count,
+         CAST(MAX(CASE WHEN has_solar THEN 1 ELSE 0 END) AS BOOLEAN) AS has_solar
+  FROM daily_meter d
+  INNER JOIN dim_meters m ON d.meter_id = m.meter_id
+  INNER JOIN dim_customers c ON m.customer_id = c.customer_id
+  GROUP BY 1, 2, 3
+)
+SELECT billing_date, customer_id, customer_name,
+       CAST(cons_mwh AS DOUBLE) / 1000000.0 AS total_consumption_kwh,
+       CAST(prod_mwh AS DOUBLE) / 1000000.0 AS total_production_kwh,
+       CAST(net_mwh AS DOUBLE) / 1000000.0 AS total_net_consumption_kwh,
+       CAST(cons_mwh AS DOUBLE) / 1000000.0
+         * CAST(CAST(0.2800 AS DECIMAL(6,4)) AS DOUBLE) AS consumption_charge,
+       CAST(prod_mwh AS DOUBLE) / 1000000.0
+         * CAST(CAST(0.2800 AS DECIMAL(6,4)) AS DOUBLE) AS production_credit,
+       CAST(net_mwh AS DOUBLE) / 1000000.0
+         * CAST(CAST(0.2800 AS DECIMAL(6,4)) AS DOUBLE) AS net_charge,
+       meter_count, total_reading_count, valid_reading_count,
+       estimated_reading_count, error_reading_count, has_solar,
+       CASE WHEN total_reading_count > 0
+            THEN CAST(valid_reading_count AS DOUBLE)
+                 / CAST(total_reading_count AS DOUBLE) * 100.0
+            ELSE 0.0 END AS data_quality_pct
+FROM cust"""
+
+register("meter_billing_daily", _BILLING_SQL)(meter_billing_q)
+
+
+def meter_grid_load_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = stg_transform(gen_meter_readings(spark))
+    return fact_grid_load_hourly(
+        stg, gen_dim_meters(spark), gen_dim_grid_zones(spark)
+    )
+
+
+_GRID_LOAD_SQL = f"""{_stg_cte()},
+dim_meters AS ({_dim_meters_sql()}),
+dim_grid_zones AS ({_grid_zones_sql()}),
+hourly_meter AS (
+  SELECT date_trunc('hour', reading_timestamp) AS load_hour, meter_id,
+         SUM(consumption_delta_mwh) AS cons_mwh,
+         SUM(production_delta_mwh) AS prod_mwh,
+         SUM(net_delta_mwh) AS net_mwh,
+         COUNT(*) AS reading_count,
+         CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_reading_count
+  FROM stg GROUP BY 1, 2
+),
+zone AS (
+  SELECT load_hour, m.grid_zone_id, gz.zone_name, gz.zone_type,
+         gz.max_capacity_megawatts,
+         CAST(SUM(cons_mwh) AS BIGINT) AS cons_mwh,
+         CAST(SUM(prod_mwh) AS BIGINT) AS prod_mwh,
+         CAST(SUM(net_mwh) AS BIGINT) AS net_mwh,
+         COUNT(DISTINCT h.meter_id) AS active_meter_count,
+         CAST(SUM(reading_count) AS BIGINT) AS total_reading_count,
+         CAST(SUM(valid_reading_count) AS BIGINT) AS valid_reading_count
+  FROM hourly_meter h
+  INNER JOIN dim_meters m ON h.meter_id = m.meter_id
+  INNER JOIN dim_grid_zones gz ON m.grid_zone_id = gz.grid_zone_id
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT load_hour, grid_zone_id, zone_name, zone_type, max_capacity_megawatts,
+       CAST(cons_mwh AS DOUBLE) / 1000000.0 AS total_consumption_kwh,
+       CAST(prod_mwh AS DOUBLE) / 1000000.0 AS total_production_kwh,
+       CAST(net_mwh AS DOUBLE) / 1000000.0 AS total_net_consumption_kwh,
+       CAST(net_mwh AS DOUBLE) / 1000000.0 / 1000.0 AS total_net_consumption_mwh,
+       CASE WHEN max_capacity_megawatts > 0
+            THEN CAST(net_mwh AS DOUBLE) / 1000000.0 / 1000.0
+                 / max_capacity_megawatts * 100.0
+            ELSE 0.0 END AS capacity_utilization_pct,
+       max_capacity_megawatts > 0 AND
+         CAST(net_mwh AS DOUBLE) / 1000000.0 / 1000.0 / max_capacity_megawatts
+           > 0.8 AS is_peak_load,
+       max_capacity_megawatts > 0 AND
+         CAST(net_mwh AS DOUBLE) / 1000000.0 / 1000.0 / max_capacity_megawatts
+           > 0.95 AS is_critical_load,
+       active_meter_count, total_reading_count, valid_reading_count,
+       CASE WHEN total_reading_count > 0
+            THEN CAST(valid_reading_count AS DOUBLE)
+                 / CAST(total_reading_count AS DOUBLE) * 100.0
+            ELSE 0.0 END AS data_quality_pct
+FROM zone"""
+
+register("meter_grid_load_hourly", _GRID_LOAD_SQL)(meter_grid_load_q)
+
+
+def meter_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension generation (S10 + P13/P14): dims joined into one
+    verification row-set — meter ⋈ customer ⋈ zone."""
+    m = gen_dim_meters(spark)
+    c = gen_dim_customers(spark)
+    z = gen_dim_grid_zones(spark)
+    return (
+        m.join(c, "customer_id", "inner")
+        .join(F.broadcast(z), "grid_zone_id", "inner")
+        .select(
+            "meter_id",
+            "meter_idn",
+            "melo",
+            "malo_cons",
+            "malo_prod",
+            "gateway_idn",
+            "customer_id",
+            "customer_name",
+            "account_status",
+            "grid_zone_id",
+            "zone_name",
+            "zone_type",
+            "max_capacity_megawatts",
+        )
+    )
+
+
+register(
+    "meter_dims",
+    f"""WITH dim_meters AS ({_dim_meters_sql()}),
+dim_customers AS ({_dim_customers_sql()}),
+dim_grid_zones AS ({_grid_zones_sql()})
+SELECT meter_id, meter_idn, melo, malo_cons, malo_prod, gateway_idn,
+       c.customer_id, customer_name, account_status,
+       z.grid_zone_id, zone_name, zone_type, max_capacity_megawatts
+FROM dim_meters m
+INNER JOIN dim_customers c ON m.customer_id = c.customer_id
+INNER JOIN dim_grid_zones z ON m.grid_zone_id = z.grid_zone_id""",
+)(meter_dims_q)
+
+
+def meter_quality_checks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt data tests (sources.yml: not_null, unique,
+    accepted_values) plus the schema CHECK constraints
+    (01_create_schema.sql:84-93) as one assertion query — every
+    violation count must be 0."""
+    r = gen_meter_readings(spark)
+    checks = [
+        (
+            "not_null_required",
+            F.sum(
+                F.when(
+                    F.col("reading_timestamp").isNull() | F.col("meter_id").isNull(), 1
+                ).otherwise(0)
+            ),
+        ),
+        (
+            "accepted_status",
+            F.sum(F.when(~F.col("status").isin("V", "E", "R"), 1).otherwise(0)),
+        ),
+        (
+            "non_negative",
+            F.sum(
+                F.when(
+                    (F.col("reading_consumption_milliwatts") < 0)
+                    | (F.col("reading_production_milliwatts") < 0),
+                    1,
+                ).otherwise(0)
+            ),
+        ),
+        (
+            "at_least_one_reading",
+            F.sum(
+                F.when(
+                    F.col("reading_consumption_milliwatts").isNull()
+                    & F.col("reading_production_milliwatts").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+        ),
+        (
+            "unique_pk",
+            F.count(F.lit(1))
+            - F.countDistinct("reading_timestamp", "meter_id"),
+        ),
+    ]
+    agg = r.agg(*[expr.cast("bigint").alias(name) for name, expr in checks])
+    stack = ", ".join(f"'{name}', {name}" for name, _ in checks)
+    return agg.selectExpr(
+        f"stack({len(checks)}, {stack}) AS (check_name, n_violations)"
+    )
+
+
+register(
+    "meter_quality_checks",
+    f"""WITH {_readings_cte()},
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN reading_timestamp IS NULL OR meter_id IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS not_null_required,
+    CAST(SUM(CASE WHEN status NOT IN ('V','E','R') THEN 1 ELSE 0 END) AS BIGINT)
+      AS accepted_status,
+    CAST(SUM(CASE WHEN reading_consumption_milliwatts < 0
+                    OR reading_production_milliwatts < 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS non_negative,
+    CAST(SUM(CASE WHEN reading_consumption_milliwatts IS NULL
+                   AND reading_production_milliwatts IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS at_least_one_reading,
+    COUNT(*) - COUNT(DISTINCT (reading_timestamp, meter_id)) AS unique_pk
+  FROM readings
+)
+SELECT check_name, n_violations FROM (
+  SELECT 'not_null_required' AS check_name, not_null_required AS n_violations FROM agg
+  UNION ALL SELECT 'accepted_status', accepted_status FROM agg
+  UNION ALL SELECT 'non_negative', non_negative FROM agg
+  UNION ALL SELECT 'at_least_one_reading', at_least_one_reading FROM agg
+  UNION ALL SELECT 'unique_pk', unique_pk FROM agg
+)""",
+)(meter_quality_checks_q)
