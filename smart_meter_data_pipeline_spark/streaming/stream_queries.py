@@ -1,1 +1,182 @@
-"""Placeholder — filled in by the streaming milestone."""
+"""Registered streaming queries — Structured Streaming runs whose final
+answers are oracle-checkable against batch SQL.
+
+Two shapes:
+
+- ``stream_hourly_events``: windowed event-time aggregation (T9
+  tumbling windows + T4 watermark) over a parquet file stream,
+  drained with ``availableNow`` into a memory sink. Streaming and
+  batch share semantics by construction, so the DuckDB oracle is the
+  plain batch GROUP BY — the strongest possible check that the
+  streaming graph computes the same answer.
+- ``stream_ingest_daily``: the FULL ingest path end-to-end — generate
+  the deterministic meter readings, serialize to the JSON wire
+  envelope (S2), deliver as a file stream WITH a duplicated delivery
+  (at-least-once redelivery), run the checkpointed foreachBatch
+  idempotent sink (T1), then aggregate the landed fact table. The
+  oracle aggregates the same generator directly in DuckDB — so
+  duplicate-safety, envelope parsing, and arrival stamping are all in
+  the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smart_meter_data_pipeline_spark.operators.common import dsum
+from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+    _readings_cte,
+    gen_meter_readings,
+)
+from smart_meter_data_pipeline_spark.plans.registry import register
+from smart_meter_data_pipeline_spark.streaming.ingest_stream import (
+    start_ingest_stream,
+)
+
+# events.ts is parquet TIMESTAMP(NANOS) → LongType under nanosAsLong.
+_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over a file stream, drained
+    with availableNow → memory sink; returns the final table."""
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("load_hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+register(
+    "stream_hourly_events",
+    """
+SELECT date_trunc('hour', ts) AS load_hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)(stream_hourly_events)
+
+
+def _wire_format(readings: DataFrame) -> DataFrame:
+    """S2: serialize readings to the Kafka wire shape — key =
+    str(meter_id), value = JSON envelope with ISO-8601 UTC timestamp
+    (producer/meter_simulator.py:244-250, :284-285)."""
+    return readings.select(
+        F.col("meter_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                "meter_id",
+                F.date_format("reading_timestamp", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                    "reading_timestamp"
+                ),
+                "reading_consumption_milliwatts",
+                "reading_production_milliwatts",
+                "status",
+            )
+        ).alias("value"),
+    )
+
+
+def stream_ingest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest with redelivery, aggregated daily.
+
+    generator → wire JSON (2 deliveries of the same data = Kafka
+    at-least-once) → file stream → checkpointed foreachBatch
+    idempotent append → read fact table → daily rollup. The oracle
+    aggregates the generator directly: any duplicate surviving the
+    sink, or any row lost by the envelope round-trip, breaks the hash.
+    """
+    workdir = tempfile.mkdtemp(prefix="smart_meter_stream_")
+    src = os.path.join(workdir, "messages")
+    target = os.path.join(workdir, "fact")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        wire = _wire_format(gen_meter_readings(spark)).select("value")
+        # two identical deliveries (redelivery simulation, T1)
+        wire.coalesce(4).write.mode("overwrite").text(os.path.join(src, "d1"))
+        wire.coalesce(4).write.mode("overwrite").text(os.path.join(src, "d2"))
+        q = start_ingest_stream(
+            spark,
+            os.path.join(src, "*", "*.txt"),
+            target,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination()
+        fact = spark.read.parquet(target)
+        return (
+            fact.groupBy(F.col("reading_date").alias("billing_date"))
+            .agg(
+                F.count(F.lit(1)).alias("n_readings"),
+                F.countDistinct("meter_id").alias("n_meters"),
+                F.sum("reading_consumption_milliwatts")
+                .cast("bigint")
+                .alias("sum_cumulative_cons_mwh"),
+                F.sum("reading_production_milliwatts")
+                .cast("bigint")
+                .alias("sum_cumulative_prod_mwh"),
+            )
+            # materialize before the tempdir vanishes
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_ingest_daily",
+    f"""WITH {_readings_cte()}
+SELECT CAST(date_trunc('day', reading_timestamp) AS DATE) AS billing_date,
+       COUNT(*) AS n_readings,
+       COUNT(DISTINCT meter_id) AS n_meters,
+       CAST(SUM(reading_consumption_milliwatts) AS BIGINT)
+         AS sum_cumulative_cons_mwh,
+       CAST(SUM(reading_production_milliwatts) AS BIGINT)
+         AS sum_cumulative_prod_mwh
+FROM readings
+GROUP BY 1""",
+)(stream_ingest_daily)

@@ -1,0 +1,97 @@
+"""Ingest-path tests per FIXTURES.md §6: malformed JSON, missing
+required fields, status defaulting, duplicate redelivery."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.sources import ingest
+
+
+@pytest.fixture()
+def tmp_target(tmp_path):
+    return str(tmp_path / "fact")
+
+
+def _messages_df(spark, payloads: list[str]):
+    return ingest.parse_messages(
+        spark.createDataFrame([(p,) for p in payloads], "value string")
+    )
+
+
+GOOD = {
+    "meter_id": 1,
+    "reading_timestamp": "2024-01-01T00:15:00",
+    "reading_consumption_milliwatts": 1000,
+    "reading_production_milliwatts": None,
+    "status": "V",
+}
+
+
+def test_malformed_json_quarantined(spark, tmp_target):
+    msgs = _messages_df(spark, [json.dumps(GOOD), "{not json", ""])
+    stats = ingest.ingest_batch(spark, msgs, tmp_target)
+    assert stats["written"] == 1
+    assert stats["quarantined"] == 2
+
+
+def test_missing_required_fields(spark, tmp_target):
+    no_meter = {k: v for k, v in GOOD.items() if k != "meter_id"}
+    no_ts = {k: v for k, v in GOOD.items() if k != "reading_timestamp"}
+    msgs = _messages_df(
+        spark, [json.dumps(GOOD), json.dumps(no_meter), json.dumps(no_ts)]
+    )
+    classified = ingest.classify(msgs)
+    reasons = sorted(
+        r["reject_reason"]
+        for r in classified.filter(F.col("reject_reason").isNotNull()).collect()
+    )
+    assert reasons == ["missing_required", "missing_required"]
+
+
+def test_status_defaults_to_v(spark):
+    msg = {k: v for k, v in GOOD.items() if k != "status"}
+    valid, _ = ingest.split_valid(ingest.classify(_messages_df(spark, [json.dumps(msg)])))
+    row = valid.first()
+    assert row["status"] == "V"
+    assert row["arrived_at"] is not None
+
+
+def test_check_constraint_violations(spark):
+    neg = dict(GOOD, reading_consumption_milliwatts=-5)
+    no_readings = dict(
+        GOOD, reading_consumption_milliwatts=None, reading_production_milliwatts=None
+    )
+    bad_status = dict(GOOD, status="X")
+    msgs = _messages_df(
+        spark, [json.dumps(neg), json.dumps(no_readings), json.dumps(bad_status)]
+    )
+    reasons = sorted(
+        r["reject_reason"] for r in ingest.classify(msgs).collect()
+    )
+    assert reasons == ["bad_status", "negative_reading", "no_reading"]
+
+
+def test_redelivery_idempotent(spark, tmp_target):
+    """Writing the same batch twice (and overlapping supersets) leaves
+    exactly one copy of each PK — the ON CONFLICT DO NOTHING contract."""
+    batch1 = [json.dumps(dict(GOOD, meter_id=i)) for i in range(1, 6)]
+    batch2 = [json.dumps(dict(GOOD, meter_id=i)) for i in range(3, 9)]  # overlap 3-5
+    s1 = ingest.ingest_batch(spark, _messages_df(spark, batch1), tmp_target)
+    s_replay = ingest.ingest_batch(spark, _messages_df(spark, batch1), tmp_target)
+    s2 = ingest.ingest_batch(spark, _messages_df(spark, batch2), tmp_target)
+    assert s1["written"] == 5
+    assert s_replay["written"] == 0
+    assert s2["written"] == 3
+    fact = spark.read.parquet(tmp_target)
+    assert fact.count() == 8
+    assert fact.select("reading_timestamp", "meter_id").distinct().count() == 8
+
+
+def test_in_batch_duplicates_deduped(spark, tmp_target):
+    dup = [json.dumps(GOOD), json.dumps(GOOD), json.dumps(GOOD)]
+    stats = ingest.ingest_batch(spark, _messages_df(spark, dup), tmp_target)
+    assert stats["written"] == 1
