@@ -1,0 +1,143 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-leg sec...}, "sf": <sf>}
+
+Baseline mapping (BASELINE.md): the reference claims ~10K rec/sec per
+consumer, ~40K rec/sec aggregate ingest on 4 partitions, and
+full-refresh mart rebuilds via dbt. The ``meter_ingest_day`` leg
+writes a full simulated day for 20k meters (1.92M readings) to
+date-partitioned parquet — rows/sec = 1_920_000 / leg seconds; the
+``meter_marts_rebuild`` leg is the dbt-run equivalent (staging LAG +
+both marts, end-to-end).
+
+Every query leg materializes through the noop sink (full computation,
+no collection cost)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from smart_meter_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_METERS = int(os.environ.get("SPARK_GRAFT_BENCH_METERS", "20000"))
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("smart-meter-bench")
+    from smart_meter_data_pipeline_spark.operators import (
+        dedup,
+        events_pipeline,
+        meter_pipeline as mp,
+        similarity,
+        tpch,
+    )
+    from smart_meter_data_pipeline_spark.streaming import stream_queries
+
+    # Warm the JVM/codegen paths so leg 1 doesn't pay startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_bench_")
+    fact_dir = os.path.join(workdir, "fact")
+    timings: dict[str, float] = {}
+
+    def leg(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    try:
+        # 1. Ingest-equivalent: one simulated day for BENCH_METERS meters
+        # (96 readings each) into date-partitioned parquet.
+        readings = mp.gen_meter_readings(spark, n_meters=BENCH_METERS, n_ticks=96)
+        leg(
+            "meter_ingest_day",
+            lambda: readings.withColumn(
+                "reading_date", readings.reading_timestamp.cast("date")
+            )
+            .write.mode("overwrite")
+            .partitionBy("reading_date")
+            .parquet(fact_dir),
+        )
+
+        # 2. Mart rebuild (the dbt-run equivalent) from the landed table;
+        # one shared staging pass feeds both marts.
+        def marts() -> None:
+            landed = spark.read.parquet(fact_dir)
+            billing, grid = mp.build_all_marts(spark, landed, BENCH_METERS)
+            _materialize(billing)
+            _materialize(grid)
+
+        leg("meter_marts_rebuild", marts)
+
+        # 3. Streaming ingest end-to-end (wire JSON → dedup sink → rollup).
+        leg(
+            "stream_ingest_daily",
+            lambda: stream_queries.stream_ingest_daily(spark, SF_DIR).count(),
+        )
+
+        # 4-6. Events-table analytics (reference mart shapes at sf).
+        leg(
+            "events_stg_deltas",
+            lambda: _materialize(events_pipeline.stg_event_deltas(spark, SF_DIR)),
+        )
+        leg(
+            "events_billing_daily",
+            lambda: _materialize(
+                events_pipeline.daily_customer_billing(spark, SF_DIR)
+            ),
+        )
+        leg(
+            "events_hourly_load",
+            lambda: _materialize(events_pipeline.hourly_nation_load(spark, SF_DIR)),
+        )
+
+        # 7. Warehouse scan/agg shape.
+        leg(
+            "tpch_pricing_summary",
+            lambda: _materialize(tpch.pricing_summary(spark, SF_DIR)),
+        )
+
+        # 8-9. LLM-pipeline operators.
+        leg(
+            "dedup_minhash_lsh",
+            lambda: _materialize(dedup.dedup_minhash_lsh(spark, SF_DIR)),
+        )
+        leg(
+            "ann_topk_cosine",
+            lambda: _materialize(similarity.ann_topk_cosine(spark, SF_DIR)),
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    ingest_rows = BENCH_METERS * 96
+    result = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest_rows": ingest_rows,
+        "ingest_rows_per_sec": round(ingest_rows / timings["meter_ingest_day"]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,46 @@ GROUP BY 1
 )(dedup_exact)
 
 
+def _jaccard_for_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set only.
+
+    The intersection join touches just the candidates' shingles —
+    O(|candidates| × shingles/doc) instead of the inverted-index
+    blowup. This is the verify stage of the LSH path: at 100 TB the
+    candidate set is tiny relative to the corpus, so this stays cheap
+    no matter how hot the shingle vocabulary is."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sb_shingle")
+    )
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb_doc"))
+            & (F.col("shingle") == F.col("sb_shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+
+
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
     """Exact Jaccard for every doc pair sharing ≥1 shingle, via an
     inverted-index self-join on the shingle (never all-pairs)."""
@@ -196,8 +236,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         verified = (
-            _pair_jaccard(sh)
-            .join(candidates, ["doc_a", "doc_b"], "inner")
+            _jaccard_for_candidates(sh, candidates)
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
         )

@@ -559,6 +559,49 @@ def fact_grid_load_hourly(
     )
 
 
+def build_all_marts(
+    spark: SparkSession, readings: DataFrame, n_meters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Rebuild both marts from raw readings sharing ONE staging pass.
+
+    The reference recomputes the staging view per mart (dbt view
+    materialization, README.md:137 — a known trade-off); here staging
+    is persisted across the two mart builds, so the expensive
+    LAG-window shuffle over the fact table runs once. At warehouse
+    scale the same role is played by materializing stg to storage.
+
+    Returns (billing, grid_load) — both eagerly materialized via the
+    shared persisted staging; callers still own writing them out.
+    """
+    # Persist only the columns the marts read — column pruning doesn't
+    # reach through a persist boundary, so project before caching.
+    stg = stg_transform(readings).select(
+        "reading_timestamp",
+        "meter_id",
+        "consumption_delta_mwh",
+        "production_delta_mwh",
+        "net_delta_mwh",
+        "is_valid",
+        "is_estimated",
+        "is_error",
+        "has_solar",
+    ).persist()
+    try:
+        dims = gen_dim_meters(spark, n_meters)
+        billing = fact_customer_billing_daily(
+            stg,
+            dims,
+            gen_dim_customers(spark, n_meters),
+            gen_dim_tariff_rates(spark),
+        ).localCheckpoint(eager=True)
+        grid = fact_grid_load_hourly(
+            stg, dims, gen_dim_grid_zones(spark)
+        ).localCheckpoint(eager=True)
+        return billing, grid
+    finally:
+        stg.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # Registered oracle-checked queries (fixed N_METERS×N_TICKS — they verify
 # semantics; bench.py exercises scale)
