@@ -50,6 +50,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from smart_meter_data_pipeline_spark.operators import (  # noqa: F401
         events_pipeline,
+        extended,
         meter_pipeline,
         tpch,
         dedup,

@@ -30,7 +30,7 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_cell(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
