@@ -167,6 +167,74 @@ def stream_ingest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def stream_incremental_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful cumulative→delta operator, end-to-end and
+    hash-checked: generator → two time-ordered deliveries →
+    ``applyInPandasWithState`` incremental deltas → daily per-meter
+    rollup. The oracle computes the same rollup from the batch LAG
+    staging in DuckDB — state handoff across micro-batches is in the
+    hash."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _stg_cte,  # noqa: F401  (oracle twin lives below)
+    )
+    from smart_meter_data_pipeline_spark.streaming.stateful import (
+        incremental_deltas,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_stateful_")
+    src = os.path.join(workdir, "chunks")
+    os.makedirs(src)
+    try:
+        readings = gen_meter_readings(spark)
+        half = F.hour("reading_timestamp") < 12
+        readings.filter(half).coalesce(2).write.parquet(os.path.join(src, "c0"))
+        readings.filter(~half).coalesce(2).write.parquet(os.path.join(src, "c1"))
+        stream = (
+            spark.readStream.schema(readings.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        sink = f"stateful_{uuid.uuid4().hex[:8]}"
+        q = (
+            incremental_deltas(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(sink)
+            .groupBy(
+                F.to_date("reading_timestamp").alias("billing_date"), "meter_id"
+            )
+            .agg(
+                F.sum("consumption_delta_mwh").alias("cons_mwh"),
+                F.sum("production_delta_mwh").alias("prod_mwh"),
+                F.count(F.lit(1)).alias("n_readings"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _stateful_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import _stg_cte
+
+    return f"""{_stg_cte()}
+SELECT CAST(date_trunc('day', reading_timestamp) AS DATE) AS billing_date,
+       meter_id,
+       CAST(SUM(consumption_delta_mwh) AS BIGINT) AS cons_mwh,
+       CAST(SUM(production_delta_mwh) AS BIGINT) AS prod_mwh,
+       COUNT(*) AS n_readings
+FROM stg GROUP BY 1, 2"""
+
+
+register("stream_incremental_deltas", _stateful_oracle())(stream_incremental_deltas)
+
+
 register(
     "stream_ingest_daily",
     f"""WITH {_readings_cte()}
