@@ -121,6 +121,10 @@ def main() -> None:
             "ann_topk_cosine",
             lambda: _materialize(similarity.ann_topk_cosine(spark, SF_DIR)),
         )
+        leg(
+            "ann_ivf_topk",
+            lambda: _materialize(similarity.ann_ivf_topk(spark, SF_DIR)),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

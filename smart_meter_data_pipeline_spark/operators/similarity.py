@@ -200,10 +200,9 @@ FROM assign a JOIN sizes s ON a.bucket_id = s.bucket_id
 def ann_search_lsh(
     emb: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:
-    """Library operator (pytest-verified vs brute force): restrict the
-    cosine top-k to candidates sharing the query's LSH bucket. The
-    join is bucket_id = bucket_id instead of all-pairs — at scale the
-    only full shuffle is the bucket build."""
+    """Restrict the cosine top-k to candidates sharing the query's LSH
+    bucket. The join is bucket_id = bucket_id instead of all-pairs —
+    at scale the only full shuffle is the bucket build."""
     assign = lsh_bucket_assignments(emb).select("vec_id", "bucket_id")
     e = emb.join(assign, "vec_id").withColumn("norm2", _dot("embedding", "embedding"))
     q = (
@@ -221,7 +220,8 @@ def ann_search_lsh(
         & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.withColumn("dot", _dot("q_embedding", "embedding")).withColumn(
-        "cosine", F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2"))
+        "cosine",
+        F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2")), 12),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -234,8 +234,11 @@ def ann_search_lsh(
 def embedding_cosine_dups(
     emb: DataFrame, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (library op, pytest-verified):
-    LSH-bucketed candidate generation, exact cosine verify."""
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidate
+    generation, exact cosine verify. Only same-bucket pairs are
+    scored — the all-pairs O(N²) never materializes, so the shape
+    survives a 100 TB corpus (bucket build is one shuffle; the verify
+    join is bucket-local)."""
     assign = lsh_bucket_assignments(emb).select("vec_id", "bucket_id")
     e = emb.join(assign, "vec_id").withColumn("norm2", _dot("embedding", "embedding"))
     a, b = e.alias("a"), e.alias("b")
@@ -252,8 +255,307 @@ def embedding_cosine_dups(
         F.col("b.norm2").alias("nb"),
     )
     cos = pairs.withColumn("dot", _dot("ea", "eb")).withColumn(
-        "cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+        "cosine", F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 12)
     )
     return cos.filter(F.col("cosine") >= threshold).select(
         "vec_a", "vec_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked registrations for the bucketed paths
+# ---------------------------------------------------------------------------
+
+DUP_THRESHOLD = 0.2  # sf-testdata vectors are near-orthogonal; 0.2 keeps
+# a few hundred verified pairs at sf0.01 so the hash check has teeth.
+
+
+def _bucket_cte() -> str:
+    """DuckDB CTE text computing (vec_id, bucket_id) — the oracle twin
+    of :func:`lsh_bucket_assignments`."""
+    r = f"({_u_sql(7, 'j', 'd')} * 2.0 - 1.0)"
+    return f"""un AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, label, j,
+         CAST(SUM(CAST(val * {r} AS DECIMAL(30,15))) AS DOUBLE) AS dot_j
+  FROM un, range(0, {N_PLANES}) t(j)
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, label,
+         CAST(SUM(CASE WHEN dot_j > 0
+                       THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket_id
+  FROM proj GROUP BY 1, 2
+)"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table
+    (LSH candidates → exact-cosine verify, threshold {DUP_THRESHOLD})."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_dups(emb, threshold=DUP_THRESHOLD)
+
+
+register(
+    "dedup_embedding_cosine",
+    f"""
+WITH {_bucket_cte()},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign a JOIN assign b
+    ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+),
+up AS (
+  SELECT vec_a, vec_b,
+         CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+         CAST(unnest(eb.embedding) AS DOUBLE) AS y
+  FROM pairs
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b
+),
+d AS (
+  SELECT vec_a, vec_b,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS na,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS nb
+  FROM up GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 12) AS cosine
+FROM d WHERE round(dot / (sqrt(na) * sqrt(nb)), 12) >= {DUP_THRESHOLD}
+""",
+)(dedup_embedding_cosine)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k for the standard query set (vec_id <
+    {N_QUERIES}): exact cosine, candidates restricted to the query's
+    bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ann_search_lsh(emb, queries, k=TOP_K)
+
+
+register(
+    "ann_lsh_topk",
+    f"""
+WITH {_bucket_cte()},
+q AS (SELECT vec_id AS query_id, bucket_id AS q_bucket FROM assign
+      WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM q JOIN assign a
+    ON a.bucket_id = q.q_bucket AND a.vec_id <> q.query_id
+),
+up AS (
+  SELECT query_id, neighbor_id,
+         CAST(unnest(eq.embedding) AS DOUBLE) AS x,
+         CAST(unnest(en.embedding) AS DOUBLE) AS y
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = query_id
+  JOIN embeddings en ON en.vec_id = neighbor_id
+),
+d AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS ne
+  FROM up GROUP BY 1, 2
+),
+cos AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (sqrt(nq) * sqrt(ne)), 12) AS cosine
+  FROM d
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cos
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)(ann_lsh_topk)
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat: coarse quantizer (deterministic centroids) + nprobe search
+# ---------------------------------------------------------------------------
+
+CENTROID_STRIDE = 29  # vec_id % 29 == 7 → ~N/29 cells, grows with corpus
+NPROBE = 4
+
+
+def ivf_cell_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell_id): nearest deterministic centroid by cosine.
+
+    The centroid set is tiny relative to the corpus → broadcast; the
+    argmax is a map-side-combinable ``max(struct(...))`` aggregation,
+    NOT a row_number window, so assignment at 100 TB is one partial
+    aggregation over the scan — no sort shuffle of the pair space."""
+    e = emb.withColumn("norm2", _dot("embedding", "embedding"))
+    cent = e.filter(
+        F.col("vec_id") % CENTROID_STRIDE == CENTROID_STRIDE % 7
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("dot", _dot("embedding", "c_embedding"))
+        .withColumn(
+            "cos_c",
+            F.round(F.col("dot") / (F.sqrt("norm2") * F.sqrt("c_norm2")), 12),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos_c"), (-F.col("centroid_id")).alias("neg_cid"))
+        ).alias("s")
+    )
+    return best.select(
+        "vec_id", (-F.col("s.neg_cid")).cast("bigint").alias("cell_id")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest centroid cell,
+    probe the {NPROBE} cells nearest each query, exact-cosine rank
+    within the probed cells only.
+
+    Scale path: centroids broadcast both times; the candidate join is
+    an equi-join on cell_id against a {NPROBE}/{CENTROID_STRIDE}
+    fraction of the corpus; final ranking partitions by query_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf_cell_assignments(emb)
+    e = emb.join(cells, "vec_id").withColumn("norm2", _dot("embedding", "embedding"))
+
+    # cent/q come from the raw table, NOT from `e` — deriving them from
+    # the cells join would recompute the whole assignment aggregation
+    # once per consumer.
+    raw = emb.withColumn("norm2", _dot("embedding", "embedding"))
+    cent = raw.filter(
+        F.col("vec_id") % CENTROID_STRIDE == CENTROID_STRIDE % 7
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    q = raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dot", _dot("q_embedding", "c_embedding"))
+        .withColumn(
+            "c_cos",
+            F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("c_norm2")), 12),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= NPROBE)
+        .select(
+            "query_id",
+            "q_embedding",
+            "q_norm2",
+            F.col("centroid_id").alias("probe_cell"),
+        )
+    )
+    cand = e.join(
+        F.broadcast(probes),
+        (F.col("cell_id") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).drop("probe_cell")
+    scored = cand.withColumn("dot", _dot("q_embedding", "embedding")).withColumn(
+        "cosine",
+        F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2")), 12),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+_IVF_DOTS = """
+  SELECT l_id, r_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nl,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS nr
+  FROM ({pairs_sql})
+  GROUP BY 1, 2
+"""
+
+register(
+    "ann_ivf_topk",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding
+  FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = {CENTROID_STRIDE % 7}
+),
+acand AS (
+  SELECT e.vec_id AS l_id, c.centroid_id AS r_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.embedding) AS DOUBLE) AS y
+  FROM embeddings e, cent c
+),
+adots AS ({_IVF_DOTS.format(pairs_sql="SELECT * FROM acand")}),
+acells AS (
+  SELECT l_id AS vec_id, r_id AS cell_id,
+         row_number() OVER (
+           PARTITION BY l_id
+           ORDER BY round(dot / (sqrt(nl) * sqrt(nr)), 12) DESC, r_id
+         ) AS rn
+  FROM adots
+),
+cells AS (SELECT vec_id, cell_id FROM acells WHERE rn = 1),
+qcand AS (
+  SELECT q.vec_id AS l_id, c.centroid_id AS r_id,
+         CAST(unnest(q.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.embedding) AS DOUBLE) AS y
+  FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+),
+qdots AS ({_IVF_DOTS.format(pairs_sql="SELECT * FROM qcand")}),
+qprobes AS (
+  SELECT l_id AS query_id, r_id AS cell_id,
+         row_number() OVER (
+           PARTITION BY l_id
+           ORDER BY round(dot / (sqrt(nl) * sqrt(nr)), 12) DESC, r_id
+         ) AS rn
+  FROM qdots
+),
+probes AS (SELECT query_id, cell_id FROM qprobes WHERE rn <= {NPROBE}),
+scand AS (
+  SELECT p.query_id AS l_id, cl.vec_id AS r_id,
+         CAST(unnest(eq.embedding) AS DOUBLE) AS x,
+         CAST(unnest(en.embedding) AS DOUBLE) AS y
+  FROM probes p
+  JOIN cells cl ON cl.cell_id = p.cell_id AND cl.vec_id <> p.query_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings en ON en.vec_id = cl.vec_id
+),
+sdots AS ({_IVF_DOTS.format(pairs_sql="SELECT * FROM scand")}),
+ranked AS (
+  SELECT l_id AS query_id, r_id AS neighbor_id,
+         round(dot / (sqrt(nl) * sqrt(nr)), 12) AS cosine,
+         row_number() OVER (
+           PARTITION BY l_id
+           ORDER BY round(dot / (sqrt(nl) * sqrt(nr)), 12) DESC, r_id
+         ) AS rank
+  FROM sdots
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)(ann_ivf_topk)

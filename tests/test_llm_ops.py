@@ -90,3 +90,39 @@ def test_shingles_cover_text(spark, sf_dir):
     row = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).first()
     assert row["n"] > 0
     assert sh.filter(F.length("shingle") != 12).count() == 0
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    """Every vector lands in exactly one IVF cell, and cells are
+    centroid ids (vec_id % STRIDE == STRIDE % 7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_cell_assignments(emb)
+    n = emb.count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    s = similarity.CENTROID_STRIDE
+    bad = cells.filter(F.col("cell_id") % s != s % 7).count()
+    assert bad == 0
+
+
+def test_ivf_topk_cosines_match_bruteforce(spark, sf_dir):
+    """IVF-flat results carry exact cosines: every (query, neighbor)
+    pair IVF returns that also appears in the brute-force top-k must
+    agree on cosine; ranks are 1..k without gaps per query."""
+    ivf = similarity.ann_ivf_topk(spark, sf_dir)
+    brute = similarity.ann_topk_cosine(spark, sf_dir)
+    ivf_rows = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in ivf.collect()}
+    brute_rows = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute.collect()
+    }
+    assert ivf_rows, "IVF search should return results"
+    for key, cos in ivf_rows.items():
+        if key in brute_rows:
+            assert abs(brute_rows[key] - cos) < 1e-9
+    ranks: dict[int, list[int]] = {}
+    for (qid, _), _cos in ivf_rows.items():
+        ranks.setdefault(qid, [])
+    for r in similarity.ann_ivf_topk(spark, sf_dir).collect():
+        ranks[r["query_id"]].append(r["rank"])
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), qid
