@@ -115,3 +115,151 @@ SELECT doc_id,
 FROM documents
 """,
 )(multimodal_features)
+
+
+# ---------------------------------------------------------------------------
+# Resize (1→1) and frame-sample (1→N) batch shapes
+# ---------------------------------------------------------------------------
+
+THUMB_W = 8
+THUMB_H = 8
+FRAME_SIZE = 32
+FRAME_STRIDE = 2
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("n_src_bytes", T.IntegerType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    binary_df: DataFrame, out_w: int = THUMB_W, out_h: int = THUMB_H
+) -> DataFrame:
+    """Arrow-batched resize over the binary column (1 row in → 1 row
+    out, fixed-size payload out).
+
+    A real deployment calls :func:`decode_image` + an interpolating
+    resampler per payload inside the same batch loop; codec-less here,
+    the "thumbnail" is the payload cycled to exactly ``out_w*out_h``
+    bytes — deterministic, so the whole batch path is oracle-checked
+    (md5 of the fake thumb has an exact DuckDB twin). The Spark-side
+    contract a decoder drops into is unchanged: declared output schema,
+    pandas in/out, binary column never touches Catalyst expressions."""
+    wh = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def thumb_md5(payload) -> str:
+            b = bytes(payload)
+            rep = b * ((wh + len(b) - 1) // len(b))
+            return hashlib.md5(rep[:wh]).hexdigest()
+
+        for pdf in it:
+            payloads = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_src_bytes": payloads.map(len).astype("int32"),
+                    "thumb_md5": payloads.map(thumb_md5),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, _RESIZE_SCHEMA)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(with_binary_content(docs))
+
+
+register(
+    "multimodal_resize",
+    f"""
+SELECT doc_id,
+       {THUMB_W} AS out_w,
+       {THUMB_H} AS out_h,
+       length(text) AS n_src_bytes,
+       md5(substr(repeat(text,
+                         CAST(ceil({THUMB_W * THUMB_H}.0 / length(text)) AS INT)),
+                  1, {THUMB_W * THUMB_H})) AS thumb_md5
+FROM documents
+""",
+)(multimodal_resize)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame sampling over the binary column: treat each payload as
+    consecutive ``frame_size``-byte frames, emit every ``stride``-th —
+    the 1-row-in → N-rows-out batch shape of video frame extraction.
+    Output cardinality is data-dependent per input row, which is why
+    this must be ``mapInPandas`` (a scalar pandas_udf cannot change
+    row count)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, totals, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                n_frames = len(b) // frame_size
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    md5s.append(
+                        hashlib.md5(
+                            b[i * frame_size : (i + 1) * frame_size]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, _FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_content(docs))
+
+
+register(
+    "multimodal_frame_sample",
+    f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) // {FRAME_SIZE} AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(idx AS INT) AS frame_idx,
+       CAST(n_frames AS INT) AS n_frames,
+       md5(substr(text, CAST(idx * {FRAME_SIZE} + 1 AS INT), {FRAME_SIZE}))
+         AS frame_md5
+FROM d, range(0, 65536) t(idx)
+WHERE idx < n_frames AND idx % {FRAME_STRIDE} = 0
+""",
+)(multimodal_frame_sample)

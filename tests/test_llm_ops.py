@@ -126,3 +126,45 @@ def test_ivf_topk_cosines_match_bruteforce(spark, sf_dir):
         ranks[r["query_id"]].append(r["rank"])
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1)), qid
+
+
+def test_resize_fixed_output_contract(spark, sf_dir):
+    """Resize is 1→1 with constant output dims regardless of source
+    size; thumb hashes are deterministic across runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = multimodal.with_binary_content(docs)
+    r1 = multimodal.resize_images(binary)
+    assert r1.count() == docs.count()
+    dims = r1.select("out_w", "out_h").distinct().collect()
+    assert len(dims) == 1
+    assert (dims[0]["out_w"], dims[0]["out_h"]) == (
+        multimodal.THUMB_W,
+        multimodal.THUMB_H,
+    )
+    a = {r["doc_id"]: r["thumb_md5"] for r in r1.collect()}
+    b = {
+        r["doc_id"]: r["thumb_md5"]
+        for r in multimodal.resize_images(binary).collect()
+    }
+    assert a == b
+
+
+def test_frame_sample_expansion(spark, sf_dir):
+    """Frame sampling is 1→N: per doc, rows = ceil(n_frames/stride),
+    frame indexes are 0, stride, 2*stride, ..."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.with_binary_content(docs))
+    per_doc = (
+        frames.groupBy("doc_id", "n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.collect_list("frame_idx").alias("idxs"),
+        )
+        .collect()
+    )
+    assert per_doc
+    s = multimodal.FRAME_STRIDE
+    for row in per_doc:
+        expect = list(range(0, row["n_frames"], s))
+        assert sorted(row["idxs"]) == expect, row["doc_id"]
+        assert row["n_rows"] == len(expect)
