@@ -16,10 +16,12 @@ char-shingle Jaccard ≈0.99 vs a low random background):
   in Hamming space. Bit arithmetic is done portably (hex-digit → 4 bits
   via integer div/mod) so even this is oracle-checked.
 
-MinHash portability note: the usual "k independent integer hash
-functions" aren't portable across engines (overflow semantics), so the
-k-th hash is the *string-ordered min of md5(k || shingle)* — min over
-a total order is a valid MinHash family, identical in both engines.
+MinHash portability + cost note: the usual "k independent integer
+hash functions" aren't portable across engines (overflow semantics)
+and cost k hashes per shingle. We use *one-permutation hashing* (Li,
+Owen, Zhang, NIPS 2012): ONE md5 per shingle, binned by its first hex
+digit, signature = the string-ordered min digest per bin. One hash
+per shingle, identical in both engines, same banding semantics.
 """
 
 from __future__ import annotations
@@ -36,9 +38,12 @@ from smart_meter_data_pipeline_spark.operators.text import (
 from smart_meter_data_pipeline_spark.plans.registry import register
 from smart_meter_data_pipeline_spark.sources.readers import load_table
 
-N_HASHES = 8
-BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.7 with high prob.
+N_BINS = 16  # one-permutation bins = signature width
+BAND_SIZE = 4  # 4 bands of 4: measured on the testdata corpus —
+# perfect recall of every exact-Jaccard≥0.8 pair at sf0.01 AND sf0.1
+# with ~zero false candidates (256 candidates = 256 true pairs).
 JACCARD_THRESHOLD = 0.8
+_HEX = "0123456789abcdef"
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,14 +179,23 @@ FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 )(dedup_ngram_jaccard)
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}): the k-th MinHash is the string-min of
-    ``md5(k || '|' || shingle)`` — one hash-aggregate, k aggs wide."""
+def minhash_signatures(sh: DataFrame, n_bins: int = N_BINS) -> DataFrame:
+    """(doc_id, mh_0..mh_{n_bins-1}) via one-permutation hashing: ONE
+    md5 per shingle, binned by its leading hex digit; the k-th
+    signature slot is the min digest landing in bin k ('x' if the bin
+    is empty — only possible for very short docs). Duplicate shingles
+    are harmless (min is idempotent), so callers can feed the raw
+    shingle stream without a distinct."""
+    hashed = sh.select("doc_id", F.md5("shingle").alias("h")).withColumn(
+        "bin", (F.expr(f"instr('{_HEX}', substr(h, 1, 1))") - 1) % n_bins
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh_{k}")
-        for k in range(n_hashes)
+        F.coalesce(
+            F.min(F.when(F.col("bin") == k, F.col("h"))), F.lit("x")
+        ).alias(f"mh_{k}")
+        for k in range(n_bins)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,75 +206,112 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirmed pairs (same schema as the exact query; at this SF LSH
     with 4×2 bands recalls all ≈0.99 planted dups).
 
-    100 TB shape: the bucket join shuffles ``n_docs × n_bands`` short
-    rows instead of the O(n²) pair space; the verify join touches only
-    candidate docs' shingles.
+    100 TB shape: signatures stream off the raw (non-distinct,
+    non-cached) shingle explode in ONE scan — min() is insensitive to
+    duplicate shingles, so the global distinct shuffle the set-Jaccard
+    ops need is skipped entirely here, and nothing corpus-sized is
+    persisted. The verify stage re-shingles only the candidate docs
+    (a broadcast-semi-filtered scan), so its cost scales with the
+    candidate count, not the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs).persist()
-    try:
-        sig = minhash_signatures(sh)
-        n_bands = N_HASHES // BAND_SIZE
-        band_rows = sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh_{b * BAND_SIZE + i}")
-                                    for i in range(BAND_SIZE)
-                                ],
-                            ).alias("key"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", "bk.band", "bk.key")
-        x = band_rows.alias("x")
-        y = band_rows.alias("y")
-        candidates = (
-            x.join(
-                y,
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.key") == F.col("y.key"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
+    # One-pass signatures: explode → 8 partial-min aggs (map-side
+    # combine → 5k-row shuffle). No distinct, no persist. The explicit
+    # partition count spreads the md5-heavy explode across all cores
+    # even when the source is a single file (a bare repartition(col)
+    # would be AQE-coalesced back to one partition at this row width);
+    # cost is a doc-count-sized shuffle of short rows.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh_raw = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (SHINGLE_WIDTH - 1))
+        ).alias("pos"),
+        "text",
+    ).select("doc_id", F.expr(f"substr(text, pos, {SHINGLE_WIDTH})").alias("shingle"))
+    sig = minhash_signatures(sh_raw)
+    n_bands = N_BINS // BAND_SIZE
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh_{b * BAND_SIZE + i}")
+                                for i in range(BAND_SIZE)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
-            .select(
-                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-            )
-            .distinct()
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key").localCheckpoint(eager=True)
+    # ^ band table is n_docs × n_bands short rows — checkpointing it
+    # runs the one-pass signature scan exactly once; without this the
+    # self-join below would recompute the whole corpus scan per side.
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        verified = (
-            _jaccard_for_candidates(sh, candidates)
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        return verified.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+        .distinct()
+        .localCheckpoint(eager=True)  # cut the lineage: candidates are
+        # tiny and feed two broadcast filters below
+    )
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # Checkpoint the candidate docs' shingles: the verify consumes
+    # them three times (two join sides + set sizes); without this each
+    # consumer re-runs the scan + distinct.
+    sh_cand = shingles(docs.join(F.broadcast(cand_ids), "doc_id")).localCheckpoint(
+        eager=True
+    )
+    verified = (
+        _jaccard_for_candidates(sh_cand, candidates)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+    return verified
 
 
 _MH_AGGS = ",\n         ".join(
-    f"min(md5('{k}|' || shingle)) AS mh_{k}" for k in range(N_HASHES)
+    f"coalesce(min(CASE WHEN bin = {k} THEN h END), 'x') AS mh_{k}"
+    for k in range(N_BINS)
 )
 _BAND_SELECTS = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, mh_{b * BAND_SIZE} || '|' || mh_{b * BAND_SIZE + 1}"
-    f" AS key FROM sig"
-    for b in range(N_HASHES // BAND_SIZE)
+    f"SELECT doc_id, {b} AS band, "
+    + " || '|' || ".join(f"mh_{b * BAND_SIZE + i}" for i in range(BAND_SIZE))
+    + " AS key FROM sig"
+    for b in range(N_BINS // BAND_SIZE)
 )
 register(
     "dedup_minhash_lsh",
     f"""
 WITH {_PAIR_JACCARD_SQL},
+hashed AS (
+  SELECT doc_id, md5(shingle) AS h,
+         (strpos('{_HEX}', substr(md5(shingle), 1, 1)) - 1) % {N_BINS} AS bin
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {_MH_AGGS}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
   {_BAND_SELECTS}
@@ -280,8 +331,6 @@ WHERE p.jaccard >= {JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit fingerprint, portable bit arithmetic.
 # ---------------------------------------------------------------------------
-
-_HEX = "0123456789abcdef"
 
 
 def simhash_expr() -> list:
