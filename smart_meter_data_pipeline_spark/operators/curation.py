@@ -1,0 +1,153 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(greenfield — beyond the reference's surface, per the project north
+star): deterministic stratified sampling, benchmark decontamination,
+and corpus-level token statistics.
+
+All three are shuffle-bounded, built-in-function-only plans:
+
+- sampling is a stateless filter on a portable integer-mix hash — at
+  100 TB it runs at scan speed with zero coordination (no reservoir
+  state, no driver round-trips), and the same row is kept/dropped on
+  every run and every engine;
+- decontamination is an inverted-index semi-join (shingle → benchmark
+  membership) + per-doc count — pairs that share no shingle never
+  meet, the benchmark side is distinct-compressed before the join;
+- token frequency is one explode + one aggregation with a total-order
+  top-k (freq desc, token asc) so the cut line is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.meter_pipeline import _u, _u_sql
+from smart_meter_data_pipeline_spark.operators.text import (
+    _shingles_sql,
+    shingles,
+    tokens,
+)
+from smart_meter_data_pipeline_spark.plans.registry import register
+from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+# Per-language keep rates: downsample the dominant language, keep the
+# tail — the standard rebalancing move in corpus assembly.
+SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
+DEFAULT_RATE = 1.0
+SAMPLE_SALT = 13
+
+BENCHMARK_MOD = 50  # doc_id % 50 == 0 → the held-out "benchmark" set
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff its
+    portable hash u(doc_id) falls under its language's rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = _u(SAMPLE_SALT, F.col("doc_id"), F.lit(0))
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(u < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+) + f" ELSE {DEFAULT_RATE} END"
+
+register(
+    "sample_stratified",
+    f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_u_sql(SAMPLE_SALT, "doc_id", "0")} < {_RATE_SQL}
+""",
+)(sample_stratified)
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every corpus doc that shares at
+    least one char-shingle with the held-out benchmark subset
+    (doc_id % {BENCHMARK_MOD} == 0).
+
+    Scale shape: the benchmark shingle set is distinct-compressed and
+    orders of magnitude smaller than the corpus, so the membership
+    join broadcasts; the corpus side streams through one scan + one
+    per-doc aggregation. Training-set assembly then drops
+    ``is_contaminated`` rows with a plain filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    bench_sh = (
+        sh.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (F.col("doc_id") % BENCHMARK_MOD == 0).alias("is_benchmark"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (
+            (F.coalesce("n_shared", F.lit(0)) > 0)
+            & (F.col("doc_id") % BENCHMARK_MOD != 0)
+        ).alias("is_contaminated"),
+    )
+
+
+register(
+    "decontaminate_docs",
+    f"""
+WITH sh AS ({_shingles_sql()}),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCHMARK_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN bsh ON s.shingle = bsh.shingle
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       d.doc_id % {BENCHMARK_MOD} = 0 AS is_benchmark,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       (COALESCE(h.n_shared, 0) > 0 AND d.doc_id % {BENCHMARK_MOD} <> 0)
+         AS is_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+)(decontaminate_docs)
+
+
+TOP_TOKENS = 100
+
+
+def corpus_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token table: total frequency + document frequency,
+    top-{TOP_TOKENS} by (freq desc, token asc) — a total order, so the
+    cut is deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(TOP_TOKENS)
+    )
+
+
+register(
+    "corpus_token_freq",
+    f"""
+SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT {TOP_TOKENS}
+""",
+)(corpus_token_freq)

@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from smart_meter_data_pipeline_spark.operators import (  # noqa: F401
+        curation,
         events_pipeline,
         extended,
         meter_pipeline,

@@ -167,6 +167,80 @@ def stream_ingest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) via ``F.session_window``
+    — the native stateful session operator the batch
+    ``events_sessionized`` island-window formulation mirrors. Drained
+    with availableNow in complete mode; the oracle recomputes sessions
+    in batch SQL with the same merge rule (merge iff gap < 30 min —
+    session_window's end bound is exclusive, hence >= starts a new
+    session) and end = last event + gap."""
+    from smart_meter_data_pipeline_spark.operators.extended import SESSION_GAP_MIN
+
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _session_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.extended import SESSION_GAP_MIN
+
+    gap_s = SESSION_GAP_MIN * 60
+    return f"""
+WITH flagged AS (
+  SELECT *,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= {gap_s}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+register("stream_session_windows", _session_oracle())(stream_session_windows)
+
+
 def stream_incremental_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stateful cumulative→delta operator, end-to-end and
     hash-checked: generator → two time-ordered deliveries →
