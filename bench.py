@@ -84,6 +84,26 @@ def main() -> None:
 
         leg("meter_marts_rebuild", marts)
 
+        # 2b. Bucketed layout (SURVEY §4): pay bucketing at write time,
+        # rebuild marts with zero full-fact shuffles.
+        from smart_meter_data_pipeline_spark.sources.bucketed import (
+            write_bucketed_fact,
+        )
+
+        leg(
+            "meter_ingest_bucketed",
+            lambda: write_bucketed_fact(readings, "bench_bucketed_fact"),
+        )
+
+        def marts_bucketed() -> None:
+            landed = spark.table("bench_bucketed_fact")
+            billing, grid = mp.build_all_marts(spark, landed, BENCH_METERS)
+            _materialize(billing)
+            _materialize(grid)
+
+        leg("meter_marts_rebuild_bucketed", marts_bucketed)
+        spark.sql("DROP TABLE IF EXISTS bench_bucketed_fact")
+
         # 3. Streaming ingest end-to-end (wire JSON → dedup sink → rollup).
         leg(
             "stream_ingest_daily",

@@ -49,6 +49,14 @@ def get_spark(
         # (nanos since epoch) and convert in sources.readers.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Catalog tables (bucketed layouts) go to a temp warehouse —
+        # static conf, so it must be set before the first session.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/smart_meter_warehouse"
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for key, value in (extra_conf or {}).items():

@@ -248,9 +248,25 @@ def stream_incremental_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. The oracle computes the same rollup from the batch LAG
     staging in DuckDB — state handoff across micro-batches is in the
     hash."""
-    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
-        _stg_cte,  # noqa: F401  (oracle twin lives below)
+    deltas = _run_stateful_deltas(spark)
+    return (
+        deltas.groupBy(
+            F.to_date("reading_timestamp").alias("billing_date"), "meter_id"
+        )
+        .agg(
+            F.sum("consumption_delta_mwh").alias("cons_mwh"),
+            F.sum("production_delta_mwh").alias("prod_mwh"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .localCheckpoint(eager=True)
     )
+
+
+def _run_stateful_deltas(spark: SparkSession) -> DataFrame:
+    """Generator → two time-ordered file deliveries →
+    ``applyInPandasWithState`` incremental deltas, drained availableNow
+    into a memory sink. Returns the materialized delta table (the
+    memory sink outlives the temp dir cleanup)."""
     from smart_meter_data_pipeline_spark.streaming.stateful import (
         incremental_deltas,
     )
@@ -278,18 +294,7 @@ def stream_incremental_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return (
-            spark.table(sink)
-            .groupBy(
-                F.to_date("reading_timestamp").alias("billing_date"), "meter_id"
-            )
-            .agg(
-                F.sum("consumption_delta_mwh").alias("cons_mwh"),
-                F.sum("production_delta_mwh").alias("prod_mwh"),
-                F.count(F.lit(1)).alias("n_readings"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        return spark.table(sink)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -307,6 +312,53 @@ FROM stg GROUP BY 1, 2"""
 
 
 register("stream_incremental_deltas", _stateful_oracle())(stream_incremental_deltas)
+
+
+def stream_billing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stated production path (README.md:137) end-to-
+    end: incremental stateful staging instead of a batch LAG rebuild,
+    feeding the UNCHANGED daily-billing mart builder. The oracle is
+    the batch billing mart's SQL — streaming state handoff, delta
+    reconstruction, dim joins, and charge math all land in one hash."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        fact_customer_billing_daily,
+        gen_dim_customers,
+        gen_dim_meters,
+        gen_dim_tariff_rates,
+    )
+
+    deltas = _run_stateful_deltas(spark)
+    cons, prod = F.col("consumption_delta_mwh"), F.col("production_delta_mwh")
+    stg_like = deltas.select(
+        "reading_timestamp",
+        "meter_id",
+        "consumption_delta_mwh",
+        "production_delta_mwh",
+        (cons - F.coalesce(prod, F.lit(0))).alias("net_delta_mwh"),
+        (F.col("status") == "V").alias("is_valid"),
+        (F.col("status") == "E").alias("is_estimated"),
+        (F.col("status") == "R").alias("is_error"),
+        prod.isNotNull().alias("has_solar"),
+    )
+    return fact_customer_billing_daily(
+        stg_like,
+        gen_dim_meters(spark),
+        gen_dim_customers(spark),
+        gen_dim_tariff_rates(spark),
+    ).localCheckpoint(eager=True)
+
+
+def _incremental_billing_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _BILLING_SQL,
+    )
+
+    return _BILLING_SQL
+
+
+register("stream_billing_incremental", _incremental_billing_oracle())(
+    stream_billing_incremental
+)
 
 
 register(
