@@ -117,6 +117,63 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 )(decontaminate_docs)
 
 
+SEQ_LEN = 256  # training-sequence token budget
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-chunk formulation: within each
+    source, documents are concatenated in doc_id order and the token
+    stream is cut into fixed {SEQ_LEN}-token sequences; each doc lands
+    at (pack_id, pack_offset), straddling a boundary when it must —
+    exactly the pretraining packing layout.
+
+    One window cumsum per source partition — at 100 TB the shuffle key
+    is (source), and the running sum is the only stateful step; no
+    driver-side loop, no UDF."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens())
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.floor(cum_before / SEQ_LEN).alias("pack_id"),
+        (cum_before % SEQ_LEN).alias("pack_offset"),
+    )
+
+
+register(
+    "pack_training_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       cum_before // {SEQ_LEN} AS pack_id,
+       cum_before % {SEQ_LEN} AS pack_offset
+FROM c
+""",
+)(pack_training_sequences)
+
+
 TOP_TOKENS = 100
 
 
