@@ -117,6 +117,81 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 )(decontaminate_docs)
 
 
+MIN_TOKENS, MAX_TOKENS = 12, 2000
+MAX_PUNCT_RATIO = 0.10
+MIN_MEAN_TOKEN_LEN, MAX_MEAN_TOKEN_LEN = 2.0, 12.0
+
+
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate as a rule chain with reason codes: each doc
+    is kept or dropped with the FIRST failing rule recorded — the
+    auditable filter shape production corpora pipelines use (drop
+    reasons feed the curation dashboard; the kept set feeds packing).
+
+    Rules (in order): token count in [{MIN_TOKENS}, {MAX_TOKENS}] →
+    punctuation ratio ≤ {MAX_PUNCT_RATIO} → mean token length in
+    [{MIN_MEAN_TOKEN_LEN}, {MAX_MEAN_TOKEN_LEN}]. Pure scan-speed
+    column expressions; the filter itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    punct_ratio = n_punct.cast("double") / F.length("text").cast("double")
+    mean_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / n_tokens.cast("double")
+    )
+    reason = (
+        F.when(n_tokens < MIN_TOKENS, "too_short")
+        .when(n_tokens > MAX_TOKENS, "too_long")
+        .when(punct_ratio > MAX_PUNCT_RATIO, "too_much_punct")
+        .when(mean_len < MIN_MEAN_TOKEN_LEN, "tokens_too_short")
+        .when(mean_len > MAX_MEAN_TOKEN_LEN, "tokens_too_long")
+        .otherwise("kept")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 12).alias("punct_ratio"),
+        F.round(mean_len, 12).alias("mean_token_len"),
+        reason.alias("filter_reason"),
+        (reason == "kept").alias("is_kept"),
+    )
+
+
+register(
+    "quality_filter_chain",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+           AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+           / CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS DOUBLE) AS mean_token_len
+  FROM documents
+), r AS (
+  SELECT *,
+         CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+              WHEN n_tokens > {MAX_TOKENS} THEN 'too_long'
+              WHEN punct_ratio > {MAX_PUNCT_RATIO} THEN 'too_much_punct'
+              WHEN mean_token_len < {MIN_MEAN_TOKEN_LEN} THEN 'tokens_too_short'
+              WHEN mean_token_len > {MAX_MEAN_TOKEN_LEN} THEN 'tokens_too_long'
+              ELSE 'kept' END AS filter_reason
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(punct_ratio, 12) AS punct_ratio,
+       round(mean_token_len, 12) AS mean_token_len,
+       filter_reason,
+       filter_reason = 'kept' AS is_kept
+FROM r
+""",
+)(quality_filter_chain)
+
+
 SEQ_LEN = 256  # training-sequence token budget
 
 
