@@ -450,3 +450,45 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 7) -> DataFrame:
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+SIMHASH_MAX_HAMMING = 7
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pair search, end-to-end: signatures → 8×8-bit
+    pigeonhole bands → chunk equi-join candidates → exact Hamming
+    filter (≤ {SIMHASH_MAX_HAMMING})."""
+    sig = dedup_simhash(spark, sf_dir)
+    return simhash_near_pairs(sig, max_hamming=SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+_SIMHASH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {c} AS chunk, substr(simhash, {c * 8 + 1}, 8) AS key"
+    " FROM sig"
+    for c in range(8)
+)
+_HAMMING_SQL = " + ".join(
+    f"(CASE WHEN substr(sim_a, {i + 1}, 1) <> substr(sim_b, {i + 1}, 1)"
+    " THEN 1 ELSE 0 END)"
+    for i in range(64)
+)
+
+register(
+    "dedup_simhash_pairs",
+    f"""
+WITH sig AS ({_simhash_sql()}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sim_a, y.simhash AS sim_b
+  FROM bands x JOIN bands y
+    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST({_HAMMING_SQL} AS INT) AS hamming
+FROM cand
+WHERE {_HAMMING_SQL} <= {SIMHASH_MAX_HAMMING}
+""",
+)(dedup_simhash_pairs)

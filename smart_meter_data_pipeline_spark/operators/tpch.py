@@ -132,3 +132,50 @@ GROUP BY r_name, n_name
 """
 
 register("nation_revenue", _NATION_REVENUE_SQL)(nation_revenue)
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape, decorrelated Spark-first (§2.9 —
+    absent from the reference): orders whose price exceeds their
+    customer's average order price.
+
+    The textbook correlated form recomputes the inner aggregate per
+    outer row; here it's decorrelated to ONE pass — an average over a
+    window keyed by the correlation column — so the fact table is
+    scanned once and shuffled once, which is the plan a 100 TB run
+    needs. (Catalyst performs this rewrite for scalar subqueries too;
+    writing it decorrelated keeps the plan explicit.)"""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_price = (
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w)
+        / F.count(F.lit(1)).over(w)
+    ).cast("double")
+    return (
+        orders.withColumn("cust_avg_price", F.round(avg_price, 6))
+        .filter(F.col("o_totalprice") > F.col("cust_avg_price"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "cust_avg_price",
+        )
+    )
+
+
+register(
+    "orders_above_customer_avg",
+    """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                      OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey), 6) AS cust_avg_price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg_price
+FROM w WHERE o_totalprice > cust_avg_price
+""",
+)(orders_above_customer_avg)
