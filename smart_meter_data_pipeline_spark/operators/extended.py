@@ -422,3 +422,78 @@ JOIN dim_meters m ON r.meter_id = m.meter_id
 WHERE status <> 'V'
 """,
 )(meter_quality_incidents)
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95/p99) of event value per
+    type — the ordered-set aggregate family §2.9 notes the reference
+    lacks. Spark's exact ``percentile`` and DuckDB's ``quantile_cont``
+    share linear-interpolation semantics (verified bit-equal on this
+    data); the approx variant for 100 TB is ``percentile_approx``
+    (pytest-bounded against this exact answer)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return ev.groupBy("event_type").agg(
+        F.round(p[0], 12).alias("p50"),
+        F.round(p[1], 12).alias("p95"),
+        F.round(p[2], 12).alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+register(
+    "event_value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 12) AS p50,
+       round(quantile_cont(value, 0.95), 12) AS p95,
+       round(quantile_cont(value, 0.99), 12) AS p99,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+)(event_value_percentiles)
+
+
+RETENTION_SPLIT = "2024-01-15"
+
+
+def user_retention_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.9: absent from the reference): classify
+    users by activity across the month's two halves — retained
+    (INTERSECT), churned (EXCEPT), new (EXCEPT reversed) — stitched
+    with UNION ALL. Each set op is a shuffle on user_id only (ids, not
+    events, move)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("ts") < RETENTION_SPLIT).select("user_id").distinct()
+    second = ev.filter(F.col("ts") >= RETENTION_SPLIT).select("user_id").distinct()
+    retained = first.intersect(second).select(
+        "user_id", F.lit("retained").alias("cohort")
+    )
+    churned = first.exceptAll(second.select("user_id")).select(
+        "user_id", F.lit("churned").alias("cohort")
+    )
+    new = second.exceptAll(first.select("user_id")).select(
+        "user_id", F.lit("new").alias("cohort")
+    )
+    return retained.unionAll(churned).unionAll(new)
+
+
+register(
+    "user_retention_sets",
+    f"""
+WITH first_half AS (
+  SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{RETENTION_SPLIT}'
+),
+second_half AS (
+  SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{RETENTION_SPLIT}'
+)
+SELECT user_id, 'retained' AS cohort
+FROM (SELECT user_id FROM first_half INTERSECT SELECT user_id FROM second_half)
+UNION ALL
+SELECT user_id, 'churned' AS cohort
+FROM (SELECT user_id FROM first_half EXCEPT SELECT user_id FROM second_half)
+UNION ALL
+SELECT user_id, 'new' AS cohort
+FROM (SELECT user_id FROM second_half EXCEPT SELECT user_id FROM first_half)
+""",
+)(user_retention_sets)

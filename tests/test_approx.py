@@ -1,0 +1,32 @@
+"""Approximate aggregates — the opt-in 100 TB path — must land within
+documented error bounds of their exact counterparts (the exact forms
+are the oracle-checked queries; approx is never silently substituted,
+per SURVEY §2.4/A5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+
+def test_approx_count_distinct_bound(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_percentile_approx_bound(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.95)").alias("exact"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx"),
+    ).collect()
+    assert rows
+    for r in rows:
+        # percentile_approx returns an actual data value within the
+        # accuracy rank-error of the true quantile
+        assert abs(r["approx"] - r["exact"]) <= abs(r["exact"]) * 0.05 + 1e-9
