@@ -84,8 +84,12 @@ def _jaccard_for_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     sb = sh.select(
         F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sb_shingle")
     )
+    # The candidate-pair set is small by construction (LSH survivors),
+    # so both joins fan out from a broadcast — statically, not left to
+    # AQE's runtime demotion.
     inter = (
-        candidates.join(sa, "doc_a")
+        F.broadcast(candidates)
+        .join(sa, "doc_a")
         .join(
             sb,
             (F.col("doc_b") == F.col("sb_doc"))
