@@ -249,6 +249,44 @@ FROM c
 )(pack_training_sequences)
 
 
+QUOTA_PER_SOURCE = 30
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: keep at most {QUOTA_PER_SOURCE} docs
+    per source, preferring longer documents (quality proxy), ties by
+    doc_id — the anti-domination move that stops one crawl domain from
+    flooding the mix. One window rank per source; at 100 TB Spark's
+    WindowGroupLimit pushes the top-k below the shuffle so only
+    per-partition survivors move."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        docs.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "n_chars", "quota_rank")
+    )
+
+
+register(
+    "source_quota_cap",
+    f"""
+SELECT doc_id, source, n_chars, quota_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS quota_rank
+  FROM documents
+)
+WHERE quota_rank <= {QUOTA_PER_SOURCE}
+""",
+)(source_quota_cap)
+
+
 TOP_TOKENS = 100
 
 

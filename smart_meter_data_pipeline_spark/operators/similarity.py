@@ -562,3 +562,49 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """,
 )(ann_ivf_topk)
+
+
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings and int8-quantize (q = round(unit·127))
+    — the storage/serving transform ANN indexes apply before sharding.
+    Emitted exploded (vec_id, d, unit, q8) so every element is in the
+    oracle hash (unit at 9 digits: the decimal-to-double cast can
+    drift 1 ulp between engines, and with 32k emitted quotients a
+    12-digit boundary hit is likely — 9 digits clears it by margin);
+    the array-native variant is the same expressions
+    without the posexplode. Norms are exact-decimal (same discipline
+    as the cosine ops), so unit vectors are bit-identical across
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm", F.sqrt(_dot("embedding", "embedding"))
+    )
+    el = emb.select("vec_id", "norm", F.posexplode("embedding").alias("d", "val"))
+    unit = F.col("val").cast("double") / F.col("norm")
+    return el.select(
+        "vec_id",
+        "d",
+        F.round(unit, 9).alias("unit"),
+        F.round(unit * 127.0, 0).cast("int").alias("q8"),
+    )
+
+
+register(
+    "embedding_normalize_quantize",
+    """
+WITH un AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(val * val AS DECIMAL(30,15))) AS DOUBLE)) AS norm
+  FROM un GROUP BY 1
+)
+SELECT u.vec_id, u.d,
+       round(u.val / n.norm, 9) AS unit,
+       CAST(round(u.val / n.norm * 127.0, 0) AS INT) AS q8
+FROM un u JOIN norms n ON u.vec_id = n.vec_id
+""",
+)(embedding_normalize_quantize)
