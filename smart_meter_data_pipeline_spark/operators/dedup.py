@@ -496,3 +496,101 @@ FROM cand
 WHERE {_HAMMING_SQL} <= {SIMHASH_MAX_HAMMING}
 """,
 )(dedup_simhash_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation: near-dup pairs → connected components → canonical doc
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    step that turns pairwise near-dup hits into dedup groups (keep the
+    canonical member, drop the rest).
+
+    Input: (a, b) undirected edges. Output: (node, component) with
+    component = min node id in the component.
+
+    Scale notes: each round is one join + one aggregation, shuffled on
+    node id; rounds needed = O(log(diameter)) for the min-label scheme
+    on near-dup graphs (components are tiny cliques, so 2-3 rounds in
+    practice). Labels are checkpointed per round to cut lineage; the
+    loop exits early when a round changes nothing (count of changed
+    labels — one scalar action per round, no data to the driver)."""
+    sym = edges.selectExpr("a AS src", "b AS dst").unionAll(
+        edges.selectExpr("b AS src", "a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_component", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter("_changed").count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the exact n-gram-Jaccard pair graph:
+    (doc_id, cluster_id, cluster_size, is_canonical). Downstream
+    dedup keeps ``is_canonical`` rows only."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+register(
+    "dedup_clusters",
+    f"""
+WITH {_PAIR_JACCARD_SQL},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  WITH RECURSIVE r(src, node) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON r.node = s.a
+  )
+  SELECT src, node FROM r
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY 1),
+csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN csizes s ON c.cluster_id = s.cluster_id
+""",
+)(dedup_clusters)

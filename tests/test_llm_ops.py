@@ -168,3 +168,23 @@ def test_frame_sample_expansion(spark, sf_dir):
         expect = list(range(0, row["n_frames"], s))
         assert sorted(row["idxs"]) == expect, row["doc_id"]
         assert row["n_rows"] == len(expect)
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and isolated pair must cluster correctly with
+    min-id labels."""
+    from smart_meter_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a int, b int",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
