@@ -321,3 +321,50 @@ ORDER BY freq DESC, token
 LIMIT {TOP_TOKENS}
 """,
 )(corpus_token_freq)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = 29
+TRAIN_FRAC, VAL_FRAC = 0.8, 0.1  # test gets the remainder
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 corpus split keyed on the portable hash
+    u(doc_id): the same doc lands in the same split on every run, every
+    engine, and any subset of the corpus — no global sort, no sampling
+    state, assignment is a stateless scan-time expression. Returns the
+    per-(split, lang) manifest (doc count + char volume) used to audit
+    split balance."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = _u(SPLIT_SALT, F.col("doc_id"), F.lit(0))
+    split = (
+        F.when(u < TRAIN_FRAC, F.lit("train"))
+        .when(u < TRAIN_FRAC + VAL_FRAC, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_SPLIT_U = _u_sql(SPLIT_SALT, "doc_id", "0")
+
+register(
+    "train_val_test_split",
+    f"""
+SELECT CASE WHEN {_SPLIT_U} < {TRAIN_FRAC} THEN 'train'
+            WHEN {_SPLIT_U} < {TRAIN_FRAC + VAL_FRAC} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+)(train_val_test_split)

@@ -259,3 +259,124 @@ SELECT d.doc_id, md5(d.text) AS content_md5, m.min_shingle_md5, m.n_shingles
 FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
 """,
 )(doc_fingerprint)
+
+
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signal: token count, distinct
+    token count, repetition ratio (1 − distinct/total) and the mass of
+    the single most frequent token. High repetition / high top-token
+    mass are the classic spam and boilerplate markers a corpus filter
+    cuts on.
+
+    Plan shape: explode → two-level hash agg keyed (doc_id, token) then
+    doc_id. Both levels partial-aggregate map-side, and the second agg
+    reuses the first's hash partitioning on the doc_id prefix, so the
+    whole op is one shuffle of (doc, token) partial counts — no row
+    explosion crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("c").alias("top_token_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("repetition_ratio"),
+            (
+                F.col("top_token_count").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("top_token_frac"),
+        )
+    )
+
+
+register(
+    "doc_repetition_ratio",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS tok
+  FROM documents
+),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+p AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct_tokens, MAX(c) AS top_token_count
+  FROM per_tok GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       1.0 - CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS repetition_ratio,
+       CAST(top_token_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS top_token_frac
+FROM p
+""",
+)(doc_repetition_ratio)
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus novelty: for each doc, the fraction of its distinct
+    char-shingles that occur in NO other document. Low novelty means
+    the doc is assembled from corpus-common fragments (template /
+    boilerplate); high novelty marks genuinely fresh text worth
+    keeping.
+
+    Plan shape: the shingle→document-frequency map is an inverted
+    index built by one aggregation; joining it back to the per-doc
+    shingle list re-shuffles on `shingle`, so both sides arrive
+    co-partitioned and head-heavy shingles are spread across that key's
+    partition only — no broadcast of the (large) index, no driver
+    state. At 100 TB the df-index join is the standard contamination /
+    novelty sweep shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_unique_shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique_shingles",
+            (
+                F.col("n_unique_shingles").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+register(
+    "doc_ngram_novelty",
+    f"""
+WITH sh AS ({_shingles_sql()}),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+p AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique_shingles
+  FROM sh s JOIN dfreq ON s.shingle = dfreq.shingle
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_unique_shingles,
+       CAST(n_unique_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         AS novelty
+FROM p
+""",
+)(doc_ngram_novelty)

@@ -170,6 +170,53 @@ def test_frame_sample_expansion(spark, sf_dir):
         assert row["n_rows"] == len(expect)
 
 
+def test_repetition_ratio_bounds(spark, sf_dir):
+    """repetition_ratio ∈ [0,1), top token can't be rarer than uniform,
+    distinct ≤ total."""
+    from smart_meter_data_pipeline_spark.operators.text import (
+        doc_repetition_ratio,
+    )
+
+    rows = doc_repetition_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["repetition_ratio"] < 1
+        assert r["n_distinct_tokens"] <= r["n_tokens"]
+        assert r["top_token_frac"] >= 1.0 / r["n_distinct_tokens"] - 1e-12
+
+
+def test_ngram_novelty_bounds(spark, sf_dir):
+    """novelty ∈ [0,1]; unique-shingle count bounded by total."""
+    from smart_meter_data_pipeline_spark.operators.text import (
+        doc_ngram_novelty,
+    )
+
+    rows = doc_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_unique_shingles"] <= r["n_shingles"]
+
+
+def test_split_fractions(spark, sf_dir):
+    """Hash split must be ~80/10/10 by doc count and cover every doc."""
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        train_val_test_split,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    rows = train_val_test_split(spark, sf_dir).collect()
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(by_split.values()) == total
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.7 < by_split["train"] / total < 0.9
+    assert 0.05 < by_split["val"] / total < 0.16
+    assert 0.05 < by_split["test"] / total < 0.16
+
+
 def test_connected_components_shapes(spark):
     """Chain, triangle, and isolated pair must cluster correctly with
     min-id labels."""
