@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as SqlWindow
 
 from smart_meter_data_pipeline_spark.plans.registry import register
 from smart_meter_data_pipeline_spark.sources.readers import load_table
@@ -331,19 +332,22 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate); high novelty marks genuinely fresh text worth
     keeping.
 
-    Plan shape: the shingle→document-frequency map is an inverted
-    index built by one aggregation; joining it back to the per-doc
-    shingle list re-shuffles on `shingle`, so both sides arrive
-    co-partitioned and head-heavy shingles are spread across that key's
-    partition only — no broadcast of the (large) index, no driver
-    state. At 100 TB the df-index join is the standard contamination /
-    novelty sweep shape."""
+    Plan shape: document frequency is attached with a COUNT window
+    over `shingle` instead of a self-join against a separate df index —
+    that saves re-computing the shingle set a second time (Spark does
+    not reuse the subtree) and the join's extra exchange: one distinct
+    on (doc, shingle), one shuffle+sort on shingle for the window, one
+    re-key to doc_id. Three exchanges total, one scan of the text. A
+    hyper-common shingle concentrates its group in one window
+    partition, exactly as the equivalent join shuffle would — no worse
+    skew, half the plan."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs)
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfd = sh.withColumn(
+        "df", F.count(F.lit(1)).over(SqlWindow.partitionBy("shingle"))
+    )
     return (
-        sh.join(df_counts, "shingle")
-        .groupBy("doc_id")
+        dfd.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
