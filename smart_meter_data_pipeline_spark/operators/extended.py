@@ -497,3 +497,80 @@ SELECT user_id, 'new' AS cohort
 FROM (SELECT user_id FROM second_half EXCEPT SELECT user_id FROM first_half)
 """,
 )(user_retention_sets)
+
+
+# ---------------------------------------------------------------------------
+# Banded range join: same-user event pairs within a time radius
+# ---------------------------------------------------------------------------
+
+RANGE_RADIUS_US = 300_000_000  # ±5 minutes, in microseconds
+_BUCKET_US = RANGE_RADIUS_US  # bucket width == radius → match is in b−1..b+1
+
+
+def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (burst detection): pairs of same-user events at most
+    5 minutes apart. The naive form is an inequality self-join —
+    quadratic per user and un-plannable as a hash join. The scalable
+    form banded here: bucket time by the radius, explode ONLY the left
+    side to its 3 adjacent buckets, equi-join on (user, bucket), then
+    filter the exact radius. Each qualifying pair meets exactly once
+    (the right event owns one bucket), the join is a plain hash
+    equi-join that AQE can size, and the explosion factor is a fixed
+    3× on one side — independent of data volume and user skew."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    b = F.floor(F.col("us") / F.lit(_BUCKET_US)).cast("bigint")
+    left = ev.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("event_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("us").alias("us_a"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("jb"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("event_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("us").alias("us_b"),
+        b.alias("rb"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("jb") == F.col("rb"))
+            & (F.col("event_a") < F.col("event_b")),
+        )
+        .filter(F.abs(F.col("us_a") - F.col("us_b")) <= RANGE_RADIUS_US)
+        .select(
+            F.col("l_user").alias("user_id"),
+            "event_a",
+            "event_b",
+            "type_a",
+            "type_b",
+            (
+                F.abs(F.col("us_a") - F.col("us_b")).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("gap_seconds"),
+        )
+    )
+
+
+register(
+    "events_range_pairs",
+    f"""
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       a.event_type AS type_a, b.event_type AS type_b,
+       CAST(ABS(epoch_us(a.ts) - epoch_us(b.ts)) AS DOUBLE) / 1000000.0
+         AS gap_seconds
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_RADIUS_US}
+""",
+)(events_range_pairs)
