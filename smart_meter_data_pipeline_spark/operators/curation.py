@@ -368,3 +368,52 @@ FROM documents
 GROUP BY 1, 2
 """,
 )(train_val_test_split)
+
+
+# ---------------------------------------------------------------------------
+# Global shuffle → training shard manifest
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+SHARD_SALT = 41
+
+
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side of training-data prep: every doc is assigned a
+    shard by portable hash (a global shuffle decoupled from input
+    order — adjacent input docs land in different shards, which is the
+    property sequence packing needs), and the manifest reports each
+    shard's doc count, byte volume, and source spread so imbalance is
+    visible before the expensive write.
+
+    At 100 TB the assignment is the partitioner itself
+    (``repartition(N, shard)`` → one parquet dir per shard); the
+    manifest is the same single aggregation, and a skewed shard shows
+    up here as a fat output partition before it becomes a straggler."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = _u(SHARD_SALT, F.col("doc_id"), F.lit(0))
+    shard = F.floor(u * N_SHARDS).cast("int")
+    return (
+        docs.select(shard.alias("shard"), "source", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+_SHARD_U = _u_sql(SHARD_SALT, "doc_id", "0")
+
+register(
+    "corpus_shard_manifest",
+    f"""
+SELECT CAST(FLOOR({_SHARD_U} * {N_SHARDS}) AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY 1
+""",
+)(corpus_shard_manifest)

@@ -217,6 +217,24 @@ def test_split_fractions(spark, sf_dir):
     assert 0.05 < by_split["test"] / total < 0.16
 
 
+def test_shard_manifest_balance(spark, sf_dir):
+    """All shards populated; hash assignment keeps them within 2x of
+    uniform; manifest accounts for every doc."""
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        N_SHARDS,
+        corpus_shard_manifest,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    rows = corpus_shard_manifest(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == N_SHARDS
+    assert sum(r["n_docs"] for r in rows) == total
+    uniform = total / N_SHARDS
+    for r in rows:
+        assert 0.5 * uniform < r["n_docs"] < 2.0 * uniform, r
+
+
 def test_connected_components_shapes(spark):
     """Chain, triangle, and isolated pair must cluster correctly with
     min-id labels."""
