@@ -145,6 +145,19 @@ def main() -> None:
             "ann_ivf_topk",
             lambda: _materialize(similarity.ann_ivf_topk(spark, SF_DIR)),
         )
+
+        # 10-11. Cross-corpus curation: inverted-index novelty sweep and
+        # near-dup clustering (pair graph → connected components).
+        from smart_meter_data_pipeline_spark.operators import text
+
+        leg(
+            "doc_ngram_novelty",
+            lambda: _materialize(text.doc_ngram_novelty(spark, SF_DIR)),
+        )
+        leg(
+            "dedup_clusters",
+            lambda: _materialize(dedup.dedup_clusters(spark, SF_DIR)),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
