@@ -384,3 +384,69 @@ SELECT doc_id, n_shingles, n_unique_shingles,
 FROM p
 """,
 )(doc_ngram_novelty)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): explicit classes, no lookaround, no \d shorthand.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def scrub_expr(col):
+    """(clean_text, n_redactions) column pair: chained regexp_replace
+    over the PII patterns — pure scan-time expressions, no shuffle, no
+    Python; the order is fixed so engines agree when patterns overlap
+    (an IP inside an email is masked as part of the email first)."""
+    clean = F.col(col) if isinstance(col, str) else col
+    n = F.lit(0)
+    for _, pat, repl in PII_PATTERNS:
+        n = n + F.regexp_count(clean, F.lit(pat))
+        clean = F.regexp_replace(clean, pat, repl)
+    return clean, n
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over the corpus: emails, phone numbers and
+    IPv4 literals are masked with typed placeholders; the audit columns
+    (redaction count, length delta) feed the curation dashboard. On
+    this synthetic corpus the scrub is a verified no-op — the unit
+    tests drive the same expression over planted PII."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean, n = scrub_expr("text")
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_redactions"),
+        F.length("text").alias("raw_len"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def _scrub_sql(col: str) -> tuple[str, str]:
+    clean, counts = col, []
+    for _, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({clean}, '{pat}'))")
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return clean, " + ".join(counts)
+
+
+_CLEAN_SQL, _NRED_SQL = _scrub_sql("text")
+
+register(
+    "doc_pii_scrub",
+    f"""
+SELECT doc_id,
+       CAST({_NRED_SQL} AS BIGINT) AS n_redactions,
+       length(text) AS raw_len,
+       length({_CLEAN_SQL}) AS clean_len,
+       md5({_CLEAN_SQL}) AS clean_md5
+FROM documents
+""",
+)(doc_pii_scrub)

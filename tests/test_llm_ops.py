@@ -235,6 +235,37 @@ def test_shard_manifest_balance(spark, sf_dir):
         assert 0.5 * uniform < r["n_docs"] < 2.0 * uniform, r
 
 
+def test_pii_scrub_planted(spark):
+    """The scrub expression must mask planted emails/phones/IPs and
+    leave clean text untouched."""
+    from smart_meter_data_pipeline_spark.operators.text import scrub_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.com thanks"),
+            (2, "call 555-123-4567 or 555 987 6543 now"),
+            (3, "server at 10.0.255.7 timed out"),
+            (4, "perfectly clean sentence with no pii at all"),
+        ],
+        "doc_id int, text string",
+    )
+    clean, n = scrub_expr("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", clean.alias("clean"), n.alias("n")
+        ).collect()
+    }
+    assert rows[1]["clean"] == "mail me at <EMAIL> thanks"
+    assert rows[1]["n"] == 1
+    assert rows[2]["clean"] == "call <PHONE> or <PHONE> now"
+    assert rows[2]["n"] == 2
+    assert rows[3]["clean"] == "server at <IP> timed out"
+    assert rows[3]["n"] == 1
+    assert rows[4]["clean"] == "perfectly clean sentence with no pii at all"
+    assert rows[4]["n"] == 0
+
+
 def test_connected_components_shapes(spark):
     """Chain, triangle, and isolated pair must cluster correctly with
     min-id labels."""
