@@ -608,3 +608,83 @@ SELECT u.vec_id, u.d,
 FROM un u JOIN norms n ON u.vec_id = n.vec_id
 """,
 )(embedding_normalize_quantize)
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's) over the embedding corpus
+# ---------------------------------------------------------------------------
+
+KMEANS_STRIDE = 127  # vec_id % 127 == 0 → deterministic seed centroids
+KMEANS_ITERS = 3
+
+
+def kmeans_embeddings(
+    spark: SparkSession, sf_dir: str, n_iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over the embedding table, returning the
+    per-cluster summary (cluster_id, n_members, inertia = Σ squared-L2
+    to the centroid). The iterative-algorithm class: no SQL oracle
+    (rows-only driver check); correctness is property-tested —
+    inertia is monotone non-increasing in the iteration count.
+
+    Scale shape per iteration: centroids are model state (K·dim
+    floats) — broadcast to the assignment cross-join, whose argmin is
+    a map-side-combinable min(struct) aggregation, not a window sort;
+    the update step shuffles (cluster, dim-position) partial sums,
+    bounded by K·dim regardless of corpus size. Centroid lineage is
+    cut with localCheckpoint each round, exactly like the
+    connected-components loop."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("norm2", _dot("embedding", "embedding"))
+    )
+    cent = emb.filter(F.col("vec_id") % KMEANS_STRIDE == 0).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        c = centroids.withColumn("c_norm2", _dot("c_embedding", "c_embedding"))
+        scored = (
+            emb.crossJoin(F.broadcast(c))
+            .withColumn("dot", _dot("embedding", "c_embedding"))
+            .withColumn(
+                "dist2",
+                F.col("norm2") + F.col("c_norm2") - 2 * F.col("dot"),
+            )
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist2", "cluster_id")).alias("s")
+        )
+        return best.select(
+            "vec_id", F.col("s.cluster_id").alias("cluster_id"),
+            F.col("s.dist2").alias("dist2"),
+        )
+
+    for _ in range(n_iters):
+        assign = _assign(cent)
+        pts = assign.join(emb, "vec_id").select(
+            "cluster_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        cent = (
+            pts.groupBy("cluster_id", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"].cast("float"),
+                ).alias("c_embedding")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    final = _assign(cent)
+    return final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist2").alias("inertia"),
+    )
+
+
+register("kmeans_embeddings")(kmeans_embeddings)

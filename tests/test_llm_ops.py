@@ -235,6 +235,24 @@ def test_shard_manifest_balance(spark, sf_dir):
         assert 0.5 * uniform < r["n_docs"] < 2.0 * uniform, r
 
 
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    """Lloyd's iterations must not increase total inertia, every vector
+    must be assigned, and every cluster must be non-empty."""
+    from smart_meter_data_pipeline_spark.operators.similarity import (
+        kmeans_embeddings,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    total = load_table(spark, sf_dir, "embeddings").count()
+    inertias = []
+    for iters in (1, 3):
+        rows = kmeans_embeddings(spark, sf_dir, n_iters=iters).collect()
+        assert sum(r["n_members"] for r in rows) == total
+        assert all(r["n_members"] > 0 for r in rows)
+        inertias.append(sum(r["inertia"] for r in rows))
+    assert inertias[1] <= inertias[0] + 1e-9
+
+
 def test_pii_scrub_planted(spark):
     """The scrub expression must mask planted emails/phones/IPs and
     leave clean text untouched."""
