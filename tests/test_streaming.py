@@ -71,6 +71,79 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
     assert fact.select("reading_timestamp", "meter_id").distinct().count() == 80
 
 
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """T4: rows arriving after the watermark passed their window are
+    dropped; finalized windows contain only on-time data. Two files,
+    one micro-batch each (maxFilesPerTrigger=1): file 1 advances the
+    watermark to 11:00; file 2's 09:10 row is then late (its window
+    closed) while its 11:40 row is accepted into open state."""
+    import json
+
+    src = tmp_path / "late"
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available() -> None:
+        # Separate availableNow runs against the SAME checkpoint: the
+        # watermark persists across restarts, so the second run starts
+        # with the watermark the first run established.
+        stream = spark.readStream.schema("ts timestamp, v double").json(
+            str(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file(
+        "f1.json",
+        [
+            {"ts": "2024-01-01 10:05:00", "v": 1.0},
+            {"ts": "2024-01-01 10:15:00", "v": 2.0},
+            {"ts": "2024-01-01 11:30:00", "v": 3.0},
+        ],
+        1_000_000_000,
+    )
+    run_available()  # watermark after this run: 11:30 − 30min = 11:00
+
+    write_file(
+        "f2.json",
+        [
+            {"ts": "2024-01-01 09:10:00", "v": 100.0},  # late: window closed
+            {"ts": "2024-01-01 11:40:00", "v": 4.0},  # on time: open state
+        ],
+        1_000_000_100,
+    )
+    run_available()
+
+    out = {
+        r["w"]["start"].hour: (r["n"], r["sv"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert 9 not in out  # late row's window was already closed → dropped
+    assert out[10] == (2, 3.0)  # finalized with only the on-time rows
+    assert 11 not in out  # still open (watermark 11:10 < 12:00), not emitted
+
+
 def test_stream_hourly_matches_batch(spark, sf_dir):
     """The streaming windowed aggregation equals the batch GROUP BY."""
     streamed = stream_hourly_events(spark, sf_dir)
