@@ -688,3 +688,50 @@ def kmeans_embeddings(
 
 
 register("kmeans_embeddings")(kmeans_embeddings)
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (feature-health audit)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (count, min, max, exact-decimal
+    mean, rounded to 12 digits per the engine's cross-engine float
+    convention) — the feature-health audit run before training: dead
+    dimensions (zero spread), scale outliers, and drift all surface
+    here. One explode + one aggregation keyed by dimension index; the
+    shuffle volume is bounded by n_dims × partial-agg width, not by
+    corpus size, so the sweep runs at scan speed at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(F.posexplode("embedding").alias("pos0", "v_f")).select(
+        (F.col("pos0") + 1).alias("dim"),
+        F.col("v_f").cast("double").alias("v"),
+    )
+    return el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("mean_v"),
+    )
+
+
+register(
+    "embedding_dim_stats",
+    """
+WITH el AS (
+  SELECT CAST(pos AS INT) AS dim,
+         CAST(embedding[CAST(pos AS INT)] AS DOUBLE) AS v
+  FROM embeddings, range(1, 100000) t(pos)
+  WHERE pos <= len(embedding)
+)
+SELECT dim, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v,
+       round(CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*), 12)
+         AS mean_v
+FROM el GROUP BY 1
+""",
+)(embedding_dim_stats)
