@@ -25,9 +25,11 @@ also the fast path: integer partial aggregation map-side, one double
 division per output row.
 
 Scale notes: the LAG window and the daily rollup both hash-partition
-by meter_id, so Catalyst reuses one exchange; dim joins are broadcast
-(1M-row dims ≈ tens of MB); the generator is a single ``range`` with
-``div``/``%`` decomposition — no cross join, embarrassingly parallel.
+by meter_id, so Catalyst reuses one exchange; genuinely-tiny dims
+(grid zones, tariff rate) are broadcast explicitly while the 1M-row
+dims are left to AQE (broadcast while they fit, shuffle-join beyond);
+the generator is a single ``range`` with ``div``/``%`` decomposition —
+no cross join, embarrassingly parallel.
 """
 
 from __future__ import annotations
@@ -82,7 +84,21 @@ def gen_meter_readings(
     (producer/meter_simulator.py:198-203, :243-250); production is NULL
     for odd meters (no solar, :206-207), status sampled ≈98/1.5/0.5
     V/E/R (:70-81).
+
+    The cumulative counters are 32-bit INTEGER to mirror the reference
+    schema (01_create_schema.sql:78-79), which caps the simulated span:
+    worst-case peak draw is 5000 W × 1.2 jitter × 250 mWh/tick =
+    1.5e6 mWh/tick, so INT_MAX overflows silently after ~1431 ticks
+    (~15 days). Guarded here rather than widened, because the INTEGER
+    width is itself part of reference parity.
     """
+    max_safe_ticks = (2**31 - 1) // 1_500_000
+    if n_ticks > max_safe_ticks:
+        raise ValueError(
+            f"n_ticks={n_ticks} can overflow the reference's INTEGER "
+            f"cumulative counters (max safe: {max_safe_ticks}); widen "
+            "the schema to BIGINT (and the oracle CTE) for longer spans"
+        )
     grid = spark.range(0, n_meters * n_ticks).select(
         (F.expr(f"id div {n_ticks}") + 1).alias("meter_id"),
         (F.col("id") % n_ticks).alias("tick"),
@@ -439,14 +455,20 @@ def fact_customer_billing_daily(
     rate = dim_tariff_rates.select(
         F.col("base_rate_per_kwh").cast("double").alias("rate")
     )
+    # dim_meters/dim_customers are 1M rows at reference scale — small
+    # enough to broadcast TODAY, but a static hint would OOM instead of
+    # demoting at 100× meters. Leave strategy choice to AQE (which
+    # broadcasts when the built side fits, else shuffle-joins); only
+    # genuinely-tiny dims (grid zones: 20 rows, tariff rate: 1 row)
+    # keep an explicit broadcast.
     cust_level = (
         daily_meter.join(
-            F.broadcast(dim_meters.select("meter_id", "customer_id")),
+            dim_meters.select("meter_id", "customer_id"),
             "meter_id",
             "inner",
         )
         .join(
-            F.broadcast(dim_customers.select("customer_id", "customer_name")),
+            dim_customers.select("customer_id", "customer_name"),
             "customer_id",
             "inner",
         )
@@ -509,9 +531,12 @@ def fact_grid_load_hourly(
         F.count(F.lit(1)).alias("reading_count"),
         F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid_reading_count"),
     )
+    # dim_meters: no static broadcast hint (1M rows at reference scale;
+    # AQE decides — see fact_customer_billing_daily). dim_grid_zones is
+    # 20 rows: always broadcast.
     zone_level = (
         hourly_meter.join(
-            F.broadcast(dim_meters.select("meter_id", "grid_zone_id")),
+            dim_meters.select("meter_id", "grid_zone_id"),
             "meter_id",
             "inner",
         )

@@ -141,33 +141,48 @@ def idempotent_append(spark: SparkSession, batch: DataFrame, target: str) -> int
        batch's dates),
     3. append, partitioned by date.
 
-    Returns the number of rows written. Production note: on Delta this
-    is ``MERGE ... WHEN NOT MATCHED THEN INSERT`` with the same
-    partition-pruning predicate.
+    Returns the number of rows written.
+
+    Concurrency: the existing-keys scan and the append run inside an
+    exclusive :func:`~..sources.txn.table_lock`, serializing writers the
+    way the reference's PRIMARY KEY serializes conflicting INSERTs — two
+    concurrent callers with overlapping batches land exactly one copy
+    (the second's anti-join sees the first's committed rows). Production
+    note: on Delta/Iceberg this whole function is ``MERGE ... WHEN NOT
+    MATCHED THEN INSERT`` with the same partition-pruning predicate, and
+    the table format's log replaces the filesystem lock.
     """
+    from smart_meter_data_pipeline_spark.sources.txn import table_lock
+
     pk = ["reading_timestamp", "meter_id"]
     # Persist: the batch is consumed up to three times (dates scan,
     # count, write) — without this every action would re-read the
-    # source (and inflate streaming numInputRows metrics).
+    # source (and inflate streaming numInputRows metrics). Persisting
+    # BEFORE taking the lock keeps source-read time out of the critical
+    # section.
     in_batch = batch.dropDuplicates(pk).persist()
     try:
-        fresh = in_batch
-        if os.path.isdir(target) and any(
-            name.startswith("reading_date=") for name in os.listdir(target)
-        ):
-            dates = [
-                r["reading_date"]
-                for r in in_batch.select("reading_date").distinct().collect()
-            ]
-            existing = (
-                spark.read.parquet(target)
-                .filter(F.col("reading_date").isin(dates))
-                .select(*pk)
-            )
-            fresh = in_batch.join(existing, pk, "left_anti")
-        n = fresh.count()
-        if n:
-            fresh.write.mode("append").partitionBy("reading_date").parquet(target)
+        in_batch.count()  # materialize outside the lock
+        with table_lock(target):
+            fresh = in_batch
+            if any(
+                name.startswith("reading_date=") for name in os.listdir(target)
+            ):
+                dates = [
+                    r["reading_date"]
+                    for r in in_batch.select("reading_date").distinct().collect()
+                ]
+                existing = (
+                    spark.read.parquet(target)
+                    .filter(F.col("reading_date").isin(dates))
+                    .select(*pk)
+                )
+                fresh = in_batch.join(existing, pk, "left_anti")
+            n = fresh.count()
+            if n:
+                fresh.write.mode("append").partitionBy("reading_date").parquet(
+                    target
+                )
         return n
     finally:
         in_batch.unpersist()

@@ -34,9 +34,28 @@ TESTDATA_TABLES = (
 # integer range. DuckDB truncates ns→us the same way for positive values.
 _NANO_TS_COLUMNS = {"events": ("ts",)}
 
+# Runtime-settable confs every query depends on, applied here so reads
+# work in ANY caller-provided session, not only ``session.get_spark()``'s:
+# - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+#   vectorized parquet reader otherwise rejects (PARQUET_TYPE_ILLEGAL).
+# - UTC session timezone: day/hour bucketing and the DuckDB oracle both
+#   assume UTC; a host-local timezone would shift date_trunc results.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Idempotently apply session confs required for correct reads."""
+    for key, value in _RUNTIME_CONFS.items():
+        if spark.conf.get(key, None) != value:
+            spark.conf.set(key, value)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet) from ``sf_dir``."""
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -28,6 +28,7 @@ In production the source line becomes
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
 from smart_meter_data_pipeline_spark.sources.ingest import (
@@ -56,16 +57,42 @@ def start_ingest_stream(
     target: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    quarantine_target: str | None = None,
 ) -> StreamingQuery:
-    """readStream → classify/split → foreachBatch idempotent append."""
-    stream = read_message_stream(spark, source_dir)
+    """readStream → classify → observe → foreachBatch idempotent append.
+
+    Invalid messages are not dropped: with ``quarantine_target`` they
+    are appended (with ``batch_id``) to a quarantine table — the
+    streaming twin of the batch path's quarantine DataFrame. Either
+    way, per-batch consumed/rejected counts are attached with
+    ``observe("ingest", ...)`` so they surface in every progress event
+    (``observedMetrics``; the reference counts failures in its stats
+    loop, consumer/meter_consumer.py:282-283)."""
+    classified = classify(read_message_stream(spark, source_dir)).observe(
+        "ingest",
+        F.count(F.lit(1)).alias("consumed"),
+        F.count(F.when(F.col("reject_reason").isNotNull(), 1)).alias("rejected"),
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        valid, _quarantine = split_valid(classify(batch_df))
-        idempotent_append(batch_df.sparkSession, valid, target)
+        # Persist: the batch feeds two sinks (fact + quarantine); the
+        # cache also pins the observe() node to a single execution, so
+        # consumed/rejected counts aren't double-counted per pass.
+        batch_df.persist()
+        try:
+            valid, quarantine = split_valid(batch_df)
+            idempotent_append(batch_df.sparkSession, valid, target)
+            if quarantine_target is not None:
+                (
+                    quarantine.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(quarantine_target)
+                )
+        finally:
+            batch_df.unpersist()
 
     writer = (
-        stream.writeStream.foreachBatch(process_batch)
+        classified.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
@@ -76,9 +103,49 @@ def start_ingest_stream(
     return writer.start()
 
 
+def _offset_positions(raw: object) -> dict[str, int]:
+    """Flatten a source offset JSON into ``{stream-key: position}``.
+
+    Shapes seen in practice: the file source's ``{"logOffset": N}``,
+    Kafka's ``{"topic": {"0": off, "1": off}}``, or a bare int.
+    """
+    import json as _json
+
+    if raw is None:
+        return {}
+    val = raw
+    if isinstance(val, str):
+        try:
+            val = _json.loads(val)
+        except ValueError:
+            return {}
+    if isinstance(val, int):
+        return {"offset": val}
+    out: dict[str, int] = {}
+    if isinstance(val, dict):
+        for key, v in val.items():
+            if isinstance(v, dict):  # kafka: topic → partition → offset
+                for part, off in v.items():
+                    if isinstance(off, int):
+                        out[f"{key}-{part}"] = off
+            elif isinstance(v, int):
+                out[key] = v
+    return out
+
+
 class ProgressRecorder(StreamingQueryListener):
     """T7: per-batch progress metrics (the Spark-native consumer-lag
-    monitor). Attach with ``spark.streams.addListener``."""
+    monitor). Attach with ``spark.streams.addListener``.
+
+    Beyond raw throughput/durations, each record derives the
+    reference monitor's headline metrics (monitor/kafka_monitor.py:
+    117-167): per-source **backlog** (latest available offset − batch
+    end offset, summed across partitions) and **pct_consumed**
+    (100 × end/latest). ``lag_report()`` returns the latest snapshot —
+    the ``StreamingQuery.lastProgress`` twin of the reference's
+    per-partition lag table. Observed metrics (e.g. the ingest
+    consumed/rejected counters) are carried through verbatim.
+    """
 
     def __init__(self) -> None:
         self.progress: list[dict] = []
@@ -88,14 +155,56 @@ class ProgressRecorder(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
+        sources = []
+        for s in p.sources:
+            end = _offset_positions(s.endOffset)
+            latest = _offset_positions(s.latestOffset)
+            total_end = sum(end.values())
+            total_latest = sum(latest.values()) if latest else total_end
+            backlog = max(0, total_latest - total_end)
+            sources.append(
+                {
+                    "description": s.description,
+                    "numInputRows": s.numInputRows,
+                    "endOffset": end,
+                    "latestOffset": latest,
+                    "backlog": backlog,
+                    "pct_consumed": (
+                        100.0
+                        if total_latest == 0
+                        else round(100.0 * total_end / total_latest, 2)
+                    ),
+                }
+            )
         self.progress.append(
             {
                 "batchId": p.batchId,
                 "numInputRows": p.numInputRows,
                 "inputRowsPerSecond": p.inputRowsPerSecond,
                 "durationMs": dict(p.durationMs),
+                "observedMetrics": {
+                    name: row.asDict()
+                    for name, row in dict(p.observedMetrics).items()
+                },
+                "sources": sources,
+                "backlog": sum(s["backlog"] for s in sources),
             }
         )
+
+    def lag_report(self) -> dict:
+        """Latest consumer-lag snapshot: total backlog, per-source
+        detail, and overall pct_consumed — the reference monitor's
+        report shape."""
+        if not self.progress:
+            return {"backlog": None, "pct_consumed": None, "sources": []}
+        last = self.progress[-1]
+        pcts = [s["pct_consumed"] for s in last["sources"]]
+        return {
+            "batchId": last["batchId"],
+            "backlog": last["backlog"],
+            "pct_consumed": min(pcts) if pcts else 100.0,
+            "sources": last["sources"],
+        }
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

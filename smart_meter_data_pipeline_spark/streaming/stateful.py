@@ -66,35 +66,47 @@ def incremental_deltas(readings_stream: DataFrame) -> DataFrame:
         else:
             last_ts, last_cons, last_prod = None, None, None
 
+        # The group's rows may arrive as SEVERAL Arrow batches in
+        # arbitrary relative order (the state shuffle sorts by key
+        # only, not time) — concat and sort ONCE; a per-batch sort
+        # would interleave deltas out of order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            _pd.concat(chunks).sort_values("reading_timestamp")
+            if chunks
+            else _pd.DataFrame()
+        )
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("reading_timestamp")
-            for row in pdf.itertuples(index=False):
-                cons = row.reading_consumption_milliwatts
-                prod = row.reading_production_milliwatts
-                cons = None if _pd.isna(cons) else int(cons)
-                prod = None if _pd.isna(prod) else int(prod)
-                # COALESCE(delta, cumulative): first reading emits itself.
-                cons_delta = cons if last_cons is None else (
-                    None if cons is None else cons - last_cons
+        for row in batch.itertuples(index=False):
+            cons = row.reading_consumption_milliwatts
+            prod = row.reading_production_milliwatts
+            cons = None if _pd.isna(cons) else int(cons)
+            prod = None if _pd.isna(prod) else int(prod)
+            # Mirror batch LAG exactly: COALESCE(cum - LAG(cum), cum)
+            # where LAG is the previous ROW's raw value, NULL
+            # included. A NULL-previous row therefore falls back to
+            # the cumulative itself, same as the first-ever reading.
+            cons_delta = cons if last_cons is None else (
+                None if cons is None else cons - last_cons
+            )
+            prod_delta = prod if last_prod is None else (
+                None if prod is None else prod - last_prod
+            )
+            out.append(
+                (
+                    meter_id,
+                    row.reading_timestamp,
+                    cons_delta,
+                    prod_delta,
+                    row.status,
                 )
-                prod_delta = prod if last_prod is None else (
-                    None if prod is None else prod - last_prod
-                )
-                out.append(
-                    (
-                        meter_id,
-                        row.reading_timestamp,
-                        cons_delta,
-                        prod_delta,
-                        row.status,
-                    )
-                )
-                last_ts = row.reading_timestamp.value // 1000
-                if cons is not None:
-                    last_cons = cons
-                if prod is not None:
-                    last_prod = prod
+            )
+            last_ts = row.reading_timestamp.value // 1000
+            # Previous-row RAW values (None preserved) — keeping the
+            # last non-NULL here would diverge from batch LAG for
+            # meters with intermittently-NULL counters.
+            last_cons = cons
+            last_prod = prod
 
         state.update((last_ts, last_cons, last_prod))
         if out:

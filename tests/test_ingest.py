@@ -95,3 +95,58 @@ def test_in_batch_duplicates_deduped(spark, tmp_target):
     dup = [json.dumps(GOOD), json.dumps(GOOD), json.dumps(GOOD)]
     stats = ingest.ingest_batch(spark, _messages_df(spark, dup), tmp_target)
     assert stats["written"] == 1
+
+
+def test_concurrent_writers_no_duplicates(spark, tmp_target):
+    """Two writers appending OVERLAPPING batches at the same time must
+    land exactly one copy of each PK — the multi-consumer guarantee the
+    reference gets from its PRIMARY KEY (consumer/meter_consumer.py:
+    104-114). Without the table lock both writers pass the anti-join
+    and duplicate the overlap."""
+    import threading
+
+    def batch(lo, hi):
+        msgs = [json.dumps(dict(GOOD, meter_id=i)) for i in range(lo, hi)]
+        valid, _ = ingest.split_valid(ingest.classify(_messages_df(spark, msgs)))
+        return valid
+
+    b1, b2 = batch(1, 101), batch(51, 151)  # overlap: meters 51-100
+    barrier = threading.Barrier(2)
+    written = {}
+
+    def run(name, b):
+        barrier.wait()
+        written[name] = ingest.idempotent_append(spark, b, tmp_target)
+
+    t1 = threading.Thread(target=run, args=("a", b1))
+    t2 = threading.Thread(target=run, args=("b", b2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    fact = spark.read.parquet(tmp_target)
+    assert fact.count() == 150
+    assert fact.select("reading_timestamp", "meter_id").distinct().count() == 150
+    assert written["a"] + written["b"] == 150
+
+
+def test_table_lock_stale_breaking_and_timeout(tmp_path):
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from smart_meter_data_pipeline_spark.sources import txn
+
+    table = str(tmp_path / "t")
+    # stale lock (old mtime) is broken and re-acquired
+    os.makedirs(os.path.join(table, txn.LOCK_DIRNAME))
+    old = time.time() - 1000
+    os.utime(os.path.join(table, txn.LOCK_DIRNAME), (old, old))
+    with txn.table_lock(table, timeout_s=2, stale_after_s=300):
+        assert os.path.isdir(os.path.join(table, txn.LOCK_DIRNAME))
+    assert not os.path.isdir(os.path.join(table, txn.LOCK_DIRNAME))
+
+    # live lock → second acquirer times out
+    with txn.table_lock(table, timeout_s=2):
+        with _pytest.raises(txn.LockTimeout):
+            with txn.table_lock(table, timeout_s=0.3, stale_after_s=300):
+                pass

@@ -68,6 +68,91 @@ def test_incremental_deltas_match_batch(spark, tmp_path):
 import pytest
 
 
+def test_incremental_deltas_mixed_null_sequences(spark, tmp_path):
+    """Meters whose counters are intermittently NULL must still match
+    batch LAG semantics: a NULL-previous row falls back to the
+    cumulative itself (COALESCE), NOT a delta against the last non-NULL
+    value. The NULLs are placed so one sits immediately before a
+    micro-batch boundary — the state handoff must carry the raw
+    previous-row value (None included)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0)
+    rows = []
+    # meter 1: production NULL on ticks 1 and 3 (intermittent);
+    # meter 2: consumption NULL on tick 2; meter 3: never NULL.
+    series = {
+        1: [(100, 10), (200, None), (350, 40), (500, None), (700, 90)],
+        2: [(100, 5), (250, 15), (None, 30), (600, 50), (800, 80)],
+        3: [(50, 1), (60, 2), (75, 4), (95, 7), (120, 11)],
+    }
+    for meter_id, ticks in series.items():
+        for i, (cons, prod) in enumerate(ticks):
+            rows.append(
+                (t0 + dt.timedelta(minutes=15 * i), meter_id, cons, prod, "V")
+            )
+    readings = spark.createDataFrame(
+        rows,
+        "reading_timestamp timestamp, meter_id int, "
+        "reading_consumption_milliwatts long, "
+        "reading_production_milliwatts long, status string",
+    ).cache()
+
+    src = tmp_path / "null_chunks"
+    os.makedirs(src)
+    # boundary after tick 1 → meter 1's NULL production is the last
+    # value of chunk 0; ticks 2-4 arrive in a later micro-batch.
+    # (Absolute cutoff, NOT F.minute(): minute-of-hour would put the
+    # 01:00 row in the first chunk and break time-ordered delivery.)
+    first = F.col("reading_timestamp") < F.lit(t0 + dt.timedelta(minutes=30))
+    readings.filter(first).coalesce(1).write.parquet(str(src / "c0"))
+    readings.filter(~first).coalesce(1).write.parquet(str(src / "c1"))
+
+    stream = (
+        spark.readStream.schema(readings.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = f"stateful_null_{uuid.uuid4().hex[:8]}"
+    q = (
+        incremental_deltas(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cols = [
+        "meter_id",
+        "reading_timestamp",
+        "consumption_delta_mwh",
+        "production_delta_mwh",
+    ]
+    streamed = spark.table(sink).select(*cols)
+    batch = stg_transform(readings).select(
+        "meter_id",
+        "reading_timestamp",
+        F.col("consumption_delta_mwh").cast("long").alias("consumption_delta_mwh"),
+        F.col("production_delta_mwh").cast("long").alias("production_delta_mwh"),
+    )
+    assert streamed.count() == batch.count() == 15
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # spot-check the load-bearing rows: a NULL-previous counter must
+    # fall back to the cumulative itself, not delta vs last non-NULL.
+    got = {
+        (r.meter_id, r.reading_timestamp.minute): (
+            r.consumption_delta_mwh,
+            r.production_delta_mwh,
+        )
+        for r in streamed.collect()
+    }
+    assert got[(1, 30)][1] == 40  # prod fallback (prev prod NULL)
+    assert got[(2, 45)][0] == 600  # cons fallback (prev cons NULL)
+
+
 @pytest.mark.parametrize("n_chunks", [1, 3, 8])
 def test_incremental_deltas_chunking_invariant(spark, tmp_path, n_chunks):
     """The stateful operator's output must be identical no matter how

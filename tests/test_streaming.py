@@ -157,3 +157,67 @@ def test_stream_hourly_matches_batch(spark, sf_dir):
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stream_quarantine_and_lag_report(spark, tmp_path):
+    """Invalid messages land in the quarantine table (not silently
+    dropped), per-batch observed metrics count consumed/rejected, and
+    the listener derives the reference monitor's lag report (backlog /
+    pct_consumed — monitor/kafka_monitor.py:117-167): drained stream ⇒
+    backlog 0, 100% consumed."""
+    import json
+
+    src = tmp_path / "msgs"
+    target = str(tmp_path / "fact")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src / "d1")
+
+    good = {
+        "meter_id": 7,
+        "reading_timestamp": "2024-01-01T00:15:00",
+        "reading_consumption_milliwatts": 1000,
+        "status": "V",
+    }
+    lines = [
+        json.dumps(good),
+        json.dumps(dict(good, reading_timestamp="2024-01-01T00:30:00")),
+        "{broken json",
+        json.dumps(dict(good, status="X")),
+    ]
+    with open(src / "d1" / "m.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = start_ingest_stream(
+            spark,
+            str(src / "*" / "*.txt"),
+            target,
+            ckpt,
+            available_now=True,
+            quarantine_target=quarantine,
+        )
+        q.awaitTermination()
+    finally:
+        spark.streams.removeListener(rec)
+
+    assert spark.read.parquet(target).count() == 2
+    qrows = spark.read.parquet(quarantine)
+    assert qrows.count() == 2
+    reasons = sorted(r["reject_reason"] for r in qrows.collect())
+    assert reasons == ["bad_status", "malformed_json"]
+    assert set(qrows.columns) >= {"reject_reason", "batch_id"}
+
+    report = rec.lag_report()
+    assert report["backlog"] == 0
+    assert report["pct_consumed"] == 100.0
+    assert report["sources"], "per-source detail expected"
+    observed = [
+        p["observedMetrics"].get("ingest")
+        for p in rec.progress
+        if p["observedMetrics"].get("ingest")
+    ]
+    assert sum(m["consumed"] for m in observed) == 4
+    assert sum(m["rejected"] for m in observed) == 2
