@@ -146,6 +146,30 @@ def main() -> None:
             lambda: _materialize(similarity.ann_ivf_topk(spark, SF_DIR)),
         )
 
+        # 9b. IVF recall-vs-nprobe sweep: design evidence the ANN path
+        # is a tunable recall/cost dial, not just fast. Ground truth is
+        # the brute-force cosine top-k; recall@k = fraction of true
+        # (query, neighbor) pairs the probed search recovers.
+        truth = (
+            similarity.ann_topk_cosine(spark, SF_DIR)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        n_truth = truth.count()
+        ivf_recall: dict[str, float] = {}
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.monotonic()
+            hits = (
+                similarity.ann_ivf_topk(spark, SF_DIR, nprobe=nprobe)
+                .select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"], "left_semi")
+                .count()
+            )
+            ivf_recall[f"nprobe_{nprobe}"] = {
+                "recall_at_k": round(hits / n_truth, 4),
+                "sec": round(time.monotonic() - t0, 3),
+            }
+
         # 10-11. Cross-corpus curation: inverted-index novelty sweep and
         # near-dup clustering (pair graph → connected components).
         from smart_meter_data_pipeline_spark.operators import text
@@ -172,6 +196,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest_rows": ingest_rows,
         "ingest_rows_per_sec": round(ingest_rows / timings["meter_ingest_day"]),
+        "ivf_recall": ivf_recall,
     }
     print(json.dumps(result))
 

@@ -426,13 +426,17 @@ def ivf_cell_assignments(emb: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
     """IVF-flat ANN: assign every vector to its nearest centroid cell,
-    probe the {NPROBE} cells nearest each query, exact-cosine rank
-    within the probed cells only.
+    probe the ``nprobe`` cells nearest each query (default {NPROBE} —
+    the registered/oracle-checked configuration), exact-cosine rank
+    within the probed cells only. ``nprobe`` is THE recall/cost dial:
+    bench.py sweeps it against the brute-force ground truth.
 
     Scale path: centroids broadcast both times; the candidate join is
-    an equi-join on cell_id against a {NPROBE}/{CENTROID_STRIDE}
+    an equi-join on cell_id against a ``nprobe``/{CENTROID_STRIDE}
     fraction of the corpus; final ranking partitions by query_id."""
     emb = load_table(spark, sf_dir, "embeddings")
     cells = ivf_cell_assignments(emb)
@@ -465,7 +469,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("c_norm2")), 12),
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= NPROBE)
+        .filter(F.col("probe_rank") <= nprobe)
         .select(
             "query_id",
             "q_embedding",
@@ -688,6 +692,177 @@ def kmeans_embeddings(
 
 
 register("kmeans_embeddings")(kmeans_embeddings)
+
+
+# ---------------------------------------------------------------------------
+# K-means, hash-checkable: fixed init + fixed rounds + exact arithmetic
+# ---------------------------------------------------------------------------
+
+KMEANS_FIXED_ITERS = 2
+
+
+def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means with every source of divergence pinned, so the
+    FULL iterative computation is hash-checked against a DuckDB twin
+    (upgrading ``kmeans_embeddings`` from the rows-only check).
+
+    The trick that makes an iterative float algorithm hash-equal across
+    engines is a *quantized-decimal grid*: inputs and centroids are
+    rounded to 6 decimal digits and cast to DECIMAL(12,6) (a cast both
+    engines perform exactly, because round(x, 6)'s nearest-double is
+    within ulp of the 6-digit decimal), and from there EVERY operation
+    — dot products, norms, squared distances, argmin comparisons,
+    inertia — is exact decimal arithmetic with no double anywhere in
+    the hash path. The single division per round (centroid mean) goes
+    through double and is immediately re-quantized to the grid;
+    exact-tie impossibility at the 7th digit makes that deterministic.
+
+    - init: vec_id % KMEANS_STRIDE == 0, exactly KMEANS_FIXED_ITERS
+      assign→update rounds + a final assignment,
+    - argmin tie-break on (dist2, cluster_id),
+    - output: (cluster_id, n_members, inertia_micro = ⌊Σdist2 × 1e6⌋)
+      — all integers, bulletproof to hash.
+
+    This is the verification twin; ``kmeans_embeddings`` (array +
+    broadcast-centroid form) remains the production/scale path. The
+    exploded equi-join shape here is still fully distributed (shuffle
+    bounded by n·K per round), just chosen for exactness over speed.
+    """
+    el = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("vf").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norm2 = el.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("norm2")
+    )
+    cent = el.filter(F.col("vec_id") % KMEANS_STRIDE == 0).select(
+        F.col("vec_id").alias("cluster_id"), "pos", F.col("v").alias("cv")
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        c_norm2 = centroids.groupBy("cluster_id").agg(
+            F.sum(F.col("cv") * F.col("cv")).alias("c_norm2")
+        )
+        dots = (
+            el.join(centroids, "pos")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+        )
+        scored = (
+            dots.join(norm2, "vec_id")
+            .join(c_norm2, "cluster_id")
+            .withColumn(
+                "dist2", F.col("norm2") + F.col("c_norm2") - 2 * F.col("dot")
+            )
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist2", "cluster_id")).alias("s")
+        )
+        return best.select(
+            "vec_id",
+            F.col("s.cluster_id").alias("cluster_id"),
+            F.col("s.dist2").alias("dist2"),
+        )
+
+    for _ in range(KMEANS_FIXED_ITERS):
+        assign = _assign(cent)
+        cent = (
+            assign.join(el, "vec_id")
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.round(
+                    F.sum("v").cast("double") / F.count(F.lit(1)), 6
+                )
+                .cast("decimal(12,6)")
+                .alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    final = _assign(cent)
+    return final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.floor(F.sum("dist2") * 1000000)
+        .cast("bigint")
+        .alias("inertia_micro"),
+    )
+
+
+def _kmeans_fixed_oracle(n_iters: int = KMEANS_FIXED_ITERS) -> str:
+    """DuckDB twin: one CTE pair (assignment, centroid update) per
+    Lloyd round, generated mechanically — the same quantized-decimal
+    grid, exact reductions, and (dist2, cluster_id) tie-break."""
+
+    def assign_ctes(i: int, cent: str) -> str:
+        return f"""
+cn{i} AS (
+  SELECT cluster_id, SUM(cv * cv) AS c_norm2 FROM {cent} GROUP BY 1
+),
+d{i} AS (
+  SELECT e.vec_id, c.cluster_id, SUM(e.v * c.cv) AS dot
+  FROM el e JOIN {cent} c ON e.pos = c.pos
+  GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT vec_id, cluster_id, dist2 FROM (
+    SELECT d.vec_id, d.cluster_id,
+           n.norm2 + cn.c_norm2 - 2 * d.dot AS dist2,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY n.norm2 + cn.c_norm2 - 2 * d.dot, d.cluster_id
+           ) AS rn
+    FROM d{i} d
+    JOIN norm2 n USING (vec_id)
+    JOIN cn{i} cn USING (cluster_id)
+  ) WHERE rn = 1
+)"""
+
+    parts = []
+    for i in range(1, n_iters + 1):
+        parts.append(assign_ctes(i, f"c{i - 1}"))
+        parts.append(
+            f"""
+c{i} AS (
+  SELECT a.cluster_id, e.pos,
+         CAST(round(CAST(SUM(e.v) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(12,6)) AS cv
+  FROM a{i} a JOIN el e USING (vec_id)
+  GROUP BY 1, 2
+)"""
+        )
+    f = n_iters + 1
+    parts.append(assign_ctes(f, f"c{n_iters}"))
+    body = ",".join(parts)
+    return f"""
+WITH el AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS v
+  FROM embeddings
+),
+norm2 AS (
+  SELECT vec_id, SUM(v * v) AS norm2 FROM el GROUP BY 1
+),
+c0 AS (
+  SELECT vec_id AS cluster_id, pos, v AS cv
+  FROM el WHERE vec_id % {KMEANS_STRIDE} = 0
+),{body}
+SELECT cluster_id, COUNT(*) AS n_members,
+       CAST(floor(SUM(dist2) * 1000000) AS BIGINT) AS inertia_micro
+FROM a{f} GROUP BY 1
+"""
+
+
+register("kmeans_fixed_rounds", _kmeans_fixed_oracle())(kmeans_fixed_rounds)
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,49 @@ register("stream_billing_incremental", _incremental_billing_oracle())(
 )
 
 
+def stream_grid_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the SECOND mart — the reference's
+    stated production path (README.md:137-138) applied to
+    fact_grid_load_hourly: stateful streaming deltas feed the
+    UNCHANGED hourly grid mart builder (tumbling hour = the T9 window,
+    zone join, capacity/peak/critical flags). The oracle is the batch
+    grid mart's SQL, so streaming state handoff, hourly re-aggregation,
+    the broadcast zone join, and the guarded utilization math are all
+    hash-checked end-to-end."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        fact_grid_load_hourly,
+        gen_dim_grid_zones,
+        gen_dim_meters,
+    )
+
+    deltas = _run_stateful_deltas(spark)
+    cons, prod = F.col("consumption_delta_mwh"), F.col("production_delta_mwh")
+    stg_like = deltas.select(
+        "reading_timestamp",
+        "meter_id",
+        "consumption_delta_mwh",
+        "production_delta_mwh",
+        (cons - F.coalesce(prod, F.lit(0))).alias("net_delta_mwh"),
+        (F.col("status") == "V").alias("is_valid"),
+    )
+    return fact_grid_load_hourly(
+        stg_like, gen_dim_meters(spark), gen_dim_grid_zones(spark)
+    ).localCheckpoint(eager=True)
+
+
+def _incremental_grid_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _GRID_LOAD_SQL,
+    )
+
+    return _GRID_LOAD_SQL
+
+
+register("stream_grid_incremental", _incremental_grid_oracle())(
+    stream_grid_incremental
+)
+
+
 register(
     "stream_ingest_daily",
     f"""WITH {_readings_cte()}

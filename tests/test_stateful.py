@@ -200,3 +200,57 @@ def test_incremental_deltas_chunking_invariant(spark, tmp_path, n_chunks):
     assert streamed.count() == batch.count() == 12 * 24
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_incremental_deltas_restart_from_checkpoint(spark, tmp_path):
+    """State must survive a full query stop/restart: drain chunk 0 with
+    availableNow (parquet sink + checkpoint), stop, deliver chunk 1,
+    restart from the SAME checkpoint — the combined output equals batch
+    stg_transform, i.e. the restored per-meter state (not a re-emit of
+    first-reading fallbacks) produced chunk 1's deltas."""
+    readings = gen_meter_readings(spark, n_meters=15, n_ticks=24).cache()
+    src = tmp_path / "restart_chunks"
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(src)
+    half = F.hour("reading_timestamp") < 3
+    readings.filter(half).coalesce(1).write.parquet(str(src / "c0"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(readings.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            incremental_deltas(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # run 1: first half only
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 15 * 12
+    readings.filter(~half).coalesce(1).write.parquet(str(src / "c1"))
+    drain()  # run 2: restart, second half against restored state
+
+    streamed = spark.read.parquet(out).select(
+        "meter_id",
+        "reading_timestamp",
+        "consumption_delta_mwh",
+        "production_delta_mwh",
+    )
+    batch = stg_transform(readings).select(
+        "meter_id",
+        "reading_timestamp",
+        F.col("consumption_delta_mwh").cast("long").alias("consumption_delta_mwh"),
+        F.col("production_delta_mwh").cast("long").alias("production_delta_mwh"),
+    )
+    assert streamed.count() == batch.count() == 15 * 24
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
