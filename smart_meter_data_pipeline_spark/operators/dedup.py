@@ -602,3 +602,106 @@ SELECT c.doc_id, c.cluster_id, s.cluster_size,
 FROM comp c JOIN csizes s ON c.cluster_id = s.cluster_id
 """,
 )(dedup_clusters)
+
+
+# ---------------------------------------------------------------------------
+# Span-level (sub-document) exact dedup — keep-first reconstruction
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 10
+
+
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUB-document dedup: chop every document into consecutive
+    {SPAN_WORDS}-word spans, keep only the globally FIRST occurrence
+    of each span text (ordered by doc_id, span position), and
+    reconstruct documents from their surviving spans — the
+    span/substring-level pass training pipelines run after doc-level
+    dedup to strip boilerplate repeated across documents (cf. the
+    suffix-array dedup of Lee et al., approximated at fixed word
+    windows so it stays a pure aggregation problem).
+
+    Scale shape: one explode (corpus × spans/doc), one groupBy
+    span_text computing the min (doc_id, span_idx) owner — map-side
+    combinable, shuffle keyed by span hash — then a join back and an
+    ordered re-agg per doc. No all-pairs anything; skew-safe because
+    identical spans collapse in the partial aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(words) / SPAN_WORDS).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * SPAN_WORDS + 1, SPAN_WORDS), " "
+                ),
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    owners = spans.groupBy("span_text").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("o")
+    )
+    kept = spans.join(owners, "span_text").filter(
+        (F.col("doc_id") == F.col("o.doc_id"))
+        & (F.col("span_idx") == F.col("o.span_idx"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        docs.select("doc_id", F.ceil(F.size(words) / SPAN_WORDS).cast("bigint").alias("n_spans"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+register(
+    "doc_span_dedup",
+    f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS span_idx,
+         array_to_string(words[i * {SPAN_WORDS} + 1 : i * {SPAN_WORDS} + {SPAN_WORDS}], ' ')
+           AS span_text
+  FROM w, range(0, 100000) t(i)
+  WHERE i < CAST(ceil(len(words) / {SPAN_WORDS}.0) AS BIGINT)
+),
+owners AS (
+  SELECT span_text,
+         MIN(struct_pack(doc_id := doc_id, span_idx := span_idx)) AS o
+  FROM spans GROUP BY 1
+),
+kept AS (
+  SELECT s.doc_id, s.span_idx, s.span_text
+  FROM spans s JOIN owners ow ON s.span_text = ow.span_text
+  WHERE s.doc_id = ow.o.doc_id AND s.span_idx = ow.o.span_idx
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(span_text, ' ' ORDER BY span_idx) AS dedup_text
+  FROM kept GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(ceil(len(w.words) / {SPAN_WORDS}.0) AS BIGINT) AS n_spans,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.dedup_text, '') AS dedup_text
+FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+""",
+)(doc_span_dedup)

@@ -574,3 +574,108 @@ JOIN events b
  AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_RADIUS_US}
 """,
 )(events_range_pairs)
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (semi-structured column → typed analytics)
+# ---------------------------------------------------------------------------
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``props`` JSON column
+    (the one events field no other query touches), aggregated per
+    event_type: the "sidecar attributes" pattern every event pipeline
+    grows. ``get_json_object`` is a Catalyst expression (JVM-side,
+    codegen) — the path extraction never leaves the scan stage, and
+    only ``props`` plus the group keys are read (column pruning).
+
+    The extracted ``k`` is integer so sums stay exact; the bucket
+    breakdown proves the value survives a cast chain + modulo, not
+    just a count."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+register(
+    "events_json_props",
+    """
+SELECT event_type,
+       CAST(k AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(k AS INT)) AS min_k,
+       MAX(CAST(k AS INT)) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY 1, 2
+""",
+)(events_json_props)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based approximate aggregates (the 100 TB answer to DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+def approx_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog count-distinct and quantile sketches, with a
+    property-style oracle. Exact COUNT(DISTINCT) needs a full shuffle
+    of the key space — at 100 TB the sketch (fixed-size, map-side
+    mergeable) is the only viable plan, so the engine must ship it.
+
+    Sketch estimates are engine-specific, so the hash-checked output
+    is the PROPERTY both engines must satisfy, not the estimate
+    itself: per event_type, the exact distinct-user count plus
+    booleans asserting each engine's own approx result lands within
+    tolerance of its own exact result (±5% for HLL at default rsd;
+    p50 sketch within the exact p40–p60 band). Both engines emitting
+    ``true`` everywhere IS the cross-engine contract."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.expr("approx_percentile(value, 0.5)").alias("p50_approx"),
+        F.expr("percentile(value, 0.4)").alias("p40_exact"),
+        F.expr("percentile(value, 0.6)").alias("p60_exact"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * 0.05
+        ).alias("hll_within_5pct"),
+        F.col("p50_approx").between(
+            F.col("p40_exact"), F.col("p60_exact")
+        ).alias("p50_within_band"),
+    )
+
+
+register(
+    "approx_sketch_check",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= COUNT(DISTINCT user_id) * 0.05 AS hll_within_5pct,
+       approx_quantile(value, 0.5)
+         BETWEEN quantile_cont(value, 0.4) AND quantile_cont(value, 0.6)
+         AS p50_within_band
+FROM events
+GROUP BY 1
+""",
+)(approx_sketch_check)

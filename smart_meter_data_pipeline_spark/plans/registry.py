@@ -89,6 +89,10 @@ _PRIORITY = [
     # new this round (register early: no prior correctness row)
     "kmeans_fixed_rounds",
     "stream_grid_incremental",
+    "stream_dedup_watermark",
+    "events_json_props",
+    "approx_sketch_check",
+    "doc_span_dedup",
     # failed round 1 on the session-conf infra bug (now fixed) — must flip
     "stg_event_deltas",
     "daily_user_rollup",

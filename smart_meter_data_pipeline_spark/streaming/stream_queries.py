@@ -404,6 +404,66 @@ register("stream_grid_incremental", _incremental_grid_oracle())(
 )
 
 
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-native exactly-once: the events table is delivered
+    TWICE (at-least-once redelivery) and
+    ``dropDuplicatesWithinWatermark`` on the event key removes the
+    replays — Spark's bounded-state form of the reference's
+    ``ON CONFLICT DO NOTHING`` (consumer/meter_consumer.py:104-114),
+    where the watermark bounds how long each key is remembered (the
+    sink-side anti-join needs no such bound but pays a table scan).
+    Redelivered rows land either inside the watermark (killed by
+    dedup state) or behind it (dropped as late) — both paths erase
+    them, and the final per-type rollup hash-equals the batch
+    aggregate over the unique events."""
+    workdir = tempfile.mkdtemp(prefix="smart_meter_dedup_stream_")
+    src = os.path.join(workdir, "deliveries")
+    os.makedirs(src)
+    try:
+        from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        ev.coalesce(2).write.parquet(os.path.join(src, "d1"))
+        ev.coalesce(2).write.parquet(os.path.join(src, "d2"))
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(os.path.join(src, "*"))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        # (no countDistinct: unsupported on streaming frames — the
+        # n_events/total_value pair already detects any surviving dup)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_dedup_watermark",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+)(stream_dedup_watermark)
+
+
 register(
     "stream_ingest_daily",
     f"""WITH {_readings_cte()}
