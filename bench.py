@@ -170,6 +170,20 @@ def main() -> None:
                 "sec": round(time.monotonic() - t0, 3),
             }
 
+        # PQ/ADC recall vs the same ground truth (different distance:
+        # quantized L2 vs exact cosine — the gap IS the compression cost).
+        t0 = time.monotonic()
+        pq_hits = (
+            similarity.ann_pq_topk(spark, SF_DIR)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .count()
+        )
+        ivf_recall["pq_adc"] = {
+            "recall_at_k": round(pq_hits / n_truth, 4),
+            "sec": round(time.monotonic() - t0, 3),
+        }
+
         # 10-11. Cross-corpus curation: inverted-index novelty sweep and
         # near-dup clustering (pair graph → connected components).
         from smart_meter_data_pipeline_spark.operators import text

@@ -910,3 +910,151 @@ SELECT dim, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v,
 FROM el GROUP BY 1
 """,
 )(embedding_dim_stats)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN, the billion-vector design
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (32-dim vectors → 4 × 8-dim subvectors)
+PQ_SUB = 8  # dims per subspace
+PQ_STRIDE = 61  # vec_id % 61 == 0 → sampled codebook entries
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric distance computation (ADC): the memory-bound
+    scale path for ANN. Vectors compress to {PQ_M} one-byte-ish codes
+    (nearest codebook entry per subspace); queries never decompress
+    the corpus — each query precomputes a distance TABLE to every
+    codebook entry, and a candidate's approximate distance is just
+    {PQ_M} table lookups summed. At 10^9 vectors the encoded corpus is
+    ~{PQ_M} bytes/vector instead of 128, and scoring is an equi-join
+    on (subspace, code) against a broadcast table — no vector math on
+    the corpus side at query time.
+
+    Codebooks here are SAMPLED (subvectors of every {PQ_STRIDE}-th
+    vector) rather than k-means-trained — the train step is
+    demonstrated separately by ``kmeans_fixed_rounds``; this query
+    pins the ENCODE + ADC machinery. Everything runs on the same
+    quantized DECIMAL(12,6) grid as the fixed k-means (round inputs
+    to 6 digits, all reductions exact decimal, all-integer output),
+    so the full index-build + search is hash-checked in DuckDB.
+
+    Plan shape: codebook and distance tables are broadcast-sized
+    (K·{PQ_M} and Q·K·{PQ_M}); encoding is one map-side-combinable
+    argmin aggregation over the corpus scan; ADC scoring shuffles
+    only (query, vec, partial-sum) rows; final top-k windows per
+    query."""
+    el = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            F.expr(f"pos div {PQ_SUB}").cast("int").alias("m"),
+            (F.col("pos") % PQ_SUB).alias("sp"),
+            F.round(F.col("vf").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    codebook = el.filter(F.col("vec_id") % PQ_STRIDE == 0).select(
+        F.col("vec_id").alias("code_id"), "m", "sp", F.col("v").alias("cv")
+    )
+
+    # Subspace distances to every codebook entry, for corpus encoding
+    # (argmin) and for query distance tables (kept whole).
+    sub_d = (
+        el.join(F.broadcast(codebook), ["m", "sp"])
+        .groupBy("vec_id", "m", "code_id")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+            ).alias("d")
+        )
+    ).localCheckpoint(eager=True)
+
+    enc = (
+        sub_d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "code_id")).alias("s"))
+        .select("vec_id", "m", F.col("s.code_id").alias("code"))
+    )
+    dtable = sub_d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("code_id").alias("code"),
+        "d",
+    )
+
+    scored = (
+        enc.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.floor(F.col("adc_dist") * 1000000)
+            .cast("bigint")
+            .alias("adc_dist_micro"),
+        )
+    )
+
+
+register(
+    "ann_pq_topk",
+    f"""
+WITH el AS (
+  SELECT vec_id,
+         CAST((generate_subscripts(embedding, 1) - 1) // {PQ_SUB} AS INT) AS m,
+         (generate_subscripts(embedding, 1) - 1) % {PQ_SUB} AS sp,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS v
+  FROM embeddings
+),
+codebook AS (
+  SELECT vec_id AS code_id, m, sp, v AS cv
+  FROM el WHERE vec_id % {PQ_STRIDE} = 0
+),
+sub_d AS (
+  SELECT e.vec_id, e.m, c.code_id, SUM((e.v - c.cv) * (e.v - c.cv)) AS d
+  FROM el e JOIN codebook c ON e.m = c.m AND e.sp = c.sp
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code_id AS code,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, m ORDER BY d, code_id
+           ) AS rn
+    FROM sub_d
+  ) WHERE rn = 1
+),
+dtable AS (
+  SELECT vec_id AS query_id, m, code_id AS code, d
+  FROM sub_d WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT t.query_id, e.vec_id, SUM(t.d) AS adc_dist
+  FROM enc e JOIN dtable t ON e.m = t.m AND e.code = t.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, rank,
+       CAST(floor(adc_dist * 1000000) AS BIGINT) AS adc_dist_micro
+FROM (
+  SELECT query_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, vec_id
+         ) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+""",
+)(ann_pq_topk)

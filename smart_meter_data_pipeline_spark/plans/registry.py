@@ -93,6 +93,8 @@ _PRIORITY = [
     "events_json_props",
     "approx_sketch_check",
     "doc_span_dedup",
+    "stream_stream_interval_join",
+    "ann_pq_topk",
     # failed round 1 on the session-conf infra bug (now fixed) — must flip
     "stg_event_deltas",
     "daily_user_rollup",

@@ -453,6 +453,114 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+STREAM_JOIN_WINDOW_MIN = 30
+
+
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the SAME
+    user's preceding clicks within {STREAM_JOIN_WINDOW_MIN} minutes —
+    attribution, the canonical two-stream correlation. Both sides are
+    real file streams with watermarks; the event-time range condition
+    is what lets Spark bound the join state (click state expires once
+    the purchase watermark passes click_ts + window). Drained with
+    availableNow; the oracle is the identical batch interval join, so
+    the streaming state machine's matches are hash-checked pair by
+    pair (aggregated per user to keep the output compact)."""
+    workdir = tempfile.mkdtemp(prefix="smart_meter_ssjoin_")
+    try:
+        from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        # Two TIME-ORDERED deliveries per side (early half, late half):
+        # micro-batch k sees chunk k of each stream, so watermarks only
+        # ever move forward over on-time data, and pairs straddling the
+        # chunk boundary must come from join STATE carried across
+        # batches — the thing this query exists to check.
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        for etype in ("click", "purchase"):
+            typed = ev.filter(F.col("event_type") == etype)
+            for i, pred in enumerate([F.col("ts") < mid, F.col("ts") >= mid]):
+                typed.filter(pred).coalesce(1).write.parquet(
+                    os.path.join(workdir, etype, f"chunk_{i}")
+                )
+
+        def side(etype: str, alias: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(workdir, etype, "*"))
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias(f"{alias}_id"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                    F.col("user_id").alias(f"{alias}_user"),
+                    F.col("value").alias(f"{alias}_value"),
+                )
+            )
+
+        clicks, purchases = side("click", "c"), side("purchase", "p")
+        pairs = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(
+                    f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES"
+                )
+            ),
+            "inner",
+        )
+        # The JOIN runs streaming (stateful, watermark-bounded); the
+        # compacting rollup runs batch over the drained pairs — chained
+        # stateful operators (join → agg) and streaming countDistinct
+        # are both restricted, and the join is the operator under test.
+        sink = f"ssjoin_{uuid.uuid4().hex[:8]}"
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(sink)
+            .groupBy(F.col("p_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_attributed_pairs"),
+                F.countDistinct("p_id").alias("n_purchases_with_click"),
+                dsum("p_value", "attributed_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_stream_interval_join",
+    f"""
+WITH pairs AS (
+  SELECT p.user_id, p.event_id AS p_id, p.value AS p_value
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+)
+SELECT user_id,
+       COUNT(*) AS n_attributed_pairs,
+       COUNT(DISTINCT p_id) AS n_purchases_with_click,
+       CAST(SUM(CAST(p_value AS DECIMAL(25,6))) AS DOUBLE)
+         AS attributed_value
+FROM pairs
+GROUP BY 1
+""",
+)(stream_stream_interval_join)
+
+
 register(
     "stream_dedup_watermark",
     """
