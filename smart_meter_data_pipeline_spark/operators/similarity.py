@@ -918,7 +918,10 @@ FROM el GROUP BY 1
 
 PQ_M = 4  # subspaces (32-dim vectors → 4 × 8-dim subvectors)
 PQ_SUB = 8  # dims per subspace
-PQ_STRIDE = 61  # vec_id % 61 == 0 → sampled codebook entries
+PQ_STRIDE = 61  # every 61st vector seeds the codebook…
+PQ_K = 16  # …capped at K entries per subspace: codebook size must be
+# CONSTANT in corpus size (real PQ uses K=256) or encode cost creeps
+# from O(n·K) toward O(n·n/stride)
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,7 +961,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    codebook = el.filter(F.col("vec_id") % PQ_STRIDE == 0).select(
+    codebook = el.filter(
+        (F.col("vec_id") % PQ_STRIDE == 0)
+        & (F.col("vec_id") < PQ_STRIDE * PQ_K)
+    ).select(
         F.col("vec_id").alias("code_id"), "m", "sp", F.col("v").alias("cv")
     )
 
@@ -1021,6 +1027,7 @@ WITH el AS (
 codebook AS (
   SELECT vec_id AS code_id, m, sp, v AS cv
   FROM el WHERE vec_id % {PQ_STRIDE} = 0
+    AND vec_id < {PQ_STRIDE} * {PQ_K}
 ),
 sub_d AS (
   SELECT e.vec_id, e.m, c.code_id, SUM((e.v - c.cv) * (e.v - c.cv)) AS d

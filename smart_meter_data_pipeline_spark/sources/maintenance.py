@@ -122,3 +122,28 @@ def compact_table(
             spark, table_dir, date, target_file_bytes
         )
     return out
+
+
+def retention_sweep(
+    table_dir: str, keep_after: str
+) -> list[str]:
+    """Drop ``reading_date=`` partitions strictly older than
+    ``keep_after`` (ISO date string) — the table-side lifecycle twin of
+    the reference topic's 7-day retention (producer/meter_simulator.py:
+    113 ``retention.ms``; TimescaleDB deployments pair it with chunk
+    drops). Partition-granular deletes are O(dropped partitions), never
+    a row-level scan; the writer lock keeps the sweep from racing an
+    in-flight append's existing-keys scan. Returns the dropped dates.
+    """
+    dropped: list[str] = []
+    if not os.path.isdir(table_dir):
+        return dropped
+    with table_lock(table_dir):
+        for name in sorted(os.listdir(table_dir)):
+            if not name.startswith("reading_date="):
+                continue
+            date = name.split("=", 1)[1]
+            if date < keep_after:
+                shutil.rmtree(os.path.join(table_dir, name))
+                dropped.append(date)
+    return dropped

@@ -59,3 +59,35 @@ def test_compaction_skips_active_date(spark, tmp_path):
     ]
     result = compact_table(spark, target, skip_dates=set(dates))
     assert result == {}
+
+
+def test_retention_sweep(spark, tmp_path):
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        gen_meter_readings,
+    )
+    from smart_meter_data_pipeline_spark.sources.maintenance import (
+        retention_sweep,
+    )
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "fact")
+    # 3 simulated days → 3 date partitions
+    readings = gen_meter_readings(spark, n_meters=5, n_ticks=96 * 3)
+    (
+        readings.withColumn("reading_date", F.to_date("reading_timestamp"))
+        .write.partitionBy("reading_date")
+        .parquet(target)
+    )
+    import os
+
+    parts = sorted(
+        n.split("=", 1)[1]
+        for n in os.listdir(target)
+        if n.startswith("reading_date=")
+    )
+    assert len(parts) == 3
+    dropped = retention_sweep(target, keep_after=parts[1])
+    assert dropped == [parts[0]]
+    left = spark.read.parquet(target)
+    assert left.select("reading_date").distinct().count() == 2
+    assert retention_sweep(target, keep_after=parts[0]) == []
