@@ -1,0 +1,112 @@
+"""Command-line runner — the engine's operational surface, replacing
+the reference's assorted entry points (producer loop, consumer loop,
+``dbt run`` / ``dbt test``) with one CLI:
+
+    python -m smart_meter_data_pipeline_spark list
+    python -m smart_meter_data_pipeline_spark run <query> [--sf-dir D]
+        [--output PATH] [--limit N] [--explain]
+    python -m smart_meter_data_pipeline_spark marts [--sf-dir D]
+    python -m smart_meter_data_pipeline_spark test [--sf-dir D]
+
+``run`` executes any registered query (the full SURVEY §2 + LLM-ops
+registry); ``marts`` is the ``dbt run`` twin (rebuild staging + both
+marts); ``test`` is the ``dbt test`` twin (the declared data-quality
+gates, non-zero exit on failure — reference: dbt schema tests,
+SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="smart_meter_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    run = sub.add_parser("run", help="run one registered query")
+    run.add_argument("query")
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    run.add_argument("--output", help="write result parquet here")
+    run.add_argument("--limit", type=int, default=20)
+    run.add_argument(
+        "--explain", action="store_true", help="print the formatted plan"
+    )
+
+    marts = sub.add_parser("marts", help="rebuild staging + both marts")
+    marts.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    test = sub.add_parser("test", help="run data-quality gates")
+    test.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from smart_meter_data_pipeline_spark.plans import registry
+
+    registry.load_all()
+
+    if args.cmd == "list":
+        for name in registry.QUERIES:
+            oracle = "oracle" if name in registry.ORACLES else "rows-only"
+            print(f"{name}\t{oracle}")
+        return 0
+
+    from smart_meter_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("smart-meter-cli")
+
+    if args.cmd == "run":
+        if args.query not in registry.QUERIES:
+            print(f"unknown query: {args.query}", file=sys.stderr)
+            return 2
+        t0 = time.monotonic()
+        df = registry.QUERIES[args.query](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+        else:
+            n = df.count()
+            df.show(args.limit, truncate=False)
+        elapsed = round(time.monotonic() - t0, 3)
+        print(json.dumps({"query": args.query, "rows": n, "sec": elapsed}))
+        return 0
+
+    if args.cmd == "marts":
+        from smart_meter_data_pipeline_spark.operators import meter_pipeline as mp
+
+        t0 = time.monotonic()
+        readings = mp.gen_meter_readings(spark)
+        billing, grid = mp.build_all_marts(spark, readings, mp.N_METERS)
+        out = {
+            "billing_rows": billing.count(),
+            "grid_rows": grid.count(),
+            "sec": round(time.monotonic() - t0, 3),
+        }
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "test":
+        checks = registry.QUERIES["meter_quality_checks"](spark, args.sf_dir)
+        rows = checks.collect()
+        n_failed = 0
+        for r in rows:
+            ok = r["n_violations"] == 0
+            n_failed += 0 if ok else 1
+            print(f"{'PASS' if ok else 'FAIL'}\t{r['check_name']}")
+        return 1 if n_failed else 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

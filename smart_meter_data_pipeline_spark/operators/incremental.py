@@ -1,0 +1,167 @@
+"""Incremental batch mart maintenance — rebuild ONLY changed dates.
+
+The reference full-refreshes both marts on every ``dbt run``
+(fact_customer_billing_daily.sql:1-10 ``materialized='table'``) and
+names incremental materialization as the production fix (README.md:
+137-138). The streaming path (`streaming/stream_queries.py`) covers
+the always-on form; this module is the BATCH form: given the set of
+fact dates that changed (a backfill, a late file, one new day), rebuild
+just those mart partitions and swap them in with dynamic partition
+overwrite. At 100 TB this is the difference between touching one day
+and re-shuffling three years.
+
+Correctness subtlety — the LAG boundary: the first reading of day D
+deltas against the LAST reading of day D-1, so staging for day D must
+be computed over D-1 ∪ D and then trimmed to D. One partition of
+overlap, pruned at the parquet scan by the ``reading_date`` filter.
+
+Write path: ``spark.sql.sources.partitionOverwriteMode=dynamic`` —
+mode("overwrite") then only the partitions present in the written
+frame are replaced; untouched mart dates keep their files byte-for-
+byte. (On Delta/Iceberg the same function becomes ``replaceWhere`` /
+``overwritePartitions``.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+    fact_customer_billing_daily,
+    fact_grid_load_hourly,
+    stg_transform,
+)
+
+
+def _with_overlap(dates: list[dt.date]) -> list[dt.date]:
+    """The changed dates plus each one's predecessor (LAG boundary)."""
+    ds = set(dates)
+    ds |= {d - dt.timedelta(days=1) for d in dates}
+    return sorted(ds)
+
+
+def stg_for_dates(
+    spark: SparkSession, fact_dir: str, dates: list[dt.date]
+) -> DataFrame:
+    """Staging (LAG deltas) valid for ``dates``: scan D-1 ∪ D (pruned
+    at the parquet scan), window per meter, keep only target rows."""
+    scan_dates = _with_overlap(dates)
+    landed = spark.read.parquet(fact_dir).filter(
+        F.col("reading_date").isin(scan_dates)
+    )
+    stg = stg_transform(landed.drop("reading_date"))
+    return stg.filter(F.to_date("reading_timestamp").isin(dates))
+
+
+def refresh_marts_incremental(
+    spark: SparkSession,
+    fact_dir: str,
+    billing_dir: str,
+    grid_dir: str,
+    dates: list[dt.date],
+    dim_meters: DataFrame,
+    dim_customers: DataFrame,
+    dim_tariff_rates: DataFrame,
+    dim_grid_zones: DataFrame,
+) -> dict[str, int]:
+    """Rebuild both marts for ``dates`` only, via dynamic partition
+    overwrite. Returns rewritten row counts per mart."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        stg = stg_for_dates(spark, fact_dir, dates)
+        billing = fact_customer_billing_daily(
+            stg, dim_meters, dim_customers, dim_tariff_rates
+        )
+        (
+            billing.write.mode("overwrite")
+            .partitionBy("billing_date")
+            .parquet(billing_dir)
+        )
+        grid = fact_grid_load_hourly(stg, dim_meters, dim_grid_zones).withColumn(
+            "load_date", F.to_date("load_hour")
+        )
+        grid.write.mode("overwrite").partitionBy("load_date").parquet(grid_dir)
+        return {
+            "billing_rows": spark.read.parquet(billing_dir)
+            .filter(F.col("billing_date").isin(dates))
+            .count(),
+            "grid_rows": spark.read.parquet(grid_dir)
+            .filter(F.col("load_date").isin(dates))
+            .count(),
+        }
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def batch_billing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered end-to-end check of the incremental path: land the
+    generator's readings date-partitioned, refresh the marts one date
+    at a time (every LAG boundary crossed incrementally), and return
+    the assembled billing mart. The oracle is the SAME batch billing
+    SQL as ``meter_billing_daily`` — if any per-date rebuild dropped or
+    doubled a boundary delta, the hash breaks."""
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        gen_dim_customers,
+        gen_dim_grid_zones,
+        gen_dim_meters,
+        gen_dim_tariff_rates,
+        gen_meter_readings,
+        N_METERS,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_incr_")
+    try:
+        fact_dir = f"{workdir}/fact"
+        billing_dir = f"{workdir}/billing"
+        grid_dir = f"{workdir}/grid"
+        readings = gen_meter_readings(spark)
+        (
+            readings.withColumn("reading_date", F.to_date("reading_timestamp"))
+            .write.partitionBy("reading_date")
+            .parquet(fact_dir)
+        )
+        dates = sorted(
+            r["d"]
+            for r in readings.select(
+                F.to_date("reading_timestamp").alias("d")
+            )
+            .distinct()
+            .collect()
+        )
+        for d in dates:  # one date per refresh: worst-case increments
+            refresh_marts_incremental(
+                spark,
+                fact_dir,
+                billing_dir,
+                grid_dir,
+                [d],
+                gen_dim_meters(spark, N_METERS),
+                gen_dim_customers(spark, N_METERS),
+                gen_dim_tariff_rates(spark),
+                gen_dim_grid_zones(spark),
+            )
+        return spark.read.parquet(billing_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _billing_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _BILLING_SQL,
+    )
+
+    return _BILLING_SQL
+
+
+from smart_meter_data_pipeline_spark.plans.registry import register  # noqa: E402
+
+register("batch_billing_incremental", _billing_oracle())(
+    batch_billing_incremental
+)

@@ -95,6 +95,7 @@ _PRIORITY = [
     "doc_span_dedup",
     "stream_stream_interval_join",
     "ann_pq_topk",
+    "batch_billing_incremental",
     # failed round 1 on the session-conf infra bug (now fixed) — must flip
     "stg_event_deltas",
     "daily_user_rollup",
@@ -136,6 +137,7 @@ def load_all() -> None:
         text,
         similarity,
         multimodal,
+        incremental,
     )
     from smart_meter_data_pipeline_spark.streaming import stream_queries  # noqa: F401
 
