@@ -679,3 +679,50 @@ FROM events
 GROUP BY 1
 """,
 )(approx_sketch_check)
+
+
+# ---------------------------------------------------------------------------
+# RANGE (time-interval) window frame — the value-based sibling of ROWS
+# ---------------------------------------------------------------------------
+
+
+def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ONE-HOUR window per user — a RANGE frame over event
+    time, not a ROWS count: the frame holds every event with
+    ts ∈ [ts − 1h, ts], however many that is (``sliding_window_avg``
+    is the fixed-4-rows sibling). Spark's rangeBetween needs a numeric
+    order key, so the frame runs over epoch microseconds — exact, and
+    identical to the oracle's ``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING`` over the timestamp. Peers with equal keys are all
+    included by RANGE semantics in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+register(
+    "events_range_frame",
+    """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+         AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)(events_range_frame)

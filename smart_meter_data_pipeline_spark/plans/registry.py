@@ -96,6 +96,7 @@ _PRIORITY = [
     "stream_stream_interval_join",
     "ann_pq_topk",
     "batch_billing_incremental",
+    "events_range_frame",
     # failed round 1 on the session-conf infra bug (now fixed) — must flip
     "stg_event_deltas",
     "daily_user_rollup",
