@@ -726,3 +726,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """,
 )(events_range_frame)
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, k_bucket): all 2² grouping combinations in
+    one Expand + single shuffle — the cross-dimensional sibling of
+    ``events_rollup``'s hierarchy, over a dimension extracted from the
+    semi-structured props column."""
+    ev = load_table(spark, sf_dir, "events")
+    k_bucket = (
+        F.get_json_object("props", "$.k").cast("int") % 10
+    ).alias("k_bucket")
+    return (
+        ev.select("event_type", k_bucket, "value")
+        .cube("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+register(
+    "events_cube",
+    """
+SELECT event_type, k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+       GROUPING(event_type) * 2 + GROUPING(k_bucket) AS grouping_level
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+         value
+  FROM events
+)
+GROUP BY CUBE (event_type, k_bucket)
+""",
+)(events_cube)

@@ -97,6 +97,7 @@ _PRIORITY = [
     "ann_pq_topk",
     "batch_billing_incremental",
     "events_range_frame",
+    "events_cube",
     # failed round 1 on the session-conf infra bug (now fixed) — must flip
     "stg_event_deltas",
     "daily_user_rollup",
