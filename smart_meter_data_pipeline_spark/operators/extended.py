@@ -764,3 +764,97 @@ FROM (
 GROUP BY CUBE (event_type, k_bucket)
 """,
 )(events_cube)
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + LOCF (TimescaleDB time_bucket_gapfill/locf twin)
+# ---------------------------------------------------------------------------
+
+
+def meter_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a sparse meter series back onto its 15-minute grid
+    and forward-fill the cumulative counters (last-observation-carried-
+    forward) — the ``time_bucket_gapfill`` + ``locf`` pair from the
+    reference's TimescaleDB ecosystem, expressed as generate-grid →
+    left join → ``last(ignorenulls)`` window. ~10% of readings are
+    dropped by a portable hash so the oracle reproduces the identical
+    gaps. Never-solar meters stay NULL through LOCF (no observation to
+    carry), and leading gaps before a meter's first reading stay NULL —
+    both semantics of the TimescaleDB pair."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        GEN_START,
+    )
+
+    readings = gen_meter_readings(spark)
+    tick = F.expr(
+        f"timestampdiff(MINUTE, timestamp'{GEN_START}', reading_timestamp)"
+        " div 15"
+    )
+    sparse = (
+        readings.withColumn("tick", tick)
+        .filter(_u(6, F.col("meter_id"), F.col("tick")) >= 0.1)
+        .select(
+            "meter_id",
+            "tick",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+        )
+    )
+    grid = spark.range(0, N_METERS * N_TICKS).select(
+        (F.expr(f"id div {N_TICKS}") + 1).cast("int").alias("meter_id"),
+        (F.col("id") % N_TICKS).alias("tick"),
+    )
+    joined = grid.join(sparse, ["meter_id", "tick"], "left")
+    w = (
+        Window.partitionBy("meter_id")
+        .orderBy("tick")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "meter_id",
+        F.expr(
+            f"timestampadd(MINUTE, CAST(tick*15 AS INT), timestamp'{GEN_START}')"
+        ).alias("reading_timestamp"),
+        F.col("reading_consumption_milliwatts").isNotNull().alias("is_observed"),
+        F.last("reading_consumption_milliwatts", ignorenulls=True)
+        .over(w)
+        .alias("cons_locf"),
+        F.last("reading_production_milliwatts", ignorenulls=True)
+        .over(w)
+        .alias("prod_locf"),
+    )
+
+
+def _gap_fill_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        GEN_START,
+    )
+
+    u6 = _u_sql(6, "meter_id", "tick")
+    return f"""WITH {_readings_cte()},
+ticked AS (
+  SELECT meter_id, reading_consumption_milliwatts,
+         reading_production_milliwatts,
+         CAST(date_diff('minute', TIMESTAMP '{GEN_START}',
+                        reading_timestamp) // 15 AS BIGINT) AS tick
+  FROM readings
+),
+sparse AS (
+  SELECT * FROM ticked WHERE {u6} >= 0.1
+)
+SELECT CAST(g.meter_id AS INT) AS meter_id,
+       TIMESTAMP '{GEN_START}' + to_minutes(CAST(g.tick * 15 AS BIGINT))
+         AS reading_timestamp,
+       s.reading_consumption_milliwatts IS NOT NULL AS is_observed,
+       last_value(s.reading_consumption_milliwatts IGNORE NULLS) OVER w
+         AS cons_locf,
+       last_value(s.reading_production_milliwatts IGNORE NULLS) OVER w
+         AS prod_locf
+FROM grid g
+LEFT JOIN sparse s ON g.meter_id = s.meter_id AND g.tick = s.tick
+WINDOW w AS (PARTITION BY g.meter_id ORDER BY g.tick
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+register("meter_gap_fill", _gap_fill_oracle())(meter_gap_fill)

@@ -98,6 +98,7 @@ _PRIORITY = [
     "batch_billing_incremental",
     "events_range_frame",
     "events_cube",
+    "meter_gap_fill",
     # failed round 1 on the session-conf infra bug (now fixed) — must flip
     "stg_event_deltas",
     "daily_user_rollup",
