@@ -150,3 +150,27 @@ def test_table_lock_stale_breaking_and_timeout(tmp_path):
         with _pytest.raises(txn.LockTimeout):
             with txn.table_lock(table, timeout_s=0.3, stale_after_s=300):
                 pass
+
+
+def test_sink_schema_evolution(spark, tmp_target):
+    """Additive schema evolution: a later batch carrying a new column
+    appends cleanly; mergeSchema reads surface the union schema with
+    NULLs for pre-evolution rows, and idempotency still holds on the
+    PK across the schema change."""
+    from pyspark.sql import functions as F
+
+    def valid(lo, hi):
+        msgs = [json.dumps(dict(GOOD, meter_id=i)) for i in range(lo, hi)]
+        v, _ = ingest.split_valid(ingest.classify(_messages_df(spark, msgs)))
+        return v
+
+    assert ingest.idempotent_append(spark, valid(1, 6), tmp_target) == 5
+    evolved = valid(4, 10).withColumn("firmware_version", F.lit("fw-2.1"))
+    # overlap 4-5 must still dedup against the old-schema rows
+    assert ingest.idempotent_append(spark, evolved, tmp_target) == 4
+
+    merged = spark.read.option("mergeSchema", "true").parquet(tmp_target)
+    assert "firmware_version" in merged.columns
+    assert merged.count() == 9
+    assert merged.filter(F.col("firmware_version").isNull()).count() == 5
+    assert merged.select("meter_id").distinct().count() == 9

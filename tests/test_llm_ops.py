@@ -302,3 +302,58 @@ def test_connected_components_shapes(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_span_dedup_invariants(spark, sf_dir):
+    """Structural invariants of the keep-first span dedup, independent
+    of the SQL oracle: (a) kept ≤ total spans per doc; (b) the corpus
+    loses spans iff some span text repeats; (c) every surviving span
+    is a verbatim substring of the owning doc; (d) the globally first
+    document (doc_id 0) keeps every FIRST occurrence among its own
+    spans — its dedup_text only drops spans IT already used."""
+    from smart_meter_data_pipeline_spark.operators.dedup import (
+        SPAN_WORDS,
+        doc_span_dedup,
+    )
+
+    out = dedup.doc_span_dedup(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    assert out.filter(F.col("n_kept") > F.col("n_spans")).count() == 0
+    total = out.agg(F.sum("n_spans"), F.sum("n_kept")).first()
+    n_distinct_spans = (
+        docs.select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(F.split("text", " ")) / SPAN_WORDS).cast(
+                            "int"
+                        )
+                        - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.split("text", " "), i * SPAN_WORDS + 1, SPAN_WORDS
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("i", "span")
+        )
+        .select("span")
+        .distinct()
+        .count()
+    )
+    assert total[1] == n_distinct_spans  # kept == distinct span texts
+
+    # (c) surviving text's spans all appear in the original document
+    joined = out.join(docs, "doc_id").filter(F.col("n_kept") > 0)
+    bad = joined.filter(
+        ~F.expr(
+            f"forall(transform(sequence(0, CAST(ceil(size(split(dedup_text,' '))/{SPAN_WORDS}.0) AS INT) - 1),"
+            f" i -> array_join(slice(split(dedup_text, ' '), i*{SPAN_WORDS}+1, {SPAN_WORDS}), ' ')),"
+            " s -> contains(text, s))"
+        )
+    )
+    assert bad.count() == 0
