@@ -417,3 +417,122 @@ FROM documents
 GROUP BY 1
 """,
 )(corpus_shard_manifest)
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full corpus build as ONE registered query
+# ---------------------------------------------------------------------------
+
+
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus build — quality gate → exact
+    dedup (keep-first) → reproducible split → sequence packing — as a
+    single composed plan, so the STAGE INTERACTIONS are in the oracle
+    hash, not just each stage alone (a doc dropped by quality must not
+    occupy a dedup slot; a dedup loser must not consume pack budget).
+
+    One row per SURVIVING doc: its split, and where it lands in the
+    packed token stream of its (split, source) partition. All four
+    stages reuse the exact semantics of their standalone queries
+    (`quality_filter_chain`, `dedup_exact`, `train_val_test_split`,
+    `pack_training_sequences`).
+
+    Plan shape at 100 TB: the gate is scan-speed expressions, dedup is
+    one hash-partitioned window on md5(text), split is a stateless
+    hash expression, packing is one cumsum per (split, source) — three
+    shuffles total, each keyed well, nothing driver-side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    punct_ratio = n_punct.cast("double") / F.length("text").cast("double")
+    mean_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / n_tokens.cast("double")
+    )
+    kept = docs.filter(
+        n_tokens.between(MIN_TOKENS, MAX_TOKENS)
+        & (punct_ratio <= MAX_PUNCT_RATIO)
+        & mean_len.between(MIN_MEAN_TOKEN_LEN, MAX_MEAN_TOKEN_LEN)
+    )
+
+    w_dup = Window.partitionBy(F.md5("text"))
+    unique = kept.withColumn(
+        "_keep_id", F.min("doc_id").over(w_dup)
+    ).filter(F.col("doc_id") == F.col("_keep_id"))
+
+    u = _u(SPLIT_SALT, F.col("doc_id"), F.lit(0))
+    split = (
+        F.when(u < TRAIN_FRAC, F.lit("train"))
+        .when(u < TRAIN_FRAC + VAL_FRAC, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = unique.select(
+        "doc_id", "source", split.alias("split"), n_tokens.alias("n_tokens")
+    )
+
+    w_pack = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+    return assigned.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        F.floor(cum_before / SEQ_LEN).alias("pack_id"),
+        (cum_before % SEQ_LEN).alias("pack_offset"),
+    )
+
+
+register(
+    "corpus_build_pipeline",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+           AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+           / CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS DOUBLE) AS mean_token_len
+  FROM documents
+),
+kept AS (
+  SELECT * FROM t
+  WHERE n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+    AND punct_ratio <= {MAX_PUNCT_RATIO}
+    AND mean_token_len BETWEEN {MIN_MEAN_TOKEN_LEN} AND {MAX_MEAN_TOKEN_LEN}
+),
+unique_docs AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM kept
+  ) WHERE doc_id = keep_id
+),
+assigned AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN {_SPLIT_U} < {TRAIN_FRAC} THEN 'train'
+              WHEN {_SPLIT_U} < {TRAIN_FRAC + VAL_FRAC} THEN 'val'
+              ELSE 'test' END AS split
+  FROM unique_docs
+),
+packed AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY split, source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM assigned
+)
+SELECT doc_id, source, split, n_tokens,
+       cum_before // {SEQ_LEN} AS pack_id,
+       cum_before % {SEQ_LEN} AS pack_offset
+FROM packed
+""",
+)(corpus_build_pipeline)

@@ -99,6 +99,7 @@ _PRIORITY = [
     "events_range_frame",
     "events_cube",
     "meter_gap_fill",
+    "corpus_build_pipeline",
     # failed round 1 on the session-conf infra bug (now fixed) — must flip
     "stg_event_deltas",
     "daily_user_rollup",
