@@ -152,6 +152,75 @@ def test_table_lock_stale_breaking_and_timeout(tmp_path):
                 pass
 
 
+def test_table_lock_heartbeat_protects_long_holder(tmp_path):
+    """A critical section LONGER than stale_after_s must not be broken
+    by a waiter while the holder is alive — the heartbeat keeps the
+    lock's mtime fresh, so the waiter times out instead of re-opening
+    the duplicate-insert race (a long compact_date_partition rewrite is
+    the real-world case)."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from smart_meter_data_pipeline_spark.sources import txn
+
+    table = str(tmp_path / "t")
+    with txn.table_lock(table, timeout_s=2, stale_after_s=0.2):
+        owner_before = txn._read_owner(os.path.join(table, txn.LOCK_DIRNAME))
+        time.sleep(0.6)  # hold 3× past stale_after_s — heartbeat refreshes
+        with _pytest.raises(txn.LockTimeout):
+            with txn.table_lock(table, timeout_s=0.5, stale_after_s=0.2):
+                pass
+        # the waiter did NOT break/steal the live lock
+        assert (
+            txn._read_owner(os.path.join(table, txn.LOCK_DIRNAME))
+            == owner_before
+        )
+    assert not os.path.isdir(os.path.join(table, txn.LOCK_DIRNAME))
+
+
+def test_table_lock_dead_holder_broken_by_one_winner(tmp_path):
+    """A genuinely dead holder (no heartbeat, old mtime) is broken by
+    exactly ONE of many concurrent waiters; the rest serialize behind
+    the winner through the normal mkdir race. Every waiter eventually
+    enters, one at a time."""
+    import os
+    import threading
+    import time
+
+    from smart_meter_data_pipeline_spark.sources import txn
+
+    table = str(tmp_path / "t")
+    lock_dir = os.path.join(table, txn.LOCK_DIRNAME)
+    os.makedirs(lock_dir)
+    with open(os.path.join(lock_dir, txn.OWNER_FILENAME), "w") as fh:
+        fh.write("dead-holder")
+    old = time.time() - 1000
+    os.utime(lock_dir, (old, old))
+
+    inside = []
+    inside_lock = threading.Lock()
+    concurrency = []
+
+    def waiter(i):
+        with txn.table_lock(table, timeout_s=10, stale_after_s=300):
+            with inside_lock:
+                inside.append(i)
+                concurrency.append(len(inside))
+            time.sleep(0.02)
+            with inside_lock:
+                inside.remove(i)
+
+    threads = [threading.Thread(target=waiter, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert max(concurrency) == 1  # mutual exclusion held throughout
+    assert not os.path.isdir(lock_dir)
+
+
 def test_sink_schema_evolution(spark, tmp_target):
     """Additive schema evolution: a later batch carrying a new column
     appends cleanly; mergeSchema reads surface the union schema with
