@@ -10,10 +10,17 @@ just those mart partitions and swap them in with dynamic partition
 overwrite. At 100 TB this is the difference between touching one day
 and re-shuffling three years.
 
-Correctness subtlety — the LAG boundary: the first reading of day D
-deltas against the LAST reading of day D-1, so staging for day D must
-be computed over D-1 ∪ D and then trimmed to D. One partition of
-overlap, pruned at the parquet scan by the ``reading_date`` filter.
+Correctness subtlety — the LAG boundary cuts BOTH ways:
+
+- Computing day D needs day D-1 in the scan (the first reading of D
+  deltas against the last reading of D-1), so staging for D is
+  computed over D-1 ∪ D and trimmed to D. One partition of overlap,
+  pruned at the parquet scan by the ``reading_date`` filter.
+- A *backfill* of day D also invalidates day D+1: D+1's first delta
+  was computed against D's pre-backfill last reading. So the rebuild
+  target set is the changed dates plus each one's successor (when that
+  successor exists in the fact table) — otherwise a late file for D
+  leaves D+1's mart partitions silently stale.
 
 Write path: ``spark.sql.sources.partitionOverwriteMode=dynamic`` —
 mode("overwrite") then only the partitions present in the written
@@ -37,10 +44,33 @@ from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
 
 
 def _with_overlap(dates: list[dt.date]) -> list[dt.date]:
-    """The changed dates plus each one's predecessor (LAG boundary)."""
+    """The rebuild dates plus each one's predecessor (LAG scan input)."""
     ds = set(dates)
     ds |= {d - dt.timedelta(days=1) for d in dates}
     return sorted(ds)
+
+
+def _rebuild_targets(
+    dates: list[dt.date], existing: set[dt.date]
+) -> list[dt.date]:
+    """The changed dates plus each one's successor when it exists in
+    the fact table — the successor's first delta depends on the changed
+    date's last reading, so it must be recomputed too."""
+    ds = set(dates)
+    ds |= {d + dt.timedelta(days=1) for d in dates} & existing
+    return sorted(ds)
+
+
+def _existing_fact_dates(spark: SparkSession, fact_dir: str) -> set[dt.date]:
+    """Distinct partition dates — a partition-column-only scan, served
+    from the file listing without reading any row data."""
+    return {
+        r["reading_date"]
+        for r in spark.read.parquet(fact_dir)
+        .select("reading_date")
+        .distinct()
+        .collect()
+    }
 
 
 def stg_for_dates(
@@ -67,12 +97,15 @@ def refresh_marts_incremental(
     dim_tariff_rates: DataFrame,
     dim_grid_zones: DataFrame,
 ) -> dict[str, int]:
-    """Rebuild both marts for ``dates`` only, via dynamic partition
-    overwrite. Returns rewritten row counts per mart."""
+    """Rebuild the mart partitions invalidated by a change to
+    ``dates`` — the dates themselves plus each one's existing successor
+    (LAG boundary) — via dynamic partition overwrite. Returns rewritten
+    row counts per mart."""
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        stg = stg_for_dates(spark, fact_dir, dates)
+        targets = _rebuild_targets(dates, _existing_fact_dates(spark, fact_dir))
+        stg = stg_for_dates(spark, fact_dir, targets)
         billing = fact_customer_billing_daily(
             stg, dim_meters, dim_customers, dim_tariff_rates
         )
@@ -87,10 +120,10 @@ def refresh_marts_incremental(
         grid.write.mode("overwrite").partitionBy("load_date").parquet(grid_dir)
         return {
             "billing_rows": spark.read.parquet(billing_dir)
-            .filter(F.col("billing_date").isin(dates))
+            .filter(F.col("billing_date").isin(targets))
             .count(),
             "grid_rows": spark.read.parquet(grid_dir)
-            .filter(F.col("load_date").isin(dates))
+            .filter(F.col("load_date").isin(targets))
             .count(),
         }
     finally:
