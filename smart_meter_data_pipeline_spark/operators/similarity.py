@@ -916,57 +916,131 @@ FROM el GROUP BY 1
 # Product quantization (PQ) — compressed ANN, the billion-vector design
 # ---------------------------------------------------------------------------
 
-PQ_M = 4  # subspaces (32-dim vectors → 4 × 8-dim subvectors)
-PQ_SUB = 8  # dims per subspace
-PQ_STRIDE = 61  # every 61st vector seeds the codebook…
-PQ_K = 16  # …capped at K entries per subspace: codebook size must be
+PQ_SUB = 4  # dims per subspace (64-dim vectors → 16 × 4-dim subspaces)
+PQ_STRIDE = 7  # every 7th vector seeds the initial codebook…
+PQ_K = 32  # …capped at K entries per subspace: codebook size must be
 # CONSTANT in corpus size (real PQ uses K=256) or encode cost creeps
 # from O(n·K) toward O(n·n/stride)
+PQ_TRAIN_ITERS = 2  # per-subspace Lloyd rounds refining the seeds
+PQ_RERANK = 40  # ADC shortlist depth fed to the exact re-rank stage
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ + asymmetric distance computation (ADC): the memory-bound
-    scale path for ANN. Vectors compress to {PQ_M} one-byte-ish codes
-    (nearest codebook entry per subspace); queries never decompress
-    the corpus — each query precomputes a distance TABLE to every
-    codebook entry, and a candidate's approximate distance is just
-    {PQ_M} table lookups summed. At 10^9 vectors the encoded corpus is
-    ~{PQ_M} bytes/vector instead of 128, and scoring is an equi-join
-    on (subspace, code) against a broadcast table — no vector math on
-    the corpus side at query time.
+def _pq_normalized_el(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus exploded to (vec_id, subspace m, in-subspace pos sp, v)
+    with each vector UNIT-NORMALIZED on the DECIMAL(12,6) grid.
 
-    Codebooks here are SAMPLED (subvectors of every {PQ_STRIDE}-th
-    vector) rather than k-means-trained — the train step is
-    demonstrated separately by ``kmeans_fixed_rounds``; this query
-    pins the ENCODE + ADC machinery. Everything runs on the same
-    quantized DECIMAL(12,6) grid as the fixed k-means (round inputs
-    to 6 digits, all reductions exact decimal, all-integer output),
-    so the full index-build + search is hash-checked in DuckDB.
-
-    Plan shape: codebook and distance tables are broadcast-sized
-    (K·{PQ_M} and Q·K·{PQ_M}); encoding is one map-side-combinable
-    argmin aggregation over the corpus scan; ADC scoring shuffles
-    only (query, vec, partial-sum) rows; final top-k windows per
-    query."""
-    el = (
+    Normalizing first makes ADC's L2 ordering agree with the cosine
+    ordering of the brute-force ground truth (for unit vectors,
+    ‖a−b‖² = 2 − 2·cos) — without it, vector length differences leak
+    into the ranking and cap recall regardless of codebook quality.
+    The norm is the engine's cross-engine-exact recipe (double
+    products, DECIMAL(30,15) sum, one sqrt), then round-6 re-enters
+    the decimal grid, so the whole pipeline stays hash-checkable."""
+    raw = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+        .select("vec_id", "pos", F.col("vf").cast("double").alias("val"))
+    )
+    norms = raw.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(
+                (F.col("val") * F.col("val")).cast("decimal(30,15)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    return (
+        raw.join(norms, "vec_id")
         .select(
             "vec_id",
             F.expr(f"pos div {PQ_SUB}").cast("int").alias("m"),
             (F.col("pos") % PQ_SUB).alias("sp"),
-            F.round(F.col("vf").cast("double"), 6)
+            F.round(F.col("val") / F.col("nrm"), 6)
             .cast("decimal(12,6)")
             .alias("v"),
         )
         .localCheckpoint(eager=True)
     )
-    codebook = el.filter(
+
+
+def _pq_train_codebook(el: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd's k-means on the decimal grid: seeds are the
+    subvectors of every PQ_STRIDE-th vector (capped at PQ_K), then
+    PQ_TRAIN_ITERS assign→update rounds — the same exact-arithmetic
+    recipe as ``kmeans_fixed_rounds`` (decimal distances, (d, code_id)
+    argmin tie-break, mean through double re-quantized to round-6),
+    run independently in each subspace via the ``m`` grouping key.
+
+    Scale shape per round: the assignment is one broadcast join of the
+    K·n_subspace codebook against the corpus scan with a map-side-
+    combinable argmin; the update shuffles (m, code, sp) partial sums,
+    bounded by codebook size, not corpus size. At 10^9 vectors you
+    would train on a deterministic sample (vec_id % s == 0) and encode
+    the full corpus — the encode path below is already that shape."""
+    cent = el.filter(
         (F.col("vec_id") % PQ_STRIDE == 0)
         & (F.col("vec_id") < PQ_STRIDE * PQ_K)
     ).select(
         F.col("vec_id").alias("code_id"), "m", "sp", F.col("v").alias("cv")
     )
+    for _ in range(PQ_TRAIN_ITERS):
+        d = (
+            el.join(F.broadcast(cent), ["m", "sp"])
+            .groupBy("vec_id", "m", "code_id")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+                ).alias("d")
+            )
+        )
+        assign = (
+            d.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d", "code_id")).alias("s"))
+            .select("vec_id", "m", F.col("s.code_id").alias("code_id"))
+        )
+        cent = (
+            assign.join(el, ["vec_id", "m"])
+            .groupBy("m", "code_id", "sp")
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+                .cast("decimal(12,6)")
+                .alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric distance computation (ADC): the memory-bound
+    scale path for ANN. Vectors compress to one small code per
+    subspace (nearest codebook entry); queries never decompress the
+    corpus — each query precomputes a distance TABLE to every codebook
+    entry, and a candidate's approximate distance is just n_subspace
+    table lookups summed. At 10^9 vectors the encoded corpus is a few
+    bytes/vector instead of hundreds, and scoring is an equi-join on
+    (subspace, code) against a broadcast table — no vector math on the
+    corpus side at query time.
+
+    The index is built end-to-end: unit-normalize (so ADC's L2 order
+    matches the cosine ground truth), TRAIN per-subspace codebooks
+    with Lloyd's (:func:`_pq_train_codebook`), encode, ADC-score, then
+    RE-RANK: the ADC pass keeps a PQ_RERANK-deep shortlist per query
+    and the final top-k is by exact distance on the fetched shortlist
+    vectors — the "ADC + re-ranking" serving shape of Jégou et al.'s
+    PQ paper, where the compressed scan does the pruning and only Q×R
+    full vectors are ever touched at query time. Everything runs on
+    the quantized DECIMAL(12,6) grid (round inputs to 6 digits, all
+    reductions exact decimal, all-integer output), so the full train +
+    encode + search + re-rank is hash-checked in DuckDB.
+
+    Plan shape: codebook and distance tables are broadcast-sized
+    (K·n_subspace and Q·K·n_subspace); encoding is one map-side-
+    combinable argmin aggregation over the corpus scan; ADC scoring
+    shuffles only (query, vec, partial-sum) rows; the re-rank joins a
+    broadcast Q×R shortlist back to the corpus rows — per-query work
+    independent of corpus size."""
+    el = _pq_normalized_el(spark, sf_dir)
+    codebook = _pq_train_codebook(el)
 
     # Subspace distances to every codebook entry, for corpus encoding
     # (argmin) and for query distance tables (kept whole).
@@ -998,36 +1072,103 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    wa = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(wa))
+        .filter(F.col("adc_rank") <= PQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+
+    # Exact re-rank of the Q×R shortlist: fetch the candidates' full
+    # (normalized, grid) vectors and score against the query vectors.
+    qel = el.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sp", F.col("v").alias("qv")
+    )
+    exact = (
+        el.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qel), ["query_id", "m", "sp"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.floor(F.col("adc_dist") * 1000000)
-            .cast("bigint")
-            .alias("adc_dist_micro"),
+            F.floor(F.col("d2") * 1000000).cast("bigint").alias("d2_micro"),
         )
     )
 
 
+def _pq_train_ctes() -> str:
+    """DuckDB twin of :func:`_pq_normalized_el` + :func:`_pq_train_codebook`:
+    normalize → seed → one (pd, pa, pc) CTE triple per Lloyd round,
+    generated mechanically. The trained codebook is ``pc{T}``."""
+    parts = [
+        f"""raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(val * val AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+  FROM raw GROUP BY 1
+),
+el AS (
+  SELECT r.vec_id, CAST(r.pos // {PQ_SUB} AS INT) AS m,
+         r.pos % {PQ_SUB} AS sp,
+         CAST(round(r.val / n.nrm, 6) AS DECIMAL(12,6)) AS v
+  FROM raw r JOIN nrm n USING (vec_id)
+),
+pc0 AS (
+  SELECT vec_id AS code_id, m, sp, v AS cv
+  FROM el WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_STRIDE * PQ_K}
+)"""
+    ]
+    for i in range(1, PQ_TRAIN_ITERS + 1):
+        parts.append(
+            f"""pd{i} AS (
+  SELECT e.vec_id, e.m, c.code_id,
+         SUM((e.v - c.cv) * (e.v - c.cv)) AS d
+  FROM el e JOIN pc{i - 1} c ON e.m = c.m AND e.sp = c.sp
+  GROUP BY 1, 2, 3
+),
+pa{i} AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT vec_id, m, code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, m ORDER BY d, code_id
+           ) AS rn
+    FROM pd{i}
+  ) WHERE rn = 1
+),
+pc{i} AS (
+  SELECT a.m, a.code_id, e.sp,
+         CAST(round(CAST(SUM(e.v) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(12,6)) AS cv
+  FROM pa{i} a JOIN el e ON a.vec_id = e.vec_id AND a.m = e.m
+  GROUP BY 1, 2, 3
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_PQ_CODEBOOK = f"pc{PQ_TRAIN_ITERS}"
+
 register(
     "ann_pq_topk",
     f"""
-WITH el AS (
-  SELECT vec_id,
-         CAST((generate_subscripts(embedding, 1) - 1) // {PQ_SUB} AS INT) AS m,
-         (generate_subscripts(embedding, 1) - 1) % {PQ_SUB} AS sp,
-         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
-              AS DECIMAL(12,6)) AS v
-  FROM embeddings
-),
+WITH {_pq_train_ctes()},
 codebook AS (
-  SELECT vec_id AS code_id, m, sp, v AS cv
-  FROM el WHERE vec_id % {PQ_STRIDE} = 0
-    AND vec_id < {PQ_STRIDE} * {PQ_K}
+  SELECT code_id, m, sp, cv FROM {_PQ_CODEBOOK}
 ),
 sub_d AS (
   SELECT e.vec_id, e.m, c.code_id, SUM((e.v - c.cv) * (e.v - c.cv)) AS d
@@ -1052,15 +1193,31 @@ scored AS (
   FROM enc e JOIN dtable t ON e.m = t.m AND e.code = t.code
   WHERE e.vec_id <> t.query_id
   GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, vec_id
+           ) AS adc_rank
+    FROM scored
+  ) WHERE adc_rank <= {PQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id, SUM((e.v - q.v) * (e.v - q.v)) AS d2
+  FROM shortlist s
+  JOIN el e ON e.vec_id = s.vec_id
+  JOIN el q ON q.vec_id = s.query_id AND q.m = e.m AND q.sp = e.sp
+  GROUP BY 1, 2
 )
 SELECT query_id, vec_id AS neighbor_id, rank,
-       CAST(floor(adc_dist * 1000000) AS BIGINT) AS adc_dist_micro
+       CAST(floor(d2 * 1000000) AS BIGINT) AS d2_micro
 FROM (
-  SELECT query_id, vec_id, adc_dist,
+  SELECT query_id, vec_id, d2,
          ROW_NUMBER() OVER (
-           PARTITION BY query_id ORDER BY adc_dist, vec_id
+           PARTITION BY query_id ORDER BY d2, vec_id
          ) AS rank
-  FROM scored
+  FROM exact
 )
 WHERE rank <= {TOP_K}
 """,
