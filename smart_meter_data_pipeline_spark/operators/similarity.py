@@ -691,7 +691,70 @@ def kmeans_embeddings(
     )
 
 
-register("kmeans_embeddings")(kmeans_embeddings)
+def kmeans_embeddings_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-checked registration wrapper for the float k-means
+    (the ``approx_sketch_check`` pattern, extended.py): engine-specific
+    float inertias can't hash-match across engines, so the hash-checked
+    output is the algebra both engines CAN agree on — the exact corpus
+    and seed counts (cross-computed by DuckDB) plus booleans asserting
+    the algorithm's invariants, which Spark must derive from the real
+    clustering:
+
+    - ``members_match``: every vector assigned exactly once,
+    - ``clusters_bounded``: 1 ≤ K ≤ n_seeds (clusters may die, never
+      multiply),
+    - ``inertia_monotone``: Lloyd iterations don't increase inertia
+      vs the seed assignment (n_iters=0),
+    - ``inertia_positive``: the objective is a sum of squares.
+
+    ``kmeans_embeddings`` itself stays the production API returning
+    the per-cluster summary."""
+    final = kmeans_embeddings(spark, sf_dir)
+    seed = kmeans_embeddings(spark, sf_dir, n_iters=0)
+    fin = final.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_members").alias("members"),
+        F.sum("inertia").alias("inertia"),
+    )
+    sd = seed.agg(F.sum("inertia").alias("inertia0"))
+    counts = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("corpus_n"),
+        F.count(F.when(F.col("vec_id") % KMEANS_STRIDE == 0, 1)).alias(
+            "n_seeds"
+        ),
+    )
+    return (
+        counts.crossJoin(fin)
+        .crossJoin(sd)
+        .select(
+            "corpus_n",
+            "n_seeds",
+            (F.col("members") == F.col("corpus_n")).alias("members_match"),
+            (
+                (F.col("k") >= 1) & (F.col("k") <= F.col("n_seeds"))
+            ).alias("clusters_bounded"),
+            # 1e-6 relative slack: float partial-sum order may differ
+            # between the two assignment passes
+            (
+                F.col("inertia") <= F.col("inertia0") * (1.0 + 1e-6)
+            ).alias("inertia_monotone"),
+            (F.col("inertia") > 0).alias("inertia_positive"),
+        )
+    )
+
+
+register(
+    "kmeans_embeddings",
+    f"""
+SELECT (SELECT COUNT(*) FROM embeddings) AS corpus_n,
+       (SELECT COUNT(*) FROM embeddings
+        WHERE vec_id % {KMEANS_STRIDE} = 0) AS n_seeds,
+       true AS members_match,
+       true AS clusters_bounded,
+       true AS inertia_monotone,
+       true AS inertia_positive
+""",
+)(kmeans_embeddings_check)
 
 
 # ---------------------------------------------------------------------------
