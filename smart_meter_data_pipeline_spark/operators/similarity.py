@@ -1103,10 +1103,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast Q×R shortlist back to the corpus rows — per-query work
     independent of corpus size."""
     el = _pq_normalized_el(spark, sf_dir)
-    codebook = _pq_train_codebook(el)
+    enc, dtable = _pq_encode_tables(el)
+    scored = (
+        enc.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    return _pq_rerank(el, scored)
 
-    # Subspace distances to every codebook entry, for corpus encoding
-    # (argmin) and for query distance tables (kept whole).
+
+def _pq_encode_tables(el: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(enc, dtable): the corpus PQ codes and the per-query ADC
+    distance tables, from subspace distances to the trained codebook —
+    one broadcast join + map-side-combinable argmin over the scan."""
+    codebook = _pq_train_codebook(el)
     sub_d = (
         el.join(F.broadcast(codebook), ["m", "sp"])
         .groupBy("vec_id", "m", "code_id")
@@ -1128,22 +1139,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code_id").alias("code"),
         "d",
     )
+    return enc, dtable
 
-    scored = (
-        enc.join(F.broadcast(dtable), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d").alias("adc_dist"))
-    )
+
+def _pq_rerank(el: DataFrame, scored: DataFrame) -> DataFrame:
+    """ADC shortlist (PQ_RERANK deep) → exact re-rank: fetch the Q×R
+    shortlist candidates' full (normalized, grid) vectors and take the
+    final top-k by exact squared distance — per-query work independent
+    of corpus size."""
     wa = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
     shortlist = (
         scored.withColumn("adc_rank", F.row_number().over(wa))
         .filter(F.col("adc_rank") <= PQ_RERANK)
         .select("query_id", "vec_id")
     )
-
-    # Exact re-rank of the Q×R shortlist: fetch the candidates' full
-    # (normalized, grid) vectors and score against the query vectors.
     qel = el.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "m", "sp", F.col("v").alias("qv")
     )
@@ -1168,6 +1177,76 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("d2") * 1000000).cast("bigint").alias("d2_micro"),
         )
     )
+
+
+IVFPQ_NPROBE = 4
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_NPROBE
+) -> DataFrame:
+    """IVF×PQ — the actual 10^9-vector serving shape: a coarse
+    quantizer prunes the corpus to the ``nprobe`` cells nearest each
+    query, and only those candidates are ADC-scored against the PQ
+    codes, then exact-re-ranked (:func:`_pq_rerank`). Composes
+    :func:`ann_ivf_topk`'s cell pruning with :func:`ann_pq_topk`'s
+    compressed scoring, so the scored set is nprobe/nlist of the
+    corpus instead of all of it — at a billion vectors the ADC join
+    touches only the probed inverted lists, each a few bytes/vector.
+
+    The coarse quantizer runs on the same normalized DECIMAL(12,6)
+    grid as PQ (deterministic stride centroids, exact-decimal L2,
+    (d, cell_id) argmin), so the entire coarse-assign + train +
+    encode + probe + ADC + re-rank pipeline hash-checks in DuckDB.
+
+    Plan shape: centroids and probes broadcast; cell assignment and
+    PQ encode are map-side-combinable argmin aggregations over one
+    corpus scan each; the candidate join is an equi-join on cell_id;
+    ADC + re-rank costs are per-query, not per-corpus."""
+    el = _pq_normalized_el(spark, sf_dir)
+
+    coarse = el.filter(
+        F.col("vec_id") % CENTROID_STRIDE == CENTROID_STRIDE % 7
+    ).select(
+        F.col("vec_id").alias("cell_id"), "m", "sp", F.col("v").alias("ccv")
+    )
+    cdist = (
+        el.join(F.broadcast(coarse), ["m", "sp"])
+        .groupBy("vec_id", "cell_id")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("ccv")) * (F.col("v") - F.col("ccv"))
+            ).alias("d")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells = (
+        cdist.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell_id")).alias("s"))
+        .select("vec_id", F.col("s.cell_id").alias("cell_id"))
+    )
+    wp = Window.partitionBy("query_id").orderBy("d", "cell_id")
+    probes = (
+        cdist.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "cell_id", "d")
+        .withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    enc, dtable = _pq_encode_tables(el)
+    scored = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    return _pq_rerank(el, scored)
 
 
 def _pq_train_ctes() -> str:
@@ -1226,11 +1305,7 @@ pc{i} AS (
 
 _PQ_CODEBOOK = f"pc{PQ_TRAIN_ITERS}"
 
-register(
-    "ann_pq_topk",
-    f"""
-WITH {_pq_train_ctes()},
-codebook AS (
+_PQ_ENCODE_CTES = f"""codebook AS (
   SELECT code_id, m, sp, cv FROM {_PQ_CODEBOOK}
 ),
 sub_d AS (
@@ -1250,14 +1325,9 @@ enc AS (
 dtable AS (
   SELECT vec_id AS query_id, m, code_id AS code, d
   FROM sub_d WHERE vec_id < {N_QUERIES}
-),
-scored AS (
-  SELECT t.query_id, e.vec_id, SUM(t.d) AS adc_dist
-  FROM enc e JOIN dtable t ON e.m = t.m AND e.code = t.code
-  WHERE e.vec_id <> t.query_id
-  GROUP BY 1, 2
-),
-shortlist AS (
+)"""
+
+_PQ_RERANK_SQL = f"""shortlist AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
            ROW_NUMBER() OVER (
@@ -1282,6 +1352,64 @@ FROM (
          ) AS rank
   FROM exact
 )
-WHERE rank <= {TOP_K}
+WHERE rank <= {TOP_K}"""
+
+register(
+    "ann_pq_topk",
+    f"""
+WITH {_pq_train_ctes()},
+{_PQ_ENCODE_CTES},
+scored AS (
+  SELECT t.query_id, e.vec_id, SUM(t.d) AS adc_dist
+  FROM enc e JOIN dtable t ON e.m = t.m AND e.code = t.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY 1, 2
+),
+{_PQ_RERANK_SQL}
 """,
 )(ann_pq_topk)
+
+
+register(
+    "ann_ivfpq_topk",
+    f"""
+WITH {_pq_train_ctes()},
+{_PQ_ENCODE_CTES},
+ccent AS (
+  SELECT vec_id AS cell_id, m, sp, v AS ccv
+  FROM el WHERE vec_id % {CENTROID_STRIDE} = {CENTROID_STRIDE % 7}
+),
+cdist AS (
+  SELECT e.vec_id, c.cell_id, SUM((e.v - c.ccv) * (e.v - c.ccv)) AS d
+  FROM el e JOIN ccent c ON e.m = c.m AND e.sp = c.sp
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT vec_id AS query_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM cdist WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, cl.vec_id
+  FROM probes p
+  JOIN cells cl ON cl.cell_id = p.cell_id AND cl.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, SUM(t.d) AS adc_dist
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN dtable t ON t.query_id = c.query_id AND t.m = e.m AND t.code = e.code
+  GROUP BY 1, 2
+),
+{_PQ_RERANK_SQL}
+""",
+)(ann_ivfpq_topk)
