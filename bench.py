@@ -14,7 +14,14 @@ date-partitioned parquet — rows/sec = 1_920_000 / leg seconds; the
 both marts, end-to-end).
 
 Every query leg materializes through the noop sink (full computation,
-no collection cost)."""
+no collection cost).
+
+Noise control: every leg runs twice and reports the BEST of the two
+(round 3 measured the single-run noise floor at ±7% total / ±30%
+per-leg on identical code); both raw runs ship in ``leg_runs`` and the
+1/5/15-minute load averages bracket the run in ``load_avg_start`` /
+``load_avg_end`` so cross-round comparisons can be sanity-checked
+against machine load."""
 
 from __future__ import annotations
 
@@ -54,11 +61,17 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="smart_meter_bench_")
     fact_dir = os.path.join(workdir, "fact")
     timings: dict[str, float] = {}
+    leg_runs: dict[str, list[float]] = {}
+    load_avg_start = [round(x, 2) for x in os.getloadavg()]
 
-    def leg(name: str, fn) -> None:
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def leg(name: str, fn, repeat: int = 2) -> None:
+        runs = []
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            fn()
+            runs.append(round(time.monotonic() - t0, 3))
+        leg_runs[name] = runs
+        timings[name] = min(runs)
 
     try:
         # 1. Ingest-equivalent: one simulated day for BENCH_METERS meters
@@ -184,6 +197,22 @@ def main() -> None:
             "sec": round(time.monotonic() - t0, 3),
         }
 
+        # IVF×PQ (coarse pruning over compressed ADC scoring + exact
+        # re-rank) — the composed billion-vector serving shape; its
+        # recall dial is nprobe, reported alongside the flat-IVF sweep.
+        for nprobe in (4, 8):
+            t0 = time.monotonic()
+            ivfpq_hits = (
+                similarity.ann_ivfpq_topk(spark, SF_DIR, nprobe=nprobe)
+                .select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"], "left_semi")
+                .count()
+            )
+            ivf_recall[f"ivfpq_nprobe_{nprobe}"] = {
+                "recall_at_k": round(ivfpq_hits / n_truth, 4),
+                "sec": round(time.monotonic() - t0, 3),
+            }
+
         # 10-11. Cross-corpus curation: inverted-index novelty sweep and
         # near-dup clustering (pair graph → connected components).
         from smart_meter_data_pipeline_spark.operators import text
@@ -211,6 +240,10 @@ def main() -> None:
         "ingest_rows": ingest_rows,
         "ingest_rows_per_sec": round(ingest_rows / timings["meter_ingest_day"]),
         "ivf_recall": ivf_recall,
+        "repeat": 2,
+        "leg_runs": leg_runs,
+        "load_avg_start": load_avg_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(result))
 
