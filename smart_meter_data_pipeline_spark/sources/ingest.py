@@ -150,7 +150,10 @@ def idempotent_append(spark: SparkSession, batch: DataFrame, target: str) -> int
     (the second's anti-join sees the first's committed rows). Production
     note: on Delta/Iceberg this whole function is ``MERGE ... WHEN NOT
     MATCHED THEN INSERT`` with the same partition-pruning predicate, and
-    the table format's log replaces the filesystem lock.
+    the table format's log replaces the filesystem lock. For object
+    stores, where no filesystem mutex exists, use
+    :func:`~..sources.manifest.idempotent_append_manifest` — the same
+    guarantee through an optimistic commit log instead of a lock.
     """
     from smart_meter_data_pipeline_spark.sources.txn import table_lock
 

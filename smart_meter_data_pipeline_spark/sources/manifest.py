@@ -1,0 +1,250 @@
+"""Manifest-based commit log: the object-store-safe idempotent sink.
+
+:mod:`~.txn`'s ``table_lock`` closes the anti-join/append race with an
+atomic-``mkdir`` mutex — sound on POSIX and HDFS, but S3-class stores
+have no atomic namespace operations, so a mutex cannot be built from
+their filesystem API at all. This module is the protocol that CAN be
+built there, the same one Delta Lake and Iceberg use: an ordered log
+of numbered commit files, each listing the data files it adds, decided
+by a single **put-if-absent** primitive.
+
+- A data file is INVISIBLE until a commit file references it; readers
+  resolve the table as "union of files named by commits 0..N".
+- Writers are optimistic: snapshot the log, anti-join against the
+  snapshot's keys, stage new files under a unique name, then try to
+  put ``_commits/<N+1>.json``. Exactly one writer wins each number;
+  losers re-validate against the commits they lost to (retry without
+  re-staging when key sets don't overlap — Delta's conflict
+  resolution — and re-stage only on a genuine PK conflict).
+- Put-if-absent here is ``os.link`` (atomic one-winner on POSIX); on
+  S3 it is a conditional PUT (``If-None-Match: *``), on GCS a
+  generation-0 precondition, on Azure an ETag condition. Nothing else
+  in the protocol touches the namespace, which is the whole point.
+
+Each commit records the distinct ``reading_date`` values of the rows
+it adds, so the existing-keys scan prunes to commits whose dates
+overlap the incoming batch — the manifest equivalent of partition
+pruning (Delta's per-file ``partitionValues``), keeping the key scan
+proportional to the batch's time range on a 100 TB table.
+
+The reference's guarantee being reproduced is the same PRIMARY KEY
+``ON CONFLICT DO NOTHING`` (consumer/meter_consumer.py:104-114); this
+is its shape for deployments where the sink is an object store.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COMMITS_DIRNAME = "_commits"
+DATA_DIRNAME = "_data"
+
+PK = ["reading_timestamp", "meter_id"]
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a writer exhausts its retries losing commit races."""
+
+
+def _put_if_absent(path: str, payload: bytes) -> bool:
+    """Atomically create ``path`` with ``payload`` iff it doesn't
+    exist. One winner among concurrent callers; losers get False.
+    POSIX: hard-link a unique temp file onto the target (link(2) fails
+    with EEXIST if the name is taken). Object stores: conditional PUT.
+    """
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
+
+
+class ManifestTable:
+    """A parquet table whose visible contents are decided by the
+    commit log, with a PK-idempotent optimistic append."""
+
+    def __init__(self, table_dir: str) -> None:
+        self.table_dir = table_dir
+        self.commits_dir = os.path.join(table_dir, COMMITS_DIRNAME)
+        self.data_dir = os.path.join(table_dir, DATA_DIRNAME)
+        os.makedirs(self.commits_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- log ---------------------------------------------------------------
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.commits_dir, f"{version:010d}.json")
+
+    def snapshot(self) -> list[dict]:
+        """All commits in log order. Listing then reading is safe
+        because commit files are immutable once created."""
+        names = sorted(
+            n for n in os.listdir(self.commits_dir) if n.endswith(".json")
+        )
+        out = []
+        for n in names:
+            with open(os.path.join(self.commits_dir, n)) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def _files(self, commits: list[dict], dates: set[str] | None = None) -> list[str]:
+        """Absolute data-file paths named by ``commits``; when ``dates``
+        is given, prune commits whose recorded dates don't overlap."""
+        files: list[str] = []
+        for c in commits:
+            if dates is not None and not (set(c["dates"]) & dates):
+                continue
+            files.extend(os.path.join(self.data_dir, f) for f in c["added"])
+        return files
+
+    # -- read --------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """The committed table contents (None when no commits yet)."""
+        files = self._files(self.snapshot())
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    # -- write -------------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write ``df`` under a unique staging prefix; return the
+        data-dir-relative parquet file names. Invisible until
+        committed."""
+        stage_id = uuid.uuid4().hex
+        stage_path = os.path.join(self.data_dir, stage_id)
+        df.write.parquet(stage_path)
+        return [
+            os.path.join(stage_id, name)
+            for name in os.listdir(stage_path)
+            if name.endswith(".parquet")
+        ]
+
+    def _discard_stage(self, rel_files: list[str]) -> None:
+        import shutil
+
+        if rel_files:
+            stage_path = os.path.join(self.data_dir, os.path.dirname(rel_files[0]))
+            shutil.rmtree(stage_path, ignore_errors=True)
+
+    def idempotent_append(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        pk: list[str] = PK,
+        max_retries: int = 20,
+    ) -> int:
+        """PK-idempotent append through the commit log — the
+        ``MERGE WHEN NOT MATCHED THEN INSERT`` of the manifest world.
+        Safe under concurrent writers without any filesystem mutex:
+        every interleaving either wins its commit number with a key
+        set validated against all prior commits, or revalidates and
+        retries. Returns rows written (0 when fully duplicate)."""
+        in_batch = batch.dropDuplicates(pk).persist()
+        try:
+            n_batch = in_batch.count()
+            if n_batch == 0:
+                return 0
+            batch_dates = {
+                str(r["d"])
+                for r in in_batch.select(
+                    F.to_date("reading_timestamp").alias("d")
+                )
+                .distinct()
+                .collect()
+            }
+            commits = self.snapshot()
+            fresh, n = self._anti_join(spark, in_batch, commits, batch_dates, pk)
+            staged: list[str] = []
+            validated_through = len(commits)  # commits checked so far
+            for _ in range(max_retries):
+                if n == 0:
+                    self._discard_stage(staged)
+                    return 0
+                if not staged:
+                    fresh = fresh.persist()
+                    staged = self._stage(fresh)
+                payload = json.dumps(
+                    {
+                        "version": validated_through,
+                        "added": staged,
+                        "count": n,
+                        "dates": sorted(batch_dates),
+                    }
+                ).encode()
+                if _put_if_absent(self._commit_path(validated_through), payload):
+                    fresh.unpersist()
+                    return n
+                # Lost the race: validate only against the commits we
+                # lost to. If their key sets can't overlap ours (date
+                # pruning, then an actual key check), recommit the SAME
+                # staged files at the next number — no rewrite.
+                new_commits = self.snapshot()[validated_through:]
+                overlap_files = self._files(new_commits, batch_dates)
+                validated_through += len(new_commits)
+                if overlap_files:
+                    clash = (
+                        fresh.join(
+                            spark.read.parquet(*overlap_files).select(*pk),
+                            pk,
+                            "left_semi",
+                        ).limit(1).count()
+                    )
+                    if clash:
+                        # Genuine conflict: our staged rows now contain
+                        # duplicates. Re-anti-join and re-stage.
+                        self._discard_stage(staged)
+                        fresh.unpersist()
+                        commits = self.snapshot()
+                        validated_through = len(commits)
+                        fresh, n = self._anti_join(
+                            spark, in_batch, commits, batch_dates, pk
+                        )
+                        staged = []
+            self._discard_stage(staged)
+            raise CommitConflictError(
+                f"gave up after {max_retries} commit attempts on "
+                f"{self.table_dir}"
+            )
+        finally:
+            in_batch.unpersist()
+
+    def _anti_join(
+        self,
+        spark: SparkSession,
+        in_batch: DataFrame,
+        commits: list[dict],
+        batch_dates: set[str],
+        pk: list[str],
+    ) -> tuple[DataFrame, int]:
+        files = self._files(commits, batch_dates)
+        if not files:
+            fresh = in_batch
+        else:
+            existing = spark.read.parquet(*files).select(*pk)
+            fresh = in_batch.join(existing, pk, "left_anti")
+        return fresh, fresh.count()
+
+
+def idempotent_append_manifest(
+    spark: SparkSession, batch: DataFrame, table_dir: str
+) -> int:
+    """Function-style entry point mirroring
+    :func:`~.ingest.idempotent_append`, but through the commit log —
+    use this form when the target is an object store."""
+    return ManifestTable(table_dir).idempotent_append(spark, batch)
