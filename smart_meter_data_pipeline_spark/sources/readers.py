@@ -27,11 +27,17 @@ TESTDATA_TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong they surface as LongType
-# (nanoseconds since epoch) and are converted to microsecond timestamps
-# here. Integer `div` (not float /) — nano values exceed float64's exact
-# integer range. DuckDB truncates ns→us the same way for positive values.
+# Columns whose on-disk physical encoding has drifted across testdata
+# regenerations (TIMESTAMP(NANOS) → plain TIMESTAMP(MICROS) without
+# isAdjustedToUTC). `normalize_timestamps` accepts every encoding seen
+# so far and lands on TimestampType regardless:
+# - NANOS + nanosAsLong ⇒ LongType (ns since epoch) ⇒ integer `div`
+#   (not float /: nano values exceed float64's exact integer range;
+#   DuckDB truncates ns→us the same way for positive values).
+# - MICROS without UTC adjustment ⇒ TIMESTAMP_NTZ ⇒ cast to TIMESTAMP.
+#   Under the pinned UTC session (see _RUNTIME_CONFS) the cast
+#   reinterprets the wall clock as UTC — byte-identical micros, and the
+#   same instants DuckDB reads from the file.
 _NANO_TS_COLUMNS = {"events": ("ts",)}
 
 # Runtime-settable confs every query depends on, applied here so reads
@@ -53,16 +59,29 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (parquet) from ``sf_dir``."""
-    ensure_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+def normalize_timestamps(df: DataFrame, nano_cols: tuple = ()) -> DataFrame:
+    """Normalize physically-drifting time columns to ``TimestampType``.
+
+    Works on batch AND streaming frames (pure projections). Every
+    ``timestamp_ntz`` column is cast to ``timestamp`` (UTC session ⇒
+    same micros); columns listed in ``nano_cols`` that surfaced as
+    ``bigint`` under nanosAsLong are truncated ns→us.
+    """
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif col in nano_cols and dtype == "bigint":
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet) from ``sf_dir``."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_timestamps(df, _NANO_TS_COLUMNS.get(name, ()))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

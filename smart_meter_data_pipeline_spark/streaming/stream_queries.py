@@ -28,7 +28,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from smart_meter_data_pipeline_spark.operators.common import dsum
 from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
@@ -40,28 +39,36 @@ from smart_meter_data_pipeline_spark.streaming.ingest_stream import (
     start_ingest_stream,
 )
 
-# events.ts is parquet TIMESTAMP(NANOS) → LongType under nanosAsLong.
-_EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream over the raw events parquet with ``ts`` normalized to
+    ``TimestampType``, robust to physical-encoding drift.
+
+    ``readStream`` requires a user schema, and hard-coding one breaks
+    whenever the driver regenerates testdata with a different physical
+    type (NANOS→LongType vs plain MICROS→TIMESTAMP_NTZ, both seen).
+    So: take the schema Spark itself infers from the footer (one cheap
+    batch read), stream with it, then apply the SAME normalization
+    ``load_table`` uses — pure projections, legal on streaming frames.
+    """
+    from smart_meter_data_pipeline_spark.sources.readers import (
+        ensure_runtime_confs,
+        normalize_timestamps,
+    )
+
+    ensure_runtime_confs(spark)
+    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_timestamps(stream, ("ts",))
 
 
 def stream_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows over a file stream, drained
     with availableNow → memory sink; returns the final table."""
-    stream = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -177,12 +184,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     session) and end = last event + gap."""
     from smart_meter_data_pipeline_spark.operators.extended import SESSION_GAP_MIN
 
-    stream = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(
             F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
