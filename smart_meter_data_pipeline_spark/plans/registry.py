@@ -62,79 +62,37 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of 81 rows per round), so queries whose
-# last driver-recorded proof is STALE (round 1, predating the round-2
-# refactors) come first, then queries whose code changed this round (a
-# fresh row must re-prove them), then the long-green round-3 tail. Names
-# not listed keep registration order after the listed ones.
+# prefix of the registry (~50 of 82 rows per round), so order by proof
+# staleness: (1) queries broken or left stale by the round-4 testdata
+# encoding change (events.ts → TIMESTAMP_NTZ) — their green rows
+# predate the format change and the reader fix must be re-proven on the
+# driver; (2) queries whose code changed this round (ANN parameter
+# policy); (3) the round-3-proven tail not re-evaluated under round 4's
+# ~50-row cap; (4) the freshly-green round-4 rows last. Names not
+# listed keep registration order after the listed ones.
 _PRIORITY = [
-    # last proven round 1 — flagship marts and their staging/dims/quality
-    "meter_stg",
-    "meter_billing_daily",
-    "meter_grid_load_hourly",
-    "meter_dims",
-    "meter_quality_checks",
-    "meter_quality_incidents",
-    "first_last_readings",
-    "missing_readings",
-    # last proven round 1 — text analysis
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_fingerprint",
-    "doc_repetition_ratio",
-    "doc_ngram_novelty",
-    "doc_pii_scrub",
-    # last proven round 1 — curation
-    "sample_stratified",
-    "decontaminate_docs",
-    "quality_filter_chain",
-    "pack_training_sequences",
-    "source_quota_cap",
-    "corpus_token_freq",
-    "train_val_test_split",
-    "corpus_shard_manifest",
-    # last proven round 1 — tpch + dedup
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "orders_above_customer_avg",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # new or code-changed this round — need a first/fresh driver row
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "kmeans_embeddings",
-    "batch_billing_incremental",
-    "dedup_redelivery",
+    # (1) broken/stale after the TIMESTAMP_NTZ testdata change —
+    # r05 rows re-prove the readers.py normalization end-to-end
     "stream_dedup_watermark",
-    "approx_sketch_check",
-    "doc_span_dedup",
-    # long-green round-3 tail (unchanged code, proven on current driver)
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "ann_topk_cosine",
-    "ann_lsh_buckets",
-    "dedup_embedding_cosine",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_normalize_quantize",
-    "embedding_dim_stats",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
     "stream_hourly_events",
     "stream_session_windows",
+    "stream_stream_interval_join",
     "stream_incremental_deltas",
     "stream_billing_incremental",
-    "stream_ingest_daily",
-    "kmeans_fixed_rounds",
     "stream_grid_incremental",
-    "events_json_props",
-    "stream_stream_interval_join",
     "events_range_frame",
+    "events_range_pairs",
+    # (2) code changed this round — IVF nlist cap, corpus-scaled LSH planes
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_lsh_buckets",
+    "dedup_embedding_cosine",
+    # (3) round-3 proofs not refreshed in round 4's window
+    "stream_ingest_daily",
+    "multimodal_frame_sample",
+    "kmeans_fixed_rounds",
+    "events_json_props",
     "events_cube",
     "meter_gap_fill",
     "corpus_build_pipeline",
@@ -154,7 +112,52 @@ _PRIORITY = [
     "sliding_window_avg",
     "event_value_percentiles",
     "user_retention_sets",
-    "events_range_pairs",
+    "meter_readings",
+    # (4) green round-4 rows (freshest proofs) — marts/staging first
+    "meter_stg",
+    "meter_billing_daily",
+    "meter_grid_load_hourly",
+    "meter_dims",
+    "meter_quality_checks",
+    "meter_quality_incidents",
+    "first_last_readings",
+    "missing_readings",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_repetition_ratio",
+    "doc_ngram_novelty",
+    "doc_pii_scrub",
+    "sample_stratified",
+    "decontaminate_docs",
+    "quality_filter_chain",
+    "pack_training_sequences",
+    "source_quota_cap",
+    "corpus_token_freq",
+    "train_val_test_split",
+    "corpus_shard_manifest",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "orders_above_customer_avg",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_pq_topk",
+    "kmeans_embeddings",
+    "batch_billing_incremental",
+    "dedup_redelivery",
+    "approx_sketch_check",
+    "doc_span_dedup",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "ann_topk_cosine",
+    "embedding_normalize_quantize",
+    "embedding_dim_stats",
+    "multimodal_features",
+    "multimodal_resize",
 ]
 
 
