@@ -184,10 +184,22 @@ def main() -> None:
             }
 
         # PQ/ADC recall vs the same ground truth (different distance:
-        # quantized L2 vs exact cosine — the gap IS the compression cost).
+        # quantized L2 vs exact cosine — the gap IS the compression
+        # cost). TRAIN ONCE, SERVE SEPARATELY: codebook training +
+        # corpus encode + coarse assignment are one-time index builds
+        # (amortized away in production by persisting the codebook), so
+        # they get their own timing and every search leg below reports
+        # pure serving cost against the shared prebuilt index.
+        t0 = time.monotonic()
+        pq_index = similarity.ivfpq_build_index(spark, SF_DIR)
+        pq_el, pq_enc, pq_dtable, _pq_cdist = pq_index
+        ivf_recall["pq_train_encode"] = {
+            "sec": round(time.monotonic() - t0, 3),
+        }
+
         t0 = time.monotonic()
         pq_hits = (
-            similarity.ann_pq_topk(spark, SF_DIR)
+            similarity.pq_search_adc(pq_el, pq_enc, pq_dtable)
             .select("query_id", "neighbor_id")
             .join(truth, ["query_id", "neighbor_id"], "left_semi")
             .count()
@@ -200,10 +212,13 @@ def main() -> None:
         # IVF×PQ (coarse pruning over compressed ADC scoring + exact
         # re-rank) — the composed billion-vector serving shape; its
         # recall dial is nprobe, reported alongside the flat-IVF sweep.
+        # Shares the prebuilt index: legs time probe + ADC + re-rank.
         for nprobe in (4, 8):
             t0 = time.monotonic()
             ivfpq_hits = (
-                similarity.ann_ivfpq_topk(spark, SF_DIR, nprobe=nprobe)
+                similarity.ann_ivfpq_topk(
+                    spark, SF_DIR, nprobe=nprobe, index=pq_index
+                )
                 .select("query_id", "neighbor_id")
                 .join(truth, ["query_id", "neighbor_id"], "left_semi")
                 .count()

@@ -30,7 +30,15 @@ from smart_meter_data_pipeline_spark.sources.readers import load_table
 
 N_QUERIES = 5
 TOP_K = 10
-N_PLANES = 8
+# LSH plane-count policy: planes scale with the corpus so expected
+# bucket occupancy stays ~LSH_TARGET_OCCUPANCY regardless of size —
+# n_planes = max(4, ceil_log2(ceil(N / occupancy))). A FIXED plane
+# count (the old N_PLANES=8) makes occupancy grow linearly with the
+# corpus and within-bucket pairing is quadratic per bucket, so at
+# 100 TB fixed planes are an O(N²) trap. ceil_log2 is computed as
+# length(bin(q-1)) — exact integer math that Spark and DuckDB agree on
+# (float log2 could straddle a rounding boundary at exact powers of 2).
+LSH_TARGET_OCCUPANCY = 64
 _DOT = (
     "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
     " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -126,15 +134,39 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 )(ann_topk_cosine)
 
 
-def lsh_bucket_assignments(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def lsh_bucket_assignments(
+    emb: DataFrame, n_planes: int | None = None
+) -> DataFrame:
     """(vec_id, label, bucket_id): sign-of-projection bits against
-    ``n_planes`` pseudo-random hyperplanes packed into an integer
-    bucket id. One explode + two aggregations — shuffle keys are
-    (vec_id, plane) then vec_id, both tiny."""
+    pseudo-random hyperplanes packed into an integer bucket id. One
+    explode + two aggregations — shuffle keys are (vec_id, plane) then
+    vec_id, both tiny.
+
+    ``n_planes=None`` (the default) derives the plane count from the
+    corpus size to hold bucket occupancy at ~LSH_TARGET_OCCUPANCY (see
+    the policy note above); the count stays inside the plan (an
+    aggregate broadcast into the cross join), no driver collect. Pass
+    an explicit ``n_planes`` to pin it (tests, recall sweeps)."""
     el = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("d", "val")
     )
-    planes = el.sparkSession.range(n_planes).select(F.col("id").alias("j"))
+    if n_planes is None:
+        occ = LSH_TARGET_OCCUPANCY
+        planes = (
+            emb.agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.greatest(
+                    F.lit(4),
+                    F.length(F.bin(F.expr(f"(n + {occ - 1}) div {occ}") - 1)),
+                ).alias("np")
+            )
+            .select(
+                F.explode(F.sequence(F.lit(0), F.col("np") - 1)).alias("j0")
+            )
+            .select(F.col("j0").cast("bigint").alias("j"))
+        )
+    else:
+        planes = el.sparkSession.range(n_planes).select(F.col("id").alias("j"))
     proj = (
         el.crossJoin(F.broadcast(planes))
         .withColumn("r", _u(7, F.col("j"), F.col("d")) * 2.0 - 1.0)
@@ -167,11 +199,19 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_R = f"({_u_sql(7, 'j', 'd')} * 2.0 - 1.0)"
-register(
-    "ann_lsh_buckets",
-    f"""
-WITH un AS (
+def _bucket_cte() -> str:
+    """DuckDB CTE text computing (vec_id, label, bucket_id) — the
+    oracle twin of :func:`lsh_bucket_assignments`, including the
+    corpus-scaled plane count (same exact-integer ceil_log2)."""
+    r = f"({_u_sql(7, 'j', 'd')} * 2.0 - 1.0)"
+    occ = LSH_TARGET_OCCUPANCY
+    return f"""params AS (
+  SELECT GREATEST(4, length(bin((COUNT(*) + {occ - 1}) // {occ} - 1)))
+    AS n_planes
+  FROM embeddings
+),
+pl AS (SELECT unnest(range(0, CAST(n_planes AS BIGINT))) AS j FROM params),
+un AS (
   SELECT vec_id, label,
          CAST(unnest(embedding) AS DOUBLE) AS val,
          generate_subscripts(embedding, 1) - 1 AS d
@@ -179,8 +219,8 @@ WITH un AS (
 ),
 proj AS (
   SELECT vec_id, label, j,
-         CAST(SUM(CAST(val * {_R} AS DECIMAL(30,15))) AS DOUBLE) AS dot_j
-  FROM un, range(0, {N_PLANES}) t(j)
+         CAST(SUM(CAST(val * {r} AS DECIMAL(30,15))) AS DOUBLE) AS dot_j
+  FROM un, pl
   GROUP BY 1, 2, 3
 ),
 assign AS (
@@ -189,7 +229,13 @@ assign AS (
                        THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT)
            AS bucket_id
   FROM proj GROUP BY 1, 2
-),
+)"""
+
+
+register(
+    "ann_lsh_buckets",
+    f"""
+WITH {_bucket_cte()},
 sizes AS (SELECT bucket_id, COUNT(*) AS bucket_size FROM assign GROUP BY 1)
 SELECT a.vec_id, a.label, a.bucket_id, s.bucket_size
 FROM assign a JOIN sizes s ON a.bucket_id = s.bucket_id
@@ -268,31 +314,6 @@ def embedding_cosine_dups(
 
 DUP_THRESHOLD = 0.2  # sf-testdata vectors are near-orthogonal; 0.2 keeps
 # a few hundred verified pairs at sf0.01 so the hash check has teeth.
-
-
-def _bucket_cte() -> str:
-    """DuckDB CTE text computing (vec_id, bucket_id) — the oracle twin
-    of :func:`lsh_bucket_assignments`."""
-    r = f"({_u_sql(7, 'j', 'd')} * 2.0 - 1.0)"
-    return f"""un AS (
-  SELECT vec_id, label,
-         CAST(unnest(embedding) AS DOUBLE) AS val,
-         generate_subscripts(embedding, 1) - 1 AS d
-  FROM embeddings
-),
-proj AS (
-  SELECT vec_id, label, j,
-         CAST(SUM(CAST(val * {r} AS DECIMAL(30,15))) AS DOUBLE) AS dot_j
-  FROM un, range(0, {N_PLANES}) t(j)
-  GROUP BY 1, 2, 3
-),
-assign AS (
-  SELECT vec_id, label,
-         CAST(SUM(CASE WHEN dot_j > 0
-                       THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-           AS bucket_id
-  FROM proj GROUP BY 1, 2
-)"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,11 +407,27 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 # IVF-flat: coarse quantizer (deterministic centroids) + nprobe search
 # ---------------------------------------------------------------------------
 
-CENTROID_STRIDE = 97  # vec_id % 97 == 6 → ~N/97 cells, grows with the
-# corpus (≈sqrt(N) at bench scale). Assignment cost is corpus ×
-# centroids exact-decimal dots — the dominant term — so cell count is
-# the knob that trades assignment time against per-cell scan width.
+IVF_SEED_STRIDE = 97  # seeds spread across the id space (vec_id % 97 == 6)…
+IVF_NLIST = 64  # …capped at a CONSTANT cell count (the PQ_K pattern):
+# nlist must not grow with the corpus, or assignment cost creeps from
+# O(N·nlist) toward O(N²/stride) — the round-4 scale flag. With the
+# cap, assignment is O(N·64) exact-decimal dots against a broadcast
+# centroid set, and nprobe/nlist (4/64 ≈ 6%) of the corpus is scanned
+# per query at ANY scale. At 10^9 vectors raise NLIST (and train real
+# centroids on a deterministic sample), never the stride.
 NPROBE = 4
+
+_IVF_SEED_SQL = (
+    f"vec_id % {IVF_SEED_STRIDE} = {IVF_SEED_STRIDE % 7}"
+    f" AND vec_id < {IVF_SEED_STRIDE * IVF_NLIST}"
+)
+
+
+def _ivf_seed_pred():
+    """Deterministic bounded centroid-seed predicate (≤ IVF_NLIST)."""
+    return (F.col("vec_id") % IVF_SEED_STRIDE == IVF_SEED_STRIDE % 7) & (
+        F.col("vec_id") < IVF_SEED_STRIDE * IVF_NLIST
+    )
 
 
 def ivf_cell_assignments(emb: DataFrame) -> DataFrame:
@@ -401,9 +438,7 @@ def ivf_cell_assignments(emb: DataFrame) -> DataFrame:
     NOT a row_number window, so assignment at 100 TB is one partial
     aggregation over the scan — no sort shuffle of the pair space."""
     e = emb.withColumn("norm2", _dot("embedding", "embedding"))
-    cent = e.filter(
-        F.col("vec_id") % CENTROID_STRIDE == CENTROID_STRIDE % 7
-    ).select(
+    cent = e.filter(_ivf_seed_pred()).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_embedding"),
         F.col("norm2").alias("c_norm2"),
@@ -436,7 +471,7 @@ def ann_ivf_topk(
     bench.py sweeps it against the brute-force ground truth.
 
     Scale path: centroids broadcast both times; the candidate join is
-    an equi-join on cell_id against a ``nprobe``/{CENTROID_STRIDE}
+    an equi-join on cell_id against a ``nprobe``/{IVF_NLIST}
     fraction of the corpus; final ranking partitions by query_id."""
     emb = load_table(spark, sf_dir, "embeddings")
     cells = ivf_cell_assignments(emb)
@@ -446,9 +481,7 @@ def ann_ivf_topk(
     # the cells join would recompute the whole assignment aggregation
     # once per consumer.
     raw = emb.withColumn("norm2", _dot("embedding", "embedding"))
-    cent = raw.filter(
-        F.col("vec_id") % CENTROID_STRIDE == CENTROID_STRIDE % 7
-    ).select(
+    cent = raw.filter(_ivf_seed_pred()).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_embedding"),
         F.col("norm2").alias("c_norm2"),
@@ -510,7 +543,7 @@ register(
     f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding
-  FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = {CENTROID_STRIDE % 7}
+  FROM embeddings WHERE {_IVF_SEED_SQL}
 ),
 acand AS (
   SELECT e.vec_id AS l_id, c.centroid_id AS r_id,
@@ -1104,6 +1137,30 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size."""
     el = _pq_normalized_el(spark, sf_dir)
     enc, dtable = _pq_encode_tables(el)
+    return pq_search_adc(el, enc, dtable)
+
+
+def pq_build_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """One-time PQ index build, materialized: (el, enc, dtable) — the
+    normalized grid corpus, the PQ codes, and the per-query ADC
+    distance tables. In production these persist with the corpus
+    (codebooks are K·n_subspace floats, codes a few bytes/vector);
+    searches pay only the ADC join + re-rank. bench.py times this
+    build separately from serving so the one-time training cost isn't
+    conflated with per-query latency."""
+    el = _pq_normalized_el(spark, sf_dir)
+    enc, dtable = _pq_encode_tables(el)
+    return (
+        el,
+        enc.localCheckpoint(eager=True),
+        dtable.localCheckpoint(eager=True),
+    )
+
+
+def pq_search_adc(el: DataFrame, enc: DataFrame, dtable: DataFrame) -> DataFrame:
+    """The PQ serving path: ADC-score the encoded corpus against the
+    broadcast per-query distance tables, then exact re-rank — no
+    training, per-query cost independent of corpus size."""
     scored = (
         enc.join(F.broadcast(dtable), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1182,8 +1239,40 @@ def _pq_rerank(el: DataFrame, scored: DataFrame) -> DataFrame:
 IVFPQ_NPROBE = 4
 
 
+def ivfpq_build_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """One-time IVF×PQ index build: the PQ index plus the coarse-cell
+    distance table (corpus × nlist — the expensive assignment scan).
+    Returns (el, enc, dtable, cdist); pass as ``index=`` to
+    :func:`ann_ivfpq_topk` so repeated searches (bench recall sweeps,
+    production serving) don't retrain or re-assign per query."""
+    el, enc, dtable = pq_build_index(spark, sf_dir)
+    return el, enc, dtable, _ivfpq_coarse_dists(el)
+
+
+def _ivfpq_coarse_dists(el: DataFrame) -> DataFrame:
+    """(vec_id, cell_id, d): exact-decimal squared L2 from every vector
+    to every coarse centroid — one broadcast join + bounded aggregation,
+    materialized (it feeds both cell assignment and query probes)."""
+    coarse = el.filter(_ivf_seed_pred()).select(
+        F.col("vec_id").alias("cell_id"), "m", "sp", F.col("v").alias("ccv")
+    )
+    return (
+        el.join(F.broadcast(coarse), ["m", "sp"])
+        .groupBy("vec_id", "cell_id")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("ccv")) * (F.col("v") - F.col("ccv"))
+            ).alias("d")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def ann_ivfpq_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVFPQ_NPROBE,
+    index: tuple | None = None,
 ) -> DataFrame:
     """IVF×PQ — the actual 10^9-vector serving shape: a coarse
     quantizer prunes the corpus to the ``nprobe`` cells nearest each
@@ -1203,23 +1292,12 @@ def ann_ivfpq_topk(
     PQ encode are map-side-combinable argmin aggregations over one
     corpus scan each; the candidate join is an equi-join on cell_id;
     ADC + re-rank costs are per-query, not per-corpus."""
-    el = _pq_normalized_el(spark, sf_dir)
-
-    coarse = el.filter(
-        F.col("vec_id") % CENTROID_STRIDE == CENTROID_STRIDE % 7
-    ).select(
-        F.col("vec_id").alias("cell_id"), "m", "sp", F.col("v").alias("ccv")
-    )
-    cdist = (
-        el.join(F.broadcast(coarse), ["m", "sp"])
-        .groupBy("vec_id", "cell_id")
-        .agg(
-            F.sum(
-                (F.col("v") - F.col("ccv")) * (F.col("v") - F.col("ccv"))
-            ).alias("d")
-        )
-        .localCheckpoint(eager=True)
-    )
+    if index is None:
+        el = _pq_normalized_el(spark, sf_dir)
+        cdist = _ivfpq_coarse_dists(el)
+        enc, dtable = _pq_encode_tables(el)
+    else:
+        el, enc, dtable, cdist = index
     cells = (
         cdist.groupBy("vec_id")
         .agg(F.min(F.struct("d", "cell_id")).alias("s"))
@@ -1238,8 +1316,6 @@ def ann_ivfpq_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-
-    enc, dtable = _pq_encode_tables(el)
     scored = (
         cand.join(enc, "vec_id")
         .join(F.broadcast(dtable), ["query_id", "m", "code"])
@@ -1377,7 +1453,7 @@ WITH {_pq_train_ctes()},
 {_PQ_ENCODE_CTES},
 ccent AS (
   SELECT vec_id AS cell_id, m, sp, v AS ccv
-  FROM el WHERE vec_id % {CENTROID_STRIDE} = {CENTROID_STRIDE % 7}
+  FROM el WHERE {_IVF_SEED_SQL}
 ),
 cdist AS (
   SELECT e.vec_id, c.cell_id, SUM((e.v - c.ccv) * (e.v - c.ccv)) AS d

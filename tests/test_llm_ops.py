@@ -93,16 +93,21 @@ def test_shingles_cover_text(spark, sf_dir):
 
 
 def test_ivf_cells_partition_corpus(spark, sf_dir):
-    """Every vector lands in exactly one IVF cell, and cells are
-    centroid ids (vec_id % STRIDE == STRIDE % 7)."""
+    """Every vector lands in exactly one IVF cell, cells are centroid
+    ids from the seed rule, and the cell count is capped at IVF_NLIST
+    (constant in corpus size — the 100 TB requirement)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cells = similarity.ivf_cell_assignments(emb)
     n = emb.count()
     assert cells.count() == n
     assert cells.select("vec_id").distinct().count() == n
-    s = similarity.CENTROID_STRIDE
-    bad = cells.filter(F.col("cell_id") % s != s % 7).count()
+    s = similarity.IVF_SEED_STRIDE
+    bad = cells.filter(
+        (F.col("cell_id") % s != s % 7)
+        | (F.col("cell_id") >= s * similarity.IVF_NLIST)
+    ).count()
     assert bad == 0
+    assert cells.select("cell_id").distinct().count() <= similarity.IVF_NLIST
 
 
 def test_ivf_topk_cosines_match_bruteforce(spark, sf_dir):
@@ -357,3 +362,23 @@ def test_span_dedup_invariants(spark, sf_dir):
         )
     )
     assert bad.count() == 0
+
+
+def test_lsh_planes_scale_with_corpus(spark, sf_dir):
+    """The adaptive plane count must equal the documented policy —
+    max(4, ceil_log2(ceil(N / LSH_TARGET_OCCUPANCY))) — computed with
+    exact integer math (bucket ids then fit in 2^planes), and an
+    explicit n_planes must still be honored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    occ = similarity.LSH_TARGET_OCCUPANCY
+    q = (n + occ - 1) // occ
+    p = max(4, (q - 1).bit_length())
+    assign = similarity.lsh_bucket_assignments(emb)
+    mx = assign.agg(F.max("bucket_id")).first()[0]
+    assert 0 <= mx < 2**p
+    # with >= p-1 planes some high bit should actually be set, or the
+    # formula is vacuous at this corpus size
+    assert mx >= 2 ** (p - 1), (mx, p)
+    pinned = similarity.lsh_bucket_assignments(emb, n_planes=3)
+    assert pinned.agg(F.max("bucket_id")).first()[0] < 8
