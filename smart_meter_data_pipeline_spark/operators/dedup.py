@@ -604,6 +604,103 @@ FROM comp c JOIN csizes s ON c.cluster_id = s.cluster_id
 )(dedup_clusters)
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware canonical selection — the dedup step training
+    pipelines actually ship: near-dup clusters (MinHash-LSH pair graph
+    → connected components) keep their HIGHEST-QUALITY member, not an
+    arbitrary one (reference pipelines drop all-but-first; quality-
+    ranked keep is the standard refinement, cf. quality-filtered corpus
+    construction). Docs in no cluster are singleton clusters and kept.
+
+    Output: (doc_id, cluster_id, quality_score, keep) — one row per
+    corpus doc; downstream filters ``keep``.
+
+    Scale shape: clustering rides the LSH path (candidates only, never
+    all-pairs); the winner-per-cluster is a map-side-combinable
+    ``max(struct(quality, -doc_id))`` aggregation shuffled on
+    cluster_id (bounded by n_clusters ≤ n_docs), then one equi-join
+    back — no window sort over the corpus."""
+    from smart_meter_data_pipeline_spark.operators.text import (
+        doc_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = doc_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    labeled = (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .join(quality, "doc_id")
+    )
+    # highest quality wins, ties to the LOWEST doc_id (negate for max)
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("q"),
+                (-F.col("doc_id")).alias("nid"),
+            )
+        ).alias("s")
+    )
+    return labeled.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (
+            (F.col("quality_score") == F.col("s.q"))
+            & (F.col("doc_id") == -F.col("s.nid"))
+        ).alias("keep"),
+    )
+
+
+def _keep_best_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.text import (
+        QUALITY_SQL_CTES,
+    )
+
+    return f"""
+WITH {_PAIR_JACCARD_SQL},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  WITH RECURSIVE r(src, node) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON r.node = s.a
+  )
+  SELECT src, node FROM r
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY 1),
+{QUALITY_SQL_CTES},
+labeled AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         q.quality_score
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  JOIN quality q ON q.doc_id = d.doc_id
+),
+best AS (
+  SELECT cluster_id,
+         MAX(struct_pack(q := quality_score, nid := -doc_id)) AS s
+  FROM labeled GROUP BY 1
+)
+SELECT l.doc_id, l.cluster_id, l.quality_score,
+       (l.quality_score = b.s.q AND l.doc_id = -b.s.nid) AS keep
+FROM labeled l JOIN best b ON l.cluster_id = b.cluster_id
+"""
+
+
+register("dedup_keep_best", _keep_best_oracle())(dedup_keep_best)
+
+
 # ---------------------------------------------------------------------------
 # Span-level (sub-document) exact dedup — keep-first reconstruction
 # ---------------------------------------------------------------------------

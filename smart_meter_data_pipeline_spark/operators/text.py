@@ -171,10 +171,13 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
-register(
-    "doc_quality_score",
-    f"""
-WITH t AS (
+
+# Reusable CTE chain ending in `quality(doc_id, n_tokens, stopword_ratio,
+# mean_token_len, quality_score)` — shared by the doc_quality_score
+# oracle and composite oracles (dedup_keep_best) so the scoring rule
+# can never drift between them. CTE names are q*-prefixed to avoid
+# collisions when embedded next to other chains.
+QUALITY_SQL_CTES = f"""qt AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
            AS n_tokens,
@@ -183,19 +186,27 @@ WITH t AS (
            AS stop_hits,
          length(regexp_replace(text, ' ', '', 'g')) AS n_nonspace
   FROM documents
-), s AS (
+), qs AS (
   SELECT doc_id, n_tokens,
          CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
          CAST(n_nonspace AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len
-  FROM t
-)
-SELECT doc_id, n_tokens, stopword_ratio, mean_token_len,
-       (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.0 END)
-       + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5
-               THEN 0.3 ELSE 0.0 END)
-       + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
-               THEN 0.2 ELSE 0.0 END) AS quality_score
-FROM s
+  FROM qt
+), quality AS (
+  SELECT doc_id, n_tokens, stopword_ratio, mean_token_len,
+         (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5
+                 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                 THEN 0.2 ELSE 0.0 END) AS quality_score
+  FROM qs
+)"""
+
+register(
+    "doc_quality_score",
+    f"""
+WITH {QUALITY_SQL_CTES}
+SELECT doc_id, n_tokens, stopword_ratio, mean_token_len, quality_score
+FROM quality
 """,
 )(doc_quality_score)
 

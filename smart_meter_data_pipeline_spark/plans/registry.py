@@ -82,7 +82,10 @@ _PRIORITY = [
     "stream_grid_incremental",
     "events_range_frame",
     "events_range_pairs",
-    # (2) code changed this round — IVF nlist cap, corpus-scaled LSH planes
+    # (2) new this round — need a first driver row
+    "stream_static_join",
+    "dedup_keep_best",
+    # (2b) code changed this round — IVF nlist cap, corpus-scaled LSH planes
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_topk",

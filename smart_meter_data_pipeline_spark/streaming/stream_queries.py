@@ -563,6 +563,64 @@ GROUP BY 1
 )(stream_stream_interval_join)
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the canonical streaming join shape:
+    the events file stream is joined PER MICRO-BATCH to the static
+    customer dimension (stateless on the stream side; Spark re-resolves
+    the static relation each batch, so dimension updates between
+    batches are picked up — the streaming twin of the marts' fact⋈dim
+    joins). The static side is broadcast: at reference scale the dim is
+    ~1M rows ≈ tens of MB, far under the broadcast threshold, so the
+    stream side never shuffles. Enriched rows drain append into a
+    memory sink; the compacting per-nation rollup runs batch over the
+    drained table (same drain-then-aggregate protocol as the
+    stream-stream join — the join is the operator under test). The
+    oracle is the identical batch join + rollup, so per-batch
+    re-resolution and the inner-match semantics land in the hash."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_nationkey",
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id").select(
+        "event_id", "user_id", "c_nationkey", "value"
+    )
+    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+register(
+    "stream_static_join",
+    """
+SELECT c.c_nationkey,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)(stream_static_join)
+
+
 register(
     "stream_dedup_watermark",
     """

@@ -382,3 +382,25 @@ def test_lsh_planes_scale_with_corpus(spark, sf_dir):
     assert mx >= 2 ** (p - 1), (mx, p)
     pinned = similarity.lsh_bucket_assignments(emb, n_planes=3)
     assert pinned.agg(F.max("bucket_id")).first()[0] < 8
+
+
+def test_keep_best_one_winner_per_cluster(spark, sf_dir):
+    """dedup_keep_best: every cluster keeps exactly one member, every
+    corpus doc appears exactly once, and the winner has the cluster's
+    max quality score."""
+    out = dedup.dedup_keep_best(spark, sf_dir).cache()
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.max("quality_score").alias("max_q"),
+    )
+    assert per.filter("n_keep <> 1").count() == 0
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    bad = (
+        out.filter("keep")
+        .join(per, "cluster_id")
+        .filter(F.col("quality_score") != F.col("max_q"))
+    )
+    assert bad.count() == 0
+    out.unpersist()
