@@ -84,6 +84,7 @@ _PRIORITY = [
     "events_range_pairs",
     # (2) new this round — need a first driver row
     "stream_static_join",
+    "stream_sliding_windows",
     "dedup_keep_best",
     # (2b) code changed this round — IVF nlist cap, corpus-scaled LSH planes
     "ann_ivf_topk",

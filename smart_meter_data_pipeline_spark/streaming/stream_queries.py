@@ -563,6 +563,71 @@ GROUP BY 1
 )(stream_stream_interval_join)
 
 
+SLIDE_MIN = 15
+SLIDE_WINDOW_MIN = 60
+
+
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows ({SLIDE_WINDOW_MIN} min long, sliding
+    every {SLIDE_MIN} min) over the events file stream — the T9 window
+    family's overlapping variant (each event lands in
+    window/slide = 4 windows), drained availableNow in complete mode.
+    Spark aligns slide boundaries to the epoch, so the oracle expands
+    each event to its 4 covering epoch-aligned window starts with
+    integer bucket arithmetic and aggregates — overlapping-assignment
+    semantics land in the hash, not just one window per event."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window(
+                "ts", f"{SLIDE_WINDOW_MIN} minutes", f"{SLIDE_MIN} minutes"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+register(
+    "stream_sliding_windows",
+    f"""
+WITH expanded AS (
+  SELECT CAST(to_timestamp(
+           CAST(floor(epoch(ts) / {SLIDE_MIN * 60}) AS BIGINT)
+             * {SLIDE_MIN * 60} - k * {SLIDE_MIN * 60}) AS TIMESTAMP)
+           AS window_start,
+         event_type, value
+  FROM events, range(0, {SLIDE_WINDOW_MIN // SLIDE_MIN}) t(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)(stream_sliding_windows)
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment — the canonical streaming join shape:
     the events file stream is joined PER MICRO-BATCH to the static
