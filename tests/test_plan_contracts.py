@@ -1,0 +1,110 @@
+"""Plan contracts: lock in the physical-plan properties the engine is
+designed around, so a regression (lost pushdown, lost pruning, a join
+degrading to a cartesian product, a broadcast silently becoming a
+shuffle) fails one cheap test instead of surfacing as a 100 TB
+incident. These assert on ``explain`` output of LAZY frames — nothing
+here executes a job."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from smart_meter_data_pipeline_spark.operators import (
+    events_pipeline,
+    extended,
+    similarity,
+    text,
+    tpch,
+)
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    """The date filter must reach the parquet scan (PushedFilters) and
+    unused wide columns (l_comment) must not be read at all."""
+    p = _plan(tpch.pricing_summary(spark, sf_dir))
+    scan = p[p.rindex("Scan parquet"):]
+    assert "PushedFilters" in scan and "l_shipdate" in scan
+    assert "l_comment" not in p
+    assert "l_partkey" not in p  # projection pruned to the 7 used cols
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """The rollup must run map-side partial aggregation (two
+    HashAggregate levels around the exchange), so only pre-combined
+    partials ever shuffle — the property that keeps a 100 TB GROUP BY
+    shuffle bounded by group count, not row count."""
+    p = _plan(tpch.pricing_summary(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_customer_billing_broadcasts_dim(spark, sf_dir):
+    """The fact⋈customer join must be a broadcast, not a shuffle of the
+    fact side."""
+    p = _plan(events_pipeline.daily_customer_billing(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hourly_nation_load_broadcasts_dims(spark, sf_dir):
+    p = _plan(events_pipeline.hourly_nation_load(spark, sf_dir))
+    assert "BroadcastExchange" in p
+
+
+def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
+    """The brute-force ANN baseline broadcasts the tiny query side; the
+    corpus side must never be materialized into a cartesian product."""
+    p = _plan(similarity.ann_topk_cosine(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        tpch.pricing_summary,
+        tpch.top_revenue_orders,
+        tpch.nation_revenue,
+        events_pipeline.stg_event_deltas,
+        events_pipeline.daily_customer_billing,
+        events_pipeline.hourly_nation_load,
+        text.doc_token_stats,
+        text.doc_ngram_novelty,
+        similarity.ann_topk_cosine,
+        extended.events_range_frame,
+        extended.events_asof_orders,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_no_cartesian_products(spark, sf_dir, fn):
+    """No registered analytic plan may contain a CartesianProduct — any
+    cross join must be a broadcast of a scalar/tiny frame."""
+    assert "CartesianProduct" not in _plan(fn(spark, sf_dir))
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        tpch.pricing_summary,
+        events_pipeline.stg_event_deltas,
+        events_pipeline.daily_customer_billing,
+        text.doc_token_stats,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_no_python_row_udfs_in_hot_paths(spark, sf_dir, fn):
+    """Core analytics must be JVM-side: no Python eval nodes in the
+    plan (Arrow mapInPandas is allowed only in multimodal operators)."""
+    p = _plan(fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
