@@ -858,3 +858,61 @@ WINDOW w AS (PARTITION BY g.meter_id ORDER BY g.tick
 
 
 register("meter_gap_fill", _gap_fill_oracle())(meter_gap_fill)
+
+
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsample — the hypertable continuous-aggregate
+    shape (TimescaleDB's first/last/min/max rollup the reference's
+    stack advertises but never ships): per (hour, event_type), the
+    opening and closing values by event time plus high/low/count.
+
+    Open/close are deterministic argmin/argmax via min/max over a
+    (ts, event_id, value) struct — event_id breaks same-microsecond
+    ties identically in both engines, and the whole thing is one
+    map-side-combinable aggregation (no window sort over the fact):
+    shuffle volume is bounded by bucket×type cardinality, not rows, so
+    the rollup runs at scan speed at 100 TB. Values are raw doubles
+    (selected, never summed), so no decimal discipline is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    edge = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+        )
+        .agg(
+            F.min(edge).alias("o"),
+            F.max(edge).alias("c"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "bucket_hour",
+            "event_type",
+            F.col("o.value").alias("open_value"),
+            F.col("c.value").alias("close_value"),
+            "high_value",
+            "low_value",
+            "n_events",
+        )
+    )
+
+
+register(
+    "events_ohlc_hourly",
+    """
+WITH g AS (
+  SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+         MIN(struct_pack(ts := ts, event_id := event_id, value := value)) AS o,
+         MAX(struct_pack(ts := ts, event_id := event_id, value := value)) AS c,
+         MAX(value) AS high_value,
+         MIN(value) AS low_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_hour, event_type,
+       o.value AS open_value, c.value AS close_value,
+       high_value, low_value, n_events
+FROM g
+""",
+)(events_ohlc_hourly)

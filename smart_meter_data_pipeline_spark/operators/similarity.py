@@ -1237,6 +1237,11 @@ def _pq_rerank(el: DataFrame, scored: DataFrame) -> DataFrame:
 
 
 IVFPQ_NPROBE = 4
+COARSE_TRAIN_ITERS = 2  # Lloyd rounds refining the coarse-cell centroids
+# (seed vectors → trained cells — the same move that lifted PQ recall
+# from 0.10 to 0.76: a raw corpus vector is a poor cell center, the
+# running mean of its members is a good one). Per round: one broadcast
+# join + bounded (cell, dim) update shuffle, the kmeans shape.
 
 
 def ivfpq_build_index(spark: SparkSession, sf_dir: str) -> tuple:
@@ -1249,23 +1254,50 @@ def ivfpq_build_index(spark: SparkSession, sf_dir: str) -> tuple:
     return el, enc, dtable, _ivfpq_coarse_dists(el)
 
 
-def _ivfpq_coarse_dists(el: DataFrame) -> DataFrame:
+def _coarse_dists_to(el: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, cell_id, d): exact-decimal squared L2 from every vector
-    to every coarse centroid — one broadcast join + bounded aggregation,
-    materialized (it feeds both cell assignment and query probes)."""
-    coarse = el.filter(_ivf_seed_pred()).select(
-        F.col("vec_id").alias("cell_id"), "m", "sp", F.col("v").alias("ccv")
-    )
+    to every centroid in ``cent`` — one broadcast join + bounded
+    aggregation."""
     return (
-        el.join(F.broadcast(coarse), ["m", "sp"])
+        el.join(F.broadcast(cent), ["m", "sp"])
         .groupBy("vec_id", "cell_id")
         .agg(
             F.sum(
                 (F.col("v") - F.col("ccv")) * (F.col("v") - F.col("ccv"))
             ).alias("d")
         )
-        .localCheckpoint(eager=True)
     )
+
+
+def _ivfpq_coarse_dists(el: DataFrame) -> DataFrame:
+    """Distances to the TRAINED coarse centroids, materialized (feeds
+    both cell assignment and query probes). Training: IVF_NLIST-capped
+    seed vectors refined with COARSE_TRAIN_ITERS Lloyd rounds on the
+    DECIMAL(12,6) grid — exact-decimal distances, (d, cell_id) argmin
+    tie-break, means through double re-quantized round-6 — the same
+    cross-engine-exact recipe as the PQ codebook training, so the
+    whole trained coarse quantizer hash-checks in DuckDB."""
+    cent = el.filter(_ivf_seed_pred()).select(
+        F.col("vec_id").alias("cell_id"), "m", "sp", F.col("v").alias("ccv")
+    )
+    for _ in range(COARSE_TRAIN_ITERS):
+        d = _coarse_dists_to(el, cent)
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cell_id")).alias("s"))
+            .select("vec_id", F.col("s.cell_id").alias("cell_id"))
+        )
+        cent = (
+            assign.join(el, "vec_id")
+            .groupBy("cell_id", "m", "sp")
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+                .cast("decimal(12,6)")
+                .alias("ccv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _coarse_dists_to(el, cent).localCheckpoint(eager=True)
 
 
 def ann_ivfpq_topk(
@@ -1446,18 +1478,54 @@ scored AS (
 )(ann_pq_topk)
 
 
+def _coarse_train_ctes() -> str:
+    """DuckDB twin of the coarse-quantizer training in
+    :func:`_ivfpq_coarse_dists`: seed cells, then one (cd, ca, cc) CTE
+    triple per Lloyd round, generated mechanically — same decimal
+    grid, exact reductions, (d, cell_id) argmin tie-break. The trained
+    centroid set is ``cc{COARSE_TRAIN_ITERS}``."""
+    parts = [
+        f"""cc0 AS (
+  SELECT vec_id AS cell_id, m, sp, v AS ccv
+  FROM el WHERE {_IVF_SEED_SQL}
+)"""
+    ]
+    for i in range(1, COARSE_TRAIN_ITERS + 1):
+        parts.append(
+            f"""cd{i} AS (
+  SELECT e.vec_id, c.cell_id, SUM((e.v - c.ccv) * (e.v - c.ccv)) AS d
+  FROM el e JOIN cc{i - 1} c ON e.m = c.m AND e.sp = c.sp
+  GROUP BY 1, 2
+),
+ca{i} AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM cd{i}
+  ) WHERE rn = 1
+),
+cc{i} AS (
+  SELECT a.cell_id, e.m, e.sp,
+         CAST(round(CAST(SUM(e.v) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(12,6)) AS ccv
+  FROM ca{i} a JOIN el e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2, 3
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_COARSE_CENT = f"cc{COARSE_TRAIN_ITERS}"
+
 register(
     "ann_ivfpq_topk",
     f"""
 WITH {_pq_train_ctes()},
 {_PQ_ENCODE_CTES},
-ccent AS (
-  SELECT vec_id AS cell_id, m, sp, v AS ccv
-  FROM el WHERE {_IVF_SEED_SQL}
-),
+{_coarse_train_ctes()},
 cdist AS (
   SELECT e.vec_id, c.cell_id, SUM((e.v - c.ccv) * (e.v - c.ccv)) AS d
-  FROM el e JOIN ccent c ON e.m = c.m AND e.sp = c.sp
+  FROM el e JOIN {_COARSE_CENT} c ON e.m = c.m AND e.sp = c.sp
   GROUP BY 1, 2
 ),
 cells AS (

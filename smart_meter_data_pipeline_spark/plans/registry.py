@@ -86,6 +86,7 @@ _PRIORITY = [
     "stream_static_join",
     "stream_sliding_windows",
     "dedup_keep_best",
+    "events_ohlc_hourly",
     # (2b) code changed this round — IVF nlist cap, corpus-scaled LSH planes
     "ann_ivf_topk",
     "ann_ivfpq_topk",
