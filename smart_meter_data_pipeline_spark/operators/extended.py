@@ -916,3 +916,120 @@ SELECT bucket_hour, event_type,
 FROM g
 """,
 )(events_ohlc_hourly)
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flags — the streaming-quality screen
+    run before readings enter a mart. Deterministic cross-engine via
+    the quantized-grid idiom: values enter a DECIMAL(12,6) grid, the
+    sufficient statistics (n, Σv, Σv²) are EXACT decimal sums, and
+    only the final mean/std pass through double with a round-12
+    re-quantize, so the z-score (round 9) and the threshold flag are
+    bit-identical in both engines.
+
+    Scale shape: stats are one map-side-combinable aggregation (3
+    numbers per event_type); the flagging pass is a broadcast join of
+    that tiny stats table back onto the scan — two scans, zero fact
+    shuffles."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v6", F.round("value", 6).cast("decimal(12,6)")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v6").alias("sv"),
+        F.sum(F.col("v6") * F.col("v6")).alias("sv2"),
+    )
+    mean = F.round(F.col("sv").cast("double") / F.col("n"), 12)
+    var = F.round(
+        F.col("sv2").cast("double") / F.col("n") - mean * mean, 12
+    )
+    enriched = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            (F.col("v6").cast("double") - mean) / F.sqrt(var), 9
+        ).alias("z_score"),
+    )
+    return enriched.withColumn(
+        "is_anomaly", F.abs("z_score") > ZSCORE_THRESHOLD
+    )
+
+
+register(
+    "events_anomaly_zscore",
+    f"""
+WITH g AS (
+  SELECT *, CAST(round(value, 6) AS DECIMAL(12,6)) AS v6 FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v6) AS sv, SUM(v6 * v6) AS sv2
+  FROM g GROUP BY 1
+),
+ms AS (
+  SELECT event_type, n, round(CAST(sv AS DOUBLE) / n, 12) AS mean,
+         round(CAST(sv2 AS DOUBLE) / n
+               - round(CAST(sv AS DOUBLE) / n, 12)
+                 * round(CAST(sv AS DOUBLE) / n, 12), 12) AS var
+  FROM stats
+)
+SELECT g.event_id, g.event_type, g.value,
+       round((CAST(g.v6 AS DOUBLE) - ms.mean) / sqrt(ms.var), 9) AS z_score,
+       abs(round((CAST(g.v6 AS DOUBLE) - ms.mean) / sqrt(ms.var), 9))
+         > {ZSCORE_THRESHOLD} AS is_anomaly
+FROM g JOIN ms ON g.event_type = ms.event_type
+""",
+)(events_anomaly_zscore)
+
+
+def user_weekly_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per user: weekly value rollup, LAG to the
+    prior week, guarded percent change (NULL when there is no prior
+    week or it is zero) — the P10 guarded-pct pattern applied across a
+    calendar window. One shuffle for the rollup; the LAG window reuses
+    the user partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week_start"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "week_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("week_start")
+    prev = F.lag("week_value").over(w)
+    return weekly.select(
+        "user_id",
+        "week_start",
+        "n_events",
+        "week_value",
+        prev.alias("prev_week_value"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round((F.col("week_value") - prev) / prev, 9),
+        ).alias("wow_pct"),
+    )
+
+
+register(
+    "user_weekly_wow_change",
+    """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start, user_id,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS week_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, week_start, n_events, week_value,
+       LAG(week_value) OVER w AS prev_week_value,
+       CASE WHEN LAG(week_value) OVER w IS NOT NULL
+             AND LAG(week_value) OVER w <> 0
+            THEN round((week_value - LAG(week_value) OVER w)
+                       / LAG(week_value) OVER w, 9)
+            ELSE NULL END AS wow_pct
+FROM weekly
+WINDOW w AS (PARTITION BY user_id ORDER BY week_start)
+""",
+)(user_weekly_wow_change)

@@ -87,6 +87,8 @@ _PRIORITY = [
     "stream_sliding_windows",
     "dedup_keep_best",
     "events_ohlc_hourly",
+    "events_anomaly_zscore",
+    "user_weekly_wow_change",
     # (2b) code changed this round — IVF nlist cap, corpus-scaled LSH planes
     "ann_ivf_topk",
     "ann_ivfpq_topk",
