@@ -802,3 +802,56 @@ SELECT w.doc_id,
 FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
 """,
 )(doc_span_dedup)
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs — |A∩B|/|A| per direction.
+    Jaccard misses near-SUBSET relations (a short doc embedded in a
+    long one scores low Jaccard but containment ≈ 1), which is exactly
+    the boilerplate/quotation case sub-document dedup cares about;
+    this is the Broder containment measure on the same inverted-index
+    pair machinery as the Jaccard path (candidates = pairs sharing ≥1
+    shingle, never all-pairs). Emits pairs where EITHER direction
+    clears the threshold, with both directions for the consumer."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _pair_jaccard(shingles(docs))
+    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return (
+        pairs.withColumn("containment_a_in_b", F.round(c_ab, 9))
+        .withColumn("containment_b_in_a", F.round(c_ba, 9))
+        .filter(
+            (F.col("containment_a_in_b") >= CONTAINMENT_THRESHOLD)
+            | (F.col("containment_b_in_a") >= CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            "containment_a_in_b",
+            "containment_b_in_a",
+        )
+    )
+
+
+register(
+    "dedup_ngram_containment",
+    f"""
+WITH {_PAIR_JACCARD_SQL}
+SELECT doc_a, doc_b, n_inter, n_a, n_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 9)
+         AS containment_a_in_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE), 9)
+         AS containment_b_in_a
+FROM pairs
+WHERE round(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 9)
+        >= {CONTAINMENT_THRESHOLD}
+   OR round(CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE), 9)
+        >= {CONTAINMENT_THRESHOLD}
+""",
+)(dedup_ngram_containment)

@@ -89,6 +89,7 @@ _PRIORITY = [
     "events_ohlc_hourly",
     "events_anomaly_zscore",
     "user_weekly_wow_change",
+    "dedup_ngram_containment",
     # (2b) code changed this round — IVF nlist cap, corpus-scaled LSH planes
     "ann_ivf_topk",
     "ann_ivfpq_topk",
