@@ -10,8 +10,10 @@ char-shingle Jaccard ≈0.99 vs a low random background):
   candidates only. The *scale* path: all-pairs comparison is O(n²);
   LSH makes the shuffle O(n·bands) and the verify O(candidates).
 - n-gram Jaccard: exact similarity via a shingle-inverted-index join —
-  the ground-truth oracle for the LSH path (and itself shuffle-bounded:
-  pairs sharing no shingle never meet).
+  the ground-truth oracle for the LSH path. Shuffle-bounded two ways:
+  pairs sharing no shingle never meet, and shingles hotter than
+  MAX_SHINGLE_DF are dropped before the self-join so no single
+  boilerplate shingle can fan out quadratically in corpus size.
 - SimHash: 64-bit sign-aggregated token fingerprint; near-dups collide
   in Hamming space. Bit arithmetic is done portably (hex-digit → 4 bits
   via integer div/mod) so even this is oracle-checked.
@@ -39,6 +41,15 @@ from smart_meter_data_pipeline_spark.plans.registry import register
 from smart_meter_data_pipeline_spark.sources.readers import load_table
 
 N_BINS = 16  # one-permutation bins = signature width
+MAX_SHINGLE_DF = 64  # hot-shingle cap for the exact pair path: a
+# shingle present in k docs emits k(k-1)/2 candidate pairs from the
+# inverted-index self-join, so boilerplate shingles make the join
+# quadratic in corpus size. Shingles with document frequency above
+# this cap carry no discriminative signal (at 100 TB they are site
+# chrome / license headers), so the pair path drops them from BOTH
+# the intersection and the size counts — the measure becomes Jaccard
+# over *discriminative* shingles, identical in Spark and the oracle,
+# and the per-shingle pair fan-out is bounded by MAX_SHINGLE_DF².
 BAND_SIZE = 4  # 4 bands of 4: measured on the testdata corpus —
 # perfect recall of every exact-Jaccard≥0.8 pair at sf0.01 AND sf0.1
 # with ~zero false candidates (256 candidates = 256 true pairs).
@@ -115,9 +126,21 @@ def _jaccard_for_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for every doc pair sharing ≥1 shingle, via an
-    inverted-index self-join on the shingle (never all-pairs)."""
+def _pair_jaccard(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Exact Jaccard for every doc pair sharing ≥1 *discriminative*
+    shingle, via an inverted-index self-join on the shingle (never
+    all-pairs). Shingles with document frequency > ``max_df`` are
+    dropped before the join (from sizes AND intersection — see
+    MAX_SHINGLE_DF), which bounds the per-shingle pair fan-out at
+    max_df² regardless of corpus size. The hot set itself is tiny
+    (≤ total_shingle_rows / max_df entries), so it broadcasts."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -146,7 +169,33 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
     )
 
 
+# Capped variant — the ngram pair queries' oracle (hot shingles
+# dropped before the self-join, mirroring _pair_jaccard).
 _PAIR_JACCARD_SQL = f"""
+sh0 AS ({_shingles_sql()}),
+hot AS (
+  SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > {MAX_SHINGLE_DF}
+),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)"""
+
+# Uncapped variant — the LSH family's oracle. The LSH path needs no
+# df cap (banding bounds candidates, and its verify stage touches
+# candidate pairs only), so its Spark side computes Jaccard over the
+# FULL shingle sets and the oracle must match.
+_PAIR_JACCARD_SQL_FULL = f"""
 sh AS ({_shingles_sql()}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
@@ -306,7 +355,7 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
 register(
     "dedup_minhash_lsh",
     f"""
-WITH {_PAIR_JACCARD_SQL},
+WITH {_PAIR_JACCARD_SQL_FULL},
 hashed AS (
   SELECT doc_id, md5(shingle) AS h,
          (strpos('{_HEX}', substr(md5(shingle), 1, 1)) - 1) % {N_BINS} AS bin
@@ -581,7 +630,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "dedup_clusters",
     f"""
-WITH {_PAIR_JACCARD_SQL},
+WITH {_PAIR_JACCARD_SQL_FULL},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
@@ -663,7 +712,7 @@ def _keep_best_oracle() -> str:
     )
 
     return f"""
-WITH {_PAIR_JACCARD_SQL},
+WITH {_PAIR_JACCARD_SQL_FULL},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
@@ -814,7 +863,9 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate/quotation case sub-document dedup cares about;
     this is the Broder containment measure on the same inverted-index
     pair machinery as the Jaccard path (candidates = pairs sharing ≥1
-    shingle, never all-pairs). Emits pairs where EITHER direction
+    discriminative shingle; shingles hotter than MAX_SHINGLE_DF are
+    dropped before the self-join, so the fan-out is df-bounded, never
+    all-pairs even on boilerplate). Emits pairs where EITHER direction
     clears the threshold, with both directions for the consumer."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = _pair_jaccard(shingles(docs))

@@ -384,6 +384,20 @@ def test_lsh_planes_scale_with_corpus(spark, sf_dir):
     assert pinned.agg(F.max("bucket_id")).first()[0] < 8
 
 
+def test_lsh_planes_floor_on_degenerate_corpora(spark):
+    """The adaptive plane formula must be total: an empty (or tiny)
+    corpus gets the documented floor of 4 planes, not the 64 that
+    bin(-1)'s two's-complement rendering would produce."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<float>"
+    )
+    assert similarity._adaptive_planes(empty).count() == 4
+    one = spark.createDataFrame(
+        [(0, "a", [1.0, 2.0])], "vec_id long, label string, embedding array<float>"
+    )
+    assert similarity._adaptive_planes(one).count() == 4
+
+
 def test_keep_best_one_winner_per_cluster(spark, sf_dir):
     """dedup_keep_best: every cluster keeps exactly one member, every
     corpus doc appears exactly once, and the winner has the cluster's
@@ -404,3 +418,58 @@ def test_keep_best_one_winner_per_cluster(spark, sf_dir):
     )
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_pair_jaccard_hot_shingle_df_bounded(spark):
+    """The exact n-gram pair path must be df-bounded: a boilerplate
+    shingle shared by k docs (k > MAX_SHINGLE_DF) must NOT fan out
+    into its k(k-1)/2 candidate pairs — it is dropped before the
+    self-join, so the capped output must equal the pair set computed
+    over a manually hot-filtered shingle table, and must be far below
+    the uncapped all-pairs blow-up."""
+
+    import hashlib
+
+    k = dedup.MAX_SHINGLE_DF + 36
+    # one shared 12-char boilerplate prefix (df = k, hot), then a
+    # per-doc-unique md5 tail; boundary windows mixing 11 shared chars
+    # with 1 hex char collide across docs at df ≈ k/16 (cool — they
+    # stay, proving the filter is per-shingle, not per-document).
+    corpus = spark.createDataFrame(
+        [
+            (i, "BOILERPLATE." + hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(k)
+        ],
+        "doc_id int, text string",
+    )
+    sh = shingles(corpus)
+    uncapped = dedup._pair_jaccard(sh, max_df=10**9).count()
+    assert uncapped >= k * (k - 1) / 2  # the hot shingle alone makes all-pairs
+    hot_set = (
+        sh.groupBy("shingle")
+        .count()
+        .filter(F.col("count") > dedup.MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    expected = dedup._pair_jaccard(
+        sh.join(hot_set, "shingle", "left_anti"), max_df=10**9
+    ).count()
+    capped = dedup._pair_jaccard(sh).count()
+    assert capped == expected
+    assert capped < uncapped / 2
+
+
+def test_ivfpq_index_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """build → save → load → search must equal the in-session search:
+    the persisted index is a drop-in replacement (the production
+    amortization path for the expensive train/encode/assign build)."""
+    built = similarity.ivfpq_build_index(spark, sf_dir)
+    similarity.ivfpq_save_index(built, str(tmp_path / "ivfpq"))
+    loaded = similarity.ivfpq_load_index(spark, str(tmp_path / "ivfpq"))
+    for a, b in zip(built, loaded):
+        assert dict(a.dtypes) == dict(b.dtypes)
+    fresh = similarity.ann_ivfpq_topk(spark, sf_dir, index=built).collect()
+    reloaded = similarity.ann_ivfpq_topk(spark, sf_dir, index=loaded).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, reloaded))
+    assert len(fresh) > 0

@@ -108,3 +108,17 @@ def test_no_python_row_udfs_in_hot_paths(spark, sf_dir, fn):
     plan (Arrow mapInPandas is allowed only in multimodal operators)."""
     p = _plan(fn(spark, sf_dir))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ngram_pair_path_drops_hot_shingles_via_broadcast_anti(spark, sf_dir):
+    """The hot-shingle cap must appear in the plan as a broadcast
+    LeftAnti join feeding the inverted-index self-join — the property
+    that keeps the pair fan-out df-bounded at 100 TB."""
+    from smart_meter_data_pipeline_spark.operators import dedup
+
+    for q in (dedup.dedup_ngram_jaccard, dedup.dedup_ngram_containment):
+        p = _plan(q(spark, sf_dir))
+        assert "LeftAnti" in p, q.__name__
+        anti = p[: p.index("LeftAnti") + 200]
+        assert "BroadcastExchange" in p, q.__name__
+        assert "CartesianProduct" not in p, q.__name__
