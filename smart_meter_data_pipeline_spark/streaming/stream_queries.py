@@ -571,41 +571,96 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows ({SLIDE_WINDOW_MIN} min long, sliding
     every {SLIDE_MIN} min) over the events file stream — the T9 window
     family's overlapping variant (each event lands in
-    window/slide = 4 windows), drained availableNow in complete mode.
-    Spark aligns slide boundaries to the epoch, so the oracle expands
-    each event to its 4 covering epoch-aligned window starts with
-    integer bucket arithmetic and aggregates — overlapping-assignment
-    semantics land in the hash, not just one window per event."""
-    stream = _events_stream(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(
-            F.window(
-                "ts", f"{SLIDE_WINDOW_MIN} minutes", f"{SLIDE_MIN} minutes"
-            ).alias("w"),
-            "event_type",
+    window/slide = 4 windows), drained availableNow in APPEND mode so
+    the declared watermark actually evicts window state (the
+    production, state-bounded shape: complete mode would retain every
+    window ever seen). Append emits a window only once the watermark
+    passes its end, so a drained finite stream would swallow its
+    trailing windows; a single far-future ``__flush__`` sentinel event
+    is delivered after the real data to push the final watermark past
+    every real window, and the sentinel's own (never-emitted, filtered)
+    windows are the only state left behind. TWO sentinel deliveries,
+    because the watermark advances at batch END and availableNow stops
+    without a closing no-data batch: sentinel #1 advances the
+    watermark, the batch processing sentinel #2 emits every real
+    window under it. Spark aligns slide
+    boundaries to the epoch, so the oracle expands each event to its 4
+    covering epoch-aligned window starts with integer bucket arithmetic
+    and aggregates — overlapping-assignment semantics land in the hash,
+    not just one window per event."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_sliding_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        # Sentinel ts: far enough that watermark (sentinel − 1 h) passes
+        # the end of every real window (≤ max_ts + window). 3 days ≫
+        # 1 h + 60 min; scalar max() collect is metadata-sized.
+        mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+
+        def sentinel(days: int) -> DataFrame:
+            return ev.limit(1).select(
+                *[
+                    F.lit("__flush__").alias(c)
+                    if c == "event_type"
+                    else (
+                        (F.lit(mx) + F.expr(f"INTERVAL {days} DAYS")).alias(c)
+                        if c == "ts"
+                        else F.col(c)
+                    )
+                    for c in ev.columns
+                ]
+            )
+
+        # Time-ordered delivery: real events, then the two sentinels,
+        # one file per micro-batch so the watermark only moves forward.
+        ev.coalesce(1).write.parquet(os.path.join(workdir, "chunk_0"))
+        sentinel(3).coalesce(1).write.parquet(os.path.join(workdir, "chunk_1"))
+        sentinel(6).coalesce(1).write.parquet(os.path.join(workdir, "chunk_2"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "total_value"),
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window(
+                    "ts", f"{SLIDE_WINDOW_MIN} minutes", f"{SLIDE_MIN} minutes"
+                ).alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", "total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
+        sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+        q.awaitTermination()
+        # Sentinel windows are dropped batch-side, AFTER the drain: a
+        # filter inside the streaming plan gets pushed below the
+        # EventTimeWatermark operator, where it would eat the sentinel
+        # before it could ever advance the watermark.
+        return (
+            spark.table(sink)
+            .filter(F.col("event_type") != "__flush__")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 register(
