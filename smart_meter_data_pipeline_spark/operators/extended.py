@@ -943,16 +943,24 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v6") * F.col("v6")).alias("sv2"),
     )
     mean = F.round(F.col("sv").cast("double") / F.col("n"), 12)
-    var = F.round(
-        F.col("sv2").cast("double") / F.col("n") - mean * mean, 12
+    # Clamp round-12 cancellation residue to 0, and emit NULL z-scores
+    # for degenerate groups (constant values or n=1 → var 0): Spark's
+    # non-ANSI x/0.0 is NULL while DuckDB's is ±inf/NaN, so an
+    # unguarded divide breaks the cross-engine hash the first time the
+    # data serves up a constant event_type.
+    var = F.greatest(
+        F.round(F.col("sv2").cast("double") / F.col("n") - mean * mean, 12),
+        F.lit(0.0),
+    )
+    z = F.when(
+        var > 0,
+        F.round((F.col("v6").cast("double") - mean) / F.sqrt(var), 9),
     )
     enriched = ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
         "value",
-        F.round(
-            (F.col("v6").cast("double") - mean) / F.sqrt(var), 9
-        ).alias("z_score"),
+        z.alias("z_score"),
     )
     return enriched.withColumn(
         "is_anomaly", F.abs("z_score") > ZSCORE_THRESHOLD
@@ -969,18 +977,24 @@ stats AS (
   SELECT event_type, COUNT(*) AS n, SUM(v6) AS sv, SUM(v6 * v6) AS sv2
   FROM g GROUP BY 1
 ),
-ms AS (
+ms0 AS (
   SELECT event_type, n, round(CAST(sv AS DOUBLE) / n, 12) AS mean,
          round(CAST(sv2 AS DOUBLE) / n
                - round(CAST(sv AS DOUBLE) / n, 12)
-                 * round(CAST(sv AS DOUBLE) / n, 12), 12) AS var
+                 * round(CAST(sv AS DOUBLE) / n, 12), 12) AS var0
   FROM stats
+),
+ms AS (SELECT event_type, n, mean, GREATEST(var0, 0) AS var FROM ms0),
+z AS (
+  SELECT g.event_id, g.event_type, g.value,
+         CASE WHEN ms.var > 0
+              THEN round((CAST(g.v6 AS DOUBLE) - ms.mean) / sqrt(ms.var), 9)
+              ELSE NULL END AS z_score
+  FROM g JOIN ms ON g.event_type = ms.event_type
 )
-SELECT g.event_id, g.event_type, g.value,
-       round((CAST(g.v6 AS DOUBLE) - ms.mean) / sqrt(ms.var), 9) AS z_score,
-       abs(round((CAST(g.v6 AS DOUBLE) - ms.mean) / sqrt(ms.var), 9))
-         > {ZSCORE_THRESHOLD} AS is_anomaly
-FROM g JOIN ms ON g.event_type = ms.event_type
+SELECT event_id, event_type, value, z_score,
+       abs(z_score) > {ZSCORE_THRESHOLD} AS is_anomaly
+FROM z
 """,
 )(events_anomaly_zscore)
 

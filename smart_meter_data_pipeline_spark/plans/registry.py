@@ -62,17 +62,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of 82 rows per round), so order by proof
-# staleness: (1) queries broken or left stale by the round-4 testdata
-# encoding change (events.ts → TIMESTAMP_NTZ) — their green rows
-# predate the format change and the reader fix must be re-proven on the
-# driver; (2) queries whose code changed this round (ANN parameter
-# policy); (3) the round-3-proven tail not re-evaluated under round 4's
-# ~50-row cap; (4) the freshly-green round-4 rows last. Names not
-# listed keep registration order after the listed ones.
+# prefix of the registry (~50 of the 89 registered rows per round), so
+# order by proof staleness: (1) queries whose code or oracle changed
+# this round — they need a fresh driver row under the new definition;
+# (2) the 39 queries whose latest green row is from round 4 (everything
+# round 5's ~50-row window did not reach); (3) the freshly-green
+# round-5 rows last. Names not listed keep registration order after the
+# listed ones.
 _PRIORITY = [
-    # (1) broken/stale after the TIMESTAMP_NTZ testdata change —
-    # r05 rows re-prove the readers.py normalization end-to-end
+    # (1) code/oracle changed in round 6: hot-shingle df cap in the
+    # exact ngram pair path (+ uncapped-oracle split for the LSH
+    # family), append-mode sliding windows, guarded z-score, clamped
+    # adaptive LSH plane count
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "stream_sliding_windows",
+    "events_anomaly_zscore",
+    "ann_lsh_topk",
+    "ann_lsh_buckets",
+    "dedup_embedding_cosine",
+    "ann_ivfpq_topk",
+    # (2) latest green row is from round 4 — re-prove under the cap
+    "meter_quality_incidents",
+    "first_last_readings",
+    "missing_readings",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_repetition_ratio",
+    "doc_ngram_novelty",
+    "doc_pii_scrub",
+    "sample_stratified",
+    "decontaminate_docs",
+    "quality_filter_chain",
+    "pack_training_sequences",
+    "source_quota_cap",
+    "corpus_token_freq",
+    "train_val_test_split",
+    "corpus_shard_manifest",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "orders_above_customer_avg",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_pq_topk",
+    "kmeans_embeddings",
+    "batch_billing_incremental",
+    "dedup_redelivery",
+    "approx_sketch_check",
+    "doc_span_dedup",
+    "dedup_simhash_pairs",
+    "ann_topk_cosine",
+    "embedding_normalize_quantize",
+    "embedding_dim_stats",
+    "multimodal_features",
+    "multimodal_resize",
+    # (3) green round-5 rows (freshest proofs)
     "stream_dedup_watermark",
     "stream_hourly_events",
     "stream_session_windows",
@@ -82,21 +132,10 @@ _PRIORITY = [
     "stream_grid_incremental",
     "events_range_frame",
     "events_range_pairs",
-    # (2) new this round — need a first driver row
     "stream_static_join",
-    "stream_sliding_windows",
-    "dedup_keep_best",
     "events_ohlc_hourly",
-    "events_anomaly_zscore",
     "user_weekly_wow_change",
-    "dedup_ngram_containment",
-    # (2b) code changed this round — IVF nlist cap, corpus-scaled LSH planes
     "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_topk",
-    "ann_lsh_buckets",
-    "dedup_embedding_cosine",
-    # (3) round-3 proofs not refreshed in round 4's window
     "stream_ingest_daily",
     "multimodal_frame_sample",
     "kmeans_fixed_rounds",
@@ -121,51 +160,11 @@ _PRIORITY = [
     "event_value_percentiles",
     "user_retention_sets",
     "meter_readings",
-    # (4) green round-4 rows (freshest proofs) — marts/staging first
     "meter_stg",
     "meter_billing_daily",
     "meter_grid_load_hourly",
     "meter_dims",
     "meter_quality_checks",
-    "meter_quality_incidents",
-    "first_last_readings",
-    "missing_readings",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_fingerprint",
-    "doc_repetition_ratio",
-    "doc_ngram_novelty",
-    "doc_pii_scrub",
-    "sample_stratified",
-    "decontaminate_docs",
-    "quality_filter_chain",
-    "pack_training_sequences",
-    "source_quota_cap",
-    "corpus_token_freq",
-    "train_val_test_split",
-    "corpus_shard_manifest",
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "orders_above_customer_avg",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_pq_topk",
-    "kmeans_embeddings",
-    "batch_billing_incremental",
-    "dedup_redelivery",
-    "approx_sketch_check",
-    "doc_span_dedup",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "ann_topk_cosine",
-    "embedding_normalize_quantize",
-    "embedding_dim_stats",
-    "multimodal_features",
-    "multimodal_resize",
 ]
 
 

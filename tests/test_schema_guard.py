@@ -52,11 +52,25 @@ def test_loaded_dtypes_match_engine_expectations(spark, sf_dir, table):
 def test_no_table_surfaces_ntz_or_raw_nanos(spark, sf_dir):
     """No loaded table may expose timestamp_ntz (watermarks and
     unix_micros reject it) or a raw bigint nano column."""
+    from smart_meter_data_pipeline_spark.sources.readers import (
+        _NANO_TS_COLUMNS,
+    )
+
     for table in TESTDATA_TABLES:
-        for col, dtype in load_table(spark, sf_dir, table).dtypes:
+        dtypes = load_table(spark, sf_dir, table).dtypes
+        for col, dtype in dtypes:
             assert dtype != "timestamp_ntz", (
                 f"{table}.{col} is timestamp_ntz after load_table — "
                 f"normalize_timestamps missed it"
+            )
+        # the raw-nanos half of the promise: every known time column
+        # must load as a real timestamp, never the bigint that a
+        # nanosAsLong regression would surface
+        for col in _NANO_TS_COLUMNS.get(table, ()):
+            got = dict(dtypes).get(col)
+            assert got == "timestamp", (
+                f"{table}.{col} loads as {got}, expected timestamp — "
+                f"raw-nanos bigint leaked through load_table"
             )
 
 
