@@ -21,6 +21,8 @@ oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -134,6 +136,35 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 )(ann_topk_cosine)
 
 
+def _adaptive_planes(emb: DataFrame) -> DataFrame:
+    """One row per hyperplane index ``j`` — count =
+    max(4, ceil_log2(ceil(N / LSH_TARGET_OCCUPANCY))). ceil_log2 is
+    length(bin(q-1)) with q clamped to ≥1: for an empty corpus
+    bin(q-1) would be bin(-1) = 64 ones → 64 planes, where the
+    documented policy (and the Python formula (q-1).bit_length())
+    gives the floor of 4. Stays inside the plan (aggregate broadcast
+    into the cross join) — no driver collect."""
+    occ = LSH_TARGET_OCCUPANCY
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.greatest(
+                F.lit(4),
+                F.length(
+                    F.bin(
+                        F.greatest(
+                            F.expr(f"(n + {occ - 1}) div {occ}"), F.lit(1)
+                        )
+                        - 1
+                    )
+                ),
+            ).alias("np")
+        )
+        .select(F.explode(F.sequence(F.lit(0), F.col("np") - 1)).alias("j0"))
+        .select(F.col("j0").cast("bigint").alias("j"))
+    )
+
+
 def lsh_bucket_assignments(
     emb: DataFrame, n_planes: int | None = None
 ) -> DataFrame:
@@ -151,20 +182,7 @@ def lsh_bucket_assignments(
         "vec_id", "label", F.posexplode("embedding").alias("d", "val")
     )
     if n_planes is None:
-        occ = LSH_TARGET_OCCUPANCY
-        planes = (
-            emb.agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                F.greatest(
-                    F.lit(4),
-                    F.length(F.bin(F.expr(f"(n + {occ - 1}) div {occ}") - 1)),
-                ).alias("np")
-            )
-            .select(
-                F.explode(F.sequence(F.lit(0), F.col("np") - 1)).alias("j0")
-            )
-            .select(F.col("j0").cast("bigint").alias("j"))
-        )
+        planes = _adaptive_planes(emb)
     else:
         planes = el.sparkSession.range(n_planes).select(F.col("id").alias("j"))
     proj = (
@@ -206,7 +224,8 @@ def _bucket_cte() -> str:
     r = f"({_u_sql(7, 'j', 'd')} * 2.0 - 1.0)"
     occ = LSH_TARGET_OCCUPANCY
     return f"""params AS (
-  SELECT GREATEST(4, length(bin((COUNT(*) + {occ - 1}) // {occ} - 1)))
+  SELECT GREATEST(4, length(bin(
+           GREATEST((COUNT(*) + {occ - 1}) // {occ}, 1) - 1)))
     AS n_planes
   FROM embeddings
 ),
@@ -423,10 +442,10 @@ _IVF_SEED_SQL = (
 )
 
 
-def _ivf_seed_pred():
-    """Deterministic bounded centroid-seed predicate (≤ IVF_NLIST)."""
+def _ivf_seed_pred(nlist: int = IVF_NLIST):
+    """Deterministic bounded centroid-seed predicate (≤ ``nlist``)."""
     return (F.col("vec_id") % IVF_SEED_STRIDE == IVF_SEED_STRIDE % 7) & (
-        F.col("vec_id") < IVF_SEED_STRIDE * IVF_NLIST
+        F.col("vec_id") < IVF_SEED_STRIDE * nlist
     )
 
 
@@ -1018,7 +1037,14 @@ PQ_K = 32  # …capped at K entries per subspace: codebook size must be
 # CONSTANT in corpus size (real PQ uses K=256) or encode cost creeps
 # from O(n·K) toward O(n·n/stride)
 PQ_TRAIN_ITERS = 2  # per-subspace Lloyd rounds refining the seeds
-PQ_RERANK = 40  # ADC shortlist depth fed to the exact re-rank stage
+PQ_RERANK = 160  # ADC shortlist depth fed to the exact re-rank stage.
+# The round-6 sweep showed ADC distortion, not coarse-cell quality,
+# was the recall ceiling: at rerank 40, scanning 77% of the sf0.1
+# corpus still capped recall@10 at ~0.76, while deepening the
+# shortlist 40→160 (a standard 16× over-fetch for 10-NN) lifted
+# IVF×PQ nprobe4/8 from 0.40/0.58 to 0.46/0.66 with trained coarse
+# cells kept. Cost is per-query only (160 broadcast rows re-ranked),
+# independent of corpus size.
 
 
 def _pq_normalized_el(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,8 +1173,10 @@ def pq_build_index(spark: SparkSession, sf_dir: str) -> tuple:
     (codebooks are K·n_subspace floats, codes a few bytes/vector);
     searches pay only the ADC join + re-rank. bench.py times this
     build separately from serving so the one-time training cost isn't
-    conflated with per-query latency."""
-    el = _pq_normalized_el(spark, sf_dir)
+    conflated with per-query latency. ``el`` is checkpointed too —
+    serving legs (re-rank reads the grid corpus) must not silently
+    re-derive normalization, or 'pure serving' timings include it."""
+    el = _pq_normalized_el(spark, sf_dir).localCheckpoint(eager=True)
     enc, dtable = _pq_encode_tables(el)
     return (
         el,
@@ -1244,14 +1272,47 @@ COARSE_TRAIN_ITERS = 2  # Lloyd rounds refining the coarse-cell centroids
 # join + bounded (cell, dim) update shuffle, the kmeans shape.
 
 
-def ivfpq_build_index(spark: SparkSession, sf_dir: str) -> tuple:
+def ivfpq_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    train_iters: int = COARSE_TRAIN_ITERS,
+    nlist: int = IVF_NLIST,
+) -> tuple:
     """One-time IVF×PQ index build: the PQ index plus the coarse-cell
     distance table (corpus × nlist — the expensive assignment scan).
     Returns (el, enc, dtable, cdist); pass as ``index=`` to
     :func:`ann_ivfpq_topk` so repeated searches (bench recall sweeps,
-    production serving) don't retrain or re-assign per query."""
+    production serving) don't retrain or re-assign per query.
+    ``train_iters``/``nlist`` exist for the bench recall sweep; the
+    registered oracle pins the module defaults."""
     el, enc, dtable = pq_build_index(spark, sf_dir)
-    return el, enc, dtable, _ivfpq_coarse_dists(el)
+    return el, enc, dtable, _ivfpq_coarse_dists(el, train_iters, nlist)
+
+
+_IVFPQ_INDEX_PARTS = ("el", "enc", "dtable", "cdist")
+
+
+def ivfpq_save_index(index: tuple, path: str) -> None:
+    """Persist a built IVF×PQ index as four parquet tables under
+    ``path`` — the production amortization of the index build: train
+    once, serve from the saved artifact across sessions (codebooks
+    and codes are a few bytes/vector; cdist is corpus × nlist rows of
+    three narrow columns). Plain overwrite-parquet; a production
+    deployment would version these through the manifest/sink protocol
+    in sources/manifest.py the same way the fact tables are."""
+    for name, df in zip(_IVFPQ_INDEX_PARTS, index):
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def ivfpq_load_index(spark: SparkSession, path: str) -> tuple:
+    """Load an :func:`ivfpq_save_index` artifact; the returned tuple
+    drops into ``ann_ivfpq_topk(..., index=...)`` / ``pq_search_adc``
+    exactly like a freshly built one (decimal grid types round-trip
+    through parquet unchanged)."""
+    return tuple(
+        spark.read.parquet(os.path.join(path, name))
+        for name in _IVFPQ_INDEX_PARTS
+    )
 
 
 def _coarse_dists_to(el: DataFrame, cent: DataFrame) -> DataFrame:
@@ -1269,18 +1330,22 @@ def _coarse_dists_to(el: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_coarse_dists(el: DataFrame) -> DataFrame:
+def _ivfpq_coarse_dists(
+    el: DataFrame,
+    train_iters: int = COARSE_TRAIN_ITERS,
+    nlist: int = IVF_NLIST,
+) -> DataFrame:
     """Distances to the TRAINED coarse centroids, materialized (feeds
-    both cell assignment and query probes). Training: IVF_NLIST-capped
-    seed vectors refined with COARSE_TRAIN_ITERS Lloyd rounds on the
+    both cell assignment and query probes). Training: ``nlist``-capped
+    seed vectors refined with ``train_iters`` Lloyd rounds on the
     DECIMAL(12,6) grid — exact-decimal distances, (d, cell_id) argmin
     tie-break, means through double re-quantized round-6 — the same
     cross-engine-exact recipe as the PQ codebook training, so the
     whole trained coarse quantizer hash-checks in DuckDB."""
-    cent = el.filter(_ivf_seed_pred()).select(
+    cent = el.filter(_ivf_seed_pred(nlist)).select(
         F.col("vec_id").alias("cell_id"), "m", "sp", F.col("v").alias("ccv")
     )
-    for _ in range(COARSE_TRAIN_ITERS):
+    for _ in range(train_iters):
         d = _coarse_dists_to(el, cent)
         assign = (
             d.groupBy("vec_id")
