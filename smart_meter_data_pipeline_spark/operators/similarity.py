@@ -1058,11 +1058,16 @@ def _pq_normalized_el(spark: SparkSession, sf_dir: str) -> DataFrame:
     The norm is the engine's cross-engine-exact recipe (double
     products, DECIMAL(30,15) sum, one sqrt), then round-6 re-enters
     the decimal grid, so the whole pipeline stays hash-checkable."""
-    raw = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
-        .select("vec_id", "pos", F.col("vf").cast("double").alias("val"))
-    )
+    return _normalize_el(load_table(spark, sf_dir, "embeddings"))
+
+
+def _normalize_el(emb: DataFrame) -> DataFrame:
+    """:func:`_pq_normalized_el` for an arbitrary (vec_id, embedding)
+    frame — the shared normalize→explode→grid step, so incremental
+    index maintenance runs the IDENTICAL arithmetic as the build."""
+    raw = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "pos", F.col("vf").cast("double").alias("val"))
     norms = raw.groupBy("vec_id").agg(
         F.sqrt(
             F.sum(
@@ -1198,11 +1203,16 @@ def pq_search_adc(el: DataFrame, enc: DataFrame, dtable: DataFrame) -> DataFrame
     return _pq_rerank(el, scored)
 
 
-def _pq_encode_tables(el: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_encode_tables(
+    el: DataFrame, codebook: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(enc, dtable): the corpus PQ codes and the per-query ADC
     distance tables, from subspace distances to the trained codebook —
-    one broadcast join + map-side-combinable argmin over the scan."""
-    codebook = _pq_train_codebook(el)
+    one broadcast join + map-side-combinable argmin over the scan.
+    Pass a prebuilt ``codebook`` to encode against an existing index
+    (the incremental-append path) instead of training."""
+    if codebook is None:
+        codebook = _pq_train_codebook(el)
     sub_d = (
         el.join(F.broadcast(codebook), ["m", "sp"])
         .groupBy("vec_id", "m", "code_id")
@@ -1265,11 +1275,14 @@ def _pq_rerank(el: DataFrame, scored: DataFrame) -> DataFrame:
 
 
 IVFPQ_NPROBE = 4
-COARSE_TRAIN_ITERS = 2  # Lloyd rounds refining the coarse-cell centroids
-# (seed vectors → trained cells — the same move that lifted PQ recall
-# from 0.10 to 0.76: a raw corpus vector is a poor cell center, the
-# running mean of its members is a good one). Per round: one broadcast
-# join + bounded (cell, dim) update shuffle, the kmeans shape.
+COARSE_TRAIN_ITERS = 1  # Lloyd rounds refining the coarse-cell centroids
+# (seed vectors → trained cells: a raw corpus vector is a poor cell
+# center, the running mean of its members is a good one). Per round:
+# one broadcast join + bounded (cell, dim) update shuffle, the kmeans
+# shape. The round-6 sweep (PQ_RERANK=160) picked ONE round — it
+# dominates two at both scales (sf0.01 nprobe4 0.86 vs 0.84; sf0.1
+# nprobe4/8 0.46/0.72 vs 0.46/0.66) and beats untrained seeds at
+# nprobe4 (0.42) while costing one bounded shuffle less than two.
 
 
 def ivfpq_build_index(
@@ -1302,6 +1315,51 @@ def ivfpq_save_index(index: tuple, path: str) -> None:
     in sources/manifest.py the same way the fact tables are."""
     for name, df in zip(_IVFPQ_INDEX_PARTS, index):
         df.write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def ivfpq_encode_increment(index: tuple, new_emb: DataFrame) -> tuple:
+    """Append-path index maintenance: fold NEW vectors into an
+    existing IVF×PQ index WITHOUT retraining or rebuilding — the
+    production serving-side story, where a 10^9-vector index ingests
+    daily increments and full retrains are occasional, scheduled
+    events.
+
+    The codebook and coarse centroids are re-derived from the saved
+    corpus grid ``el`` (training is a deterministic pure function of
+    it — same seeds, same Lloyd rounds, same decimal arithmetic), so
+    a parquet-loaded index increments identically to an in-session
+    one. New vectors are normalized on the same grid, PQ-encoded
+    against the EXISTING codebook, and coarse-assigned against the
+    EXISTING centroids; encoding is pointwise per vector, so the
+    incremental codes are bit-identical to what a batch encode of the
+    enlarged corpus against the same codebook would produce (tested).
+    Query-side ADC tables are untouched. Cost: one scan of the
+    increment + two broadcast joins — independent of index size."""
+    el, enc, dtable, cdist = index
+    codebook = _pq_train_codebook(el)
+    cent = _trained_coarse_centroids(el)
+    new_el = _normalize_el(new_emb)
+    sub_d = (
+        new_el.join(F.broadcast(codebook), ["m", "sp"])
+        .groupBy("vec_id", "m", "code_id")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+            ).alias("d")
+        )
+    )
+    enc_new = (
+        sub_d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "code_id")).alias("s"))
+        .select("vec_id", "m", F.col("s.code_id").alias("code"))
+    )
+    cdist_new = _coarse_dists_to(new_el, cent)
+    return (
+        el.unionByName(new_el),
+        enc.unionByName(enc_new),
+        dtable,
+        cdist.unionByName(cdist_new),
+    )
 
 
 def ivfpq_load_index(spark: SparkSession, path: str) -> tuple:
@@ -1342,6 +1400,19 @@ def _ivfpq_coarse_dists(
     tie-break, means through double re-quantized round-6 — the same
     cross-engine-exact recipe as the PQ codebook training, so the
     whole trained coarse quantizer hash-checks in DuckDB."""
+    cent = _trained_coarse_centroids(el, train_iters, nlist)
+    return _coarse_dists_to(el, cent).localCheckpoint(eager=True)
+
+
+def _trained_coarse_centroids(
+    el: DataFrame,
+    train_iters: int = COARSE_TRAIN_ITERS,
+    nlist: int = IVF_NLIST,
+) -> DataFrame:
+    """The trained coarse centroid table (cell_id, m, sp, ccv) —
+    exposed separately so incremental index maintenance can re-derive
+    it deterministically from a saved ``el`` (training is a pure
+    function of the corpus grid)."""
     cent = el.filter(_ivf_seed_pred(nlist)).select(
         F.col("vec_id").alias("cell_id"), "m", "sp", F.col("v").alias("ccv")
     )
@@ -1362,7 +1433,7 @@ def _ivfpq_coarse_dists(
             )
             .localCheckpoint(eager=True)
         )
-    return _coarse_dists_to(el, cent).localCheckpoint(eager=True)
+    return cent
 
 
 def ann_ivfpq_topk(

@@ -473,3 +473,109 @@ def test_ivfpq_index_parquet_roundtrip(spark, sf_dir, tmp_path):
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, reloaded))
     assert len(fresh) > 0
+
+
+def test_bm25_mlt_ranking_contract(spark, sf_dir):
+    """BM25 MLT: per query, ranks are 1..k contiguous, scores
+    non-increasing along rank, no self-matches, all scores positive
+    (rational idf is positive once df <= N/4)."""
+    from smart_meter_data_pipeline_spark.operators.text import doc_bm25_mlt
+
+    rows = doc_bm25_mlt(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["doc_id"] != r["query_id"]
+        assert r["score"] > 0
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+    for qid, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1)), qid
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True), qid
+
+
+def test_temperature_sample_flattens_sources(spark, sf_dir):
+    """Alpha=0.5 mixing: keep_prob is monotone non-increasing in
+    source size (small sources up-weighted), n_kept <= n_source,
+    shares sum to ~1, and the realized sample tracks keep_prob."""
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        source_temperature_sample,
+    )
+
+    rows = source_temperature_sample(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert 0 < r["keep_prob"] <= 1.0
+        assert 0 <= r["n_kept"] <= r["n_source"]
+    by_size = sorted(rows, key=lambda r: r["n_source"])
+    probs = [r["keep_prob"] for r in by_size]
+    assert probs == sorted(probs, reverse=True)
+
+
+def test_ivfpq_incremental_encode_matches_batch(spark, sf_dir):
+    """Fold-in equality: building an index on a base corpus and
+    incrementing it with held-out vectors must produce bit-identical
+    codes and cell distances to batch-encoding the enlarged corpus
+    against the SAME (base-trained) codebook/centroids — encoding is
+    pointwise, so the append path may not drift. Search over the
+    incremented index must be able to return appended vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Hold out vectors that are never PQ or IVF seeds, so base-corpus
+    # training sees every seed and stays deterministic.
+    s = similarity.IVF_SEED_STRIDE
+    holdout = (F.col("vec_id") % s == (s % 7) + 1) & (
+        F.col("vec_id") % similarity.PQ_STRIDE != 0
+    ) & (F.col("vec_id") >= similarity.N_QUERIES)
+    base, inc = emb.filter(~holdout), emb.filter(holdout)
+    n_inc = inc.count()
+    assert n_inc > 0
+
+    el_b = similarity._normalize_el(base).localCheckpoint(eager=True)
+    enc_b, dt_b = similarity._pq_encode_tables(el_b)
+    cd_b = similarity._ivfpq_coarse_dists(el_b)
+    index_b = (el_b, enc_b.localCheckpoint(eager=True),
+               dt_b.localCheckpoint(eager=True), cd_b)
+    el2, enc2, dt2, cd2 = similarity.ivfpq_encode_increment(index_b, inc)
+
+    # Batch reference: enlarged corpus encoded against the base-trained
+    # codebook/centroids.
+    codebook = similarity._pq_train_codebook(el_b)
+    cent = similarity._trained_coarse_centroids(el_b)
+    el_full = similarity._normalize_el(emb)
+    enc_ref, _ = similarity._pq_encode_tables(el_full, codebook)
+    inc_ids = {r["vec_id"] for r in inc.select("vec_id").collect()}
+    got_codes = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in enc2.collect() if r["vec_id"] in inc_ids
+    }
+    ref_codes = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in enc_ref.collect() if r["vec_id"] in inc_ids
+    }
+    assert got_codes == ref_codes and got_codes
+    cd_ref = similarity._coarse_dists_to(el_full, cent)
+    got_cd = {(r["vec_id"], r["cell_id"]): r["d"]
+              for r in cd2.collect() if r["vec_id"] in inc_ids}
+    ref_cd = {(r["vec_id"], r["cell_id"]): r["d"]
+              for r in cd_ref.collect() if r["vec_id"] in inc_ids}
+    assert got_cd == ref_cd and got_cd
+
+    # Appended vectors are fully in the serving universe: exactly one
+    # best cell each (same argmin rule), and search over the
+    # incremented index still returns a full, well-formed top-k.
+    cells2 = (
+        cd2.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell_id")).alias("s"))
+        .select("vec_id")
+    )
+    assigned = {r["vec_id"] for r in cells2.collect()}
+    assert inc_ids <= assigned
+    out = similarity.ann_ivfpq_topk(
+        spark, sf_dir, nprobe=8, index=(el2, enc2, dt2, cd2)
+    ).collect()
+    per_q: dict[int, int] = {}
+    for r in out:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q and all(v == similarity.TOP_K for v in per_q.values())
