@@ -536,3 +536,100 @@ SELECT doc_id, source, split, n_tokens,
 FROM packed
 """,
 )(corpus_build_pipeline)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing
+# ---------------------------------------------------------------------------
+
+TEMP_SALT = 43
+TEMP_TARGET_DOCS = 300  # expected total docs after mixing
+
+
+def source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature mixing over sources — the standard
+    training-mixture move (multilingual/multi-source alpha sampling):
+    a source's share of the output is proportional to sqrt(n_s) rather
+    than n_s, up-weighting small sources and flattening dominant ones.
+    Per-source keep probability q_s = min(1, TARGET · share_s / n_s);
+    each doc keeps iff the portable hash u(doc_id) < q_s. Returns the
+    per-source audit table (counts, weight, share, keep prob, kept).
+
+    Determinism: sqrt is IEEE-correctly-rounded (unlike ln — see
+    doc_bm25_mlt), weights round to 9 and sum as DECIMAL (order-
+    insensitive); every downstream ratio is a per-row double op.
+
+    Scale shape: two scans — a per-source count (map-side combinable,
+    |sources| rows) and the filtered pass with the tiny weight table
+    broadcast back; the sampling decision is a stateless scan-time
+    expression, no global sort, no reservoir state."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    w = F.round(F.sqrt(F.col("n_source")), 9).cast("decimal(18,9)")
+    weights = counts.select("source", "n_source", w.alias("w"))
+    tot = weights.agg(F.sum("w").alias("tot_w"))
+    probs = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share",
+            F.col("w").cast("double") / F.col("tot_w").cast("double"),
+        )
+        .withColumn(
+            "keep_prob",
+            F.least(
+                F.lit(1.0),
+                F.lit(TEMP_TARGET_DOCS) * F.col("share") / F.col("n_source"),
+            ),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(probs.select("source", "keep_prob")), "source")
+        .filter(_u(TEMP_SALT, F.col("doc_id"), F.lit(0)) < F.col("keep_prob"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        probs.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_source",
+            F.col("w").cast("double").alias("weight"),
+            F.round("share", 9).alias("share"),
+            F.round("keep_prob", 9).alias("keep_prob"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+register(
+    "source_temperature_sample",
+    f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_source FROM documents GROUP BY 1
+),
+weights AS (
+  SELECT source, n_source,
+         CAST(round(sqrt(n_source), 9) AS DECIMAL(18,9)) AS w
+  FROM counts
+),
+tot AS (SELECT SUM(w) AS tot_w FROM weights),
+probs AS (
+  SELECT source, n_source, w,
+         CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE) AS share,
+         LEAST(1.0, {TEMP_TARGET_DOCS} *
+           (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE)) / n_source)
+           AS keep_prob
+  FROM weights CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN probs p ON d.source = p.source
+  WHERE {_u_sql(TEMP_SALT, "doc_id", "0")} < p.keep_prob
+  GROUP BY 1
+)
+SELECT p.source, p.n_source, CAST(p.w AS DOUBLE) AS weight,
+       round(p.share, 9) AS share, round(p.keep_prob, 9) AS keep_prob,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM probs p LEFT JOIN kept k ON p.source = k.source
+""",
+)(source_temperature_sample)

@@ -934,20 +934,35 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers per event_type); the flagging pass is a broadcast join of
     that tiny stats table back onto the scan — two scans, zero fact
     shuffles."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "v6", F.round("value", 6).cast("decimal(12,6)")
-    )
-    stats = ev.groupBy("event_type").agg(
+    ev = with_v6(load_table(spark, sf_dir, "events"))
+    return zscore_flags(ev, zscore_stats(ev))
+
+
+def with_v6(ev: DataFrame) -> DataFrame:
+    """Quantize ``value`` onto the shared DECIMAL(12,6) grid."""
+    return ev.withColumn("v6", F.round("value", 6).cast("decimal(12,6)"))
+
+
+def zscore_stats(ev6: DataFrame) -> DataFrame:
+    """Per-type sufficient statistics (n, Σv, Σv²) — exact decimal
+    sums, one map-side-combinable aggregation. Computed batch-side;
+    the flagging pass (below) accepts batch OR streaming input."""
+    return ev6.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v6").alias("sv"),
         F.sum(F.col("v6") * F.col("v6")).alias("sv2"),
     )
+
+
+def zscore_flags(scored: DataFrame, stats: DataFrame) -> DataFrame:
+    """Broadcast the tiny stats table onto ``scored`` (batch or
+    streaming — stateless projections only) and flag. Clamps round-12
+    cancellation residue to 0 and emits NULL z-scores for degenerate
+    groups (constant values or n=1 → var 0): Spark's non-ANSI x/0.0 is
+    NULL while DuckDB's is ±inf/NaN, so an unguarded divide breaks the
+    cross-engine hash the first time the data serves up a constant
+    event_type."""
     mean = F.round(F.col("sv").cast("double") / F.col("n"), 12)
-    # Clamp round-12 cancellation residue to 0, and emit NULL z-scores
-    # for degenerate groups (constant values or n=1 → var 0): Spark's
-    # non-ANSI x/0.0 is NULL while DuckDB's is ±inf/NaN, so an
-    # unguarded divide breaks the cross-engine hash the first time the
-    # data serves up a constant event_type.
     var = F.greatest(
         F.round(F.col("sv2").cast("double") / F.col("n") - mean * mean, 12),
         F.lit(0.0),
@@ -956,7 +971,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         var > 0,
         F.round((F.col("v6").cast("double") - mean) / F.sqrt(var), 9),
     )
-    enriched = ev.join(F.broadcast(stats), "event_type").select(
+    enriched = scored.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
         "value",
@@ -967,9 +982,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "events_anomaly_zscore",
-    f"""
+# Shared by events_anomaly_zscore and its streaming twin
+# stream_score_zscore (streaming/stream_queries.py) — deliberately the
+# SAME semantics: the stream scores against batch-trained statistics,
+# so a fully drained stream must hash-equal the batch query.
+ZSCORE_ORACLE_SQL = f"""
 WITH g AS (
   SELECT *, CAST(round(value, 6) AS DECIMAL(12,6)) AS v6 FROM events
 ),
@@ -995,8 +1012,9 @@ z AS (
 SELECT event_id, event_type, value, z_score,
        abs(z_score) > {ZSCORE_THRESHOLD} AS is_anomaly
 FROM z
-""",
-)(events_anomaly_zscore)
+"""
+
+register("events_anomaly_zscore", ZSCORE_ORACLE_SQL)(events_anomaly_zscore)
 
 
 def user_weekly_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1047,3 +1065,161 @@ FROM weekly
 WINDOW w AS (PARTITION BY user_id ORDER BY week_start)
 """,
 )(user_weekly_wow_change)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleaved sort key — multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16  # bits per dimension → 32-bit interleaved key
+
+
+def zorder_key(b1, b2):
+    """Morton-interleave two {ZORDER_BITS}-bit bucket columns into one
+    bigint sort key: bit i of b1 lands at position 2i+1, bit i of b2
+    at 2i. Pure integer div/mod/multiply — no bit intrinsics — so the
+    identical expression runs in DuckDB. Sorting by this key gives a
+    space-filling-curve layout: files become rectangles in (b1, b2)
+    space and min/max footer stats prune on BOTH dimensions, where a
+    single-column sort prunes on one."""
+    terms = None
+    for i in range(ZORDER_BITS):
+        t = ((b1 / F.lit(2**i)).cast("bigint") % 2) * F.lit(
+            2 ** (2 * i + 1)
+        ) + ((b2 / F.lit(2**i)).cast("bigint") % 2) * F.lit(2 ** (2 * i))
+        terms = t if terms is None else terms + t
+    return terms.cast("bigint")
+
+
+def _zorder_sql(b1: str, b2: str) -> str:
+    parts = [
+        f"((({b1}) // {2**i}) % 2) * {2 ** (2 * i + 1)}"
+        f" + ((({b2}) // {2**i}) % 2) * {2 ** (2 * i)}"
+        for i in range(ZORDER_BITS)
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+_ZMASK = 2**ZORDER_BITS - 1
+
+
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-key computation as a registered query: min/max-scale
+    user_id and the event minute into the full {ZORDER_BITS}-bit range
+    (raw values would leave one dimension's high bits constant and
+    collapse the curve into a plain sort on the other), then
+    Morton-interleave. Scaling is pure integer arithmetic —
+    ((v − min)·(2^bits − 1)) // max(max − min, 1) — so the whole key is
+    hash-checked: the curve is a data-layout contract, and a different
+    key means a different file layout at 100 TB. The min/max pass is a
+    1-row broadcast aggregate, the same stats-CTE shape as
+    doc_bm25_mlt."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.unix_timestamp("ts") / 60).cast("bigint")
+    base = ev.select("event_id", "user_id", minute.alias("minute"))
+    stats = base.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("minute").alias("t_min"),
+        F.max("minute").alias("t_max"),
+    )
+
+    def scale(v, lo, hi):
+        return ((v - F.col(lo)) * _ZMASK) / F.greatest(
+            F.col(hi) - F.col(lo), F.lit(1)
+        )
+
+    keyed = base.crossJoin(F.broadcast(stats)).select(
+        "event_id",
+        "user_id",
+        scale(F.col("user_id"), "u_min", "u_max")
+        .cast("bigint")
+        .alias("b_user"),
+        scale(F.col("minute"), "t_min", "t_max")
+        .cast("bigint")
+        .alias("b_time"),
+    )
+    return keyed.select(
+        "event_id",
+        "user_id",
+        "b_user",
+        "b_time",
+        zorder_key(F.col("b_user"), F.col("b_time")).alias("z_key"),
+    )
+
+
+_Z_SCALE_U = f"((user_id - u_min) * {_ZMASK}) // GREATEST(u_max - u_min, 1)"
+_Z_SCALE_T = f"((minute - t_min) * {_ZMASK}) // GREATEST(t_max - t_min, 1)"
+
+register(
+    "events_zorder_key",
+    f"""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute
+  FROM events
+),
+stats AS (
+  SELECT MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+         MIN(minute) AS t_min, MAX(minute) AS t_max
+  FROM base
+),
+keyed AS (
+  SELECT event_id, user_id,
+         {_Z_SCALE_U} AS b_user,
+         {_Z_SCALE_T} AS b_time
+  FROM base CROSS JOIN stats
+)
+SELECT event_id, user_id, b_user, b_time,
+       {_zorder_sql("b_user", "b_time")} AS z_key
+FROM keyed
+""",
+)(events_zorder_key)
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile of the events table — the pre-flight
+    audit a pipeline runs before trusting a new data drop: row count,
+    and per key column null count / distinct count / min / max, plus
+    the value range (round-6: per-row doubles compare exactly, and
+    the extremes are single values, not sums). ONE aggregation, fully
+    map-side-combinable except the exact distincts (each a single
+    Expand pass — at 100 TB swap in approx_count_distinct, the
+    sketch twin already proven by approx_sketch_check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias("user_nulls"),
+        F.countDistinct("user_id").alias("user_distinct"),
+        F.min("user_id").alias("user_min"),
+        F.max("user_id").alias("user_max"),
+        F.sum(F.col("event_type").isNull().cast("bigint")).alias(
+            "type_nulls"
+        ),
+        F.countDistinct("event_type").alias("type_distinct"),
+        F.min("event_type").alias("type_min"),
+        F.max("event_type").alias("type_max"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+    )
+
+
+register(
+    "events_profile",
+    """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS user_nulls,
+       COUNT(DISTINCT user_id) AS user_distinct,
+       MIN(user_id) AS user_min, MAX(user_id) AS user_max,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS type_nulls,
+       COUNT(DISTINCT event_type) AS type_distinct,
+       MIN(event_type) AS type_min, MAX(event_type) AS type_max,
+       MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+       round(MIN(value), 6) AS value_min, round(MAX(value), 6) AS value_max
+FROM events
+""",
+)(events_profile)

@@ -461,3 +461,243 @@ SELECT doc_id,
 FROM documents
 """,
 )(doc_pii_scrub)
+
+
+# ---------------------------------------------------------------------------
+# BM25-style lexical retrieval (more-like-this)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = "1.2"  # saturation constants as DECIMAL LITERAL STRINGS so the
+BM25_K1P1 = "2.2"  # SAME literal parses to the SAME IEEE double in both
+BM25_B = "0.75"  # engines (Python-side 1.2 + 1 would differ from a SQL
+BM25_1MB = "0.25"  # "2.2" in the last bit; 0.75 / 0.25 are exact dyadics)
+BM25_QUERY_DOCS = 3
+BM25_TOP_K = 10
+BM25_MAX_DF_MULT = 4  # skip query terms with df > N/4: near-stopwords
+# carry ~zero idf weight but fan the posting join out to a large slice
+# of the corpus — the same hot-key discipline as the dedup shingle cap.
+
+
+def doc_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this retrieval: each query doc (doc_id <
+    {BM25_QUERY_DOCS}) scores every other doc by BM25 over their shared
+    terms, top-{BM25_TOP_K} per query.
+
+    Cross-engine determinism: tf/df/dl/N are exact integers, the
+    per-term score is a chain of per-row IEEE double ops (deterministic
+    given identical inputs and identical literal constants — see the
+    constant-string note above), each term score is rounded to 9 and
+    summed as DECIMAL(18,9) (order-insensitive), and the ranking
+    tie-breaks on doc_id. The classic ln() idf is NOT used: JVM and
+    libm ln() differ in the last bit on ~9% of arguments (measured),
+    which would be a latent hash break — the rank-equivalent rational
+    Robertson idf (N - df + 0.5)/(df + 0.5) replaces it (production
+    could swap ln back in where bit-stable ranking across engines
+    isn't a requirement).
+
+    Scale shape: postings/df/dl are one groupBy each over the token
+    explode; the query-term table is tiny and broadcast; the hot-term
+    cap (df ≤ N/{BM25_MAX_DF_MULT}) bounds the posting join's fan-out
+    the same way MAX_SHINGLE_DF bounds the dedup pair path; corpus
+    stats ride a 1-row broadcast crossJoin."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    # The inverted index is built ONCE and checkpointed: five plan
+    # branches (dl, stats, df, query terms, candidates) read it, and
+    # without the checkpoint each would re-scan + re-explode the
+    # corpus (12 scans at 100 TB). This is the "index build" half of
+    # the operator; production persists it as a table.
+    postings = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        postings.agg(F.sum("tf").alias("total_tokens"))
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = postings.filter(F.col("doc_id") < BM25_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    cand = (
+        F.broadcast(qterms)
+        .join(postings, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * BM25_MAX_DF_MULT <= F.col("n_docs"))
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf_r = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    norm = F.lit(float(BM25_1MB)) + F.lit(float(BM25_B)) * (
+        F.col("dl") / avgdl
+    )
+    sat = (F.col("tf") * F.lit(float(BM25_K1P1))) / (
+        F.col("tf") + F.lit(float(BM25_K1)) * norm
+    )
+    scored = (
+        cand.select(
+            "query_id",
+            "doc_id",
+            F.round(idf_r * sat, 9).cast("decimal(18,9)").alias("term_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").cast("double").alias("score"))
+    )
+    w = SqlWindow.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+register(
+    "doc_bm25_mlt",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM tok) AS total_tokens
+),
+dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+q AS (
+  SELECT doc_id AS query_id, term FROM postings
+  WHERE doc_id < {BM25_QUERY_DOCS}
+),
+cand AS (
+  SELECT q.query_id, p.doc_id, p.tf, d.df, l.dl, s.n_docs, s.total_tokens
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dft d USING (term)
+  JOIN dl l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id <> q.query_id AND d.df * {BM25_MAX_DF_MULT} <= s.n_docs
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(round(
+           ((n_docs - df + 0.5) / (df + 0.5)) *
+           ((tf * {BM25_K1P1}) / (tf + {BM25_K1} *
+             ({BM25_1MB} + {BM25_B} *
+              (dl / (CAST(total_tokens AS DOUBLE) / n_docs))))),
+           9) AS DECIMAL(18,9))) AS DOUBLE) AS score
+  FROM cand GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+WHERE rank <= {BM25_TOP_K}
+""",
+)(doc_bm25_mlt)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-token chunking with overlap
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of a training/RAG pipeline: each doc becomes ceil((n_tokens -
+    overlap) / stride) chunks of {CHUNK_TOKENS} tokens starting every
+    {CHUNK_STRIDE} (16-token overlap carries context across cuts; the
+    final chunk is the short remainder). Pure built-ins: one explode
+    over chunk indexes, slice + array_join to materialize chunk text —
+    scan-shaped, no shuffle at all until a consumer aggregates.
+
+    Chunk count: n_chunks = max(1, ceil((n_tokens - (CHUNK_TOKENS -
+    CHUNK_STRIDE)) / CHUNK_STRIDE)) so the last window starts inside
+    the doc (no empty trailing chunk), and every token is covered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens().alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.col("n_tokens") - F.lit(overlap)).cast("double")
+            / F.lit(CHUNK_STRIDE)
+        ).cast("int"),
+    )
+    return (
+        toks.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_STRIDE).alias("start_token"),
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.col("chunk_idx") * CHUNK_STRIDE + 1,
+                    F.lit(CHUNK_TOKENS),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+        .withColumn(
+            "chunk_n_tokens",
+            F.least(
+                F.lit(CHUNK_TOKENS),
+                F.col("n_tokens") - F.col("start_token"),
+            ),
+        )
+    )
+
+
+register(
+    "doc_chunk_overlap",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, CAST(len(tk) AS INT) AS n_tokens,
+         GREATEST(1, CAST(ceil(CAST(len(tk) - {CHUNK_TOKENS - CHUNK_STRIDE}
+           AS DOUBLE) / {CHUNK_STRIDE}) AS INT)) AS n_chunks
+  FROM toks
+),
+expanded AS (
+  SELECT doc_id, tk, n_tokens, CAST(i AS INT) AS chunk_idx
+  FROM sized, range(0, 100000) t(i)
+  WHERE i < n_chunks
+)
+SELECT doc_id, n_tokens, chunk_idx,
+       chunk_idx * {CHUNK_STRIDE} AS start_token,
+       array_to_string(
+         list_slice(tk, chunk_idx * {CHUNK_STRIDE} + 1,
+                    chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+         AS chunk_text,
+       md5(array_to_string(
+         list_slice(tk, chunk_idx * {CHUNK_STRIDE} + 1,
+                    chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+         AS chunk_md5,
+       LEAST({CHUNK_TOKENS}, n_tokens - chunk_idx * {CHUNK_STRIDE})
+         AS chunk_n_tokens
+FROM expanded
+""",
+)(doc_chunk_overlap)

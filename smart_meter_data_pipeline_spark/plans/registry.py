@@ -70,10 +70,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round-5 rows last. Names not listed keep registration order after the
 # listed ones.
 _PRIORITY = [
+    # (0) new in round 6 — need a first driver row
+    "doc_bm25_mlt",
+    "source_temperature_sample",
+    "events_zorder_key",
+    "events_profile",
+    "doc_chunk_overlap",
+    "stream_score_zscore",
     # (1) code/oracle changed in round 6: hot-shingle df cap in the
     # exact ngram pair path (+ uncapped-oracle split for the LSH
     # family), append-mode sliding windows, guarded z-score, clamped
-    # adaptive LSH plane count
+    # adaptive LSH plane count, deeper ADC re-rank (PQ_RERANK 160),
+    # one-round coarse training
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
     "dedup_minhash_lsh",

@@ -765,3 +765,49 @@ SELECT CAST(date_trunc('day', reading_timestamp) AS DATE) AS billing_date,
 FROM readings
 GROUP BY 1""",
 )(stream_ingest_daily)
+
+
+def stream_score_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online scoring against batch-trained statistics — the
+    model-serving shape of streaming: sufficient statistics (n, Σv,
+    Σv²) are trained BATCH-side on the quantized grid, broadcast into
+    the stream, and every arriving event is flagged statelessly (no
+    watermark, no state store — the join is to a static table, so the
+    stream side never shuffles; the streaming twin of
+    events_anomaly_zscore and the canonical 'score with yesterday's
+    model' production pattern). Drained append; a fully drained stream
+    must hash-equal the batch query, so the oracle IS the batch
+    oracle (operators/extended.py:ZSCORE_ORACLE_SQL)."""
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        with_v6,
+        zscore_flags,
+        zscore_stats,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    stats = zscore_stats(
+        with_v6(load_table(spark, sf_dir, "events"))
+    ).localCheckpoint(eager=True)
+    stream = with_v6(_events_stream(spark, sf_dir))
+    flagged = zscore_flags(stream, stats)
+    sink = f"stream_zscore_{uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).localCheckpoint(eager=True)
+
+
+def _zscore_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        ZSCORE_ORACLE_SQL,
+    )
+
+    return ZSCORE_ORACLE_SQL
+
+
+register("stream_score_zscore", _zscore_oracle())(stream_score_zscore)

@@ -1,0 +1,61 @@
+"""Z-order layout: per-file bounding boxes must be BALANCED — clustered
+in both dimensions — where a single-column sort clusters one dimension
+perfectly and leaves the other at full span. Balanced boxes are what
+make footer min/max stats prune predicates on either dimension."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.extended import (
+    events_zorder_key,
+)
+from smart_meter_data_pipeline_spark.sources.layout import write_zordered
+
+N_FILES = 32
+
+
+def _mean_file_spans(spark, path) -> tuple[float, float]:
+    """Mean per-file (b_user, b_time) range, normalized to the global
+    span of each dimension — the fraction of that dimension's key
+    space a file's footer stats CANNOT exclude."""
+    df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    g = df.agg(
+        (F.max("b_user") - F.min("b_user") + 1).alias("su"),
+        (F.max("b_time") - F.min("b_time") + 1).alias("st"),
+    ).first()
+    rows = (
+        df.groupBy("f")
+        .agg(
+            (F.max("b_user") - F.min("b_user") + 1).alias("du"),
+            (F.max("b_time") - F.min("b_time") + 1).alias("dt"),
+        )
+        .collect()
+    )
+    return (
+        sum(r["du"] / g["su"] for r in rows) / len(rows),
+        sum(r["dt"] / g["st"] for r in rows) / len(rows),
+    )
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    keyed = events_zorder_key(spark, sf_dir)
+    write_zordered(keyed, str(tmp_path / "z"), "z_key", n_files=N_FILES)
+    (
+        keyed.repartitionByRange(N_FILES, "b_user")
+        .sortWithinPartitions("b_user")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "single"))
+    )
+    zu, zt = _mean_file_spans(spark, str(tmp_path / "z"))
+    su, st = _mean_file_spans(spark, str(tmp_path / "single"))
+    # single-column sort: near-perfect on its column, useless on the
+    # other (files span ~the whole time range)
+    assert su < 0.2 and st > 0.8, (su, st)
+    # the curve clusters BOTH: each dimension's per-file span is far
+    # below full, so a predicate on either dimension skips files
+    assert zu < 0.5 and zt < 0.5, (zu, zt)
+    # and per-dimension pruning on the non-sorted axis beats the
+    # single-column layout by a wide margin
+    assert zt < st / 2, (zt, st)
+    assert spark.read.parquet(str(tmp_path / "z")).count() == keyed.count()
