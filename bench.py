@@ -285,6 +285,11 @@ def main() -> None:
             "doc_ngram_novelty",
             lambda: _materialize(text.doc_ngram_novelty(spark, SF_DIR)),
         )
+        # 12. Lexical retrieval: inverted-index build + BM25 top-k.
+        leg(
+            "doc_bm25_mlt",
+            lambda: _materialize(text.doc_bm25_mlt(spark, SF_DIR)),
+        )
         leg(
             "dedup_clusters",
             lambda: _materialize(dedup.dedup_clusters(spark, SF_DIR)),

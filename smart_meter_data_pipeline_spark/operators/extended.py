@@ -1223,3 +1223,142 @@ SELECT COUNT(*) AS n_rows,
 FROM events
 """,
 )(events_profile)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user,
+    the first view, the first click strictly AFTER that view, and the
+    first purchase strictly after that click — the order-sensitive
+    funnel semantics (a purchase before the view chain does NOT
+    count), plus the stage reached. Three aggregations and two joins,
+    ALL keyed on user_id: one hash partitioning serves the entire
+    plan, so at 100 TB the funnel costs one shuffle of the filtered
+    event subsets and nothing else (the step tables are not broadcast
+    — at scale they are user-count-sized, and the equi-join on the
+    shared key stays co-partitioned)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame, prev_ts: str, out: str):
+        stepped = ev.filter(F.col("event_type") == etype).join(
+            prev, "user_id"
+        )
+        return (
+            stepped.filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = first_after("click", views, "first_view", "first_click")
+    buys = first_after("purchase", clicks, "first_click", "first_purchase")
+    stage = (
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(buys, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            stage.alias("funnel_stage"),
+        )
+    )
+
+
+register(
+    "events_funnel",
+    """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY 1
+)
+SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+       CASE WHEN p.first_purchase IS NOT NULL THEN 3
+            WHEN c.first_click IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
+)(events_funnel)
+
+
+RETENTION_WEEKS = 4
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    with distinct active users at week offsets 0..{RETENTION_WEEKS - 1}
+    as columns — the standard growth-analytics triangle. Two
+    aggregations on user_id (first-week, distinct activity) that share
+    one partitioning, then a conditional-count pivot per cohort (one
+    shuffle keyed on cohort_week, cohort-count-sized output)."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .distinct()
+    )
+    first = weekly.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    offs = weekly.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("off"),
+    )
+    aggs = [
+        F.countDistinct(
+            F.when(F.col("off") == k, F.col("user_id"))
+        ).alias(f"w{k}")
+        for k in range(RETENTION_WEEKS)
+    ]
+    return offs.groupBy("cohort_week").agg(*aggs)
+
+
+_RET_COLS = ",\n       ".join(
+    f"COUNT(DISTINCT CASE WHEN off = {k} THEN user_id END) AS w{k}"
+    for k in range(RETENTION_WEEKS)
+)
+
+register(
+    "events_cohort_retention",
+    f"""
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY 1
+),
+offs AS (
+  SELECT w.user_id, f.cohort_week,
+         CAST((week - cohort_week) // 7 AS INT) AS off
+  FROM weekly w JOIN first f ON w.user_id = f.user_id
+)
+SELECT cohort_week,
+       {_RET_COLS}
+FROM offs GROUP BY 1
+""",
+)(events_cohort_retention)

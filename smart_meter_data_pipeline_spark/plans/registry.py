@@ -77,6 +77,8 @@ _PRIORITY = [
     "events_profile",
     "doc_chunk_overlap",
     "stream_score_zscore",
+    "events_funnel",
+    "events_cohort_retention",
     # (1) code/oracle changed in round 6: hot-shingle df cap in the
     # exact ngram pair path (+ uncapped-oracle split for the LSH
     # family), append-mode sliding windows, guarded z-score, clamped

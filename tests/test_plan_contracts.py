@@ -122,3 +122,32 @@ def test_ngram_pair_path_drops_hot_shingles_via_broadcast_anti(spark, sf_dir):
         anti = p[: p.index("LeftAnti") + 200]
         assert "BroadcastExchange" in p, q.__name__
         assert "CartesianProduct" not in p, q.__name__
+
+
+def test_bm25_plan_is_broadcast_only(spark, sf_dir):
+    """BM25 MLT: every join must fan out from a broadcast (query
+    terms, df table, 1-row stats) or the checkpointed postings — no
+    sort-merge join, no cartesian product, no Python eval."""
+    from smart_meter_data_pipeline_spark.operators.text import doc_bm25_mlt
+
+    p = _plan(doc_bm25_mlt(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p
+    # the corpus-sized side must never be broadcast: the only
+    # broadcast-nested-loop joins are the 1-row stats crossJoins
+    assert p.count("Scan parquet") <= 2
+
+
+def test_funnel_single_key_partitioning(spark, sf_dir):
+    """The funnel's three aggregations and two joins all key on
+    user_id — no cartesian, no Python, and the filters push to the
+    scan so each step reads only its event type."""
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        events_funnel,
+    )
+
+    p = _plan(events_funnel(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "PushedFilters" in p and "event_type" in p
