@@ -1362,3 +1362,81 @@ SELECT cohort_week,
 FROM offs GROUP BY 1
 """,
 )(events_cohort_retention)
+
+
+SCD2_RATE = 0.25
+SCD2_SALT = 47
+SCD2_EPOCH = "2024-01-01 00:00:00"
+SCD2_EFFECTIVE = "2024-02-01 00:00:00"
+
+
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge — the warehouse history
+    pattern the reference's static dims lack: given the current
+    customer dim and a change set (deterministic: customers whose
+    portable hash u(c_custkey) < {SCD2_RATE} move to segment
+    '<old>_V2' effective {SCD2_EFFECTIVE}), emit the full history —
+    unchanged rows stay current, changed customers get their old row
+    CLOSED (valid_to = effective date, is_current = false) plus a new
+    OPEN row. The change set here is a scan-time predicate, so the
+    whole merge is three filtered projections + a union — zero
+    shuffles; with an EXTERNAL change table the same three legs become
+    anti/semi/inner equi-joins on c_custkey, co-partitioned with the
+    dim, still broadcast-free."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    changed = F.col("u") < SCD2_RATE
+    marked = cust.withColumn(
+        "u", _u(SCD2_SALT, F.col("c_custkey"), F.lit(0))
+    )
+    epoch = F.lit(SCD2_EPOCH).cast("timestamp")
+    eff = F.lit(SCD2_EFFECTIVE).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    current_unchanged = marked.filter(~changed).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        epoch.alias("valid_from"),
+        null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = marked.filter(changed).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        epoch.alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = marked.filter(changed).select(
+        "c_custkey",
+        F.concat("c_mktsegment", F.lit("_V2")).alias("segment"),
+        eff.alias("valid_from"),
+        null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return current_unchanged.unionByName(closed).unionByName(opened)
+
+
+register(
+    "dim_scd2_history",
+    f"""
+WITH marked AS (
+  SELECT c_custkey, c_mktsegment,
+         {{u_expr}} AS u
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment AS segment,
+       TIMESTAMP '{SCD2_EPOCH}' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current
+FROM marked WHERE u >= {SCD2_RATE}
+UNION ALL
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '{SCD2_EPOCH}', TIMESTAMP '{SCD2_EFFECTIVE}', FALSE
+FROM marked WHERE u < {SCD2_RATE}
+UNION ALL
+SELECT c_custkey, c_mktsegment || '_V2',
+       TIMESTAMP '{SCD2_EFFECTIVE}', CAST(NULL AS TIMESTAMP), TRUE
+FROM marked WHERE u < {SCD2_RATE}
+""".format(u_expr=_u_sql(SCD2_SALT, "c_custkey", "0")),
+)(dim_scd2_history)

@@ -79,6 +79,8 @@ _PRIORITY = [
     "stream_score_zscore",
     "events_funnel",
     "events_cohort_retention",
+    "tpch_volume_shipping",
+    "dim_scd2_history",
     # (1) code/oracle changed in round 6: hot-shingle df cap in the
     # exact ngram pair path (+ uncapped-oracle split for the LSH
     # family), append-mode sliding windows, guarded z-score, clamped
