@@ -579,3 +579,32 @@ def test_ivfpq_incremental_encode_matches_batch(spark, sf_dir):
     for r in out:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert per_q and all(v == similarity.TOP_K for v in per_q.values())
+
+
+def test_scd2_history_invariants(spark, sf_dir):
+    """SCD2 merge: every customer has exactly one current row; changed
+    customers carry exactly two rows (closed + open) with contiguous
+    validity; unchanged customers carry one open row."""
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        dim_scd2_history,
+    )
+
+    rows = dim_scd2_history(spark, sf_dir).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["c_custkey"], []).append(r)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert len(by_cust) == n_cust
+    n_changed = 0
+    for ck, rs in by_cust.items():
+        current = [r for r in rs if r["is_current"]]
+        assert len(current) == 1, ck
+        assert current[0]["valid_to"] is None, ck
+        if len(rs) == 2:
+            n_changed += 1
+            closed = next(r for r in rs if not r["is_current"])
+            assert closed["valid_to"] == current[0]["valid_from"], ck
+            assert current[0]["segment"] == closed["segment"] + "_V2", ck
+        else:
+            assert len(rs) == 1, ck
+    assert 0 < n_changed < n_cust
