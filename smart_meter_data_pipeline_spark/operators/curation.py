@@ -633,3 +633,76 @@ SELECT p.source, p.n_source, CAST(p.w AS DOUBLE) AS weight,
 FROM probs p LEFT JOIN kept k ON p.source = k.source
 """,
 )(source_temperature_sample)
+
+
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus health dashboard — the one-row-per-
+    slice audit a data team reads before a training run: doc count,
+    token volume, mean quality score (round-6 of the shared scoring
+    rule), and the exact-duplicate rate (docs whose content hash is
+    shared, via an md5 groupBy). Two aggregations over one corpus
+    scan each, joined on the tiny slice key — every input reuses an
+    already-proven CTE (quality scoring from doc_quality_score,
+    exact-dup counting from dedup_exact), so the report can never
+    drift from the operators it summarizes."""
+    from smart_meter_data_pipeline_spark.operators.text import (
+        doc_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = doc_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    dup_sizes = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    enriched = (
+        docs.select("doc_id", "source", "lang", F.md5("text").alias("h"))
+        .join(quality, "doc_id")
+        .join(dup_sizes, "h")
+    )
+    return enriched.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,9)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.sum((F.col("n_copies") > 1).cast("bigint")).alias("n_exact_dup"),
+    )
+
+
+def _quality_report_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.text import (
+        QUALITY_SQL_CTES,
+    )
+
+    return f"""
+WITH {QUALITY_SQL_CTES},
+dup AS (
+  SELECT md5(text) AS h, COUNT(*) AS n_copies
+  FROM documents GROUP BY 1
+),
+enriched AS (
+  SELECT d.doc_id, d.source, d.lang, q.n_tokens, q.quality_score,
+         dup.n_copies
+  FROM documents d
+  JOIN quality q ON d.doc_id = q.doc_id
+  JOIN dup ON md5(d.text) = dup.h
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_quality,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup
+FROM enriched GROUP BY 1, 2
+"""
+
+
+register("corpus_quality_report", _quality_report_oracle())(
+    corpus_quality_report
+)

@@ -81,6 +81,7 @@ _PRIORITY = [
     "events_cohort_retention",
     "tpch_volume_shipping",
     "dim_scd2_history",
+    "corpus_quality_report",
     # (1) code/oracle changed in round 6: hot-shingle df cap in the
     # exact ngram pair path (+ uncapped-oracle split for the LSH
     # family), append-mode sliding windows, guarded z-score, deeper
