@@ -1,9 +1,9 @@
 """Manifest-based commit log: the object-store-safe idempotent sink.
 
-:mod:`~.txn`'s ``table_lock`` closes the anti-join/append race with an
-atomic-``mkdir`` mutex — sound on POSIX and HDFS, but S3-class stores
-have no atomic namespace operations, so a mutex cannot be built from
-their filesystem API at all. This module is the protocol that CAN be
+:mod:`~.txn`'s ``table_lock`` closes the anti-join/append race with a
+kernel ``flock`` mutex — sound on a POSIX host (or NFSv4 share), but
+S3-class stores have no lock namespace at all, so a mutex cannot be
+built from their filesystem API. This module is the protocol that CAN be
 built there, the same one Delta Lake and Iceberg use: an ordered log
 of numbered commit files, each listing the data files it adds, decided
 by a single **put-if-absent** primitive.

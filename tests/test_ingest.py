@@ -128,37 +128,31 @@ def test_concurrent_writers_no_duplicates(spark, tmp_target):
     assert written["a"] + written["b"] == 150
 
 
-def test_table_lock_stale_breaking_and_timeout(tmp_path):
+def test_table_lock_timeout_and_release(tmp_path):
+    """A live holder blocks a second acquirer (LockTimeout); release
+    makes the lock immediately available. The lock file itself stays on
+    disk — it's a kernel lock object, not presence-based state."""
     import os
-    import time
 
     import pytest as _pytest
 
     from smart_meter_data_pipeline_spark.sources import txn
 
     table = str(tmp_path / "t")
-    # stale lock (old mtime) is broken and re-acquired
-    os.makedirs(os.path.join(table, txn.LOCK_DIRNAME))
-    old = time.time() - 1000
-    os.utime(os.path.join(table, txn.LOCK_DIRNAME), (old, old))
-    with txn.table_lock(table, timeout_s=2, stale_after_s=300):
-        assert os.path.isdir(os.path.join(table, txn.LOCK_DIRNAME))
-    assert not os.path.isdir(os.path.join(table, txn.LOCK_DIRNAME))
-
-    # live lock → second acquirer times out
     with txn.table_lock(table, timeout_s=2):
         with _pytest.raises(txn.LockTimeout):
-            with txn.table_lock(table, timeout_s=0.3, stale_after_s=300):
+            with txn.table_lock(table, timeout_s=0.3):
                 pass
+    # released: reacquiring is instant
+    with txn.table_lock(table, timeout_s=0.3):
+        assert os.path.exists(os.path.join(table, txn.LOCK_FILENAME))
 
 
-def test_table_lock_heartbeat_protects_long_holder(tmp_path):
-    """A critical section LONGER than stale_after_s must not be broken
-    by a waiter while the holder is alive — the heartbeat keeps the
-    lock's mtime fresh, so the waiter times out instead of re-opening
-    the duplicate-insert race (a long compact_date_partition rewrite is
-    the real-world case)."""
-    import os
+def test_table_lock_long_holder_not_stolen(tmp_path):
+    """A critical section of ANY length is safe while the holder is
+    alive — there is no staleness heuristic for a waiter to misjudge
+    (a long compact_date_partition rewrite is the real-world case).
+    The waiter times out; the holder's section is undisturbed."""
     import time
 
     import pytest as _pytest
@@ -166,59 +160,100 @@ def test_table_lock_heartbeat_protects_long_holder(tmp_path):
     from smart_meter_data_pipeline_spark.sources import txn
 
     table = str(tmp_path / "t")
-    with txn.table_lock(table, timeout_s=2, stale_after_s=0.2):
-        owner_before = txn._read_owner(os.path.join(table, txn.LOCK_DIRNAME))
-        time.sleep(0.6)  # hold 3× past stale_after_s — heartbeat refreshes
+    with txn.table_lock(table, timeout_s=2):
+        time.sleep(0.4)
         with _pytest.raises(txn.LockTimeout):
-            with txn.table_lock(table, timeout_s=0.5, stale_after_s=0.2):
+            with txn.table_lock(table, timeout_s=0.3):
                 pass
-        # the waiter did NOT break/steal the live lock
-        assert (
-            txn._read_owner(os.path.join(table, txn.LOCK_DIRNAME))
-            == owner_before
-        )
-    assert not os.path.isdir(os.path.join(table, txn.LOCK_DIRNAME))
+        # still held: a zero-ish timeout fails fast
+        with _pytest.raises(txn.LockTimeout):
+            with txn.table_lock(table, timeout_s=0.05, poll_s=0.01):
+                pass
 
 
-def test_table_lock_dead_holder_broken_by_one_winner(tmp_path):
-    """A genuinely dead holder (no heartbeat, old mtime) is broken by
-    exactly ONE of many concurrent waiters; the rest serialize behind
-    the winner through the normal mkdir race. Every waiter eventually
-    enters, one at a time."""
+def test_table_lock_dead_holder_auto_released(tmp_path):
+    """A holder killed with SIGKILL mid-section releases the lock
+    automatically (kernel flock semantics) — the scenario the old
+    mkdir+mtime protocol needed a racy break-stale heuristic for.
+    A waiter acquires promptly with no break step."""
     import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from smart_meter_data_pipeline_spark.sources import txn
+
+    table = str(tmp_path / "t")
+    ready = str(tmp_path / "ready")
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys, time, pathlib;"
+                f"sys.path.insert(0, {os.getcwd()!r});"
+                "from smart_meter_data_pipeline_spark.sources import txn;"
+                f"lk = txn.table_lock({table!r}, timeout_s=5);"
+                "lk.__enter__();"
+                f"pathlib.Path({ready!r}).touch();"
+                "time.sleep(60)"
+            ),
+        ],
+    )
+    try:
+        deadline = time.monotonic() + 20
+        while not os.path.exists(ready):
+            assert time.monotonic() < deadline, "holder never acquired"
+            assert holder.poll() is None, "holder subprocess died early"
+            time.sleep(0.02)
+        # lock is genuinely held by the subprocess
+        try:
+            with txn.table_lock(table, timeout_s=0.2, poll_s=0.02):
+                raise AssertionError("acquired while subprocess held lock")
+        except txn.LockTimeout:
+            pass
+        holder.send_signal(signal.SIGKILL)
+        holder.wait(timeout=10)
+        # kernel released the dead holder's lock: acquire succeeds fast
+        with txn.table_lock(table, timeout_s=5, poll_s=0.02):
+            pass
+    finally:
+        if holder.poll() is None:
+            holder.kill()
+            holder.wait(timeout=10)
+
+
+def test_table_lock_mutual_exclusion_stress(tmp_path):
+    """Many concurrent waiters (each its own file description) enter
+    one at a time — the multi-writer serialization the sink's
+    anti-join/append correctness depends on."""
     import threading
     import time
 
     from smart_meter_data_pipeline_spark.sources import txn
 
     table = str(tmp_path / "t")
-    lock_dir = os.path.join(table, txn.LOCK_DIRNAME)
-    os.makedirs(lock_dir)
-    with open(os.path.join(lock_dir, txn.OWNER_FILENAME), "w") as fh:
-        fh.write("dead-holder")
-    old = time.time() - 1000
-    os.utime(lock_dir, (old, old))
-
     inside = []
     inside_lock = threading.Lock()
     concurrency = []
 
     def waiter(i):
-        with txn.table_lock(table, timeout_s=10, stale_after_s=300):
+        with txn.table_lock(table, timeout_s=30, poll_s=0.005):
             with inside_lock:
                 inside.append(i)
                 concurrency.append(len(inside))
-            time.sleep(0.02)
+            time.sleep(0.01)
             with inside_lock:
                 inside.remove(i)
 
-    threads = [threading.Thread(target=waiter, args=(i,)) for i in range(4)]
+    threads = [threading.Thread(target=waiter, args=(i,)) for i in range(8)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    assert len(concurrency) == 8  # every waiter eventually entered
     assert max(concurrency) == 1  # mutual exclusion held throughout
-    assert not os.path.isdir(lock_dir)
 
 
 def test_sink_schema_evolution(spark, tmp_target):
