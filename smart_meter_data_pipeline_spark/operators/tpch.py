@@ -240,3 +240,190 @@ WHERE n1.n_name <> n2.n_name
 GROUP BY 1, 2, 3
 """,
 )(tpch_volume_shipping)
+
+
+def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-aggregate ratio: per ship month,
+    the share of revenue coming from promo-class parts. One fact scan;
+    part is the broadcast side; the CASE folds into the partial
+    aggregate so the shuffle carries two decimal sums per month, and
+    the ratio is a deterministic double op on the exact sums."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(dsum(promo_rev, "promo_revenue"), dsum(revenue, "total_revenue"))
+        .withColumn(
+            "promo_pct",
+            F.when(
+                F.col("total_revenue") > 0,
+                F.round(
+                    (F.lit(100.0) * F.col("promo_revenue"))
+                    / F.col("total_revenue"),
+                    9,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+register(
+    "tpch_promo_revenue",
+    """
+WITH m AS (
+  SELECT date_trunc('month', l_shipdate) AS ship_month,
+         CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+             AS promo_revenue,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       CASE WHEN total_revenue > 0
+            THEN round((100.0 * promo_revenue) / total_revenue, 9)
+            ELSE 0.0 END AS promo_pct
+FROM m
+""",
+)(tpch_promo_revenue)
+
+
+def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING over a grouped fact, joined back to
+    its dims: orders whose total quantity exceeds 200. The lineitem
+    aggregation shuffles once on l_orderkey; the surviving ~6% of
+    orders then join orders/customer (orders by key — AQE picks
+    broadcast when the filtered side is small enough, shuffle when
+    not, which is the right behavior at 100×)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+register(
+    "tpch_large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)(tpch_large_orders)
+
+
+def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — argmax against a global aggregate: supplier(s)
+    achieving the maximum revenue over a ship-date quarter, ties kept.
+    The per-supplier rollup shuffles once; the scalar max is a 1-row
+    frame broadcast back (never a single-partition window over the
+    whole rollup — that serializes at scale)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(revenue, "total_revenue"))
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey, "inner")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+register(
+    "tpch_top_supplier",
+    """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+""",
+)(tpch_top_supplier)
+
+
+def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — lost-revenue report: top 20 customers by
+    revenue on returned lineitems, with their nation. Fact filter
+    pushes to the scan (l_returnflag = 'R'), dims broadcast, one
+    aggregation shuffle on the customer key; top-k is a TakeOrdered,
+    not a full sort, with c_custkey as the deterministic tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+register(
+    "tpch_returned_items",
+    """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)(tpch_returned_items)

@@ -62,7 +62,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the 99 registered rows per round), so
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 100
+# as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
 # (2) the 39 queries whose latest green row is from round 4 (everything
@@ -71,6 +72,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # listed ones.
 _PRIORITY = [
     # (0) new in round 6 — need a first driver row
+    "dedup_semantic",
+    "stream_outer_interval_join",
+    "tpch_promo_revenue",
+    "tpch_large_orders",
+    "tpch_top_supplier",
+    "tpch_returned_items",
     "doc_bm25_mlt",
     "source_temperature_sample",
     "events_zorder_key",
