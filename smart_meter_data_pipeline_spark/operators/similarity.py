@@ -816,33 +816,17 @@ SELECT (SELECT COUNT(*) FROM embeddings) AS corpus_n,
 KMEANS_FIXED_ITERS = 2
 
 
-def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means with every source of divergence pinned, so the
-    FULL iterative computation is hash-checked against a DuckDB twin
-    (upgrading ``kmeans_embeddings`` from the rows-only check).
-
-    The trick that makes an iterative float algorithm hash-equal across
-    engines is a *quantized-decimal grid*: inputs and centroids are
-    rounded to 6 decimal digits and cast to DECIMAL(12,6) (a cast both
-    engines perform exactly, because round(x, 6)'s nearest-double is
-    within ulp of the 6-digit decimal), and from there EVERY operation
-    — dot products, norms, squared distances, argmin comparisons,
-    inertia — is exact decimal arithmetic with no double anywhere in
-    the hash path. The single division per round (centroid mean) goes
-    through double and is immediately re-quantized to the grid;
-    exact-tie impossibility at the 7th digit makes that deterministic.
-
-    - init: vec_id % KMEANS_STRIDE == 0, exactly KMEANS_FIXED_ITERS
-      assign→update rounds + a final assignment,
-    - argmin tie-break on (dist2, cluster_id),
-    - output: (cluster_id, n_members, inertia_micro = ⌊Σdist2 × 1e6⌋)
-      — all integers, bulletproof to hash.
-
-    This is the verification twin; ``kmeans_embeddings`` (array +
-    broadcast-centroid form) remains the production/scale path. The
-    exploded equi-join shape here is still fully distributed (shuffle
-    bounded by n·K per round), just chosen for exactness over speed.
-    """
+def _fixed_kmeans_assignment(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared quantized-decimal Lloyd pipeline: returns ``(el, final)``
+    where ``el`` is the exploded DECIMAL(12,6) vector grid
+    (vec_id, pos, v) and ``final`` the assignment after
+    ``KMEANS_FIXED_ITERS`` rounds (vec_id, cluster_id, dist2 — dist2
+    exact decimal). Consumed by :func:`kmeans_fixed_rounds` (inertia
+    rollup) and :func:`dedup_semantic` (intra-cluster pair pruning);
+    both hash-check the full iterative computation against DuckDB
+    twins generated by :func:`_kmeans_fixed_oracle`."""
     el = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
@@ -902,7 +886,37 @@ def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    final = _assign(cent)
+    return el, _assign(cent)
+
+
+def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means with every source of divergence pinned, so the
+    FULL iterative computation is hash-checked against a DuckDB twin
+    (upgrading ``kmeans_embeddings`` from the rows-only check).
+
+    The trick that makes an iterative float algorithm hash-equal across
+    engines is a *quantized-decimal grid*: inputs and centroids are
+    rounded to 6 decimal digits and cast to DECIMAL(12,6) (a cast both
+    engines perform exactly, because round(x, 6)'s nearest-double is
+    within ulp of the 6-digit decimal), and from there EVERY operation
+    — dot products, norms, squared distances, argmin comparisons,
+    inertia — is exact decimal arithmetic with no double anywhere in
+    the hash path. The single division per round (centroid mean) goes
+    through double and is immediately re-quantized to the grid;
+    exact-tie impossibility at the 7th digit makes that deterministic.
+
+    - init: vec_id % KMEANS_STRIDE == 0, exactly KMEANS_FIXED_ITERS
+      assign→update rounds + a final assignment,
+    - argmin tie-break on (dist2, cluster_id),
+    - output: (cluster_id, n_members, inertia_micro = ⌊Σdist2 × 1e6⌋)
+      — all integers, bulletproof to hash.
+
+    This is the verification twin; ``kmeans_embeddings`` (array +
+    broadcast-centroid form) remains the production/scale path. The
+    exploded equi-join shape here is still fully distributed (shuffle
+    bounded by n·K per round), just chosen for exactness over speed.
+    """
+    el, final = _fixed_kmeans_assignment(spark, sf_dir)
     return final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.floor(F.sum("dist2") * 1000000)
@@ -911,10 +925,16 @@ def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_fixed_oracle(n_iters: int = KMEANS_FIXED_ITERS) -> str:
+def _kmeans_fixed_oracle(
+    n_iters: int = KMEANS_FIXED_ITERS, final_sql: str | None = None
+) -> str:
     """DuckDB twin: one CTE pair (assignment, centroid update) per
     Lloyd round, generated mechanically — the same quantized-decimal
-    grid, exact reductions, and (dist2, cluster_id) tie-break."""
+    grid, exact reductions, and (dist2, cluster_id) tie-break.
+
+    ``final_sql``, when given, replaces the inertia-rollup tail; it may
+    reference the CTEs ``el``, ``norm2`` and ``{{final}}`` (the last
+    assignment CTE name) — used by :func:`dedup_semantic`'s oracle."""
 
     def assign_ctes(i: int, cent: str) -> str:
         return f"""
@@ -956,6 +976,15 @@ c{i} AS (
     f = n_iters + 1
     parts.append(assign_ctes(f, f"c{n_iters}"))
     body = ",".join(parts)
+    tail = (
+        final_sql.format(final=f"a{f}")
+        if final_sql is not None
+        else f"""
+SELECT cluster_id, COUNT(*) AS n_members,
+       CAST(floor(SUM(dist2) * 1000000) AS BIGINT) AS inertia_micro
+FROM a{f} GROUP BY 1
+"""
+    )
     return f"""
 WITH el AS (
   SELECT vec_id,
@@ -970,14 +999,122 @@ norm2 AS (
 c0 AS (
   SELECT vec_id AS cluster_id, pos, v AS cv
   FROM el WHERE vec_id % {KMEANS_STRIDE} = 0
-),{body}
-SELECT cluster_id, COUNT(*) AS n_members,
-       CAST(floor(SUM(dist2) * 1000000) AS BIGINT) AS inertia_micro
-FROM a{f} GROUP BY 1
+),{body}{tail}
 """
 
 
 register("kmeans_fixed_rounds", _kmeans_fixed_oracle())(kmeans_fixed_rounds)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup): cluster-bounded pairwise pruning
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_EPS = "1.35"  # squared euclidean on unit vectors = 2 - 2·cos:
+# 1.35 ≡ cosine 0.325. On the near-orthogonal sf-testdata this admits
+# ~0.8% of intra-cluster pairs — enough that both kept and dropped
+# rows exist at sf0.01 (the hash check has teeth both ways) without
+# collapsing whole clusters. Decimal STRING so both engines compare
+# exact decimals, never a double.
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding corpus, then prune
+    near-duplicate pairs ONLY within each cluster — the cluster
+    boundary is what bounds the otherwise O(n²) pairwise scan, which
+    is the whole trick that makes semantic dedup tractable at scale.
+
+    Keep rule (deterministic): within a cluster, a document is dropped
+    iff some LOWER-id member lies within ``SEMDEDUP_EPS`` squared
+    euclidean distance; the lowest id of each near-dup neighborhood
+    always survives. Output is per-document:
+    ``(vec_id, cluster_id, n_close_prior, kept)``.
+
+    Scale: the intra-cluster self-join shuffles on (cluster_id, pos),
+    so candidate volume is Σ|cluster|², not n² — with K grown
+    proportionally to corpus size (the production setting; here K is
+    pinned by the deterministic seed rule for hash-parity), cluster
+    sizes stay ~constant and the pair stage stays linear in n. All
+    arithmetic is the same quantized-decimal grid as
+    :func:`kmeans_fixed_rounds`, so the FULL pipeline — Lloyd rounds
+    included — hash-matches the DuckDB twin."""
+    el, members = _fixed_kmeans_assignment(spark, sf_dir)
+    norm2 = el.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("norm2")
+    )
+    elc = el.join(members.select("vec_id", "cluster_id"), "vec_id")
+    x = elc.select(
+        "cluster_id", "pos",
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+    )
+    y = elc.select(
+        "cluster_id", "pos",
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+    )
+    dots = (
+        x.join(y, ["cluster_id", "pos"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("cluster_id", "a_id", "b_id")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    eps = F.lit(SEMDEDUP_EPS).cast("decimal(12,6)")
+    close = (
+        dots.join(norm2.select(F.col("vec_id").alias("a_id"),
+                               F.col("norm2").alias("na")), "a_id")
+        .join(norm2.select(F.col("vec_id").alias("b_id"),
+                           F.col("norm2").alias("nb")), "b_id")
+        .filter(F.col("na") + F.col("nb") - 2 * F.col("dot") <= eps)
+    )
+    n_prior = close.groupBy("b_id").agg(
+        F.count(F.lit(1)).alias("n_close_prior")
+    )
+    return (
+        members.select("vec_id", "cluster_id")
+        .join(n_prior, members.vec_id == n_prior.b_id, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("n_close_prior", F.lit(0)).alias("n_close_prior"),
+            (F.coalesce("n_close_prior", F.lit(0)) == 0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+_SEMDEDUP_TAIL = f"""
+, elc AS (
+  SELECT m.cluster_id, e.vec_id, e.pos, e.v
+  FROM {{final}} m JOIN el e USING (vec_id)
+),
+pair_dots AS (
+  SELECT x.cluster_id, x.vec_id AS a_id, y.vec_id AS b_id,
+         SUM(x.v * y.v) AS dot
+  FROM elc x
+  JOIN elc y ON x.cluster_id = y.cluster_id AND x.pos = y.pos
+            AND x.vec_id < y.vec_id
+  GROUP BY 1, 2, 3
+),
+close AS (
+  SELECT d.b_id
+  FROM pair_dots d
+  JOIN norm2 na ON d.a_id = na.vec_id
+  JOIN norm2 nb ON d.b_id = nb.vec_id
+  WHERE na.norm2 + nb.norm2 - 2 * d.dot <= CAST({SEMDEDUP_EPS} AS DECIMAL(12,6))
+),
+prior AS (
+  SELECT b_id, COUNT(*) AS n_close_prior FROM close GROUP BY 1
+)
+SELECT m.vec_id, m.cluster_id,
+       COALESCE(p.n_close_prior, 0) AS n_close_prior,
+       CAST(COALESCE(p.n_close_prior, 0) = 0 AS INT) AS kept
+FROM {{final}} m LEFT JOIN prior p ON m.vec_id = p.b_id
+"""
+
+register(
+    "dedup_semantic", _kmeans_fixed_oracle(final_sql=_SEMDEDUP_TAIL)
+)(dedup_semantic)
 
 
 # ---------------------------------------------------------------------------

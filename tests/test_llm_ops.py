@@ -608,3 +608,27 @@ def test_scd2_history_invariants(spark, sf_dir):
         else:
             assert len(rs) == 1, ck
     assert 0 < n_changed < n_cust
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup keep-rule invariants: the lowest vec_id in every
+    cluster always survives (it has no lower-id neighbor by
+    construction); every document appears exactly once; both kept and
+    dropped rows exist so the oracle hash check has teeth."""
+    from smart_meter_data_pipeline_spark.operators.similarity import (
+        dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert len({r["vec_id"] for r in rows}) == n_vecs
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rs in by_cluster.items():
+        leader = min(rs, key=lambda r: r["vec_id"])
+        assert leader["kept"] == 1, cid
+        assert leader["n_close_prior"] == 0, cid
+    kept_vals = {r["kept"] for r in rows}
+    assert kept_vals == {0, 1}
