@@ -563,6 +563,147 @@ GROUP BY 1
 )(stream_stream_interval_join)
 
 
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases with their
+    preceding same-user clicks within {STREAM_JOIN_WINDOW_MIN} minutes,
+    AND a null-click row for every purchase that had none — the
+    unattributed-conversion report. The outer side is the hard part of
+    streaming joins: Spark can only emit the null-matched row once BOTH
+    watermarks prove no matching click can still arrive, i.e. when
+    join state for that purchase expires. On a drained finite stream
+    that final eviction never happens by itself (availableNow runs no
+    closing no-data batch), so each side delivers two far-future
+    ``__flush__`` sentinel rows after the real chunks: sentinel #1
+    advances the watermark, the batch processing sentinel #2 evicts and
+    emits every real unmatched purchase. Sentinels carry user_id = -1
+    and are dropped batch-side AFTER the drain (a stream-side filter
+    would be pushed below EventTimeWatermark and eat them).
+
+    State at scale: identical to the inner interval join — click state
+    expires ``window + watermark`` behind the purchase watermark, and
+    the outer emission adds no extra state, only deferred output. The
+    oracle is the identical batch LEFT JOIN, so both the matched pairs
+    AND the null-emission set are hash-checked."""
+    workdir = tempfile.mkdtemp(prefix="smart_meter_ssouter_")
+    try:
+        from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+        def sentinel(days: int) -> DataFrame:
+            return ev.limit(1).select(
+                *[
+                    F.lit(-1).cast("bigint").alias(c)
+                    if c == "user_id"
+                    else (
+                        (F.lit(mx) + F.expr(f"INTERVAL {days} DAYS")).alias(c)
+                        if c == "ts"
+                        else F.col(c)
+                    )
+                    for c in ev.columns
+                ]
+            )
+
+        for etype in ("click", "purchase"):
+            typed = ev.filter(F.col("event_type") == etype)
+            for i, pred in enumerate([F.col("ts") < mid, F.col("ts") >= mid]):
+                typed.filter(pred).coalesce(1).write.parquet(
+                    os.path.join(workdir, etype, f"chunk_{i}")
+                )
+            sentinel(3).coalesce(1).write.parquet(
+                os.path.join(workdir, etype, "chunk_2")
+            )
+            sentinel(6).coalesce(1).write.parquet(
+                os.path.join(workdir, etype, "chunk_3")
+            )
+
+        def side(etype: str, alias: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(workdir, etype, "*"))
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias(f"{alias}_id"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                    F.col("user_id").alias(f"{alias}_user"),
+                    F.col("value").alias(f"{alias}_value"),
+                )
+            )
+
+        clicks, purchases = side("click", "c"), side("purchase", "p")
+        pairs = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(
+                    f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES"
+                )
+            ),
+            "left_outer",
+        )
+        sink = f"ssouter_{uuid.uuid4().hex[:8]}"
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        unmatched_val = F.when(
+            F.col("c_id").isNull(), F.col("p_value").cast("decimal(25,6)")
+        )
+        return (
+            spark.table(sink)
+            .filter(F.col("p_user") >= 0)  # drop flush sentinels
+            .groupBy(F.col("p_user").alias("user_id"))
+            .agg(
+                F.count("c_id").alias("n_attributed_pairs"),
+                F.countDistinct(
+                    F.when(F.col("c_id").isNull(), F.col("p_id"))
+                ).alias("n_unmatched_purchases"),
+                F.coalesce(
+                    F.sum(unmatched_val).cast("double"), F.lit(0.0)
+                ).alias("unattributed_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_outer_interval_join",
+    f"""
+WITH pairs AS (
+  SELECT p.user_id, p.event_id AS p_id, p.value AS p_value,
+         c.event_id AS c_id
+  FROM events p
+  LEFT JOIN events c
+    ON c.event_type = 'click'
+   AND c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+  WHERE p.event_type = 'purchase'
+)
+SELECT user_id,
+       COUNT(c_id) AS n_attributed_pairs,
+       COUNT(DISTINCT CASE WHEN c_id IS NULL THEN p_id END)
+         AS n_unmatched_purchases,
+       COALESCE(CAST(SUM(CASE WHEN c_id IS NULL
+                              THEN CAST(p_value AS DECIMAL(25,6)) END)
+                     AS DOUBLE), 0.0) AS unattributed_value
+FROM pairs
+GROUP BY 1
+""",
+)(stream_outer_interval_join)
+
+
 SLIDE_MIN = 15
 SLIDE_WINDOW_MIN = 60
 
