@@ -74,6 +74,7 @@ _PRIORITY = [
     # (0) new in round 6 — need a first driver row
     "dedup_semantic",
     "stream_outer_interval_join",
+    "stream_running_totals",
     "tpch_promo_revenue",
     "tpch_large_orders",
     "tpch_top_supplier",

@@ -128,3 +128,126 @@ def incremental_deltas(readings_stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4): per-user running totals
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("running_value_micro", T.LongType()),
+    ]
+)
+
+
+def running_user_totals(
+    events_stream: DataFrame, api: str = "applyInPandasWithState"
+) -> DataFrame:
+    """Per-user running value totals — arbitrary stateful processing
+    with ONE int64 of state per user.
+
+    Semantics: for every event, emit the cumulative sum of ``value``
+    over that user's events so far, in (ts, event_id) order. Exactness:
+    each double is quantized to DECIMAL(25,6) micro-units (the same
+    cast the DuckDB oracle applies — verified equal over the corpus)
+    and accumulated in int64, so state handoff across micro-batches is
+    bit-exact and the per-event prefix sums are integer outputs, the
+    bulletproof hash form.
+
+    Two API backends, same semantics (one test pins them equal):
+
+    - ``applyInPandasWithState`` (default) — works everywhere this
+      engine runs.
+    - ``transformWithState`` — Spark 4's successor (typed state
+      variables on a ``StatefulProcessor``, the API arbitrary stateful
+      processing is converging on). Its Python runner requires
+      ``google.protobuf``, absent from this sandbox, so the backend is
+      import-gated; the implementation is real and the selection test
+      skips (not fakes) where protobuf is missing.
+
+    Arrival-order contract: per-key event-time order across
+    micro-batches (same contract as ``incremental_deltas``; the file
+    chunks are ts-split). Within a batch the Arrow rows are sorted by
+    (ts, event_id) vectorized and the cumulative sum is a pandas
+    ``cumsum`` — no per-row Python in the hot loop except the decimal
+    quantize, which is the correctness contract itself."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal("0.000001")
+
+    def _emit(pdf, base):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        micros = pdf["value"].map(
+            lambda v: int(
+                (Decimal(float(v)).quantize(quantum, ROUND_HALF_UP))
+                * 1_000_000
+            )
+        )
+        running = micros.astype("int64").cumsum() + base
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64").values,
+                "user_id": pdf["user_id"].astype("int64").values,
+                "running_value_micro": running.astype("int64").values,
+            }
+        )
+        return out, int(running.iloc[-1])
+
+    if api == "applyInPandasWithState":
+
+        def _fn(key, pdfs, state):
+            import pandas as pd
+
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            base = state.get[0] if state.exists else 0
+            out, total = _emit(pdf, base)
+            state.update((total,))
+            yield out
+
+        return events_stream.groupBy("user_id").applyInPandasWithState(
+            _fn,
+            RUNNING_TOTALS_OUTPUT,
+            T.StructType([T.StructField("total_micro", T.LongType())]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    if api == "transformWithState":
+        from pyspark.sql.streaming import StatefulProcessor
+
+        class _RunningTotal(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._total = handle.getValueState(
+                    "total",
+                    T.StructType(
+                        [T.StructField("total_micro", T.LongType())]
+                    ),
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                pdf = pd.concat(list(rows), ignore_index=True)
+                base = (
+                    self._total.get()[0] if self._total.exists() else 0
+                )
+                out, total = _emit(pdf, base)
+                self._total.update((total,))
+                yield out
+
+            def close(self) -> None:
+                pass
+
+        return events_stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_RunningTotal(),
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            outputMode="Append",
+            timeMode="None",
+        )
+
+    raise ValueError(f"unknown stateful api: {api!r}")

@@ -316,6 +316,66 @@ FROM stg GROUP BY 1, 2"""
 register("stream_incremental_deltas", _stateful_oracle())(stream_incremental_deltas)
 
 
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals on the events stream — arbitrary
+    stateful processing with one int64 of state per user (see
+    :func:`~..streaming.stateful.running_user_totals` for semantics,
+    the exactness contract, and the dual applyInPandasWithState /
+    transformWithState backends; the default backend runs here, the
+    Spark-4 API variant is import-gated on protobuf). Two time-ordered
+    file deliveries force the state to hand off across micro-batches;
+    the oracle is the batch prefix-sum window, so per-event cumulative
+    values — including every cross-batch continuation — land in the
+    hash."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+    from smart_meter_data_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_tws_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+        sink = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_running_totals",
+    """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+            ) * 1000000 AS BIGINT) AS running_value_micro
+FROM events
+""",
+)(stream_running_totals)
+
+
 def stream_billing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's stated production path (README.md:137) end-to-
     end: incremental stateful staging instead of a batch LAG rebuild,

@@ -254,3 +254,64 @@ def test_incremental_deltas_restart_from_checkpoint(spark, tmp_path):
     assert streamed.count() == batch.count() == 15 * 24
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_running_totals_backends_equivalent(spark, sf_dir):
+    """Both stateful backends must produce identical per-event running
+    totals. The transformWithState leg skips (never fakes) when its
+    Python runner's protobuf dependency is absent from the sandbox."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+    from smart_meter_data_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    def drain(api: str):
+        workdir = tempfile.mkdtemp(prefix="smart_meter_tws_eq_")
+        try:
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "ts", "value"
+            )
+            mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+            ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+                os.path.join(workdir, "chunk_0")
+            )
+            ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+                os.path.join(workdir, "chunk_1")
+            )
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(workdir, "*"))
+            )
+            sink = f"tws_eq_{uuid.uuid4().hex[:8]}"
+            q = (
+                running_user_totals(stream, api=api)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                (r["event_id"], r["user_id"]): r["running_value_micro"]
+                for r in spark.table(sink).collect()
+            }
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    base = drain("applyInPandasWithState")
+    assert len(base) > 0
+    _pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState Python runner requires protobuf",
+    )
+    assert drain("transformWithState") == base
