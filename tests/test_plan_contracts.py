@@ -151,3 +151,42 @@ def test_funnel_single_key_partitioning(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "PushedFilters" in p and "event_type" in p
+
+
+def test_tpch_returned_items_pushdown_and_broadcasts(spark, sf_dir):
+    """Q10 shape: the returnflag filter reaches the parquet scan and
+    every dim side broadcasts — the fact never shuffles before its one
+    aggregation exchange."""
+    p = _plan(tpch.tpch_returned_items(spark, sf_dir))
+    scan = p[p.index("Scan parquet"):]
+    assert "PushedFilters" in scan and "l_returnflag" in scan
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_promo_revenue_broadcasts_part(spark, sf_dir):
+    """Q14 shape: part is the broadcast side and the CASE folds into a
+    partial aggregate (two HashAggregate levels)."""
+    p = _plan(tpch.tpch_promo_revenue(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert p.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_top_supplier_max_is_broadcast_not_window(spark, sf_dir):
+    """Q15 shape: the global-max comparison must be a broadcast join of
+    a 1-row aggregate, never a single-partition window over the whole
+    rollup (the serialization point a naive MAX() OVER () introduces)."""
+    p = _plan(tpch.tpch_top_supplier(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_semantic_no_cartesian_and_no_python(spark, sf_dir):
+    """SemDeDup's intra-cluster pair stage must stay an equi-join on
+    (cluster_id, pos) — never a cartesian pair enumeration — and all
+    arithmetic stays JVM-side decimal."""
+    p = _plan(similarity.dedup_semantic(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
