@@ -1420,6 +1420,10 @@ COARSE_TRAIN_ITERS = 1  # Lloyd rounds refining the coarse-cell centroids
 # dominates two at both scales (sf0.01 nprobe4 0.86 vs 0.84; sf0.1
 # nprobe4/8 0.46/0.72 vs 0.46/0.66) and beats untrained seeds at
 # nprobe4 (0.42) while costing one bounded shuffle less than two.
+# Known tradeoff the bench sweep records every run: at WIDE probes
+# (nprobe 8) untrained seeds edge ahead at sf0.1 (0.76 vs 0.72) —
+# training tightens cells, which helps exactly when few are probed;
+# the default optimizes the tight-probe (cheap-serving) dial.
 
 
 def ivfpq_build_index(
