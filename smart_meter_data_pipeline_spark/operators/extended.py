@@ -1440,3 +1440,134 @@ SELECT c_custkey, c_mktsegment || '_V2',
 FROM marked WHERE u < {SCD2_RATE}
 """.format(u_expr=_u_sql(SCD2_SALT, "c_custkey", "0")),
 )(dim_scd2_history)
+
+
+def user_value_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank analytics over the per-user value rollup: NTILE
+    quartile band, PERCENT_RANK and CUME_DIST — the W-family members
+    (rank bands for tiering, percentile position for scoring) the other
+    window queries don't exercise.
+
+    Scale note: the window is deliberately global (NTILE is a global
+    construct) but it runs over the AGGREGATED user dimension — one row
+    per user, dim-sized (~200k at reference scale), not the event fact.
+    The fact-sized work is the one keyed aggregation shuffle before it.
+    At a corpus where even the user dim overflows one partition, the
+    production form is a range-partitioned global sort (Spark's
+    ``orderBy`` machinery) feeding distributed rank computation, or
+    approx-quantile band edges broadcast back — this exact output,
+    different physical plan. Ordering is made total with user_id as
+    tiebreak so every engine ranks identically."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(dsum("value", "total_value"))
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        "total_value",
+        F.ntile(4).over(w).alias("value_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume_dist"),
+    )
+
+
+register(
+    "user_value_rank_bands",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT user_id, total_value,
+       CAST(NTILE(4) OVER w AS INT) AS value_quartile,
+       round(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       round(CUME_DIST() OVER w, 9) AS cume_dist
+FROM per_user
+WINDOW w AS (ORDER BY total_value DESC, user_id)
+""",
+)(user_value_rank_bands)
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt ``relationships``-test parity at warehouse scale (the
+    reference's schema.yml relationship tests → one audit table): for
+    every FK edge, the child row count and the count of orphans (child
+    keys with no parent). Dimension parents broadcast their distinct
+    keys, so fact-side audits are scan-shaped; the one fact→fact edge
+    (lineitem→orders) is a keyed shuffle anti-join, the plan a 100 TB
+    integrity sweep needs. NULL child keys are not orphans (SQL FK
+    semantics: NULL references nothing and passes)."""
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in (
+            "customer", "orders", "lineitem", "part",
+            "supplier", "nation", "events",
+        )
+    }
+    edges = [
+        # (name, child, child_key, parent, parent_key, parent_is_dim)
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey", True),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey", False),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey", True),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey", True),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey", True),
+        ("events.user_id->customer", "events", "user_id",
+         "customer", "c_custkey", True),
+    ]
+    out = None
+    for name, child, ck, parent, pk, parent_is_dim in edges:
+        pkeys = tables[parent].select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        if parent_is_dim:
+            pkeys = F.broadcast(pkeys)
+        joined = tables[child].select(F.col(ck).alias("__ck")).join(
+            pkeys, F.col("__ck") == F.col("__pk"), "left"
+        )
+        audit = joined.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.count(
+                F.when(
+                    F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
+                )
+            ).alias("n_orphans"),
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out
+
+
+_RI_EDGE_SQL = """
+SELECT '{name}' AS relationship,
+       COUNT(*) AS n_child_rows,
+       COUNT(CASE WHEN c.{ck} IS NOT NULL AND p.{pk} IS NULL
+                  THEN 1 END) AS n_orphans
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{ck} = p.{pk}
+"""
+
+register(
+    "referential_integrity_audit",
+    "\nUNION ALL\n".join(
+        _RI_EDGE_SQL.format(name=n, child=c, ck=ck, parent=p, pk=pk)
+        for (n, c, ck, p, pk) in [
+            ("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+            ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+            ("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+            ("events.user_id->customer", "events", "user_id",
+             "customer", "c_custkey"),
+        ]
+    ),
+)(referential_integrity_audit)

@@ -75,6 +75,8 @@ _PRIORITY = [
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",
+    "user_value_rank_bands",
+    "referential_integrity_audit",
     "tpch_promo_revenue",
     "tpch_large_orders",
     "tpch_top_supplier",
