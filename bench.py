@@ -294,6 +294,13 @@ def main() -> None:
             "dedup_clusters",
             lambda: _materialize(dedup.dedup_clusters(spark, SF_DIR)),
         )
+        # 13. Semantic dedup (NEW leg r6 — not in r1-r5 totals): the
+        # SemDeDup cluster-bounded pairwise prune, full quantized-
+        # decimal Lloyd pipeline included.
+        leg(
+            "dedup_semantic",
+            lambda: _materialize(similarity.dedup_semantic(spark, SF_DIR)),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
