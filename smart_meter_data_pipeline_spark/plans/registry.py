@@ -77,6 +77,7 @@ _PRIORITY = [
     "stream_running_totals",
     "user_value_rank_bands",
     "referential_integrity_audit",
+    "pagerank_trade_graph",
     "tpch_promo_revenue",
     "tpch_large_orders",
     "tpch_top_supplier",
@@ -203,6 +204,7 @@ def load_all() -> None:
         curation,
         events_pipeline,
         extended,
+        graph,
         meter_pipeline,
         tpch,
         dedup,

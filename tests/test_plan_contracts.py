@@ -190,3 +190,16 @@ def test_dedup_semantic_no_cartesian_and_no_python(spark, sf_dir):
     p = _plan(similarity.dedup_semantic(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pagerank_rounds_are_joins_not_cartesian(spark, sf_dir):
+    """PageRank's per-round message passing must stay keyed equi-joins
+    of the edge list against the rank vector (Pregel-as-joins); the
+    only nested-loop joins are 1-row scalar broadcasts (node count)."""
+    from smart_meter_data_pipeline_spark.operators.graph import (
+        pagerank_trade_graph,
+    )
+
+    p = _plan(pagerank_trade_graph(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
