@@ -78,6 +78,7 @@ _PRIORITY = [
     "user_value_rank_bands",
     "referential_integrity_audit",
     "pagerank_trade_graph",
+    "stream_sessionized_timeout",
     "tpch_promo_revenue",
     "tpch_large_orders",
     "tpch_top_supplier",

@@ -251,3 +251,146 @@ def running_user_totals(
         )
 
     raise ValueError(f"unknown stateful api: {api!r}")
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization with EVENT-TIME TIMEOUTS (state timers)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value_micro", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_micro", T.LongType()),
+    ]
+)
+
+
+def sessionize_with_timeout(events_stream: DataFrame) -> DataFrame:
+    """Gap-based sessionization as an arbitrary stateful operator with
+    EVENT-TIME TIMEOUTS — the state-timer API the other stateful twins
+    don't exercise. Native ``session_window`` already covers T9's
+    declarative form (stream_session_windows); this is the form you
+    need when a session must carry custom state or emit custom close
+    records: the open session lives in keyed state, a timeout timer is
+    armed at ``last_event + gap``, and Spark calls the function with
+    ``hasTimedOut`` once the WATERMARK passes the timer — the closed
+    session is emitted from the timeout path, not from new data.
+
+    Within a batch, gap splits are detected vectorized (sorted diff >
+    gap → boundary); a session straddling micro-batches merges into
+    the stored open session when the first new event is within gap.
+    Value mass is quantized to DECIMAL(25,6) micro-units (the oracle's
+    cast, verified equal) and accumulated in int64 — integer outputs,
+    exact across any batching. State per user: four int64s."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        SESSION_GAP_MIN,
+    )
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    quantum = Decimal("0.000001")
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        def session_row(start_us, last_us, n, sum_micro):
+            return (
+                key[0],
+                pd.Timestamp(start_us, unit="us"),
+                pd.Timestamp(last_us, unit="us"),
+                n,
+                sum_micro,
+            )
+
+        out = []
+        if state.hasTimedOut:
+            start_us, last_us, n, sum_micro = state.get
+            out.append(session_row(start_us, last_us, n, sum_micro))
+            state.remove()
+        else:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            micros = (
+                pdf["value"]
+                .map(
+                    lambda v: int(
+                        Decimal(float(v)).quantize(quantum, ROUND_HALF_UP)
+                        * 1_000_000
+                    )
+                )
+                .to_numpy()
+            )
+            import numpy as np
+
+            prev_last = state.get[1] if state.exists else None
+            prev = np.concatenate(
+                [[prev_last if prev_last is not None else ts_us[0]],
+                 ts_us[:-1]]
+            )
+            # boundary before row i iff gap exceeded vs previous event
+            # (row 0 compares against the stored open session's last)
+            new_flag = (ts_us - prev) > gap_us
+            sid = np.cumsum(new_flag)
+            frame = pd.DataFrame(
+                {"t": ts_us, "m": micros, "sid": sid}
+            )
+            groups = frame.groupby("sid", sort=True).agg(
+                start=("t", "min"),
+                last=("t", "max"),
+                n=("t", "size"),
+                sm=("m", "sum"),
+            )
+            sessions = [
+                [int(g.start), int(g.last), int(g.n), int(g.sm)]
+                for g in groups.itertuples()
+            ]
+            if state.exists:
+                st = list(state.get)
+                if not new_flag[0]:
+                    # first group continues the stored open session
+                    g0 = sessions[0]
+                    sessions[0] = [
+                        st[0], g0[1], st[2] + g0[2], st[3] + g0[3]
+                    ]
+                else:
+                    out.append(session_row(*st))
+            for closed in sessions[:-1]:
+                out.append(session_row(*closed))
+            cur = sessions[-1]
+            state.update(tuple(cur))
+            # Arm the event-time timer: fires once the watermark passes
+            # the open session's gap horizon (epoch millis API).
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "session_value_micro",
+                ],
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        SESSION_OUTPUT,
+        _SESSION_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

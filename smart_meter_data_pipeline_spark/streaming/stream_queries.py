@@ -376,6 +376,105 @@ FROM events
 )(stream_running_totals)
 
 
+def stream_sessionized_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via keyed state + EVENT-TIME TIMEOUT
+    timers (see :func:`~..streaming.stateful.sessionize_with_timeout`):
+    sessions close either when a later same-user event exceeds the gap
+    (data path) or when the watermark passes the open session's gap
+    horizon and the armed timer fires (timeout path — how the LAST
+    session of every user is emitted). Two ts-ordered chunks force
+    cross-batch session continuation; two far-future sentinels advance
+    the watermark and run the batch that fires the trailing timers
+    (the same two-sentinel flush as the windowed/outer-join drains).
+    Oracle is the batch gaps-and-islands sessionization, so both close
+    paths and every cross-batch merge land in the hash."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+    from smart_meter_data_pipeline_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_sess_to_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+        def sentinel(days: int) -> DataFrame:
+            return ev.limit(1).select(
+                F.col("event_id"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                (F.lit(mx) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                F.col("value"),
+            )
+
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        sentinel(3).coalesce(1).write.parquet(os.path.join(workdir, "chunk_2"))
+        sentinel(6).coalesce(1).write.parquet(os.path.join(workdir, "chunk_3"))
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+            .withWatermark("ts", "1 hour")
+        )
+        sink = f"sess_to_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessionize_with_timeout(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(sink)
+            .filter(F.col("user_id") >= 0)  # drop flush sentinels
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _sessionized_timeout_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        SESSION_GAP_MIN,
+    )
+
+    return f"""
+WITH flagged AS (
+  SELECT *,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+         AS session_value_micro
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+register("stream_sessionized_timeout", _sessionized_timeout_oracle())(
+    stream_sessionized_timeout
+)
+
+
 def stream_billing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's stated production path (README.md:137) end-to-
     end: incremental stateful staging instead of a batch LAG rebuild,
