@@ -132,3 +132,49 @@ def test_date_pruned_validation(spark, table_dir):
     assert commits[0]["dates"] == ["2024-03-01"]
     assert commits[1]["dates"] == ["2024-03-02"]
     assert t.read(spark).count() == 20
+
+
+def test_crashed_writer_leaves_no_trace_and_retry_is_exact(spark, table_dir):
+    """Crash injection at the worst instant: a writer dies AFTER its
+    data files are fully staged but BEFORE its commit file lands. The
+    manifest contract must make that failure invisible — readers see
+    the pre-crash table, a concurrent/later writer is unaffected, and
+    the crashed batch retried end-to-end lands exactly once (the
+    orphaned staged files stay unreferenced forever; vacuum = listing
+    data files minus the committed set)."""
+    t = manifest.ManifestTable(table_dir)
+
+    # committed baseline: meters 1-50
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 51)) == 50
+
+    # writer 2 stages meters 40-80 (overlap 40-50) ... and "crashes"
+    # before commit: _stage() is exactly the pre-commit state.
+    doomed = _valid_batch(spark, 40, 81).dropDuplicates(
+        ["reading_timestamp", "meter_id"]
+    )
+    orphans = t._stage(doomed)
+    assert len(orphans) > 0
+
+    # invisible to readers: still exactly the 50 committed rows
+    assert t.read(spark).count() == 50
+    # invisible to the commit log
+    assert len(t.snapshot()) == 1
+    # but physically present (the crash left real bytes behind)
+    for rel in orphans:
+        assert os.path.exists(os.path.join(t.data_dir, rel))
+
+    # a different writer proceeds normally, unaffected by the orphans
+    assert t.idempotent_append(spark, _valid_batch(spark, 90, 101)) == 11
+
+    # the crashed batch retried from scratch: only the 30 genuinely
+    # new meters (51-80) land; the overlap stays single-copy
+    assert t.idempotent_append(spark, _valid_batch(spark, 40, 81)) == 30
+    fact = t.read(spark)
+    assert fact.count() == 91  # 50 + 11 + 30
+    assert (
+        fact.select("reading_timestamp", "meter_id").distinct().count() == 91
+    )
+
+    # orphans are STILL unreferenced by any commit — the vacuum set
+    committed = {f for c in t.snapshot() for f in c["added"]}
+    assert committed.isdisjoint(orphans)
