@@ -116,3 +116,55 @@ def test_guarded_pct_total_and_ieee_exact(spark, pairs):
         assert r["pct"] is not None
         want = num / den * 100.0 if den > 0 else 0.0
         assert r["pct"] == want, (num, den)
+
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=20),
+    st.booleans(),
+)
+_messages = st.one_of(
+    # arbitrary junk that may not even be JSON
+    st.text(max_size=40),
+    # JSON objects with reference-ish keys and adversarial values
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "meter_id": _json_scalars,
+            "reading_timestamp": _json_scalars,
+            "reading_consumption_milliwatts": _json_scalars,
+            "reading_production_milliwatts": _json_scalars,
+            "status": _json_scalars,
+            "unexpected_extra": _json_scalars,
+        },
+    ).map(lambda d: __import__("json").dumps(d)),
+)
+
+
+@given(msgs=st.lists(_messages, min_size=1, max_size=32))
+@settings(**_SETTINGS)
+def test_ingest_validation_is_total_partition(spark, msgs):
+    """The validation gate must be TOTAL on arbitrary input: every
+    Kafka message lands in exactly one of (valid, quarantine) — no
+    crash, no dropped row, no double-count — and every valid row
+    satisfies the schema CHECKs (parseable ts, enum status,
+    non-negative readings, at least one reading)."""
+    from smart_meter_data_pipeline_spark.sources import ingest
+
+    raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+    classified = ingest.classify(ingest.parse_messages(raw))
+    valid, quarantine = ingest.split_valid(classified)
+    n_valid, n_quar = valid.count(), quarantine.count()
+    assert n_valid + n_quar == len(msgs)
+    for r in valid.collect():
+        assert r["reading_timestamp"] is not None
+        assert r["status"] in {"V", "E", "R"}
+        cons = r["reading_consumption_milliwatts"]
+        prod = r["reading_production_milliwatts"]
+        assert cons is not None or prod is not None
+        assert cons is None or cons >= 0
+        assert prod is None or prod >= 0
+    for r in quarantine.collect():
+        assert r["reject_reason"] is not None
