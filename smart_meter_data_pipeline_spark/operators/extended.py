@@ -1492,11 +1492,12 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt ``relationships``-test parity at warehouse scale (the
     reference's schema.yml relationship tests → one audit table): for
     every FK edge, the child row count and the count of orphans (child
-    keys with no parent). Dimension parents broadcast their distinct
-    keys, so fact-side audits are scan-shaped; the one fact→fact edge
-    (lineitem→orders) is a keyed shuffle anti-join, the plan a 100 TB
-    integrity sweep needs. NULL child keys are not orphans (SQL FK
-    semantics: NULL references nothing and passes)."""
+    keys with no parent). All three lineitem edges ride ONE fact scan
+    (chained parent-key left joins — part/supplier broadcast, orders
+    the keyed fact→fact shuffle — then one aggregate unpivoted to
+    per-edge rows), so the audit reads each child table exactly once,
+    the plan a 100 TB integrity sweep needs. NULL child keys are not
+    orphans (SQL FK semantics: NULL references nothing and passes)."""
     tables = {
         t: load_table(spark, sf_dir, t)
         for t in (
@@ -1504,42 +1505,85 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supplier", "nation", "events",
         )
     }
-    edges = [
-        # (name, child, child_key, parent, parent_key, parent_is_dim)
-        ("orders.o_custkey->customer", "orders", "o_custkey",
-         "customer", "c_custkey", True),
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
-         "orders", "o_orderkey", False),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
-         "part", "p_partkey", True),
-        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
-         "supplier", "s_suppkey", True),
-        ("customer.c_nationkey->nation", "customer", "c_nationkey",
-         "nation", "n_nationkey", True),
-        ("events.user_id->customer", "events", "user_id",
-         "customer", "c_custkey", True),
-    ]
-    out = None
-    for name, child, ck, parent, pk, parent_is_dim in edges:
-        pkeys = tables[parent].select(
-            F.col(pk).alias("__pk")
-        ).distinct()
-        if parent_is_dim:
-            pkeys = F.broadcast(pkeys)
-        joined = tables[child].select(F.col(ck).alias("__ck")).join(
-            pkeys, F.col("__ck") == F.col("__pk"), "left"
+
+    def keys(parent: str, pk: str, alias: str, broadcastable: bool = True):
+        p = tables[parent].select(F.col(pk).alias(alias)).distinct()
+        return F.broadcast(p) if broadcastable else p
+
+    def orphan_count(ck: str, pk_alias: str, name: str):
+        return F.count(
+            F.when(F.col(ck).isNotNull() & F.col(pk_alias).isNull(), 1)
+        ).alias(name)
+
+    # All three lineitem edges audited in ONE fact scan: chain the
+    # parent-key joins (orders by key — the fact→fact shuffle; part and
+    # supplier broadcast), then count each orphan predicate in a single
+    # aggregate and unpivot to the per-edge rows.
+    li = (
+        tables["lineitem"]
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(keys("orders", "o_orderkey", "__ok", broadcastable=False),
+              F.col("l_orderkey") == F.col("__ok"), "left")
+        .join(keys("part", "p_partkey", "__pk"),
+              F.col("l_partkey") == F.col("__pk"), "left")
+        .join(keys("supplier", "s_suppkey", "__sk"),
+              F.col("l_suppkey") == F.col("__sk"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            orphan_count("l_orderkey", "__ok", "orph_orders"),
+            orphan_count("l_partkey", "__pk", "orph_part"),
+            orphan_count("l_suppkey", "__sk", "orph_supp"),
         )
-        audit = joined.agg(
-            F.lit(name).alias("relationship"),
-            F.count(F.lit(1)).alias("n_child_rows"),
-            F.count(
-                F.when(
-                    F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
-                )
-            ).alias("n_orphans"),
+    )
+    li_rows = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.l_orderkey->orders").alias("relationship"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("orph_orders").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_partkey->part").alias("relationship"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("orph_part").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_suppkey->supplier").alias("relationship"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("orph_supp").alias("n_orphans"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+
+    def single_edge(name: str, child: str, ck: str, parent: str, pk: str):
+        return (
+            tables[child]
+            .select(F.col(ck).alias("__ck"))
+            .join(keys(parent, pk, "__pp"),
+                  F.col("__ck") == F.col("__pp"), "left")
+            .agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                orphan_count("__ck", "__pp", "n_orphans"),
+            )
         )
-        out = audit if out is None else out.unionByName(audit)
-    return out
+
+    return (
+        li_rows.unionByName(
+            single_edge("orders.o_custkey->customer", "orders",
+                        "o_custkey", "customer", "c_custkey")
+        )
+        .unionByName(
+            single_edge("customer.c_nationkey->nation", "customer",
+                        "c_nationkey", "nation", "n_nationkey")
+        )
+        .unionByName(
+            single_edge("events.user_id->customer", "events",
+                        "user_id", "customer", "c_custkey")
+        )
+    )
 
 
 _RI_EDGE_SQL = """
