@@ -113,9 +113,26 @@ class ManifestTable:
 
     # -- read --------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """The committed table contents (None when no commits yet)."""
-        files = self._files(self.snapshot())
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """The committed table contents (None when no commits yet).
+
+        ``version`` time-travels: the table AS OF commit ``version``
+        (inclusive — ``version=0`` is the first commit's view). Commit
+        files are immutable and data files are never rewritten, so any
+        historical snapshot remains readable until a vacuum deletes
+        unreferenced-and-expired files — the same versioned-manifest
+        contract Delta/Iceberg time travel rests on."""
+        commits = self.snapshot()
+        if version is not None:
+            if version < 0 or version >= len(commits):
+                raise ValueError(
+                    f"version {version} out of range: table has "
+                    f"{len(commits)} commits"
+                )
+            commits = commits[: version + 1]
+        files = self._files(commits)
         if not files:
             return None
         return spark.read.parquet(*files)

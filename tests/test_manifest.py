@@ -178,3 +178,29 @@ def test_crashed_writer_leaves_no_trace_and_retry_is_exact(spark, table_dir):
     # orphans are STILL unreferenced by any commit — the vacuum set
     committed = {f for c in t.snapshot() for f in c["added"]}
     assert committed.isdisjoint(orphans)
+
+
+def test_time_travel_reads_are_stable_snapshots(spark, table_dir):
+    """read(version=k) is the table AS OF commit k — and stays
+    byte-stable after later commits land (immutable commit files +
+    never-rewritten data files, the contract Delta/Iceberg time travel
+    rests on)."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))     # v0: 10
+    t.idempotent_append(spark, _valid_batch(spark, 11, 31))    # v1: +20
+    v0_before = t.read(spark, version=0).count()
+    t.idempotent_append(spark, _valid_batch(spark, 31, 36))    # v2: +5
+
+    assert t.read(spark).count() == 35
+    assert t.read(spark, version=0).count() == 10 == v0_before
+    assert t.read(spark, version=1).count() == 30
+    assert t.read(spark, version=2).count() == 35
+    # meters visible at v1 are exactly 1-30
+    got = {
+        r["meter_id"] for r in t.read(spark, version=1).collect()
+    }
+    assert got == set(range(1, 31))
+    with pytest.raises(ValueError):
+        t.read(spark, version=3)
+    with pytest.raises(ValueError):
+        t.read(spark, version=-1)
