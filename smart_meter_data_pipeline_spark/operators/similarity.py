@@ -1032,10 +1032,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(vec_id, cluster_id, n_close_prior, kept)``.
 
     Scale: the intra-cluster self-join shuffles on (cluster_id, pos),
-    so candidate volume is Σ|cluster|², not n² — with K grown
-    proportionally to corpus size (the production setting; here K is
-    pinned by the deterministic seed rule for hash-parity), cluster
-    sizes stay ~constant and the pair stage stays linear in n. All
+    so candidate volume is Σ|cluster|², not n² — and the deterministic
+    seed rule (every KMEANS_STRIDE-th vector) already grows K
+    proportionally with the corpus, holding cluster sizes at ~stride
+    and the pair stage at ~stride·n, linear in n. All
     arithmetic is the same quantized-decimal grid as
     :func:`kmeans_fixed_rounds`, so the FULL pipeline — Lloyd rounds
     included — hash-matches the DuckDB twin."""
