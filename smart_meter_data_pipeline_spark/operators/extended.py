@@ -641,13 +641,16 @@ def approx_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the PROPERTY both engines must satisfy, not the estimate
     itself: per event_type, the exact distinct-user count plus
     booleans asserting each engine's own approx result lands within
-    tolerance of its own exact result (±5% for HLL at default rsd;
-    p50 sketch within the exact p40–p60 band). Both engines emitting
-    ``true`` everywhere IS the cross-engine contract."""
+    tolerance of its own exact result (±5% for HLL at rsd=0.01 —
+    Spark's DEFAULT rsd 0.05 genuinely breaches 5% on 1500 distinct
+    keys at sf0.1, caught by the scale-sanity sweep, so the sketch is
+    sized explicitly; p50 sketch within the exact p40–p60 band). Both
+    engines emitting ``true`` everywhere IS the cross-engine
+    contract."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
-        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
         F.expr("approx_percentile(value, 0.5)").alias("p50_approx"),
         F.expr("percentile(value, 0.4)").alias("p40_exact"),
         F.expr("percentile(value, 0.6)").alias("p60_exact"),

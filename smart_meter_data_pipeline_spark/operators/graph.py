@@ -3,15 +3,20 @@ customer↔supplier trade graph.
 
 The near-dup pipeline already ships one iterative graph operator
 (connected components, operators/dedup.py); this module adds the other
-canonical one — a damped random-walk centrality — with the engine's
-signature trick for iterative float algorithms: the quantized-decimal
-grid (see ``kmeans_fixed_rounds``). Every rank and every per-edge
-contribution is rounded to 9 decimal digits and carried as
-DECIMAL(12,9); sums are exact decimal; the two divisions per round
-(contribution r/deg, teleport 0.15/N) run in IEEE double on identical
-inputs and are immediately re-quantized — so THREE fixed Lloyd-style
-rounds hash-match a mechanically generated DuckDB CTE chain, integer
-outputs and all.
+canonical one — a damped random-walk centrality — in the engine's most
+robust cross-engine form: PURE INT64 ARITHMETIC. Ranks are carried in
+nano-units (1.0 == 1e9), every per-round operation is integer floor
+division or integer multiply/add, and there is NO double anywhere in
+the pipeline — the first cut used round(double, 9) re-quantization (the
+kmeans grid) and ONE node in 16.6k at sf0.1 landed on a half-way
+rounding boundary where Spark (shortest-repr HALF_UP) and DuckDB
+(binary) disagree by 1 ulp. Integer floor division has no such
+boundary: ``a div b`` is the same value in every engine.
+
+Semantics: r₀ = ⌊1e9/N⌋; each round every node sends ⌊r/deg⌋ along
+each edge and collects r' = ⌊0.15e9/N⌋ + ⌊85·Σmsgs/100⌋. Floor losses
+leak ~1 nano-unit per op (bounded drift, deterministic) — the price of
+exactness, documented rather than hidden.
 
 Scale design: one round = one equi-join of the edge list against the
 rank vector (shuffle keyed by node) + one keyed aggregation — the
@@ -29,21 +34,21 @@ from smart_meter_data_pipeline_spark.plans.registry import register
 from smart_meter_data_pipeline_spark.sources.readers import load_table
 
 PAGERANK_ROUNDS = 3
-PAGERANK_DAMPING = "0.85"  # decimal literal strings: both engines must
-PAGERANK_TELEPORT = "0.15"  # parse the SAME double (0.15 != 1-0.85 in
-# general floating point; keeping both as literals sidesteps it)
-_GRID = "decimal(12,9)"
+ONE_NANO = 1_000_000_000  # rank 1.0 in nano-units
+TELEPORT_NANO = 150_000_000  # 0.15 in nano-units
+DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 as an integer ratio
 
 
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-seed, fixed-rounds PageRank over the undirected
+    """Fixed-seed, fixed-rounds integer PageRank over the undirected
     customer↔supplier trade graph (distinct (customer, supplier) pairs
     from lineitem ⋈ orders; undirected random walk, so there are no
     dangling-node corrections to diverge on). Nodes are namespaced
     into one BIGINT id space (customer → 2k, supplier → 2k+1).
 
     Output per node: type, id, degree, and rank_micro =
-    ⌊rank × 1e6⌋ after {PAGERANK_ROUNDS} rounds — all integers."""
+    rank_nano div 1000 after {PAGERANK_ROUNDS} rounds — all integers,
+    all arithmetic int64."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -72,40 +77,27 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.join(F.broadcast(n_nodes))
         .select(
             "node",
-            F.round(F.lit(1.0) / F.col("n").cast("double"), 9)
-            .cast(_GRID)
-            .alias("r"),
+            F.expr(f"CAST({ONE_NANO} AS BIGINT) div n").alias("r_nano"),
         )
         .localCheckpoint(eager=True)
     )
     for _ in range(PAGERANK_ROUNDS):
         contrib = edges_deg.join(
             rank, edges_deg.src == rank.node, "inner"
-        ).select(
-            "dst",
-            F.round(
-                F.col("r").cast("double") / F.col("deg").cast("double"), 9
-            )
-            .cast(_GRID)
-            .alias("contrib"),
-        )
+        ).select("dst", F.expr("r_nano div deg").alias("contrib"))
         sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
         rank = (
             nodes.join(sums, nodes.node == sums.dst, "left")
             .join(F.broadcast(n_nodes))
             .select(
                 "node",
-                F.round(
-                    F.lit(PAGERANK_TELEPORT).cast("double")
-                    / F.col("n").cast("double")
-                    + F.lit(PAGERANK_DAMPING).cast("double")
-                    * F.coalesce(
-                        F.col("s"), F.lit("0").cast(_GRID)
-                    ).cast("double"),
-                    9,
-                )
-                .cast(_GRID)
-                .alias("r"),
+                (
+                    F.expr(f"CAST({TELEPORT_NANO} AS BIGINT) div n")
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" div {DAMP_DEN}"
+                    )
+                ).alias("r_nano"),
             )
             .localCheckpoint(eager=True)
         )
@@ -116,32 +108,32 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.expr("node div 2").alias("node_id"),
         "deg",
-        F.floor(F.col("r") * 1000000).cast("bigint").alias("rank_micro"),
+        F.expr("r_nano div 1000").alias("rank_micro"),
     )
 
 
 def _pagerank_oracle(n_rounds: int = PAGERANK_ROUNDS) -> str:
     """DuckDB twin: one (contrib, sums, rank) CTE triple per round,
-    generated mechanically — same grid, same literal constants, same
-    double→round(…,9)→DECIMAL(12,9) re-quantization points."""
+    generated mechanically — identical int64 floor-division arithmetic
+    (every DuckDB ``//`` is wrapped in CAST(... AS BIGINT): the
+    operator itself promotes through DOUBLE, but the floored VALUE of
+    two non-negative int64s is exact in a double here because every
+    intermediate stays < 2^53, so the cast recovers the integer Spark's
+    ``div`` produces)."""
     parts = []
     for i in range(1, n_rounds + 1):
         parts.append(
             f"""
 c{i} AS (
-  SELECT e.dst AS node,
-         CAST(round(CAST(r.r AS DOUBLE) / CAST(e.deg AS DOUBLE), 9)
-              AS DECIMAL(12,9)) AS contrib
+  SELECT e.dst AS node, CAST(r.r_nano // e.deg AS BIGINT) AS contrib
   FROM edges_deg e JOIN r{i - 1} r ON e.src = r.node
 ),
 s{i} AS (SELECT node, SUM(contrib) AS s FROM c{i} GROUP BY 1),
 r{i} AS (
   SELECT d.node,
-         CAST(round(CAST({PAGERANK_TELEPORT} AS DOUBLE) / CAST(nn.n AS DOUBLE)
-                    + CAST({PAGERANK_DAMPING} AS DOUBLE)
-                      * CAST(COALESCE(s.s, CAST(0 AS DECIMAL(12,9)))
-                             AS DOUBLE), 9)
-              AS DECIMAL(12,9)) AS r
+         CAST(CAST({TELEPORT_NANO} AS BIGINT) // nn.n AS BIGINT)
+           + CAST(({DAMP_NUM} * COALESCE(s.s, CAST(0 AS BIGINT)))
+                  // {DAMP_DEN} AS BIGINT) AS r_nano
   FROM deg d CROSS JOIN nn LEFT JOIN s{i} s ON d.node = s.node
 )"""
         )
@@ -162,14 +154,14 @@ edges_deg AS (
 ),
 nn AS (SELECT COUNT(*) AS n FROM deg),
 r0 AS (
-  SELECT node, CAST(round(1.0 / CAST(nn.n AS DOUBLE), 9) AS DECIMAL(12,9)) AS r
+  SELECT node, CAST(CAST({ONE_NANO} AS BIGINT) // nn.n AS BIGINT) AS r_nano
   FROM deg CROSS JOIN nn
 ),{body}
 SELECT CASE WHEN d.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          AS node_type,
-       d.node // 2 AS node_id,
+       CAST(d.node // 2 AS BIGINT) AS node_id,
        d.deg,
-       CAST(floor(r.r * 1000000) AS BIGINT) AS rank_micro
+       CAST(r.r_nano // 1000 AS BIGINT) AS rank_micro
 FROM r{n_rounds} r JOIN deg d ON r.node = d.node
 """
 
