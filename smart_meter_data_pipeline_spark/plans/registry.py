@@ -94,13 +94,16 @@ _PRIORITY = [
     "tpch_volume_shipping",
     "dim_scd2_history",
     "corpus_quality_report",
-    # (1) code/oracle changed in round 6: hot-shingle df cap in the
+    # (1) code/oracle changed in round 6: approx_count_distinct rsd
+    # sized explicitly (0.01 — the old green row predates the new
+    # definition), hot-shingle df cap in the
     # exact ngram pair path (+ uncapped-oracle split for the LSH
     # family), append-mode sliding windows, guarded z-score, deeper
     # ADC re-rank (PQ_RERANK 160), one-round coarse training. (The
     # LSH plane-count clamp only changes empty-corpus behavior, so
     # ann_lsh_*/dedup_embedding_cosine keep their green r5 rows and
     # stay in the tail to leave cap room for the r4-latest set.)
+    "approx_sketch_check",
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
     "dedup_minhash_lsh",
