@@ -195,6 +195,19 @@ def main() -> None:
         )
         n_truth = truth.count()
         ivf_recall: dict[str, float] = {}
+        # LSH bucketed top-k vs the same ground truth — completes the
+        # ANN dial picture (brute force → LSH → IVF → PQ → IVF×PQ).
+        t0 = time.monotonic()
+        lsh_hits = (
+            similarity.ann_lsh_topk(spark, SF_DIR)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .count()
+        )
+        ivf_recall["lsh_topk"] = {
+            "recall_at_k": round(lsh_hits / n_truth, 4),
+            "sec": round(time.monotonic() - t0, 3),
+        }
         for nprobe in (1, 2, 4, 8):
             t0 = time.monotonic()
             hits = (
