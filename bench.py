@@ -208,6 +208,17 @@ def main() -> None:
             "recall_at_k": round(lsh_hits / n_truth, 4),
             "sec": round(time.monotonic() - t0, 3),
         }
+        t0 = time.monotonic()
+        lshmp_hits = (
+            similarity.ann_lsh_multiprobe(spark, SF_DIR)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .count()
+        )
+        ivf_recall["lsh_multiprobe"] = {
+            "recall_at_k": round(lshmp_hits / n_truth, 4),
+            "sec": round(time.monotonic() - t0, 3),
+        }
         for nprobe in (1, 2, 4, 8):
             t0 = time.monotonic()
             hits = (

@@ -422,6 +422,112 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 )(ann_lsh_topk)
 
 
+def ann_search_lsh_multiprobe(
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Multi-probe LSH search: candidates come from the query's own
+    bucket PLUS every bucket at Hamming distance 1 (one sign bit
+    flipped) — the standard recall/cost dial for LSH (Lv et al., VLDB
+    2007): near neighbors that land just across one hyperplane are
+    recovered for (planes+1)× candidate cost, with no extra tables and
+    no rebuild. Probes are distinct bucket ids, so no candidate pair
+    is scored twice; the probe expansion stays inside the plan (the
+    plane list is an aggregate broadcast, never a driver collect)."""
+    assign = lsh_bucket_assignments(emb).select("vec_id", "bucket_id")
+    masks = _adaptive_planes(emb).select(
+        F.expr("CAST(pow(2.0, j) AS BIGINT)").alias("mask")
+    ).unionAll(
+        emb.limit(1).select(F.lit(0).cast("bigint").alias("mask"))
+    )
+    e = emb.join(assign, "vec_id").withColumn(
+        "norm2", _dot("embedding", "embedding")
+    )
+    q = (
+        queries.join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("bucket_id").alias("q_bucket"),
+        )
+        .withColumn("q_norm2", _dot("q_embedding", "q_embedding"))
+        .crossJoin(F.broadcast(masks))
+        .withColumn("probe", F.expr("q_bucket ^ mask"))
+    )
+    cand = e.join(
+        F.broadcast(q),
+        (F.col("bucket_id") == F.col("probe"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.withColumn("dot", _dot("q_embedding", "embedding")).withColumn(
+        "cosine",
+        F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2")), 12),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-k for the standard query set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ann_search_lsh_multiprobe(emb, queries, k=TOP_K)
+
+
+register(
+    "ann_lsh_multiprobe",
+    f"""
+WITH {_bucket_cte()},
+masks AS (
+  SELECT CAST(pow(2.0, j) AS BIGINT) AS mask FROM (SELECT DISTINCT j FROM pl)
+  UNION ALL SELECT CAST(0 AS BIGINT)
+),
+q AS (SELECT vec_id AS query_id, bucket_id AS q_bucket FROM assign
+      WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT q.query_id, xor(q.q_bucket, m.mask) AS probe FROM q, masks m
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a
+    ON a.bucket_id = p.probe AND a.vec_id <> p.query_id
+),
+up AS (
+  SELECT query_id, neighbor_id,
+         CAST(unnest(eq.embedding) AS DOUBLE) AS x,
+         CAST(unnest(en.embedding) AS DOUBLE) AS y
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = query_id
+  JOIN embeddings en ON en.vec_id = neighbor_id
+),
+d AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS ne
+  FROM up GROUP BY 1, 2
+),
+cos AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (sqrt(nq) * sqrt(ne)), 12) AS cosine
+  FROM d
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cos
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)(ann_lsh_multiprobe)
+
+
+
 # ---------------------------------------------------------------------------
 # IVF-flat: coarse quantizer (deterministic centroids) + nprobe search
 # ---------------------------------------------------------------------------

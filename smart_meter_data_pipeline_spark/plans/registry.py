@@ -79,6 +79,7 @@ _PRIORITY = [
     "referential_integrity_audit",
     "pagerank_trade_graph",
     "stream_sessionized_timeout",
+    "ann_lsh_multiprobe",
     "tpch_promo_revenue",
     "tpch_large_orders",
     "tpch_top_supplier",
