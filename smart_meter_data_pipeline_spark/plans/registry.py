@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 110
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 112
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -142,7 +142,6 @@ _PRIORITY = [
     "kmeans_embeddings",
     "batch_billing_incremental",
     "dedup_redelivery",
-    "approx_sketch_check",
     "doc_span_dedup",
     "dedup_simhash_pairs",
     "ann_topk_cosine",
