@@ -58,6 +58,7 @@ def start_ingest_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     quarantine_target: str | None = None,
+    sink: str = "lock",
 ) -> StreamingQuery:
     """readStream → classify → observe → foreachBatch idempotent append.
 
@@ -67,7 +68,14 @@ def start_ingest_stream(
     way, per-batch consumed/rejected counts are attached with
     ``observe("ingest", ...)`` so they surface in every progress event
     (``observedMetrics``; the reference counts failures in its stats
-    loop, consumer/meter_consumer.py:282-283)."""
+    loop, consumer/meter_consumer.py:282-283).
+
+    ``sink`` picks the idempotent-append protocol the batches commit
+    through: ``"lock"`` (flock-serialized anti-join append — the POSIX
+    filesystem path) or ``"manifest"`` (the put-if-absent commit log —
+    the object-store path). Both give the same exactly-once guarantee
+    under redelivery AND under foreachBatch retries (a batch replayed
+    after a partial failure re-anti-joins against committed state)."""
     classified = classify(read_message_stream(spark, source_dir)).observe(
         "ingest",
         F.count(F.lit(1)).alias("consumed"),
@@ -81,7 +89,16 @@ def start_ingest_stream(
         batch_df.persist()
         try:
             valid, quarantine = split_valid(batch_df)
-            idempotent_append(batch_df.sparkSession, valid, target)
+            if sink == "manifest":
+                from smart_meter_data_pipeline_spark.sources.manifest import (
+                    idempotent_append_manifest,
+                )
+
+                idempotent_append_manifest(
+                    batch_df.sparkSession, valid, target
+                )
+            else:
+                idempotent_append(batch_df.sparkSession, valid, target)
             if quarantine_target is not None:
                 (
                     quarantine.withColumn("batch_id", F.lit(batch_id))

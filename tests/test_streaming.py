@@ -221,3 +221,48 @@ def test_stream_quarantine_and_lag_report(spark, tmp_path):
     ]
     assert sum(m["consumed"] for m in observed) == 4
     assert sum(m["rejected"] for m in observed) == 2
+
+
+def test_stream_foreachbatch_manifest_sink_exactly_once(spark, tmp_path):
+    """The object-store sink under Structured Streaming: duplicate
+    deliveries split across micro-batches drain through foreachBatch →
+    manifest commit log and land exactly once — the same T1 guarantee
+    as the flock sink, but via put-if-absent commits (the path a
+    1000-executor S3 deployment uses). The commit log must show one
+    commit per non-empty batch and no orphaned data files."""
+    from smart_meter_data_pipeline_spark.sources.manifest import ManifestTable
+
+    src = tmp_path / "msgs"
+    target = str(tmp_path / "fact_manifest")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    readings = gen_meter_readings(spark, n_meters=20, n_ticks=8)
+    wire = _wire_format(readings).select("value")
+    wire.coalesce(2).write.mode("overwrite").text(str(src / "d1"))
+    wire.coalesce(2).write.mode("overwrite").text(str(src / "d2"))
+
+    q = start_ingest_stream(
+        spark, str(src / "*" / "*.txt"), target, ckpt,
+        available_now=True, sink="manifest",
+    )
+    q.awaitTermination()
+
+    t = ManifestTable(target)
+    fact = t.read(spark)
+    assert fact.count() == 20 * 8  # duplicates dropped
+    assert (
+        fact.select("reading_timestamp", "meter_id").distinct().count()
+        == 20 * 8
+    )
+    commits = t.snapshot()
+    assert sum(c["count"] for c in commits) == 20 * 8
+    # every staged data file is referenced by a commit (no orphans in
+    # the happy path)
+    committed = {f for c in commits for f in c["added"]}
+    on_disk = set()
+    for root, _dirs, files in os.walk(t.data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, f), t.data_dir)
+                on_disk.add(rel)
+    assert on_disk == committed
