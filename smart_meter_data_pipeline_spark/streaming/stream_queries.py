@@ -863,6 +863,149 @@ GROUP BY 1
 )(stream_outer_interval_join)
 
 
+def stream_full_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    streaming join family (inner → left-outer → full-outer): every
+    attributed (purchase, click) pair, PLUS a null-click row per
+    unattributed purchase, PLUS a null-purchase row per click that
+    attributed nothing. Both null emissions happen at state eviction,
+    so BOTH sides' watermarks gate output; the same two-sentinel flush
+    drains the trailing state (see :func:`stream_outer_interval_join`
+    for the mechanics — this variant differs only in also emitting the
+    unmatched click side). Per-user rollup counts all three
+    populations; the oracle is the batch FULL JOIN under the identical
+    interval predicate."""
+    workdir = tempfile.mkdtemp(prefix="smart_meter_ssfull_")
+    try:
+        from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+        def sentinel(days: int) -> DataFrame:
+            return ev.limit(1).select(
+                *[
+                    F.lit(-1).cast("bigint").alias(c)
+                    if c == "user_id"
+                    else (
+                        (F.lit(mx) + F.expr(f"INTERVAL {days} DAYS")).alias(c)
+                        if c == "ts"
+                        else F.col(c)
+                    )
+                    for c in ev.columns
+                ]
+            )
+
+        for etype in ("click", "purchase"):
+            typed = ev.filter(F.col("event_type") == etype)
+            for i, pred in enumerate([F.col("ts") < mid, F.col("ts") >= mid]):
+                typed.filter(pred).coalesce(1).write.parquet(
+                    os.path.join(workdir, etype, f"chunk_{i}")
+                )
+            sentinel(3).coalesce(1).write.parquet(
+                os.path.join(workdir, etype, "chunk_2")
+            )
+            sentinel(6).coalesce(1).write.parquet(
+                os.path.join(workdir, etype, "chunk_3")
+            )
+
+        def side(etype: str, alias: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(workdir, etype, "*"))
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias(f"{alias}_id"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                    F.col("user_id").alias(f"{alias}_user"),
+                )
+            )
+
+        clicks, purchases = side("click", "c"), side("purchase", "p")
+        pairs = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(
+                    f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES"
+                )
+            ),
+            "full_outer",
+        )
+        sink = f"ssfull_{uuid.uuid4().hex[:8]}"
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(sink)
+            # drop flush sentinels from EITHER side (a sentinel row has
+            # its side's user = -1 and the other side null)
+            .filter(
+                (F.coalesce("p_user", F.lit(0)) >= 0)
+                & (F.coalesce("c_user", F.lit(0)) >= 0)
+            )
+            .groupBy(
+                F.coalesce("p_user", "c_user").alias("user_id")
+            )
+            .agg(
+                F.count(
+                    F.when(
+                        F.col("p_id").isNotNull()
+                        & F.col("c_id").isNotNull(),
+                        1,
+                    )
+                ).alias("n_pairs"),
+                F.countDistinct(
+                    F.when(F.col("c_id").isNull(), F.col("p_id"))
+                ).alias("n_unmatched_purchases"),
+                F.countDistinct(
+                    F.when(F.col("p_id").isNull(), F.col("c_id"))
+                ).alias("n_unmatched_clicks"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_full_outer_interval_join",
+    f"""
+WITH p AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.user_id AS p_user, p.event_id AS p_id,
+         c.user_id AS c_user, c.event_id AS c_id
+  FROM p FULL JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+)
+SELECT COALESCE(p_user, c_user) AS user_id,
+       COUNT(CASE WHEN p_id IS NOT NULL AND c_id IS NOT NULL
+                  THEN 1 END) AS n_pairs,
+       COUNT(DISTINCT CASE WHEN c_id IS NULL THEN p_id END)
+         AS n_unmatched_purchases,
+       COUNT(DISTINCT CASE WHEN p_id IS NULL THEN c_id END)
+         AS n_unmatched_clicks
+FROM pairs
+GROUP BY 1
+""",
+)(stream_full_outer_interval_join)
+
+
 SLIDE_MIN = 15
 SLIDE_WINDOW_MIN = 60
 
