@@ -168,3 +168,29 @@ def test_ingest_validation_is_total_partition(spark, msgs):
         assert prod is None or prod >= 0
     for r in quarantine.collect():
         assert r["reject_reason"] is not None
+
+
+@given(rows=st.lists(st.tuples(_salts, _meters, _ticks), min_size=1, max_size=64))
+@settings(**_SETTINGS)
+def test_portable_prng_matches_duckdb_oracle_side(rows):
+    """Third engine, other direction: the oracle-side SQL text
+    (_u_sql) evaluated by DuckDB must also bit-equal the pure-Python
+    reference — closing the Spark ≡ Python ≡ DuckDB triangle the
+    hash-parity contract stands on. (No SparkSession needed: this leg
+    is DuckDB + Python only, so hypothesis can afford it cheaply.)"""
+    import duckdb
+
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _u_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (salt BIGINT, m BIGINT, tk BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = con.execute(
+        f"SELECT salt, m, tk, {_u_sql(0, 'm', 'tk')} AS u0, "
+        f"{_u_sql(7, 'm', 'tk')} AS u7 FROM t"
+    ).fetchall()
+    for salt, m, tk, u0, u7 in got:
+        assert u0 == _u_py(0, m, tk), (m, tk)
+        assert u7 == _u_py(7, m, tk), (m, tk)
