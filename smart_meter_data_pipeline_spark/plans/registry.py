@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 113
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 114
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -81,6 +81,7 @@ _PRIORITY = [
     "stream_sessionized_timeout",
     "ann_lsh_multiprobe",
     "stream_full_outer_interval_join",
+    "stream_semi_interval_join",
     "tpch_promo_revenue",
     "tpch_large_orders",
     "tpch_top_supplier",

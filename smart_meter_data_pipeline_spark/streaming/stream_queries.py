@@ -1006,6 +1006,104 @@ GROUP BY 1
 )(stream_full_outer_interval_join)
 
 
+def stream_semi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the existence test:
+    each purchase with at least one preceding same-user click within
+    the window, emitted ONCE however many clicks matched (no pair
+    fan-out, no click columns in the output — the shape that keeps a
+    high-fan-in attribution check from exploding into pairs at scale).
+    Spark emits the semi match as soon as the first matching click is
+    seen; click state still expires on the same watermark bound as the
+    inner join. Chunked ts-ordered delivery forces cross-batch state;
+    no sentinels are needed (semi emits on match, not on eviction).
+    Oracle: the batch EXISTS per purchase, rolled up per user."""
+    workdir = tempfile.mkdtemp(prefix="smart_meter_sssemi_")
+    try:
+        from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        for etype in ("click", "purchase"):
+            typed = ev.filter(F.col("event_type") == etype)
+            for i, pred in enumerate([F.col("ts") < mid, F.col("ts") >= mid]):
+                typed.filter(pred).coalesce(1).write.parquet(
+                    os.path.join(workdir, etype, f"chunk_{i}")
+                )
+
+        def side(etype: str, alias: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(workdir, etype, "*"))
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias(f"{alias}_id"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                    F.col("user_id").alias(f"{alias}_user"),
+                    F.col("value").alias(f"{alias}_value"),
+                )
+            )
+
+        clicks, purchases = side("click", "c"), side("purchase", "p")
+        attributed = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(
+                    f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES"
+                )
+            ),
+            "left_semi",
+        )
+        sink = f"sssemi_{uuid.uuid4().hex[:8]}"
+        q = (
+            attributed.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(sink)
+            .groupBy(F.col("p_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_attributed_purchases"),
+                dsum("p_value", "attributed_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_semi_interval_join",
+    f"""
+WITH attributed AS (
+  SELECT p.user_id, p.value
+  FROM events p
+  WHERE p.event_type = 'purchase'
+    AND EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'click'
+        AND c.user_id = p.user_id
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+    )
+)
+SELECT user_id,
+       COUNT(*) AS n_attributed_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+         AS attributed_value
+FROM attributed
+GROUP BY 1
+""",
+)(stream_semi_interval_join)
+
+
 SLIDE_MIN = 15
 SLIDE_WINDOW_MIN = 60
 
