@@ -251,30 +251,18 @@ def minhash_signatures(sh: DataFrame, n_bins: int = N_BINS) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection, verified.
+def minhash_band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band table — the persistable dedup INDEX.
 
-    shingle → K minhashes → band keys → bucket equi-join for candidate
-    pairs → exact-Jaccard verification of candidates only. Output =
-    confirmed pairs (same schema as the exact query; at this SF LSH
-    with 4×2 bands recalls all ≈0.99 planted dups).
-
-    100 TB shape: signatures stream off the raw (non-distinct,
-    non-cached) shingle explode in ONE scan — min() is insensitive to
-    duplicate shingles, so the global distinct shuffle the set-Jaccard
-    ops need is skipped entirely here, and nothing corpus-sized is
-    persisted. The verify stage re-shingles only the candidate docs
-    (a broadcast-semi-filtered scan), so its cost scales with the
-    candidate count, not the corpus.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    # One-pass signatures: explode → 8 partial-min aggs (map-side
-    # combine → 5k-row shuffle). No distinct, no persist. The explicit
-    # partition count spreads the md5-heavy explode across all cores
-    # even when the source is a single file (a bare repartition(col)
-    # would be AQE-coalesced back to one partition at this row width);
-    # cost is a doc-count-sized shuffle of short rows.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    One-pass signatures: explode → {N_BINS} partial-min aggs (map-side
+    combine → doc-count-sized shuffle of short rows). No distinct, no
+    persist — min() is insensitive to duplicate shingles, so the raw
+    (non-distinct) shingle stream feeds the signature directly, and the
+    global distinct shuffle the set-Jaccard ops need is skipped.
+    Callers checkpoint/persist the result; :func:`minhash_save_index` /
+    :func:`minhash_load_index` round-trip it through parquet so the
+    corpus-sized scan is paid once per corpus version, not per probe
+    batch (the production shape :func:`dedup_incremental` assumes)."""
     sh_raw = docs.select(
         "doc_id",
         F.explode(
@@ -284,7 +272,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.expr(f"substr(text, pos, {SHINGLE_WIDTH})").alias("shingle"))
     sig = minhash_signatures(sh_raw)
     n_bands = N_BINS // BAND_SIZE
-    band_rows = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -303,7 +291,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key").localCheckpoint(eager=True)
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_save_index(band_table: DataFrame, path: str) -> None:
+    """Persist the LSH band index as parquet, repartitioned by ``key``
+    so a co-partitioned probe join can skip shuffling the index side
+    (at cluster scale this would be a bucketed table write — the
+    single-file parquet twin keeps the sandbox test cheap)."""
+    band_table.repartition("key").write.mode("overwrite").parquet(path)
+
+
+def minhash_load_index(spark: SparkSession, path: str) -> DataFrame:
+    """Load a :func:`minhash_save_index` artifact."""
+    return spark.read.parquet(path)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, verified.
+
+    shingle → K minhashes → band keys → bucket equi-join for candidate
+    pairs → exact-Jaccard verification of candidates only. Output =
+    confirmed pairs (same schema as the exact query; at this SF LSH
+    with 4×2 bands recalls all ≈0.99 planted dups).
+
+    100 TB shape: signatures stream off the raw (non-distinct,
+    non-cached) shingle explode in ONE scan — min() is insensitive to
+    duplicate shingles, so the global distinct shuffle the set-Jaccard
+    ops need is skipped entirely here, and nothing corpus-sized is
+    persisted. The verify stage re-shingles only the candidate docs
+    (a broadcast-semi-filtered scan), so its cost scales with the
+    candidate count, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # The explicit partition count spreads the md5-heavy explode across
+    # all cores even when the source is a single file (a bare
+    # repartition(col) would be AQE-coalesced back to one partition at
+    # this row width); cost is a doc-count-sized shuffle of short rows.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    band_rows = minhash_band_table(docs).localCheckpoint(eager=True)
     # ^ band table is n_docs × n_bands short rows — checkpointing it
     # runs the one-pass signature scan exactly once; without this the
     # self-join below would recompute the whole corpus scan per side.
@@ -906,3 +932,159 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 9)
         >= {CONTAINMENT_THRESHOLD}
 """,
 )(dedup_ngram_containment)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new-arrival batch probed against the persisted
+# corpus index — the production shape for CONTINUOUS corpus building,
+# where re-running all-corpus dedup per crawl batch is not an option.
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 10  # deterministic batch split for the registered
+INCR_BATCH_REM = 7  # query: doc_id % MOD == REM plays the "newly
+#                     crawled" 10% batch; the rest is the standing corpus.
+
+
+def dedup_incremental_verdicts(
+    spark: SparkSession, batch: DataFrame, index: DataFrame, all_docs: DataFrame
+) -> DataFrame:
+    """Per-new-doc dup verdict against an existing corpus index.
+
+    ``index`` is a :func:`minhash_band_table` over the standing corpus
+    (in production: loaded via :func:`minhash_load_index`, built once
+    per corpus version). Candidates come from probing the batch's band
+    keys against the index — the corpus NEVER self-joins here, so the
+    per-batch cost is O(batch bands ⋈ index buckets) + exact verify on
+    the candidate pairs only. The batch side is broadcast (a crawl
+    batch is tiny next to the corpus), so the index side never
+    shuffles either: with a key-partitioned saved index this probe is
+    a broadcast-hash join per index partition, zero wide exchanges.
+
+    Returns one row per batch doc: (doc_id, dup_of, best_jaccard,
+    is_dup) — ``dup_of`` the corpus doc with the highest verified
+    Jaccard ≥ threshold (ties to the lowest doc_id), NULL if the doc
+    is novel."""
+    from pyspark.sql import Window
+
+    probe = minhash_band_table(batch).localCheckpoint(eager=True)
+    p = probe.alias("p")
+    i = index.alias("i")
+    candidates = (
+        F.broadcast(p)
+        .join(
+            i,
+            (F.col("p.band") == F.col("i.band"))
+            & (F.col("p.key") == F.col("i.key")),
+        )
+        .select(
+            F.col("p.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = shingles(all_docs.join(F.broadcast(cand_ids), "doc_id")).localCheckpoint(
+        eager=True
+    )
+    best = (
+        _jaccard_for_candidates(sh_cand, candidates)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_a").orderBy(
+                    F.col("jaccard").desc(), F.col("doc_b")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            F.round("jaccard", 9).alias("best_jaccard"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental-dedup query: the doc_id % {MOD} == {REM}
+    slice plays a newly crawled batch, everything else the standing
+    corpus; each new doc gets a keep/drop verdict against the corpus
+    index (see :func:`dedup_incremental_verdicts` for the scale
+    argument). Reference parity: the reference's idempotent-load path
+    dedups redelivered rows exactly (consumer/meter_consumer.py:
+    104-114, ON CONFLICT DO NOTHING); this is the near-dup analogue a
+    training-corpus pipeline needs at ingest time."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    index = minhash_band_table(docs.filter(~is_batch)).localCheckpoint(eager=True)
+    return dedup_incremental_verdicts(spark, docs.filter(is_batch), index, docs)
+
+
+register(
+    "dedup_incremental",
+    f"""
+WITH sh AS ({_shingles_sql()}),
+hashed AS (
+  SELECT doc_id, md5(shingle) AS h,
+         (strpos('{_HEX}', substr(md5(shingle), 1, 1)) - 1) % {N_BINS} AS bin
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {_MH_AGGS}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+candidates AS (
+  SELECT DISTINCT p.doc_id AS doc_a, i.doc_id AS doc_b
+  FROM bands p JOIN bands i ON p.band = i.band AND p.key = i.key
+  WHERE p.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+    AND i.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM candidates c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(n_inter AS DOUBLE)
+           / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes na ON i.doc_a = na.doc_id
+  JOIN sizes nb ON i.doc_b = nb.doc_id
+),
+best AS (
+  SELECT doc_a, doc_b, jaccard,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn
+  FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, b.doc_b AS dup_of, round(b.jaccard, 9) AS best_jaccard,
+       b.doc_b IS NOT NULL AS is_dup
+FROM documents d
+LEFT JOIN best b ON b.doc_a = d.doc_id AND b.rn = 1
+WHERE d.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+""",
+)(dedup_incremental)

@@ -632,3 +632,30 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert leader["n_close_prior"] == 0, cid
     kept_vals = {r["kept"] for r in rows}
     assert kept_vals == {0, 1}
+
+
+def test_minhash_index_roundtrip_and_incremental_verdicts(spark, sf_dir, tmp_path):
+    """Incremental dedup against a parquet-persisted corpus index gives
+    the same verdicts as against the in-session band table, and every
+    batch doc gets exactly one verdict row."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % dedup.INCR_BATCH_MOD) == dedup.INCR_BATCH_REM
+    corpus, batch = docs.filter(~is_batch), docs.filter(is_batch)
+
+    index = dedup.minhash_band_table(corpus).localCheckpoint(eager=True)
+    path = str(tmp_path / "minhash_index")
+    dedup.minhash_save_index(index, path)
+    loaded = dedup.minhash_load_index(spark, path)
+    assert loaded.count() == index.count()
+
+    live = dedup.dedup_incremental_verdicts(spark, batch, index, docs)
+    persisted = dedup.dedup_incremental_verdicts(spark, batch, loaded, docs)
+    rows_live = sorted(map(tuple, live.collect()))
+    rows_pers = sorted(map(tuple, persisted.collect()))
+    assert rows_live == rows_pers
+    assert len(rows_live) == batch.count()
+    # every claimed dup_of really lives in the corpus, never the batch
+    for _, dup_of, _, is_dup in rows_live:
+        assert is_dup == (dup_of is not None)
+        if dup_of is not None:
+            assert dup_of % dedup.INCR_BATCH_MOD != dedup.INCR_BATCH_REM
