@@ -1618,3 +1618,125 @@ register(
         ]
     ),
 )(referential_integrity_audit)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantiles — the 100 TB quantile path.
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+HIST_QS = ("0.5", "0.9", "0.99")  # shared decimal literals (see verify
+# doc: the SAME decimal string must appear in both engines, or the two
+# parsers can disagree in the last mantissa bit).
+
+
+def event_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of event value — the mergeable
+    companion to ``event_value_percentiles``. Exact percentiles need
+    the full value multiset per group (a sort-based aggregate that
+    cannot partially combine); the fixed-bin histogram is a
+    ≤{HIST_BINS}-cell sketch that merges associatively, so at 100 TB
+    the plan is two map-side-combinable scans (a 1-row min/max/count
+    agg broadcast back, then a bin-count agg whose shuffle is bounded
+    by {HIST_BINS} rows per mapper) and a {HIST_BINS}-row cumulative
+    pass — no sort of the fact table anywhere. The estimate is the
+    upper edge of the first bin whose cumulative count reaches
+    ceil(p·n): a one-sided bound off by at most one bin width
+    (pytest-checked against the exact percentile).
+
+    Determinism: bin index and edges are the same `+ - * /` double
+    expression string in both engines (IEEE per-row ops, no
+    transcendentals); counts are int64; the vmax row is clamped into
+    the last bin identically via LEAST."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * HIST_BINS
+                ).cast("bigint"),
+                F.lit(HIST_BINS - 1).cast("bigint"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.select(
+        "bin", F.sum("cnt").over(Window.orderBy("bin")).alias("cum")
+    )
+    qs = stats.select(
+        F.explode(
+            F.array(*[F.expr(f"CAST({q} AS DOUBLE)") for q in HIST_QS])
+        ).alias("p"),
+        "vmin",
+        "vmax",
+        "n_total",
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .groupBy("p", "vmin", "vmax", "n_total")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("p") * F.col("n_total")),
+                    F.col("bin"),
+                )
+            ).alias("bin")
+        )
+        .select(
+            "p",
+            "bin",
+            (
+                F.col("vmin")
+                + (F.col("bin") + 1)
+                * (F.col("vmax") - F.col("vmin"))
+                / F.lit(HIST_BINS)
+            ).alias("est_value"),
+            "n_total",
+        )
+    )
+
+
+register(
+    "event_value_hist_quantiles",
+    f"""
+WITH stats AS (
+  SELECT min(value) AS vmin, max(value) AS vmax, COUNT(*) AS n_total
+  FROM events
+),
+binned AS (
+  SELECT CASE WHEN vmax > vmin
+              THEN LEAST(CAST(floor((value - vmin) / (vmax - vmin)
+                                    * {HIST_BINS}) AS BIGINT),
+                         CAST({HIST_BINS - 1} AS BIGINT))
+              ELSE CAST(0 AS BIGINT) END AS bin
+  FROM events CROSS JOIN stats
+),
+hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY 1),
+cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+qs AS (
+  SELECT CAST(unnest([{", ".join(HIST_QS)}]) AS DOUBLE) AS p,
+         vmin, vmax, n_total
+  FROM stats
+),
+sel AS (
+  SELECT p, vmin, vmax, n_total,
+         MIN(CASE WHEN cum >= ceil(p * n_total) THEN bin END) AS bin
+  FROM cum CROSS JOIN qs
+  GROUP BY 1, 2, 3, 4
+)
+SELECT p, bin,
+       vmin + (bin + 1) * (vmax - vmin) / {HIST_BINS} AS est_value,
+       n_total
+FROM sel
+""",
+)(event_value_hist_quantiles)

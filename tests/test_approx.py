@@ -30,3 +30,25 @@ def test_percentile_approx_bound(spark, sf_dir):
         # percentile_approx returns an actual data value within the
         # accuracy rank-error of the true quantile
         assert abs(r["approx"] - r["exact"]) <= abs(r["exact"]) * 0.05 + 1e-9
+
+
+def test_hist_quantile_within_one_bin_of_exact(spark, sf_dir):
+    """The histogram-sketch estimate is an upper bound on the exact
+    quantile, off by at most one bin width."""
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        HIST_BINS,
+        event_value_hist_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (hi - lo) / HIST_BINS
+    est = {
+        r["p"]: r["est_value"]
+        for r in event_value_hist_quantiles(spark, sf_dir).collect()
+    }
+    assert len(est) == 3
+    for p, e in est.items():
+        exact = ev.agg(F.expr(f"percentile(value, {p})")).collect()[0][0]
+        assert e >= exact - 1e-9
+        assert e - exact <= width + 1e-9
