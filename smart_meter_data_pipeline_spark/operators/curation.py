@@ -706,3 +706,252 @@ FROM enriched GROUP BY 1, 2
 register("corpus_quality_report", _quality_report_oracle())(
     corpus_quality_report
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-language heavy hitters and vocabulary OOV audit
+# ---------------------------------------------------------------------------
+
+HH_TOPK = 10
+_TOK_UNNEST_SQL = """
+  SELECT doc_id, lang, source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents"""
+
+
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HH_TOPK} tokens per language with their rank — the per-slice
+    heavy-hitter report (what dominates each language's token stream).
+
+    Scale shape: the (lang, token) count combines map-side, so the
+    shuffle carries one row per distinct (lang, token) — vocab-sized,
+    not corpus-sized; the rank window then sorts only within each
+    language's vocabulary. At 100 TB with an open-ended vocabulary the
+    pre-aggregation is the point: the fact table is never sorted, and
+    a count-min/sampled pre-filter could cap the vocab shuffle too
+    (unnecessary here — the shuffle is already the small side).
+    Ordering is total (freq desc, token asc), so the cut is
+    deterministic across engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens()).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HH_TOPK)
+        .select("lang", "token", "freq", "rank")
+    )
+
+
+register(
+    "corpus_heavy_hitters",
+    f"""
+WITH tok AS ({_TOK_UNNEST_SQL}),
+counts AS (SELECT lang, token, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, token, freq,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY freq DESC, token) AS rank
+  FROM counts
+)
+SELECT lang, token, freq, rank FROM ranked WHERE rank <= {HH_TOPK}
+""",
+)(corpus_heavy_hitters)
+
+
+VOCAB_SIZE = 24  # the corpus draws from a ~30-word vocabulary, so a
+# 24-entry vocab leaves a real OOV tail for the audit to measure.
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit per source: token occurrences not in the
+    corpus top-{VOCAB_SIZE} vocabulary — the pre-tokenizer health check
+    (a source with a high OOV rate is drifting from the vocabulary the
+    tokenizer was fit on).
+
+    Scale shape: the vocab is a top-K over the map-side-combined global
+    token counts (vocab-sized shuffle) and then BROADCASTS into a
+    left-anti-style membership probe on the token stream — the stream
+    itself never shuffles on token; the per-source rollup combines
+    map-side. Vocab cut is the total (freq desc, token asc) order."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("token"))
+            ).alias("n_oov_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "n_oov_types",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+register(
+    "vocab_oov_rate",
+    f"""
+WITH tok AS ({_TOK_UNNEST_SQL}),
+vocab AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT {VOCAB_SIZE}
+),
+probed AS (
+  SELECT t.source, t.token, v.token IS NOT NULL AS in_vocab
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS n_oov,
+       COUNT(DISTINCT CASE WHEN NOT in_vocab THEN token END) AS n_oov_types,
+       round(CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS oov_rate
+FROM probed
+GROUP BY 1
+""",
+)(vocab_oov_rate)
+
+
+# ---------------------------------------------------------------------------
+# Explicit-target mixture rebalance (epoch weighting)
+# ---------------------------------------------------------------------------
+
+# Shared decimal strings — the SAME literal text must reach both
+# engines' parsers (see verify notes).
+MIX_TARGETS = (("en", "0.30"), ("de", "0.20"), ("fr", "0.20"),
+               ("es", "0.15"), ("zh", "0.15"))
+MIX_SALT = 61
+
+
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to an EXPLICIT language mixture — the
+    epoch-weighting move in training-data recipes (each slice gets a
+    repeat factor r = target_share · N / n_slice; r>1 up-samples by
+    repetition, r<1 down-samples): each doc is emitted floor(r) times
+    plus one more iff its portable hash u < frac(r), so expected
+    emitted counts hit the target shares exactly and every decision is
+    a stateless per-row expression (reproducible, no RNG state).
+
+    The complement to ``source_temperature_sample`` (implicit sqrt
+    flattening): here the mixture is a declared policy table.
+
+    Scale shape: one corpus scan joined against a broadcast 5-row
+    policy frame; the per-lang audit combines map-side (sum of per-doc
+    copy counts — materializing the repeats is a plain
+    explode(array_repeat) of the same expression and adds no shuffle).
+    Returns per-lang: n_docs, target_share, repeat_factor, n_emitted,
+    achieved_share."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = counts.agg(F.sum("n_lang").alias("n_total"))
+    targets = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).alias("lang"),
+                        F.expr(f"CAST({s} AS DOUBLE)").alias("target_share"),
+                    )
+                    for l, s in MIX_TARGETS
+                ]
+            )
+        ).alias("t")
+    ).select("t.lang", "t.target_share")
+    policy = (
+        counts.join(F.broadcast(targets), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "repeat_factor",
+            F.col("target_share") * F.col("n_total") / F.col("n_lang"),
+        )
+    )
+    emitted = (
+        docs.join(
+            F.broadcast(policy.select("lang", "repeat_factor")), "lang"
+        )
+        .withColumn(
+            "n_copies",
+            F.floor("repeat_factor").cast("bigint")
+            + F.when(
+                _u(MIX_SALT, F.col("doc_id"), F.lit(0))
+                < F.col("repeat_factor") - F.floor("repeat_factor"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_copies").alias("n_emitted"))
+    )
+    out = policy.join(emitted, "lang")
+    tot_emitted = out.agg(F.sum("n_emitted").alias("tot_emitted"))
+    return (
+        out.crossJoin(F.broadcast(tot_emitted))
+        .select(
+            "lang",
+            F.col("n_lang").alias("n_docs"),
+            "target_share",
+            F.round("repeat_factor", 9).alias("repeat_factor"),
+            "n_emitted",
+            F.round(
+                F.col("n_emitted").cast("double")
+                / F.col("tot_emitted").cast("double"),
+                9,
+            ).alias("achieved_share"),
+        )
+    )
+
+
+_MIX_VALUES = ", ".join(
+    f"('{l}', CAST({s} AS DOUBLE))" for l, s in MIX_TARGETS
+)
+register(
+    "mixture_rebalance",
+    f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_lang) AS n_total FROM counts),
+targets (lang, target_share) AS (VALUES {_MIX_VALUES}),
+policy AS (
+  SELECT c.lang, c.n_lang, t.target_share,
+         t.target_share * n_total / c.n_lang AS repeat_factor
+  FROM counts c JOIN targets t ON c.lang = t.lang CROSS JOIN tot
+),
+emitted AS (
+  SELECT d.lang,
+         SUM(CAST(floor(p.repeat_factor) AS BIGINT)
+             + CASE WHEN {_u_sql(MIX_SALT, "d.doc_id", "0")}
+                      < p.repeat_factor - floor(p.repeat_factor)
+                    THEN 1 ELSE 0 END) AS n_emitted
+  FROM documents d JOIN policy p ON d.lang = p.lang
+  GROUP BY 1
+),
+joined AS (
+  SELECT p.lang, p.n_lang, p.target_share, p.repeat_factor, e.n_emitted
+  FROM policy p JOIN emitted e ON p.lang = e.lang
+),
+tote AS (SELECT SUM(n_emitted) AS tot_emitted FROM joined)
+SELECT lang, n_lang AS n_docs, target_share,
+       round(repeat_factor, 9) AS repeat_factor, n_emitted,
+       round(CAST(n_emitted AS DOUBLE) / CAST(tot_emitted AS DOUBLE), 9)
+         AS achieved_share
+FROM joined CROSS JOIN tote
+""",
+)(mixture_rebalance)

@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 116
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 119
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -74,6 +74,9 @@ _PRIORITY = [
     # (0) new in round 6 — need a first driver row
     "dedup_incremental",
     "event_value_hist_quantiles",
+    "corpus_heavy_hitters",
+    "vocab_oov_rate",
+    "mixture_rebalance",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",

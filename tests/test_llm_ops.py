@@ -659,3 +659,45 @@ def test_minhash_index_roundtrip_and_incremental_verdicts(spark, sf_dir, tmp_pat
         assert is_dup == (dup_of is not None)
         if dup_of is not None:
             assert dup_of % dedup.INCR_BATCH_MOD != dedup.INCR_BATCH_REM
+
+
+def test_heavy_hitters_rank_contract(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        HH_TOPK,
+        corpus_heavy_hitters,
+    )
+
+    rows = corpus_heavy_hitters(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= HH_TOPK
+        freqs = [r["freq"] for r in rs]
+        assert freqs == sorted(freqs, reverse=True)
+
+
+def test_mixture_rebalance_hits_targets(spark, sf_dir):
+    """Expected emitted counts equal target_share*N exactly up to the
+    Bernoulli residual: |achieved - target| is bounded by the worst
+    case where every fractional coin flips one way."""
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        mixture_rebalance,
+    )
+
+    rows = mixture_rebalance(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r["n_docs"] for r in rows)
+    tot_emitted = sum(r["n_emitted"] for r in rows)
+    for r in rows:
+        # floor(r)*n <= emitted <= ceil(r)*n
+        import math
+
+        lo = math.floor(r["repeat_factor"]) * r["n_docs"]
+        hi = math.ceil(r["repeat_factor"]) * r["n_docs"]
+        assert lo <= r["n_emitted"] <= hi
+        # expected emitted = target*N; realized within the coin margin
+        assert abs(r["n_emitted"] - r["target_share"] * n_total) <= r["n_docs"]
+        assert abs(r["achieved_share"] - r["n_emitted"] / tot_emitted) < 1e-8
