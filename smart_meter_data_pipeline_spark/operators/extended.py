@@ -1740,3 +1740,81 @@ SELECT p, bin,
 FROM sel
 """,
 )(event_value_hist_quantiles)
+
+
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly screen: z-scores against the
+    (event_type, hour-of-day) baseline instead of the global per-type
+    one — the screen that stops flagging every evening peak as an
+    anomaly (meter-load and user-activity data are strongly diurnal;
+    reference parity: the hourly grid mart's date_trunc('hour')
+    bucketing, fact_grid_load_hourly.sql, turned into a baseline key).
+
+    Same quantized-grid + guarded-divide discipline as
+    ``events_anomaly_zscore``; the stats table grows to
+    |event_type|×24 rows — still broadcast-trivially-small at any
+    corpus scale, so the plan stays two scans with zero fact
+    shuffles."""
+    ev = with_v6(load_table(spark, sf_dir, "events")).withColumn(
+        "hod", F.hour("ts").cast("int")
+    )
+    stats = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v6").alias("sv"),
+        F.sum(F.col("v6") * F.col("v6")).alias("sv2"),
+    )
+    mean = F.round(F.col("sv").cast("double") / F.col("n"), 12)
+    var = F.greatest(
+        F.round(F.col("sv2").cast("double") / F.col("n") - mean * mean, 12),
+        F.lit(0.0),
+    )
+    z = F.when(
+        var > 0,
+        F.round((F.col("v6").cast("double") - mean) / F.sqrt(var), 9),
+    )
+    return (
+        ev.join(F.broadcast(stats), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            z.alias("z_score"),
+        )
+        .withColumn("is_anomaly", F.abs("z_score") > ZSCORE_THRESHOLD)
+    )
+
+
+register(
+    "events_seasonal_anomaly",
+    f"""
+WITH g AS (
+  SELECT *, CAST(round(value, 6) AS DECIMAL(12,6)) AS v6,
+         CAST(hour(ts) AS INT) AS hod
+  FROM events
+),
+stats AS (
+  SELECT event_type, hod, COUNT(*) AS n,
+         SUM(v6) AS sv, SUM(v6 * v6) AS sv2
+  FROM g GROUP BY 1, 2
+),
+ms0 AS (
+  SELECT event_type, hod, n, round(CAST(sv AS DOUBLE) / n, 12) AS mean,
+         round(CAST(sv2 AS DOUBLE) / n
+               - round(CAST(sv AS DOUBLE) / n, 12)
+                 * round(CAST(sv AS DOUBLE) / n, 12), 12) AS var0
+  FROM stats
+),
+ms AS (SELECT event_type, hod, n, mean, GREATEST(var0, 0) AS var FROM ms0),
+z AS (
+  SELECT g.event_id, g.event_type, g.hod, g.value,
+         CASE WHEN ms.var > 0
+              THEN round((CAST(g.v6 AS DOUBLE) - ms.mean) / sqrt(ms.var), 9)
+              ELSE NULL END AS z_score
+  FROM g JOIN ms ON g.event_type = ms.event_type AND g.hod = ms.hod
+)
+SELECT event_id, event_type, hod, value, z_score,
+       abs(z_score) > {ZSCORE_THRESHOLD} AS is_anomaly
+FROM z
+""",
+)(events_seasonal_anomaly)

@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 119
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 121
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -77,6 +77,8 @@ _PRIORITY = [
     "corpus_heavy_hitters",
     "vocab_oov_rate",
     "mixture_rebalance",
+    "stream_scd2_enrich",
+    "events_seasonal_anomaly",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",

@@ -1352,3 +1352,139 @@ def _zscore_oracle() -> str:
 
 
 register("stream_score_zscore", _zscore_oracle())(stream_score_zscore)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static SCD2 enrichment: point-in-time dimension lookup
+# ---------------------------------------------------------------------------
+
+SCD2_ENRICH_EFFECTIVE = "2024-01-15 00:00:00"  # mid-stream so the
+# validity intervals genuinely split event traffic (events span
+# Jan 1-30; the dim_scd2_history date of Feb 1 would be degenerate).
+
+
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 enrichment of the event stream — each event
+    joins the dimension VERSION valid at its event time (ts ∈
+    [valid_from, valid_to)), not the current row: the lookup shape
+    every warehouse stream-enrichment needs once dims are historied
+    (reference parity: the static dim joins of
+    fact_customer_billing_daily.sql:88-96, upgraded to versioned dims).
+
+    The history is the same three-leg zero-shuffle SCD2 build as
+    ``dim_scd2_history`` with a mid-stream effective date; a changed
+    customer's events land in '<seg>' before the cutover and
+    '<seg>_V2' after it, so the interval semantics are visible in the
+    hash. The static side broadcasts (≤2 rows per customer), the
+    stream never shuffles — per micro-batch this is a broadcast hash
+    join with the two range predicates evaluated post-probe, exactly
+    the 100 TB plan. Drain-then-aggregate protocol as
+    ``stream_static_join``."""
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        SCD2_EPOCH,
+        SCD2_RATE,
+        SCD2_SALT,
+    )
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import _u
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    marked = cust.withColumn("u", _u(SCD2_SALT, F.col("c_custkey"), F.lit(0)))
+    changed = F.col("u") < SCD2_RATE
+    epoch = F.lit(SCD2_EPOCH).cast("timestamp")
+    eff = F.lit(SCD2_ENRICH_EFFECTIVE).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    hist = (
+        marked.filter(~changed)
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            epoch.alias("valid_from"),
+            null_ts.alias("valid_to"),
+        )
+        .unionByName(
+            marked.filter(changed).select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("segment"),
+                epoch.alias("valid_from"),
+                eff.alias("valid_to"),
+            )
+        )
+        .unionByName(
+            marked.filter(changed).select(
+                "c_custkey",
+                F.concat("c_mktsegment", F.lit("_V2")).alias("segment"),
+                eff.alias("valid_from"),
+                null_ts.alias("valid_to"),
+            )
+        )
+    )
+    ev = _events_stream(spark, sf_dir)
+    enriched = ev.join(
+        F.broadcast(hist),
+        (F.col("user_id") == F.col("c_custkey"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select("event_id", "user_id", "segment", "value")
+    sink = f"stream_scd2_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _scd2_enrich_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        SCD2_EPOCH,
+        SCD2_RATE,
+        SCD2_SALT,
+    )
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import _u_sql
+
+    u = _u_sql(SCD2_SALT, "c_custkey", "0")
+    return f"""
+WITH marked AS (
+  SELECT c_custkey, c_mktsegment, {u} AS u FROM customer
+),
+hist AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '{SCD2_EPOCH}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM marked WHERE u >= {SCD2_RATE}
+  UNION ALL
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '{SCD2_EPOCH}', TIMESTAMP '{SCD2_ENRICH_EFFECTIVE}'
+  FROM marked WHERE u < {SCD2_RATE}
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_V2',
+         TIMESTAMP '{SCD2_ENRICH_EFFECTIVE}', CAST(NULL AS TIMESTAMP)
+  FROM marked WHERE u < {SCD2_RATE}
+)
+SELECT h.segment, COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN hist h ON e.user_id = h.c_custkey
+           AND e.ts >= h.valid_from
+           AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+GROUP BY 1
+"""
+
+
+register("stream_scd2_enrich", _scd2_enrich_oracle())(stream_scd2_enrich)
