@@ -59,3 +59,36 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
     # single-column layout by a wide margin
     assert zt < st / 2, (zt, st)
     assert spark.read.parquet(str(tmp_path / "z")).count() == keyed.count()
+
+
+def test_jsonl_corpus_roundtrip(spark, sf_dir, tmp_path):
+    """Export → read-back preserves every row and column; shard count
+    and membership are stable across re-exports."""
+    import glob
+    import os
+
+    from smart_meter_data_pipeline_spark.sources.corpus_io import (
+        export_corpus_jsonl,
+        read_corpus_jsonl,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "corpus_jsonl")
+    export_corpus_jsonl(docs, path, n_shards=4)
+    files = sorted(glob.glob(os.path.join(path, "part-*")))
+    # empty hash buckets write no file, so <= n_shards (tiny corpora
+    # can leave a bucket empty); never more than n_shards
+    assert 1 <= len(files) <= 4
+
+    back = read_corpus_jsonl(spark, path, schema=docs.schema)
+    orig = sorted(map(tuple, docs.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == orig
+
+    # idempotent layout: same doc set lands in the same shard files
+    sizes_a = sorted(os.path.getsize(f) for f in files)
+    export_corpus_jsonl(docs, path, n_shards=4)
+    files_b = sorted(glob.glob(os.path.join(path, "part-*")))
+    sizes_b = sorted(os.path.getsize(f) for f in files_b)
+    assert sizes_a == sizes_b
