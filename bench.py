@@ -325,6 +325,15 @@ def main() -> None:
             "dedup_semantic",
             lambda: _materialize(similarity.dedup_semantic(spark, SF_DIR)),
         )
+        # 14. Incremental dedup (NEW leg r6 — not in r1-r5 totals):
+        # new-batch probe against the standing corpus' MinHash band
+        # index; the per-crawl-batch cost a continuous corpus build
+        # pays (index build included here — amortized in production
+        # via minhash_save_index).
+        leg(
+            "dedup_incremental",
+            lambda: _materialize(dedup.dedup_incremental(spark, SF_DIR)),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
