@@ -1818,3 +1818,59 @@ SELECT event_id, event_type, hod, value, z_score,
 FROM z
 """,
 )(events_seasonal_anomaly)
+
+
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov): for
+    each (prev_type → type) edge, the count and the conditional
+    probability P(type | prev_type) — the sequence-model summary that
+    feeds session analysis and synthetic-trace generation.
+
+    Scale shape: ONE shuffle partitions by user for the LAG window
+    (ordering is total within user via (ts, event_id)); the edge
+    rollup combines map-side into ≤|types|² rows, and the conditional
+    denominator is a window SUM over that tiny matrix — nothing
+    corpus-sized after the first exchange. Probability is int/int
+    division rounded at 9, identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return edges.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double"),
+            9,
+        ).alias("prob"),
+    )
+
+
+register(
+    "events_type_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT prev_type, event_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                    AS DOUBLE), 9) AS prob
+FROM edges
+""",
+)(events_type_transitions)

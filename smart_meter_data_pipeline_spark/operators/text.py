@@ -701,3 +701,85 @@ SELECT doc_id, n_tokens, chunk_idx,
 FROM expanded
 """,
 )(doc_chunk_overlap)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (log-free idf surrogate)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} characteristic terms per document by tf·idf.
+
+    The idf is the RATIONAL surrogate N/df rather than ln(N/df):
+    ln() is not correctly-rounded and differs between JVM and libm in
+    the last bit on ~9%% of arguments (measured — see doc_bm25_mlt),
+    while N/df keeps the score inside exact int→double division, so
+    the ranking and the emitted score are bit-identical cross-engine.
+    Ranking by tf·N/df is order-equivalent to tf·ln(N/df) only up to
+    monotonicity in df — it is a deliberately sharper down-weight of
+    common terms, which is what keyword extraction wants.
+
+    Scale shape: term frequencies combine map-side on (doc_id, token);
+    the df table is vocab-sized and BROADCASTS back onto it; the
+    top-k window partitions by doc_id — already the layout of the tf
+    aggregation, so the sort is per-doc-vocabulary local. The corpus
+    is scanned once."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("df").cast("double"),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+register(
+    "doc_tfidf_keywords",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+         round(CAST(tf.tf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+               / CAST(dft.df AS DOUBLE), 9) AS score
+  FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rank
+FROM ranked WHERE rank <= {TFIDF_TOPK}
+""",
+)(doc_tfidf_keywords)
