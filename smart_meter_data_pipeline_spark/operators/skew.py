@@ -41,3 +41,47 @@ def salted_join(
     rhs = right.crossJoin(F.broadcast(salts))
     joined = lhs.join(rhs, [on, "_salt"], how)
     return joined.drop("_salt")
+
+
+def events_salted_rollup(spark, sf_dir: str) -> DataFrame:
+    """Per-nation rollup routed through :func:`salted_join` — the hash
+    gate proves the salted physical plan is RESULT-IDENTICAL to the
+    plain equi-join the oracle runs (the whole point of salting: a
+    different shuffle layout, the same relation). The left/fact side
+    is spread over 16 salt buckets by whole-row hash; the dim side
+    replicates 16× via a broadcast cross join, so the hot-key bucket
+    that would overflow one executor at 100 TB is split before the
+    exchange instead of after (the static complement to AQE's
+    skew-join splitting, which cannot split one single key)."""
+    from smart_meter_data_pipeline_spark.operators.common import dsum
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        salted_join(ev, cust, "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+def _register() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import register
+
+    register(
+        "events_salted_rollup",
+        """
+SELECT c.c_nationkey, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+    )(events_salted_rollup)
+
+
+_register()

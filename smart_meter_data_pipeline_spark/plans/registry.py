@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 123
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 124
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -81,6 +81,7 @@ _PRIORITY = [
     "events_seasonal_anomaly",
     "doc_tfidf_keywords",
     "events_type_transitions",
+    "events_salted_rollup",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",
@@ -227,6 +228,7 @@ def load_all() -> None:
         similarity,
         multimodal,
         incremental,
+        skew,
     )
     from smart_meter_data_pipeline_spark.streaming import stream_queries  # noqa: F401
 
