@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 124
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 125
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -82,6 +82,7 @@ _PRIORITY = [
     "doc_tfidf_keywords",
     "events_type_transitions",
     "events_salted_rollup",
+    "stream_hist_quantiles",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",

@@ -1488,3 +1488,104 @@ GROUP BY 1
 
 
 register("stream_scd2_enrich", _scd2_enrich_oracle())(stream_scd2_enrich)
+
+
+def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``event_value_hist_quantiles``: the per-bin
+    counting runs as a streaming aggregation over the events file
+    stream and the quantile selection runs batch over the drained
+    {hist_bins}-bin state.
+
+    This is the sketch argument made operational: complete-mode state
+    here is BOUNDED AT {hist_bins} ROWS BY CONSTRUCTION no matter how
+    long the stream runs (contrast the windowed aggs, whose state
+    grows with event-time span and needs watermark eviction) — exactly
+    why mergeable fixed-size sketches are the streaming-quantile path
+    at 100 TB. Bin bounds come from a batch min/max/count pass over
+    the same table (in production: the previous corpus version's
+    stats), broadcast into the stream as stateless per-row math.
+    Oracle: identical to the batch query — a fully drained stream
+    must hash-equal it."""
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        HIST_BINS,
+        HIST_QS,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    ev_static = load_table(spark, sf_dir, "events")
+    stats = ev_static.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).collect()[0]
+    vmin, vmax, n_total = stats["vmin"], stats["vmax"], stats["n_total"]
+
+    ev = _events_stream(spark, sf_dir)
+    if vmax > vmin:
+        bin_col = F.least(
+            F.floor(
+                (F.col("value") - F.lit(vmin))
+                / (F.lit(vmax) - F.lit(vmin))
+                * HIST_BINS
+            ).cast("bigint"),
+            F.lit(HIST_BINS - 1).cast("bigint"),
+        )
+    else:
+        bin_col = F.lit(0).cast("bigint")
+    hist = ev.select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sink = f"stream_hist_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")  # state = one row per occupied bin,
+        # ≤ HIST_BINS rows forever — bounded by construction, so
+        # complete mode is the correct shape here (nothing to evict)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    cum = spark.table(sink).select(
+        "bin", F.sum("cnt").over(Window.orderBy("bin")).alias("cum")
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.expr(f"CAST({s} AS DOUBLE)") for s in HIST_QS])
+        ).alias("p")
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .groupBy("p")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("p") * F.lit(n_total)),
+                    F.col("bin"),
+                )
+            ).alias("bin")
+        )
+        .select(
+            "p",
+            "bin",
+            (
+                F.lit(vmin)
+                + (F.col("bin") + 1)
+                * (F.lit(vmax) - F.lit(vmin))
+                / F.lit(HIST_BINS)
+            ).alias("est_value"),
+            F.lit(n_total).alias("n_total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _stream_hist_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return ORACLES["event_value_hist_quantiles"]
+
+
+register("stream_hist_quantiles", _stream_hist_oracle())(stream_hist_quantiles)
