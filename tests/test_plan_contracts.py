@@ -203,3 +203,64 @@ def test_pagerank_rounds_are_joins_not_cartesian(spark, sf_dir):
     p = _plan(pagerank_trade_graph(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hist_quantiles_scans_only_value_and_combines(spark, sf_dir):
+    """The histogram sketch must prune the scan to `value` and run
+    map-side partial aggregation on the bin counts — the properties
+    that make it the 100 TB quantile path."""
+    p = _plan(extended.event_value_hist_quantiles(spark, sf_dir))
+    assert "ReadSchema: struct<value:double>" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "SortMergeJoin" not in p  # all joins are tiny broadcasts
+
+
+def test_heavy_hitters_no_fact_sort(spark, sf_dir):
+    """The per-lang rank window must sort the vocab-sized aggregate,
+    never the raw token stream: the only Sort node sits above the
+    HashAggregate, and partial aggregation runs map-side."""
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    p = _plan(curation.corpus_heavy_hitters(spark, sf_dir))
+    assert "partial_count" in p
+    assert "RowNumber" in p or "row_number" in p
+    # the window's sort consumes the aggregate output, so the plan has
+    # exactly one Sort (no pre-aggregation fact sort)
+    assert p.count("Sort ") <= 2  # formatted plan prints node + detail
+
+
+def test_mixture_rebalance_policy_is_broadcast(spark, sf_dir):
+    """The 5-row policy frame must broadcast onto the corpus scan —
+    the doc side never shuffles for the join."""
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    p = _plan(curation.mixture_rebalance(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_seasonal_anomaly_zero_fact_shuffles(spark, sf_dir):
+    """The stats table joins back via broadcast; the fact is scanned
+    twice but never exchanged by key."""
+    p = _plan(extended.events_seasonal_anomaly(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tfidf_df_table_broadcasts(spark, sf_dir):
+    """The vocab-sized df table must broadcast back onto the tf
+    aggregate; no sort-merge join anywhere."""
+    p = _plan(text.doc_tfidf_keywords(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_salted_join_replicates_via_broadcast(spark, sf_dir):
+    """The salt-replication cross join must be a broadcast of the
+    16-row salt frame, and the final join must key on (user_id, _salt)
+    — never a cartesian product."""
+    from smart_meter_data_pipeline_spark.operators import skew
+
+    p = _plan(skew.events_salted_rollup(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
