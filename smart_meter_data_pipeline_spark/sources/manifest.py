@@ -137,6 +137,42 @@ class ManifestTable:
             return None
         return spark.read.parquet(*files)
 
+    def history(self) -> list[dict]:
+        """Audit view of the commit log: one dict per version with the
+        commit's file count and covered dates — the `DESCRIBE HISTORY`
+        of the manifest world. Metadata-only (no data read)."""
+        return [
+            {
+                "version": i,
+                "n_files": len(c["added"]),
+                "dates": sorted(c.get("dates", [])),
+            }
+            for i, c in enumerate(self.snapshot())
+        ]
+
+    def diff(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame | None:
+        """Change-data feed between two versions: the rows appended by
+        commits (``v_from``, ``v_to``] — i.e. ``read(v_to)`` minus
+        ``read(v_from)``, computed WITHOUT any anti-join because the
+        log is append-only and data files are immutable: the delta is
+        exactly the files those commits added, so the read cost scales
+        with the CHANGE, not the table (the property CDC consumers —
+        incremental mart refresh, downstream sync — rely on at 100 TB).
+        ``v_from = -1`` diffs from the empty table. Returns None when
+        the range adds no files."""
+        commits = self.snapshot()
+        if not (-1 <= v_from <= v_to < len(commits)):
+            raise ValueError(
+                f"bad version range ({v_from}, {v_to}] for "
+                f"{len(commits)} commits"
+            )
+        files = self._files(commits[v_from + 1 : v_to + 1])
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
     # -- write -------------------------------------------------------------
 
     def _stage(self, df: DataFrame) -> list[str]:

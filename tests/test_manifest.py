@@ -204,3 +204,30 @@ def test_time_travel_reads_are_stable_snapshots(spark, table_dir):
         t.read(spark, version=3)
     with pytest.raises(ValueError):
         t.read(spark, version=-1)
+
+
+def test_diff_is_the_change_data_feed(spark, table_dir):
+    """diff(a, b) returns exactly the rows appended by commits (a, b]
+    and reads only the delta files — equal to read(b) minus read(a)."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))    # v0: 1-10
+    t.idempotent_append(spark, _valid_batch(spark, 11, 31))   # v1: +11-30
+    t.idempotent_append(spark, _valid_batch(spark, 31, 36))   # v2: +31-35
+
+    d01 = {r["meter_id"] for r in t.diff(spark, 0, 1).collect()}
+    assert d01 == set(range(11, 31))
+    d02 = {r["meter_id"] for r in t.diff(spark, 0, 2).collect()}
+    assert d02 == set(range(11, 36))
+    # from the empty table: everything up to v0
+    dm10 = {r["meter_id"] for r in t.diff(spark, -1, 0).collect()}
+    assert dm10 == set(range(1, 11))
+    # empty range
+    assert t.diff(spark, 1, 1) is None
+    with pytest.raises(ValueError):
+        t.diff(spark, 2, 3)
+    with pytest.raises(ValueError):
+        t.diff(spark, -2, 0)
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert all(h["n_files"] >= 1 for h in hist)
