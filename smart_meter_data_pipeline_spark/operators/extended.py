@@ -1874,3 +1874,75 @@ SELECT prev_type, event_type, n_transitions,
 FROM edges
 """,
 )(events_type_transitions)
+
+
+DRIFT_SPLIT = "2024-01-16 00:00:00"  # events span Jan 1-30; mid-month
+# split gives two comparable windows (shared literal in both engines).
+
+
+def events_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the event_type mix of the SECOND
+    half of the month vs the FIRST, per type — share before, share
+    after, the absolute share delta, and each type's contribution to
+    total-variation distance (TV = ½·Σ|p−q|, reported per type as the
+    |p−q| term so the audit stays row-per-type; the consumer sums).
+    TV instead of PSI/KL deliberately: the information-theoretic
+    scores need ln(), which is not cross-engine exact (see verify
+    notes), while TV is pure rational arithmetic and carries the same
+    alerting signal.
+
+    Scale shape: one fact scan split by a pushed-down timestamp
+    predicate into a (type × side) count — map-side combinable,
+    |types|·2 shuffle rows — then all ratio math happens on the tiny
+    aggregate; no second scan, no join against the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    sided = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < split, 1)).alias("n_before"),
+        F.count(F.when(F.col("ts") >= split, 1)).alias("n_after"),
+    )
+    tot = sided.agg(
+        F.sum("n_before").alias("tot_before"),
+        F.sum("n_after").alias("tot_after"),
+    )
+    share_b = F.col("n_before").cast("double") / F.col("tot_before").cast(
+        "double"
+    )
+    share_a = F.col("n_after").cast("double") / F.col("tot_after").cast(
+        "double"
+    )
+    return sided.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_before",
+        "n_after",
+        F.round(share_b, 9).alias("share_before"),
+        F.round(share_a, 9).alias("share_after"),
+        F.round(F.abs(share_a - share_b), 9).alias("abs_share_delta"),
+    )
+
+
+register(
+    "events_drift_report",
+    f"""
+WITH sided AS (
+  SELECT event_type,
+         COUNT(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 END)
+           AS n_before,
+         COUNT(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}' THEN 1 END)
+           AS n_after
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_before) AS tot_before, SUM(n_after) AS tot_after FROM sided
+)
+SELECT event_type, n_before, n_after,
+       round(CAST(n_before AS DOUBLE) / CAST(tot_before AS DOUBLE), 9)
+         AS share_before,
+       round(CAST(n_after AS DOUBLE) / CAST(tot_after AS DOUBLE), 9)
+         AS share_after,
+       round(abs(CAST(n_after AS DOUBLE) / CAST(tot_after AS DOUBLE)
+                 - CAST(n_before AS DOUBLE) / CAST(tot_before AS DOUBLE)),
+             9) AS abs_share_delta
+FROM sided CROSS JOIN tot
+""",
+)(events_drift_report)
