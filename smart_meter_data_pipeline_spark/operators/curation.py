@@ -935,11 +935,14 @@ policy AS (
   FROM counts c JOIN targets t ON c.lang = t.lang CROSS JOIN tot
 ),
 emitted AS (
+  -- outer BIGINT cast: DuckDB integer SUM yields HUGEINT, which
+  -- pandas renders as float64 and breaks hash parity with Spark's
+  -- bigint (the 747 vs 747.0 class of mismatch)
   SELECT d.lang,
-         SUM(CAST(floor(p.repeat_factor) AS BIGINT)
+         CAST(SUM(CAST(floor(p.repeat_factor) AS BIGINT)
              + CASE WHEN {_u_sql(MIX_SALT, "d.doc_id", "0")}
                       < p.repeat_factor - floor(p.repeat_factor)
-                    THEN 1 ELSE 0 END) AS n_emitted
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted
   FROM documents d JOIN policy p ON d.lang = p.lang
   GROUP BY 1
 ),
