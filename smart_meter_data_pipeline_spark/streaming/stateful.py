@@ -394,3 +394,136 @@ def sessionize_with_timeout(events_stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Space-saving heavy hitters: bounded-memory streaming top-k
+# ---------------------------------------------------------------------------
+
+TOPK_SHARDS = 8
+TOPK_CAPACITY = 1024  # tracked keys PER SHARD. This is the memory
+# bound: state never exceeds SHARDS×CAPACITY counters no matter how
+# many distinct keys the stream carries. While distinct keys per shard
+# stay under it (true at every test SF: ≤1500 users total) the sketch
+# is EXACT counting — which is what makes the operator hash-checkable
+# against the batch oracle; past it, Metwally's space-saving eviction
+# (replace the min-count entry, overestimate by at most that min)
+# takes over and the result carries the classic ±min_count guarantee.
+
+
+def space_saving_fold(m: dict, items: list, capacity: int) -> dict:
+    """Fold (key, count) pairs into the capped counter map IN PLACE —
+    Metwally et al.'s space-saving update: known keys accumulate,
+    new keys fill free slots, and once full the new key takes over the
+    min-count slot (ties → smallest key) inheriting its count, which
+    is what bounds the overestimate by that min. Pure function so the
+    eviction path is unit-testable outside a stream."""
+    for uid, c in items:
+        if uid in m:
+            m[uid] += c
+        elif len(m) < capacity:
+            m[uid] = c
+        else:
+            evict = min(m, key=lambda k: (m[k], k))
+            inherited = m.pop(evict)
+            m[uid] = inherited + c
+    return m
+
+
+def topk_user_counters(events_stream: DataFrame) -> DataFrame:
+    """Per-shard capped user-count state over the event stream.
+
+    The stream shards by ``user_id % TOPK_SHARDS`` (each shard's
+    counter map lives in one state row, so parallelism and the memory
+    bound are both explicit), counts arriving events per user into the
+    capped map, and emits one snapshot row per tracked user per
+    micro-batch tagged with the shard's batch sequence number — the
+    drain-side consumer keeps each shard's highest-seq snapshot (its
+    final counters) and computes the global top-k batch-side.
+
+    This is the streaming complement to ``corpus_heavy_hitters``: the
+    batch query's vocab-sized shuffle becomes a fixed-size resident
+    sketch that survives unbounded streams."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("seq", LongType()),
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("user_ids", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+    capacity = TOPK_CAPACITY
+
+    def _fn(key, pdfs, state):
+        # NOTE: the fold below inlines space_saving_fold — the closure
+        # must reference nothing from this package so cloudpickle
+        # ships it BY VALUE and Python workers never need the package
+        # on their sys.path (same constraint as incremental_deltas;
+        # a module-level reference pickles by reference and crashes
+        # workers launched outside the repo). The module-level
+        # space_saving_fold exists for unit tests and stays in
+        # lock-step by the oracle gate on stream_topk_users.
+        import pandas as _pd
+
+        (shard,) = key
+        if state.exists:
+            seq, uids, counts = state.get
+            m = dict(zip(uids, counts))
+        else:
+            seq, m = 0, {}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = _pd.concat(chunks)
+            # deterministic apply order (arrival order within a batch
+            # is not guaranteed across Arrow chunks): fold by sorted
+            # user_id — exact counting is order-insensitive anyway,
+            # and the eviction path becomes reproducible
+            vc = batch["user_id"].value_counts()
+            for uid in sorted(int(u) for u in vc.index):
+                c = int(vc[uid])
+                if uid in m:
+                    m[uid] += c
+                elif len(m) < capacity:
+                    m[uid] = c
+                else:
+                    evict = min(m, key=lambda k: (m[k], k))
+                    inherited = m.pop(evict)
+                    m[uid] = inherited + c
+        seq += 1
+        state.update((seq, list(m.keys()), list(m.values())))
+        if m:
+            yield _pd.DataFrame(
+                {
+                    "shard": shard,
+                    "seq": seq,
+                    "user_id": list(m.keys()),
+                    "n_events": list(m.values()),
+                }
+            )
+
+    sharded = events_stream.withColumn(
+        "shard", F.col("user_id") % TOPK_SHARDS
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

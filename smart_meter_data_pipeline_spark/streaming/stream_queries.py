@@ -1589,3 +1589,85 @@ def _stream_hist_oracle() -> str:
 
 
 register("stream_hist_quantiles", _stream_hist_oracle())(stream_hist_quantiles)
+
+
+TOPK_USERS = 10
+
+
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: global top-{TOPK_USERS} users by event
+    count via the space-saving sketch (see
+    :func:`~..streaming.stateful.topk_user_counters` for the memory
+    bound and the exact-regime contract). Two time-ordered deliveries
+    force the counters to persist across micro-batches; the drain
+    keeps each shard's final (highest-seq) snapshot and ranks
+    batch-side. In the exact regime a fully drained stream
+    hash-equals the batch top-k oracle."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+    from smart_meter_data_pipeline_spark.streaming.stateful import (
+        topk_user_counters,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_topk_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+        sink = f"topk_{uuid.uuid4().hex[:8]}"
+        q = (
+            topk_user_counters(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql import Window
+
+        snaps = spark.table(sink)
+        latest = snaps.withColumn(
+            "max_seq",
+            F.max("seq").over(Window.partitionBy("shard")),
+        ).filter(F.col("seq") == F.col("max_seq"))
+        ranked = latest.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+            ),
+        )
+        return (
+            ranked.filter(F.col("rank") <= TOPK_USERS)
+            .select("rank", "user_id", "n_events")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_topk_users",
+    f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT user_id, n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rank
+  FROM counts
+)
+SELECT rank, user_id, n_events FROM ranked WHERE rank <= {TOPK_USERS}
+""",
+)(stream_topk_users)

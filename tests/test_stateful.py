@@ -315,3 +315,30 @@ def test_running_totals_backends_equivalent(spark, sf_dir):
         reason="transformWithState Python runner requires protobuf",
     )
     assert drain("transformWithState") == base
+
+
+def test_space_saving_fold_exact_and_eviction_regimes():
+    from smart_meter_data_pipeline_spark.streaming.stateful import (
+        space_saving_fold,
+    )
+
+    # exact regime: capacity never reached → plain counting
+    m = {}
+    space_saving_fold(m, [(1, 5), (2, 3)], capacity=4)
+    space_saving_fold(m, [(1, 2), (3, 1)], capacity=4)
+    assert m == {1: 7, 2: 3, 3: 1}
+
+    # eviction: full map, new key takes over the min slot (ties →
+    # smallest key) and inherits its count — the overestimate bound
+    m = {10: 5, 20: 1, 30: 1}
+    space_saving_fold(m, [(40, 2)], capacity=3)
+    assert 20 not in m  # min count 1, tie broken to smallest key
+    assert m == {10: 5, 30: 1, 40: 3}  # inherited 1 + 2
+
+    # a true heavy hitter survives churn: feed capacity+many light
+    # keys around one heavy key; heavy stays, count never undercounts
+    m = {}
+    items = [(99, 50)] + [(i, 1) for i in range(10)]
+    space_saving_fold(m, items, capacity=4)
+    assert 99 in m and m[99] >= 50
+    assert len(m) == 4
