@@ -427,3 +427,110 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
 )(tpch_returned_items)
+
+
+BASKET_TOPK = 100
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order baskets: the
+    top-{BASKET_TOPK} part pairs co-purchased in one order, with
+    support, directional confidence, and lift — the classic
+    co-occurrence analysis (and the relational core of
+    recommender candidate generation).
+
+    Scale shape: the self-join is WITHIN l_orderkey, so the fan-out
+    per order is bounded by basket size squared (≤13² here; baskets
+    are small by nature, never corpus-sized — the same bounded-group
+    argument as the session ops), and the pair rollup combines
+    map-side. Part-frequency tables are dim-sized and broadcast. All
+    scores are int-ratio divisions rounded at 9 — no transcendentals
+    (lift = n·pair/(cnt_a·cnt_b), algebraically P(ab)/(P(a)P(b)) with
+    one division instead of three, which also keeps it exact).
+    Ordering is total (pair count desc, part_a, part_b), so the cut
+    is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    out = (
+        pairs.join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
+                                    F.col("cnt").alias("cnt_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("cnt").alias("cnt_b"))),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                F.col("n_pair").cast("double") / F.lit(n_orders), 9
+            ).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("cnt_a").cast("double"),
+                9,
+            ).alias("confidence_a_b"),
+            F.round(
+                F.lit(n_orders)
+                * F.col("n_pair").cast("double")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "part_a", "part_b")
+        .limit(BASKET_TOPK)
+    )
+    return out
+
+
+register(
+    "basket_part_pairs",
+    f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+nord AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+freq AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1)
+SELECT p.part_a, p.part_b, p.n_pair, fa.cnt AS cnt_a, fb.cnt AS cnt_b,
+       round(CAST(p.n_pair AS DOUBLE) / n_orders, 9) AS support,
+       round(CAST(p.n_pair AS DOUBLE) / CAST(fa.cnt AS DOUBLE), 9)
+         AS confidence_a_b,
+       round(n_orders * CAST(p.n_pair AS DOUBLE)
+             / (CAST(fa.cnt AS DOUBLE) * CAST(fb.cnt AS DOUBLE)), 9)
+         AS lift
+FROM pairs p
+JOIN freq fa ON p.part_a = fa.l_partkey
+JOIN freq fb ON p.part_b = fb.l_partkey
+CROSS JOIN nord
+ORDER BY p.n_pair DESC, p.part_a, p.part_b
+LIMIT {BASKET_TOPK}
+""",
+)(basket_part_pairs)

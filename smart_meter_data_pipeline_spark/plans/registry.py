@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 127
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 128
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -85,6 +85,7 @@ _PRIORITY = [
     "stream_hist_quantiles",
     "events_drift_report",
     "stream_topk_users",
+    "basket_part_pairs",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",
