@@ -1946,3 +1946,44 @@ SELECT event_type, n_before, n_after,
 FROM sided CROSS JOIN tot
 """,
 )(events_drift_report)
+
+
+BILLING_TZ = "Europe/Berlin"
+
+
+def events_local_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup on LOCAL calendar days ({BILLING_TZ}) instead of
+    UTC days — the billing-correct semantics for the reference's
+    domain (German smart meters bill on local days; a UTC day boundary
+    misassigns the 23:00-00:00 UTC hour in winter, 22:00-00:00 in
+    summer, and the DST transition days are 23/25 hours long). Spark's
+    ``from_utc_timestamp`` and DuckDB's ``AT TIME ZONE`` chain both
+    resolve via the IANA tzdb, so the per-row day assignment is
+    engine-identical — the hash gate proves the two timezone stacks
+    (JVM vs ICU) agree over the data.
+
+    Scale shape: identical to the UTC daily mart — the tz conversion
+    is a stateless per-row expression fused into the scan, grouping
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    local_day = F.to_date(F.from_utc_timestamp("ts", BILLING_TZ)).alias(
+        "local_day"
+    )
+    return ev.groupBy(local_day, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+register(
+    "events_local_day_rollup",
+    f"""
+SELECT CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE '{BILLING_TZ}' AS DATE)
+         AS local_day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)(events_local_day_rollup)

@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 128
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 129
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -86,6 +86,7 @@ _PRIORITY = [
     "events_drift_report",
     "stream_topk_users",
     "basket_part_pairs",
+    "events_local_day_rollup",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",
