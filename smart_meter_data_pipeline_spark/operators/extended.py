@@ -1987,3 +1987,70 @@ FROM events
 GROUP BY 1, 2
 """,
 )(events_local_day_rollup)
+
+
+EWMA_TAPS = 8
+# exact binary weights 2^-(k+1): finite binary fractions, so every
+# product and the normalization divisor are exact IEEE doubles and the
+# same decimal literal parses identically in both engines.
+EWMA_WEIGHTS = ["0.5", "0.25", "0.125", "0.0625",
+                "0.03125", "0.015625", "0.0078125", "0.00390625"]
+
+
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted trailing smoothing per user (alpha=1/2,
+    truncated at {EWMA_TAPS} taps, renormalized over the taps present)
+    — the denoising pass run before thresholding noisy meters. The
+    infinite-memory EWMA recurrence s=αv+(1-α)s is not expressible as
+    a window function without higher-order state; the truncated form
+    is (a LAG chain), loses at most 2^-{EWMA_TAPS} of the mass, and
+    keeps every weight an exact binary fraction so the whole score is
+    deterministic IEEE arithmetic (summation order fixed by writing
+    the taps as one left-associated expression — cross-engine safe
+    where a SUM over products would not be).
+
+    Scale shape: ONE user-hash exchange for the window; all
+    {EWMA_TAPS} LAGs ride the same sorted frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vals = [F.col("value")] + [
+        F.lag("value", k).over(w) for k in range(1, EWMA_TAPS)
+    ]
+    num = None
+    den = None
+    for k, v in enumerate(vals):
+        wk = F.expr(f"CAST({EWMA_WEIGHTS[k]} AS DOUBLE)")
+        term = F.when(v.isNotNull(), v * wk).otherwise(F.lit(0.0))
+        pres = F.when(v.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(num / den, 9).alias("ewma_value"),
+    )
+
+
+def _ewma_oracle() -> str:
+    taps = []
+    pres = []
+    for k in range(EWMA_TAPS):
+        v = (
+            "value"
+            if k == 0
+            else f"LAG(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        )
+        wk = f"CAST({EWMA_WEIGHTS[k]} AS DOUBLE)"
+        taps.append(f"CASE WHEN {v} IS NOT NULL THEN {v} * {wk} ELSE 0.0 END")
+        pres.append(f"CASE WHEN {v} IS NOT NULL THEN {wk} ELSE 0.0 END")
+    num = " + ".join(taps)
+    den = " + ".join(pres)
+    return f"""
+SELECT event_id, user_id, value,
+       round(({num}) / ({den}), 9) AS ewma_value
+FROM events
+"""
+
+
+register("events_ewma_smooth", _ewma_oracle())(events_ewma_smooth)
