@@ -2054,3 +2054,137 @@ FROM events
 
 
 register("events_ewma_smooth", _ewma_oracle())(events_ewma_smooth)
+
+
+def nation_daily_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(nation, day) PEAK HOUR — which hour carried the day's
+    maximum load, and how much: the peak-demand question a capacity
+    planner asks of the hourly mart (reference parity: the
+    peak/critical flags of fact_grid_load_hourly.sql:85-104 reduced to
+    their argmax form). Ties break to the earliest hour, making the
+    selection total.
+
+    Scale shape: the rank window runs over the HOURLY AGGREGATE (24
+    rows per nation-day), never the fact table; its partition key
+    (nation, day) is a coarsening of the rollup key, so the window can
+    reuse the aggregation's clustering."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    hourly = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("hour", "ts").alias("load_hour"),
+        )
+        .agg(dsum("value", "hour_value"))
+    )
+    w = Window.partitionBy(
+        "nationkey", F.to_date("load_hour")
+    ).orderBy(F.col("hour_value").desc(), "load_hour")
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "nationkey",
+            F.to_date("load_hour").alias("load_day"),
+            F.hour("load_hour").alias("peak_hour"),
+            F.col("hour_value").alias("peak_value"),
+        )
+    )
+
+
+register(
+    "nation_daily_peak_hour",
+    """
+WITH hourly AS (
+  SELECT c.c_nationkey AS nationkey,
+         date_trunc('hour', e.ts) AS load_hour,
+         CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS hour_value
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, load_hour, hour_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY nationkey, CAST(load_hour AS DATE)
+           ORDER BY hour_value DESC, load_hour) AS rn
+  FROM hourly
+)
+SELECT nationkey, CAST(load_hour AS DATE) AS load_day,
+       CAST(hour(load_hour) AS INT) AS peak_hour,
+       hour_value AS peak_value
+FROM ranked WHERE rn = 1
+""",
+)(nation_daily_peak_hour)
+
+
+WINSOR_LO, WINSOR_HI = "0.01", "0.99"  # shared percentile literals
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type statistics: clamp values at the exact
+    p[{WINSOR_LO}], p[{WINSOR_HI}] bounds and report n, clamped-sum
+    and how many rows hit each side — the robust-stats preprocessing
+    step that stops a handful of meter glitches from dragging a mean
+    (the screen ``events_anomaly_zscore`` flags, applied as a
+    correction). The interpolated percentile is round-12 requantized
+    (the verified bit-equal idiom of ``event_value_percentiles``);
+    clamping and the decimal sum are exact.
+
+    Scale shape: the percentile pass is per-type sort-based (the exact
+    small-group form; at unbounded cardinality swap in the histogram
+    sketch the way ``event_value_hist_quantiles`` does), its 5-row
+    bound table broadcasts back, and the clamped rollup combines
+    map-side — the fact table is scanned twice, shuffled never."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.expr(f"percentile(value, array({WINSOR_LO}, {WINSOR_HI}))")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(p[0], 12).alias("lo"),
+        F.round(p[1], 12).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo")).alias(
+            "v_clamped"
+        ),
+        (F.col("value") < F.col("lo")).cast("int").alias("hit_lo"),
+        (F.col("value") > F.col("hi")).cast("int").alias("hit_hi"),
+    )
+    return clamped.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("v_clamped", "winsorized_sum"),
+        F.sum("hit_lo").alias("n_clamped_lo"),
+        F.sum("hit_hi").alias("n_clamped_hi"),
+    )
+
+
+register(
+    "events_winsorized_stats",
+    f"""
+WITH bounds AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO}), 12) AS lo,
+         round(quantile_cont(value, {WINSOR_HI}), 12) AS hi
+  FROM events GROUP BY 1
+),
+clamped AS (
+  SELECT e.event_type, b.lo, b.hi,
+         GREATEST(LEAST(e.value, b.hi), b.lo) AS v_clamped,
+         CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS hit_lo,
+         CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS hit_hi
+  FROM events e JOIN bounds b ON e.event_type = b.event_type
+)
+SELECT event_type, lo, hi,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(v_clamped AS DECIMAL(25,6))) AS DOUBLE)
+         AS winsorized_sum,
+       CAST(SUM(hit_lo) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(hit_hi) AS BIGINT) AS n_clamped_hi
+FROM clamped
+GROUP BY 1, 2, 3
+""",
+)(events_winsorized_stats)
