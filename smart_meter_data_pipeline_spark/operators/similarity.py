@@ -1940,3 +1940,75 @@ scored AS (
 {_PQ_RERANK_SQL}
 """,
 )(ann_ivfpq_topk)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas ±1 signs)
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16
+JL_SALT = 83
+
+
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the 64-d embeddings to {JL_DIM}-d with the Achlioptas
+    ±1 random projection (signs from the portable hash, scale
+    1/sqrt({JL_DIM})) — the dimensionality-reduction prefilter that
+    makes downstream ANN / clustering / dedup distance work cheaper
+    while JL preserves pairwise distances in expectation. No RNG
+    state anywhere: the "random" matrix IS u(salt, j, pos), so every
+    engine and every rerun projects identically, and the sign
+    application is exact (±decimal), the per-coordinate reduction an
+    exact decimal SUM, the final scale a division by the exact
+    integer 4 — fully hash-checkable.
+
+    Scale shape: one explode joined against a broadcast {JL_DIM}-row
+    axis frame; the (vec, j) reduction combines map-side, so the
+    shuffle is output-sized (n·{JL_DIM} short rows), and nothing ever
+    materializes the dense projection matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("vf").cast("double"), 6)
+        .cast("decimal(12,6)")
+        .alias("v"),
+    )
+    js = spark.range(JL_DIM).select(F.col("id").cast("int").alias("j"))
+    signed = raw.crossJoin(F.broadcast(js)).select(
+        "vec_id",
+        "j",
+        F.when(
+            _u(JL_SALT, F.col("j"), F.col("pos")) < 0.5, F.col("v")
+        )
+        .otherwise(-F.col("v"))
+        .alias("sv"),
+    )
+    return signed.groupBy("vec_id", "j").agg(
+        (F.sum("sv").cast("double") / F.lit(4.0)).alias("coord")
+    )
+
+
+register(
+    "embedding_jl_projection",
+    f"""
+WITH el AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS v
+  FROM embeddings
+),
+js AS (SELECT CAST(unnest(range({JL_DIM})) AS INT) AS j),
+signed AS (
+  SELECT vec_id, j,
+         CASE WHEN {_u_sql(JL_SALT, "j", "pos")} < 0.5 THEN v ELSE -v END
+           AS sv
+  FROM el CROSS JOIN js
+)
+SELECT vec_id, j, CAST(SUM(sv) AS DOUBLE) / 4.0 AS coord
+FROM signed GROUP BY 1, 2
+""",
+)(embedding_jl_projection)
