@@ -534,3 +534,53 @@ ORDER BY p.n_pair DESC, p.part_a, p.part_b
 LIMIT {BASKET_TOPK}
 """,
 )(basket_part_pairs)
+
+
+def tpch_priority_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) adapted to the
+    testdata's columns (it carries no commit/receipt dates): orders
+    placed in one quarter with AT LEAST ONE lineitem shipped 90+ days
+    after the order date, counted by priority — the EXISTS/semi-join
+    + rollup pattern (reference parity: the dbt-style late-data
+    quality checks of SURVEY §5).
+
+    Scale shape: the date filter pushes into the orders scan; the
+    existence probe is a LEFT SEMI join (no fan-out however many late
+    lineitems an order has — the probe stops at first match), and the
+    priority rollup combines map-side into five rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        window.join(
+            li,
+            (window.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                >= window.o_orderdate + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+register(
+    "tpch_priority_checks",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY 1
+""",
+)(tpch_priority_checks)

@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 133
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 134
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -91,6 +91,7 @@ _PRIORITY = [
     "nation_daily_peak_hour",
     "events_winsorized_stats",
     "embedding_jl_projection",
+    "tpch_priority_checks",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",
