@@ -264,3 +264,46 @@ def test_salted_join_replicates_via_broadcast(spark, sf_dir):
     p = _plan(skew.events_salted_rollup(spark, sf_dir))
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_injection_on_selective_shuffle_join(spark, sf_dir):
+    """Catalyst injects a BloomFilter runtime filter on the fact side
+    of a selective shuffle join (spark.sql.optimizer.runtime.
+    bloomFilter.enabled, on in session.py defaults) — the engine's
+    native answer to semi-join pruning: the fact scan drops rows that
+    cannot match BEFORE the shuffle. The size thresholds are lowered
+    here because the application side must look big enough to be
+    worth protecting (at 100 TB the default 10 GiB threshold engages
+    unaided); broadcast is disabled to force the shuffle-join shape
+    the filter exists for."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        cust = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        j = (
+            ev.join(cust, ev.user_id == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
