@@ -1088,3 +1088,104 @@ LEFT JOIN best b ON b.doc_a = d.doc_id AND b.rn = 1
 WHERE d.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
 """,
 )(dedup_incremental)
+
+
+# ---------------------------------------------------------------------------
+# Method-agreement audit across the text near-dup detectors
+# ---------------------------------------------------------------------------
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the three text near-dup detectors agree? For each method
+    pair (exact n-gram Jaccard, MinHash-LSH, SimHash bands) the pair
+    sets are full-outer compared: |A|, |B|, |A∩B| and the Jaccard of
+    the PAIR SETS themselves — the audit a data team runs before
+    trusting a cheaper detector as a stand-in for the expensive one
+    (LSH recall vs its exact oracle, SimHash drift vs both). On the
+    planted-dup testdata all three should agree almost perfectly;
+    production corpora show where the banded approximations diverge.
+
+    Scale note: each input rides its own already-bounded machinery
+    (df-capped inverted index / banded LSH / Hamming bands); the
+    comparison joins tiny pair sets — the audit itself is free."""
+    ng = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    legs = []
+    for name_a, a, name_b, b in (
+        ("ngram", ng, "minhash", mh),
+        ("ngram", ng, "simhash", sh),
+        ("minhash", mh, "simhash", sh),
+    ):
+        x = a.withColumn("in_a", F.lit(1)).alias("x")
+        y = b.withColumn("in_b", F.lit(1)).alias("y")
+        j = x.join(
+            y,
+            (F.col("x.doc_a") == F.col("y.doc_a"))
+            & (F.col("x.doc_b") == F.col("y.doc_b")),
+            "full_outer",
+        ).agg(
+            F.count("in_a").alias("n_a"),
+            F.count("in_b").alias("n_b"),
+            F.count(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+                )
+            ).alias("n_both"),
+        )
+        legs.append(
+            j.select(
+                F.lit(name_a).alias("method_a"),
+                F.lit(name_b).alias("method_b"),
+                "n_a",
+                "n_b",
+                "n_both",
+            )
+        )
+    out = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    return out.select(
+        "method_a",
+        "method_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+            9,
+        ).alias("pairset_jaccard"),
+    )
+
+
+def _agreement_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    ng = ORACLES["dedup_ngram_jaccard"]
+    mh = ORACLES["dedup_minhash_lsh"]
+    sh = ORACLES["dedup_simhash_pairs"]
+    legs = []
+    for name_a, a, name_b, b in (
+        ("ngram", ng, "minhash", mh),
+        ("ngram", ng, "simhash", sh),
+        ("minhash", mh, "simhash", sh),
+    ):
+        legs.append(f"""
+  SELECT '{name_a}' AS method_a, '{name_b}' AS method_b,
+         COUNT(x.doc_a) AS n_a, COUNT(y.doc_a) AS n_b,
+         COUNT(CASE WHEN x.doc_a IS NOT NULL AND y.doc_a IS NOT NULL
+                    THEN 1 END) AS n_both
+  FROM (SELECT doc_a, doc_b FROM ({a})) x
+  FULL JOIN (SELECT doc_a, doc_b FROM ({b})) y
+    ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b""")
+    union = "\n  UNION ALL\n".join(legs)
+    return f"""
+SELECT method_a, method_b, n_a, n_b, n_both,
+       round(CAST(n_both AS DOUBLE)
+             / CAST(n_a + n_b - n_both AS DOUBLE), 9) AS pairset_jaccard
+FROM (
+{union}
+)
+"""
+
+
+register("dedup_method_agreement", _agreement_oracle())(dedup_method_agreement)

@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 134
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 135
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -92,6 +92,7 @@ _PRIORITY = [
     "events_winsorized_stats",
     "embedding_jl_projection",
     "tpch_priority_checks",
+    "dedup_method_agreement",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",
