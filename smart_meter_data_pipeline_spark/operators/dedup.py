@@ -1189,3 +1189,65 @@ FROM (
 
 
 register("dedup_method_agreement", _agreement_oracle())(dedup_method_agreement)
+
+
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pressure per source: how many of each source's docs are
+    entangled in verified near-dup pairs, and the rate — the
+    provenance dashboard that tells a crawl team WHICH feed is
+    producing duplicates (a source with a high rate gets its extractor
+    fixed, not its docs hand-filtered). Rides the LSH-verified pair
+    set, so the audit adds one broadcast join over a tiny doc-id set
+    to the already-bounded detector cost."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                9,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def _dedup_rate_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    mh = ORACLES["dedup_minhash_lsh"]
+    return f"""
+WITH dup_docs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM ({mh})
+    UNION ALL
+    SELECT doc_b AS doc_id FROM ({mh})
+  )
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       COUNT(dd.doc_id) AS n_dup_docs,
+       round(CAST(COUNT(dd.doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS dup_rate
+FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+GROUP BY 1
+"""
+
+
+register("corpus_dedup_rate_by_source", _dedup_rate_oracle())(
+    corpus_dedup_rate_by_source
+)

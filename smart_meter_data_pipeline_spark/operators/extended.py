@@ -2188,3 +2188,100 @@ FROM clamped
 GROUP BY 1, 2, 3
 """,
 )(events_winsorized_stats)
+
+
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend (slope + intercept of value over time) via
+    the closed form — regression as a pure aggregation, no Python, no
+    iteration: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). x is seconds
+    since the global stream start (the broadcast 1-row min shifts the
+    epoch down so the double-precision final arithmetic operates on
+    small magnitudes; the SUMS are exact decimals, so map-side
+    partials combine deterministically and only the last four scalar
+    ops run in float). Degenerate users (n=1 or constant x) emit NULL
+    slope via the guarded divide.
+
+    Scale shape: one map-side-combinable aggregation keyed by user —
+    regression at 100 TB costs exactly one rollup shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(
+        F.min(F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)")).alias("t0")
+    )
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        (
+            F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)") - F.col("t0")
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    sums = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(25,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(25,6)")).alias("sy"),
+        F.sum(
+            (F.col("x") * F.col("x")).cast("decimal(38,6)")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("x").cast("double") * F.col("y")).cast("decimal(38,6)")
+        ).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    return sums.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.when(den > 0, F.round(slope * 1000000.0, 9)).alias(
+            "slope_micro_per_sec"
+        ),
+        F.when(den > 0, F.round(intercept, 9)).alias("intercept"),
+    )
+
+
+register(
+    "user_value_trend",
+    """
+WITH t0 AS (
+  SELECT MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0 FROM events
+),
+base AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - t0 AS x,
+         value AS y
+  FROM events CROSS JOIN t0
+),
+sums AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(25,6))) AS sx,
+         SUM(CAST(y AS DECIMAL(25,6))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+         SUM(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,6))) AS sxy
+  FROM base GROUP BY 1
+)
+SELECT user_id, n AS n_events,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * 1000000.0, 9)
+            END AS slope_micro_per_sec,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN round((CAST(sy AS DOUBLE)
+                        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE), 9)
+            END AS intercept
+FROM sums
+""",
+)(user_value_trend)

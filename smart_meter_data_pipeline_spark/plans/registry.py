@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 135
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 137
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -93,6 +93,8 @@ _PRIORITY = [
     "embedding_jl_projection",
     "tpch_priority_checks",
     "dedup_method_agreement",
+    "corpus_dedup_rate_by_source",
+    "user_value_trend",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",
