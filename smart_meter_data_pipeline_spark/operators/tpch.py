@@ -584,3 +584,162 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY 1
 """,
 )(tpch_priority_checks)
+
+
+RFM_ASOF = "2001-09-01 00:00:00"  # just past max(o_orderdate); shared literal
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    customer-scoring mart: days since last order, order count, total
+    spend, each scored into quartiles via NTILE with a total order
+    (metric, then custkey), concatenated into the 'RFM' segment code.
+
+    Scale shape: one rollup shuffle keyed by customer builds the
+    metric table; the three NTILE windows run over the CUSTOMER DIM
+    (one row per customer, dim-sized — same argument as
+    ``user_value_rank_bands``), not the fact. Recency in whole days
+    via exact integer epoch arithmetic."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        (
+            (
+                F.expr(f"CAST(floor(unix_timestamp(TIMESTAMP '{RFM_ASOF}')) AS BIGINT)")
+                - F.max(F.expr("CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT)"))
+            )
+            / F.lit(86400)
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")  # fresher = lower
+    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+register(
+    "customer_rfm_segments",
+    f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST((CAST(floor(epoch(TIMESTAMP '{RFM_ASOF}')) AS BIGINT)
+               - MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT))) / 86400
+              AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+       CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR)
+         AS segment
+FROM per_cust
+""",
+)(customer_rfm_segments)
+
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-fact conformed-dimension rollup: demand-side revenue
+    (orders x customer nation) vs supply-side shipped value
+    (lineitem x supplier nation) FULL-OUTER joined on the nation dim
+    with the net — the classic 'two fact tables, one conformed dim'
+    warehouse shape none of the single-fact queries exercise.
+
+    Scale shape: each fact rolls up independently (map-side combine,
+    broadcast dim joins), and only the two nation-sized aggregates
+    meet — the facts never join each other."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    demand = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum("o_totalprice", "demand_value"))
+    )
+    supply = (
+        li.withColumn(
+            "net_price",
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(dsum("net_price", "supply_value"))
+    )
+    return (
+        F.broadcast(nation)
+        .join(demand, nation.n_nationkey == demand.nationkey, "left")
+        .join(supply, nation.n_nationkey == supply.nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("demand_value", F.lit(0.0)).alias("demand_value"),
+            F.coalesce("supply_value", F.lit(0.0)).alias("supply_value"),
+            F.round(
+                F.coalesce("demand_value", F.lit(0.0))
+                - F.coalesce("supply_value", F.lit(0.0)),
+                6,
+            ).alias("net_balance"),
+        )
+    )
+
+
+register(
+    "nation_trade_balance",
+    """
+WITH demand AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS demand_value
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+supply AS (
+  SELECT s.s_nationkey AS nationkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS supply_value
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1
+)
+SELECT n.n_nationkey, n.n_name,
+       COALESCE(d.demand_value, 0.0) AS demand_value,
+       COALESCE(s.supply_value, 0.0) AS supply_value,
+       round(COALESCE(d.demand_value, 0.0) - COALESCE(s.supply_value, 0.0), 6)
+         AS net_balance
+FROM nation n
+LEFT JOIN demand d ON n.n_nationkey = d.nationkey
+LEFT JOIN supply s ON n.n_nationkey = s.nationkey
+""",
+)(nation_trade_balance)
