@@ -2285,3 +2285,82 @@ SELECT user_id, n AS n_events,
 FROM sums
 """,
 )(user_value_trend)
+
+
+def events_seasonal_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline + backtest: the second half of
+    the stream is 'predicted' by the first half's mean value at the
+    same (day-of-week, hour-of-day) slot per event type, and the
+    mean absolute error is reported per type — the sanity baseline
+    every forecasting effort must beat, and the backtest harness shape
+    (train window → slot model → scoring join → error rollup) that
+    carries over to real models.
+
+    Determinism: the slot means are decimal-summed then round-12
+    requantized (the z-score recipe), the per-row |v − pred| is plain
+    IEEE, and the MAE numerator is an exact decimal sum. Scale shape:
+    the slot model is ≤ types×7×24 rows broadcast onto the test scan;
+    both passes combine map-side — zero fact shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    slotted = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    )
+    model = (
+        slotted.filter(F.col("ts") < split)
+        .groupBy("event_type", "dow", "hod")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                12,
+            ).alias("pred")
+        )
+    )
+    test = slotted.filter(F.col("ts") >= split)
+    scored = test.join(F.broadcast(model), ["event_type", "dow", "hod"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            F.sum(
+                F.abs(F.col("value") - F.col("pred")).cast("decimal(25,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mae"),
+    )
+
+
+register(
+    "events_seasonal_forecast_mae",
+    f"""
+WITH slotted AS (
+  SELECT event_type, ts, value,
+         dayofweek(ts) + 1 AS dow, hour(ts) AS hod
+  FROM events
+),
+model AS (
+  SELECT event_type, dow, hod,
+         round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 12) AS pred
+  FROM slotted WHERE ts < TIMESTAMP '{DRIFT_SPLIT}'
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT t.event_type, abs(t.value - m.pred) AS err
+  FROM slotted t
+  JOIN model m ON t.event_type = m.event_type
+              AND t.dow = m.dow AND t.hod = m.hod
+  WHERE t.ts >= TIMESTAMP '{DRIFT_SPLIT}'
+)
+SELECT event_type, COUNT(*) AS n_test,
+       round(CAST(SUM(CAST(err AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 9)
+         AS mae
+FROM scored
+GROUP BY 1
+""",
+)(events_seasonal_forecast_mae)
