@@ -2310,15 +2310,24 @@ def events_seasonal_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").alias("dow"),
         F.hour("ts").alias("hod"),
     )
+    # All-decimal error arithmetic (the quantized-grid idiom): casting
+    # the raw |v − pred| double to DECIMAL hits the engines' 1-ulp
+    # half-way disagreement once enough rows flow through the sum
+    # (observed at sf0.1) — so v enters the 6-grid, pred the 12-grid
+    # (round-then-cast is safe: the value sits ON the grid), and the
+    # subtraction/abs/sum never leave exact decimals.
+    slotted = slotted.withColumn(
+        "v6", F.round("value", 6).cast("decimal(12,6)")
+    )
     model = (
         slotted.filter(F.col("ts") < split)
         .groupBy("event_type", "dow", "hod")
         .agg(
             F.round(
-                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
-                / F.count(F.lit(1)),
-                12,
-            ).alias("pred")
+                F.sum("v6").cast("double") / F.count(F.lit(1)), 12
+            )
+            .cast("decimal(24,12)")
+            .alias("pred")
         )
     )
     test = slotted.filter(F.col("ts") >= split)
@@ -2326,9 +2335,7 @@ def events_seasonal_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_test"),
         F.round(
-            F.sum(
-                F.abs(F.col("value") - F.col("pred")).cast("decimal(25,6)")
-            ).cast("double")
+            F.sum(F.abs(F.col("v6") - F.col("pred"))).cast("double")
             / F.count(F.lit(1)),
             9,
         ).alias("mae"),
@@ -2339,27 +2346,27 @@ register(
     "events_seasonal_forecast_mae",
     f"""
 WITH slotted AS (
-  SELECT event_type, ts, value,
+  SELECT event_type, ts,
+         CAST(round(value, 6) AS DECIMAL(12,6)) AS v6,
          dayofweek(ts) + 1 AS dow, hour(ts) AS hod
   FROM events
 ),
 model AS (
   SELECT event_type, dow, hod,
-         round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
-               / COUNT(*), 12) AS pred
+         CAST(round(CAST(SUM(v6) AS DOUBLE) / COUNT(*), 12)
+              AS DECIMAL(24,12)) AS pred
   FROM slotted WHERE ts < TIMESTAMP '{DRIFT_SPLIT}'
   GROUP BY 1, 2, 3
 ),
 scored AS (
-  SELECT t.event_type, abs(t.value - m.pred) AS err
+  SELECT t.event_type, abs(t.v6 - m.pred) AS err
   FROM slotted t
   JOIN model m ON t.event_type = m.event_type
               AND t.dow = m.dow AND t.hod = m.hod
   WHERE t.ts >= TIMESTAMP '{DRIFT_SPLIT}'
 )
 SELECT event_type, COUNT(*) AS n_test,
-       round(CAST(SUM(CAST(err AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 9)
-         AS mae
+       round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 9) AS mae
 FROM scored
 GROUP BY 1
 """,
