@@ -92,3 +92,37 @@ def test_jsonl_corpus_roundtrip(spark, sf_dir, tmp_path):
     files_b = sorted(glob.glob(os.path.join(path, "part-*")))
     sizes_b = sorted(os.path.getsize(f) for f in files_b)
     assert sizes_a == sizes_b
+
+
+def test_jsonl_schema_evolution(spark, sf_dir, tmp_path):
+    """Reading a JSONL layout with an evolved schema: an added column
+    comes back NULL (forward compat), a subset schema prunes (the
+    reader never fails on missing/extra fields — the property corpus
+    consumers rely on across export versions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from smart_meter_data_pipeline_spark.sources.corpus_io import (
+        export_corpus_jsonl,
+        read_corpus_jsonl,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "corpus_evo")
+    export_corpus_jsonl(docs, path, n_shards=2)
+
+    evolved = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("quality_tier", StringType()),  # not in the data
+        ]
+    )
+    back = read_corpus_jsonl(spark, path, schema=evolved)
+    assert back.count() == docs.count()
+    assert back.filter(F.col("quality_tier").isNotNull()).count() == 0
+    langs = {r["lang"] for r in back.select("lang").distinct().collect()}
+    assert langs == {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
