@@ -198,3 +198,26 @@ from smart_meter_data_pipeline_spark.plans.registry import register  # noqa: E40
 register("batch_billing_incremental", _billing_oracle())(
     batch_billing_incremental
 )
+
+
+def changed_dates_since(spark, table, v_from: int) -> list[dt.date]:
+    """The incremental-refresh driver: which fact DATES changed since
+    manifest version ``v_from``? Reads ONLY the files later commits
+    added (``ManifestTable.diff`` — cost scales with the change), so
+    the full loop is: ingest commits → diff → changed dates →
+    :func:`refresh_marts_incremental` on those dates (+LAG
+    successors). This closes the CDC→refresh circuit the reference
+    names as its production fix (README.md:137-138) without a table
+    format: the manifest commit log IS the change feed."""
+    latest = len(table.snapshot()) - 1
+    if latest < 0 or v_from >= latest:
+        return []
+    d = table.diff(spark, v_from, latest)
+    if d is None:
+        return []
+    return sorted(
+        r["d"]
+        for r in d.select(F.to_date("reading_timestamp").alias("d"))
+        .distinct()
+        .collect()
+    )

@@ -231,3 +231,39 @@ def test_diff_is_the_change_data_feed(spark, table_dir):
     hist = t.history()
     assert [h["version"] for h in hist] == [0, 1, 2]
     assert all(h["n_files"] >= 1 for h in hist)
+
+
+def test_changed_dates_since_drives_incremental_refresh(spark, table_dir):
+    """The CDC→refresh circuit: dates derived from the manifest diff
+    are exactly the dates later commits touched — the input
+    refresh_marts_incremental needs, read from the delta files only."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.operators.incremental import (
+        changed_dates_since,
+    )
+
+    def batch_on(day: str, lo, hi):
+        msgs = [
+            json.dumps(
+                dict(GOOD, meter_id=i, reading_timestamp=f"{day}T10:30:00")
+            )
+            for i in range(lo, hi)
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+        valid, _ = ingest.split_valid(
+            ingest.classify(ingest.parse_messages(raw))
+        )
+        return valid
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, batch_on("2024-03-01", 1, 11))   # v0
+    t.idempotent_append(spark, batch_on("2024-03-02", 1, 11))   # v1
+    t.idempotent_append(spark, batch_on("2024-03-03", 11, 21))  # v2
+
+    assert changed_dates_since(spark, t, 0) == [
+        dt.date(2024, 3, 2),
+        dt.date(2024, 3, 3),
+    ]
+    assert changed_dates_since(spark, t, 1) == [dt.date(2024, 3, 3)]
+    assert changed_dates_since(spark, t, 2) == []
