@@ -37,6 +37,8 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -301,3 +303,85 @@ def idempotent_append_manifest(
     :func:`~.ingest.idempotent_append`, but through the commit log —
     use this form when the target is an object store."""
     return ManifestTable(table_dir).idempotent_append(spark, batch)
+
+
+def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
+    """Log compaction — the Delta-checkpoint move that keeps commit
+    metadata BOUNDED: all commits except the newest ``keep_last`` are
+    merged into one base commit (same data files, union of dates, no
+    data rewritten), so a table ingesting thousands of micro-batches a
+    day doesn't accumulate an O(commits) metadata scan per read.
+    Rebases history: time travel / diff older than the base loses
+    per-version granularity (exactly the trade VACUUMing a Delta/
+    Iceberg table makes).
+
+    Concurrency + crash safety: runs under the kernel table flock
+    (writers serialize with it — idempotent_append takes no lock but
+    loses its optimistic race cleanly: its _put_if_absent against a
+    version the compactor removed recommits at the new tail), and the
+    new log lands via an ATOMIC directory exchange (renameat2), so a
+    reader/crash at any instant sees either the old log or the new
+    one, never a partial mix. Returns the number of commits merged."""
+    from smart_meter_data_pipeline_spark.sources.maintenance import (
+        _exchange_paths,
+    )
+    from smart_meter_data_pipeline_spark.sources.txn import table_lock
+
+    with table_lock(table.table_dir):
+        commits = table.snapshot()
+        if len(commits) <= max(keep_last, 1):
+            return 0
+        cut = len(commits) - keep_last
+        base, tail = commits[:cut], commits[cut:]
+        merged = {
+            "version": 0,
+            "added": [f for c in base for f in c["added"]],
+            "count": sum(c.get("count", 0) for c in base),
+            "dates": sorted({d for c in base for d in c.get("dates", [])}),
+            "compacted_from": cut,
+        }
+        new_dir = table.commits_dir + ".compacting"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir)
+        entries = [merged] + tail
+        for i, c in enumerate(entries):
+            c = dict(c)
+            c["version"] = i
+            with open(os.path.join(new_dir, f"{i:010d}.json"), "w") as fh:
+                json.dump(c, fh)
+        if not _exchange_paths(new_dir, table.commits_dir):
+            # fallback (non-Linux/cross-fs): two renames — a reader in
+            # the gap sees a missing dir, not a partial log
+            old = table.commits_dir + ".old"
+            os.rename(table.commits_dir, old)
+            os.rename(new_dir, table.commits_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            shutil.rmtree(new_dir, ignore_errors=True)
+        return cut
+
+
+def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
+    """Delete staged data directories no commit references — the
+    leak left by a writer that crashed between staging and commit
+    (the normal path discards its own stage). TTL-guarded so an
+    IN-FLIGHT writer's freshly staged files are never swept: only
+    stage dirs older than ``ttl_s`` go. Runs under the table lock;
+    returns the number of directories removed."""
+    from smart_meter_data_pipeline_spark.sources.txn import table_lock
+
+    with table_lock(table.table_dir):
+        referenced = {
+            os.path.dirname(f) for c in table.snapshot() for f in c["added"]
+        }
+        removed = 0
+        now = time.time()
+        for name in os.listdir(table.data_dir):
+            p = os.path.join(table.data_dir, name)
+            if not os.path.isdir(p) or name in referenced:
+                continue
+            if now - os.path.getmtime(p) < ttl_s:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+        return removed

@@ -267,3 +267,47 @@ def test_changed_dates_since_drives_incremental_refresh(spark, table_dir):
     ]
     assert changed_dates_since(spark, t, 1) == [dt.date(2024, 3, 3)]
     assert changed_dates_since(spark, t, 2) == []
+
+
+def test_compact_log_preserves_contents_and_bounds_metadata(spark, table_dir):
+    """Compaction merges old commits into one base: same table
+    contents, same dedup behavior afterwards, commit count bounded."""
+    t = manifest.ManifestTable(table_dir)
+    for lo in range(1, 60, 10):
+        t.idempotent_append(spark, _valid_batch(spark, lo, lo + 10))
+    assert len(t.snapshot()) == 6
+    before = sorted(r["meter_id"] for r in t.read(spark).collect())
+
+    merged = manifest.compact_log(t, keep_last=2)
+    assert merged == 4
+    snaps = t.snapshot()
+    assert len(snaps) == 3  # base + 2 kept
+    assert snaps[0]["compacted_from"] == 4
+    after = sorted(r["meter_id"] for r in t.read(spark).collect())
+    assert after == before
+    # dedup still works against the compacted base (existing 1-60
+    # dropped, fresh 61-69 lands)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 70)) == 9
+    assert t.read(spark).count() == len(before) + 9
+    # idempotent: nothing left to merge below keep_last
+    assert manifest.compact_log(t, keep_last=10) == 0
+
+
+def test_vacuum_sweeps_only_stale_unreferenced_stages(spark, table_dir):
+    import os
+    import time as _time
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))
+    # a crashed writer's leftover stage
+    leaked = t._stage(_valid_batch(spark, 100, 105))
+    leak_dir = os.path.join(t.data_dir, os.path.dirname(leaked[0]))
+    # fresh → protected by TTL
+    assert manifest.vacuum_unreferenced(t, ttl_s=3600) == 0
+    assert os.path.isdir(leak_dir)
+    # aged → swept; referenced data untouched
+    old = _time.time() - 7200
+    os.utime(leak_dir, (old, old))
+    assert manifest.vacuum_unreferenced(t, ttl_s=3600) == 1
+    assert not os.path.isdir(leak_dir)
+    assert t.read(spark).count() == 10
