@@ -307,3 +307,45 @@ def test_runtime_bloom_filter_injection_on_selective_shuffle_join(spark, sf_dir)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_basket_pairs_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """The within-order self-join must be an equi-join on l_orderkey
+    (never cartesian) and the scan pruned to the two used columns."""
+    from smart_meter_data_pipeline_spark.operators import tpch
+
+    p = _plan(tpch.basket_part_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "l_comment" not in p and "l_extendedprice" not in p
+
+
+def test_trade_balance_facts_never_join_each_other(spark, sf_dir):
+    """Demand and supply roll up independently; only nation-sized
+    aggregates meet. No sort-merge join of the two facts."""
+    from smart_meter_data_pipeline_spark.operators import tpch
+
+    p = _plan(tpch.nation_trade_balance(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # partial aggregation on both fact rollups
+    assert p.count("HashAggregate") >= 4
+
+
+def test_forecast_model_broadcasts_and_prunes(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators import extended
+
+    p = _plan(extended.events_seasonal_forecast_mae(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "props" not in p  # unused wide column never read
+
+
+def test_trend_is_single_rollup(spark, sf_dir):
+    """OLS via sums: one aggregation keyed by user, partial combine,
+    no window, no second fact pass beyond the 1-row epoch min."""
+    from smart_meter_data_pipeline_spark.operators import extended
+
+    p = _plan(extended.user_value_trend(spark, sf_dir))
+    assert "partial_" in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
