@@ -2371,3 +2371,164 @@ FROM scored
 GROUP BY 1
 """,
 )(events_seasonal_forecast_mae)
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k ∈ {ACF_LAGS}) of each type's hourly
+    value series — the seasonality detector behind choices like the
+    seasonal-anomaly baseline key: high r at lag 24 says 'daily
+    cycle', high r at lag 1 says 'smooth series, EWMA will work'.
+    Pearson r from the closed-form sums over (v_t, v_(t+k)) pairs.
+
+    Determinism: the hourly series enters the DECIMAL(12,6) grid, the
+    five sufficient sums per (type, lag) are exact decimals, and the
+    final r is a handful of per-row float ops plus one sqrt (IEEE
+    correctly-rounded — the one transcendental-adjacent op that IS
+    cross-engine safe). Degenerate series (zero variance either side)
+    emit NULL via the guarded divide.
+
+    Scale shape: the fact rolls up to type×hours once (map-side
+    combine); the LAG windows and sums run over that tiny series."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+            )
+            .cast("decimal(12,6)")
+            .alias("v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    legs = []
+    for k in ACF_LAGS:
+        paired = hourly.select(
+            "event_type",
+            F.col("v").alias("x"),
+            F.lead("v", k).over(w).alias("y"),
+        ).filter(F.col("y").isNotNull())
+        sums = paired.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        n = F.col("n").cast("double")
+        sx = F.col("sx").cast("double")
+        sy = F.col("sy").cast("double")
+        vx = n * F.col("sxx").cast("double") - sx * sx
+        vy = n * F.col("syy").cast("double") - sy * sy
+        cov = n * F.col("sxy").cast("double") - sx * sy
+        legs.append(
+            sums.select(
+                "event_type",
+                F.lit(k).alias("lag"),
+                F.col("n").alias("n_pairs"),
+                F.when(
+                    (vx > 0) & (vy > 0),
+                    F.round(cov / F.sqrt(vx * vy), 9),
+                ).alias("autocorr"),
+            )
+        )
+    out = legs[0]
+    for df in legs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _acf_leg_sql(k: int) -> str:
+    return f"""
+  SELECT event_type, {k} AS lag, COUNT(*) AS n_pairs,
+         CASE WHEN CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+                   - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) > 0
+               AND CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y * y) AS DOUBLE)
+                   - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) > 0
+              THEN round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+                          - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                         / sqrt((CAST(COUNT(*) AS DOUBLE)
+                                 * CAST(SUM(x * x) AS DOUBLE)
+                                 - CAST(SUM(x) AS DOUBLE)
+                                   * CAST(SUM(x) AS DOUBLE))
+                                * (CAST(COUNT(*) AS DOUBLE)
+                                   * CAST(SUM(y * y) AS DOUBLE)
+                                   - CAST(SUM(y) AS DOUBLE)
+                                     * CAST(SUM(y) AS DOUBLE))), 9)
+              END AS autocorr
+  FROM (
+    SELECT event_type, v AS x,
+           LEAD(v, {k}) OVER (PARTITION BY event_type ORDER BY h) AS y
+    FROM hourly
+  ) WHERE y IS NOT NULL
+  GROUP BY 1"""
+
+
+register(
+    "events_hourly_autocorr",
+    f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS v
+  FROM events GROUP BY 1, 2
+)
+{" UNION ALL ".join(_acf_leg_sql(k) for k in ACF_LAGS)}
+""",
+)(events_hourly_autocorr)
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival process characterization per event type: median
+    and p90 of the per-user gap between consecutive events, plus the
+    gap count — the arrival-rate profile that sizes watermarks and
+    session timeouts (reference parity: the 5-second producer cadence
+    assumption, producer/meter_simulator.py, measured instead of
+    assumed). Gaps are exact integer seconds (epoch subtraction), so
+    the interpolated percentiles divide small integers — engine-safe.
+
+    Scale shape: one user-partitioned LAG window (the same exchange
+    the session ops use), then a type-keyed percentile over integer
+    gaps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("t"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("gap_s", F.col("t") - F.lag("t").over(w))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    p = F.expr("percentile(gap_s, array(0.5, 0.9))")
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(p[0], 6).alias("median_gap_s"),
+        F.round(p[1], 6).alias("p90_gap_s"),
+    )
+
+
+register(
+    "events_interarrival_stats",
+    """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1
+""",
+)(events_interarrival_stats)
