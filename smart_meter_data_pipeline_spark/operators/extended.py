@@ -2443,6 +2443,12 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _acf_leg_sql(k: int) -> str:
+    # every product casts its operands up to DECIMAL(25,6) first:
+    # DuckDB executes DECIMAL(12,6)×DECIMAL(12,6) in int64 and
+    # overflows at sf0.1's magnitudes, while the wider type forces
+    # int128 — the VALUES are identical exact decimals either way
+    # (Spark's JVM decimals widen automatically, so only the oracle
+    # needs the cast).
     return f"""
   SELECT event_type, {k} AS lag, COUNT(*) AS n_pairs,
          CASE WHEN CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
@@ -2461,8 +2467,10 @@ def _acf_leg_sql(k: int) -> str:
                                      * CAST(SUM(y) AS DOUBLE))), 9)
               END AS autocorr
   FROM (
-    SELECT event_type, v AS x,
-           LEAD(v, {k}) OVER (PARTITION BY event_type ORDER BY h) AS y
+    SELECT event_type,
+           CAST(v AS DECIMAL(25,6)) AS x,
+           CAST(LEAD(v, {k}) OVER (
+             PARTITION BY event_type ORDER BY h) AS DECIMAL(25,6)) AS y
     FROM hourly
   ) WHERE y IS NOT NULL
   GROUP BY 1"""
