@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 142
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 143
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -100,6 +100,7 @@ _PRIORITY = [
     "events_seasonal_forecast_mae",
     "events_hourly_autocorr",
     "events_interarrival_stats",
+    "stream_drift_report",
     "dedup_semantic",
     "stream_outer_interval_join",
     "stream_running_totals",

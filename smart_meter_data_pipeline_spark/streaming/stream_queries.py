@@ -1671,3 +1671,71 @@ ranked AS (
 SELECT rank, user_id, n_events FROM ranked WHERE rank <= {TOPK_USERS}
 """,
 )(stream_topk_users)
+
+
+def stream_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_drift_report``: the before/after
+    side counters run as a streaming aggregation (complete mode is
+    correct here for the same reason as ``stream_hist_quantiles`` —
+    state is |types|×2 rows BY CONSTRUCTION, nothing to evict), and
+    the share/delta math runs batch over the drained counter table.
+    In production the 'before' window is the previous corpus
+    version's counts loaded from its audit table; the single-stream
+    split here keeps the twin self-contained. A fully drained stream
+    hash-equals the batch oracle."""
+    from smart_meter_data_pipeline_spark.operators.extended import DRIFT_SPLIT
+
+    ev = _events_stream(spark, sf_dir)
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    sided = ev.groupBy(
+        "event_type", (F.col("ts") < split).alias("is_before")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    sink = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    q = (
+        sided.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counters = spark.table(sink)
+    pivoted = counters.groupBy("event_type").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_before"), F.col("cnt"))), F.lit(0)
+        ).alias("n_before"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_before"), F.col("cnt"))), F.lit(0)
+        ).alias("n_after"),
+    )
+    tot = pivoted.agg(
+        F.sum("n_before").alias("tot_before"),
+        F.sum("n_after").alias("tot_after"),
+    )
+    share_b = F.col("n_before").cast("double") / F.col("tot_before").cast(
+        "double"
+    )
+    share_a = F.col("n_after").cast("double") / F.col("tot_after").cast(
+        "double"
+    )
+    return (
+        pivoted.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_before",
+            "n_after",
+            F.round(share_b, 9).alias("share_before"),
+            F.round(share_a, 9).alias("share_after"),
+            F.round(F.abs(share_a - share_b), 9).alias("abs_share_delta"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _stream_drift_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return ORACLES["events_drift_report"]
+
+
+register("stream_drift_report", _stream_drift_oracle())(stream_drift_report)
