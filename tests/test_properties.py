@@ -194,3 +194,34 @@ def test_portable_prng_matches_duckdb_oracle_side(rows):
     for salt, m, tk, u0, u7 in got:
         assert u0 == _u_py(0, m, tk), (m, tk)
         assert u7 == _u_py(7, m, tk), (m, tk)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 5)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(2, 8),
+)
+def test_space_saving_invariants(items, capacity):
+    """Metwally space-saving invariants for ANY input sequence and
+    capacity: (1) the map never exceeds capacity; (2) tracked keys
+    only ever OVER-estimate their true count (the eviction inherits
+    counts, never drops them); (3) total mass is conserved."""
+    from collections import Counter
+
+    from smart_meter_data_pipeline_spark.streaming.stateful import (
+        space_saving_fold,
+    )
+
+    m = {}
+    space_saving_fold(m, items, capacity)
+    true = Counter()
+    for k, c in items:
+        true[k] += c
+    assert len(m) <= capacity
+    for k, v in m.items():
+        assert v >= true[k]
+    assert sum(m.values()) == sum(true.values())
