@@ -1,0 +1,66 @@
+"""The meter_sim Python DataSource equals the DataFrame generator and
+prunes meter-block partitions under pushed filters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+    gen_meter_readings,
+)
+from smart_meter_data_pipeline_spark.sources.meter_sim_source import (
+    make_meter_sim_source,
+)
+
+N_M, N_T = 20, 24
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(make_meter_sim_source())
+    # runtime-settable; required whenever a reader implements
+    # pushFilters (Spark refuses to silently ignore the override)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return spark
+
+
+def _src(spark, **opts):
+    r = spark.read.format("meter_sim")
+    for k, v in {"n_meters": N_M, "n_ticks": N_T, **opts}.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_source_rows_equal_dataframe_generator(registered, spark):
+    got = sorted(map(tuple, _src(spark).collect()))
+    want = sorted(map(tuple, gen_meter_readings(spark, N_M, N_T).collect()))
+    assert got == want
+    assert len(got) == N_M * N_T
+
+
+def test_partition_parallel_blocks(registered, spark):
+    df = _src(spark, meters_per_partition=5)
+    assert df.rdd.getNumPartitions() == 4  # 20 meters / 5 per block
+
+
+def test_filter_pushdown_prunes_meter_blocks(registered, spark):
+    df = _src(spark, meters_per_partition=1).filter(F.col("meter_id") == 7)
+    rows = df.collect()
+    assert {r["meter_id"] for r in rows} == {7}
+    assert len(rows) == N_T
+    # one meter per partition + pushed equality → a single partition
+    # survives planning (20 without pruning)
+    assert df.rdd.getNumPartitions() <= 2
+
+    rng = _src(spark, meters_per_partition=1).filter(
+        (F.col("meter_id") >= 5) & (F.col("meter_id") < 8)
+    )
+    rng_rows = rng.collect()
+    assert {r["meter_id"] for r in rng_rows} == {5, 6, 7}
+    assert rng.rdd.getNumPartitions() <= 4
+
+
+def test_overflow_guard(registered, spark):
+    with pytest.raises(Exception, match="overflow|n_ticks"):
+        _src(spark, n_ticks=100000).collect()
