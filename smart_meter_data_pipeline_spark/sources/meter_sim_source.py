@@ -162,6 +162,102 @@ def make_meter_sim_source():
                         status,
                     )
 
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class _TickRange(InputPartition):
+        """One micro-batch slice: ticks [t_lo, t_hi) for meter block
+        [m_lo, m_hi)."""
+
+        def __init__(self, m_lo, m_hi, t_lo, t_hi):
+            self.m_lo, self.m_hi = m_lo, m_hi
+            self.t_lo, self.t_hi = t_lo, t_hi
+
+    class _StreamReader(DataSourceStreamReader):
+        """Offset-tracked streaming form — the Kafka-consumer shape
+        (resumable offsets, micro-batch slicing, commit callbacks)
+        with the tick index playing the topic offset. DELTAS are
+        emitted per tick (the wire contract the reference producer
+        ships, producer/meter_simulator.py:198-250 — cumulative state
+        belongs to the SINK side in the streaming design), so a batch
+        [t_lo, t_hi) needs no history: every micro-batch is a pure
+        function of its offset range, which is exactly what makes the
+        source replayable after a checkpoint recovery."""
+
+        def __init__(self, options):
+            self.n_meters = int(options.get("n_meters", "200"))
+            self.n_ticks = int(options.get("n_ticks", "96"))
+            self.ticks_per_batch = int(options.get("ticks_per_batch", "24"))
+            self.block = int(options.get("meters_per_partition", "50"))
+
+        def initialOffset(self):
+            return {"tick": 0}
+
+        def latestOffset(self):
+            return {"tick": self.n_ticks}
+
+        def partitions(self, start, end):
+            t_lo, t_end = start["tick"], end["tick"]
+            out = []
+            while t_lo < t_end:
+                t_hi = min(t_lo + self.ticks_per_batch, t_end)
+                m_lo = 1
+                while m_lo <= self.n_meters:
+                    m_hi = min(m_lo + self.block, self.n_meters + 1)
+                    out.append(_TickRange(m_lo, m_hi, t_lo, t_hi))
+                    m_lo = m_hi
+                t_lo = t_hi
+            return out or [_TickRange(0, 0, 0, 0)]
+
+        def read(self, partition):
+            import datetime as dt
+            import math
+
+            M31 = 2147483647
+            start = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+            def u(salt, m, t):
+                h1 = (m * 2654435761 + t * 40503 + salt * 97) % M31
+                return ((h1 * 48271) % M31) / M31
+
+            for m in range(partition.m_lo, partition.m_hi):
+                for t in range(partition.t_lo, partition.t_hi):
+                    hour = (t // 4) % 24
+                    u1 = u(1, m, t)
+                    if (6 <= hour < 9) or (17 <= hour < 22):
+                        base_w = 2000.0 + u1 * 3000.0
+                    elif hour >= 22 or hour < 6:
+                        base_w = 500.0 + u1 * 1000.0
+                    else:
+                        base_w = 1000.0 + u1 * 2000.0
+                    jit = 0.8 + u(2, m, t) * 0.4
+                    cons_delta = int(math.floor((base_w * jit) * 250.0))
+                    if m % 2 == 0:
+                        if 6 <= hour < 18:
+                            sol_fac = 1.0 - abs(hour - 12) / 6.0
+                            sol_peak = 3000.0 + u(3, m, t) * 3000.0
+                            sol_jit = 0.8 + u(4, m, t) * 0.4
+                            prod_delta = int(
+                                math.floor(
+                                    ((sol_peak * sol_fac) * sol_jit) * 250.0
+                                )
+                            )
+                        else:
+                            prod_delta = 0
+                    else:
+                        prod_delta = None
+                    r = u(5, m, t) * 100.0
+                    status = "V" if r < 98.0 else ("E" if r < 99.5 else "R")
+                    yield (
+                        start + dt.timedelta(minutes=15 * t),
+                        m,
+                        cons_delta,
+                        prod_delta,
+                        status,
+                    )
+
+        def commit(self, end):
+            pass  # offsets are pure function inputs — nothing to ack
+
     class MeterSimDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -176,5 +272,8 @@ def make_meter_sim_source():
 
         def reader(self, schema):
             return _Reader(self.options)
+
+        def streamReader(self, schema):
+            return _StreamReader(self.options)
 
     return MeterSimDataSource

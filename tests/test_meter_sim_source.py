@@ -64,3 +64,55 @@ def test_filter_pushdown_prunes_meter_blocks(registered, spark):
 def test_overflow_guard(registered, spark):
     with pytest.raises(Exception, match="overflow|n_ticks"):
         _src(spark, n_ticks=100000).collect()
+
+
+def test_stream_reader_drains_to_batch_deltas(registered, spark, tmp_path):
+    """availableNow drains the streaming source across multiple
+    micro-batches (offset-sliced tick ranges); the union of emitted
+    DELTAS reconstructs the batch generator's cumulative counters
+    exactly — proving offset slicing loses/duplicates nothing."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    stream = (
+        spark.readStream.format("meter_sim")
+        .option("n_meters", str(N_M))
+        .option("n_ticks", str(N_T))
+        .option("ticks_per_batch", "7")  # forces 4 uneven batches
+        .load()
+    )
+    sink = f"meter_sim_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(sink)
+    assert drained.count() == N_M * N_T
+
+    w = (
+        Window.partitionBy("meter_id")
+        .orderBy("reading_timestamp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rebuilt = drained.select(
+        "reading_timestamp",
+        "meter_id",
+        F.sum("reading_consumption_milliwatts")
+        .over(w)
+        .cast("int")
+        .alias("reading_consumption_milliwatts"),
+        F.sum("reading_production_milliwatts")
+        .over(w)
+        .cast("int")
+        .alias("reading_production_milliwatts"),
+        "status",
+    )
+    got = sorted(map(tuple, rebuilt.collect()))
+    want = sorted(map(tuple, gen_meter_readings(spark, N_M, N_T).collect()))
+    assert got == want
