@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 143
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 144
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -72,6 +72,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # listed ones.
 _PRIORITY = [
     # (0) new in round 6 — need a first driver row
+    "stream_meter_sim_totals",
     "dedup_incremental",
     "event_value_hist_quantiles",
     "corpus_heavy_hitters",

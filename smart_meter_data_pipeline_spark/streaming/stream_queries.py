@@ -1739,3 +1739,77 @@ def _stream_drift_oracle() -> str:
 
 
 register("stream_drift_report", _stream_drift_oracle())(stream_drift_report)
+
+
+def stream_meter_sim_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python streaming source under the correctness gate:
+    ``readStream.format("meter_sim")`` drains its offset-sliced
+    micro-batches (deltas on the wire), and the per-meter totals must
+    hash-equal the DuckDB readings CTE's final cumulative counters —
+    any lost/duplicated offset range, any PRNG drift between the
+    Python reader and the SQL twin, breaks the hash. sf-independent
+    like ``meter_readings`` (the generator IS the dataset)."""
+    from smart_meter_data_pipeline_spark.sources.meter_sim_source import (
+        make_meter_sim_source,
+    )
+
+    try:
+        spark.dataSource.register(make_meter_sim_source())
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("meter_sim")
+        .option("n_meters", "200")
+        .option("n_ticks", "96")
+        .option("ticks_per_batch", "40")  # 3 uneven offset slices
+        .load()
+    )
+    sink = f"meter_sim_{uuid.uuid4().hex[:8]}"
+    workdir = tempfile.mkdtemp(prefix="meter_sim_ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        drained = spark.table(sink)
+        return (
+            drained.groupBy("meter_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_readings"),
+                F.sum("reading_consumption_milliwatts")
+                .cast("bigint")
+                .alias("total_consumption"),
+                F.sum("reading_production_milliwatts")
+                .cast("bigint")
+                .alias("total_production"),
+                F.count(F.when(F.col("status") != "V", 1)).alias(
+                    "n_nonvalid"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _meter_sim_totals_oracle() -> str:
+    return f"""WITH {_readings_cte()}
+SELECT meter_id, COUNT(*) AS n_readings,
+       CAST(MAX(reading_consumption_milliwatts) AS BIGINT)
+         AS total_consumption,
+       CAST(MAX(reading_production_milliwatts) AS BIGINT)
+         AS total_production,
+       COUNT(CASE WHEN status <> 'V' THEN 1 END) AS n_nonvalid
+FROM readings
+GROUP BY 1
+"""
+
+
+register("stream_meter_sim_totals", _meter_sim_totals_oracle())(
+    stream_meter_sim_totals
+)
