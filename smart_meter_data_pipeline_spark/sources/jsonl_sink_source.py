@@ -1,0 +1,108 @@
+"""Custom Python DataSource WRITER: a transactional JSONL corpus sink
+(Spark 4 Python DataSource API, writer half — the companion to
+``meter_sim_source``'s reader half).
+
+``df.write.format("jsonl_corpus").option("path", ...).save()`` gives
+the JSONL export the two-phase commit shape a real sink needs at
+cluster scale, which the plain ``.write.json`` path cannot offer
+per-file:
+
+- each task writes its rows to a UNIQUELY-NAMED temp file and returns
+  the name in its commit message (task side-effects stay invisible);
+- the driver's ``commit()`` publishes the batch by renaming every temp
+  file to its final name AND writing a ``_SUCCESS.manifest`` JSON
+  listing the published files + row counts — readers that honor the
+  manifest never observe a torn batch (the same manifest-gated
+  visibility contract as ``sources/manifest.py``);
+- ``abort()`` deletes the temp files, so a failed/speculated/retried
+  task or a cancelled job leaves NOTHING visible.
+
+Pickling: writer classes ship to Python workers by cloudpickle — the
+classes live inside :func:`make_jsonl_corpus_sink` so they serialize
+by value and workers never need this repo importable (same rule as
+the meter_sim reader and the stateful closures).
+"""
+
+from __future__ import annotations
+
+
+def make_jsonl_corpus_sink():
+    """Return the DataSource class. Register with
+    ``spark.dataSource.register(make_jsonl_corpus_sink())``."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Committed(WriterCommitMessage):
+        def __init__(self, temp_name: str, final_name: str, n_rows: int):
+            self.temp_name = temp_name
+            self.final_name = final_name
+            self.n_rows = n_rows
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_corpus sink requires option 'path'")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            stem = uuid.uuid4().hex
+            temp_name = f"_tmp.{stem}.jsonl"
+            final_name = f"part-{stem}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, temp_name), "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), default=str))
+                    fh.write("\n")
+                    n += 1
+            return _Committed(temp_name, final_name, n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            published = []
+            for m in messages:
+                os.rename(
+                    os.path.join(self.path, m.temp_name),
+                    os.path.join(self.path, m.final_name),
+                )
+                published.append(
+                    {"file": m.final_name, "n_rows": m.n_rows}
+                )
+            with open(
+                os.path.join(self.path, "_SUCCESS.manifest"), "w"
+            ) as fh:
+                json.dump(
+                    {
+                        "files": sorted(published, key=lambda p: p["file"]),
+                        "n_rows": sum(p["n_rows"] for p in published),
+                    },
+                    fh,
+                )
+
+        def abort(self, messages):
+            import contextlib
+            import os
+
+            for m in messages:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(self.path, m.temp_name))
+
+    class JsonlCorpusSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_corpus"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options, overwrite)
+
+    return JsonlCorpusSink
