@@ -902,3 +902,39 @@ SELECT check_name, n_violations FROM (
   UNION ALL SELECT 'unique_pk', unique_pk FROM agg
 )""",
 )(meter_quality_checks_q)
+
+
+def meter_sim_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python batch DataSource under the hash gate: the
+    SAME oracle as ``meter_readings``, reached through a completely
+    different execution path — registered source, partition-parallel
+    Python generation with local cumulative sums (no window Exchange),
+    filter-pushdown machinery engaged (same proof pattern as
+    ``events_salted_rollup``: different physical plan, identical
+    relation)."""
+    from smart_meter_data_pipeline_spark.sources.meter_sim_source import (
+        make_meter_sim_source,
+    )
+
+    try:
+        spark.dataSource.register(make_meter_sim_source())
+    except Exception:
+        pass  # already registered in this session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("meter_sim")
+        .option("n_meters", str(N_METERS))
+        .option("n_ticks", str(N_TICKS))
+        .load()
+    )
+
+
+def _register_meter_sim_scan() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("meter_sim_source_scan", ORACLES["meter_readings"])(
+        meter_sim_source_scan
+    )
+
+
+_register_meter_sim_scan()

@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 144
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 145
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -73,6 +73,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _PRIORITY = [
     # (0) new in round 6 — need a first driver row
     "stream_meter_sim_totals",
+    "meter_sim_source_scan",
     "dedup_incremental",
     "event_value_hist_quantiles",
     "corpus_heavy_hitters",
