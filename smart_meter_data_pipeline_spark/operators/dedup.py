@@ -1251,3 +1251,52 @@ GROUP BY 1
 register("corpus_dedup_rate_by_source", _dedup_rate_oracle())(
     corpus_dedup_rate_by_source
 )
+
+
+SWEEP_THRESHOLDS = ("0.5", "0.7", "0.8", "0.9")  # shared literals
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for the near-dup detector: how many
+    pairs survive at each candidate Jaccard threshold — the audit run
+    before changing JACCARD_THRESHOLD in production (a cliff between
+    two thresholds means the corpus has a near-dup mode there; a flat
+    curve means the threshold barely matters). One pass over the
+    df-capped pair table; the sweep is a broadcast cross join against
+    a {len(SWEEP_THRESHOLDS)}-row literal frame, grouped to
+    {len(SWEEP_THRESHOLDS)} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _pair_jaccard(shingles(docs)).select("jaccard")
+    ts = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"CAST({t} AS DOUBLE)")
+                    for t in SWEEP_THRESHOLDS
+                ]
+            )
+        ).alias("threshold")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(ts))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("jaccard") >= F.col("threshold"), 1)).alias(
+                "n_pairs"
+            )
+        )
+    )
+
+
+register(
+    "dedup_threshold_sweep",
+    f"""
+WITH {_PAIR_JACCARD_SQL},
+ts AS (SELECT CAST(unnest([{", ".join(SWEEP_THRESHOLDS)}]) AS DOUBLE)
+         AS threshold)
+SELECT threshold,
+       COUNT(CASE WHEN jaccard >= threshold THEN 1 END) AS n_pairs
+FROM pairs CROSS JOIN ts
+GROUP BY 1
+""",
+)(dedup_threshold_sweep)

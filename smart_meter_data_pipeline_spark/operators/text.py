@@ -783,3 +783,53 @@ SELECT doc_id, token, tf, df, score, rank
 FROM ranked WHERE rank <= {TFIDF_TOPK}
 """,
 )(doc_tfidf_keywords)
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the language-ID heuristic:
+    labeled lang × predicted dialect with counts and the within-label
+    share — the eval table every model-backed filter in a data
+    pipeline needs before its verdicts gate documents (here evaluating
+    ``doc_lang_id``'s dialect predictor against the labeled lang
+    column). Share is an int-ratio rounded at 9.
+
+    Scale shape: rides the one-scan lang-ID projection; the matrix is
+    |labels|×|classes| rows and the share window runs over it, never
+    the corpus."""
+    pred = doc_lang_id(spark, sf_dir)
+    cells = pred.groupBy(
+        F.col("labeled_lang"), F.col("predicted_dialect")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_dialect",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(tot).cast("double"),
+            9,
+        ).alias("share_of_label"),
+    )
+
+
+def _confusion_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return f"""
+WITH pred AS ({ORACLES["doc_lang_id"]}),
+cells AS (
+  SELECT labeled_lang, predicted_dialect, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_dialect, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang)
+                    AS DOUBLE), 9) AS share_of_label
+FROM cells
+"""
+
+
+register("lang_confusion_matrix", _confusion_oracle())(lang_confusion_matrix)

@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 145
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 147
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -74,6 +74,8 @@ _PRIORITY = [
     # (0) new in round 6 — need a first driver row
     "stream_meter_sim_totals",
     "meter_sim_source_scan",
+    "lang_confusion_matrix",
+    "dedup_threshold_sweep",
     "dedup_incremental",
     "event_value_hist_quantiles",
     "corpus_heavy_hitters",
