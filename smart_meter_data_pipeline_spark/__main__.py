@@ -7,6 +7,8 @@ the reference's assorted entry points (producer loop, consumer loop,
         [--output PATH] [--limit N] [--explain]
     python -m smart_meter_data_pipeline_spark marts [--sf-dir D]
     python -m smart_meter_data_pipeline_spark test [--sf-dir D]
+    python -m smart_meter_data_pipeline_spark maintain <table_dir>
+        [--keep-last N] [--vacuum-ttl-s S]
 
 ``run`` executes any registered query (the full SURVEY §2 + LLM-ops
 registry); ``marts`` is the ``dbt run`` twin (rebuild staging + both
@@ -43,6 +45,23 @@ def _build_parser() -> argparse.ArgumentParser:
 
     test = sub.add_parser("test", help="run data-quality gates")
     test.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    maint = sub.add_parser(
+        "maintain", help="manifest-table services: log compaction + vacuum"
+    )
+    maint.add_argument("table_dir", help="ManifestTable directory")
+    maint.add_argument(
+        "--keep-last",
+        type=int,
+        default=10,
+        help="commits to keep uncompacted (default 10)",
+    )
+    maint.add_argument(
+        "--vacuum-ttl-s",
+        type=float,
+        default=3600.0,
+        help="min age before an unreferenced stage dir is swept",
+    )
     return p
 
 
@@ -93,6 +112,23 @@ def main(argv: list[str] | None = None) -> int:
             "sec": round(time.monotonic() - t0, 3),
         }
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "maintain":
+        from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+        t = mf.ManifestTable(args.table_dir)
+        merged = mf.compact_log(t, keep_last=args.keep_last)
+        swept = mf.vacuum_unreferenced(t, ttl_s=args.vacuum_ttl_s)
+        print(
+            json.dumps(
+                {
+                    "commits_merged": merged,
+                    "stages_swept": swept,
+                    "commits_now": len(t.snapshot()),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "test":

@@ -20,3 +20,21 @@ def test_cli_unknown_query(capsys):
 def test_cli_quality_gates(spark):
     # reuses the session via getOrCreate; exit 0 = all gates pass
     assert main(["test"]) == 0
+
+
+def test_cli_maintain_compacts_and_sweeps(spark, tmp_path, capsys):
+    import json as _json
+
+    from tests.test_manifest import _valid_batch
+    from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+    tdir = str(tmp_path / "m")
+    t = mf.ManifestTable(tdir)
+    for lo in range(1, 40, 10):
+        t.idempotent_append(spark, _valid_batch(spark, lo, lo + 10))
+    rc = main(["maintain", tdir, "--keep-last", "1"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["commits_merged"] == 3
+    assert out["commits_now"] == 2
+    assert t.read(spark).count() == 40
