@@ -2540,3 +2540,75 @@ FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY 1
 """,
 )(events_interarrival_stats)
+
+
+EVENTS_WINDOW_MINUTES = 43200  # Jan 1-30 2024 = 30 days × 1440 — the
+# fixed observation window; using it as the denominator folds the
+# zero-event minutes into mean/variance WITHOUT materializing them
+# (Σc over observed minutes is all events, Σc² is unchanged by zeros).
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = var/mean of per-minute arrival
+    counts) per event type — overdispersion says 'bursty arrivals,
+    size buffers and watermarks for spikes'; ≈1 says Poisson-like.
+    Counts are exact integers, so the sufficient sums are exact
+    bigints and only the final mean/var/Fano divisions run in float
+    (guarded, round 9 / round 12 requantized).
+
+    Scale shape: one fact scan into a (type, minute) count — map-side
+    combinable — then per-type sums over the minute series."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    sums = per_min.groupBy("event_type").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+    )
+    n = F.lit(EVENTS_WINDOW_MINUTES).cast("double")
+    mean = F.round(F.col("sc").cast("double") / n, 12)
+    var = F.greatest(
+        F.round(F.col("sc2").cast("double") / n - mean * mean, 12),
+        F.lit(0.0),
+    )
+    return sums.select(
+        "event_type",
+        F.col("sc").alias("n_events"),
+        "n_active_minutes",
+        mean.alias("mean_per_min"),
+        F.when(mean > 0, F.round(var / mean, 9)).alias("fano_factor"),
+    )
+
+
+register(
+    "events_burstiness",
+    f"""
+WITH per_min AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+sums AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS sc2,
+         COUNT(*) AS n_active_minutes
+  FROM per_min GROUP BY 1
+)
+SELECT event_type, sc AS n_events, n_active_minutes,
+       round(CAST(sc AS DOUBLE) / {EVENTS_WINDOW_MINUTES}.0, 12)
+         AS mean_per_min,
+       CASE WHEN round(CAST(sc AS DOUBLE) / {EVENTS_WINDOW_MINUTES}.0, 12) > 0
+            THEN round(
+              GREATEST(
+                round(CAST(sc2 AS DOUBLE) / {EVENTS_WINDOW_MINUTES}.0
+                      - round(CAST(sc AS DOUBLE)
+                              / {EVENTS_WINDOW_MINUTES}.0, 12)
+                        * round(CAST(sc AS DOUBLE)
+                                / {EVENTS_WINDOW_MINUTES}.0, 12), 12),
+                0.0)
+              / round(CAST(sc AS DOUBLE) / {EVENTS_WINDOW_MINUTES}.0, 12), 9)
+            END AS fano_factor
+FROM sums
+""",
+)(events_burstiness)

@@ -743,3 +743,75 @@ LEFT JOIN demand d ON n.n_nationkey = d.nationkey
 LEFT JOIN supply s ON n.n_nationkey = s.nationkey
 """,
 )(nation_trade_balance)
+
+
+HHI_TOPK = 50
+
+
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: the Herfindahl-Hirschman index of
+    supplier quantity shares per part — HHI → 1 means one supplier
+    owns the part (single-source risk), → 1/n means even sourcing.
+    Top-{HHI_TOPK} most concentrated multi-supplier parts (ties to
+    part key, a total order).
+
+    Determinism: shares enter a round-9 decimal grid before squaring,
+    so the per-part sum of squares is EXACT decimal arithmetic (a
+    raw double Σshare² would be summation-order-dependent).
+    Scale shape: two map-side-combinable rollups on (part, supplier)
+    then (part); the rank cut is a TopK over part-sized data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("qty").alias("qty_total"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.round(
+        F.col("qty").cast("double") / F.col("qty_total").cast("double"), 9
+    ).cast("decimal(12,9)")
+    hhi = (
+        per_ps.join(per_p, "l_partkey")
+        .select("l_partkey", "n_suppliers", share.alias("s9"))
+        .groupBy("l_partkey", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(F.col("s9") * F.col("s9")).cast("double"), 9
+            ).alias("hhi")
+        )
+    )
+    return (
+        hhi.filter(F.col("n_suppliers") > 1)
+        .orderBy(F.col("hhi").desc(), "l_partkey")
+        .limit(HHI_TOPK)
+    )
+
+
+register(
+    "part_supplier_hhi",
+    f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+per_p AS (
+  SELECT l_partkey, SUM(qty) AS qty_total, COUNT(*) AS n_suppliers
+  FROM per_ps GROUP BY 1
+),
+shares AS (
+  SELECT ps.l_partkey, p.n_suppliers,
+         CAST(round(CAST(ps.qty AS DOUBLE) / CAST(p.qty_total AS DOUBLE), 9)
+              AS DECIMAL(12,9)) AS s9
+  FROM per_ps ps JOIN per_p p ON ps.l_partkey = p.l_partkey
+)
+SELECT l_partkey, n_suppliers,
+       round(CAST(SUM(s9 * s9) AS DOUBLE), 9) AS hhi
+FROM shares
+WHERE n_suppliers > 1
+GROUP BY 1, 2
+ORDER BY hhi DESC, l_partkey
+LIMIT {HHI_TOPK}
+""",
+)(part_supplier_hhi)
