@@ -94,14 +94,38 @@ class ManifestTable:
     def snapshot(self) -> list[dict]:
         """All commits in log order. Listing then reading is safe
         because commit files are immutable once created."""
+        return [c for _, c in self.numbered_snapshot()]
+
+    def numbered_snapshot(self) -> list[tuple[int, dict]]:
+        """(commit number, payload) in log order. Numbers are stable
+        identifiers: once a commit lands, its number never changes —
+        compaction keeps the tail's numbers and reuses only number 0
+        for the merged base. They are NOT dense after a compaction
+        (gaps where merged commits used to be); positional APIs
+        (read(version=), diff, history) index the current log order,
+        numbers anchor the optimistic-append fence."""
         names = sorted(
             n for n in os.listdir(self.commits_dir) if n.endswith(".json")
         )
         out = []
         for n in names:
             with open(os.path.join(self.commits_dir, n)) as fh:
-                out.append(json.load(fh))
+                out.append((int(n[: -len(".json")]), json.load(fh)))
         return out
+
+    def next_commit_number(self) -> int:
+        """max existing number + 1 — MONOTONE across compactions
+        (len() is not, once compaction leaves gaps), which is what
+        keeps the append's publish-then-validate race sound: any
+        commit that lands after a writer's validation fence must take
+        a number >= that fence, so put_if_absent failing is the ONLY
+        way to miss concurrent content."""
+        nums = [
+            int(n[: -len(".json")])
+            for n in os.listdir(self.commits_dir)
+            if n.endswith(".json")
+        ]
+        return (max(nums) + 1) if nums else 0
 
     def _files(self, commits: list[dict], dates: set[str] | None = None) -> list[str]:
         """Absolute data-file paths named by ``commits``; when ``dates``
@@ -226,7 +250,10 @@ class ManifestTable:
             commits = self.snapshot()
             fresh, n = self._anti_join(spark, in_batch, commits, batch_dates, pk)
             staged: list[str] = []
-            validated_through = len(commits)  # commits checked so far
+            # Fence by NUMBER, not position: compaction leaves gaps in
+            # the numbering, so len() could alias an old slot and let
+            # an unvalidated concurrent commit slip under the publish.
+            validated_through = self.next_commit_number()
             for _ in range(max_retries):
                 if n == 0:
                     self._discard_stage(staged)
@@ -249,9 +276,13 @@ class ManifestTable:
                 # lost to. If their key sets can't overlap ours (date
                 # pruning, then an actual key check), recommit the SAME
                 # staged files at the next number — no rewrite.
-                new_commits = self.snapshot()[validated_through:]
+                new_commits = [
+                    c
+                    for num, c in self.numbered_snapshot()
+                    if num >= validated_through
+                ]
                 overlap_files = self._files(new_commits, batch_dates)
-                validated_through += len(new_commits)
+                validated_through = self.next_commit_number()
                 if overlap_files:
                     clash = (
                         fresh.join(
@@ -266,7 +297,7 @@ class ManifestTable:
                         self._discard_stage(staged)
                         fresh.unpersist()
                         commits = self.snapshot()
-                        validated_through = len(commits)
+                        validated_through = self.next_commit_number()
                         fresh, n = self._anti_join(
                             spark, in_batch, commits, batch_dates, pk
                         )
@@ -328,26 +359,32 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
     from smart_meter_data_pipeline_spark.sources.txn import table_lock
 
     with table_lock(table.table_dir):
-        commits = table.snapshot()
-        if len(commits) <= max(keep_last, 1):
+        numbered = table.numbered_snapshot()
+        if len(numbered) <= max(keep_last, 1):
             return 0
-        cut = len(commits) - keep_last
-        base, tail = commits[:cut], commits[cut:]
+        cut = len(numbered) - keep_last
+        base, tail = numbered[:cut], numbered[cut:]
         merged = {
             "version": 0,
-            "added": [f for c in base for f in c["added"]],
-            "count": sum(c.get("count", 0) for c in base),
-            "dates": sorted({d for c in base for d in c.get("dates", [])}),
+            "added": [f for _, c in base for f in c["added"]],
+            "count": sum(c.get("count", 0) for _, c in base),
+            "dates": sorted(
+                {d for _, c in base for d in c.get("dates", [])}
+            ),
             "compacted_from": cut,
         }
         new_dir = table.commits_dir + ".compacting"
         shutil.rmtree(new_dir, ignore_errors=True)
         os.makedirs(new_dir)
-        entries = [merged] + tail
-        for i, c in enumerate(entries):
-            c = dict(c)
-            c["version"] = i
-            with open(os.path.join(new_dir, f"{i:010d}.json"), "w") as fh:
+        # NUMBERS ARE PRESERVED: the base reuses number 0 (its content
+        # is the union of already-published commits, so replacing
+        # number 0's content is validation-equivalent), the tail keeps
+        # its original numbers. Gaps where merged commits used to be
+        # are deliberate — see next_commit_number() for why appends
+        # must never re-use them.
+        entries = [(0, merged)] + [(num, dict(c)) for num, c in tail]
+        for num, c in entries:
+            with open(os.path.join(new_dir, f"{num:010d}.json"), "w") as fh:
                 json.dump(c, fh)
         if not _exchange_paths(new_dir, table.commits_dir):
             # fallback (non-Linux/cross-fs): two renames — a reader in

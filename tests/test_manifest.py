@@ -311,3 +311,34 @@ def test_vacuum_sweeps_only_stale_unreferenced_stages(spark, table_dir):
     assert manifest.vacuum_unreferenced(t, ttl_s=3600) == 1
     assert not os.path.isdir(leak_dir)
     assert t.read(spark).count() == 10
+
+
+def test_compaction_never_reuses_commit_numbers(spark, table_dir):
+    """The append/compaction race soundness rests on commit numbers
+    being monotone: after compaction leaves gaps, the next append must
+    take max+1, never a vacated low slot — otherwise an append that
+    validated before the compaction could publish past a concurrent
+    commit it never saw."""
+    import os
+
+    t = manifest.ManifestTable(table_dir)
+    for lo in range(1, 60, 10):  # commits 0..5
+        t.idempotent_append(spark, _valid_batch(spark, lo, lo + 10))
+    manifest.compact_log(t, keep_last=2)
+    names = sorted(
+        n for n in os.listdir(t.commits_dir) if n.endswith(".json")
+    )
+    # base keeps number 0; tail keeps its ORIGINAL numbers 4 and 5
+    assert names == ["0000000000.json", "0000000004.json", "0000000005.json"]
+    assert t.next_commit_number() == 6
+
+    # next append lands at 6, not in the 1-3 gap
+    assert t.idempotent_append(spark, _valid_batch(spark, 100, 110)) == 10
+    names = sorted(
+        n for n in os.listdir(t.commits_dir) if n.endswith(".json")
+    )
+    assert names[-1] == "0000000006.json"
+    assert t.read(spark).count() == 70
+    # positional time travel still walks the current log order
+    assert t.read(spark, version=0).count() == 40  # the merged base
+    assert t.diff(spark, 2, 3).count() == 10  # the new commit only
