@@ -1300,3 +1300,46 @@ FROM pairs CROSS JOIN ts
 GROUP BY 1
 """,
 )(dedup_threshold_sweep)
+
+
+def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-family size distribution: how many near-dup clusters exist
+    at each size, and how many documents they absorb — the one-glance
+    answer to 'is duplication pairwise noise or giant mirror
+    families?' (pairwise → keep-best suffices; giant components at
+    100 TB usually mean boilerplate leaking past the shingle df cap
+    and deserve a detector fix, not mass deletion). Rides the
+    connected-components output; the distribution is a two-level
+    rollup over cluster-sized data."""
+    clusters = dedup_clusters(spark, sf_dir)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        per_cluster.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("n_docs_absorbed"),
+        )
+    )
+
+
+def _cluster_size_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return f"""
+WITH clusters AS ({ORACLES["dedup_clusters"]}),
+per_cluster AS (
+  SELECT cluster_id, COUNT(*) AS size FROM clusters GROUP BY 1
+)
+SELECT size, COUNT(*) AS n_clusters,
+       size * COUNT(*) AS n_docs_absorbed
+FROM per_cluster GROUP BY 1
+"""
+
+
+register("dedup_cluster_size_dist", _cluster_size_oracle())(
+    dedup_cluster_size_dist
+)

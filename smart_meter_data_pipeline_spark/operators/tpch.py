@@ -815,3 +815,115 @@ ORDER BY hhi DESC, l_partkey
 LIMIT {HHI_TOPK}
 """,
 )(part_supplier_hhi)
+
+
+def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade reciprocity per UNORDERED nation pair: volume in each
+    direction (supplier nation → customer nation) and
+    min/max balance — 1.0 means perfectly reciprocal flows, → 0 means
+    one-way trade (the Q7 volume matrix folded onto its diagonal; the
+    pair-symmetrization shape — canonical pair key via LEAST/GREATEST,
+    then conditional sums per direction — that graph queries reuse).
+
+    Scale shape: one fact rollup to the nation×nation matrix
+    (broadcast dim joins), then all pair math on ≤|nations|² rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    vol = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("from_nation"),
+            F.col("c_nationkey").alias("to_nation"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "volume",
+            )
+        )
+    )
+    a = F.least("from_nation", "to_nation")
+    b = F.greatest("from_nation", "to_nation")
+    folded = vol.groupBy(a.alias("nation_a"), b.alias("nation_b")).agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("from_nation") < F.col("to_nation"),
+                    F.col("volume").cast("decimal(25,6)"),
+                ).otherwise(F.lit(0).cast("decimal(25,6)"))
+            ).cast("double"),
+            6,
+        ).alias("vol_ab"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("from_nation") > F.col("to_nation"),
+                    F.col("volume").cast("decimal(25,6)"),
+                ).otherwise(F.lit(0).cast("decimal(25,6)"))
+            ).cast("double"),
+            6,
+        ).alias("vol_ba"),
+    )
+    return folded.select(
+        "nation_a",
+        "nation_b",
+        "vol_ab",
+        "vol_ba",
+        F.when(
+            F.greatest("vol_ab", "vol_ba") > 0,
+            F.round(
+                F.least("vol_ab", "vol_ba")
+                / F.greatest("vol_ab", "vol_ba"),
+                9,
+            ),
+        ).alias("reciprocity"),
+    )
+
+
+register(
+    "nation_trade_reciprocity",
+    """
+WITH vol AS (
+  SELECT s.s_nationkey AS from_nation, c.c_nationkey AS to_nation,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS volume
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+),
+folded AS (
+  SELECT LEAST(from_nation, to_nation) AS nation_a,
+         GREATEST(from_nation, to_nation) AS nation_b,
+         round(CAST(SUM(CASE WHEN from_nation < to_nation
+                             THEN CAST(volume AS DECIMAL(25,6))
+                             ELSE CAST(0 AS DECIMAL(25,6)) END)
+                    AS DOUBLE), 6) AS vol_ab,
+         round(CAST(SUM(CASE WHEN from_nation > to_nation
+                             THEN CAST(volume AS DECIMAL(25,6))
+                             ELSE CAST(0 AS DECIMAL(25,6)) END)
+                    AS DOUBLE), 6) AS vol_ba
+  FROM vol GROUP BY 1, 2
+)
+SELECT nation_a, nation_b, vol_ab, vol_ba,
+       CASE WHEN GREATEST(vol_ab, vol_ba) > 0
+            THEN round(LEAST(vol_ab, vol_ba) / GREATEST(vol_ab, vol_ba), 9)
+            END AS reciprocity
+FROM folded
+""",
+)(nation_trade_reciprocity)

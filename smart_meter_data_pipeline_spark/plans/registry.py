@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 149
+# prefix of the registry (~50 of the len(QUERIES) registered rows — 151
 # as of round 6 — per round), so
 # order by proof staleness: (1) queries whose code or oracle changed
 # this round — they need a fresh driver row under the new definition;
@@ -78,6 +78,8 @@ _PRIORITY = [
     "dedup_threshold_sweep",
     "events_burstiness",
     "part_supplier_hhi",
+    "dedup_cluster_size_dist",
+    "nation_trade_reciprocity",
     "dedup_incremental",
     "event_value_hist_quantiles",
     "corpus_heavy_hitters",
