@@ -78,6 +78,37 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{oracle}")
         return 0
 
+    if args.cmd == "maintain":
+        # No Spark session needed (metadata-only), and guard against a
+        # typo'd path: ManifestTable() mkdirs its target, so an
+        # unvalidated path would silently create an empty table and
+        # report a successful no-op maintenance run.
+        import os
+
+        from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+        commits = os.path.join(args.table_dir, mf.COMMITS_DIRNAME)
+        if not os.path.isdir(commits):
+            print(
+                f"not a manifest table (no {mf.COMMITS_DIRNAME}/ dir): "
+                f"{args.table_dir}",
+                file=sys.stderr,
+            )
+            return 2
+        t = mf.ManifestTable(args.table_dir)
+        merged = mf.compact_log(t, keep_last=args.keep_last)
+        swept = mf.vacuum_unreferenced(t, ttl_s=args.vacuum_ttl_s)
+        print(
+            json.dumps(
+                {
+                    "commits_merged": merged,
+                    "stages_swept": swept,
+                    "commits_now": len(t.snapshot()),
+                }
+            )
+        )
+        return 0
+
     from smart_meter_data_pipeline_spark.session import get_spark
 
     spark = get_spark("smart-meter-cli")
@@ -112,23 +143,6 @@ def main(argv: list[str] | None = None) -> int:
             "sec": round(time.monotonic() - t0, 3),
         }
         print(json.dumps(out))
-        return 0
-
-    if args.cmd == "maintain":
-        from smart_meter_data_pipeline_spark.sources import manifest as mf
-
-        t = mf.ManifestTable(args.table_dir)
-        merged = mf.compact_log(t, keep_last=args.keep_last)
-        swept = mf.vacuum_unreferenced(t, ttl_s=args.vacuum_ttl_s)
-        print(
-            json.dumps(
-                {
-                    "commits_merged": merged,
-                    "stages_swept": swept,
-                    "commits_now": len(t.snapshot()),
-                }
-            )
-        )
         return 0
 
     if args.cmd == "test":

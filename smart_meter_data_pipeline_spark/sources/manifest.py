@@ -61,14 +61,21 @@ def _put_if_absent(path: str, payload: bytes) -> bool:
     with EEXIST if the name is taken). Object stores: conditional PUT.
     """
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "wb") as fh:
-        fh.write(payload)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.link(tmp, path)
         return True
     except FileExistsError:
+        return False
+    except FileNotFoundError:
+        # The parent dir itself vanished mid-call (a namespace race —
+        # e.g. a legacy swap-style compaction). Treat as a lost race —
+        # the caller revalidates against the current log and retries —
+        # instead of leaking the exception (and the staged parquet)
+        # out of idempotent_append.
         return False
     finally:
         with contextlib.suppress(FileNotFoundError):
@@ -83,8 +90,43 @@ class ManifestTable:
         self.table_dir = table_dir
         self.commits_dir = os.path.join(table_dir, COMMITS_DIRNAME)
         self.data_dir = os.path.join(table_dir, DATA_DIRNAME)
+        self._recover_interrupted_compaction()
         os.makedirs(self.commits_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # Test seam: invoked between validation/staging and the
+        # publish attempt, so tests can deterministically land a
+        # competing commit in the exact window the optimistic
+        # protocol must survive. Never set in production.
+        self._pre_publish_hook = None
+
+    def _recover_interrupted_compaction(self) -> None:
+        """Crash recovery for the non-renameat2 compaction fallback: a
+        crash between ``rename(commits, old)`` and
+        ``rename(new, commits)`` leaves NO commits dir and a stranded
+        ``.old`` dir. Without recovery, ``makedirs`` would recreate an
+        EMPTY log — the table silently reads as empty and a later
+        vacuum deletes every data file as unreferenced. Restore the
+        displaced log before anything else touches the table; the
+        in-flight compaction is simply lost, which is the safe
+        outcome."""
+        old = self.commits_dir + ".old"
+        commits_missing_or_empty = not os.path.isdir(self.commits_dir) or not any(
+            n.endswith(".json") for n in os.listdir(self.commits_dir)
+        )
+        if commits_missing_or_empty and os.path.isdir(old):
+            if not os.path.isdir(self.commits_dir):
+                os.rename(old, self.commits_dir)
+            else:
+                # commits dir exists but holds no commits (stray tmp
+                # files at most): move the displaced log's entries in
+                # file-by-file, then drop the stranded dir.
+                for n in os.listdir(old):
+                    if n.endswith(".json"):
+                        os.rename(
+                            os.path.join(old, n),
+                            os.path.join(self.commits_dir, n),
+                        )
+                shutil.rmtree(old, ignore_errors=True)
 
     # -- log ---------------------------------------------------------------
 
@@ -104,14 +146,28 @@ class ManifestTable:
         (gaps where merged commits used to be); positional APIs
         (read(version=), diff, history) index the current log order,
         numbers anchor the optimistic-append fence."""
-        names = sorted(
-            n for n in os.listdir(self.commits_dir) if n.endswith(".json")
-        )
-        out = []
-        for n in names:
-            with open(os.path.join(self.commits_dir, n)) as fh:
-                out.append((int(n[: -len(".json")]), json.load(fh)))
-        return out
+        for attempt in range(40):
+            try:
+                names = sorted(
+                    n
+                    for n in os.listdir(self.commits_dir)
+                    if n.endswith(".json")
+                )
+                out = []
+                for n in names:
+                    with open(os.path.join(self.commits_dir, n)) as fh:
+                        out.append((int(n[: -len(".json")]), json.load(fh)))
+                return out
+            except FileNotFoundError:
+                # Momentarily missing dir (the non-renameat2 compaction
+                # fallback is between its two renames), or a listed
+                # commit file was compacted away between the listing
+                # and the open. The window is microseconds; re-list
+                # rather than misreading the table as empty (which
+                # would reset the append fence).
+                if attempt == 39:
+                    raise
+                time.sleep(0.05)
 
     def next_commit_number(self) -> int:
         """max existing number + 1 — MONOTONE across compactions
@@ -129,13 +185,18 @@ class ManifestTable:
 
     def _files(self, commits: list[dict], dates: set[str] | None = None) -> list[str]:
         """Absolute data-file paths named by ``commits``; when ``dates``
-        is given, prune commits whose recorded dates don't overlap."""
-        files: list[str] = []
+        is given, prune commits whose recorded dates don't overlap.
+        Path-deduped: during an in-place log compaction (or after a
+        crash mid-compaction) the merged base and a not-yet-unlinked
+        merged commit can both name the same file — it must be read
+        once, not twice."""
+        files: dict[str, None] = {}
         for c in commits:
             if dates is not None and not (set(c["dates"]) & dates):
                 continue
-            files.extend(os.path.join(self.data_dir, f) for f in c["added"])
-        return files
+            for f in c["added"]:
+                files[os.path.join(self.data_dir, f)] = None
+        return list(files)
 
     # -- read --------------------------------------------------------------
 
@@ -233,7 +294,22 @@ class ManifestTable:
         Safe under concurrent writers without any filesystem mutex:
         every interleaving either wins its commit number with a key
         set validated against all prior commits, or revalidates and
-        retries. Returns rows written (0 when fully duplicate)."""
+        retries. Returns rows written (0 when fully duplicate).
+
+        FENCE INVARIANT: ``validated_through`` is always derived from
+        the SAME ``numbered_snapshot()`` listing the validation
+        anti-join/overlap check ran against (``max(number) + 1`` over
+        that exact listing; 0 when empty) — never from a second,
+        later directory listing. A commit that lands between two
+        listings would be covered by the later fence but never
+        validated against, which is exactly the concurrent-duplicate
+        hole: fencing and validating MUST observe one atomic view of
+        the log. Publishing at that fence is then sound because
+        numbers are monotone (compaction preserves them — see
+        ``next_commit_number``): any commit the writer has not
+        validated takes a number >= the fence, so ``_put_if_absent``
+        failing is the only way to miss concurrent content, and that
+        failure routes into revalidation below."""
         in_batch = batch.dropDuplicates(pk).persist()
         try:
             n_batch = in_batch.count()
@@ -247,13 +323,14 @@ class ManifestTable:
                 .distinct()
                 .collect()
             }
-            commits = self.snapshot()
+            numbered = self.numbered_snapshot()
+            commits = [c for _, c in numbered]
             fresh, n = self._anti_join(spark, in_batch, commits, batch_dates, pk)
             staged: list[str] = []
             # Fence by NUMBER, not position: compaction leaves gaps in
             # the numbering, so len() could alias an old slot and let
             # an unvalidated concurrent commit slip under the publish.
-            validated_through = self.next_commit_number()
+            validated_through = self._fence(numbered)
             for _ in range(max_retries):
                 if n == 0:
                     self._discard_stage(staged)
@@ -261,6 +338,8 @@ class ManifestTable:
                 if not staged:
                     fresh = fresh.persist()
                     staged = self._stage(fresh)
+                if self._pre_publish_hook is not None:
+                    self._pre_publish_hook()
                 payload = json.dumps(
                     {
                         "version": validated_through,
@@ -275,14 +354,14 @@ class ManifestTable:
                 # Lost the race: validate only against the commits we
                 # lost to. If their key sets can't overlap ours (date
                 # pruning, then an actual key check), recommit the SAME
-                # staged files at the next number — no rewrite.
+                # staged files at the next number — no rewrite. The new
+                # fence comes from THIS listing (fence invariant above).
+                numbered = self.numbered_snapshot()
                 new_commits = [
-                    c
-                    for num, c in self.numbered_snapshot()
-                    if num >= validated_through
+                    c for num, c in numbered if num >= validated_through
                 ]
                 overlap_files = self._files(new_commits, batch_dates)
-                validated_through = self.next_commit_number()
+                validated_through = self._fence(numbered)
                 if overlap_files:
                     clash = (
                         fresh.join(
@@ -293,11 +372,13 @@ class ManifestTable:
                     )
                     if clash:
                         # Genuine conflict: our staged rows now contain
-                        # duplicates. Re-anti-join and re-stage.
+                        # duplicates. Re-anti-join and re-stage against
+                        # one fresh listing (validation + fence).
                         self._discard_stage(staged)
                         fresh.unpersist()
-                        commits = self.snapshot()
-                        validated_through = self.next_commit_number()
+                        numbered = self.numbered_snapshot()
+                        commits = [c for _, c in numbered]
+                        validated_through = self._fence(numbered)
                         fresh, n = self._anti_join(
                             spark, in_batch, commits, batch_dates, pk
                         )
@@ -309,6 +390,14 @@ class ManifestTable:
             )
         finally:
             in_batch.unpersist()
+
+    @staticmethod
+    def _fence(numbered: list[tuple[int, dict]]) -> int:
+        """The publish number implied by one specific log listing:
+        max commit number + 1 (0 on an empty log). Taking the fence
+        and the validation set from the SAME listing is what makes the
+        lock-free append sound — see idempotent_append."""
+        return (max(num for num, _ in numbered) + 1) if numbered else 0
 
     def _anti_join(
         self,
@@ -346,16 +435,34 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
     per-version granularity (exactly the trade VACUUMing a Delta/
     Iceberg table makes).
 
-    Concurrency + crash safety: runs under the kernel table flock
-    (writers serialize with it — idempotent_append takes no lock but
-    loses its optimistic race cleanly: its _put_if_absent against a
-    version the compactor removed recommits at the new tail), and the
-    new log lands via an ATOMIC directory exchange (renameat2), so a
-    reader/crash at any instant sees either the old log or the new
-    one, never a partial mix. Returns the number of commits merged."""
-    from smart_meter_data_pipeline_spark.sources.maintenance import (
-        _exchange_paths,
-    )
+    Concurrency + crash safety: the log is compacted IN PLACE — the
+    commits directory is never renamed or exchanged, which is what
+    keeps lock-free ``idempotent_append`` writers safe (any
+    swap-the-namespace design lets a writer publish a fresh number
+    into the about-to-be-discarded directory, or lets two writers win
+    the SAME number in the old and new directories — silent loss
+    either way). Instead:
+
+    1. The merged base is written to a temp file and ``os.rename``\\ d
+       over the LOWEST commit file (atomic replace: readers see the
+       old commit or the full base, never a torn file). Replacing
+       that commit's content with the union of commits 0..cut-1 is
+       validation-equivalent — every file named was already published
+       at a number below every writer's fence.
+    2. The remaining merged commit files are unlinked one by one. A
+       reader listing mid-unlink sees the base PLUS a subset of the
+       merged commits; the union names some data files twice, which
+       ``_files``'s path-dedupe collapses — every intermediate state
+       reads as exactly the committed table.
+
+    A crash at any step leaves a log that still reads correctly
+    (worst case: some merged commits linger next to the base until
+    the next compaction). Concurrent appends are untouched: numbers
+    are monotone, ``_put_if_absent`` never observes a missing
+    directory, and nothing here touches numbers above the snapshot's
+    max. The table flock only serializes compaction against other
+    MAINTENANCE (vacuum / another compaction), not against writers.
+    Returns the number of commits merged."""
     from smart_meter_data_pipeline_spark.sources.txn import table_lock
 
     with table_lock(table.table_dir):
@@ -363,9 +470,14 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         if len(numbered) <= max(keep_last, 1):
             return 0
         cut = len(numbered) - keep_last
-        base, tail = numbered[:cut], numbered[cut:]
+        base = numbered[:cut]
+        # NUMBERS ARE PRESERVED: the base reuses the lowest existing
+        # number (0 in practice), the tail keeps its original numbers.
+        # Gaps where merged commits used to be are deliberate — see
+        # next_commit_number() for why appends must never re-use them.
+        base_num = base[0][0]
         merged = {
-            "version": 0,
+            "version": base_num,
             "added": [f for _, c in base for f in c["added"]],
             "count": sum(c.get("count", 0) for _, c in base),
             "dates": sorted(
@@ -373,28 +485,15 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
             ),
             "compacted_from": cut,
         }
-        new_dir = table.commits_dir + ".compacting"
-        shutil.rmtree(new_dir, ignore_errors=True)
-        os.makedirs(new_dir)
-        # NUMBERS ARE PRESERVED: the base reuses number 0 (its content
-        # is the union of already-published commits, so replacing
-        # number 0's content is validation-equivalent), the tail keeps
-        # its original numbers. Gaps where merged commits used to be
-        # are deliberate — see next_commit_number() for why appends
-        # must never re-use them.
-        entries = [(0, merged)] + [(num, dict(c)) for num, c in tail]
-        for num, c in entries:
-            with open(os.path.join(new_dir, f"{num:010d}.json"), "w") as fh:
-                json.dump(c, fh)
-        if not _exchange_paths(new_dir, table.commits_dir):
-            # fallback (non-Linux/cross-fs): two renames — a reader in
-            # the gap sees a missing dir, not a partial log
-            old = table.commits_dir + ".old"
-            os.rename(table.commits_dir, old)
-            os.rename(new_dir, table.commits_dir)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            shutil.rmtree(new_dir, ignore_errors=True)
+        tmp = table._commit_path(base_num) + f".compacting.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(merged, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, table._commit_path(base_num))
+        for num, _ in base[1:]:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(table._commit_path(num))
         return cut
 
 
@@ -404,9 +503,18 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
     (the normal path discards its own stage). TTL-guarded so an
     IN-FLIGHT writer's freshly staged files are never swept: only
     stage dirs older than ``ttl_s`` go. Runs under the table lock;
-    returns the number of directories removed."""
+    returns the number of directories removed. Refuses to run while a
+    stranded ``.old`` log dir exists (legacy interrupted-compaction
+    marker): until that log is restored, the current commits dir may
+    under-report references and the sweep would delete live data."""
     from smart_meter_data_pipeline_spark.sources.txn import table_lock
 
+    if os.path.isdir(table.commits_dir + ".old"):
+        raise RuntimeError(
+            f"refusing to vacuum {table.table_dir}: stranded "
+            f"'{COMMITS_DIRNAME}.old' dir present — reopen the table "
+            "(ManifestTable restores the displaced log) and retry"
+        )
     with table_lock(table.table_dir):
         referenced = {
             os.path.dirname(f) for c in table.snapshot() for f in c["added"]

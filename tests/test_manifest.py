@@ -342,3 +342,171 @@ def test_compaction_never_reuses_commit_numbers(spark, table_dir):
     # positional time travel still walks the current log order
     assert t.read(spark, version=0).count() == 40  # the merged base
     assert t.diff(spark, 2, 3).count() == 10  # the new commit only
+
+
+def test_put_if_absent_missing_dir_is_lost_race(tmp_path):
+    """The commits dir vanishing mid-call (a concurrent compaction in
+    a legacy swap design, or any namespace hiccup) must read as a LOST
+    RACE (False), not an exception that leaks staged files out of
+    idempotent_append."""
+    gone = tmp_path / "not_there" / "commit.json"
+    assert manifest._put_if_absent(str(gone), b"x") is False
+
+
+def test_deterministic_commit_lands_between_validate_and_publish(
+    spark, table_dir
+):
+    """The exact interleaving behind the round-6 duplicate-commit race,
+    pinned deterministically: writer B validates against the empty log
+    and computes its fence, then — via the pre-publish test seam —
+    writer A lands an OVERLAPPING commit before B's publish. The fence
+    invariant (fence and validation set from the same listing) forces
+    B's put-if-absent to collide with A's commit number, routing B
+    into revalidation; B must commit only its non-overlapping rows."""
+    b_table = manifest.ManifestTable(table_dir)
+    fired = []
+
+    def land_competitor():
+        if fired:
+            return
+        fired.append(True)
+        # A separate table handle = an independent writer process.
+        a_table = manifest.ManifestTable(table_dir)
+        assert a_table.idempotent_append(spark, _valid_batch(spark, 1, 101)) == 100
+
+    b_table._pre_publish_hook = land_competitor
+    written_b = b_table.idempotent_append(spark, _valid_batch(spark, 51, 151))
+    assert written_b == 50  # only meters 101-150 are new
+
+    t = manifest.ManifestTable(table_dir)
+    df = t.read(spark)
+    assert df.count() == 150
+    assert df.select("reading_timestamp", "meter_id").distinct().count() == 150
+    nums = [n for n, _ in t.numbered_snapshot()]
+    assert nums == [0, 1]
+
+
+def test_deterministic_disjoint_commit_between_validate_and_publish(
+    spark, table_dir
+):
+    """Same interleaving, DISJOINT keys: the loser must recommit its
+    already-staged files at the next number without re-staging (the
+    no-overlap fast path), and all rows from both writers land."""
+    b_table = manifest.ManifestTable(table_dir)
+    stages_before = []
+    fired = []
+
+    def land_competitor():
+        if fired:
+            return
+        fired.append(True)
+        stages_before.extend(os.listdir(b_table.data_dir))
+        a_table = manifest.ManifestTable(table_dir)
+        assert a_table.idempotent_append(spark, _valid_batch(spark, 200, 251)) == 51
+
+    b_table._pre_publish_hook = land_competitor
+    assert b_table.idempotent_append(spark, _valid_batch(spark, 1, 101)) == 100
+
+    t = manifest.ManifestTable(table_dir)
+    assert t.read(spark).count() == 151
+    # B did not re-stage: no new stage dirs beyond A's one stage
+    commits = t.snapshot()
+    added = [f for c in commits for f in c["added"]]
+    assert len(added) == len(set(added))
+
+
+def test_deterministic_compaction_between_validate_and_publish(
+    spark, table_dir
+):
+    """A compaction sliding under a validated-but-unpublished append
+    must not break it: numbers are preserved, so the append's fence
+    (max+1 over its validation listing) is still the right publish
+    slot, and the compacted base still dedupes its keys."""
+    t = manifest.ManifestTable(table_dir)
+    for lo in range(1, 60, 10):  # commits 0..5
+        t.idempotent_append(spark, _valid_batch(spark, lo, lo + 10))
+
+    writer = manifest.ManifestTable(table_dir)
+    fired = []
+
+    def compact_now():
+        if fired:
+            return
+        fired.append(True)
+        assert manifest.compact_log(manifest.ManifestTable(table_dir), keep_last=2) == 4
+
+    writer._pre_publish_hook = compact_now
+    # overlap 50-60 with committed rows (commits cover meters 1-60);
+    # 61-69 fresh
+    assert writer.idempotent_append(spark, _valid_batch(spark, 50, 70)) == 9
+
+    final = manifest.ManifestTable(table_dir)
+    df = final.read(spark)
+    assert df.count() == 69
+    assert df.select("reading_timestamp", "meter_id").distinct().count() == 69
+    nums = [n for n, _ in final.numbered_snapshot()]
+    assert nums == [0, 4, 5, 6]  # base, kept tail, the append at max+1
+
+
+def test_crash_mid_compaction_reads_stay_exact_and_heal(
+    spark, table_dir, monkeypatch
+):
+    """In-place compaction crash injection: die after the base commit
+    is atomically replaced but before the merged tail files are
+    unlinked. Every intermediate state must READ as exactly the
+    committed table (path-dedupe collapses the double references),
+    dedup must still hold, and re-running compaction heals the log."""
+    t = manifest.ManifestTable(table_dir)
+    for lo in range(1, 60, 10):  # commits 0..5
+        t.idempotent_append(spark, _valid_batch(spark, lo, lo + 10))
+    before = sorted(r["meter_id"] for r in t.read(spark).collect())
+
+    real_unlink = os.unlink
+    calls = []
+
+    def dying_unlink(path):
+        if path.endswith(".json") and manifest.COMMITS_DIRNAME in path:
+            calls.append(path)
+            if len(calls) == 2:
+                raise OSError("injected crash mid-compaction")
+        return real_unlink(path)
+
+    monkeypatch.setattr(manifest.os, "unlink", dying_unlink)
+    with pytest.raises(OSError, match="injected crash"):
+        manifest.compact_log(t, keep_last=2)
+    monkeypatch.setattr(manifest.os, "unlink", real_unlink)
+
+    # base replaced, commit 1 unlinked, commits 2-3 linger: the log
+    # double-references commits 2-3's files via the base.
+    crashed = manifest.ManifestTable(table_dir)
+    after = sorted(r["meter_id"] for r in crashed.read(spark).collect())
+    assert after == before  # no double-read
+    # dedup still exact against the half-compacted log (1-60 exist)
+    assert crashed.idempotent_append(spark, _valid_batch(spark, 1, 70)) == 9
+    # re-compaction completes the cleanup
+    manifest.compact_log(crashed, keep_last=2)
+    healed = manifest.ManifestTable(table_dir)
+    assert sorted(r["meter_id"] for r in healed.read(spark).collect()) == sorted(
+        set(before) | set(range(60, 70))
+    )
+    assert healed.read(spark).count() == 69
+
+
+def test_recover_interrupted_legacy_compaction(spark, table_dir):
+    """Legacy swap-style compaction crash state: commits dir missing,
+    displaced log stranded at '<commits>.old'. Opening the table must
+    restore the log (NOT silently recreate an empty one), and vacuum
+    must refuse while the stranded dir is present."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))
+    # simulate the crash window: log renamed away, nothing replaced it
+    os.rename(t.commits_dir, t.commits_dir + ".old")
+
+    # vacuum on a handle from before the crash refuses to run
+    with pytest.raises(RuntimeError, match="refusing to vacuum"):
+        manifest.vacuum_unreferenced(t, ttl_s=0)
+
+    reopened = manifest.ManifestTable(table_dir)
+    assert reopened.read(spark).count() == 10
+    assert not os.path.isdir(reopened.commits_dir + ".old")
+    assert manifest.vacuum_unreferenced(reopened, ttl_s=0) == 0
