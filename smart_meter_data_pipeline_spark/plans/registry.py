@@ -62,16 +62,133 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Evaluation-priority order. An external harness may evaluate only a
-# prefix of the registry (~50 of the len(QUERIES) registered rows — 151
-# as of round 6 — per round), so
-# order by proof staleness: (1) queries whose code or oracle changed
-# this round — they need a fresh driver row under the new definition;
-# (2) the 39 queries whose latest green row is from round 4 (everything
-# round 5's ~50-row window did not reach); (3) the freshly-green
-# round-5 rows last. Names not listed keep registration order after the
-# listed ones.
+# prefix of the registry (~50 of the len(QUERIES) registered rows per
+# round), so order by proof staleness for ROUND 7:
+# (0) queries added in round 7 — first driver row needed (inserted at
+#     the head as they land);
+# (1) the 3 queries whose code materially changed in round 6 AFTER
+#     their last driver row (df-capped ngram pair path, append-mode
+#     sliding windows) — their green rows predate the new definitions;
+# (2) the 12 registered queries that have NEVER had a driver row;
+# (3) the 38 whose latest green row is round 4 (the staleness tail) —
+#     with (1)+(2) that fills the ~50-row window; anything past the cap
+#     rolls to round 8;
+# (4) round-5-latest, then (5) round-6-latest (freshest proofs last).
+# Names not listed keep registration order after the listed ones.
 _PRIORITY = [
-    # (0) new in round 6 — need a first driver row
+    # (0) new in round 7 — first driver row needed
+    "tpch_market_share",
+    "tpch_order_count_dist",
+    "tpch_small_qty_revenue",
+    "tpch_disjunctive_revenue",
+    "trade_triangles",
+    "doc_prefix_dup",
+    # (1) code changed after last driver row
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "stream_sliding_windows",
+    # (2) never driver-evaluated
+    "corpus_quality_report",
+    "dim_scd2_history",
+    "doc_bm25_mlt",
+    "doc_chunk_overlap",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_profile",
+    "events_zorder_key",
+    "source_temperature_sample",
+    "stream_score_zscore",
+    "tpch_returned_items",
+    "tpch_volume_shipping",
+    # (3) latest green row is round 4
+    "approx_sketch_check",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "ann_pq_topk",
+    "meter_quality_incidents",
+    "first_last_readings",
+    "missing_readings",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_repetition_ratio",
+    "doc_ngram_novelty",
+    "doc_pii_scrub",
+    "sample_stratified",
+    "decontaminate_docs",
+    "quality_filter_chain",
+    "pack_training_sequences",
+    "source_quota_cap",
+    "corpus_token_freq",
+    "train_val_test_split",
+    "corpus_shard_manifest",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "orders_above_customer_avg",
+    "dedup_exact",
+    "dedup_simhash",
+    "kmeans_embeddings",
+    "batch_billing_incremental",
+    "dedup_redelivery",
+    "doc_span_dedup",
+    "dedup_simhash_pairs",
+    "ann_topk_cosine",
+    "embedding_normalize_quantize",
+    "embedding_dim_stats",
+    "multimodal_features",
+    "multimodal_resize",
+    # (4) latest green row is round 5
+    "dedup_keep_best",
+    "events_anomaly_zscore",
+    "ann_ivfpq_topk",
+    "stream_dedup_watermark",
+    "stream_hourly_events",
+    "stream_session_windows",
+    "stream_stream_interval_join",
+    "stream_incremental_deltas",
+    "stream_billing_incremental",
+    "stream_grid_incremental",
+    "events_range_frame",
+    "events_range_pairs",
+    "stream_static_join",
+    "events_ohlc_hourly",
+    "user_weekly_wow_change",
+    "ann_ivf_topk",
+    "stream_ingest_daily",
+    "multimodal_frame_sample",
+    "kmeans_fixed_rounds",
+    "events_json_props",
+    "events_cube",
+    "meter_gap_fill",
+    "corpus_build_pipeline",
+    "stg_event_deltas",
+    "daily_user_rollup",
+    "daily_customer_billing",
+    "hourly_nation_load",
+    "cumulative_user_value",
+    "validation_summary",
+    "top_value_users",
+    "events_sessionized",
+    "events_rollup",
+    "event_type_pivot",
+    "customers_without_purchase",
+    "customers_with_error",
+    "events_asof_orders",
+    "sliding_window_avg",
+    "event_value_percentiles",
+    "user_retention_sets",
+    "meter_readings",
+    "meter_stg",
+    "meter_billing_daily",
+    "meter_grid_load_hourly",
+    "meter_dims",
+    "meter_quality_checks",
+    "ann_lsh_buckets",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    # (5) latest green row is round 6 (freshest)
     "stream_meter_sim_totals",
     "meter_sim_source_scan",
     "lang_confusion_matrix",
@@ -122,115 +239,6 @@ _PRIORITY = [
     "tpch_promo_revenue",
     "tpch_large_orders",
     "tpch_top_supplier",
-    "tpch_returned_items",
-    "doc_bm25_mlt",
-    "source_temperature_sample",
-    "events_zorder_key",
-    "events_profile",
-    "doc_chunk_overlap",
-    "stream_score_zscore",
-    "events_funnel",
-    "events_cohort_retention",
-    "tpch_volume_shipping",
-    "dim_scd2_history",
-    "corpus_quality_report",
-    # (1) code/oracle changed in round 6: approx_count_distinct rsd
-    # sized explicitly (0.01 — the old green row predates the new
-    # definition), hot-shingle df cap in the
-    # exact ngram pair path (+ uncapped-oracle split for the LSH
-    # family), append-mode sliding windows, guarded z-score, deeper
-    # ADC re-rank (PQ_RERANK 160), one-round coarse training. (The
-    # LSH plane-count clamp only changes empty-corpus behavior, so
-    # ann_lsh_*/dedup_embedding_cosine keep their green r5 rows and
-    # stay in the tail to leave cap room for the r4-latest set.)
-    "approx_sketch_check",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "stream_sliding_windows",
-    "events_anomaly_zscore",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    # (2) latest green row is from round 4 — re-prove under the cap
-    "meter_quality_incidents",
-    "first_last_readings",
-    "missing_readings",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_fingerprint",
-    "doc_repetition_ratio",
-    "doc_ngram_novelty",
-    "doc_pii_scrub",
-    "sample_stratified",
-    "decontaminate_docs",
-    "quality_filter_chain",
-    "pack_training_sequences",
-    "source_quota_cap",
-    "corpus_token_freq",
-    "train_val_test_split",
-    "corpus_shard_manifest",
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "orders_above_customer_avg",
-    "dedup_exact",
-    "dedup_simhash",
-    "kmeans_embeddings",
-    "batch_billing_incremental",
-    "dedup_redelivery",
-    "doc_span_dedup",
-    "dedup_simhash_pairs",
-    "ann_topk_cosine",
-    "embedding_normalize_quantize",
-    "embedding_dim_stats",
-    "multimodal_features",
-    "multimodal_resize",
-    # (3) green round-5 rows (freshest proofs)
-    "stream_dedup_watermark",
-    "stream_hourly_events",
-    "stream_session_windows",
-    "stream_stream_interval_join",
-    "stream_incremental_deltas",
-    "stream_billing_incremental",
-    "stream_grid_incremental",
-    "events_range_frame",
-    "events_range_pairs",
-    "stream_static_join",
-    "events_ohlc_hourly",
-    "user_weekly_wow_change",
-    "ann_ivf_topk",
-    "stream_ingest_daily",
-    "multimodal_frame_sample",
-    "kmeans_fixed_rounds",
-    "events_json_props",
-    "events_cube",
-    "meter_gap_fill",
-    "corpus_build_pipeline",
-    "stg_event_deltas",
-    "daily_user_rollup",
-    "daily_customer_billing",
-    "hourly_nation_load",
-    "cumulative_user_value",
-    "validation_summary",
-    "top_value_users",
-    "events_sessionized",
-    "events_rollup",
-    "event_type_pivot",
-    "customers_without_purchase",
-    "customers_with_error",
-    "events_asof_orders",
-    "sliding_window_avg",
-    "event_value_percentiles",
-    "user_retention_sets",
-    "meter_readings",
-    "meter_stg",
-    "meter_billing_daily",
-    "meter_grid_load_hourly",
-    "meter_dims",
-    "meter_quality_checks",
 ]
 
 
