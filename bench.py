@@ -75,18 +75,20 @@ def main() -> None:
 
     def _gate(name: str) -> None:
         """Refuse-or-retry on a busy box: wait (bounded) for the
-        1-minute load to drop under MAX_LOAD, recording every wait so
-        a gated run is distinguishable from a quiet one."""
+        1-minute load to drop under MAX_LOAD. EVERY leg records its
+        gate decision (start load + waits), so a quiet run and a gated
+        run are distinguishable per leg, not just in aggregate."""
+        start_load = round(os.getloadavg()[0], 2)
         waited = 0
         while os.getloadavg()[0] > MAX_LOAD and waited < LOAD_WAIT_TRIES:
             waited += 1
             time.sleep(LOAD_WAIT_SEC)
-        if waited:
-            load_gate[name] = {
-                "waits": waited,
-                "load_after_wait": round(os.getloadavg()[0], 2),
-                "gated_through": os.getloadavg()[0] > MAX_LOAD,
-            }
+        load_gate[name] = {
+            "load_at_start": start_load,
+            "waits": waited,
+            "load_after_wait": round(os.getloadavg()[0], 2),
+            "gated_through": os.getloadavg()[0] > MAX_LOAD,
+        }
 
     def leg(name: str, fn, repeat: int = 2) -> None:
         _gate(name)
@@ -188,6 +190,7 @@ def main() -> None:
         # is a tunable recall/cost dial, not just fast. Ground truth is
         # the brute-force cosine top-k; recall@k = fraction of true
         # (query, neighbor) pairs the probed search recovers.
+        _gate("ivf_recall_sweep")
         truth = (
             similarity.ann_topk_cosine(spark, SF_DIR)
             .select("query_id", "neighbor_id")
@@ -264,12 +267,23 @@ def main() -> None:
         # IVF×PQ (coarse pruning over compressed ADC scoring + exact
         # re-rank) — the composed billion-vector serving shape; its
         # recall dial is nprobe, reported alongside the flat-IVF sweep.
-        # Shares the prebuilt index: legs time probe + ADC + re-rank.
+        # Each dial serves from an index built FOR that dial
+        # (coarse_iters_for_nprobe, adopted from the round-6 sweep:
+        # nprobe<=4 → 1 trained round, nprobe>=8 → untrained seeds);
+        # the wide-probe index shares el/enc/dtable with the default
+        # build and swaps only the coarse-distance table.
+        cdist_wide = similarity._ivfpq_coarse_dists(
+            pq_el, similarity.coarse_iters_for_nprobe(8)
+        )
+        dial_index = {
+            4: pq_index,
+            8: (pq_el, pq_enc, pq_dtable, cdist_wide),
+        }
         for nprobe in (4, 8):
             t0 = time.monotonic()
             ivfpq_hits = (
                 similarity.ann_ivfpq_topk(
-                    spark, SF_DIR, nprobe=nprobe, index=pq_index
+                    spark, SF_DIR, nprobe=nprobe, index=dial_index[nprobe]
                 )
                 .select("query_id", "neighbor_id")
                 .join(truth, ["query_id", "neighbor_id"], "left_semi")
@@ -278,6 +292,7 @@ def main() -> None:
             ivf_recall[f"ivfpq_nprobe_{nprobe}"] = {
                 "recall_at_k": round(ivfpq_hits / n_truth, 4),
                 "sec": round(time.monotonic() - t0, 3),
+                "coarse_iters": similarity.coarse_iters_for_nprobe(nprobe),
             }
 
         # Coarse-training sweep (round-6 ask): recall at nprobe 4/8
@@ -325,6 +340,27 @@ def main() -> None:
             "dedup_semantic",
             lambda: _materialize(similarity.dedup_semantic(spark, SF_DIR)),
         )
+        # 13b. Semantic dedup SERVED from a persisted Lloyd assignment
+        # (round-6 ask): clustering is the dominant cost and an
+        # occasional scheduled event at scale — the serve path pays
+        # only one corpus scan + the intra-cluster prune. The build is
+        # timed once (not a best-of-2 leg: it's the amortized cost),
+        # and serve-vs-full row identity is asserted every run.
+        assign_path = os.path.join(workdir, "semantic_assignment")
+        t0 = time.monotonic()
+        similarity.semantic_save_assignment(spark, SF_DIR, assign_path)
+        semantic_assignment_build_sec = round(time.monotonic() - t0, 3)
+        leg(
+            "dedup_semantic_serve",
+            lambda: _materialize(
+                similarity.dedup_semantic_serve(spark, SF_DIR, assign_path)
+            ),
+        )
+        serve_mismatches = (
+            similarity.dedup_semantic_serve(spark, SF_DIR, assign_path)
+            .exceptAll(similarity.dedup_semantic(spark, SF_DIR))
+            .count()
+        )
         # 14. Incremental dedup (NEW leg r6 — not in r1-r5 totals):
         # new-batch probe against the standing corpus' MinHash band
         # index; the per-crawl-batch cost a continuous corpus build
@@ -349,6 +385,10 @@ def main() -> None:
         "ingest_rows": ingest_rows,
         "ingest_rows_per_sec": round(ingest_rows / timings["meter_ingest_day"]),
         "ivf_recall": ivf_recall,
+        "semantic_serve": {
+            "assignment_build_sec": semantic_assignment_build_sec,
+            "serve_vs_full_mismatched_rows": serve_mismatches,
+        },
         "repeat": 2,
         "leg_runs": leg_runs,
         "load_gate": {"max_load": MAX_LOAD, "gated_legs": load_gate},

@@ -1146,6 +1146,51 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`kmeans_fixed_rounds`, so the FULL pipeline — Lloyd rounds
     included — hash-matches the DuckDB twin."""
     el, members = _fixed_kmeans_assignment(spark, sf_dir)
+    return _semantic_prune(el, members)
+
+
+def semantic_save_assignment(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """Persist the Lloyd assignment (vec_id, cluster_id) as parquet —
+    the expensive half of semantic dedup (KMEANS_FIXED_ITERS
+    assign/update rounds over the corpus). Re-clustering is an
+    occasional scheduled event at scale; the pairwise prune is the
+    per-run cost. :func:`dedup_semantic_serve` consumes the artifact."""
+    _, members = _fixed_kmeans_assignment(spark, sf_dir)
+    members.select("vec_id", "cluster_id").write.mode("overwrite").parquet(
+        path
+    )
+
+
+def dedup_semantic_serve(
+    spark: SparkSession, sf_dir: str, assignment_path: str
+) -> DataFrame:
+    """:func:`dedup_semantic` served from a persisted cluster
+    assignment (:func:`semantic_save_assignment`): skips the Lloyd
+    rounds entirely — one corpus scan to rebuild the decimal grid,
+    then the intra-cluster prune. Row-identical to the full pipeline
+    because the assignment is the only Lloyd output the prune
+    consumes (asserted in tests and measured in bench)."""
+    el = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("vf").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("v"),
+        )
+    )
+    members = spark.read.parquet(assignment_path)
+    return _semantic_prune(el, members)
+
+
+def _semantic_prune(el: DataFrame, members: DataFrame) -> DataFrame:
+    """The SemDeDup pairwise stage: intra-cluster (cluster_id, pos)
+    equi-join → exact-decimal squared L2 → keep-lowest-id rule.
+    Candidate volume is Σ|cluster|², never n² (see dedup_semantic)."""
     norm2 = el.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("norm2")
     )
@@ -1530,21 +1575,44 @@ COARSE_TRAIN_ITERS = 1  # Lloyd rounds refining the coarse-cell centroids
 # (nprobe 8) untrained seeds edge ahead at sf0.1 (0.76 vs 0.72) —
 # training tightens cells, which helps exactly when few are probed;
 # the default optimizes the tight-probe (cheap-serving) dial.
+# coarse_iters_for_nprobe adopts the sweep's per-dial winner for
+# callers that know their serving nprobe up front.
+
+
+def coarse_iters_for_nprobe(nprobe: int) -> int:
+    """The coarse-training setting the round-6 bench sweep picked PER
+    SERVING DIAL (sf0.1, PQ_RERANK=160): tight probes (nprobe <= 4)
+    recall best with ONE Lloyd round (0.46 vs 0.42 untrained) because
+    training tightens cells exactly where few are probed; wide probes
+    (nprobe >= 8) recall best with UNTRAINED seed centroids (0.76 vs
+    0.72 trained) — looser cells spread true neighbors across more
+    cells, and a wide probe sweeps them back in. The bench re-runs the
+    0/1/2-iter × 4/8-probe grid every round as a tripwire should the
+    crossover move with the corpus."""
+    return COARSE_TRAIN_ITERS if nprobe <= IVFPQ_NPROBE else 0
 
 
 def ivfpq_build_index(
     spark: SparkSession,
     sf_dir: str,
-    train_iters: int = COARSE_TRAIN_ITERS,
+    train_iters: int | None = None,
     nlist: int = IVF_NLIST,
+    nprobe: int = IVFPQ_NPROBE,
 ) -> tuple:
     """One-time IVF×PQ index build: the PQ index plus the coarse-cell
     distance table (corpus × nlist — the expensive assignment scan).
     Returns (el, enc, dtable, cdist); pass as ``index=`` to
     :func:`ann_ivfpq_topk` so repeated searches (bench recall sweeps,
     production serving) don't retrain or re-assign per query.
-    ``train_iters``/``nlist`` exist for the bench recall sweep; the
-    registered oracle pins the module defaults."""
+
+    ``train_iters=None`` (the default) picks the coarse-training
+    setting for the INTENDED SERVING DIAL via
+    :func:`coarse_iters_for_nprobe` — build the index for the nprobe
+    you will serve at. An explicit ``train_iters`` overrides (the
+    bench sweep uses this); the registered oracle pins the module
+    defaults (nprobe 4 → 1 trained round)."""
+    if train_iters is None:
+        train_iters = coarse_iters_for_nprobe(nprobe)
     el, enc, dtable = pq_build_index(spark, sf_dir)
     return el, enc, dtable, _ivfpq_coarse_dists(el, train_iters, nlist)
 
@@ -1564,7 +1632,11 @@ def ivfpq_save_index(index: tuple, path: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(path, name))
 
 
-def ivfpq_encode_increment(index: tuple, new_emb: DataFrame) -> tuple:
+def ivfpq_encode_increment(
+    index: tuple,
+    new_emb: DataFrame,
+    train_iters: int = COARSE_TRAIN_ITERS,
+) -> tuple:
     """Append-path index maintenance: fold NEW vectors into an
     existing IVF×PQ index WITHOUT retraining or rebuilding — the
     production serving-side story, where a 10^9-vector index ingests
@@ -1575,7 +1647,10 @@ def ivfpq_encode_increment(index: tuple, new_emb: DataFrame) -> tuple:
     corpus grid ``el`` (training is a deterministic pure function of
     it — same seeds, same Lloyd rounds, same decimal arithmetic), so
     a parquet-loaded index increments identically to an in-session
-    one. New vectors are normalized on the same grid, PQ-encoded
+    one. ``train_iters`` MUST match the setting the index was built
+    with (pass ``coarse_iters_for_nprobe(nprobe)`` for a dial-tuned
+    build) — otherwise the increment's coarse assignment uses
+    different centroids than the standing corpus'. New vectors are normalized on the same grid, PQ-encoded
     against the EXISTING codebook, and coarse-assigned against the
     EXISTING centroids; encoding is pointwise per vector, so the
     incremental codes are bit-identical to what a batch encode of the
@@ -1584,7 +1659,7 @@ def ivfpq_encode_increment(index: tuple, new_emb: DataFrame) -> tuple:
     increment + two broadcast joins — independent of index size."""
     el, enc, dtable, cdist = index
     codebook = _pq_train_codebook(el)
-    cent = _trained_coarse_centroids(el)
+    cent = _trained_coarse_centroids(el, train_iters)
     new_el = _normalize_el(new_emb)
     sub_d = (
         new_el.join(F.broadcast(codebook), ["m", "sp"])

@@ -737,3 +737,35 @@ def test_jl_projection_preserves_distances_in_expectation(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.2
     assert all(0.1 < r < 3.0 for r in ratios)
+
+
+def test_semantic_serve_from_persisted_assignment(spark, sf_dir, tmp_path):
+    """dedup_semantic_serve against a parquet-persisted Lloyd
+    assignment is ROW-IDENTICAL to the full pipeline — the assignment
+    is the only clustering output the prune consumes, so persisting it
+    amortizes the dominant (Lloyd) cost across serve runs."""
+    from smart_meter_data_pipeline_spark.operators.similarity import (
+        dedup_semantic,
+        dedup_semantic_serve,
+        semantic_save_assignment,
+    )
+
+    path = str(tmp_path / "semantic_assignment")
+    semantic_save_assignment(spark, sf_dir, path)
+    full = dedup_semantic(spark, sf_dir)
+    served = dedup_semantic_serve(spark, sf_dir, path)
+    assert served.exceptAll(full).count() == 0
+    assert full.exceptAll(served).count() == 0
+
+
+def test_coarse_iters_for_nprobe_dial():
+    """Dial-tuned coarse training adopted from the round-6 sweep:
+    tight probes train one Lloyd round, wide probes keep untrained
+    seeds (recall crossover measured at sf0.1, re-swept every bench
+    run)."""
+    from smart_meter_data_pipeline_spark.operators import similarity as s
+
+    assert s.coarse_iters_for_nprobe(1) == s.COARSE_TRAIN_ITERS
+    assert s.coarse_iters_for_nprobe(4) == s.COARSE_TRAIN_ITERS
+    assert s.coarse_iters_for_nprobe(8) == 0
+    assert s.coarse_iters_for_nprobe(16) == 0
