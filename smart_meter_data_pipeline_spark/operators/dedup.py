@@ -1343,3 +1343,49 @@ FROM per_cluster GROUP BY 1
 register("dedup_cluster_size_dist", _cluster_size_oracle())(
     dedup_cluster_size_dist
 )
+
+
+PREFIX_DUP_LEN = 24  # leading characters compared for prefix-duplicate
+
+
+def doc_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-boilerplate duplicate detection: documents whose first
+    ``PREFIX_DUP_LEN`` characters match an earlier (lower doc_id)
+    document are flagged as prefix-duplicates — the cheap first pass a
+    crawl-curation pipeline runs before shingle/MinHash (mirrors the
+    leading-boilerplate stripping in C4/RefinedWeb-style cleaners:
+    identical page headers, mirrored articles, templated openings).
+
+    Exact prefix match only — no shingling, no pair join: one window
+    over the prefix key, so the whole operator is a single shuffle on
+    a short string. At 100 TB the prefix groups are near-uniform
+    (hash of 24 chars) and the window state per group is two scalars.
+
+    Output per document: prefix-group size and the keep verdict
+    (lowest doc_id in the group survives, the MinHash keep rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import Window
+
+    prefixed = docs.select(
+        "doc_id", F.substring("text", 1, PREFIX_DUP_LEN).alias("prefix")
+    )
+    w = Window.partitionBy("prefix")
+    return prefixed.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("n_same_prefix"),
+        (F.col("doc_id") == F.min("doc_id").over(w))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+_PREFIX_DUP_SQL = f"""
+SELECT doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY substr(text, 1, {PREFIX_DUP_LEN}))
+            AS BIGINT) AS n_same_prefix,
+       CAST(doc_id = MIN(doc_id) OVER (
+            PARTITION BY substr(text, 1, {PREFIX_DUP_LEN})) AS INT) AS kept
+FROM documents
+"""
+
+register("doc_prefix_dup", _PREFIX_DUP_SQL)(doc_prefix_dup)

@@ -167,3 +167,127 @@ FROM r{n_rounds} r JOIN deg d ON r.node = d.node
 
 
 register("pagerank_trade_graph", _pagerank_oracle())(pagerank_trade_graph)
+
+
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the nation-level trade graph — the third
+    canonical graph kernel next to connected components (dedup.py) and
+    PageRank above. Nodes are nations; an undirected edge (a, b),
+    a < b, exists when any lineitem ships from a supplier in one
+    nation to a customer in the other. Output per nation: degree and
+    the number of triangles it participates in.
+
+    Algorithm: the standard ordered-edge join — enumerate each
+    triangle exactly once as (a < b < c) by joining the ordered edge
+    list to itself twice (e1=(a,b) ⋈ e2=(b,c) on b, then require edge
+    (a,c)). With nations the edge list is tiny and broadcast; on a
+    general graph this is the same plan GraphFrames uses, with the
+    heavy join shuffling on the shared vertex and the degree-ordering
+    trick available if hubs skew (orient edges low-degree → high).
+    Reference parity: none (reference has no graph ops); this extends
+    SURVEY §2's analytics breadth."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("s_nationkey").cast("bigint").alias("sn"),
+            F.col("c_nationkey").cast("bigint").alias("cn"),
+        )
+        .filter(F.col("sn") != F.col("cn"))
+    )
+    edges = (
+        pairs.select(
+            F.least("sn", "cn").alias("a"), F.greatest("sn", "cn").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"], "left_semi")
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tri.select(F.col("x").alias("nation_key"))
+        .unionAll(tri.select(F.col("y").alias("nation_key")))
+        .unionAll(tri.select(F.col("z").alias("nation_key")))
+        .groupBy("nation_key")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    degree = (
+        edges.select(F.col("a").alias("nation_key"))
+        .unionAll(edges.select(F.col("b").alias("nation_key")))
+        .groupBy("nation_key")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("nation_key"), "n_name"
+    )
+    return (
+        nation.join(degree, "nation_key", "left")
+        .join(per_node, "nation_key", "left")
+        .select(
+            "nation_key",
+            "n_name",
+            F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+    )
+
+
+_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT
+         LEAST(s_nationkey, c_nationkey)    AS a,
+         GREATEST(s_nationkey, c_nationkey) AS b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE s_nationkey <> c_nationkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e1.b = e2.a
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+), tri_nodes AS (
+  SELECT x AS nation_key FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), per_node AS (
+  SELECT nation_key, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM tri_nodes GROUP BY nation_key
+), edge_nodes AS (
+  SELECT a AS nation_key FROM pairs
+  UNION ALL SELECT b FROM pairs
+), degree AS (
+  SELECT nation_key, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM edge_nodes GROUP BY nation_key
+)
+SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name,
+       CAST(COALESCE(degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nation
+LEFT JOIN degree   ON CAST(n_nationkey AS BIGINT) = degree.nation_key
+LEFT JOIN per_node ON CAST(n_nationkey AS BIGINT) = per_node.nation_key
+"""
+
+register("trade_triangles", _TRIANGLES_SQL)(trade_triangles)

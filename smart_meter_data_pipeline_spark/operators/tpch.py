@@ -927,3 +927,273 @@ SELECT nation_a, nation_b, vol_ab, vol_ba,
 FROM folded
 """,
 )(nation_trade_reciprocity)
+
+
+def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): for each order year,
+    the share of AMERICA-region customer revenue supplied by each
+    supplier nation. Conditional-aggregate-over-join — the share is a
+    windowless two-level rollup: revenue per (year, supplier nation)
+    divided by revenue per year.
+
+    Plan: all four dims broadcast (nation/region/supplier/customer are
+    tiny beside lineitem); lineitem ⋈ orders is the only big join and
+    shuffles once on the order key; the share division happens after
+    aggregation, on one row per (year, nation) — double division of
+    identically-derived operands is IEEE-deterministic, so the output
+    hash-checks. Reference parity: exercises the same star-join +
+    conditional rollup machinery as the marts (A1-A4, J3-J4)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_in_region = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Keep the per-nation sum DECIMAL through the second-level rollup:
+    # summing the already-cast doubles would be order-dependent float
+    # addition (breaks the cross-engine hash); decimal + decimal is
+    # exact at both levels, doubles only at the output boundary.
+    per_nation = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust_in_region),
+            orders.o_custkey == cust_in_region.c_custkey,
+        )
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy("o_year", "supp_nation")
+        .agg(
+            F.sum(revenue.cast("decimal(25,6)")).alias("nation_revenue_dec")
+        )
+    )
+    wtot = per_nation.groupBy("o_year").agg(
+        F.sum("nation_revenue_dec").alias("year_revenue_dec")
+    )
+    return (
+        per_nation.join(F.broadcast(wtot), "o_year")
+        .select(
+            "o_year",
+            "supp_nation",
+            F.col("nation_revenue_dec").cast("double").alias("nation_revenue"),
+            (
+                F.col("nation_revenue_dec").cast("double")
+                / F.col("year_revenue_dec").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+_MARKET_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         sn.n_name AS supp_nation,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+             AS nation_revenue_dec
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT o_year, supp_nation,
+       CAST(nation_revenue_dec AS DOUBLE) AS nation_revenue,
+       CAST(nation_revenue_dec AS DOUBLE) /
+       CAST(SUM(nation_revenue_dec) OVER (PARTITION BY o_year) AS DOUBLE)
+           AS mkt_share
+FROM per_nation
+"""
+
+register("tpch_market_share", _MARKET_SHARE_SQL)(tpch_market_share)
+
+
+def tpch_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly k orders, INCLUDING the zero-order customers — the
+    left outer join is the point of the query (an inner join silently
+    drops the k=0 bucket).
+
+    Plan: customer LEFT JOIN orders shuffles on custkey once; both
+    aggregations are partial-agg friendly; output is ≤ max-orders rows
+    of pure integers (hash-bulletproof)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_ORDER_COUNT_DIST_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+register("tpch_order_count_dist", _ORDER_COUNT_DIST_SQL)(tpch_order_count_dist)
+
+
+def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): for one brand,
+    revenue from lineitems whose quantity is below HALF the part's
+    average quantity — the per-group-threshold join, decorrelated
+    Spark-first: compute each part's average once, broadcast it back
+    against the same scan.
+
+    The threshold factor is 0.5 (binary-exact in both engines — a
+    deliberately chosen literal, since 0.2 would differ in the last
+    bit between a Python double and a SQL decimal literal); the
+    per-part average divides two exact aggregates, so the threshold is
+    double-deterministic. Output per qualifying part: lineitem count
+    and exact-decimal revenue."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    ).filter(F.col("p_brand") == "Brand#9")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = brand_li.groupBy("p_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(avg_qty.select(
+                F.col("p_partkey").alias("t_partkey"), "avg_qty"
+            )),
+            brand_li.p_partkey == F.col("t_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+            dsum("l_extendedprice", "small_qty_revenue"),
+        )
+    )
+
+
+_SMALL_QTY_SQL = """
+WITH brand_li AS (
+  SELECT p_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#9'
+), thresholds AS (
+  SELECT p_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+             AS avg_qty
+  FROM brand_li GROUP BY p_partkey
+)
+SELECT b.p_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lineitems,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS small_qty_revenue
+FROM brand_li b JOIN thresholds t ON b.p_partkey = t.p_partkey
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY b.p_partkey
+"""
+
+register("tpch_small_qty_revenue", _SMALL_QTY_SQL)(tpch_small_qty_revenue)
+
+
+def tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicates): revenue from three
+    OR'd brand/size/quantity clauses — the classic test that a
+    planner pushes an OR-of-ANDs down to the scan instead of
+    cross-joining the branches. Spark evaluates the disjunction as one
+    post-join filter over a single part ⋈ lineitem broadcast join
+    (part is the small side); the common ``p_size >= 1`` conjunct
+    prunes the broadcast build side.
+
+    Output: one row per matched brand with count + exact revenue (a
+    grouped variant of Q19's single scalar, so the hash check covers
+    per-branch routing, not just the total)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.filter(clause)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum(revenue, "disc_revenue"),
+        )
+    )
+
+
+_DISJUNCTIVE_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           AS disc_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+"""
+
+register("tpch_disjunctive_revenue", _DISJUNCTIVE_SQL)(tpch_disjunctive_revenue)
