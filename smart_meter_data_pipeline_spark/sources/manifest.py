@@ -30,6 +30,14 @@ proportional to the batch's time range on a 100 TB table.
 The reference's guarantee being reproduced is the same PRIMARY KEY
 ``ON CONFLICT DO NOTHING`` (consumer/meter_consumer.py:104-114); this
 is its shape for deployments where the sink is an object store.
+
+Beyond insert-only, the table supports COPY-ON-WRITE mutations
+(:meth:`ManifestTable.delete_keys`, :meth:`ManifestTable.upsert` — the
+Delta MERGE/DELETE shape): affected files are rewritten minus/with the
+matched rows, and one commit atomically lists the rewrites as
+``added`` and the originals as ``removed``. Data files are never
+modified IN PLACE, so historical versions stay readable; removed
+files become vacuumable once compaction nets them out of the log.
 """
 
 from __future__ import annotations
@@ -184,19 +192,34 @@ class ManifestTable:
         return (max(nums) + 1) if nums else 0
 
     def _files(self, commits: list[dict], dates: set[str] | None = None) -> list[str]:
-        """Absolute data-file paths named by ``commits``; when ``dates``
-        is given, prune commits whose recorded dates don't overlap.
-        Path-deduped: during an in-place log compaction (or after a
-        crash mid-compaction) the merged base and a not-yet-unlinked
-        merged commit can both name the same file — it must be read
-        once, not twice."""
+        """Absolute LIVE data-file paths after replaying ``commits`` in
+        log order: each commit's ``removed`` list (copy-on-write
+        delete/upsert) drops files earlier commits added, then its
+        ``added`` files join the set. When ``dates`` is given, commits
+        whose recorded dates don't overlap contribute no ADDS — but
+        their REMOVALS always apply (skipping a removal would read a
+        deleted file back into existence; date pruning is an add-side
+        optimization only). Path-deduped: during an in-place log
+        compaction (or after a crash mid-compaction) the merged base
+        and a not-yet-unlinked merged commit can both name the same
+        file — it must be read once, not twice."""
         files: dict[str, None] = {}
         for c in commits:
+            for f in c.get("removed", []):
+                files.pop(os.path.join(self.data_dir, f), None)
             if dates is not None and not (set(c["dates"]) & dates):
                 continue
             for f in c["added"]:
                 files[os.path.join(self.data_dir, f)] = None
         return list(files)
+
+    def _net_relfiles(self, commits: list[dict]) -> list[str]:
+        """Data-dir-relative live files after replaying ``commits`` —
+        the compaction-base form of :meth:`_files`."""
+        return [
+            os.path.relpath(p, self.data_dir)
+            for p in self._files(commits)
+        ]
 
     # -- read --------------------------------------------------------------
 
@@ -232,6 +255,7 @@ class ManifestTable:
             {
                 "version": i,
                 "n_files": len(c["added"]),
+                "n_removed": len(c.get("removed", [])),
                 "dates": sorted(c.get("dates", [])),
             }
             for i, c in enumerate(self.snapshot())
@@ -248,7 +272,12 @@ class ManifestTable:
         with the CHANGE, not the table (the property CDC consumers —
         incremental mart refresh, downstream sync — rely on at 100 TB).
         ``v_from = -1`` diffs from the empty table. Returns None when
-        the range adds no files."""
+        the range adds no files. With copy-on-write mutations in the
+        range, this is the POST-IMAGE feed: an upsert's rewritten
+        files appear whole (their unchanged survivor rows included),
+        and deletes are visible only through the removed-file
+        metadata, not as rows — consumers needing row-level
+        delete events should diff metadata via :meth:`history`."""
         commits = self.snapshot()
         if not (-1 <= v_from <= v_to < len(commits)):
             raise ValueError(
@@ -399,6 +428,204 @@ class ManifestTable:
         lock-free append sound — see idempotent_append."""
         return (max(num for num, _ in numbered) + 1) if numbered else 0
 
+    # -- copy-on-write mutations -------------------------------------------
+
+    def _rel(self, file_uri: str) -> str:
+        """input_file_name() URI → data-dir-relative path."""
+        from urllib.parse import unquote, urlparse
+
+        p = urlparse(file_uri).path or file_uri
+        return os.path.relpath(unquote(p), self.data_dir)
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        pk: list[str] = PK,
+        max_retries: int = 5,
+    ) -> int:
+        """Copy-on-write DELETE by primary key — ``DELETE FROM t WHERE
+        (pk) IN keys`` in the manifest world. Only files that actually
+        contain a matching key are rewritten (minus the matches); one
+        commit lists the rewrites as ``added`` and the originals as
+        ``removed``, so readers flip atomically and historical
+        versions still see the old files (time travel keeps working
+        until compaction + vacuum reclaim them — Delta's
+        delete/vacuum lifecycle).
+
+        Same lock-free optimistic protocol as the append, but
+        mutations retry FROM SCRATCH on a lost race (the file set they
+        rewrote may have changed); the date-pruned candidate scan is
+        sound for PK matching because the PK embeds the timestamp the
+        commit dates are derived from. Returns rows deleted."""
+        n, _ = self._cow_mutation(spark, keys, None, pk, max_retries)
+        return n
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        pk: list[str] = PK,
+        max_retries: int = 5,
+    ) -> dict:
+        """Copy-on-write MERGE — ``WHEN MATCHED THEN UPDATE SET *,
+        WHEN NOT MATCHED THEN INSERT *`` keyed on ``pk``. The
+        reference's sink is insert-only (``ON CONFLICT DO NOTHING``,
+        consumer/meter_consumer.py:104-114); this is the full upsert a
+        re-statement/correction feed needs (late meter re-reads with
+        amended values), shaped like Delta MERGE: matched rows'
+        files are rewritten with the batch's post-image, unmatched
+        batch rows append, one atomic commit carries both.
+
+        Returns ``{"updated": n, "inserted": n}``."""
+        u, i = self._cow_mutation(spark, batch, batch, pk, max_retries)
+        return {"updated": u, "inserted": i}
+
+    def _cow_mutation(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        batch: DataFrame | None,
+        pk: list[str],
+        max_retries: int,
+    ) -> tuple[int, int]:
+        """Shared copy-on-write engine for delete (``batch=None``) and
+        upsert. Per attempt: one log listing supplies BOTH the
+        validated file set and the publish fence (the same invariant
+        as idempotent_append); affected files are found by a
+        date-pruned candidate scan tagged with input_file_name();
+        survivors (minus matches) and the upsert batch are staged; a
+        single commit adds the rewrites and removes the originals.
+        A lost put-if-absent discards the stage and reruns the whole
+        attempt against the new log."""
+        in_keys = keys.dropDuplicates(pk).persist()
+        try:
+            if in_keys.limit(1).count() == 0:
+                return 0, 0
+            key_dates = {
+                str(r["d"])
+                for r in in_keys.select(
+                    F.to_date("reading_timestamp").alias("d")
+                )
+                .distinct()
+                .collect()
+            }
+            for _ in range(max_retries):
+                numbered = self.numbered_snapshot()
+                commits = [c for _, c in numbered]
+                fence = self._fence(numbered)
+                cand = self._files(commits, key_dates)
+                staged: list[str] = []
+                removed_rel: list[str] = []
+                n_matched = 0
+                if cand:
+                    tagged = spark.read.parquet(*cand).withColumn(
+                        "_file", F.input_file_name()
+                    )
+                    matched = tagged.join(
+                        F.broadcast(in_keys.select(*pk)), pk, "left_semi"
+                    )
+                    n_matched = matched.count()
+                    if n_matched:
+                        affected_uris = [
+                            r["_file"]
+                            for r in matched.select("_file")
+                            .distinct()
+                            .collect()
+                        ]
+                        removed_rel = sorted(
+                            self._rel(u) for u in affected_uris
+                        )
+                        survivors = (
+                            tagged.filter(
+                                F.col("_file").isin(affected_uris)
+                            )
+                            .join(
+                                F.broadcast(in_keys.select(*pk)),
+                                pk,
+                                "left_anti",
+                            )
+                            .drop("_file")
+                        )
+                        staged = self._stage(survivors)
+                if batch is not None:
+                    # in_keys IS the deduped batch (upsert passes the
+                    # batch as its key frame): every batch row lands —
+                    # matched ones as the post-image of their rewritten
+                    # files' rows, the rest as inserts.
+                    n_inserted = (
+                        in_keys.join(
+                            spark.read.parquet(*cand).select(*pk),
+                            pk,
+                            "left_anti",
+                        ).count()
+                        if cand
+                        else in_keys.count()
+                    )
+                    staged = staged + self._stage(in_keys)
+                else:
+                    n_inserted = 0
+                    if n_matched == 0:
+                        return 0, 0
+                # Commit dates = dates of ALL added files (survivors
+                # can carry dates outside the mutation keys' range —
+                # omitting them would let a future append's date-pruned
+                # validation miss those rows and double-insert); count
+                # = rows the added files physically hold.
+                if staged:
+                    stat = (
+                        spark.read.parquet(
+                            *(
+                                os.path.join(self.data_dir, f)
+                                for f in staged
+                            )
+                        )
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.collect_set(
+                                F.to_date("reading_timestamp").cast(
+                                    "string"
+                                )
+                            ).alias("dates"),
+                        )
+                        .collect()[0]
+                    )
+                    n_staged, added_dates = stat["n"], sorted(stat["dates"])
+                else:
+                    n_staged, added_dates = 0, []
+                if self._pre_publish_hook is not None:
+                    self._pre_publish_hook()
+                payload = json.dumps(
+                    {
+                        "version": fence,
+                        "added": staged,
+                        "removed": removed_rel,
+                        "count": n_staged,
+                        "dates": added_dates,
+                    }
+                ).encode()
+                if _put_if_absent(self._commit_path(fence), payload):
+                    if batch is not None:
+                        return n_matched, n_inserted
+                    return n_matched, 0
+                # Lost the race: the file set we rewrote may have
+                # changed under us — discard and rerun from scratch.
+                self._discard_stage_all(staged)
+            raise CommitConflictError(
+                f"gave up after {max_retries} mutation attempts on "
+                f"{self.table_dir}"
+            )
+        finally:
+            in_keys.unpersist()
+
+    def _discard_stage_all(self, rel_files: list[str]) -> None:
+        """Discard every stage dir named by ``rel_files`` (a mutation
+        stages survivors and batch under separate prefixes)."""
+        for d in {os.path.dirname(f) for f in rel_files}:
+            shutil.rmtree(
+                os.path.join(self.data_dir, d), ignore_errors=True
+            )
+
     def _anti_join(
         self,
         spark: SparkSession,
@@ -476,9 +703,14 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         # Gaps where merged commits used to be are deliberate — see
         # next_commit_number() for why appends must never re-use them.
         base_num = base[0][0]
+        # The base nets out copy-on-write removals WITHIN the merged
+        # prefix (a file added then removed by merged commits is gone
+        # from the log — after this its stage dir becomes vacuumable);
+        # tail commits keep their own removed lists, which may still
+        # reference base files (applied in order by _files).
         merged = {
             "version": base_num,
-            "added": [f for _, c in base for f in c["added"]],
+            "added": table._net_relfiles([c for _, c in base]),
             "count": sum(c.get("count", 0) for _, c in base),
             "dates": sorted(
                 {d for _, c in base for d in c.get("dates", [])}
@@ -498,15 +730,19 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
 
 
 def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
-    """Delete staged data directories no commit references — the
-    leak left by a writer that crashed between staging and commit
-    (the normal path discards its own stage). TTL-guarded so an
-    IN-FLIGHT writer's freshly staged files are never swept: only
-    stage dirs older than ``ttl_s`` go. Runs under the table lock;
-    returns the number of directories removed. Refuses to run while a
-    stranded ``.old`` log dir exists (legacy interrupted-compaction
-    marker): until that log is restored, the current commits dir may
-    under-report references and the sweep would delete live data."""
+    """Delete data FILES no commit references — crashed-writer stage
+    leaks, and copy-on-write originals once compaction nets their
+    removal out of the log (the Delta VACUUM lifecycle). File-level,
+    not directory-level: a partially-rewritten stage dir can hold
+    both live and dead files (empty part files a delete didn't touch
+    next to removed ones). TTL-guarded so an IN-FLIGHT writer's
+    freshly staged files are never swept: only files older than
+    ``ttl_s`` go; directories left empty are pruned. Runs under the
+    table lock; returns the number of files removed. Refuses to run
+    while a stranded ``.old`` log dir exists (legacy
+    interrupted-compaction marker): until that log is restored, the
+    current commits dir may under-report references and the sweep
+    would delete live data."""
     from smart_meter_data_pipeline_spark.sources.txn import table_lock
 
     if os.path.isdir(table.commits_dir + ".old"):
@@ -516,17 +752,32 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
             "(ManifestTable restores the displaced log) and retry"
         )
     with table_lock(table.table_dir):
-        referenced = {
-            os.path.dirname(f) for c in table.snapshot() for f in c["added"]
-        }
+        referenced = {f for c in table.snapshot() for f in c["added"]}
         removed = 0
         now = time.time()
         for name in os.listdir(table.data_dir):
             p = os.path.join(table.data_dir, name)
-            if not os.path.isdir(p) or name in referenced:
+            if not os.path.isdir(p):
                 continue
-            if now - os.path.getmtime(p) < ttl_s:
-                continue
-            shutil.rmtree(p, ignore_errors=True)
-            removed += 1
+            entries = os.listdir(p)
+            dir_has_live = any(
+                os.path.join(name, f) in referenced for f in entries
+            )
+            for fname in entries:
+                rel = os.path.join(name, fname)
+                fp = os.path.join(p, fname)
+                if rel in referenced:
+                    continue
+                # non-data markers (_SUCCESS) stay with a live dir;
+                # they go only when the whole stage is dead
+                if not fname.endswith(".parquet") and dir_has_live:
+                    continue
+                if now - os.path.getmtime(fp) < ttl_s:
+                    continue
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(fp)
+                    removed += 1
+            if not os.listdir(p):
+                with contextlib.suppress(OSError):
+                    os.rmdir(p)
         return removed

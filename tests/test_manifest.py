@@ -305,10 +305,11 @@ def test_vacuum_sweeps_only_stale_unreferenced_stages(spark, table_dir):
     # fresh → protected by TTL
     assert manifest.vacuum_unreferenced(t, ttl_s=3600) == 0
     assert os.path.isdir(leak_dir)
-    # aged → swept; referenced data untouched
+    # aged (file-level mtimes) → swept; referenced data untouched
     old = _time.time() - 7200
-    os.utime(leak_dir, (old, old))
-    assert manifest.vacuum_unreferenced(t, ttl_s=3600) == 1
+    for fname in os.listdir(leak_dir):
+        os.utime(os.path.join(leak_dir, fname), (old, old))
+    assert manifest.vacuum_unreferenced(t, ttl_s=3600) >= 1
     assert not os.path.isdir(leak_dir)
     assert t.read(spark).count() == 10
 
@@ -510,3 +511,151 @@ def test_recover_interrupted_legacy_compaction(spark, table_dir):
     assert reopened.read(spark).count() == 10
     assert not os.path.isdir(reopened.commits_dir + ".old")
     assert manifest.vacuum_unreferenced(reopened, ttl_s=0) == 0
+
+
+def _read_vals(spark, t):
+    return {
+        (r["meter_id"], r["reading_consumption_milliwatts"])
+        for r in t.read(spark).collect()
+    }
+
+
+def test_upsert_updates_matches_and_inserts_rest(spark, table_dir):
+    """Copy-on-write MERGE: matched PKs take the batch's post-image,
+    unmatched batch rows insert, all in ONE atomic commit; the
+    pre-upsert version still time-travels to the old values."""
+    t = manifest.ManifestTable(table_dir)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 21)) == 20
+
+    # re-statement feed: meters 15-25 at a new consumption value
+    msgs = [
+        json.dumps(dict(GOOD, meter_id=i, reading_consumption_milliwatts=9999))
+        for i in range(15, 26)
+    ]
+    raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+    restated, _ = ingest.split_valid(
+        ingest.classify(ingest.parse_messages(raw))
+    )
+    res = t.upsert(spark, restated)
+    assert res == {"updated": 6, "inserted": 5}  # 15-20 match, 21-25 new
+
+    vals = _read_vals(spark, t)
+    assert len(vals) == 25
+    for m in range(1, 15):
+        assert (m, 1500) in vals
+    for m in range(15, 26):
+        assert (m, 9999) in vals
+    # time travel: version 0 still shows the original values
+    v0 = {
+        (r["meter_id"], r["reading_consumption_milliwatts"])
+        for r in t.read(spark, version=0).collect()
+    }
+    assert v0 == {(m, 1500) for m in range(1, 21)}
+    # history exposes the rewrite
+    assert t.history()[-1]["n_removed"] >= 1
+
+
+def test_delete_keys_then_reinsert_lands(spark, table_dir):
+    """Copy-on-write DELETE removes exactly the matched PKs; a later
+    append of the same PK is NOT treated as a duplicate (the
+    validation scan reads the live file set, net of removals)."""
+    t = manifest.ManifestTable(table_dir)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 31)) == 30
+
+    doomed = _valid_batch(spark, 10, 16).select(
+        "reading_timestamp", "meter_id"
+    )
+    assert t.delete_keys(spark, doomed) == 6
+    left = {r["meter_id"] for r in t.read(spark).collect()}
+    assert left == set(range(1, 31)) - set(range(10, 16))
+    # deleting the same keys again is a no-op, no commit added
+    n_commits = len(t.snapshot())
+    assert t.delete_keys(spark, doomed) == 0
+    assert len(t.snapshot()) == n_commits
+
+    # delete-then-reinsert: the append sees them as fresh
+    assert t.idempotent_append(spark, _valid_batch(spark, 10, 16)) == 6
+    assert t.read(spark).count() == 30
+
+
+def test_mutation_loses_race_to_append_and_retries(spark, table_dir):
+    """Deterministic interleaving: an append lands between an upsert's
+    validation and its publish. The upsert must lose put-if-absent,
+    rerun against the new log, and the final table holds both the
+    appended rows and the post-image — no lost update, no duplicate."""
+    t = manifest.ManifestTable(table_dir)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 11)) == 10
+
+    fired = []
+
+    def land_append():
+        if fired:
+            return
+        fired.append(True)
+        other = manifest.ManifestTable(table_dir)
+        assert other.idempotent_append(spark, _valid_batch(spark, 50, 56)) == 6
+
+    t._pre_publish_hook = land_append
+    msgs = [
+        json.dumps(dict(GOOD, meter_id=i, reading_consumption_milliwatts=7777))
+        for i in range(5, 11)
+    ]
+    raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+    restated, _ = ingest.split_valid(
+        ingest.classify(ingest.parse_messages(raw))
+    )
+    res = t.upsert(spark, restated)
+    t._pre_publish_hook = None
+    assert res == {"updated": 6, "inserted": 0}
+
+    vals = _read_vals(spark, t)
+    assert len(vals) == 16  # 10 original + 6 appended, no dups
+    for m in range(5, 11):
+        assert (m, 7777) in vals
+    for m in range(50, 56):
+        assert (m, 1500) in vals
+
+
+def test_compaction_nets_out_removed_files_then_vacuum_reclaims(
+    spark, table_dir
+):
+    """The delete → compact → vacuum lifecycle: removed files stay on
+    disk (old versions reference them) until compaction nets them out
+    of the log, at which point their stage dirs become unreferenced
+    and an aged vacuum reclaims them."""
+    import time as _time
+
+    t = manifest.ManifestTable(table_dir)
+    for lo in (1, 11, 21):  # three commits, three stage dirs
+        t.idempotent_append(spark, _valid_batch(spark, lo, lo + 10))
+    # delete ALL rows of the second commit's file(s)
+    dead = _valid_batch(spark, 11, 21).select("reading_timestamp", "meter_id")
+    assert t.delete_keys(spark, dead) == 10
+    assert t.read(spark).count() == 20
+
+    commits = t.snapshot()
+    removed = [f for c in commits for f in c.get("removed", [])]
+    assert removed
+    for f in removed:  # still on disk: version 1 references them
+        assert os.path.exists(os.path.join(t.data_dir, f))
+
+    # land one more append so the DELETE commit falls inside the
+    # compaction base (a removal in the kept tail must keep its
+    # target files referenced — old versions still read them)
+    t.idempotent_append(spark, _valid_batch(spark, 31, 41))
+    assert manifest.compact_log(t, keep_last=1) >= 2
+    live = {f for c in t.snapshot() for f in c["added"]}
+    assert live.isdisjoint(removed)
+    assert t.read(spark).count() == 30
+
+    # age every data file past TTL; vacuum sweeps the files the
+    # compacted log no longer references
+    old = _time.time() - 7200
+    for root, _dirs, fnames in os.walk(t.data_dir):
+        for fname in fnames:
+            os.utime(os.path.join(root, fname), (old, old))
+    swept = manifest.vacuum_unreferenced(t, ttl_s=3600)
+    assert swept >= 1
+    for f in removed:
+        assert not os.path.exists(os.path.join(t.data_dir, f))
+    assert t.read(spark).count() == 30
