@@ -2087,3 +2087,94 @@ SELECT vec_id, j, CAST(SUM(sv) AS DOUBLE) / 4.0 AS coord
 FROM signed GROUP BY 1, 2
 """,
 )(embedding_jl_projection)
+
+
+OUTLIER_TOP_K = 50
+
+
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: rank the corpus by squared
+    L2 distance from the GLOBAL centroid and return the top
+    ``OUTLIER_TOP_K`` — the standard cheap screen for mis-embedded /
+    corrupt / off-distribution documents a curation pipeline runs
+    before clustering (outliers poison k-means seeds and ANN
+    training).
+
+    Arithmetic is the quantized-decimal grid (round-6 → DECIMAL(12,6),
+    exact sums; the centroid mean divides through double and
+    re-quantizes to the grid), so the full computation hash-checks.
+    Plan: one corpus scan → per-pos centroid (bounded agg, dim rows)
+    broadcast back → per-vector exact distance → global top-k via one
+    (dist2, vec_id) sort of scalar rows — never the vectors."""
+    el = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            F.round(F.col("vf").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("v"),
+        )
+    )
+    cent = el.groupBy("pos").agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(12,6)")
+        .alias("cv")
+    )
+    dist = (
+        el.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")))
+            .alias("dist2")
+        )
+    )
+    w = Window.orderBy(F.col("dist2").desc(), F.col("vec_id"))
+    return (
+        dist.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= OUTLIER_TOP_K)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.col("dist2") * 1000000).cast("bigint").alias(
+                "dist2_micro"
+            ),
+            "outlier_rank",
+        )
+    )
+
+
+_CENTROID_OUTLIERS_SQL = f"""
+WITH el AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT pos,
+         CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(12,6)) AS cv
+  FROM el GROUP BY pos
+),
+dist AS (
+  SELECT vec_id, label, SUM((v - cv) * (v - cv)) AS dist2
+  FROM el JOIN cent USING (pos)
+  GROUP BY vec_id, label
+),
+ranked AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(dist2 * 1000000) AS BIGINT) AS dist2_micro,
+         ROW_NUMBER() OVER (ORDER BY dist2 DESC, vec_id) AS outlier_rank
+  FROM dist
+)
+SELECT vec_id, label, dist2_micro, CAST(outlier_rank AS BIGINT) AS outlier_rank
+FROM ranked WHERE outlier_rank <= {OUTLIER_TOP_K}
+"""
+
+register("embedding_centroid_outliers", _CENTROID_OUTLIERS_SQL)(
+    embedding_centroid_outliers
+)

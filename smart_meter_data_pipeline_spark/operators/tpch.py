@@ -1197,3 +1197,67 @@ GROUP BY p_brand
 """
 
 register("tpch_disjunctive_revenue", _DISJUNCTIVE_SQL)(tpch_disjunctive_revenue)
+
+
+def tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    account balance above the average POSITIVE balance with no order
+    since 2000-01-01 (lapsed high-value customers), rolled up by
+    market segment — the scalar-subquery + anti-join combination
+    (Q22's phone-prefix grouping adapted to the schema's mktsegment,
+    and its never-ordered test adapted to a recency cutoff so the
+    result is non-degenerate on this data, where every customer has
+    SOME order).
+
+    Plan: the scalar average is one tiny aggregate broadcast back as a
+    literal-like single row (crossJoin of a 1-row frame — no shuffle);
+    the no-orders test is a left-anti join shuffling on custkey once;
+    the rollup is partial-agg friendly. The threshold divides two
+    exact aggregates, so the double comparison is cross-engine
+    deterministic."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_pos_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_pos_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+_SALES_OPPORTUNITY_SQL = """
+WITH threshold AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+             AS avg_pos_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+FROM customer, threshold
+WHERE c_acctbal > avg_pos_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+register("tpch_sales_opportunity", _SALES_OPPORTUNITY_SQL)(
+    tpch_sales_opportunity
+)

@@ -83,6 +83,8 @@ _PRIORITY = [
     "tpch_disjunctive_revenue",
     "trade_triangles",
     "doc_prefix_dup",
+    "tpch_sales_opportunity",
+    "embedding_centroid_outliers",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",

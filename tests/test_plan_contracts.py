@@ -349,3 +349,66 @@ def test_trend_is_single_rollup(spark, sf_dir):
     assert "partial_" in p
     assert "Window" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_market_share_broadcasts_all_dims_single_big_shuffle(spark, sf_dir):
+    """Q8 shape: every dim side (nation/region/customer/supplier and
+    the per-year totals) must broadcast; the only sort-merge-eligible
+    join is lineitem ⋈ orders, and no Python evaluation anywhere."""
+    p = _plan(tpch.tpch_market_share(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_order_count_dist_keeps_outer_join_and_partial_aggs(spark, sf_dir):
+    """Q13: the left-outer join must survive planning (an inner-join
+    rewrite would silently drop the zero-order bucket) and both
+    aggregation levels must partial-combine."""
+    p = _plan(tpch.tpch_order_count_dist(spark, sf_dir))
+    assert "LeftOuter" in p or "left_outer" in p.lower()
+    assert p.count("HashAggregate") >= 2
+
+
+def test_small_qty_revenue_broadcasts_thresholds(spark, sf_dir):
+    """Q17 decorrelation: the brand filter must push to the part scan,
+    and the per-part threshold table must come back as a broadcast —
+    never a shuffle of the lineitem side against it."""
+    p = _plan(tpch.tpch_small_qty_revenue(spark, sf_dir))
+    scans = p[p.index("Scan parquet"):]
+    assert "p_brand" in scans  # brand predicate reaches a scan
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_disjunctive_revenue_single_join_no_branch_union(spark, sf_dir):
+    """Q19: the OR-of-ANDs must evaluate as ONE filter over ONE
+    broadcast join — not a per-branch union of three scans."""
+    p = _plan(tpch.tpch_disjunctive_revenue(spark, sf_dir))
+    # formatted mode lists each scan in the tree (numbered) and again
+    # in the details; count the numbered tree entries only
+    assert p.count("Scan parquet  (") == 2  # lineitem + part, once each
+    assert "BroadcastExchange" in p
+    assert "Union" not in p
+
+
+def test_trade_triangles_edges_deduped_before_self_join(spark, sf_dir):
+    """Triangle counting must self-join the DEDUPED edge list (25²
+    nation pairs max), never raw lineitem fan-out, and the existence
+    check must be a semi join."""
+    from smart_meter_data_pipeline_spark.operators import graph
+
+    p = _plan(graph.trade_triangles(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_doc_prefix_dup_is_single_window_no_self_join(spark, sf_dir):
+    """The prefix-dup pass must stay one window over the prefix key —
+    one shuffle, no pair join, no Python."""
+    from smart_meter_data_pipeline_spark.operators import dedup as dd
+
+    p = _plan(dd.doc_prefix_dup(spark, sf_dir))
+    assert "Window" in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
