@@ -70,12 +70,18 @@ def start_ingest_stream(
     (``observedMetrics``; the reference counts failures in its stats
     loop, consumer/meter_consumer.py:282-283).
 
-    ``sink`` picks the idempotent-append protocol the batches commit
-    through: ``"lock"`` (flock-serialized anti-join append — the POSIX
-    filesystem path) or ``"manifest"`` (the put-if-absent commit log —
-    the object-store path). Both give the same exactly-once guarantee
-    under redelivery AND under foreachBatch retries (a batch replayed
-    after a partial failure re-anti-joins against committed state)."""
+    ``sink`` picks the protocol the batches commit through:
+
+    - ``"lock"``: flock-serialized anti-join append (POSIX path).
+    - ``"manifest"``: put-if-absent commit log (object-store path).
+    - ``"manifest_upsert"``: streaming MERGE — each micro-batch is
+      applied as a copy-on-write upsert (``ManifestTable.upsert``),
+      the sink for RESTATEMENT feeds where re-reads carry corrected
+      values instead of duplicates (insert-only dedup would drop
+      them). Within a batch the latest ``arrived_at`` per PK wins.
+      Replays converge to the same row values (a retried batch
+      rewrites matched rows to the identical post-image), so the
+      exactly-once guarantee holds in effect for all three."""
     classified = classify(read_message_stream(spark, source_dir)).observe(
         "ingest",
         F.count(F.lit(1)).alias("consumed"),
@@ -89,7 +95,25 @@ def start_ingest_stream(
         batch_df.persist()
         try:
             valid, quarantine = split_valid(batch_df)
-            if sink == "manifest":
+            if sink == "manifest_upsert":
+                from pyspark.sql import Window
+
+                from smart_meter_data_pipeline_spark.sources.manifest import (
+                    PK,
+                    ManifestTable,
+                )
+
+                w = Window.partitionBy(*PK).orderBy(
+                    F.col("arrived_at").desc(),
+                    F.col("reading_consumption_milliwatts").desc(),
+                )
+                latest = (
+                    valid.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                ManifestTable(target).upsert(batch_df.sparkSession, latest)
+            elif sink == "manifest":
                 from smart_meter_data_pipeline_spark.sources.manifest import (
                     idempotent_append_manifest,
                 )

@@ -266,3 +266,66 @@ def test_stream_foreachbatch_manifest_sink_exactly_once(spark, tmp_path):
                 rel = os.path.relpath(os.path.join(root, f), t.data_dir)
                 on_disk.add(rel)
     assert on_disk == committed
+
+
+def test_stream_restatement_upsert_sink(spark, tmp_path):
+    """Streaming MERGE: a restatement feed (same PKs, corrected
+    values) drains through foreachBatch → ManifestTable.upsert.
+    Delivery 1 inserts the baseline; delivery 2 re-states a subset
+    with corrected consumption — an insert-only dedup sink would DROP
+    those corrections as duplicates; the upsert sink must apply them
+    as the post-image while leaving untouched meters alone."""
+    from smart_meter_data_pipeline_spark.sources.manifest import ManifestTable
+
+    src = tmp_path / "msgs"
+    target = str(tmp_path / "fact_upsert")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    readings = gen_meter_readings(spark, n_meters=10, n_ticks=4)  # 40 rows
+    _wire_format(readings).select("value").coalesce(1).write.text(
+        str(src / "d1")
+    )
+    q = start_ingest_stream(
+        spark, str(src / "*" / "*.txt"), target, ckpt,
+        available_now=True, sink="manifest_upsert",
+    )
+    q.awaitTermination()
+    t = ManifestTable(target)
+    assert t.read(spark).count() == 40
+
+    restated = readings.filter(F.col("meter_id") <= 5).withColumn(
+        "reading_consumption_milliwatts",
+        F.col("reading_consumption_milliwatts") + F.lit(999_983),
+    )
+    _wire_format(restated).select("value").coalesce(1).write.text(
+        str(src / "d2")
+    )
+    q2 = start_ingest_stream(
+        spark, str(src / "*" / "*.txt"), target, ckpt,
+        available_now=True, sink="manifest_upsert",
+    )
+    q2.awaitTermination()
+
+    fact = t.read(spark)
+    assert fact.count() == 40  # restatement adds no rows
+    assert (
+        fact.select("reading_timestamp", "meter_id").distinct().count() == 40
+    )
+    # corrected meters carry the post-image, others the original
+    expected = readings.withColumn(
+        "expect_mw",
+        F.when(
+            F.col("meter_id") <= 5,
+            F.col("reading_consumption_milliwatts") + F.lit(999_983),
+        ).otherwise(F.col("reading_consumption_milliwatts")),
+    ).select("reading_timestamp", "meter_id", "expect_mw")
+    mismatches = (
+        fact.join(expected, ["reading_timestamp", "meter_id"])
+        .filter(
+            F.col("reading_consumption_milliwatts") != F.col("expect_mw")
+        )
+        .count()
+    )
+    assert mismatches == 0
+    # the restatement landed as ONE copy-on-write commit
+    assert any(c.get("removed") for c in t.snapshot())
