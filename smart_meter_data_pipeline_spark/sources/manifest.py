@@ -233,7 +233,15 @@ class ManifestTable:
         files are immutable and data files are never rewritten, so any
         historical snapshot remains readable until a vacuum deletes
         unreferenced-and-expired files — the same versioned-manifest
-        contract Delta/Iceberg time travel rests on."""
+        contract Delta/Iceberg time travel rests on.
+
+        Schema evolution: the read schema is the union of the visible
+        commits' recorded schemas in log order (additive evolution —
+        files written before a column existed read it as NULL).
+        Taking the schema from COMMIT METADATA, not from merging
+        parquet footers, is what makes the evolved read free at scale:
+        ``mergeSchema`` touches every file's footer, the log is one
+        directory listing."""
         commits = self.snapshot()
         if version is not None:
             if version < 0 or version >= len(commits):
@@ -245,7 +253,32 @@ class ManifestTable:
         files = self._files(commits)
         if not files:
             return None
-        return spark.read.parquet(*files)
+        schema = self._evolved_schema(commits)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*files)
+
+    @staticmethod
+    def _evolved_schema(commits: list[dict]):
+        """Union of the commits' recorded schemas in log order (later
+        commits append new columns; a name seen twice keeps its first
+        type — additive evolution only, type changes are rejected at
+        append time). None when no commit recorded a schema (tables
+        written before schema tracking — reader falls back to Spark's
+        own parquet inference)."""
+        from pyspark.sql.types import StructType
+
+        fields: dict[str, object] = {}
+        for c in commits:
+            if not c.get("schema"):
+                continue
+            st = StructType.fromJson(json.loads(c["schema"]))
+            for f in st.fields:
+                fields.setdefault(f.name, f)
+        if not fields:
+            return None
+        return StructType(list(fields.values()))
 
     def history(self) -> list[dict]:
         """Audit view of the commit log: one dict per version with the
@@ -354,6 +387,7 @@ class ManifestTable:
             }
             numbered = self.numbered_snapshot()
             commits = [c for _, c in numbered]
+            self._check_schema_compat(in_batch, commits)
             fresh, n = self._anti_join(spark, in_batch, commits, batch_dates, pk)
             staged: list[str] = []
             # Fence by NUMBER, not position: compaction leaves gaps in
@@ -375,6 +409,7 @@ class ManifestTable:
                         "added": staged,
                         "count": n,
                         "dates": sorted(batch_dates),
+                        "schema": in_batch.schema.json(),
                     }
                 ).encode()
                 if _put_if_absent(self._commit_path(validated_through), payload):
@@ -419,6 +454,26 @@ class ManifestTable:
             )
         finally:
             in_batch.unpersist()
+
+    def _check_schema_compat(
+        self, batch: DataFrame, commits: list[dict]
+    ) -> None:
+        """Additive-only schema evolution gate: a batch may ADD
+        columns, but a column the table already has must keep its
+        type — rejecting the write here (Delta's behavior) beats
+        discovering unreadable mixed-type files later."""
+        table_schema = self._evolved_schema(commits)
+        if table_schema is None:
+            return
+        existing = {f.name: f.dataType for f in table_schema.fields}
+        for f in batch.schema.fields:
+            if f.name in existing and f.dataType != existing[f.name]:
+                raise ValueError(
+                    f"schema evolution is additive-only: column "
+                    f"'{f.name}' is {existing[f.name].simpleString()} "
+                    f"in the table but {f.dataType.simpleString()} in "
+                    f"the batch"
+                )
 
     @staticmethod
     def _fence(numbered: list[tuple[int, dict]]) -> int:
@@ -514,12 +569,22 @@ class ManifestTable:
                 numbered = self.numbered_snapshot()
                 commits = [c for _, c in numbered]
                 fence = self._fence(numbered)
+                self._check_schema_compat(in_keys, commits)
                 cand = self._files(commits, key_dates)
+                # Candidate files can span schema versions: read them
+                # under the evolved schema (pre-evolution files yield
+                # NULL for later columns) — a plain read would infer
+                # one file's schema and silently drop the others'
+                # columns from the rewrite.
+                ev_schema = self._evolved_schema(commits)
                 staged: list[str] = []
                 removed_rel: list[str] = []
                 n_matched = 0
                 if cand:
-                    tagged = spark.read.parquet(*cand).withColumn(
+                    cand_reader = spark.read
+                    if ev_schema is not None:
+                        cand_reader = cand_reader.schema(ev_schema)
+                    tagged = cand_reader.parquet(*cand).withColumn(
                         "_file", F.input_file_name()
                     )
                     matched = tagged.join(
@@ -554,11 +619,8 @@ class ManifestTable:
                     # matched ones as the post-image of their rewritten
                     # files' rows, the rest as inserts.
                     n_inserted = (
-                        in_keys.join(
-                            spark.read.parquet(*cand).select(*pk),
-                            pk,
-                            "left_anti",
-                        ).count()
+                        in_keys.join(tagged.select(*pk), pk, "left_anti")
+                        .count()
                         if cand
                         else in_keys.count()
                     )
@@ -602,6 +664,13 @@ class ManifestTable:
                         "removed": removed_rel,
                         "count": n_staged,
                         "dates": added_dates,
+                        "schema": (
+                            in_keys.schema.json()
+                            if batch is not None
+                            else ev_schema.json()
+                            if ev_schema is not None
+                            else None
+                        ),
                     }
                 ).encode()
                 if _put_if_absent(self._commit_path(fence), payload):
@@ -708,6 +777,7 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         # from the log — after this its stage dir becomes vacuumable);
         # tail commits keep their own removed lists, which may still
         # reference base files (applied in order by _files).
+        base_schema = ManifestTable._evolved_schema([c for _, c in base])
         merged = {
             "version": base_num,
             "added": table._net_relfiles([c for _, c in base]),
@@ -716,6 +786,7 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
                 {d for _, c in base for d in c.get("dates", [])}
             ),
             "compacted_from": cut,
+            "schema": base_schema.json() if base_schema else None,
         }
         tmp = table._commit_path(base_num) + f".compacting.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:

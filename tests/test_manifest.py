@@ -659,3 +659,86 @@ def test_compaction_nets_out_removed_files_then_vacuum_reclaims(
     for f in removed:
         assert not os.path.exists(os.path.join(t.data_dir, f))
     assert t.read(spark).count() == 30
+
+
+def test_schema_evolution_additive_columns(spark, table_dir):
+    """Additive schema evolution: a later batch carrying a NEW column
+    commits; reads use the union schema from COMMIT METADATA (not
+    parquet footer merging), so pre-evolution rows surface the column
+    as NULL. A type change on an existing column is rejected at
+    append time (Delta's additive-only rule), and the evolved schema
+    survives compaction."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(table_dir)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 11)) == 10
+
+    evolved = _valid_batch(spark, 11, 21).withColumn(
+        "quality_score", F.col("meter_id").cast("double") / 100.0
+    )
+    assert t.idempotent_append(spark, evolved) == 10
+
+    df = t.read(spark)
+    assert "quality_score" in df.columns
+    rows = {r["meter_id"]: r["quality_score"] for r in df.collect()}
+    assert len(rows) == 20
+    for m in range(1, 11):
+        assert rows[m] is None  # pre-evolution rows
+    for m in range(11, 21):
+        assert rows[m] == m / 100.0
+
+    # time travel to v0 shows the ORIGINAL schema (no quality_score)
+    assert "quality_score" not in t.read(spark, version=0).columns
+
+    # type change on an existing column is refused
+    bad = _valid_batch(spark, 30, 35).withColumn(
+        "quality_score", F.lit("not-a-double")
+    )
+    with pytest.raises(ValueError, match="additive-only"):
+        t.idempotent_append(spark, bad)
+
+    # the evolved schema survives compaction into the base commit
+    t.idempotent_append(spark, _valid_batch(spark, 40, 45))
+    t.idempotent_append(spark, _valid_batch(spark, 50, 55))
+    manifest.compact_log(t, keep_last=1)
+    df2 = t.read(spark)
+    assert "quality_score" in df2.columns
+    assert df2.count() == 30
+
+
+def test_schema_evolution_through_upsert(spark, table_dir):
+    """An upsert whose batch carries a new column rewrites matched
+    files under the evolved read schema: the post-image has the new
+    column, survivors and untouched rows read NULL for it, and no
+    column is silently dropped from the rewrite."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(table_dir)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 21)) == 20
+
+    msgs = [
+        json.dumps(dict(GOOD, meter_id=i, reading_consumption_milliwatts=4242))
+        for i in range(5, 11)
+    ]
+    raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+    restated, _ = ingest.split_valid(
+        ingest.classify(ingest.parse_messages(raw))
+    )
+    restated = restated.withColumn("correction_source", F.lit("manual"))
+    res = t.upsert(spark, restated)
+    assert res == {"updated": 6, "inserted": 0}
+
+    df = t.read(spark)
+    assert "correction_source" in df.columns
+    rows = {
+        r["meter_id"]: (
+            r["reading_consumption_milliwatts"],
+            r["correction_source"],
+        )
+        for r in df.collect()
+    }
+    assert len(rows) == 20
+    for m in range(5, 11):
+        assert rows[m] == (4242, "manual")
+    for m in list(range(1, 5)) + list(range(11, 21)):
+        assert rows[m][0] == 1500 and rows[m][1] is None
