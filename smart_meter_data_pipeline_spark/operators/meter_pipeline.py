@@ -938,3 +938,72 @@ def _register_meter_sim_scan() -> None:
 
 
 _register_meter_sim_scan()
+
+
+def manifest_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the manifest table's copy-on-write engine,
+    shaped as an oracle-checkable query: build a table from the
+    deterministic generator, UPSERT a restatement (meters ≡3 mod 7 at
+    +10007 milliwatts, carrying a NEW ``correction_source`` column —
+    schema evolution through the MERGE path), DELETE meters ≡5 mod
+    11, then read the final state. The DuckDB twin computes the same
+    end state relationally, so the driver hash-checks the whole
+    append → upsert → delete → evolved-read lifecycle, not just unit
+    behavior (sources/manifest.py; reference parity: the PK sink of
+    consumer/meter_consumer.py:104-114 extended to MERGE/DELETE).
+
+    The table lives in a throwaway tmpdir; the result is eagerly
+    localCheckpoint'ed so the dir can be removed before return."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_cow_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        restated = (
+            readings.filter(F.col("meter_id") % 7 == 3)
+            .withColumn(
+                "reading_consumption_milliwatts",
+                F.col("reading_consumption_milliwatts") + F.lit(10007),
+            )
+            .withColumn("correction_source", F.lit("restated"))
+        )
+        t.upsert(spark, restated)
+        doomed = readings.filter(F.col("meter_id") % 11 == 5).select(
+            "reading_timestamp", "meter_id"
+        )
+        t.delete_keys(spark, doomed)
+        final = t.read(spark).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+            "correction_source",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_cow_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id,
+       CAST(CASE WHEN meter_id % 7 = 3
+                 THEN reading_consumption_milliwatts + 10007
+                 ELSE reading_consumption_milliwatts END AS INT)
+           AS reading_consumption_milliwatts,
+       reading_production_milliwatts, status,
+       CASE WHEN meter_id % 7 = 3 THEN 'restated' ELSE NULL END
+           AS correction_source
+FROM readings
+WHERE meter_id % 11 <> 5""",
+)(manifest_cow_roundtrip)

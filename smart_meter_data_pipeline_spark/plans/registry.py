@@ -85,6 +85,7 @@ _PRIORITY = [
     "doc_prefix_dup",
     "tpch_sales_opportunity",
     "embedding_centroid_outliers",
+    "manifest_cow_roundtrip",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
