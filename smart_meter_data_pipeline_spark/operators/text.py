@@ -833,3 +833,53 @@ FROM cells
 
 
 register("lang_confusion_matrix", _confusion_oracle())(lang_confusion_matrix)
+
+
+def doc_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity): distinct words over total
+    words per document, binned to integer permille — the classic
+    quality signal for detecting templated/repetitive text that
+    length or punctuation ratios miss (a 10k-word page of the same 20
+    words has high length-quality but TTR ≈ 2‰). Integer outputs
+    (counts + floor permille) hash exactly; the per-doc distinct is an
+    explode → two-level aggregate, partial-combining on (doc, word)
+    before the distinct merge."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens()).alias("word"),
+    )
+    return (
+        words.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("word").alias("n_distinct_words"),
+        )
+        .withColumn(
+            "ttr_permille",
+            F.floor(
+                F.col("n_distinct_words") * 1000 / F.col("n_words")
+            ).cast("bigint"),
+        )
+    )
+
+
+_TTR_SQL = """
+WITH words AS (
+  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words,
+       CAST(FLOOR(COUNT(DISTINCT word) * 1000.0 / COUNT(*)) AS BIGINT)
+           AS ttr_permille
+FROM words
+GROUP BY doc_id, source
+"""
+
+register("doc_ttr", _TTR_SQL)(doc_ttr)

@@ -1261,3 +1261,116 @@ GROUP BY c_mktsegment
 register("tpch_sales_opportunity", _SALES_OPPORTUNITY_SQL)(
     tpch_sales_opportunity
 )
+
+
+def tpch_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    DISTINCT suppliers have shipped parts of each (brand, size band),
+    excluding one brand — the exact-count-distinct-over-join rollup
+    (the schema has no partsupp table, so the supplier↔part relation
+    comes from shipped lineitems, which is Q16's semantic on the
+    available data).
+
+    Plan: part is the broadcast side of the only big join; the
+    count-distinct is two-level (partial distinct per partition, then
+    exact merge) — at 100 TB the alternative approx_count_distinct
+    dial exists (approx_sketch_check), but Q16 wants exact."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    ).filter(F.col("p_brand") != "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            (F.col("p_size") - 1 - (F.col("p_size") - 1) % 10).alias(
+                "size_band"
+            ),
+        )
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.countDistinct("p_partkey").alias("part_cnt"),
+        )
+    )
+
+
+_SUPPLIER_VARIETY_SQL = """
+SELECT p_brand,
+       (p_size - 1) - (p_size - 1) % 10 AS size_band,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+       CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS part_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY 1, 2
+"""
+
+register("tpch_supplier_part_variety", _SUPPLIER_VARIETY_SQL)(
+    tpch_supplier_part_variety
+)
+
+
+def orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap analysis: per market segment, the distribution
+    of days between a customer's consecutive orders — LAG over
+    (customer, orderdate) then an integer-exact rollup (min/max/sum
+    of day gaps, order pairs counted). The reorder-cadence query every
+    retention model starts from; all-integer output hashes exactly.
+
+    Plan: one shuffle on o_custkey for the window, one partial-agg
+    rollup; the customer dim broadcasts."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # Ordering by date alone is deterministic for the GAPS even with
+    # tied dates: any permutation within a tie yields the same sorted
+    # date sequence, hence the same gap multiset.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        orders.withColumn(
+            "prev_date", F.lag("o_orderdate").over(w)
+        )
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_date").alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+        )
+    )
+
+
+_ORDER_GAP_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       MIN(gap_days) AS min_gap_days,
+       MAX(gap_days) AS max_gap_days,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+register("orders_gap_stats", _ORDER_GAP_SQL)(orders_gap_stats)

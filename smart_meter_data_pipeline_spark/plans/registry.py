@@ -86,6 +86,9 @@ _PRIORITY = [
     "tpch_sales_opportunity",
     "embedding_centroid_outliers",
     "manifest_cow_roundtrip",
+    "tpch_supplier_part_variety",
+    "orders_gap_stats",
+    "doc_ttr",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
