@@ -370,6 +370,30 @@ def main() -> None:
             "dedup_incremental",
             lambda: _materialize(dedup.dedup_incremental(spark, SF_DIR)),
         )
+        # 15. Copy-on-write upsert at ingest scale (NEW leg r7): land
+        # the simulated day in a manifest table once (not timed as a
+        # leg — same work as meter_ingest_day through the commit log),
+        # then restate 10% of the meters through ManifestTable.upsert.
+        # The leg times the full MERGE: candidate scan, affected-file
+        # rewrite, batch stage, atomic added+removed commit. Best-of-2
+        # re-applies the same post-image, so both runs do comparable
+        # rewrite work.
+        from smart_meter_data_pipeline_spark.sources.manifest import (
+            ManifestTable,
+        )
+
+        mt = ManifestTable(os.path.join(workdir, "fact_manifest"))
+        mt.idempotent_append(spark, readings)
+        restated = readings.filter(
+            (readings.meter_id % 10) == 3
+        ).withColumn(
+            "reading_consumption_milliwatts",
+            readings.reading_consumption_milliwatts + 1,
+        )
+        leg(
+            "manifest_upsert_10pct",
+            lambda: mt.upsert(spark, restated),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

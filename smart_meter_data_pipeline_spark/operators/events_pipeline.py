@@ -395,3 +395,36 @@ LIMIT 10
 """
 
 register("top_value_users", _TOP_USERS_SQL)(top_value_users)
+
+
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction: keep each (user, event_type)
+    pair's most recent event — the standard CDC/changelog compaction
+    read (Kafka compacted topic semantics as a batch query). One
+    row_number window over the key, deterministic tie-break on
+    event_id; the single shuffle is on the dedup key, and the filter
+    on rn=1 collapses before anything downstream."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+_DEDUP_LATEST_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+register("events_dedup_latest", _DEDUP_LATEST_SQL)(events_dedup_latest)

@@ -89,6 +89,8 @@ _PRIORITY = [
     "tpch_supplier_part_variety",
     "orders_gap_stats",
     "doc_ttr",
+    "stream_restatement_upsert",
+    "events_dedup_latest",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",

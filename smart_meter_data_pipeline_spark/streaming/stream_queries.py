@@ -1813,3 +1813,85 @@ GROUP BY 1
 register("stream_meter_sim_totals", _meter_sim_totals_oracle())(
     stream_meter_sim_totals
 )
+
+
+def stream_restatement_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE under the hash gate: a baseline delivery and a
+    RESTATEMENT delivery (meters ≡3 mod 7 re-read at +10007
+    milliwatts) drain through the ``manifest_upsert`` foreachBatch
+    sink into one manifest table; the final table must hold exactly
+    one row per PK with the corrected post-image — an insert-only
+    dedup sink would have dropped every correction as a duplicate.
+
+    Last-write-wins is deterministic even when both deliveries land
+    in one micro-batch: the within-batch reducer orders by
+    (arrived_at, consumption) DESC and the restated value is strictly
+    larger. The oracle applies the restatement as a CASE over the
+    generator CTE — any lost correction, duplicate PK, or row the
+    MERGE misrouted breaks the hash."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        gen_meter_readings,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+    from smart_meter_data_pipeline_spark.streaming.ingest_stream import (
+        start_ingest_stream,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_restate_")
+    src = os.path.join(workdir, "messages")
+    target = os.path.join(workdir, "fact")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        readings = gen_meter_readings(spark)
+        _wire_format(readings).select("value").coalesce(4).write.mode(
+            "overwrite"
+        ).text(os.path.join(src, "d1"))
+        restated = readings.filter(F.col("meter_id") % 7 == 3).withColumn(
+            "reading_consumption_milliwatts",
+            F.col("reading_consumption_milliwatts") + F.lit(10007),
+        )
+        _wire_format(restated).select("value").coalesce(2).write.mode(
+            "overwrite"
+        ).text(os.path.join(src, "d2"))
+        q = start_ingest_stream(
+            spark,
+            os.path.join(src, "*", "*.txt"),
+            target,
+            ckpt,
+            available_now=True,
+            sink="manifest_upsert",
+        )
+        q.awaitTermination()
+        final = ManifestTable(target).read(spark).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _restatement_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _readings_cte,
+    )
+
+    return f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id,
+       CAST(CASE WHEN meter_id % 7 = 3
+                 THEN reading_consumption_milliwatts + 10007
+                 ELSE reading_consumption_milliwatts END AS INT)
+           AS reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM readings"""
+
+
+register("stream_restatement_upsert", _restatement_oracle())(
+    stream_restatement_upsert
+)
