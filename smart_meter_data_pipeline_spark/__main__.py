@@ -62,6 +62,13 @@ def _build_parser() -> argparse.ArgumentParser:
         default=3600.0,
         help="min age before an unreferenced stage dir is swept",
     )
+    maint.add_argument(
+        "--optimize-small-bytes",
+        type=int,
+        default=0,
+        help="bin-pack live data files smaller than this many bytes "
+        "before compacting the log (0 = skip; needs a Spark session)",
+    )
     return p
 
 
@@ -96,11 +103,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         t = mf.ManifestTable(args.table_dir)
+        optimized = {"files_rewritten": 0, "files_created": 0}
+        if args.optimize_small_bytes > 0:
+            # Only this path needs a Spark session (file rewrite);
+            # pure-metadata maintenance stays JVM-free.
+            from smart_meter_data_pipeline_spark.session import get_spark
+
+            optimized = mf.optimize_table(
+                t,
+                get_spark("smart-meter-maintain"),
+                small_file_bytes=args.optimize_small_bytes,
+            )
         merged = mf.compact_log(t, keep_last=args.keep_last)
         swept = mf.vacuum_unreferenced(t, ttl_s=args.vacuum_ttl_s)
         print(
             json.dumps(
                 {
+                    "files_rewritten": optimized["files_rewritten"],
+                    "files_created": optimized["files_created"],
                     "commits_merged": merged,
                     "stages_swept": swept,
                     "commits_now": len(t.snapshot()),

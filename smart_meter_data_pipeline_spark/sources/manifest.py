@@ -800,6 +800,101 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         return cut
 
 
+def optimize_table(
+    table: ManifestTable,
+    spark: SparkSession,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_partitions: int | None = None,
+) -> dict:
+    """Bin-packing file compaction — the OPTIMIZE of the manifest
+    world, and the operational answer to the small-file problem a
+    micro-batch ingest accumulates (ten thousand 100 KB files make a
+    100 TB table unreadable regardless of total size: per-file open
+    cost dominates the scan and the driver's split planning).
+
+    Live files under ``small_file_bytes`` are read once, rewritten as
+    ``target_partitions`` right-sized files (default: total small
+    bytes / small_file_bytes, min 1), and swapped in with ONE
+    copy-on-write commit (rewrites ``added``, originals ``removed``)
+    — rows are untouched, so readers before/after see identical
+    contents, old versions still time-travel, and the originals
+    become reclaimable once log compaction nets them out (the same
+    delete → compact → vacuum lifecycle as mutations).
+
+    Runs under the table flock (serializes with other maintenance);
+    publishes through put-if-absent at a fence from the SAME listing
+    it selected files from, so a lock-free append landing mid-rewrite
+    costs only a clean retry. Returns
+    ``{"files_rewritten": n, "files_created": m, "rounds": r}``."""
+    from smart_meter_data_pipeline_spark.sources.txn import table_lock
+
+    with table_lock(table.table_dir):
+        for attempt in range(5):
+            numbered = table.numbered_snapshot()
+            commits = [c for _, c in numbered]
+            fence = table._fence(numbered)
+            live = table._files(commits)
+            small = [
+                f
+                for f in live
+                if os.path.exists(f)
+                and os.path.getsize(f) < small_file_bytes
+            ]
+            if len(small) <= 1:
+                return {
+                    "files_rewritten": 0,
+                    "files_created": 0,
+                    "rounds": attempt,
+                }
+            total = sum(os.path.getsize(f) for f in small)
+            n_out = target_partitions or max(
+                1, total // small_file_bytes
+            )
+            schema = table._evolved_schema(commits)
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            packed = reader.parquet(*small).repartition(int(n_out))
+            staged = table._stage(packed)
+            n_staged = spark.read.parquet(
+                *(os.path.join(table.data_dir, f) for f in staged)
+            ).count()
+            removed_rel = sorted(
+                os.path.relpath(f, table.data_dir) for f in small
+            )
+            # Dates over-approximate (union of all commit dates):
+            # safe for the date-pruned validation scan — it may read
+            # the packed files unnecessarily, never miss them.
+            dates = sorted(
+                {
+                    d
+                    for c in commits
+                    for d in c.get("dates", [])
+                }
+            )
+            payload = json.dumps(
+                {
+                    "version": fence,
+                    "added": staged,
+                    "removed": removed_rel,
+                    "count": n_staged,
+                    "dates": dates,
+                    "schema": schema.json() if schema else None,
+                    "optimize": True,
+                }
+            ).encode()
+            if _put_if_absent(table._commit_path(fence), payload):
+                return {
+                    "files_rewritten": len(small),
+                    "files_created": len(staged),
+                    "rounds": attempt + 1,
+                }
+            table._discard_stage_all(staged)
+        raise CommitConflictError(
+            f"optimize gave up after 5 attempts on {table.table_dir}"
+        )
+
+
 def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
     """Delete data FILES no commit references — crashed-writer stage
     leaks, and copy-on-write originals once compaction nets their

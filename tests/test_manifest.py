@@ -742,3 +742,83 @@ def test_schema_evolution_through_upsert(spark, table_dir):
         assert rows[m] == (4242, "manual")
     for m in list(range(1, 5)) + list(range(11, 21)):
         assert rows[m][0] == 1500 and rows[m][1] is None
+
+
+def test_optimize_bin_packs_small_files(spark, table_dir):
+    """OPTIMIZE: many small live files are rewritten into few
+    right-sized ones in ONE copy-on-write commit — contents
+    identical, pre-optimize versions still time-travel, originals
+    reclaimed after log compaction + aged vacuum (the same lifecycle
+    as mutations). A second optimize is a no-op."""
+    import time as _time
+
+    t = manifest.ManifestTable(table_dir)
+    for lo in range(1, 100, 10):  # 10 commits, many small part files
+        t.idempotent_append(spark, _valid_batch(spark, lo, lo + 10))
+    before = sorted(r["meter_id"] for r in t.read(spark).collect())
+    n_files_before = sum(len(c["added"]) for c in t.snapshot())
+    n_versions_before = len(t.snapshot())
+
+    res = manifest.optimize_table(t, spark, small_file_bytes=32 << 20)
+    assert res["files_rewritten"] == n_files_before
+    assert 0 < res["files_created"] < n_files_before
+
+    after = sorted(r["meter_id"] for r in t.read(spark).collect())
+    assert after == before
+    # live file set is now the packed files only
+    live = t._files(t.snapshot())
+    assert len(live) == res["files_created"]
+    # pre-optimize version still reads (old files intact on disk)
+    assert (
+        t.read(spark, version=n_versions_before - 1).count() == len(before)
+    )
+    # idempotent: nothing small left to pack (single output file)
+    res2 = manifest.optimize_table(t, spark, small_file_bytes=32 << 20)
+    assert res2["files_rewritten"] == 0
+
+    # dedup still exact against the packed layout (1-100 committed)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 120)) == 19
+
+    # compact + aged vacuum reclaims the originals
+    t.idempotent_append(spark, _valid_batch(spark, 200, 205))
+    manifest.compact_log(t, keep_last=1)
+    old = _time.time() - 7200
+    for root, _dirs, fnames in os.walk(t.data_dir):
+        for fname in fnames:
+            os.utime(os.path.join(root, fname), (old, old))
+    assert manifest.vacuum_unreferenced(t, ttl_s=3600) >= n_files_before
+    assert t.read(spark).count() == len(before) + 19 + 5
+
+
+def test_optimize_loses_fence_race_to_append_and_retries(spark, table_dir):
+    """A lock-free append landing between optimize's file selection
+    and its publish must cost optimize only a clean retry — no lost
+    append, no double-referenced file."""
+    t = manifest.ManifestTable(table_dir)
+    for lo in (1, 11, 21):
+        t.idempotent_append(spark, _valid_batch(spark, lo, lo + 10))
+
+    real_put = manifest._put_if_absent
+    fired = []
+
+    def racing_put(path, payload):
+        if not fired:
+            fired.append(True)
+            other = manifest.ManifestTable(table_dir)
+            assert (
+                other.idempotent_append(spark, _valid_batch(spark, 50, 61))
+                == 11
+            )
+        return real_put(path, payload)
+
+    manifest._put_if_absent = racing_put
+    try:
+        res = manifest.optimize_table(t, spark, small_file_bytes=32 << 20)
+    finally:
+        manifest._put_if_absent = real_put
+    assert res["rounds"] == 2  # first publish lost, retry won
+    df = t.read(spark)
+    assert df.count() == 41
+    assert df.select("reading_timestamp", "meter_id").distinct().count() == 41
+    added = [f for c in t.snapshot() for f in c["added"]]
+    assert len(added) == len(set(added))
