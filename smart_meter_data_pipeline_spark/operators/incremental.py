@@ -208,16 +208,37 @@ def changed_dates_since(spark, table, v_from: int) -> list[dt.date]:
     :func:`refresh_marts_incremental` on those dates (+LAG
     successors). This closes the CDC→refresh circuit the reference
     names as its production fix (README.md:137-138) without a table
-    format: the manifest commit log IS the change feed."""
-    latest = len(table.snapshot()) - 1
+    format: the manifest commit log IS the change feed.
+
+    Copy-on-write aware: a DELETE that removes every row of a date
+    leaves no trace in the added files (the post-image diff can't see
+    absence), so mutation commits' recorded ``removed_dates`` are
+    unioned in from metadata; OPTIMIZE commits are skipped entirely —
+    they rewrite bytes, not rows, and counting their dates would
+    trigger a full spurious refresh after every file compaction."""
+    import os as _os
+
+    commits = table.snapshot()
+    latest = len(commits) - 1
     if latest < 0 or v_from >= latest:
         return []
-    d = table.diff(spark, v_from, latest)
-    if d is None:
-        return []
-    return sorted(
-        r["d"]
-        for r in d.select(F.to_date("reading_timestamp").alias("d"))
-        .distinct()
-        .collect()
-    )
+    dates: set[dt.date] = set()
+    files: list[str] = []
+    for c in commits[v_from + 1 :]:
+        if c.get("optimize"):
+            continue
+        dates.update(
+            dt.date.fromisoformat(s) for s in c.get("removed_dates", [])
+        )
+        files.extend(
+            _os.path.join(table.data_dir, f) for f in c["added"]
+        )
+    if files:
+        dates.update(
+            r["d"]
+            for r in spark.read.parquet(*files)
+            .select(F.to_date("reading_timestamp").alias("d"))
+            .distinct()
+            .collect()
+        )
+    return sorted(dates)

@@ -664,6 +664,13 @@ class ManifestTable:
                         "removed": removed_rel,
                         "count": n_staged,
                         "dates": added_dates,
+                        # CDC metadata: the dates the matched (removed
+                        # or re-stated) rows lived on — the only
+                        # record of a date a DELETE emptied entirely,
+                        # which the post-image diff cannot see.
+                        "removed_dates": (
+                            sorted(key_dates) if n_matched else []
+                        ),
                         "schema": (
                             in_keys.schema.json()
                             if batch is not None

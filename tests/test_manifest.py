@@ -822,3 +822,56 @@ def test_optimize_loses_fence_race_to_append_and_retries(spark, table_dir):
     assert df.select("reading_timestamp", "meter_id").distinct().count() == 41
     added = [f for c in t.snapshot() for f in c["added"]]
     assert len(added) == len(set(added))
+
+
+def test_changed_dates_sees_deletes_and_skips_optimize(spark, table_dir):
+    """CDC completeness under copy-on-write: a DELETE that empties a
+    whole date must surface that date to the incremental-refresh
+    driver (the post-image diff alone cannot see absence), and an
+    OPTIMIZE — bytes rewritten, rows unchanged — must surface
+    NOTHING (else every file compaction triggers a full spurious
+    mart refresh)."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.operators.incremental import (
+        changed_dates_since,
+    )
+
+    def batch_on(day: str, lo, hi):
+        msgs = [
+            json.dumps(
+                dict(GOOD, meter_id=i, reading_timestamp=f"{day}T10:30:00")
+            )
+            for i in range(lo, hi)
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+        valid, _ = ingest.split_valid(
+            ingest.classify(ingest.parse_messages(raw))
+        )
+        return valid
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, batch_on("2024-03-01", 1, 11))  # v0
+    t.idempotent_append(spark, batch_on("2024-03-02", 1, 11))  # v1
+    v_base = len(t.snapshot()) - 1
+
+    # empty out ALL of 03-02: the delete commit stages no survivors
+    # for that date — only removed_dates metadata can report it
+    dead = batch_on("2024-03-02", 1, 11).select(
+        "reading_timestamp", "meter_id"
+    )
+    assert t.delete_keys(spark, dead) == 10
+    assert changed_dates_since(spark, t, v_base) == [dt.date(2024, 3, 2)]
+
+    # optimize rewrites every remaining small file — rows unchanged,
+    # so the refresh driver must see nothing new
+    v_after_delete = len(t.snapshot()) - 1
+    res = manifest.optimize_table(t, spark, small_file_bytes=32 << 20)
+    assert res["files_rewritten"] > 0
+    assert changed_dates_since(spark, t, v_after_delete) == []
+    # and an upsert's restated date still surfaces
+    restated = batch_on("2024-03-01", 5, 8)
+    t.upsert(spark, restated)
+    assert changed_dates_since(
+        spark, t, len(t.snapshot()) - 2
+    ) == [dt.date(2024, 3, 1)]
