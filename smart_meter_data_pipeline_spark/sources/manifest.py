@@ -224,9 +224,21 @@ class ManifestTable:
     # -- read --------------------------------------------------------------
 
     def read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        dates: list | None = None,
     ) -> DataFrame | None:
         """The committed table contents (None when no commits yet).
+
+        ``dates`` prunes at the FILE level from commit metadata — the
+        manifest's partition pruning: only files added by commits
+        whose recorded dates overlap are read (removals still apply
+        globally), so a one-day incremental read of a 10-year table
+        costs one directory listing plus that day's files. File-level
+        means over-approximate: a file mixing dates contributes all
+        its rows — callers filter rows; the pruning bounds IO, not
+        row membership.
 
         ``version`` time-travels: the table AS OF commit ``version``
         (inclusive — ``version=0`` is the first commit's view). Commit
@@ -250,7 +262,10 @@ class ManifestTable:
                     f"{len(commits)} commits"
                 )
             commits = commits[: version + 1]
-        files = self._files(commits)
+        files = self._files(
+            commits,
+            {str(d) for d in dates} if dates is not None else None,
+        )
         if not files:
             return None
         schema = self._evolved_schema(commits)

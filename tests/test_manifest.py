@@ -875,3 +875,41 @@ def test_changed_dates_sees_deletes_and_skips_optimize(spark, table_dir):
     assert changed_dates_since(
         spark, t, len(t.snapshot()) - 2
     ) == [dt.date(2024, 3, 1)]
+
+
+def test_read_dates_prunes_files_from_metadata(spark, table_dir):
+    """Date-restricted reads prune at the FILE level from commit
+    metadata (no data touched for other days), and removals still
+    apply inside the pruned view."""
+    import datetime as dt
+
+    def batch_on(day: str, lo, hi):
+        msgs = [
+            json.dumps(
+                dict(GOOD, meter_id=i, reading_timestamp=f"{day}T10:30:00")
+            )
+            for i in range(lo, hi)
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+        valid, _ = ingest.split_valid(
+            ingest.classify(ingest.parse_messages(raw))
+        )
+        return valid
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, batch_on("2024-03-01", 1, 11))
+    t.idempotent_append(spark, batch_on("2024-03-02", 1, 21))
+    t.idempotent_append(spark, batch_on("2024-03-03", 1, 6))
+
+    d2 = t.read(spark, dates=[dt.date(2024, 3, 2)])
+    assert d2.count() == 20
+    # the pruned plan reads strictly fewer files than the full table
+    assert len(d2.inputFiles()) < len(t.read(spark).inputFiles())
+
+    # a delete on day 2 is visible through the pruned read
+    dead = batch_on("2024-03-02", 1, 6).select(
+        "reading_timestamp", "meter_id"
+    )
+    assert t.delete_keys(spark, dead) == 5
+    assert t.read(spark, dates=[dt.date(2024, 3, 2)]).count() == 15
+    assert t.read(spark, dates=[dt.date(2024, 3, 4)]) is None
