@@ -1268,6 +1268,34 @@ register(
 )(dedup_semantic)
 
 
+def dedup_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-assignment serve path under the driver gate:
+    build → save the Lloyd assignment to parquet → serve the prune
+    from the artifact, all inside the query. Shares
+    :func:`dedup_semantic`'s oracle, so a serve-path divergence from
+    the full pipeline (stale artifact schema, grid drift through the
+    parquet round-trip, assignment/prune mismatch) breaks the hash —
+    the production amortization (cluster once, prune per run) proven
+    end-to-end, not just in tests."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="semantic_serve_q_")
+    try:
+        path = workdir + "/assignment"
+        semantic_save_assignment(spark, sf_dir, path)
+        return dedup_semantic_serve(spark, sf_dir, path).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "dedup_semantic_served", _kmeans_fixed_oracle(final_sql=_SEMDEDUP_TAIL)
+)(dedup_semantic_served)
+
+
 # ---------------------------------------------------------------------------
 # Per-dimension embedding statistics (feature-health audit)
 # ---------------------------------------------------------------------------

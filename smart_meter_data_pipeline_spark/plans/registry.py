@@ -91,6 +91,7 @@ _PRIORITY = [
     "doc_ttr",
     "stream_restatement_upsert",
     "events_dedup_latest",
+    "dedup_semantic_served",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
