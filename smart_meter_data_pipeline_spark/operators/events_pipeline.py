@@ -428,3 +428,47 @@ WHERE rn = 1
 """
 
 register("events_dedup_latest", _DEDUP_LATEST_SQL)(events_dedup_latest)
+
+
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-extrema detection: events that are a strict local maximum
+    of their user's value series (higher than both neighbors) — the
+    spike-screening primitive behind alerting and changepoint
+    pipelines. One LAG + one LEAD over a single (user, time) window
+    ordering — both neighbors come from the same sort, one shuffle
+    total. Deterministic under tied timestamps via the event_id
+    tiebreak in the ordering."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    next_v = F.lead("value").over(w)
+    return (
+        events.withColumn("prev_v", prev_v)
+        .withColumn("next_v", next_v)
+        .filter(
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("value") > F.col("prev_v"))
+            & (F.col("value") > F.col("next_v"))
+        )
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+_PEAKS_SQL = """
+SELECT user_id, event_id, ts, value
+FROM (
+  SELECT user_id, event_id, ts, value,
+         LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_v,
+         LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_v
+  FROM events
+)
+WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+  AND value > prev_v AND value > next_v
+"""
+
+register("events_peak_detection", _PEAKS_SQL)(events_peak_detection)

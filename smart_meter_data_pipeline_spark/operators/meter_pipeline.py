@@ -1007,3 +1007,49 @@ SELECT reading_timestamp, meter_id,
 FROM readings
 WHERE meter_id % 11 <> 5""",
 )(manifest_cow_roundtrip)
+
+
+def manifest_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE under the driver gate: land the generator day as many
+    small commits (micro-batch ingest shape), bin-pack the files with
+    :func:`~.manifest.optimize_table`, and return the packed table —
+    against the PLAIN generator oracle, so any row the rewrite lost,
+    duplicated, or altered breaks the hash. Also asserts the file
+    count actually shrank (a no-op "optimize" would still hash
+    correctly — the plan property is checked in-query)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        optimize_table,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_opt_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        # 8 micro-batches → dozens of small part files
+        for k in range(8):
+            t.idempotent_append(
+                spark, readings.filter(F.col("meter_id") % 8 == k)
+            )
+        n_before = len(t._files(t.snapshot()))
+        res = optimize_table(t, spark, small_file_bytes=32 << 20)
+        n_after = len(t._files(t.snapshot()))
+        if not (res["files_rewritten"] == n_before and n_after < n_before):
+            raise AssertionError(
+                f"optimize did not shrink the file set: "
+                f"{n_before} -> {n_after} ({res})"
+            )
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_optimize_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings""",
+)(manifest_optimize_roundtrip)

@@ -92,6 +92,8 @@ _PRIORITY = [
     "stream_restatement_upsert",
     "events_dedup_latest",
     "dedup_semantic_served",
+    "manifest_optimize_roundtrip",
+    "events_peak_detection",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
