@@ -602,8 +602,11 @@ class ManifestTable:
                     tagged = cand_reader.parquet(*cand).withColumn(
                         "_file", F.input_file_name()
                     )
+                    # No broadcast hint: a restatement batch can be
+                    # arbitrarily large — let AQE pick broadcast when
+                    # the key set is small and shuffle when it isn't.
                     matched = tagged.join(
-                        F.broadcast(in_keys.select(*pk)), pk, "left_semi"
+                        in_keys.select(*pk), pk, "left_semi"
                     )
                     n_matched = matched.count()
                     if n_matched:
@@ -621,7 +624,7 @@ class ManifestTable:
                                 F.col("_file").isin(affected_uris)
                             )
                             .join(
-                                F.broadcast(in_keys.select(*pk)),
+                                in_keys.select(*pk),
                                 pk,
                                 "left_anti",
                             )
