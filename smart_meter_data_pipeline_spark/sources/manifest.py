@@ -352,6 +352,60 @@ class ManifestTable:
             if name.endswith(".parquet")
         ]
 
+    STATS_COLUMN = "meter_id"
+
+    def _file_stats(self, rel_files: list[str]) -> dict:
+        """Per-file [min, max] of the stats column, read from the
+        parquet FOOTERS of just-staged files — no data scan, ~1ms per
+        file on the driver. This is the Delta/Iceberg data-skipping
+        move: the commit carries the file's key range, so later
+        mutations prune their candidate scan from metadata alone."""
+        import pyarrow.parquet as pq
+
+        out = {}
+        for rel in rel_files:
+            md = pq.read_metadata(os.path.join(self.data_dir, rel))
+            mn = mx = None
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    col = rg.column(j)
+                    if col.path_in_schema != self.STATS_COLUMN:
+                        continue
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        continue
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+            if mn is not None:
+                out[rel] = [int(mn), int(mx)]
+        return out
+
+    def _prune_by_stats(
+        self,
+        files: list[str],
+        commits: list[dict],
+        key_min: int | None,
+        key_max: int | None,
+    ) -> list[str]:
+        """Drop candidate files whose recorded stats range cannot
+        intersect [key_min, key_max]. Files without stats (written
+        before stats tracking) are always kept — skipping is an
+        optimization, never a correctness filter."""
+        if key_min is None or key_max is None:
+            return files
+        ranges: dict[str, list] = {}
+        for c in commits:
+            ranges.update(c.get("stats", {}))
+        kept = []
+        for f in files:
+            rel = os.path.relpath(f, self.data_dir)
+            r = ranges.get(rel)
+            if r is not None and (r[1] < key_min or r[0] > key_max):
+                continue
+            kept.append(f)
+        return kept
+
     def _discard_stage(self, rel_files: list[str]) -> None:
         import shutil
 
@@ -425,6 +479,7 @@ class ManifestTable:
                         "count": n,
                         "dates": sorted(batch_dates),
                         "schema": in_batch.schema.json(),
+                        "stats": self._file_stats(staged),
                     }
                 ).encode()
                 if _put_if_absent(self._commit_path(validated_through), payload):
@@ -592,6 +647,17 @@ class ManifestTable:
                 # one file's schema and silently drop the others'
                 # columns from the rewrite.
                 ev_schema = self._evolved_schema(commits)
+                # File skipping: the batch's key range vs each file's
+                # recorded min/max — a restatement targeting one meter
+                # range touches only that range's files, from metadata
+                # alone.
+                krange = in_keys.agg(
+                    F.min(self.STATS_COLUMN).alias("mn"),
+                    F.max(self.STATS_COLUMN).alias("mx"),
+                ).collect()[0]
+                cand = self._prune_by_stats(
+                    cand, commits, krange["mn"], krange["mx"]
+                )
                 staged: list[str] = []
                 removed_rel: list[str] = []
                 n_matched = 0
@@ -682,6 +748,7 @@ class ManifestTable:
                         "removed": removed_rel,
                         "count": n_staged,
                         "dates": added_dates,
+                        "stats": self._file_stats(staged),
                         # CDC metadata: the dates the matched (removed
                         # or re-stated) rows lived on — the only
                         # record of a date a DELETE emptied entirely,
@@ -803,6 +870,13 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         # tail commits keep their own removed lists, which may still
         # reference base files (applied in order by _files).
         base_schema = ManifestTable._evolved_schema([c for _, c in base])
+        net_rel = set(table._net_relfiles([c for _, c in base]))
+        base_stats = {
+            rel: r
+            for _, c in base
+            for rel, r in c.get("stats", {}).items()
+            if rel in net_rel
+        }
         merged = {
             "version": base_num,
             "added": table._net_relfiles([c for _, c in base]),
@@ -812,6 +886,7 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
             ),
             "compacted_from": cut,
             "schema": base_schema.json() if base_schema else None,
+            "stats": base_stats,
         }
         tmp = table._commit_path(base_num) + f".compacting.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -905,6 +980,7 @@ def optimize_table(
                     "count": n_staged,
                     "dates": dates,
                     "schema": schema.json() if schema else None,
+                    "stats": table._file_stats(staged),
                     "optimize": True,
                 }
             ).encode()

@@ -913,3 +913,41 @@ def test_read_dates_prunes_files_from_metadata(spark, table_dir):
     assert t.delete_keys(spark, dead) == 5
     assert t.read(spark, dates=[dt.date(2024, 3, 2)]).count() == 15
     assert t.read(spark, dates=[dt.date(2024, 3, 4)]) is None
+
+
+def test_file_skipping_stats_prune_mutation_scans(spark, table_dir):
+    """Data skipping from commit metadata: every commit records each
+    file's [min, max] meter_id straight from the parquet footers; a
+    mutation whose key range can't intersect a file skips it without
+    opening it. Files predating stats tracking are always kept
+    (skipping is an optimization, never a correctness filter)."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 101))      # low range
+    t.idempotent_append(spark, _valid_batch(spark, 5001, 5101))  # high range
+
+    commits = t.snapshot()
+    # stats recorded for every added file
+    for c in commits:
+        assert set(c["stats"]) == set(c["added"])
+        for mn, mx in c["stats"].values():
+            assert mn <= mx
+
+    live = t._files(commits)
+    # a delete targeting meters 5001-5050 must prune ALL low-range files
+    pruned = t._prune_by_stats(live, commits, 5001, 5050)
+    low_files = set(commits[0]["added"])
+    assert all(
+        os.path.relpath(f, t.data_dir) not in low_files for f in pruned
+    )
+    assert len(pruned) < len(live)
+    # legacy commits without stats are never skipped
+    no_stats = [dict(c, stats={}) for c in commits]
+    assert t._prune_by_stats(live, no_stats, 5001, 5050) == live
+
+    # end-to-end: the pruned delete is still exact
+    doomed = _valid_batch(spark, 5001, 5051).select(
+        "reading_timestamp", "meter_id"
+    )
+    assert t.delete_keys(spark, doomed) == 50
+    left = {r["meter_id"] for r in t.read(spark).collect()}
+    assert left == set(range(1, 101)) | set(range(5051, 5101))
