@@ -951,3 +951,54 @@ def test_file_skipping_stats_prune_mutation_scans(spark, table_dir):
     assert t.delete_keys(spark, doomed) == 50
     left = {r["meter_id"] for r in t.read(spark).collect()}
     assert left == set(range(1, 101)) | set(range(5051, 5101))
+
+
+def test_concurrent_upserts_serialize_cleanly(spark, table_dir):
+    """Mutation-vs-mutation: a competing upsert lands between this
+    upsert's validation and its publish. The loser must discard its
+    stale rewrite and rerun against the winner's post-image — both
+    corrections survive, no lost update (the classic write-write
+    conflict the optimistic fence exists for)."""
+    t = manifest.ManifestTable(table_dir)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 21)) == 20
+
+    def restate(lo, hi, mw):
+        msgs = [
+            json.dumps(
+                dict(GOOD, meter_id=i, reading_consumption_milliwatts=mw)
+            )
+            for i in range(lo, hi)
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+        valid, _ = ingest.split_valid(
+            ingest.classify(ingest.parse_messages(raw))
+        )
+        return valid
+
+    fired = []
+
+    def land_other_upsert():
+        if fired:
+            return
+        fired.append(True)
+        other = manifest.ManifestTable(table_dir)
+        assert other.upsert(spark, restate(1, 6, 1111)) == {
+            "updated": 5,
+            "inserted": 0,
+        }
+
+    t._pre_publish_hook = land_other_upsert
+    assert t.upsert(spark, restate(10, 16, 2222)) == {
+        "updated": 6,
+        "inserted": 0,
+    }
+    t._pre_publish_hook = None
+
+    vals = _read_vals(spark, t)
+    assert len(vals) == 20
+    for m in range(1, 6):
+        assert (m, 1111) in vals  # competitor's correction survives
+    for m in range(10, 16):
+        assert (m, 2222) in vals  # ours lands on top of the new log
+    for m in list(range(6, 10)) + list(range(16, 21)):
+        assert (m, 1500) in vals  # untouched rows intact
