@@ -472,3 +472,104 @@ WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
 """
 
 register("events_peak_detection", _PEAKS_SQL)(events_peak_detection)
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen: per event type, the cumulative sum of
+    deviations from the type mean along event time; the row where
+    |CUSUM| peaks is the classic single-changepoint estimate (a level
+    shift makes the deviation sum drift fastest there). One window
+    pass + one argmax aggregate per type.
+
+    Exactness: the running sum is DECIMAL (values and the rounded
+    mean quantized to the 6-digit grid) — a double running sum would
+    hash-break because DuckDB computes windowed sums with segment-tree
+    association, not left-to-right. Output is all-integer
+    (micro-units + counts); argmax ties break on (ts, event_id)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    means = events.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("mean_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    dev = (
+        events.join(F.broadcast(means), "event_type")
+        .withColumn(
+            "dev",
+            F.round(F.col("value"), 6).cast("decimal(12,6)")
+            - F.col("mean_v"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = dev.withColumn("cusum", F.sum("dev").over(w))
+    return (
+        cusum.groupBy("event_type", "n_events")
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("cusum")).alias("a"),
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("eid"),
+                )
+            ).alias("peak")
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("peak.ts").alias("changepoint_ts"),
+            F.col("peak.eid").alias("changepoint_event_id"),
+            F.floor(F.col("peak.a") * 1000000)
+            .cast("bigint")
+            .alias("peak_cusum_micro"),
+        )
+    )
+
+
+_CUSUM_SQL = """
+WITH means AS (
+  SELECT event_type,
+         CAST(round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(12,6)) AS mean_v,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.ts, m.n_events,
+         CAST(round(e.value, 6) AS DECIMAL(12,6)) - m.mean_v AS dev
+  FROM events e JOIN means m USING (event_type)
+),
+cs AS (
+  SELECT event_type, event_id, ts, n_events,
+         SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cusum
+  FROM dev
+),
+ranked AS (
+  SELECT event_type, n_events, ts, event_id, ABS(cusum) AS a,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum) DESC, ts DESC,
+                                     event_id DESC) AS rn
+  FROM cs
+)
+SELECT event_type, n_events,
+       ts AS changepoint_ts,
+       event_id AS changepoint_event_id,
+       CAST(FLOOR(a * 1000000) AS BIGINT) AS peak_cusum_micro
+FROM ranked WHERE rn = 1
+"""
+
+register("events_cusum_changepoint", _CUSUM_SQL)(events_cusum_changepoint)

@@ -94,6 +94,7 @@ _PRIORITY = [
     "dedup_semantic_served",
     "manifest_optimize_roundtrip",
     "events_peak_detection",
+    "events_cusum_changepoint",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
