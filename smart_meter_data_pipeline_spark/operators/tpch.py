@@ -1374,3 +1374,104 @@ GROUP BY c_mktsegment
 """
 
 register("orders_gap_stats", _ORDER_GAP_SQL)(orders_gap_stats)
+
+
+def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per supplier nation: how many suppliers
+    cover 80% of the nation's lineitem revenue, plus the top
+    supplier's share — the 80/20 audit behind supplier-risk and
+    source-mix dashboards (and the same shape as a per-domain corpus
+    concentration audit).
+
+    Exactness: per-supplier revenue, the ordered cumulative sum, and
+    the 80% threshold all stay DECIMAL (cumulative window sums in
+    double would hash-break on association); only the final share
+    ratio divides through double, identically derived in both
+    engines. Plan: one fact shuffle on suppkey, supplier-sized
+    windows, nation-sized output."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(revenue.cast("decimal(25,6)")).alias("rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    w_cum = (
+        Window.partitionBy("n_name")
+        .orderBy(F.col("rev").desc(), F.col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("n_name").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = per_supp.select(
+        "n_name",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+        F.max("rev").over(w_all).alias("top_rev"),
+    )
+    return (
+        scored.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(
+                (
+                    (F.col("cum") - F.col("rev"))
+                    < F.col("total") * F.lit("0.8").cast("decimal(2,1)")
+                ).cast("bigint")
+            ).alias("n_for_80pct"),
+            F.floor(
+                F.max("top_rev").cast("double")
+                * 1000000.0
+                / F.max("total").cast("double")
+            )
+            .cast("bigint")
+            .alias("top_share_micro"),
+        )
+    )
+
+
+_PARETO_SQL = """
+WITH per_supp AS (
+  SELECT n_name, s_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+             AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey
+),
+scored AS (
+  SELECT n_name, rev,
+         SUM(rev) OVER (PARTITION BY n_name ORDER BY rev DESC, s_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum,
+         SUM(rev) OVER (PARTITION BY n_name) AS total,
+         MAX(rev) OVER (PARTITION BY n_name) AS top_rev
+  FROM per_supp
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST((cum - rev) < CAST(total AS DECIMAL(25,6))
+                     * CAST(0.8 AS DECIMAL(2,1)) AS BIGINT)) AS BIGINT)
+           AS n_for_80pct,
+       CAST(FLOOR(CAST(MAX(top_rev) AS DOUBLE) * 1000000.0
+                  / CAST(MAX(total) AS DOUBLE)) AS BIGINT)
+           AS top_share_micro
+FROM scored
+GROUP BY n_name
+"""
+
+register("supplier_revenue_pareto", _PARETO_SQL)(supplier_revenue_pareto)

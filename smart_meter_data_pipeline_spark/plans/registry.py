@@ -95,6 +95,7 @@ _PRIORITY = [
     "manifest_optimize_roundtrip",
     "events_peak_detection",
     "events_cusum_changepoint",
+    "supplier_revenue_pareto",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",

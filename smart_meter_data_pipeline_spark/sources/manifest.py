@@ -905,6 +905,7 @@ def optimize_table(
     spark: SparkSession,
     small_file_bytes: int = 32 * 1024 * 1024,
     target_partitions: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Bin-packing file compaction — the OPTIMIZE of the manifest
     world, and the operational answer to the small-file problem a
@@ -920,6 +921,14 @@ def optimize_table(
     contents, old versions still time-travel, and the originals
     become reclaimable once log compaction nets them out (the same
     delete → compact → vacuum lifecycle as mutations).
+
+    ``cluster_by`` is OPTIMIZE ZORDER's role here: the rewrite is
+    range-partitioned and sorted on those columns, so each packed
+    file covers a narrow key range — which is exactly what makes the
+    per-file min/max stats in the commit (and therefore the
+    mutations' file skipping) selective. Packing without clustering
+    shrinks file COUNT; packing with it also shrinks every file's
+    stats RANGE.
 
     Runs under the table flock (serializes with other maintenance);
     publishes through put-if-absent at a fence from the SAME listing
@@ -954,7 +963,13 @@ def optimize_table(
             reader = spark.read
             if schema is not None:
                 reader = reader.schema(schema)
-            packed = reader.parquet(*small).repartition(int(n_out))
+            src_df = reader.parquet(*small)
+            if cluster_by:
+                packed = src_df.repartitionByRange(
+                    int(n_out), *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+            else:
+                packed = src_df.repartition(int(n_out))
             staged = table._stage(packed)
             n_staged = spark.read.parquet(
                 *(os.path.join(table.data_dir, f) for f in staged)

@@ -1002,3 +1002,57 @@ def test_concurrent_upserts_serialize_cleanly(spark, table_dir):
         assert (m, 2222) in vals  # ours lands on top of the new log
     for m in list(range(6, 10)) + list(range(16, 21)):
         assert (m, 1500) in vals  # untouched rows intact
+
+
+def test_optimize_cluster_by_tightens_stats_and_skipping(spark, table_dir):
+    """OPTIMIZE with cluster_by (the ZORDER role): the rewrite is
+    range-partitioned + sorted on the key, so every packed file
+    covers a NARROW, near-disjoint key range — and the mutation
+    file-skipper then prunes most files for a range-targeted delete.
+    Without clustering, interleaved appends leave every file spanning
+    the whole key space and nothing can be skipped."""
+    t = manifest.ManifestTable(table_dir)
+    # interleaved appends: every file mixes low and high meters
+    t.idempotent_append(
+        spark,
+        _valid_batch(spark, 1, 51).unionByName(
+            _valid_batch(spark, 9001, 9051)
+        ),
+    )
+    t.idempotent_append(
+        spark,
+        _valid_batch(spark, 51, 101).unionByName(
+            _valid_batch(spark, 9051, 9101)
+        ),
+    )
+    commits = t.snapshot()
+    live = t._files(commits)
+    # pre-clustering: a low-range delete can prune nothing
+    assert t._prune_by_stats(live, commits, 1, 100) == live
+
+    res = manifest.optimize_table(
+        t,
+        spark,
+        small_file_bytes=32 << 20,
+        target_partitions=4,
+        cluster_by=["meter_id"],
+    )
+    assert res["files_created"] == 4
+    commits = t.snapshot()
+    live = t._files(commits)
+    pruned = t._prune_by_stats(live, commits, 1, 100)
+    # post-clustering: the low-range probe touches a strict subset
+    assert len(pruned) < len(live)
+    # contents identical, ranges near-disjoint
+    assert t.read(spark).count() == 200
+    stats = commits[-1]["stats"]
+    ranges = sorted(stats.values())
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2  # range-partitioned: no overlap beyond edges
+
+    # a range-targeted delete after clustering is still exact
+    doomed = _valid_batch(spark, 9001, 9101).select(
+        "reading_timestamp", "meter_id"
+    )
+    assert t.delete_keys(spark, doomed) == 100
+    assert t.read(spark).count() == 100
