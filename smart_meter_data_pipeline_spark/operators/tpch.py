@@ -1475,3 +1475,173 @@ GROUP BY n_name
 """
 
 register("supplier_revenue_pareto", _PARETO_SQL)(supplier_revenue_pareto)
+
+
+def nation_self_sufficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domestic-supply share per customer nation: the fraction of each
+    nation's purchase revenue supplied by its OWN suppliers — the
+    trade-dependence dial next to nation_trade_balance (volumes) and
+    nation_trade_reciprocity (pair flows). Conditional aggregation
+    over the supplier⋈customer nation join: one fact shuffle, both
+    dims broadcast, 25-row output; the share divides two identically
+    derived exact decimals through double."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    rev_dec = revenue.cast("decimal(25,6)")
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(rev_dec).alias("total_dec"),
+            F.sum(
+                F.when(
+                    F.col("s_nationkey") == F.col("c_nationkey"), rev_dec
+                ).otherwise(F.lit(0).cast("decimal(25,6)"))
+            ).alias("domestic_dec"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            "n_name",
+            "n_lineitems",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+            F.col("domestic_dec").cast("double").alias("domestic_revenue"),
+            F.floor(
+                F.col("domestic_dec").cast("double")
+                * 1000000.0
+                / F.col("total_dec").cast("double")
+            )
+            .cast("bigint")
+            .alias("self_sufficiency_micro"),
+        )
+    )
+
+
+_SELF_SUFFICIENCY_SQL = """
+SELECT cn.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+            AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN s_nationkey = c_nationkey
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(25,6))
+                     ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+           AS domestic_revenue,
+       CAST(FLOOR(
+         CAST(SUM(CASE WHEN s_nationkey = c_nationkey
+                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(25,6))
+                       ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+         * 1000000.0
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE)
+       ) AS BIGINT) AS self_sufficiency_micro
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY cn.n_name
+"""
+
+register("nation_self_sufficiency", _SELF_SUFFICIENCY_SQL)(
+    nation_self_sufficiency
+)
+
+
+def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality of customer order value per market segment —
+    the concentration summary behind 'do a few whales carry this
+    segment'. Gini = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n over values sorted
+    ascending; Σ(i·vᵢ) and Σv stay exact DECIMAL (rank·value products
+    summed exactly — the order-sensitive part), the two final
+    divisions go through double identically in both engines. One
+    customer-sized window per segment, integer micro output."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("v"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("v"), F.col("o_custkey")
+    )
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("v").alias("sum_v"),
+            F.sum(F.col("v") * F.col("i")).alias("sum_iv"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.floor(
+                (
+                    F.lit(2.0)
+                    * F.col("sum_iv").cast("double")
+                    / (
+                        F.col("n_customers").cast("double")
+                        * F.col("sum_v").cast("double")
+                    )
+                    - (F.col("n_customers") + 1).cast("double")
+                    / F.col("n_customers").cast("double")
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("gini_micro"),
+        )
+    )
+
+
+_GINI_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS v
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, v,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY v, o_custkey) AS i
+  FROM per_cust JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(FLOOR(
+         (2.0 * CAST(SUM(v * i) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+          - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         * 1000000.0
+       ) AS BIGINT) AS gini_micro
+FROM ranked
+GROUP BY c_mktsegment
+"""
+
+register("customer_value_gini", _GINI_SQL)(customer_value_gini)

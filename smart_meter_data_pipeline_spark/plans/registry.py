@@ -96,6 +96,8 @@ _PRIORITY = [
     "events_peak_detection",
     "events_cusum_changepoint",
     "supplier_revenue_pareto",
+    "nation_self_sufficiency",
+    "customer_value_gini",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
