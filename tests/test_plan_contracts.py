@@ -412,3 +412,36 @@ def test_doc_prefix_dup_is_single_window_no_self_join(spark, sf_dir):
     assert "Window" in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pareto_gini_windows_on_rollups_not_fact(spark, sf_dir):
+    """The concentration metrics (Pareto, Gini) must window over the
+    per-supplier / per-customer ROLLUP, never sort the fact table:
+    exactly one fact aggregation feeds supplier-/customer-sized
+    windows, dims broadcast, no Python."""
+    for fn in (tpch.supplier_revenue_pareto, tpch.customer_value_gini):
+        p = _plan(fn(spark, sf_dir))
+        assert "BroadcastExchange" in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            fn.__name__
+        )
+
+
+def test_self_sufficiency_single_fact_shuffle_star(spark, sf_dir):
+    """Q5-style star: every dim side broadcast, the 25-row output
+    comes from one aggregation over one big join chain."""
+    p = _plan(tpch.nation_self_sufficiency(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_cusum_broadcasts_means_and_orders_within_type(spark, sf_dir):
+    """CUSUM: the type-mean table broadcasts back (type-sized), the
+    running sum orders within the type partition — no global sort of
+    the events table and no Python eval."""
+    p = _plan(events_pipeline.events_cusum_changepoint(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
