@@ -883,3 +883,93 @@ GROUP BY doc_id, source
 """
 
 register("doc_ttr", _TTR_SQL)(doc_ttr)
+
+
+VOCAB_GROWTH_STEP = 100  # doc_id checkpoint spacing
+
+
+def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct tokens
+    vs cumulative token count at doc_id checkpoints — the measurement
+    behind tokenizer sizing and dedup-payoff estimates (a flattening
+    curve means new documents stop contributing vocabulary).
+
+    One corpus scan, no per-checkpoint rescans: each token's FIRST
+    containing doc_id is a vocab-sized aggregate; a checkpoint's
+    distinct count is then 'tokens whose first doc precedes it' —
+    both curves fall out of one small rollup joined to the checkpoint
+    spine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(tokens()).alias("word"))
+    first_seen = words.groupBy("word").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    # checkpoint spine derived from the data (scale-proof, and DuckDB
+    # range() cannot take subquery bounds): the top of each occupied
+    # doc_id bucket
+    checkpoints = docs.select(
+        (
+            (F.floor(F.col("doc_id") / VOCAB_GROWTH_STEP) + 1)
+            * VOCAB_GROWTH_STEP
+        )
+        .cast("long")
+        .alias("checkpoint")
+    ).distinct()
+    tok_counts = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    cum_tokens = (
+        checkpoints.join(
+            tok_counts, tok_counts.doc_id < F.col("checkpoint"), "left"
+        )
+        .groupBy("checkpoint")
+        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)).alias("cum_tokens"))
+    )
+    cum_vocab = (
+        checkpoints.join(
+            first_seen, first_seen.first_doc < F.col("checkpoint"), "left"
+        )
+        .groupBy("checkpoint")
+        .agg(F.count("first_doc").alias("cum_distinct_tokens"))
+    )
+    return (
+        cum_tokens.join(cum_vocab, "checkpoint")
+        .select(
+            "checkpoint",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.col("cum_distinct_tokens")
+            .cast("bigint")
+            .alias("cum_distinct_tokens"),
+        )
+    )
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS word
+  FROM documents
+),
+first_seen AS (
+  SELECT word, MIN(doc_id) AS first_doc FROM words GROUP BY word
+),
+tok_counts AS (
+  SELECT doc_id, COUNT(*) AS n_toks FROM words GROUP BY doc_id
+),
+checkpoints AS (
+  SELECT DISTINCT
+         CAST((doc_id // {VOCAB_GROWTH_STEP} + 1)
+              * {VOCAB_GROWTH_STEP} AS BIGINT) AS checkpoint
+  FROM documents
+)
+SELECT checkpoint,
+       CAST(COALESCE((SELECT SUM(n_toks) FROM tok_counts
+                      WHERE doc_id < checkpoint), 0) AS BIGINT)
+           AS cum_tokens,
+       CAST((SELECT COUNT(*) FROM first_seen
+             WHERE first_doc < checkpoint) AS BIGINT)
+           AS cum_distinct_tokens
+FROM checkpoints
+"""
+
+register("doc_vocab_growth", _VOCAB_GROWTH_SQL)(doc_vocab_growth)

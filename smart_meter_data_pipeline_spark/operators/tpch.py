@@ -1645,3 +1645,67 @@ GROUP BY c_mktsegment
 """
 
 register("customer_value_gini", _GINI_SQL)(customer_value_gini)
+
+
+def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand retail-price dispersion: n, min/max, and the exact
+    population variance in micro units — the price-book consistency
+    audit. Variance comes from the sufficient statistics
+    (n·Σv² − (Σv)²)/n², with Σv and Σv² EXACT decimal sums (the
+    order-sensitive parts) and one double division at the end; the
+    whole thing is a single map-side-combinable aggregation over one
+    part-table scan."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_retailprice"
+    )
+    v = F.round(F.col("p_retailprice"), 6).cast("decimal(25,6)")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+        .select(
+            "p_brand",
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            "min_price",
+            "max_price",
+            F.floor(
+                (
+                    F.col("n_parts") * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                ).cast("double")
+                / (F.col("n_parts") * F.col("n_parts")).cast("double")
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("price_var_micro"),
+        )
+    )
+
+
+_PRICE_DISPERSION_SQL = """
+WITH stats AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         MIN(p_retailprice) AS min_price,
+         MAX(p_retailprice) AS max_price,
+         SUM(CAST(round(p_retailprice, 6) AS DECIMAL(25,6))) AS s1,
+         SUM(CAST(round(p_retailprice, 6) AS DECIMAL(25,6))
+             * CAST(round(p_retailprice, 6) AS DECIMAL(25,6))) AS s2
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand, n_parts, min_price, max_price,
+       CAST(FLOOR(
+         CAST(n_parts * s2 - s1 * s1 AS DOUBLE)
+         / CAST(n_parts * n_parts AS DOUBLE) * 1000000.0
+       ) AS BIGINT) AS price_var_micro
+FROM stats
+"""
+
+register("part_brand_price_dispersion", _PRICE_DISPERSION_SQL)(
+    part_brand_price_dispersion
+)

@@ -98,6 +98,8 @@ _PRIORITY = [
     "supplier_revenue_pareto",
     "nation_self_sufficiency",
     "customer_value_gini",
+    "part_brand_price_dispersion",
+    "doc_vocab_growth",
     # (1) code changed after last driver row
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
