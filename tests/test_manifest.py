@@ -1011,19 +1011,24 @@ def test_optimize_cluster_by_tightens_stats_and_skipping(spark, table_dir):
     file-skipper then prunes most files for a range-targeted delete.
     Without clustering, interleaved appends leave every file spanning
     the whole key space and nothing can be skipped."""
+    from pyspark.sql import functions as F
+
     t = manifest.ManifestTable(table_dir)
-    # interleaved appends: every file mixes low and high meters
+    # interleaved appends, partitioned on meter PARITY so EVERY file
+    # deterministically mixes low and high meters (arbitrary input
+    # partitioning can otherwise separate the ranges and make the
+    # pre-clustering no-prune premise flaky)
     t.idempotent_append(
         spark,
-        _valid_batch(spark, 1, 51).unionByName(
-            _valid_batch(spark, 9001, 9051)
-        ),
+        _valid_batch(spark, 1, 51)
+        .unionByName(_valid_batch(spark, 9001, 9051))
+        .repartition(2, F.col("meter_id") % 2),
     )
     t.idempotent_append(
         spark,
-        _valid_batch(spark, 51, 101).unionByName(
-            _valid_batch(spark, 9051, 9101)
-        ),
+        _valid_batch(spark, 51, 101)
+        .unionByName(_valid_batch(spark, 9051, 9101))
+        .repartition(2, F.col("meter_id") % 2),
     )
     commits = t.snapshot()
     live = t._files(commits)
