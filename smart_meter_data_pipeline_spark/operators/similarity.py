@@ -2132,8 +2132,12 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums; the centroid mean divides through double and
     re-quantizes to the grid), so the full computation hash-checks.
     Plan: one corpus scan → per-pos centroid (bounded agg, dim rows)
-    broadcast back → per-vector exact distance → global top-k via one
-    (dist2, vec_id) sort of scalar rows — never the vectors."""
+    broadcast back → per-vector exact distance → top-k via
+    ``orderBy().limit(k)`` (TakeOrderedAndProject: each partition
+    keeps its local top-k scalar rows, the driver merges ≤k·p rows) —
+    never a single-partition sort of the corpus, never the vectors.
+    The rank column is attached by a window AFTER the limit, over a
+    ≤k-row frame."""
     el = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", F.posexplode("embedding").alias("pos", "vf"))
@@ -2159,10 +2163,12 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist2")
         )
     )
+    top = dist.orderBy(F.col("dist2").desc(), F.col("vec_id")).limit(
+        OUTLIER_TOP_K
+    )
     w = Window.orderBy(F.col("dist2").desc(), F.col("vec_id"))
     return (
-        dist.withColumn("outlier_rank", F.row_number().over(w))
-        .filter(F.col("outlier_rank") <= OUTLIER_TOP_K)
+        top.withColumn("outlier_rank", F.row_number().over(w))
         .select(
             "vec_id",
             "label",

@@ -894,50 +894,49 @@ def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind tokenizer sizing and dedup-payoff estimates (a flattening
     curve means new documents stop contributing vocabulary).
 
-    One corpus scan, no per-checkpoint rescans: each token's FIRST
-    containing doc_id is a vocab-sized aggregate; a checkpoint's
-    distinct count is then 'tokens whose first doc precedes it' —
-    both curves fall out of one small rollup joined to the checkpoint
-    spine."""
+    One corpus scan, no per-checkpoint rescans and no theta-joins:
+    both curves reduce to per-BUCKET rollups (bucket = doc_id //
+    step; a token's vocab bucket is its first containing doc's
+    bucket) followed by ONE cumulative window over the bucket spine.
+    A doc in bucket b has doc_id < (b+1)*step exactly, so the running
+    sum over buckets ≤ b equals the strict-< checkpoint semantics.
+    The window is unpartitioned but runs on n_docs/step rows (the
+    bucket rollup), never the corpus — linear at 100×, where the old
+    ``doc_id < checkpoint`` theta-join was O(n²/step)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select("doc_id", F.explode(tokens()).alias("word"))
     first_seen = words.groupBy("word").agg(
         F.min("doc_id").alias("first_doc")
     )
-    # checkpoint spine derived from the data (scale-proof, and DuckDB
-    # range() cannot take subquery bounds): the top of each occupied
-    # doc_id bucket
-    checkpoints = docs.select(
-        (
-            (F.floor(F.col("doc_id") / VOCAB_GROWTH_STEP) + 1)
-            * VOCAB_GROWTH_STEP
-        )
-        .cast("long")
-        .alias("checkpoint")
-    ).distinct()
-    tok_counts = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks")
+    bucket_of = lambda c: F.floor(F.col(c) / VOCAB_GROWTH_STEP)
+    # bucket spine derived from the data (scale-proof, and DuckDB
+    # range() cannot take subquery bounds): every occupied doc_id
+    # bucket — including ones whose docs tokenize to nothing
+    buckets = docs.select(bucket_of("doc_id").alias("bucket")).distinct()
+    tok_b = (
+        words.groupBy(bucket_of("doc_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("b_toks"))
     )
-    cum_tokens = (
-        checkpoints.join(
-            tok_counts, tok_counts.doc_id < F.col("checkpoint"), "left"
-        )
-        .groupBy("checkpoint")
-        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)).alias("cum_tokens"))
+    voc_b = (
+        first_seen.groupBy(bucket_of("first_doc").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("b_vocab"))
     )
-    cum_vocab = (
-        checkpoints.join(
-            first_seen, first_seen.first_doc < F.col("checkpoint"), "left"
-        )
-        .groupBy("checkpoint")
-        .agg(F.count("first_doc").alias("cum_distinct_tokens"))
+    w = SqlWindow.orderBy("bucket").rowsBetween(
+        SqlWindow.unboundedPreceding, SqlWindow.currentRow
     )
     return (
-        cum_tokens.join(cum_vocab, "checkpoint")
+        buckets.join(tok_b, "bucket", "left")
+        .join(voc_b, "bucket", "left")
         .select(
-            "checkpoint",
-            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
-            F.col("cum_distinct_tokens")
+            ((F.col("bucket") + 1) * VOCAB_GROWTH_STEP)
+            .cast("bigint")
+            .alias("checkpoint"),
+            F.sum(F.coalesce(F.col("b_toks"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("b_vocab"), F.lit(0)))
+            .over(w)
             .cast("bigint")
             .alias("cum_distinct_tokens"),
         )
@@ -956,20 +955,29 @@ first_seen AS (
 tok_counts AS (
   SELECT doc_id, COUNT(*) AS n_toks FROM words GROUP BY doc_id
 ),
-checkpoints AS (
-  SELECT DISTINCT
-         CAST((doc_id // {VOCAB_GROWTH_STEP} + 1)
-              * {VOCAB_GROWTH_STEP} AS BIGINT) AS checkpoint
-  FROM documents
+tok_b AS (
+  SELECT doc_id // {VOCAB_GROWTH_STEP} AS bucket, COUNT(*) AS b_toks
+  FROM words GROUP BY 1
+),
+voc_b AS (
+  SELECT first_doc // {VOCAB_GROWTH_STEP} AS bucket, COUNT(*) AS b_vocab
+  FROM first_seen GROUP BY 1
+),
+buckets AS (
+  SELECT DISTINCT doc_id // {VOCAB_GROWTH_STEP} AS bucket FROM documents
 )
-SELECT checkpoint,
-       CAST(COALESCE((SELECT SUM(n_toks) FROM tok_counts
-                      WHERE doc_id < checkpoint), 0) AS BIGINT)
-           AS cum_tokens,
-       CAST((SELECT COUNT(*) FROM first_seen
-             WHERE first_doc < checkpoint) AS BIGINT)
-           AS cum_distinct_tokens
-FROM checkpoints
+SELECT CAST((bucket + 1) * {VOCAB_GROWTH_STEP} AS BIGINT) AS checkpoint,
+       CAST(SUM(COALESCE(b_toks, 0)) OVER (
+              ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(b_vocab, 0)) OVER (
+              ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS cum_distinct_tokens
+FROM buckets
+LEFT JOIN tok_b USING (bucket)
+LEFT JOIN voc_b USING (bucket)
 """
 
 register("doc_vocab_growth", _VOCAB_GROWTH_SQL)(doc_vocab_growth)

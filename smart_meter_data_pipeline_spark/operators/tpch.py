@@ -60,16 +60,17 @@ register("pricing_summary", _PRICING_SQL)(pricing_summary)
 
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join → agg → ORDER BY … LIMIT 10 with a
-    deterministic tiebreak. customer is the broadcast side; orders ⋈
-    lineitem shuffles on the join key once and the aggregation reuses
-    that partitioning."""
+    deterministic tiebreak. The filtered customer side carries no
+    forced hint (customer scales with SF; AQE broadcasts it when it
+    fits); orders ⋈ lineitem shuffles on the join key once and the
+    aggregation reuses that partitioning."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         orders.join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             orders.o_custkey == cust.c_custkey,
             "inner",
         )
@@ -98,8 +99,9 @@ register("top_revenue_orders", _TOP_ORDERS_SQL)(top_revenue_orders)
 
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: fact → dims star join rolled up by nation and
-    region; every dim side is broadcast so the only shuffle is the
-    final aggregation."""
+    region; nation/region broadcast, while orders and customer —
+    fact-scale tables at the 100 TB design point — shuffle-join on
+    their keys with AQE free to broadcast them at small SF."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -109,8 +111,8 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
         .groupBy("r_name", "n_name")
@@ -186,8 +188,10 @@ def tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⋈ orders ⋈ customer, then the SAME nation dim joined TWICE under
     different roles (supplier nation, customer nation), rolled up by
     the cross-border pair and ship year. Exercises alias resolution
-    and multi-broadcast planning: every dim side broadcasts, the fact
-    never shuffles until the final (pair, year) aggregation."""
+    and multi-broadcast planning: supplier and both nation roles
+    broadcast; orders and customer (fact-scale) join on their keys —
+    AQE may broadcast them at small SF — before the final (pair,
+    year) aggregation."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate",
         "l_extendedprice", "l_discount",
@@ -210,8 +214,8 @@ def tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -245,7 +249,8 @@ GROUP BY 1, 2, 3
 def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape — conditional-aggregate ratio: per ship month,
     the share of revenue coming from promo-class parts. One fact scan;
-    part is the broadcast side; the CASE folds into the partial
+    part carries no forced hint (it scales with SF — AQE broadcasts
+    it when it fits); the CASE folds into the partial
     aggregate so the shuffle carries two decimal sums per month, and
     the ratio is a deterministic double op on the exact sums."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -255,7 +260,7 @@ def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        li.join(part, li.l_partkey == part.p_partkey, "inner")
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(dsum(promo_rev, "promo_revenue"), dsum(revenue, "total_revenue"))
         .withColumn(
@@ -314,7 +319,7 @@ def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
@@ -387,8 +392,10 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
 def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape — lost-revenue report: top 20 customers by
     revenue on returned lineitems, with their nation. Fact filter
-    pushes to the scan (l_returnflag = 'R'), dims broadcast, one
-    aggregation shuffle on the customer key; top-k is a TakeOrdered,
+    pushes to the scan (l_returnflag = 'R'); nation broadcasts while
+    orders/customer shuffle-join on their keys (fact-scale — AQE may
+    broadcast them at small SF); one aggregation shuffle on the
+    customer key; top-k is a TakeOrdered,
     not a full sort, with c_custkey as the deterministic tiebreak."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
@@ -401,8 +408,8 @@ def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_returnflag") == "R")
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(revenue, "revenue"))
@@ -670,9 +677,10 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the net — the classic 'two fact tables, one conformed dim'
     warehouse shape none of the single-fact queries exercise.
 
-    Scale shape: each fact rolls up independently (map-side combine,
-    broadcast dim joins), and only the two nation-sized aggregates
-    meet — the facts never join each other."""
+    Scale shape: each fact rolls up independently (map-side combine;
+    supplier/nation broadcast, customer shuffle-joins — AQE
+    broadcasts it when it fits), and only the two nation-sized
+    aggregates meet — the facts never join each other."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -685,7 +693,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     demand = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(dsum("o_totalprice", "demand_value"))
     )
@@ -826,7 +834,9 @@ def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     then conditional sums per direction — that graph queries reuse).
 
     Scale shape: one fact rollup to the nation×nation matrix
-    (broadcast dim joins), then all pair math on ≤|nations|² rows."""
+    (supplier broadcasts; orders/customer shuffle-join on their keys
+    since both scale with the fact), then all pair math on
+    ≤|nations|² rows."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -840,8 +850,8 @@ def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_nationkey"
     )
     vol = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(
@@ -936,9 +946,9 @@ def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowless two-level rollup: revenue per (year, supplier nation)
     divided by revenue per year.
 
-    Plan: all four dims broadcast (nation/region/supplier/customer are
-    tiny beside lineitem); lineitem ⋈ orders is the only big join and
-    shuffles once on the order key; the share division happens after
+    Plan: nation/region/supplier broadcast; customer (fact-scale)
+    shuffle-joins with AQE free to broadcast it at small SF; lineitem
+    ⋈ orders is the biggest join and shuffles once on the order key; the share division happens after
     aggregation, on one row per (year, nation) — double division of
     identically-derived operands is IEEE-deterministic, so the output
     hash-checks. Reference parity: exercises the same star-join +
@@ -980,9 +990,9 @@ def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # addition (breaks the cross-engine hash); decimal + decimal is
     # exact at both levels, doubles only at the output boundary.
     per_nation = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust_in_region),
+            cust_in_region,
             orders.o_custkey == cust_in_region.c_custkey,
         )
         .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
@@ -1089,7 +1099,7 @@ def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    brand_li = li.join(part, li.l_partkey == part.p_partkey)
     avg_qty = brand_li.groupBy("p_partkey").agg(
         (
             F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
@@ -1139,9 +1149,10 @@ def tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR'd brand/size/quantity clauses — the classic test that a
     planner pushes an OR-of-ANDs down to the scan instead of
     cross-joining the branches. Spark evaluates the disjunction as one
-    post-join filter over a single part ⋈ lineitem broadcast join
-    (part is the small side); the common ``p_size >= 1`` conjunct
-    prunes the broadcast build side.
+    post-join filter over a single part ⋈ lineitem join — no forced
+    hint since part scales with SF; AQE broadcasts the filtered side
+    when it fits, and the common ``p_size >= 1`` conjunct prunes the
+    build side either way.
 
     Output: one row per matched brand with count + exact revenue (a
     grouped variant of Q19's single scalar, so the hash check covers
@@ -1152,7 +1163,7 @@ def tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -1271,7 +1282,8 @@ def tpch_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from shipped lineitems, which is Q16's semantic on the
     available data).
 
-    Plan: part is the broadcast side of the only big join; the
+    Plan: part joins on the part key with no forced hint (part
+    scales with SF; AQE broadcasts it when it fits); the
     count-distinct is two-level (partial distinct per partition, then
     exact merge) — at 100 TB the alternative approx_count_distinct
     dial exists (approx_sketch_check), but Q16 wants exact."""
@@ -1282,7 +1294,7 @@ def tpch_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             "p_brand",
             (F.col("p_size") - 1 - (F.col("p_size") - 1) % 10).alias(
@@ -1319,7 +1331,9 @@ def orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention model starts from; all-integer output hashes exactly.
 
     Plan: one shuffle on o_custkey for the window, one partial-agg
-    rollup; the customer dim broadcasts."""
+    rollup; the per-customer gaps join the customer table on the key
+    (AQE broadcasts the smaller side — customer scales with SF, so no
+    forced hint)."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1343,7 +1357,7 @@ def orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        gaps.join(cust, gaps.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
@@ -1482,8 +1496,9 @@ def nation_self_sufficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation's purchase revenue supplied by its OWN suppliers — the
     trade-dependence dial next to nation_trade_balance (volumes) and
     nation_trade_reciprocity (pair flows). Conditional aggregation
-    over the supplier⋈customer nation join: one fact shuffle, both
-    dims broadcast, 25-row output; the share divides two identically
+    over the supplier⋈customer nation join: supplier/nation
+    broadcast, orders/customer shuffle-join (fact-scale), 25-row
+    output; the share divides two identically
     derived exact decimals through double."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -1502,8 +1517,8 @@ def nation_self_sufficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
@@ -1586,7 +1601,7 @@ def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("v"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("v"), F.col("o_custkey")

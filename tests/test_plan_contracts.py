@@ -445,3 +445,81 @@ def test_cusum_broadcasts_means_and_orders_within_type(spark, sf_dir):
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    """Disable size-based auto-broadcast so the ONLY BroadcastExchanges
+    left in a plan come from explicit ``F.broadcast`` hints — the
+    configuration under which a forced fact-side broadcast (the 100 TB
+    OOM pattern round 7 flagged) is directly visible."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_fact_scale_tables_never_force_broadcast(spark, sf_dir):
+    """orders and customer scale linearly with the fact: a forced
+    ``F.broadcast`` on them is an executor OOM at the 100 TB design
+    point even while green at sf0.1. With auto-broadcast off, every
+    fact-scale join must keep its shuffle (SortMergeJoin) — a
+    re-added hint turns it into a BroadcastHashJoin and drops the
+    count below the floor. Hints stay legal on bounded dims
+    (nation/region/supplier/rollups), which is why we assert a floor
+    per query instead of zero broadcasts. AQE choosing broadcast at
+    runtime for small SF remains allowed — this pins HINT absence."""
+    cases = [
+        (tpch.nation_revenue, 2),          # li⋈orders, ⋈customer
+        (tpch.tpch_volume_shipping, 2),    # li⋈orders, orders⋈customer
+        (tpch.tpch_returned_items, 2),     # li⋈orders, ⋈customer
+        (tpch.nation_trade_reciprocity, 2),
+        (tpch.tpch_market_share, 2),       # li⋈orders, ⋈cust_in_region
+        (tpch.nation_self_sufficiency, 2),
+        (tpch.top_revenue_orders, 2),      # orders⋈customer, orders⋈li
+        (tpch.tpch_promo_revenue, 1),      # li⋈part (part scales too)
+        (tpch.tpch_disjunctive_revenue, 1),
+        (tpch.tpch_supplier_part_variety, 1),
+        (tpch.tpch_small_qty_revenue, 1),  # li⋈part; threshold rollup may hint
+    ]
+    with _no_auto_broadcast(spark):
+        for fn, floor in cases:
+            p = _plan(fn(spark, sf_dir))
+            assert p.count("SortMergeJoin") >= floor, fn.__name__
+
+
+def test_centroid_outliers_topk_never_single_partition_sorts_corpus(
+    spark, sf_dir
+):
+    """The global top-k must plan as TakeOrderedAndProject (per
+    partition local top-k, driver merge of <=k rows each) — never a
+    row_number window that funnels every per-vector row through one
+    task. The rank window that remains runs over the <=k-row limit
+    result, so no Window may appear BELOW the take-ordered node."""
+    from smart_meter_data_pipeline_spark.operators.similarity import (
+        embedding_centroid_outliers,
+    )
+
+    p = _plan(embedding_centroid_outliers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    # In the formatted tree parents print first at smaller indent: the
+    # Window must be an ANCESTOR of (i.e. consume) the take-ordered
+    # node, never sit beneath it on the corpus side.
+    tree = p.split("\n\n")[0]
+    wline = next(l for l in tree.splitlines() if "Window (" in l)
+    tline = next(
+        l for l in tree.splitlines() if "TakeOrderedAndProject (" in l
+    )
+    assert wline.index("Window") < tline.index("TakeOrderedAndProject")
+
+
+def test_vocab_growth_linear_no_theta_join(spark, sf_dir):
+    """Heaps'-law curve must come from bucket rollups + one cumulative
+    window over the bucket spine — the ``doc_id < checkpoint``
+    theta-join formulation plans as a BroadcastNestedLoopJoin with
+    O(n^2/step) pair volume and must never come back."""
+    p = _plan(text.doc_vocab_growth(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
