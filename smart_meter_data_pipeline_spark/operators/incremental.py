@@ -202,43 +202,44 @@ register("batch_billing_incremental", _billing_oracle())(
 
 def changed_dates_since(spark, table, v_from: int) -> list[dt.date]:
     """The incremental-refresh driver: which fact DATES changed since
-    manifest version ``v_from``? Reads ONLY the files later commits
-    added (``ManifestTable.diff`` — cost scales with the change), so
-    the full loop is: ingest commits → diff → changed dates →
+    manifest version ``v_from``? Answered from COMMIT METADATA alone —
+    every commit records the dates of the rows it added (the same
+    metadata the date-pruned append validation relies on), so the
+    change feed costs one log listing: no file reads, no Spark job,
+    and vacuuming a compacted-out file can never break an old feed.
+    The full loop is: ingest commits → changed dates →
     :func:`refresh_marts_incremental` on those dates (+LAG
     successors). This closes the CDC→refresh circuit the reference
     names as its production fix (README.md:137-138) without a table
     format: the manifest commit log IS the change feed.
 
-    Copy-on-write aware: a DELETE that removes every row of a date
-    leaves no trace in the added files (the post-image diff can't see
-    absence), so mutation commits' recorded ``removed_dates`` are
-    unioned in from metadata; OPTIMIZE commits are skipped entirely —
-    they rewrite bytes, not rows, and counting their dates would
-    trigger a full spurious refresh after every file compaction."""
-    import os as _os
-
+    Copy-on-write aware: a mutation's exact change set is
+    ``removed_dates`` (dates the matched rows lived on — the only
+    record of a date a DELETE emptied) ∪ ``batch_dates`` (the upsert
+    batch's own dates); its survivor files' full date range is mostly
+    UNCHANGED rows and is deliberately not counted. OPTIMIZE commits
+    are skipped entirely — they rewrite bytes, not rows, and counting
+    their dates would trigger a full spurious refresh after every
+    file compaction. Legacy mutation commits without ``batch_dates``
+    fall back to their recorded ``dates`` (over-approximate: spurious
+    refreshes, never missed ones)."""
     commits = table.snapshot()
     latest = len(commits) - 1
     if latest < 0 or v_from >= latest:
         return []
     dates: set[dt.date] = set()
-    files: list[str] = []
     for c in commits[v_from + 1 :]:
         if c.get("optimize"):
             continue
         dates.update(
             dt.date.fromisoformat(s) for s in c.get("removed_dates", [])
         )
-        files.extend(
-            _os.path.join(table.data_dir, f) for f in c["added"]
-        )
-    if files:
-        dates.update(
-            r["d"]
-            for r in spark.read.parquet(*files)
-            .select(F.to_date("reading_timestamp").alias("d"))
-            .distinct()
-            .collect()
-        )
+        if c.get("removed") and "batch_dates" in c:
+            dates.update(
+                dt.date.fromisoformat(s) for s in c["batch_dates"]
+            )
+        else:
+            dates.update(
+                dt.date.fromisoformat(s) for s in c.get("dates", [])
+            )
     return sorted(dates)

@@ -335,7 +335,15 @@ class ManifestTable:
         files = self._files(commits[v_from + 1 : v_to + 1])
         if not files:
             return None
-        return spark.read.parquet(*files)
+        # Same evolved-schema discipline as read(): the range can span
+        # a schema-evolution boundary, and a plain read would infer
+        # whichever file Spark samples — non-deterministically dropping
+        # later-added columns from the change feed.
+        schema = self._evolved_schema(commits[: v_to + 1])
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*files)
 
     # -- write -------------------------------------------------------------
 
@@ -377,7 +385,15 @@ class ManifestTable:
                         continue
                     mn = s.min if mn is None else min(mn, s.min)
                     mx = s.max if mx is None else max(mx, s.max)
-            if mn is not None:
+            # Stats are an OPTIMIZATION: tables whose stats column
+            # is non-integral (or absent) simply skip file-skipping —
+            # an unguarded int() here would turn every append on such
+            # a table into a hard ValueError.
+            if (
+                isinstance(mn, int)
+                and isinstance(mx, int)
+                and not isinstance(mn, bool)
+            ):
                 out[rel] = [int(mn), int(mx)]
         return out
 
@@ -640,6 +656,29 @@ class ManifestTable:
                 commits = [c for _, c in numbered]
                 fence = self._fence(numbered)
                 self._check_schema_compat(in_keys, commits)
+                if batch is not None:
+                    # MERGE "UPDATE SET *" contract: matched rows are
+                    # REPLACED by batch rows, so a batch missing table
+                    # columns would silently null them on every
+                    # matched row. Reject loudly (Delta errors here
+                    # too); a partial-column restatement should enrich
+                    # against read() first.
+                    tbl_schema = self._evolved_schema(commits)
+                    if tbl_schema is not None:
+                        missing = [
+                            f.name
+                            for f in tbl_schema.fields
+                            if f.name not in set(in_keys.columns)
+                        ]
+                        if missing:
+                            raise ValueError(
+                                "upsert batch is missing table "
+                                f"columns {missing}: matched rows are "
+                                "replaced wholesale (UPDATE SET *), "
+                                "which would null these columns — "
+                                "join the batch against read() to "
+                                "carry forward unchanged values"
+                            )
                 cand = self._files(commits, key_dates)
                 # Candidate files can span schema versions: read them
                 # under the evolved schema (pre-evolution files yield
@@ -755,6 +794,14 @@ class ManifestTable:
                         # which the post-image diff cannot see.
                         "removed_dates": (
                             sorted(key_dates) if n_matched else []
+                        ),
+                        # The batch's own dates: with removed_dates
+                        # this is the EXACT changed-date set of a
+                        # mutation, letting incremental consumers skip
+                        # reading survivor files (whose full date
+                        # range is mostly unchanged rows).
+                        "batch_dates": (
+                            sorted(key_dates) if batch is not None else []
                         ),
                         "schema": (
                             in_keys.schema.json()

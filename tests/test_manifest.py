@@ -1058,3 +1058,130 @@ def test_optimize_cluster_by_tightens_stats_and_skipping(spark, table_dir):
     )
     assert t.delete_keys(spark, doomed) == 100
     assert t.read(spark).count() == 100
+
+
+def test_upsert_rejects_batch_missing_table_columns(spark, table_dir):
+    """MERGE "UPDATE SET *" replaces matched rows wholesale, so a
+    batch whose schema is a SUBSET of the table's (a restatement
+    carrying only PK + the corrected column) must be rejected loudly
+    — silently nulling the absent columns on every matched row is the
+    failure mode round-7 advice flagged (manifest.py upsert)."""
+    t = manifest.ManifestTable(table_dir)
+    assert t.idempotent_append(spark, _valid_batch(spark, 1, 11)) == 10
+
+    partial = _valid_batch(spark, 5, 8).drop("status")
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.upsert(spark, partial)
+
+    # nothing committed, nothing nulled
+    df = t.read(spark)
+    assert df.count() == 10
+    assert df.filter(df.status.isNull()).count() == 0
+
+
+def test_diff_reads_under_evolved_schema(spark, table_dir):
+    """The change feed over a schema-evolution boundary must use the
+    evolved commit-metadata schema like read() does: a plain
+    spark.read.parquet over mixed-schema files infers whichever file
+    gets sampled and can non-deterministically drop later-added
+    columns from the feed."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))  # v0: base
+    evolved = _valid_batch(spark, 11, 21).withColumn(
+        "quality_score", F.col("meter_id").cast("double") / 100.0
+    )
+    t.idempotent_append(spark, evolved)  # v1: adds a column
+
+    feed = t.diff(spark, -1, 1)
+    assert "quality_score" in feed.columns
+    rows = {r["meter_id"]: r["quality_score"] for r in feed.collect()}
+    assert len(rows) == 20
+    assert all(rows[m] is None for m in range(1, 11))
+    assert all(rows[m] == m / 100.0 for m in range(11, 21))
+
+    # a sub-range that ends before the evolution sees the old schema
+    assert "quality_score" not in t.diff(spark, -1, 0).columns
+
+
+def test_file_stats_non_integer_column_skips_not_breaks(spark, table_dir):
+    """File-skipping stats are an optimization: a table whose stats
+    column (meter_id) is non-integral must still append/commit — the
+    stats map just stays empty for those files (the unguarded int()
+    cast used to raise and break every write)."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(table_dir)
+    batch = _valid_batch(spark, 1, 11).withColumn(
+        "meter_id", F.concat(F.lit("M-"), F.col("meter_id"))
+    )
+    assert t.idempotent_append(spark, batch) == 10
+    (c,) = t.snapshot()
+    assert c.get("stats", {}) == {}
+    assert t.read(spark).count() == 10
+
+
+def test_changed_dates_is_metadata_only_and_mutation_exact(
+    spark, table_dir
+):
+    """changed_dates_since must (a) answer from commit metadata alone
+    — surviving a compact+vacuum that deletes range-added files — and
+    (b) report a mutation's EXACT changed dates (removed_dates ∪
+    batch_dates), not the full date range of its rewritten survivor
+    files."""
+    import datetime as dt
+    import time as _time
+
+    from smart_meter_data_pipeline_spark.operators.incremental import (
+        changed_dates_since,
+    )
+
+    def batch_on_days(pairs):
+        msgs = [
+            json.dumps(
+                dict(GOOD, meter_id=i, reading_timestamp=f"{day}T10:30:00")
+            )
+            for day, i in pairs
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+        valid, _ = ingest.split_valid(
+            ingest.classify(ingest.parse_messages(raw))
+        )
+        return valid
+
+    t = manifest.ManifestTable(table_dir)
+    # v0: ONE commit mixing two dates (its files span d1 and d3)
+    t.idempotent_append(
+        spark,
+        batch_on_days(
+            [("2024-03-01", i) for i in range(1, 6)]
+            + [("2024-03-03", i) for i in range(6, 11)]
+        ),
+    )
+    # v1: upsert restating two d1 meters — survivors carry d3 rows,
+    # but d3 is NOT a changed date of this commit
+    res = t.upsert(
+        spark, batch_on_days([("2024-03-01", 1), ("2024-03-01", 2)])
+    )
+    assert res["updated"] == 2
+    assert changed_dates_since(spark, t, 0) == [dt.date(2024, 3, 1)]
+
+    # feed from the beginning still covers both original dates
+    assert changed_dates_since(spark, t, -1) == [
+        dt.date(2024, 3, 1),
+        dt.date(2024, 3, 3),
+    ]
+
+    # compact the log and vacuum the CoW-removed originals: the feed
+    # answers identically with zero file IO
+    manifest.compact_log(t, keep_last=0)
+    old = _time.time() - 7200
+    for root, _, names in os.walk(t.data_dir):
+        for n in names:
+            os.utime(os.path.join(root, n), (old, old))
+    manifest.vacuum_unreferenced(t, ttl_s=3600)
+    assert changed_dates_since(spark, t, -1) == [
+        dt.date(2024, 3, 1),
+        dt.date(2024, 3, 3),
+    ]
