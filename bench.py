@@ -25,8 +25,21 @@ against machine load. Load gating: before each leg, if the 1-minute
 load average exceeds $SPARK_GRAFT_BENCH_MAX_LOAD (default 8.0) the
 harness sleeps up to 4×30 s waiting for a quieter box (round 5's
 bucketed-leg regressions tracked a 2× busier starting load, r4 3.8 →
-r5 8.2); every wait is recorded per-leg in ``load_gate`` so a gated
-round is visible in the artifact."""
+r5 8.2); legs that actually waited are recorded in ``load_gate`` so a
+gated round is visible in the artifact.
+
+tpch_pricing_summary floor (r7 ask #6, profiled r8): the leg's
+~1.2-1.3 s is NOT a regression in this repo's code — session.py,
+readers.py, common.py and the query are byte-identical to round 5's
+0.97 s run (git diff empty), and a fresh isolated process reproduces
+a 1.17-1.3 s floor regardless of bench context or input split count
+(3 vs 32 partitions: no change). The breakdown: scan+filter 0.2 s,
+double-sum variant of the aggregate 0.34 s, the shipped exact
+DECIMAL(25,6) aggregate 1.2 s — i.e. ~0.9 s is BigDecimal-backed
+decimal summation (precision 25 exceeds Spark's long-backed decimal
+fast path), which is the deliberate price of cross-engine hash
+parity on every revenue sum. r5's 0.97 s is attributed to box state
+(page cache/CPU clock), not recoverable by code."""
 
 from __future__ import annotations
 
@@ -394,17 +407,74 @@ def main() -> None:
             "manifest_upsert_10pct",
             lambda: mt.upsert(spark, restated),
         )
+        # 16. CoW upsert, FAVORABLE case (NEW leg r8 — r7 ask #7):
+        # manifest_upsert_10pct restates keys spanning every file, so
+        # it rewrites ~the whole table by construction. Here the table
+        # is first OPTIMIZE'd clustered on meter_id (32 narrow-range
+        # files), then a narrow meter range is restated — the per-file
+        # min/max stats recorded at commit time must prune the rewrite
+        # to that range's files. files_rewritten vs files_live is
+        # reported in the JSON along with a row-level identity check
+        # of the post-image.
+        from smart_meter_data_pipeline_spark.sources.manifest import (
+            optimize_table,
+        )
+
+        mt2 = ManifestTable(os.path.join(workdir, "fact_clustered"))
+        mt2.idempotent_append(spark, readings)
+        optimize_table(
+            mt2, spark, target_partitions=32, cluster_by=["meter_id"]
+        )
+        narrow = readings.filter(
+            (readings.meter_id >= 100) & (readings.meter_id < 700)
+        ).withColumn(
+            "reading_consumption_milliwatts",
+            readings.reading_consumption_milliwatts + 1,
+        )
+        leg(
+            "manifest_upsert_clustered",
+            lambda: mt2.upsert(spark, narrow),
+        )
+        snaps = mt2.snapshot()
+        # best-of-2 leaves TWO upsert commits; the FIRST one ran
+        # against the freshly clustered 32-file layout and is the
+        # prune measurement (the second rewrites the first's own
+        # staged files — small and narrow by construction).
+        first_up = snaps[-2]
+        live_before = len(mt2._files(snaps[:-2]))
+        expected = readings.filter(
+            (readings.meter_id < 100) | (readings.meter_id >= 700)
+        ).unionByName(narrow)
+        clustered_mismatches = (
+            mt2.read(spark)
+            .select(*readings.columns)
+            .exceptAll(expected)
+            .count()
+        )
+        manifest_clustered = {
+            # files the first upsert rewrote vs live files at that
+            # moment: stats-skipping pays off when << total
+            "files_rewritten": len(first_up.get("removed", [])),
+            "files_live": live_before,
+            "mismatched_rows": clustered_mismatches,
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     ingest_rows = BENCH_METERS * 96
+    # Key ORDER is deliberate: the driver records only a bounded TAIL
+    # of stdout, so the per-leg timings (the whole point of the bench)
+    # go LAST, and the gate log keeps only legs that actually waited —
+    # round 7 lost all driver-side perf visibility when a
+    # every-leg-x-4-fields gate map pushed `queries` out of the tail
+    # window.
+    gated_only = {k: v for k, v in load_gate.items() if v["waits"] > 0}
     result = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest_rows": ingest_rows,
         "ingest_rows_per_sec": round(ingest_rows / timings["meter_ingest_day"]),
@@ -413,11 +483,13 @@ def main() -> None:
             "assignment_build_sec": semantic_assignment_build_sec,
             "serve_vs_full_mismatched_rows": serve_mismatches,
         },
+        "manifest_clustered": manifest_clustered,
         "repeat": 2,
-        "leg_runs": leg_runs,
-        "load_gate": {"max_load": MAX_LOAD, "gated_legs": load_gate},
+        "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},
         "load_avg_start": load_avg_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "leg_runs": leg_runs,
+        "queries": timings,
     }
     print(json.dumps(result))
 
