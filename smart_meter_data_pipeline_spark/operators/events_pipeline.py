@@ -573,3 +573,204 @@ FROM ranked WHERE rn = 1
 """
 
 register("events_cusum_changepoint", _CUSUM_SQL)(events_cusum_changepoint)
+
+
+MAD_FACTOR = 3
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median absolute deviation
+    (MAD), the standard heavy-tail-safe alternative to the z-score
+    screen (events_anomaly_zscore) — a few extreme values move the
+    mean/stddev but not the median/MAD.
+
+    Exactness: medians are DISCRETE lower medians selected by rank
+    (row_number == (n+1) div 2 over a total order with event_id
+    tiebreaks) — pure row selection, no interpolation, so both
+    engines pick the IDENTICAL row. dev = |value − med| and the
+    3·MAD threshold are single IEEE ops (same bits in both engines).
+    Output per type is all-integer micro-units.
+
+    Scale note: the rank windows partition by event_type (bounded
+    cardinality ⇒ per-type partitions carry n/|types| rows — the same
+    inherent skew as exact CUSUM, documented there); at 100 TB the
+    approx dial is percentile_approx on the same frame, traded
+    deliberately for the exact cross-engine hash here."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        events.withColumn("rn", F.row_number().over(w_val))
+        .join(F.broadcast(counts), "event_type")
+        .filter(F.col("rn") == F.expr("(n_events + 1) div 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_dev))
+        .join(F.broadcast(counts), "event_type")
+        .filter(F.col("rn") == F.expr("(n_events + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.floor(F.col("med") * 1000000))
+            .cast("bigint")
+            .alias("med_micro"),
+            F.max(F.floor(F.col("mad") * 1000000))
+            .cast("bigint")
+            .alias("mad_micro"),
+            F.sum(
+                (
+                    F.col("dev") > F.lit(MAD_FACTOR) * F.col("mad")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .withColumn("n_events", F.col("n_events").cast("bigint"))
+    )
+
+
+_MAD_SQL = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn
+  FROM events
+),
+med AS (
+  SELECT r.event_type, r.value AS med
+  FROM ranked r JOIN counts c ON r.event_type = c.event_type
+  WHERE r.rn = CAST((c.n_events + 1) // 2 AS BIGINT)
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         ABS(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+dev_ranked AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT r.event_type, r.dev AS mad
+  FROM dev_ranked r JOIN counts c ON r.event_type = c.event_type
+  WHERE r.rn = CAST((c.n_events + 1) // 2 AS BIGINT)
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(FLOOR(d.med * 1000000)) AS BIGINT) AS med_micro,
+       CAST(MAX(FLOOR(m.mad * 1000000)) AS BIGINT) AS mad_micro,
+       CAST(SUM(CASE WHEN d.dev > {MAD_FACTOR} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+register("events_mad_outliers", _MAD_SQL)(events_mad_outliers)
+
+
+def events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolization of each user-day: the day's 24 hourly
+    mean values are ranked within the day and mapped to quartile
+    letters a-d (rank-based PAA→symbol step of Symbolic Aggregate
+    approXimation — the time-series motif/anomaly indexing primitive);
+    the day reads out as a compact symbol string in hour order.
+
+    Rank-based letters instead of the textbook Gaussian breakpoints:
+    breakpoints like ±0.6745σ need stddev (a sqrt is fine, but the
+    z-division is a per-row double op whose operand ordering differs
+    across engines in the windowed form) — ntile over an exact total
+    order is engine-exact and keeps the classic 'equal-occupancy
+    symbols' property. Hourly means divide an exact decimal sum by a
+    count (the dsum idiom), so the ordering key is identical in both
+    engines; ties break on the hour.
+
+    Scale shape: one (user, day, hour) rollup (partial-combined),
+    then a window partitioned by (user, day) — ≤24 rows per
+    partition, perfectly parallel — then one (user, day) string fold.
+    Reference parity: the hourly-profile family
+    (fact_meter_grid_load_hourly, models/marts/
+    fact_meter_grid_load_hourly.sql) taken to symbolic encoding."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    hourly = (
+        events.groupBy(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hour_mean")
+        )
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("hour_mean", "hour")
+    lettered = hourly.withColumn("q", F.ntile(4).over(w)).withColumn(
+        "letter", F.expr("substring('abcd', q, 1)")
+    )
+    return (
+        lettered.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hour", "letter"))
+                    ),
+                    lambda s: s["letter"],
+                ),
+                "",
+            ).alias("sax"),
+        )
+        .withColumn("n_hours", F.col("n_hours").cast("bigint"))
+    )
+
+
+_SAX_SQL = """
+WITH hourly AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+             AS hour_mean
+  FROM events
+  GROUP BY 1, 2, 3
+),
+lettered AS (
+  SELECT user_id, day, hour,
+         substring('abcd',
+                   NTILE(4) OVER (PARTITION BY user_id, day
+                                  ORDER BY hour_mean, hour),
+                   1) AS letter
+  FROM hourly
+)
+SELECT user_id, day,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       STRING_AGG(letter, '' ORDER BY hour) AS sax
+FROM lettered
+GROUP BY user_id, day
+"""
+
+register("events_sax_symbols", _SAX_SQL)(events_sax_symbols)

@@ -291,3 +291,112 @@ LEFT JOIN per_node ON CAST(n_nationkey AS BIGINT) = per_node.nation_key
 """
 
 register("trade_triangles", _TRIANGLES_SQL)(trade_triangles)
+
+
+KCORE_K = 30
+KCORE_ROUNDS = 3
+
+
+def trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-rounds k-core peeling over the same undirected
+    customer↔supplier trade graph as PageRank (graph kernel #4): for
+    ``KCORE_ROUNDS`` rounds, drop every node whose current degree is
+    below ``KCORE_K`` together with its incident edges — the standard
+    degeneracy screen (spam/hub detection, community pre-filtering)
+    that, run to convergence, yields the k-core. Rounds are FIXED, not
+    run-to-convergence, for the same reason PageRank's are: a
+    deterministic, oracle-checkable prefix of the iteration.
+
+    Scale shape: each round is one degree aggregation (shuffle keyed
+    by node, partial-combined) plus two left-semi joins of the edge
+    list against the surviving-node set (shuffle keyed by endpoint) —
+    all bounded by |E|, nothing driver-side, edge state checkpointed
+    per round to keep lineage flat. All-integer output: surviving
+    (node_type, node_id, residual degree).
+
+    Reference parity: extends the analytics family
+    (reference queries/* JOIN+GROUP BY class) with the iterative
+    kernel the single-node reference cannot express incrementally."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    # undirected: keep one canonical row per pair, count both ends
+    edges = pairs.localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        edges = (
+            edges.join(keep, edges.u == keep.node, "left_semi")
+            .join(keep, edges.v == keep.node, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return final_deg.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_id"),
+        F.col("deg").cast("bigint").alias("deg"),
+    )
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peeling rounds as chained CTEs (DuckDB recursive CTEs
+    cannot carry the two-table state cleanly; the unroll matches the
+    fixed-rounds semantics exactly)."""
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)"""
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT node FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY node HAVING COUNT(*) >= {k}
+),
+e{r} AS (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM d{r})
+    AND v IN (SELECT node FROM d{r})
+)"""
+        )
+        prev = f"e{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_id,
+       CAST(COUNT(*) AS BIGINT) AS deg
+FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY node"""
+    )
+
+
+register("trade_kcore", _kcore_oracle())(trade_kcore)

@@ -263,3 +263,79 @@ FROM d, range(0, 65536) t(idx)
 WHERE idx < n_frames AND idx % {FRAME_STRIDE} = 0
 """,
 )(multimodal_frame_sample)
+
+
+SHARD_BUDGET_BYTES = 32768
+
+
+def pack_shards(binary_df: DataFrame) -> DataFrame:
+    """Greedy sequential shard packing of binary payloads: within each
+    source stream (deterministic doc_id order) items are appended
+    until the running byte total crosses the shard budget — the
+    WebDataset/tar-shard layout step every multimodal training
+    pipeline runs between curation and the dataloader. An item whose
+    START offset lies in shard k belongs to shard k, so shards can
+    overflow by at most one item (greedy semantics, no splitting).
+
+    Scale shape: one cumulative-sum window per source partition (the
+    natural write-stream unit — partitions are independent and the
+    window never crosses them), then one (source, shard) rollup.
+    All-integer arithmetic."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = binary_df.select(
+        "source", "doc_id", F.col("meta.n_bytes").alias("n_bytes")
+    ).withColumn("running", F.sum("n_bytes").over(w))
+    return (
+        sized.withColumn(
+            "shard_idx",
+            F.expr(
+                f"CAST((running - n_bytes) div {SHARD_BUDGET_BYTES}"
+                " AS BIGINT)"
+            ),
+        )
+        .groupBy("source", "shard_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+            F.max("doc_id").cast("bigint").alias("last_doc_id"),
+        )
+    )
+
+
+def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_src = with_binary_content(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return pack_shards(with_src)
+
+
+register(
+    "multimodal_shard_pack",
+    f"""
+WITH sized AS (
+  SELECT source, doc_id, strlen(text) AS n_bytes,
+         SUM(strlen(text)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS running
+  FROM documents
+)
+SELECT source,
+       CAST((running - n_bytes) // {SHARD_BUDGET_BYTES} AS BIGINT)
+           AS shard_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+FROM sized
+GROUP BY 1, 2
+""",
+)(multimodal_shard_pack)

@@ -2212,3 +2212,148 @@ FROM ranked WHERE outlier_rank <= {OUTLIER_TOP_K}
 register("embedding_centroid_outliers", _CENTROID_OUTLIERS_SQL)(
     embedding_centroid_outliers
 )
+
+
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label scatter diagnostics over the embedding corpus: the
+    within-class scatter (Σ ‖x − μ_label‖²) and between-class scatter
+    (n_label · ‖μ_label − μ_global‖²) of each label — the Fisher-
+    criterion operands that tell a curation pipeline whether a label's
+    embeddings form a tight, separable cluster (high between/within)
+    or noise (low) BEFORE anyone trains a probe on them.
+
+    Arithmetic is the quantized-decimal grid (round-6 → DECIMAL(12,6),
+    exact decimal sums; centroid means re-quantize to the grid; the
+    between term runs in pure int64 micro-units because the decimal
+    triple product n·Σd²·1e6 hits Spark's precision-38 clamp), so
+    both scatters hash-check exactly; outputs are micro-unit integers
+    and the Fisher ratio is left to the consumer (decimal division
+    rounds differently per engine). int64 headroom: Σd_micro² ≤
+    dim·(2e6)² ≈ 2.6e14, times n_vecs stays under 2^63 through
+    n_vecs ≈ 3.5e4 per label at the tested dims — beyond that, drop
+    to nano→micro staging.
+
+    Scale shape: one corpus explode → label-centroid rollup
+    (labels × dim rows, broadcast back) → one exact-decimal
+    aggregation per label; the global centroid is a dim-row second
+    rollup of the label centroids' underlying sums. Nothing exceeds
+    labels × dim rows after the first aggregation."""
+    el = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            F.round(F.col("vf").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("v"),
+        )
+    )
+    lcent = el.groupBy("label", "pos").agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(12,6)")
+        .alias("lcv")
+    )
+    gcent = el.groupBy("pos").agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(12,6)")
+        .alias("gcv")
+    )
+    nvec = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    within = (
+        el.join(F.broadcast(lcent), ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("lcv")) * (F.col("v") - F.col("lcv"))
+            ).alias("within_dec")
+        )
+    )
+    # Between-scatter in pure INT64: centroid deltas sit exactly on
+    # the micro grid (scale-6 decimals), so d_micro = (lcv-gcv)*1e6 is
+    # an exact integer and every later op is integer multiply/floor-div
+    # - the decimal route hits Spark's precision-38 clamp on the
+    # n * sum * 1e6 triple product and rounds the last digit.
+    between = (
+        lcent.join(F.broadcast(gcent), "pos")
+        .select(
+            "label",
+            F.expr(
+                "CAST((lcv - gcv) * 1000000 AS BIGINT)"
+            ).alias("d_micro"),
+        )
+        .groupBy("label")
+        .agg(F.sum(F.col("d_micro") * F.col("d_micro")).alias("bsum_pico"))
+    )
+    return (
+        within.join(between, "label")
+        .join(F.broadcast(nvec), "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.floor(F.col("within_dec") * 1000000)
+            .cast("bigint")
+            .alias("within_micro"),
+            F.expr(
+                "CAST((n_vecs * bsum_pico) div 1000000 AS BIGINT)"
+            ).alias("between_micro"),
+        )
+    )
+
+
+_CLASS_SEPARATION_SQL = """
+WITH el AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS v
+  FROM embeddings
+),
+lcent AS (
+  SELECT label, pos,
+         CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(12,6)) AS lcv
+  FROM el GROUP BY 1, 2
+),
+gcent AS (
+  SELECT pos,
+         CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(12,6)) AS gcv
+  FROM el GROUP BY 1
+),
+nvec AS (
+  SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1
+),
+within AS (
+  SELECT el.label,
+         SUM(CAST(el.v - lcv AS DECIMAL(25,6))
+             * CAST(el.v - lcv AS DECIMAL(25,6))) AS within_dec
+  FROM el JOIN lcent ON el.label = lcent.label AND el.pos = lcent.pos
+  GROUP BY el.label
+),
+between_s AS (
+  SELECT lcent.label,
+         SUM(CAST(CAST((lcv - gcv) * 1000000 AS BIGINT)
+                  * CAST((lcv - gcv) * 1000000 AS BIGINT) AS BIGINT))
+             AS bsum_pico
+  FROM lcent JOIN gcent ON lcent.pos = gcent.pos
+  GROUP BY lcent.label
+)
+SELECT w.label,
+       CAST(n.n_vecs AS BIGINT) AS n_vecs,
+       CAST(FLOOR(w.within_dec * 1000000) AS BIGINT) AS within_micro,
+       CAST((n.n_vecs * b.bsum_pico) // 1000000 AS BIGINT)
+           AS between_micro
+FROM within w
+JOIN between_s b ON w.label = b.label
+JOIN nvec n ON w.label = n.label
+"""
+
+register("embedding_class_separation", _CLASS_SEPARATION_SQL)(
+    embedding_class_separation
+)

@@ -981,3 +981,96 @@ LEFT JOIN voc_b USING (bucket)
 """
 
 register("doc_vocab_growth", _VOCAB_GROWTH_SQL)(doc_vocab_growth)
+
+
+FLUENCY_TOP_K = 50
+
+
+def doc_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency surrogate: score each document by how COMMON
+    its word bigrams are in the corpus — the cheap stand-in for an
+    n-gram language-model likelihood that curation pipelines use to
+    surface boilerplate-heavy (very high score) and garbled (very
+    low score) documents without a trained LM. Top-K by score.
+
+    All-integer scoring (a true LM score needs log-probabilities and
+    ln() is not cross-engine bit-stable — see doc_bm25_mlt's rational
+    surrogate note): fluency_micro = (1e6 · Σ corpus_count(bigram))
+    div n_bigrams, i.e. the average corpus frequency of the doc's
+    bigrams in micro-units, exact in int64.
+
+    Scale shape: one corpus scan → per-doc bigrams via LEAD over the
+    (doc, pos) window (partitioned by doc — thousands of tiny
+    partitions, perfectly parallel); corpus counts are one
+    partial-combined rollup; the score join shuffles on the bigram
+    string once; top-K is a TakeOrdered, never a global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        words.withColumn("nxt", F.lead("word").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "word", "nxt").alias("bg"),
+        )
+    )
+    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bigrams.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST((1000000 * sum_cnt) div n_bigrams AS BIGINT)"
+            ).alias("fluency_micro"),
+        )
+        .orderBy(F.col("fluency_micro").desc(), F.col("doc_id"))
+        .limit(FLUENCY_TOP_K)
+    )
+
+
+_BIGRAM_FLUENCY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+words AS (
+  SELECT doc_id,
+         generate_subscripts(arr, 1) AS pos,
+         unnest(arr) AS word
+  FROM toks
+),
+bigrams AS (
+  SELECT doc_id, word || ' ' || nxt AS bg
+  FROM (
+    SELECT doc_id, word,
+           LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM words
+  )
+  WHERE nxt IS NOT NULL
+),
+counts AS (
+  SELECT bg, COUNT(*) AS cnt FROM bigrams GROUP BY bg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST((1000000 * SUM(cnt)) // COUNT(*) AS BIGINT)
+           AS fluency_micro
+FROM bigrams JOIN counts USING (bg)
+GROUP BY doc_id
+ORDER BY fluency_micro DESC, doc_id
+LIMIT {FLUENCY_TOP_K}
+"""
+
+register("doc_bigram_fluency", _BIGRAM_FLUENCY_SQL)(doc_bigram_fluency)

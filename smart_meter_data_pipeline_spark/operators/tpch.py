@@ -1724,3 +1724,106 @@ FROM stats
 register("part_brand_price_dispersion", _PRICE_DISPERSION_SQL)(
     part_brand_price_dispersion
 )
+
+
+LATE_SHIP_DAYS = 75
+LONE_LATE_TOP_K = 20
+
+
+def tpch_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the available columns: in multi-supplier orders, find the supplier
+    who was the ONLY one to ship late (l_shipdate more than
+    ``LATE_SHIP_DAYS`` days after o_orderdate) — the classic
+    EXISTS/NOT-EXISTS pair over the fact against itself.
+
+    Spark-first DECORRELATION instead of Q21's two correlated fact
+    self-joins: one (orderkey, suppkey)-level rollup computes each
+    supplier's late flag per order, a second orderkey-level rollup
+    counts suppliers and late suppliers, and the lone-late blame falls
+    out of a filter — two shuffles total, both keyed on the order key
+    and both partial-aggregated, with NO self-join of lineitem against
+    lineitem. supplier (bounded dim) broadcasts for the name; top-k is
+    a TakeOrdered. All-integer output.
+
+    Reference parity: exercises the reference's multi-table
+    JOIN+HAVING analytics class (queries/analytics SQL family) on the
+    richest remaining TPC-H shape."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_SHIP_DAYS} DAYS"
+    )
+    per_supp_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("supp_late"))
+    )
+    per_order = per_supp_order.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late"),
+        F.max(
+            F.when(F.col("supp_late") == 1, F.col("l_suppkey"))
+        ).alias("late_supp"),
+    )
+    blamed = (
+        per_order.filter(
+            (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
+    )
+    return (
+        blamed.join(
+            F.broadcast(supp), blamed.late_supp == supp.s_suppkey
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_blamed_orders").cast("bigint").alias(
+                "n_blamed_orders"
+            ),
+        )
+        .orderBy(F.col("n_blamed_orders").desc(), F.col("s_suppkey"))
+        .limit(LONE_LATE_TOP_K)
+    )
+
+
+_LONE_LATE_SQL = f"""
+WITH per_supp_order AS (
+  SELECT l_orderkey AS o_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate
+                       + INTERVAL {LATE_SHIP_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT o_orderkey,
+         COUNT(*) AS n_supp,
+         SUM(supp_late) AS n_late,
+         MAX(CASE WHEN supp_late = 1 THEN l_suppkey END) AS late_supp
+  FROM per_supp_order
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_blamed_orders
+FROM per_order
+JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY n_blamed_orders DESC, s_suppkey
+LIMIT {LONE_LATE_TOP_K}
+"""
+
+register("tpch_lone_late_supplier", _LONE_LATE_SQL)(
+    tpch_lone_late_supplier
+)

@@ -78,6 +78,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     last). Names not listed keep registration order after these.
 _PRIORITY = [
     # (0) new in round 8 — first driver row needed
+    "tpch_lone_late_supplier",
+    "trade_kcore",
+    "events_mad_outliers",
+    "events_sax_symbols",
+    "doc_bigram_fluency",
+    "multimodal_shard_pack",
+    "embedding_class_separation",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",

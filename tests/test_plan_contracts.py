@@ -523,3 +523,86 @@ def test_vocab_growth_linear_no_theta_join(spark, sf_dir):
     p = _plan(text.doc_vocab_growth(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_lone_late_supplier_no_fact_self_join(spark, sf_dir):
+    """Q21 shape must stay DECORRELATED: two orderkey-keyed rollups,
+    never a lineitem-against-lineitem self-join (the correlated
+    EXISTS/NOT-EXISTS form plans two extra fact joins). Exactly one
+    join consumes the lineitem scan; supplier rides a broadcast for
+    the name; top-k is a TakeOrdered."""
+    p = _plan(tpch.tpch_lone_late_supplier(spark, sf_dir))
+    assert p.count("Scan parquet  (") <= 6  # tree+details: <=3 scans
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # two partial+final rollups
+
+
+def test_kcore_final_plan_is_flat_and_rounds_are_semi_joins(
+    spark, sf_dir
+):
+    """Two properties of the fixed-round peel: (a) per-round
+    checkpointing flattens lineage, so the FINAL plan is just the
+    last edge snapshot + one two-level degree aggregation (no
+    3-round join tower for the scheduler to replay); (b) the round
+    body itself filters edges with LEFT-SEMI joins against the
+    surviving-node set — pinned on an inline replica of one round
+    since the executed rounds are invisible post-checkpoint."""
+    from pyspark.sql import functions as F
+
+    from smart_meter_data_pipeline_spark.operators import graph
+
+    p = _plan(graph.trade_kcore(spark, sf_dir))
+    assert "ExistingRDD" in p  # checkpointed edges, not a join tower
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    edges = spark.createDataFrame([(2, 3), (4, 3)], ["u", "v"])
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keep = deg.filter(F.col("deg") >= 2).select("node")
+    round_plan = _plan(
+        edges.join(keep, edges.u == keep.node, "left_semi").join(
+            keep, edges.v == keep.node, "left_semi"
+        )
+    )
+    assert "LeftSemi" in round_plan
+
+
+def test_sax_windows_partition_by_user_day(spark, sf_dir):
+    """SAX letters must come from (user, day)-partitioned windows
+    (<=24 rows each), never an unpartitioned sort; the hourly rollup
+    must partial-combine."""
+    from smart_meter_data_pipeline_spark.operators import events_pipeline
+
+    p = _plan(events_pipeline.events_sax_symbols(spark, sf_dir))
+    assert "partial_" in p
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_shard_pack_single_source_partitioned_window(spark, sf_dir):
+    """Shard packing is ONE cumulative window partitioned by source +
+    one rollup: no joins beyond the metadata attach, no
+    single-partition exchange, binary payload column never read by
+    the window (only n_bytes)."""
+    from smart_meter_data_pipeline_spark.operators import multimodal
+
+    p = _plan(multimodal.multimodal_shard_pack(spark, sf_dir))
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bigram_fluency_topk_take_ordered(spark, sf_dir):
+    """Fluency top-K must be a TakeOrderedAndProject over the per-doc
+    rollup (never a global sort), and the corpus-count join must not
+    force a broadcast of the bigram table (it scales with the
+    corpus)."""
+    p = _plan(text.doc_bigram_fluency(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
