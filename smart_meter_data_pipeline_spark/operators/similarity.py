@@ -2357,3 +2357,151 @@ JOIN nvec n ON w.label = n.label
 register("embedding_class_separation", _CLASS_SEPARATION_SQL)(
     embedding_class_separation
 )
+
+
+POWER_ITER_ROUNDS = 3
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by
+    ``POWER_ITER_ROUNDS`` fixed rounds of power iteration on the
+    (uncentered) Gram matrix — w ← Xᵀ(Xw) / ‖·‖∞ — the spectral
+    primitive behind PCA whitening, ABTT ("all-but-the-top"
+    embedding post-processing) and spiked-covariance diagnostics,
+    computed WITHOUT ever materializing the dim×dim covariance: each
+    round is two corpus-shaped joins, exactly PageRank's
+    Pregel-as-joins shape on a bipartite (vector, coordinate) graph.
+
+    Exactness: v and w live on the round-6 decimal grid, so products
+    and sums are exact decimals; each round re-quantizes the
+    per-vector dot (round-6 → DECIMAL(12,6)) and the normalized w
+    the same way, and the ∞-norm (exact decimal MAX(ABS)) replaces
+    the usual 2-norm so NO sqrt enters the iteration; the one
+    division per coordinate is a single double op on identical
+    operands in both engines. Fixed rounds, not convergence — a
+    deterministic, oracle-checkable prefix (the pagerank/kmeans
+    convention).
+
+    Scale shape: the exploded corpus is checkpointed once and reused
+    2×ROUNDS times; per round one shuffle keyed by vec_id (the dot)
+    and one keyed by pos (the new w); w itself is dim-sized and
+    broadcast into both joins. Output: per pos, the final direction
+    in exact micro-units plus the last ∞-norm growth factor (the
+    dominant-eigenvalue estimate) — all integers."""
+    el = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("vf").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = el.select("pos").distinct().select(
+        "pos", F.lit(1).cast("decimal(12,6)").alias("w")
+    )
+    growth = None
+    for _ in range(POWER_ITER_ROUNDS):
+        dots = (
+            el.join(F.broadcast(w), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.round(
+                    F.sum(F.col("v") * F.col("w")).cast("double"), 6
+                )
+                .cast("decimal(12,6)")
+                .alias("dot")
+            )
+        )
+        s = (
+            el.join(dots, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("v") * F.col("dot")).alias("s"))
+        )
+        m = s.agg(F.max(F.abs(F.col("s"))).alias("m"))
+        w = (
+            s.crossJoin(F.broadcast(m))
+            .select(
+                "pos",
+                F.round(
+                    F.col("s").cast("double") / F.col("m").cast("double"),
+                    6,
+                )
+                .cast("decimal(12,6)")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        growth = m
+    return (
+        w.crossJoin(F.broadcast(growth))
+        .select(
+            "pos",
+            F.expr("CAST(w * 1000000 AS BIGINT)").alias("w_micro"),
+            F.floor(F.col("m").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("growth_micro"),
+        )
+    )
+
+
+def _power_iteration_oracle(rounds: int = POWER_ITER_ROUNDS) -> str:
+    """Unrolled power-iteration rounds as chained CTEs, mirroring the
+    Spark grid arithmetic op for op (DECIMAL(25,6) operand casts force
+    DuckDB's int128 multiply — the documented overflow guard)."""
+    ctes = [
+        """el AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS v
+  FROM embeddings
+),
+w0 AS (
+  SELECT DISTINCT pos, CAST(1 AS DECIMAL(12,6)) AS w FROM el
+)"""
+    ]
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT el.vec_id,
+         CAST(round(CAST(SUM(CAST(v AS DECIMAL(25,6))
+                             * CAST(w AS DECIMAL(25,6))) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS dot
+  FROM el JOIN {prev} USING (pos)
+  GROUP BY el.vec_id
+),
+s{r} AS (
+  SELECT pos, SUM(CAST(v AS DECIMAL(25,6))
+                  * CAST(dot AS DECIMAL(25,6))) AS s
+  FROM el JOIN d{r} USING (vec_id)
+  GROUP BY pos
+),
+m{r} AS (SELECT MAX(ABS(s)) AS m FROM s{r}),
+w{r} AS (
+  SELECT pos,
+         CAST(round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS w
+  FROM s{r}, m{r}
+)"""
+        )
+        prev = f"w{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT pos,
+       CAST(w * 1000000 AS BIGINT) AS w_micro,
+       CAST(FLOOR(CAST(m AS DOUBLE) * 1000000) AS BIGINT)
+           AS growth_micro
+FROM w{rounds}, m{rounds}"""
+    )
+
+
+register("embedding_power_iteration", _power_iteration_oracle())(
+    embedding_power_iteration
+)

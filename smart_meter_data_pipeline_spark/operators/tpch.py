@@ -1827,3 +1827,81 @@ LIMIT {LONE_LATE_TOP_K}
 register("tpch_lone_late_supplier", _LONE_LATE_SQL)(
     tpch_lone_late_supplier
 )
+
+
+BIG_TICKET_PRICE = 400000
+
+
+def tpch_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): per nation, the
+    customers whose account balance beats the positive-balance
+    average but who have never placed a big-ticket order (totalprice
+    above ``BIG_TICKET_PRICE``) — the decorrelated scalar subquery +
+    anti-join pair. Q22's cntrycode grouping becomes the nation dim
+    (this schema has nations, not phone prefixes), and its "no
+    orders at all" predicate becomes "no big-ticket order" because
+    this generator gives every customer SOME order — the anti-join
+    machinery is identical, the filtered-orders build side is what
+    Q22's EXISTS subquery decorrelates to anyway.
+
+    Plan: the scalar average is one tiny aggregate broadcast back as
+    a 1-row crossJoin; the never-big-ticket test is a LEFT-ANTI join
+    of customer against the filtered orders key projection (filter
+    pushes to the orders scan; shuffle keyed on custkey — AQE may
+    broadcast the filtered side at small SF, and at 100 TB both
+    sides shuffle, which is the right plan); nation broadcasts for
+    the name. Balance sums are exact decimal through the rollup."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > BIG_TICKET_PRICE)
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+_IDLE_RICH_SQL = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+           / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+           AS total_acctbal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > {BIG_TICKET_PRICE})
+GROUP BY n_name
+"""
+
+register("tpch_idle_rich_customers", _IDLE_RICH_SQL)(
+    tpch_idle_rich_customers
+)

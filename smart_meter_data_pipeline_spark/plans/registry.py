@@ -85,6 +85,8 @@ _PRIORITY = [
     "doc_bigram_fluency",
     "multimodal_shard_pack",
     "embedding_class_separation",
+    "tpch_idle_rich_customers",
+    "embedding_power_iteration",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",

@@ -606,3 +606,28 @@ def test_bigram_fluency_topk_take_ordered(spark, sf_dir):
     p = _plan(text.doc_bigram_fluency(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_idle_rich_customers_anti_join_with_pushed_filter(spark, sf_dir):
+    """Q22 shape: the big-ticket predicate must push to the orders
+    scan (the anti-join build side reads only qualifying orders), the
+    never-ordered test must stay a LEFT-ANTI join, and the scalar
+    average a 1-row broadcast — no cartesian beyond it."""
+    p = _plan(tpch.tpch_idle_rich_customers(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "o_totalprice" in p[p.index("Scan parquet"):]
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_power_iteration_rounds_are_keyed_joins(spark, sf_dir):
+    """Power iteration must stay Pregel-as-joins with a broadcast
+    dim-sized w: the final round's plan shows the checkpointed corpus
+    (flat lineage), keyed aggregations, broadcast exchanges for w/m,
+    and no Python eval or cartesian blowup beyond the 1-row norm
+    attach."""
+    p = _plan(similarity.embedding_power_iteration(spark, sf_dir))
+    assert "ExistingRDD" in p  # checkpointed exploded corpus + w
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
