@@ -774,3 +774,125 @@ GROUP BY user_id, day
 """
 
 register("events_sax_symbols", _SAX_SQL)(events_sax_symbols)
+
+
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the deepest drop of the event value
+    below its running maximum along event time — the risk/degradation
+    metric (finance drawdown, SLO burn, battery sag) that needs ONE
+    cumulative-max window, not a self-join against all earlier rows.
+
+    Exactness: the running max is pure SELECTION (no arithmetic can
+    diverge), the drop is one IEEE subtraction, the per-user max one
+    more selection — every engine produces identical bits, so the
+    micro-floor output hash-checks with no decimal staging at all.
+
+    Scale shape: one (user)-partitioned window over (ts, event_id),
+    one partial-combined rollup — the same two-op pipeline as the
+    staging deltas (reference models/staging/stg_meter_readings.sql
+    LAG), with MAX replacing LAG."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = events.withColumn(
+        "drop", F.max("value").over(w) - F.col("value")
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.floor(F.max("drop") * 1000000)
+        .cast("bigint")
+        .alias("max_drawdown_micro"),
+    )
+
+
+_DRAWDOWN_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(MAX(run_max - value) * 1000000) AS BIGINT)
+           AS max_drawdown_micro
+FROM (
+  SELECT user_id, value,
+         MAX(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS run_max
+  FROM events
+)
+GROUP BY user_id
+"""
+
+register("events_max_drawdown", _DRAWDOWN_SQL)(events_max_drawdown)
+
+
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of event values per type —
+    the Benford's-law screen auditors and data-quality monitors run to
+    spot fabricated or clipped measurements (natural multi-scale data
+    leads with '1' ~30% of the time; uniform generators don't).
+
+    Engine-exact digit extraction WITHOUT logarithms (log10 is not
+    cross-engine bit-stable): the value is floored to micro-units in
+    int64, and the first digit is the first character of the
+    integer's decimal string — integer→string rendering is identical
+    in every engine, unlike double→string. Output: per (type, digit)
+    count and micro-share, all integers.
+
+    Scale shape: one scan, one two-level (type, digit) rollup, one
+    type-level total joined back by broadcast — no windows at all."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    digits = events.filter(F.col("value") > 0).select(
+        "event_type",
+        F.substring(
+            F.floor(F.col("value") * 1000000).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("first_digit"),
+    )
+    counts = digits.groupBy("event_type", "first_digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n").alias("total")
+    )
+    return counts.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "first_digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST((1000000 * n) div total AS BIGINT)").alias(
+            "share_micro"
+        ),
+    )
+
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT event_type,
+         CAST(SUBSTRING(CAST(CAST(FLOOR(value * 1000000) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS first_digit
+  FROM events WHERE value > 0
+),
+counts AS (
+  SELECT event_type, first_digit, COUNT(*) AS n
+  FROM digits GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, SUM(n) AS total FROM counts GROUP BY 1
+)
+SELECT event_type, first_digit,
+       CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n) // total AS BIGINT) AS share_micro
+FROM counts JOIN totals USING (event_type)
+"""
+
+register("events_benford_digits", _BENFORD_SQL)(events_benford_digits)

@@ -1074,3 +1074,62 @@ LIMIT {FLUENCY_TOP_K}
 """
 
 register("doc_bigram_fluency", _BIGRAM_FLUENCY_SQL)(doc_bigram_fluency)
+
+
+ZIPF_TOP_K = 100
+
+
+def corpus_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic over the corpus vocabulary: for the top-K
+    tokens by frequency, rank·count — constant under ideal Zipf — in
+    one integer column, the quick shape check (alongside
+    doc_vocab_growth's Heaps' curve) that flags boilerplate-flooded
+    or template-heavy corpora before training (a flat head means a
+    few templates dominate).
+
+    No logs, no doubles: rank·count is exact int64, and the global
+    ranking uses the centroid-outliers pattern — TakeOrdered to the
+    K-row head first, THEN a rank window over ≤K rows — never a
+    single-partition sort of the (corpus-scaled) vocabulary."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = counts.orderBy(F.col("cnt").desc(), F.col("word")).limit(
+        ZIPF_TOP_K
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "word",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("rank") * F.col("cnt")).cast("bigint").alias("rank_cnt"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+counts AS (
+  SELECT word, COUNT(*) AS cnt FROM words GROUP BY 1
+),
+head AS (
+  SELECT word, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+  FROM counts
+  ORDER BY cnt DESC, word
+  LIMIT {ZIPF_TOP_K}
+)
+SELECT rank, word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rank * cnt AS BIGINT) AS rank_cnt
+FROM head
+"""
+
+register("corpus_zipf_check", _ZIPF_SQL)(corpus_zipf_check)

@@ -87,6 +87,9 @@ _PRIORITY = [
     "embedding_class_separation",
     "tpch_idle_rich_customers",
     "embedding_power_iteration",
+    "events_max_drawdown",
+    "events_benford_digits",
+    "corpus_zipf_check",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",

@@ -631,3 +631,36 @@ def test_power_iteration_rounds_are_keyed_joins(spark, sf_dir):
     assert "BroadcastExchange" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_drawdown_window_partitioned_and_zipf_take_ordered(spark, sf_dir):
+    """Drawdown: the cumulative max must run in user-partitioned
+    windows (no single-partition exchange). Zipf: the top-K head must
+    be a TakeOrderedAndProject with the rank window ABOVE it (the
+    centroid-outliers pattern), never a global sort of the
+    vocabulary."""
+    from smart_meter_data_pipeline_spark.operators import events_pipeline
+
+    p = _plan(events_pipeline.events_max_drawdown(spark, sf_dir))
+    assert "SinglePartition" not in p
+    assert "Window" in p
+
+    z = _plan(text.corpus_zipf_check(spark, sf_dir))
+    assert "TakeOrderedAndProject" in z
+    tree = z.split("\n\n")[0]
+    wline = next(l for l in tree.splitlines() if "Window (" in l)
+    tline = next(
+        l for l in tree.splitlines() if "TakeOrderedAndProject (" in l
+    )
+    assert wline.index("Window") < tline.index("TakeOrderedAndProject")
+
+
+def test_benford_no_windows_two_level_rollup(spark, sf_dir):
+    """Benford digits must be pure rollups (no window, no sort) with
+    the type-total joined back by broadcast."""
+    from smart_meter_data_pipeline_spark.operators import events_pipeline
+
+    p = _plan(events_pipeline.events_benford_digits(spark, sf_dir))
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
