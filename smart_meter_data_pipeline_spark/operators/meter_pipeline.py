@@ -1053,3 +1053,60 @@ register(
     f"""WITH {_readings_cte()}
 SELECT * FROM readings""",
 )(manifest_optimize_roundtrip)
+
+
+def manifest_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the driver gate: land the generator day (v0),
+    UPSERT a restatement (v1), DELETE a meter slice (v2), then
+    RESTORE TO VERSION 0 and read — against the PLAIN generator
+    oracle, so the rollback must byte-exactly undo both mutations
+    (any survivor-rewrite row the restore failed to re-reference, or
+    mutation row it failed to drop, breaks the hash). Also asserts
+    in-query that the restore moved file references both ways and
+    that v2 still time-travels to the post-delete state (history
+    preserved — sources/manifest.py restore_version)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        restore_version,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_restore_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        restated = readings.filter(F.col("meter_id") % 7 == 3).withColumn(
+            "reading_consumption_milliwatts",
+            F.col("reading_consumption_milliwatts") + F.lit(10007),
+        )
+        t.upsert(spark, restated)
+        doomed = readings.filter(F.col("meter_id") % 11 == 5).select(
+            "reading_timestamp", "meter_id"
+        )
+        t.delete_keys(spark, doomed)
+        res = restore_version(t, 0)
+        if not (res["files_readded"] > 0 and res["files_removed"] > 0):
+            raise AssertionError(f"restore moved no references: {res}")
+        n_v2 = t.read(spark, version=2).count()
+        n_expected_v2 = readings.filter(
+            F.col("meter_id") % 11 != 5
+        ).count()
+        if n_v2 != n_expected_v2:
+            raise AssertionError(
+                f"history lost: v2 has {n_v2} rows, expected "
+                f"{n_expected_v2}"
+            )
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_restore_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings""",
+)(manifest_restore_roundtrip)

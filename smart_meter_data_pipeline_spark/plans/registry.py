@@ -90,6 +90,7 @@ _PRIORITY = [
     "events_max_drawdown",
     "events_benford_digits",
     "corpus_zipf_check",
+    "manifest_restore_roundtrip",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",

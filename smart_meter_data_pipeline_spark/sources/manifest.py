@@ -1058,6 +1058,109 @@ def optimize_table(
         )
 
 
+def restore_version(table: ManifestTable, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION — roll the table's LIVE state back
+    to what ``version`` saw, as ONE new commit and ZERO data movement:
+    the commit re-adds the target version's file references that later
+    commits removed and removes files later commits added (Delta's
+    RESTORE is the same metadata move). History is preserved — the
+    reverted commits stay in the log, time travel still reaches them,
+    and the restore itself is just another version that concurrent
+    readers flip to atomically.
+
+    Requires every target file to still exist (an aged vacuum after a
+    compaction can have reclaimed CoW originals — then the restore
+    point is gone and this raises instead of publishing a half-readable
+    state). ``removed_dates`` records the union of the reverted
+    commits' dates so the incremental-refresh feed
+    (changed_dates_since) re-derives every date the rollback could
+    have touched. Additive schema evolution is NOT reverted: the read
+    schema stays the union of all recorded schemas, so post-version
+    columns read as NULL on restored rows — documented Delta-parity
+    gap (Delta restores the schema pointer; a union-schema log has no
+    pointer to move).
+
+    Runs under the table flock; publishes via put-if-absent at a fence
+    from the same listing it validated against (lost race → clean
+    retry). Returns {"files_readded": n, "files_removed": m,
+    "restored_version": version}."""
+    from smart_meter_data_pipeline_spark.sources.txn import table_lock
+
+    with table_lock(table.table_dir):
+        for _ in range(5):
+            numbered = table.numbered_snapshot()
+            commits = [c for _, c in numbered]
+            if not (0 <= version < len(commits)):
+                raise ValueError(
+                    f"version {version} out of range: table has "
+                    f"{len(commits)} commits"
+                )
+            fence = table._fence(numbered)
+            target = set(table._net_relfiles(commits[: version + 1]))
+            current = set(table._net_relfiles(commits))
+            readd = sorted(target - current)
+            remove = sorted(current - target)
+            missing = [
+                f
+                for f in readd
+                if not os.path.exists(os.path.join(table.data_dir, f))
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot restore to version {version}: "
+                    f"{len(missing)} of its files were vacuumed "
+                    f"(e.g. {missing[0]})"
+                )
+            if not readd and not remove:
+                return {
+                    "files_readded": 0,
+                    "files_removed": 0,
+                    "restored_version": version,
+                }
+            reverted_dates = sorted(
+                {
+                    d
+                    for c in commits[version + 1 :]
+                    for d in c.get("dates", [])
+                }
+            )
+            target_schema = table._evolved_schema(commits[: version + 1])
+            payload = json.dumps(
+                {
+                    "version": fence,
+                    "added": readd,
+                    "removed": remove,
+                    # count/dates describe the re-added files: their
+                    # dates come from the commits that first added
+                    # them, which the target prefix recorded.
+                    "count": 0,
+                    "dates": sorted(
+                        {
+                            d
+                            for c in commits[: version + 1]
+                            for d in c.get("dates", [])
+                        }
+                    ),
+                    "stats": table._file_stats(readd),
+                    "removed_dates": reverted_dates,
+                    "batch_dates": [],
+                    "schema": (
+                        target_schema.json() if target_schema else None
+                    ),
+                    "restore_of": version,
+                }
+            ).encode()
+            if _put_if_absent(table._commit_path(fence), payload):
+                return {
+                    "files_readded": len(readd),
+                    "files_removed": len(remove),
+                    "restored_version": version,
+                }
+        raise CommitConflictError(
+            f"restore gave up after 5 attempts on {table.table_dir}"
+        )
+
+
 def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
     """Delete data FILES no commit references — crashed-writer stage
     leaks, and copy-on-write originals once compaction nets their

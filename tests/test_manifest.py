@@ -1185,3 +1185,79 @@ def test_changed_dates_is_metadata_only_and_mutation_exact(
         dt.date(2024, 3, 1),
         dt.date(2024, 3, 3),
     ]
+
+
+def test_restore_version_rolls_back_and_keeps_history(spark, table_dir):
+    """RESTORE: one metadata-only commit returns the live state to the
+    target version; the reverted commits stay time-travelable; the
+    change feed sees the reverted dates; restoring to the current
+    state is a no-op; a vacuumed restore point raises instead of
+    publishing a half-readable state."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from smart_meter_data_pipeline_spark.operators.incremental import (
+        changed_dates_since,
+    )
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))    # v0
+    t.idempotent_append(spark, _valid_batch(spark, 11, 21))   # v1
+    restated = _valid_batch(spark, 5, 8).withColumn(
+        "reading_consumption_milliwatts", F.lit(9999)
+    )
+    t.upsert(spark, restated)                                 # v2
+
+    res = manifest.restore_version(t, 0)                      # v3
+    assert res["restored_version"] == 0
+    assert res["files_removed"] > 0 and res["files_readded"] > 0
+
+    rows = {
+        r["meter_id"]: r["reading_consumption_milliwatts"]
+        for r in t.read(spark).collect()
+    }
+    assert sorted(rows) == list(range(1, 11))  # v1's meters gone
+    assert all(v == 1500 for v in rows.values())  # upsert reverted
+
+    # history intact: v2 still time-travels to the post-upsert state
+    v2 = {
+        r["meter_id"]: r["reading_consumption_milliwatts"]
+        for r in t.read(spark, version=2).collect()
+    }
+    assert len(v2) == 20 and v2[5] == 9999
+
+    # the feed reports the reverted dates from metadata alone
+    assert changed_dates_since(spark, t, 2) == [dt.date(2024, 3, 1)]
+
+    # restoring to the restored state is a no-op commit-wise
+    assert manifest.restore_version(t, 3) == {
+        "files_readded": 0,
+        "files_removed": 0,
+        "restored_version": 3,
+    }
+
+    # appends continue normally after a restore
+    assert t.idempotent_append(spark, _valid_batch(spark, 30, 35)) == 5
+    assert t.read(spark).count() == 15
+
+
+def test_restore_refuses_missing_target_files(spark, table_dir):
+    """If a file the restore point references is gone from disk (an
+    external cleanup outside the vacuum protocol — the in-protocol
+    vacuum never reclaims files a log-visible commit still
+    references, and compaction renumbers versions so stale restore
+    targets cannot be named), restore must raise instead of
+    publishing a commit referencing dead files."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))    # v0
+    restated = _valid_batch(spark, 1, 11)
+    t.upsert(spark, restated)                                 # v1 rewrites all
+    v0_files = t._files(t.snapshot()[:1])
+    live = set(t._files(t.snapshot()))
+    dead = [f for f in v0_files if f not in live]
+    assert dead  # the CoW originals v1 removed
+    os.remove(dead[0])
+    with pytest.raises(ValueError, match="vacuumed"):
+        manifest.restore_version(t, 0)
