@@ -274,8 +274,11 @@ def pack_shards(binary_df: DataFrame) -> DataFrame:
     until the running byte total crosses the shard budget — the
     WebDataset/tar-shard layout step every multimodal training
     pipeline runs between curation and the dataloader. An item whose
-    START offset lies in shard k belongs to shard k, so shards can
-    overflow by at most one item (greedy semantics, no splitting).
+    START offset lies in budget-window k belongs to shard k, so a
+    shard overflows by at most the one item that crossed its boundary
+    (no splitting) — and an item larger than the budget skips the
+    window indices it spans (shard ids are ordered but not
+    necessarily contiguous; the property test pins exactly this).
 
     Scale shape: one cumulative-sum window per source partition (the
     natural write-stream unit — partitions are independent and the

@@ -238,3 +238,136 @@ def test_space_saving_invariants(items, capacity):
     for k, v in m.items():
         assert v >= true[k]
     assert sum(m.values()) == sum(true.values())
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=48
+    ),
+    budget=st.integers(min_value=1, max_value=8000),
+)
+@settings(**_SETTINGS)
+def test_shard_pack_partitions_exactly_and_bounds_overflow(
+    spark, sizes, budget
+):
+    """Offset-window shard packing invariants on adversarial size
+    lists (shard = the budget-window the item's START offset falls
+    in, so a jumbo item can legitimately skip window indices):
+    (a) the shards partition the items exactly (no loss, no dup);
+    (b) shard indices start at 0 and strictly increase;
+    (c) every shard stays under budget + max_item (an item overflows
+        only the window it starts in);
+    (d) items stay in doc_id order: shard id ranges never overlap."""
+    import smart_meter_data_pipeline_spark.operators.multimodal as mm
+
+    rows = [("s", i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, n_bytes int"
+    ).select(
+        "source",
+        "doc_id",
+        F.struct(
+            F.col("n_bytes").alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+    orig_budget = mm.SHARD_BUDGET_BYTES
+    mm.SHARD_BUDGET_BYTES = budget
+    try:
+        out = sorted(
+            mm.pack_shards(df).collect(), key=lambda r: r["shard_idx"]
+        )
+    finally:
+        mm.SHARD_BUDGET_BYTES = orig_budget
+    assert sum(r["n_items"] for r in out) == len(sizes)
+    assert sum(r["shard_bytes"] for r in out) == sum(sizes)
+    idxs = [r["shard_idx"] for r in out]
+    assert idxs[0] == 0 and idxs == sorted(set(idxs))
+    for r in out:
+        assert r["shard_bytes"] <= budget + max(sizes)
+    for a, b in zip(out, out[1:]):
+        assert a["last_doc_id"] < b["first_doc_id"]
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=13, max_value=25),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_kcore_peel_round_invariants(spark, edges, k):
+    """One peel round on an arbitrary bipartite edge list: the
+    surviving edge set (a) is a subset of the input, (b) contains
+    only edges whose BOTH endpoints met the degree threshold in the
+    INPUT graph — exactly the fixed-round semantics trade_kcore
+    unrolls."""
+    uniq = sorted(set(edges))
+    df = spark.createDataFrame(uniq, "u long, v long")
+    deg = (
+        df.select(F.col("u").alias("node"))
+        .unionAll(df.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keep = deg.filter(F.col("deg") >= k).select("node")
+    out = (
+        df.join(keep, df.u == keep.node, "left_semi")
+        .join(keep, df.v == keep.node, "left_semi")
+        .collect()
+    )
+    got = {(r["u"], r["v"]) for r in out}
+    from collections import Counter
+
+    d = Counter()
+    for u, v in uniq:
+        d[u] += 1
+        d[v] += 1
+    expect = {(u, v) for u, v in uniq if d[u] >= k and d[v] >= k}
+    assert got == expect
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(**_SETTINGS)
+def test_drawdown_matches_sequential_reference(spark, vals):
+    """The windowed cumulative-max drawdown must equal the obvious
+    sequential fold on arbitrary float series (selection + one
+    subtraction — no float-reassociation surface)."""
+    from smart_meter_data_pipeline_spark.operators.events_pipeline import (
+        events_max_drawdown,  # noqa: F401  (shape under test inline)
+    )
+    from pyspark.sql import Window
+
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        df.withColumn("drop", F.max("value").over(w) - F.col("value"))
+        .agg(F.max("drop"))
+        .collect()[0][0]
+    )
+    run_max, best = float("-inf"), float("-inf")
+    for v in vals:
+        run_max = max(run_max, v)
+        best = max(best, run_max - v)
+    assert got == best
