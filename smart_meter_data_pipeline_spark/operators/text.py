@@ -1133,3 +1133,87 @@ FROM head
 """
 
 register("corpus_zipf_check", _ZIPF_SQL)(corpus_zipf_check)
+
+
+BPE_TOP_K = 30
+BPE_MAX_WORD = 64  # char-pair scan cap per word (both engines)
+
+
+def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count every
+    adjacent CHARACTER pair across the corpus, weighted by word
+    frequency, and rank the top merge candidates — the step a
+    tokenizer-training pipeline runs repeatedly (here once, making it
+    oracle-checkable; later iterations just re-run it on the merged
+    symbol stream).
+
+    Scale shape: the heavy corpus scan collapses to the VOCABULARY
+    first (word → frequency, one partial-combined rollup); character
+    pairs explode from the vocab only (vocab-sized × word length, not
+    corpus-sized), weighted by the frequency column; the pair rollup
+    is bounded by |alphabet|² and the top-K is a TakeOrdered with the
+    rank window above it. Words are scanned up to ``BPE_MAX_WORD``
+    chars (identically in both engines — the oracle's lateral range
+    has a static bound).
+
+    All-integer weights; strings only as group keys."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least(length(word) - 1,"
+                f" {BPE_MAX_WORD - 1})), i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    ).filter(F.length("pair") == 2)
+    totals = pairs.groupBy("pair").agg(F.sum("freq").alias("total_freq"))
+    head = totals.orderBy(
+        F.col("total_freq").desc(), F.col("pair")
+    ).limit(BPE_TOP_K)
+    w = Window.orderBy(F.col("total_freq").desc(), F.col("pair"))
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "pair",
+        F.col("total_freq").cast("bigint").alias("total_freq"),
+    )
+
+
+_BPE_SQL = f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word, COUNT(*) AS freq FROM words GROUP BY 1
+),
+pairs AS (
+  SELECT substring(word, CAST(i AS INT), 2) AS pair, freq
+  FROM vocab, range(1, {BPE_MAX_WORD}) t(i)
+  WHERE i <= length(word) - 1
+),
+totals AS (
+  SELECT pair, SUM(freq) AS total_freq
+  FROM pairs WHERE length(pair) = 2 GROUP BY 1
+),
+head AS (
+  SELECT pair, total_freq,
+         ROW_NUMBER() OVER (ORDER BY total_freq DESC, pair) AS rank
+  FROM totals
+  ORDER BY total_freq DESC, pair
+  LIMIT {BPE_TOP_K}
+)
+SELECT rank, pair, CAST(total_freq AS BIGINT) AS total_freq FROM head
+"""
+
+register("corpus_bpe_merge_candidates", _BPE_SQL)(
+    corpus_bpe_merge_candidates
+)

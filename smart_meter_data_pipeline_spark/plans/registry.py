@@ -91,6 +91,7 @@ _PRIORITY = [
     "events_benford_digits",
     "corpus_zipf_check",
     "manifest_restore_roundtrip",
+    "corpus_bpe_merge_candidates",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",
