@@ -2612,3 +2612,121 @@ SELECT event_type, sc AS n_events, n_active_minutes,
 FROM sums
 """,
 )(events_burstiness)
+
+
+PATH_TOP_K = 20
+PATH_MAX_EVENTS = 12
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: the most common event-type SEQUENCES per
+    session (gap-based sessions, same rule as events_sessionized) —
+    the path-mining rollup behind funnel discovery and UX analysis,
+    where events_funnel checks ONE known path and this surfaces the
+    unknown ones.
+
+    Each session contributes its first ``PATH_MAX_EVENTS`` events
+    (row_number cap — keeps the path string bounded at 100 TB where a
+    bot session can be arbitrarily long) joined as 'type>type>...';
+    paths are counted corpus-wide and the top-K comes back as a
+    TakeOrdered with the rank window above the K-row head. Ordering
+    ties break on event_id everywhere, so the path strings are
+    deterministic.
+
+    Scale shape: the session windows and the path fold all share ONE
+    user_id partitioning; the path rollup shuffles on the path string
+    once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = F.when(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        > SESSION_GAP_MIN * 60,
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", gap_flag).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    capped = sessions.withColumn(
+        "rn", F.row_number().over(w_sess)
+    ).filter(F.col("rn") <= PATH_MAX_EVENTS)
+    paths = capped.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    head = counts.orderBy(
+        F.col("n_sessions").desc(), F.col("path")
+    ).limit(PATH_TOP_K)
+    w_rank = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return head.withColumn("rank", F.row_number().over(w_rank)).select(
+        "rank",
+        "path",
+        F.col("n_sessions").cast("bigint").alias("n_sessions"),
+    )
+
+
+register(
+    "events_top_paths",
+    f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              )) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM flagged
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, session_seq ORDER BY ts, event_id
+           ) AS rn
+    FROM sessions
+  ) WHERE rn <= {PATH_MAX_EVENTS}
+),
+paths AS (
+  SELECT user_id, session_seq,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM capped GROUP BY 1, 2
+),
+counts AS (
+  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1
+),
+head AS (
+  SELECT path, n_sessions,
+         ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank
+  FROM counts
+  ORDER BY n_sessions DESC, path
+  LIMIT {PATH_TOP_K}
+)
+SELECT rank, path, CAST(n_sessions AS BIGINT) AS n_sessions FROM head
+""",
+)(events_top_paths)

@@ -92,6 +92,8 @@ _PRIORITY = [
     "corpus_zipf_check",
     "manifest_restore_roundtrip",
     "corpus_bpe_merge_candidates",
+    "events_top_paths",
+    "dq_expectations_report",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",
@@ -159,6 +161,7 @@ def load_all() -> None:
         multimodal,
         incremental,
         skew,
+        expectations,
     )
     from smart_meter_data_pipeline_spark.streaming import stream_queries  # noqa: F401
 

@@ -664,3 +664,24 @@ def test_benford_no_windows_two_level_rollup(spark, sf_dir):
     assert "Window" not in p
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_expectations_row_checks_fold_into_one_scan(spark, sf_dir):
+    """All row-predicate checks on one table must compile to ONE
+    conditional-sum aggregate over ONE scan — the lineitem portion of
+    the canonical suite has three row checks but the plan may scan
+    lineitem only for them plus its unique/FK jobs (bounded), and no
+    Python eval appears anywhere."""
+    from smart_meter_data_pipeline_spark.operators import expectations
+
+    lineitem_only = [
+        c
+        for c in expectations.CANONICAL_SUITE
+        if c["table"] == "lineitem"
+        and c["kind"] in ("non_negative", "in_range")
+    ]
+    p = _plan(
+        expectations.run_expectations(spark, sf_dir, lineitem_only)
+    )
+    assert p.count("Scan parquet  (") <= 2  # tree+details: ONE scan
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
