@@ -94,6 +94,7 @@ _PRIORITY = [
     "corpus_bpe_merge_candidates",
     "events_top_paths",
     "dq_expectations_report",
+    "stream_dq_monitor",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",

@@ -1895,3 +1895,121 @@ FROM readings"""
 register("stream_restatement_upsert", _restatement_oracle())(
     stream_restatement_upsert
 )
+
+
+DQ_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+DQ_VALUE_LO, DQ_VALUE_HI = 0.0, 1000.0
+
+
+def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor: the expectations runner's
+    row-predicate checks (operators/expectations.py) applied to the
+    live event stream — null keys, out-of-domain event types,
+    out-of-range values — as ONE global conditional-sum aggregate in
+    complete mode. State is bounded BY CONSTRUCTION at a single row
+    (one counter per check) no matter how long the stream runs, the
+    same boundedness argument as the fixed-bin histogram; this is the
+    shape a production pipeline alerts on between the ingest sink and
+    the marts (reference parity: the consumer's per-message validation
+    counters, consumer/meter_consumer.py:55-58 + the monitor loop of
+    monitor/kafka_monitor.py, fused into one declarative frame).
+
+    The drained single-row state explodes into tidy
+    (check_name, n_violations, passed) rows BATCH-side. Oracle:
+    identical counts computed relationally — a fully drained stream
+    must hash-equal the batch truth."""
+    from smart_meter_data_pipeline_spark.operators.expectations import (
+        _violation_expr,
+    )
+
+    checks = [
+        {"kind": "not_null", "column": "user_id"},
+        {"kind": "not_null", "column": "value"},
+        {
+            "kind": "accepted_values",
+            "column": "event_type",
+            "values": DQ_EVENT_TYPES,
+        },
+        {
+            "kind": "in_range",
+            "column": "value",
+            "lo": DQ_VALUE_LO,
+            "hi": DQ_VALUE_HI,
+        },
+    ]
+    names = [
+        "not_null_user_id",
+        "not_null_value",
+        "accepted_values_event_type",
+        "in_range_value",
+    ]
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.agg(
+        *[
+            F.sum(_violation_expr(c).cast("long")).alias(f"v{i}")
+            for i, c in enumerate(checks)
+        ],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    sink = f"stream_dq_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")  # ONE row of counters, forever
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.table(sink)
+    return state.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("check_name"),
+                        F.coalesce(F.col(f"v{i}"), F.lit(0))
+                        .cast("bigint")
+                        .alias("n_violations"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("r"),
+        "n_rows",
+    ).select(
+        "r.check_name",
+        "r.n_violations",
+        (F.col("r.n_violations") == 0).alias("passed"),
+        F.col("n_rows").cast("bigint").alias("n_rows_checked"),
+    )
+
+
+register(
+    "stream_dq_monitor",
+    f"""
+WITH counters AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v0,
+    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v1,
+    CAST(SUM(CASE WHEN event_type IS NOT NULL
+                   AND event_type NOT IN
+                       ('click','error','purchase','signup','view')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN value IS NOT NULL
+                   AND (value < {DQ_VALUE_LO} OR value > {DQ_VALUE_HI})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events
+)
+SELECT 'not_null_user_id' AS check_name, v0 AS n_violations,
+       v0 = 0 AS passed, n_rows AS n_rows_checked FROM counters
+UNION ALL
+SELECT 'not_null_value', v1, v1 = 0, n_rows FROM counters
+UNION ALL
+SELECT 'accepted_values_event_type', v2, v2 = 0, n_rows FROM counters
+UNION ALL
+SELECT 'in_range_value', v3, v3 = 0, n_rows FROM counters
+""",
+)(stream_dq_monitor)
