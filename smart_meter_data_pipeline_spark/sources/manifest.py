@@ -94,8 +94,18 @@ class ManifestTable:
     """A parquet table whose visible contents are decided by the
     commit log, with a PK-idempotent optimistic append."""
 
-    def __init__(self, table_dir: str) -> None:
+    def __init__(
+        self, table_dir: str, stats_columns: list[str] | None = None
+    ) -> None:
         self.table_dir = table_dir
+        # Columns whose per-file [min, max] footers are recorded in
+        # every commit for metadata-only file skipping. Iceberg keeps
+        # stats for every column; recording a chosen few keeps commit
+        # payloads O(files × chosen), which is the right trade at a
+        # 100 TB file count. Default: the reference PK's meter_id.
+        self.stats_columns = (
+            list(stats_columns) if stats_columns else [self.STATS_COLUMN]
+        )
         self.commits_dir = os.path.join(table_dir, COMMITS_DIRNAME)
         self.data_dir = os.path.join(table_dir, DATA_DIRNAME)
         self._recover_interrupted_compaction()
@@ -363,63 +373,93 @@ class ManifestTable:
     STATS_COLUMN = "meter_id"
 
     def _file_stats(self, rel_files: list[str]) -> dict:
-        """Per-file [min, max] of the stats column, read from the
-        parquet FOOTERS of just-staged files — no data scan, ~1ms per
-        file on the driver. This is the Delta/Iceberg data-skipping
-        move: the commit carries the file's key range, so later
-        mutations prune their candidate scan from metadata alone."""
+        """Per-file {column: [min, max]} over ``stats_columns``, read
+        from the parquet FOOTERS of just-staged files — no data scan,
+        ~1ms per file on the driver. This is the Delta/Iceberg
+        data-skipping move: the commit carries each file's key
+        ranges, so later mutations prune their candidate scan from
+        metadata alone. (Commits written before multi-column stats
+        hold the legacy ``{file: [min, max]}`` shape for the default
+        column — _prune_by_stats reads both.)"""
         import pyarrow.parquet as pq
 
+        wanted = set(self.stats_columns)
         out = {}
         for rel in rel_files:
             md = pq.read_metadata(os.path.join(self.data_dir, rel))
-            mn = mx = None
+            acc: dict[str, list] = {}
             for i in range(md.num_row_groups):
                 rg = md.row_group(i)
                 for j in range(rg.num_columns):
                     col = rg.column(j)
-                    if col.path_in_schema != self.STATS_COLUMN:
+                    name = col.path_in_schema
+                    if name not in wanted:
                         continue
                     s = col.statistics
                     if s is None or not s.has_min_max:
                         continue
-                    mn = s.min if mn is None else min(mn, s.min)
-                    mx = s.max if mx is None else max(mx, s.max)
-            # Stats are an OPTIMIZATION: tables whose stats column
-            # is non-integral (or absent) simply skip file-skipping —
-            # an unguarded int() here would turn every append on such
-            # a table into a hard ValueError.
-            if (
-                isinstance(mn, int)
+                    if name in acc:
+                        acc[name] = [
+                            min(acc[name][0], s.min),
+                            max(acc[name][1], s.max),
+                        ]
+                    else:
+                        acc[name] = [s.min, s.max]
+            # Stats are an OPTIMIZATION: non-integral columns simply
+            # skip file-skipping — an unguarded int() here would turn
+            # every append on such a table into a hard ValueError.
+            per_col = {
+                name: [int(mn), int(mx)]
+                for name, (mn, mx) in acc.items()
+                if isinstance(mn, int)
                 and isinstance(mx, int)
                 and not isinstance(mn, bool)
-            ):
-                out[rel] = [int(mn), int(mx)]
+            }
+            if per_col:
+                out[rel] = per_col
         return out
 
     def _prune_by_stats(
         self,
         files: list[str],
         commits: list[dict],
-        key_min: int | None,
-        key_max: int | None,
+        key_ranges: dict[str, tuple],
     ) -> list[str]:
-        """Drop candidate files whose recorded stats range cannot
-        intersect [key_min, key_max]. Files without stats (written
-        before stats tracking) are always kept — skipping is an
-        optimization, never a correctness filter."""
-        if key_min is None or key_max is None:
+        """Drop candidate files whose recorded stats prove they cannot
+        intersect the batch's key ranges — a file is skipped when ANY
+        stats column's recorded [min, max] is disjoint from that
+        column's batch range (each extra stats column only ever prunes
+        MORE). Files without stats (written before stats tracking)
+        are always kept, as are columns a file has no record for —
+        skipping is an optimization, never a correctness filter.
+        Legacy single-column entries (``[min, max]`` lists) are read
+        as the default column's range."""
+        key_ranges = {
+            c: (mn, mx)
+            for c, (mn, mx) in key_ranges.items()
+            if mn is not None and mx is not None
+        }
+        if not key_ranges:
             return files
-        ranges: dict[str, list] = {}
+        recorded: dict[str, object] = {}
         for c in commits:
-            ranges.update(c.get("stats", {}))
+            recorded.update(c.get("stats", {}))
         kept = []
         for f in files:
             rel = os.path.relpath(f, self.data_dir)
-            r = ranges.get(rel)
-            if r is not None and (r[1] < key_min or r[0] > key_max):
+            e = recorded.get(rel)
+            if e is None:
+                kept.append(f)
                 continue
-            kept.append(f)
+            if isinstance(e, list):
+                e = {self.STATS_COLUMN: e}
+            disjoint = any(
+                col in e
+                and (e[col][1] < mn or e[col][0] > mx)
+                for col, (mn, mx) in key_ranges.items()
+            )
+            if not disjoint:
+                kept.append(f)
         return kept
 
     def _discard_stage(self, rel_files: list[str]) -> None:
@@ -686,17 +726,30 @@ class ManifestTable:
                 # one file's schema and silently drop the others'
                 # columns from the rewrite.
                 ev_schema = self._evolved_schema(commits)
-                # File skipping: the batch's key range vs each file's
-                # recorded min/max — a restatement targeting one meter
-                # range touches only that range's files, from metadata
-                # alone.
-                krange = in_keys.agg(
-                    F.min(self.STATS_COLUMN).alias("mn"),
-                    F.max(self.STATS_COLUMN).alias("mx"),
-                ).collect()[0]
-                cand = self._prune_by_stats(
-                    cand, commits, krange["mn"], krange["mx"]
-                )
+                # File skipping: the batch's range on every stats
+                # column vs each file's recorded min/max — a
+                # restatement targeting one meter range touches only
+                # that range's files, from metadata alone.
+                stat_cols = [
+                    c for c in self.stats_columns if c in in_keys.columns
+                ]
+                key_ranges: dict[str, tuple] = {}
+                if stat_cols:
+                    row = in_keys.agg(
+                        *(
+                            agg
+                            for i, c in enumerate(stat_cols)
+                            for agg in (
+                                F.min(c).alias(f"mn{i}"),
+                                F.max(c).alias(f"mx{i}"),
+                            )
+                        )
+                    ).collect()[0]
+                    key_ranges = {
+                        c: (row[f"mn{i}"], row[f"mx{i}"])
+                        for i, c in enumerate(stat_cols)
+                    }
+                cand = self._prune_by_stats(cand, commits, key_ranges)
                 staged: list[str] = []
                 removed_rel: list[str] = []
                 n_matched = 0

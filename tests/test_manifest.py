@@ -929,12 +929,13 @@ def test_file_skipping_stats_prune_mutation_scans(spark, table_dir):
     # stats recorded for every added file
     for c in commits:
         assert set(c["stats"]) == set(c["added"])
-        for mn, mx in c["stats"].values():
+        for per_col in c["stats"].values():
+            mn, mx = per_col["meter_id"]
             assert mn <= mx
 
     live = t._files(commits)
     # a delete targeting meters 5001-5050 must prune ALL low-range files
-    pruned = t._prune_by_stats(live, commits, 5001, 5050)
+    pruned = t._prune_by_stats(live, commits, {"meter_id": (5001, 5050)})
     low_files = set(commits[0]["added"])
     assert all(
         os.path.relpath(f, t.data_dir) not in low_files for f in pruned
@@ -942,7 +943,24 @@ def test_file_skipping_stats_prune_mutation_scans(spark, table_dir):
     assert len(pruned) < len(live)
     # legacy commits without stats are never skipped
     no_stats = [dict(c, stats={}) for c in commits]
-    assert t._prune_by_stats(live, no_stats, 5001, 5050) == live
+    assert (
+        t._prune_by_stats(live, no_stats, {"meter_id": (5001, 5050)})
+        == live
+    )
+    # legacy single-column entries ([min, max] lists) still prune
+    legacy = [
+        dict(
+            c,
+            stats={
+                rel: per_col["meter_id"]
+                for rel, per_col in c.get("stats", {}).items()
+            },
+        )
+        for c in commits
+    ]
+    assert t._prune_by_stats(
+        live, legacy, {"meter_id": (5001, 5050)}
+    ) == pruned
 
     # end-to-end: the pruned delete is still exact
     doomed = _valid_batch(spark, 5001, 5051).select(
@@ -1042,13 +1060,13 @@ def test_optimize_cluster_by_tightens_stats_and_skipping(spark, table_dir):
     assert 2 <= res["files_created"] <= 4
     commits = t.snapshot()
     live = t._files(commits)
-    pruned = t._prune_by_stats(live, commits, 1, 100)
+    pruned = t._prune_by_stats(live, commits, {"meter_id": (1, 100)})
     # post-clustering: the low-range probe touches a strict subset
     assert len(pruned) < len(live)
     # contents identical, ranges near-disjoint
     assert t.read(spark).count() == 200
     stats = commits[-1]["stats"]
-    ranges = sorted(stats.values())
+    ranges = sorted(per_col["meter_id"] for per_col in stats.values())
     for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi <= lo2  # range-partitioned: no overlap beyond edges
 
@@ -1261,3 +1279,48 @@ def test_restore_refuses_missing_target_files(spark, table_dir):
     os.remove(dead[0])
     with pytest.raises(ValueError, match="vacuumed"):
         manifest.restore_version(t, 0)
+
+
+def test_multi_column_stats_prune_on_any_disjoint_column(spark, table_dir):
+    """A table configured with two stats columns records both ranges
+    per file, and a mutation skips a file when EITHER column's batch
+    range is disjoint — each extra stats column only prunes more."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(
+        table_dir,
+        stats_columns=["meter_id", "reading_consumption_milliwatts"],
+    )
+    lo = _valid_batch(spark, 1, 51)
+    hi = _valid_batch(spark, 1001, 1051).withColumn(
+        "reading_consumption_milliwatts", F.lit(999_000)
+    )
+    t.idempotent_append(spark, lo)
+    t.idempotent_append(spark, hi)
+    commits = t.snapshot()
+    for c in commits:
+        for per_col in c["stats"].values():
+            assert set(per_col) == {
+                "meter_id",
+                "reading_consumption_milliwatts",
+            }
+    live = t._files(commits)
+    # meter range hits BOTH commits, but the consumption range only
+    # matches the low batch -> the second column prunes the hi files
+    pruned = t._prune_by_stats(
+        live,
+        commits,
+        {
+            "meter_id": (1, 2000),
+            "reading_consumption_milliwatts": (1000, 2000),
+        },
+    )
+    hi_files = set(commits[1]["added"])
+    assert all(
+        os.path.relpath(f, t.data_dir) not in hi_files for f in pruned
+    )
+    assert len(pruned) < len(live)
+    # end-to-end: a consumption-targeted delete stays exact
+    doomed = lo.limit(10).select("reading_timestamp", "meter_id")
+    assert t.delete_keys(spark, doomed) == 10
+    assert t.read(spark).count() == 90
