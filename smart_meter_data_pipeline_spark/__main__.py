@@ -9,6 +9,8 @@ the reference's assorted entry points (producer loop, consumer loop,
     python -m smart_meter_data_pipeline_spark test [--sf-dir D]
     python -m smart_meter_data_pipeline_spark maintain <table_dir>
         [--keep-last N] [--vacuum-ttl-s S]
+    python -m smart_meter_data_pipeline_spark history <table_dir>
+    python -m smart_meter_data_pipeline_spark restore <table_dir> <version>
 
 ``run`` executes any registered query (the full SURVEY §2 + LLM-ops
 registry); ``marts`` is the ``dbt run`` twin (rebuild staging + both
@@ -69,6 +71,19 @@ def _build_parser() -> argparse.ArgumentParser:
         help="bin-pack live data files smaller than this many bytes "
         "before compacting the log (0 = skip; needs a Spark session)",
     )
+
+    hist = sub.add_parser(
+        "history", help="manifest table commit history (DESCRIBE HISTORY)"
+    )
+    hist.add_argument("table_dir", help="ManifestTable directory")
+
+    rest = sub.add_parser(
+        "restore",
+        help="roll a manifest table back to an earlier version "
+        "(metadata-only commit, history preserved)",
+    )
+    rest.add_argument("table_dir", help="ManifestTable directory")
+    rest.add_argument("version", type=int, help="target commit version")
     return p
 
 
@@ -83,6 +98,35 @@ def main(argv: list[str] | None = None) -> int:
         for name in registry.QUERIES:
             oracle = "oracle" if name in registry.ORACLES else "rows-only"
             print(f"{name}\t{oracle}")
+        return 0
+
+    if args.cmd in ("history", "restore"):
+        # Metadata-only (one log listing; restore publishes one
+        # commit) — no Spark session, same typo'd-path guard as
+        # maintain.
+        import os
+
+        from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+        commits_dir = os.path.join(args.table_dir, mf.COMMITS_DIRNAME)
+        if not os.path.isdir(commits_dir):
+            print(
+                f"not a manifest table (no {mf.COMMITS_DIRNAME}/ dir): "
+                f"{args.table_dir}",
+                file=sys.stderr,
+            )
+            return 2
+        t = mf.ManifestTable(args.table_dir)
+        if args.cmd == "history":
+            for row in t.history():
+                print(json.dumps(row))
+            return 0
+        try:
+            res = mf.restore_version(t, args.version)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "maintain":

@@ -38,3 +38,43 @@ def test_cli_maintain_compacts_and_sweeps(spark, tmp_path, capsys):
     assert out["commits_merged"] == 3
     assert out["commits_now"] == 2
     assert t.read(spark).count() == 40
+
+
+def test_cli_history_and_restore(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tests.test_manifest import _valid_batch
+    from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+    tdir = str(tmp_path / "fact")
+    t = mf.ManifestTable(tdir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))
+    t.upsert(
+        spark,
+        _valid_batch(spark, 5, 8).withColumn(
+            "reading_consumption_milliwatts", F.lit(7777)
+        ),
+    )
+
+    assert main(["history", tdir]) == 0
+    rows = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["version"] for r in rows] == [0, 1]
+    assert rows[1]["n_removed"] > 0  # the CoW rewrite
+
+    assert main(["restore", tdir, "0"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip())
+    assert res["restored_version"] == 0
+    vals = {
+        r["meter_id"]: r["reading_consumption_milliwatts"]
+        for r in t.read(spark).collect()
+    }
+    assert all(v == 1500 for v in vals.values())
+
+    # typo'd path: no empty-table creation, exit 2
+    assert main(["restore", str(tmp_path / "nope"), "0"]) == 2
+    assert main(["history", str(tmp_path / "nope")]) == 2
