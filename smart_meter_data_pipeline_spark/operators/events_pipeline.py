@@ -896,3 +896,119 @@ FROM counts JOIN totals USING (event_type)
 """
 
 register("events_benford_digits", _BENFORD_SQL)(events_benford_digits)
+
+
+MEDIAN_BUCKETS = 4096
+
+
+def events_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type median WITHOUT sorting the fact: the two-pass
+    distributed selection that answers events_mad_outliers' scale
+    caveat. Pass 1 histograms each type into ``MEDIAN_BUCKETS``
+    equal-width buckets (one map-side-combinable rollup); the bucket
+    containing the target rank falls out of a cumulative sum over the
+    (type × bucket) rollup — tiny. Pass 2 ranks ONLY the rows inside
+    that one bucket (expected n/buckets rows per type), where the
+    (rank_in_bucket == target − rows_before_bucket) row IS the
+    discrete lower median. Same median row the single-window
+    formulation selects — the oracle says so — but the biggest sort
+    this plan ever does is one bucket's worth of rows.
+
+    Bucket bounds come from the exact min/max (selection-only, engine
+    identical); bucket ids are single-op double math floored to int64
+    (same bits both engines); ranking ties break on event_id. Output:
+    all-integer micro-units per type."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    binned = events.join(F.broadcast(stats), "event_type").withColumn(
+        "bucket",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * MEDIAN_BUCKETS
+                ).cast("bigint"),
+                F.lit(MEDIAN_BUCKETS - 1).cast("bigint"),
+            ),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    hist = binned.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    target = binned.select("event_type", "n_events").distinct().select(
+        "event_type", F.expr("(n_events + 1) div 2").alias("target_rank")
+    )
+    located = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("before", F.col("cum") - F.col("cnt"))
+        .join(F.broadcast(target), "event_type")
+        .filter(
+            (F.col("before") < F.col("target_rank"))
+            & (F.col("cum") >= F.col("target_rank"))
+        )
+        .select(
+            "event_type",
+            F.col("bucket").alias("med_bucket"),
+            "before",
+            "target_rank",
+        )
+    )
+    w_in = Window.partitionBy("event_type").orderBy("value", "event_id")
+    medians = (
+        binned.join(F.broadcast(located), "event_type")
+        .filter(F.col("bucket") == F.col("med_bucket"))
+        .withColumn("rn", F.row_number().over(w_in))
+        .filter(
+            F.col("rn") == F.col("target_rank") - F.col("before")
+        )
+        .select("event_type", F.col("value").alias("med"))
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(medians, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.floor(F.col("med") * 1000000)
+            .cast("bigint")
+            .alias("med_micro"),
+        )
+    )
+
+
+_MEDIAN_2PASS_SQL = """
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn
+  FROM events
+)
+SELECT r.event_type,
+       CAST(c.n_events AS BIGINT) AS n_events,
+       CAST(FLOOR(r.value * 1000000) AS BIGINT) AS med_micro
+FROM ranked r JOIN counts c ON r.event_type = c.event_type
+WHERE r.rn = CAST((c.n_events + 1) // 2 AS BIGINT)
+"""
+
+register("events_exact_median_2pass", _MEDIAN_2PASS_SQL)(
+    events_exact_median_2pass
+)

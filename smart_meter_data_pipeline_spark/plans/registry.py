@@ -95,6 +95,7 @@ _PRIORITY = [
     "events_top_paths",
     "dq_expectations_report",
     "stream_dq_monitor",
+    "events_exact_median_2pass",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",
