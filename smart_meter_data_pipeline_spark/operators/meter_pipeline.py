@@ -1110,3 +1110,71 @@ register(
     f"""WITH {_readings_cte()}
 SELECT * FROM readings""",
 )(manifest_restore_roundtrip)
+
+
+def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDF under the driver gate: land the generator day
+    (v0), UPSERT a restatement (meters ≡3 mod 7 at +10007, v1), DELETE
+    meters ≡5 mod 11 (v2), then read ``change_feed(0, 2)``. The oracle
+    derives the exact expected feed relationally: update pre/post
+    image pairs for restated-and-surviving meters, deletes carrying
+    the ORIGINAL image for removed meters (including ones restated
+    first — the net feed reports v0→v2), and NO rows for
+    copy-on-write survivors. Exercises the snapshot-difference CDF
+    (sources/manifest.py change_feed) end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_cdf_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        restated = readings.filter(F.col("meter_id") % 7 == 3).withColumn(
+            "reading_consumption_milliwatts",
+            F.col("reading_consumption_milliwatts") + F.lit(10007),
+        )
+        t.upsert(spark, restated)
+        doomed = readings.filter(F.col("meter_id") % 11 == 5).select(
+            "reading_timestamp", "meter_id"
+        )
+        t.delete_keys(spark, doomed)
+        feed = t.change_feed(spark, 0, 2).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+            "_change_type",
+        )
+        return feed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_change_feed",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id,
+       reading_consumption_milliwatts,
+       reading_production_milliwatts, status,
+       'update_preimage' AS _change_type
+FROM readings WHERE meter_id % 7 = 3 AND meter_id % 11 <> 5
+UNION ALL
+SELECT reading_timestamp, meter_id,
+       CAST(reading_consumption_milliwatts + 10007 AS INT),
+       reading_production_milliwatts, status,
+       'update_postimage'
+FROM readings WHERE meter_id % 7 = 3 AND meter_id % 11 <> 5
+UNION ALL
+SELECT reading_timestamp, meter_id,
+       reading_consumption_milliwatts,
+       reading_production_milliwatts, status,
+       'delete'
+FROM readings WHERE meter_id % 11 = 5""",
+)(manifest_change_feed)

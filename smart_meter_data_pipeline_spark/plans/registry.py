@@ -96,6 +96,7 @@ _PRIORITY = [
     "dq_expectations_report",
     "stream_dq_monitor",
     "events_exact_median_2pass",
+    "manifest_change_feed",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",

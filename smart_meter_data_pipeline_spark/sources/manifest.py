@@ -355,6 +355,125 @@ class ManifestTable:
             reader = reader.schema(schema)
         return reader.parquet(*files)
 
+    def change_feed(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        pk: list[str] = PK,
+    ) -> DataFrame | None:
+        """ROW-LEVEL change data feed between two versions — the Delta
+        CDF shape: one row per changed row, tagged ``_change_type`` ∈
+        {insert, delete, update_preimage, update_postimage}. Computed
+        from the SNAPSHOT FILE DIFFERENCE, so the cost scales with the
+        CHANGED FILES, not the table: files live in both snapshots are
+        immutable and therefore untouched; files only in the old
+        snapshot hold candidate pre-images, files only in the new one
+        candidate post-images. A full-outer PK join of just those two
+        sides classifies every row — and rewritten-survivor rows
+        (identical pre/post, an artifact of copy-on-write file
+        granularity) are filtered out by comparing the non-PK columns,
+        so the feed contains exactly the logical changes.
+
+        Columns are aligned under each side's evolved schema (missing
+        columns read as NULL), with the value comparison
+        NULL-safe (``<=>``). ``v_from = -1`` diffs from the empty
+        table (everything is an insert). Returns None when the
+        snapshots share every file. Complements :meth:`diff` (the
+        cheaper post-image/file-level feed) — use this one when the
+        consumer needs deletes and pre-images."""
+        commits = self.snapshot()
+        if not (-1 <= v_from <= v_to < len(commits)):
+            raise ValueError(
+                f"bad version range ({v_from}, {v_to}] for "
+                f"{len(commits)} commits"
+            )
+        live_from = (
+            set(self._files(commits[: v_from + 1])) if v_from >= 0 else set()
+        )
+        live_to = set(self._files(commits[: v_to + 1]))
+        pre_files = sorted(live_from - live_to)
+        post_files = sorted(live_to - live_from)
+        if not pre_files and not post_files:
+            return None
+
+        def _read(files, upto):
+            if not files:
+                return None
+            schema = self._evolved_schema(commits[: upto + 1])
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(*files)
+
+        pre = _read(pre_files, v_from if v_from >= 0 else v_to)
+        post = _read(post_files, v_to)
+        if pre is None:
+            return post.withColumn("_change_type", F.lit("insert"))
+        if post is None:
+            return pre.withColumn("_change_type", F.lit("delete"))
+        # align columns across a schema-evolution boundary
+        all_cols = list(
+            dict.fromkeys([*pre.columns, *post.columns])
+        )
+        def _pad(df):
+            for c in all_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            return df.select(*all_cols)
+        pre, post = _pad(pre), _pad(post)
+        val_cols = [c for c in all_cols if c not in pk]
+        p_ = pre.select(
+            *[F.col(c).alias(f"__pre_{c}") for c in all_cols]
+        )
+        q_ = post.select(
+            *[F.col(c).alias(f"__post_{c}") for c in all_cols]
+        )
+        cond = [
+            p_[f"__pre_{k}"] == q_[f"__post_{k}"] for k in pk
+        ]
+        j = p_.join(q_, cond, "full_outer")
+        pre_key = F.coalesce(*[p_[f"__pre_{k}"] for k in pk[:1]])
+        post_key = F.coalesce(*[q_[f"__post_{k}"] for k in pk[:1]])
+        same_vals = (
+            F.lit(True)
+            if not val_cols
+            else None
+        )
+        if val_cols:
+            expr = p_[f"__pre_{val_cols[0]}"].eqNullSafe(
+                q_[f"__post_{val_cols[0]}"]
+            )
+            for c in val_cols[1:]:
+                expr = expr & p_[f"__pre_{c}"].eqNullSafe(
+                    q_[f"__post_{c}"]
+                )
+            same_vals = expr
+        inserts = j.filter(pre_key.isNull()).select(
+            *[q_[f"__post_{c}"].alias(c) for c in all_cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        deletes = j.filter(post_key.isNull()).select(
+            *[p_[f"__pre_{c}"].alias(c) for c in all_cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        changed = j.filter(
+            pre_key.isNotNull() & post_key.isNotNull() & ~same_vals
+        )
+        pre_img = changed.select(
+            *[p_[f"__pre_{c}"].alias(c) for c in all_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post_img = changed.select(
+            *[q_[f"__post_{c}"].alias(c) for c in all_cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return (
+            inserts.unionByName(deletes)
+            .unionByName(pre_img)
+            .unionByName(post_img)
+        )
+
     # -- write -------------------------------------------------------------
 
     def _stage(self, df: DataFrame) -> list[str]:

@@ -1324,3 +1324,78 @@ def test_multi_column_stats_prune_on_any_disjoint_column(spark, table_dir):
     doomed = lo.limit(10).select("reading_timestamp", "meter_id")
     assert t.delete_keys(spark, doomed) == 10
     assert t.read(spark).count() == 90
+
+
+def test_change_feed_classifies_row_level_changes(spark, table_dir):
+    """Row-level CDF from the snapshot file difference: updates carry
+    pre+post images, deletes the pre-image, appends inserts — and
+    rewritten-survivor rows (same values, new file) never appear.
+    Cost bound: only files in the snapshots' symmetric difference are
+    read, pinned by comparing against the live-file sets."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 21))       # v0
+    restated = _valid_batch(spark, 5, 9).withColumn(
+        "reading_consumption_milliwatts", F.lit(9999)
+    )
+    t.upsert(spark, restated)                                    # v1
+    doomed = _valid_batch(spark, 3, 4).select(
+        "reading_timestamp", "meter_id"
+    )
+    t.delete_keys(spark, doomed)                                 # v2
+    t.idempotent_append(spark, _valid_batch(spark, 30, 33))      # v3
+
+    feed = t.change_feed(spark, 0, 3)
+    rows = [
+        (r["meter_id"], r["_change_type"],
+         r["reading_consumption_milliwatts"])
+        for r in feed.collect()
+    ]
+    by_type: dict[str, set] = {}
+    for m, ct, v in rows:
+        by_type.setdefault(ct, set()).add((m, v))
+    assert by_type["insert"] == {(m, 1500) for m in range(30, 33)}
+    assert by_type["delete"] == {(3, 1500)}
+    assert by_type["update_preimage"] == {
+        (m, 1500) for m in range(5, 9)
+    }
+    assert by_type["update_postimage"] == {
+        (m, 9999) for m in range(5, 9)
+    }
+    # no survivors leak: every meter in the feed is a logical change
+    assert {m for m, _, _ in rows} == {3, 30, 31, 32, 5, 6, 7, 8}
+
+    # full-history feed from empty: everything an insert
+    full = t.change_feed(spark, -1, 0)
+    assert (
+        full.filter(full._change_type != "insert").count() == 0
+        and full.count() == 20
+    )
+    # identical snapshots: no feed
+    assert t.change_feed(spark, 3, 3) is None
+
+
+def test_change_feed_spans_schema_evolution(spark, table_dir):
+    """A feed crossing an additive-evolution boundary surfaces the new
+    column: NULL on pre-images, populated on post-images."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))       # v0
+    evolved = _valid_batch(spark, 5, 8).withColumn(
+        "correction_source", F.lit("manual")
+    )
+    t.upsert(spark, evolved)                                     # v1
+
+    feed = t.change_feed(spark, 0, 1)
+    rows = {
+        (r["meter_id"], r["_change_type"]): r["correction_source"]
+        for r in feed.collect()
+    }
+    for m in range(5, 8):
+        assert rows[(m, "update_preimage")] is None
+        assert rows[(m, "update_postimage")] == "manual"
+    # the evolved column itself makes the rows differ, even though
+    # every pre-existing column kept its value
+    assert len(rows) == 6
