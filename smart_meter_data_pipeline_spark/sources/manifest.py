@@ -95,7 +95,10 @@ class ManifestTable:
     commit log, with a PK-idempotent optimistic append."""
 
     def __init__(
-        self, table_dir: str, stats_columns: list[str] | None = None
+        self,
+        table_dir: str,
+        stats_columns: list[str] | None = None,
+        constraints: list[dict] | None = None,
     ) -> None:
         self.table_dir = table_dir
         # Columns whose per-file [min, max] footers are recorded in
@@ -106,6 +109,15 @@ class ManifestTable:
         self.stats_columns = (
             list(stats_columns) if stats_columns else [self.STATS_COLUMN]
         )
+        # Write-time CHECK constraints (Delta invariants): a list of
+        # ROW-PREDICATE expectation dicts (operators/expectations.py
+        # shapes: not_null / non_negative / accepted_values /
+        # in_range). Every append/upsert batch is screened in ONE
+        # conditional-sum aggregate BEFORE anything stages; a
+        # violating batch raises and nothing commits. Row-local by
+        # design — uniqueness is the PK protocol's job and FKs are
+        # query-time checks (run_expectations), exactly Delta's split.
+        self.constraints = list(constraints) if constraints else []
         self.commits_dir = os.path.join(table_dir, COMMITS_DIRNAME)
         self.data_dir = os.path.join(table_dir, DATA_DIRNAME)
         self._recover_interrupted_compaction()
@@ -616,6 +628,7 @@ class ManifestTable:
         validated takes a number >= the fence, so ``_put_if_absent``
         failing is the only way to miss concurrent content, and that
         failure routes into revalidation below."""
+        self._check_constraints(batch)
         in_batch = batch.dropDuplicates(pk).persist()
         try:
             n_batch = in_batch.count()
@@ -720,6 +733,46 @@ class ManifestTable:
                     f"the batch"
                 )
 
+    def _check_constraints(self, batch: DataFrame) -> None:
+        """Screen a write batch against the table's CHECK constraints
+        in one conditional-sum aggregate; raise with per-check counts
+        on any violation. Constraints naming columns the batch lacks
+        count every row as violating for not_null and are skipped for
+        the value checks (a missing column is NULL everywhere)."""
+        if not self.constraints:
+            return
+        from smart_meter_data_pipeline_spark.operators.expectations import (
+            _check_name,
+            _violation_expr,
+        )
+
+        aggs = []
+        names = []
+        for c in self.constraints:
+            names.append(_check_name(c))
+            if c["column"] not in batch.columns:
+                if c["kind"] == "not_null":
+                    aggs.append(F.count(F.lit(1)))
+                else:
+                    aggs.append(F.lit(0))
+                continue
+            aggs.append(F.sum(_violation_expr(c).cast("long")))
+        row = batch.agg(
+            *[a.alias(f"v{i}") for i, a in enumerate(aggs)]
+        ).collect()[0]
+        bad = {
+            n: int(row[f"v{i}"] or 0)
+            for i, n in enumerate(names)
+            if (row[f"v{i}"] or 0) > 0
+        }
+        if bad:
+            raise ValueError(
+                f"batch violates CHECK constraints {bad}: nothing "
+                "was written — fix or quarantine the rows upstream "
+                "(sources/ingest.py split_valid is the quarantine "
+                "path)"
+            )
+
     @staticmethod
     def _fence(numbered: list[tuple[int, dict]]) -> int:
         """The publish number implied by one specific log listing:
@@ -798,6 +851,8 @@ class ManifestTable:
         single commit adds the rewrites and removes the originals.
         A lost put-if-absent discards the stage and reruns the whole
         attempt against the new log."""
+        if batch is not None:
+            self._check_constraints(batch)
         in_keys = keys.dropDuplicates(pk).persist()
         try:
             if in_keys.limit(1).count() == 0:

@@ -1399,3 +1399,54 @@ def test_change_feed_spans_schema_evolution(spark, table_dir):
     # the evolved column itself makes the rows differ, even though
     # every pre-existing column kept its value
     assert len(rows) == 6
+
+
+def test_check_constraints_gate_every_write_path(spark, table_dir):
+    """Delta-invariant CHECK constraints: a violating batch raises on
+    append AND on upsert with per-check counts, nothing commits; a
+    clean batch writes normally; a constraint on a column the batch
+    lacks counts as not_null violations."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(
+        table_dir,
+        constraints=[
+            {"kind": "non_negative",
+             "column": "reading_consumption_milliwatts"},
+            {"kind": "accepted_values", "column": "status",
+             "values": ["V", "E", "S"]},
+        ],
+    )
+    good = _valid_batch(spark, 1, 11)
+    assert t.idempotent_append(spark, good) == 10
+
+    bad = _valid_batch(spark, 20, 25).withColumn(
+        "reading_consumption_milliwatts", F.lit(-5)
+    )
+    with pytest.raises(ValueError, match="non_negative"):
+        t.idempotent_append(spark, bad)
+    assert len(t.snapshot()) == 1  # nothing committed
+
+    with pytest.raises(ValueError, match="CHECK"):
+        t.upsert(
+            spark,
+            good.withColumn("status", F.lit("BOGUS")),
+        )
+    assert t.read(spark).count() == 10
+
+    # clean upsert passes the gate
+    res = t.upsert(
+        spark,
+        _valid_batch(spark, 5, 8).withColumn(
+            "reading_consumption_milliwatts", F.lit(7)
+        ),
+    )
+    assert res["updated"] == 3
+
+    # not_null on a column the batch does not carry: every row counts
+    t2 = manifest.ManifestTable(
+        str(table_dir) + "_nn",
+        constraints=[{"kind": "not_null", "column": "no_such_col"}],
+    )
+    with pytest.raises(ValueError, match="not_null_no_such_col"):
+        t2.idempotent_append(spark, good)
