@@ -1377,6 +1377,8 @@ def restore_version(table: ManifestTable, version: int) -> dict:
                     "restore_of": version,
                 }
             ).encode()
+            if table._pre_publish_hook is not None:
+                table._pre_publish_hook()
             if _put_if_absent(table._commit_path(fence), payload):
                 return {
                     "files_readded": len(readd),

@@ -1450,3 +1450,40 @@ def test_check_constraints_gate_every_write_path(spark, table_dir):
     )
     with pytest.raises(ValueError, match="not_null_no_such_col"):
         t2.idempotent_append(spark, good)
+
+
+def test_deterministic_append_lands_between_restore_validate_and_publish(
+    spark, table_dir
+):
+    """Restore loses the put-if-absent race to an append landing in
+    the exact validate→publish window: the retry re-derives the file
+    sets against the NEW log, so the raced append is rolled back too
+    (restore-to-v0 semantics: everything newer than v0 goes) and the
+    final state is exactly v0's."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))    # v0
+    t.idempotent_append(spark, _valid_batch(spark, 11, 21))   # v1
+
+    fired = {"n": 0}
+
+    def land_competitor():
+        fired["n"] += 1
+        if fired["n"] == 1:
+            other = manifest.ManifestTable(table_dir)
+            assert (
+                other.idempotent_append(
+                    spark, _valid_batch(spark, 50, 56)
+                )
+                == 6
+            )
+
+    t._pre_publish_hook = land_competitor
+    res = manifest.restore_version(t, 0)
+    t._pre_publish_hook = None
+    assert res["restored_version"] == 0
+    assert fired["n"] == 2  # first publish lost, retry won
+    meters = sorted(r["meter_id"] for r in t.read(spark).collect())
+    assert meters == list(range(1, 11))  # v1 AND the raced append gone
+    # the raced append still time-travels (history preserved)
+    n_commits = len(t.snapshot())
+    assert t.read(spark, version=n_commits - 2).count() == 26
