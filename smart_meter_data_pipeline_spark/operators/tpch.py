@@ -1905,3 +1905,56 @@ GROUP BY n_name
 register("tpch_idle_rich_customers", _IDLE_RICH_SQL)(
     tpch_idle_rich_customers
 )
+
+
+def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): revenue that would have
+    been gained by eliminating small discounts on low-quantity items
+    in one shipping year — the canonical pure filter-and-aggregate
+    probe. Completes the engine's TPC-H family on this schema
+    (Q2/9/11/12/20 need partsupp / ship-mode / receipt columns the
+    testdata does not carry).
+
+    Plan: every predicate pushes to the parquet scan (date range,
+    discount band, quantity cap — all scan-level PushedFilters), the
+    single revenue sum partial-aggregates map-side, and the result is
+    one row. The discount band uses binary-exact literals (0.05/0.07
+    are not exact doubles but PARSE identically in both engines from
+    the same decimal strings — the shared-literal rule).
+
+    Output: exact-decimal revenue through double + qualifying row
+    count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+register("tpch_forecast_revenue", _FORECAST_REVENUE_SQL)(
+    tpch_forecast_revenue
+)

@@ -97,6 +97,7 @@ _PRIORITY = [
     "stream_dq_monitor",
     "events_exact_median_2pass",
     "manifest_change_feed",
+    "tpch_forecast_revenue",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",
