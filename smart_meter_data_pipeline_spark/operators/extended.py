@@ -2730,3 +2730,111 @@ head AS (
 SELECT rank, path, CAST(n_sessions AS BIGINT) AS n_sessions FROM head
 """,
 )(events_top_paths)
+
+
+def events_user_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity screen: per user, the Gini IMPURITY of
+    their event-type mix — 1 − Σ pᵢ² — high for users spread across
+    types, zero for single-type (bot-like) users. The entropy screen's
+    rational twin: Shannon entropy needs ln() (not cross-engine
+    bit-stable), while impurity is exact integer arithmetic:
+    impurity_micro = (1e6·(n² − Σcntᵢ²)) div n².
+
+    Scale shape: one (user, type) rollup (partial-combined), one user
+    rollup — no windows, no joins. int64 headroom: n² ≤ 9e18 holds
+    through ~3e9 events per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.expr(
+                "CAST((1000000 * (n_events * n_events - sum_sq))"
+                " div (n_events * n_events) AS BIGINT)"
+            ).alias("impurity_micro"),
+        )
+    )
+
+
+register(
+    "events_user_type_gini",
+    """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, SUM(cnt) AS n_events,
+         SUM(cnt * cnt) AS sum_sq, COUNT(*) AS n_types
+  FROM per_type GROUP BY 1
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST((1000000 * (n_events * n_events - sum_sq))
+            // (n_events * n_events) AS BIGINT) AS impurity_micro
+FROM per_user
+""",
+)(events_user_type_gini)
+
+
+def events_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-heatmap matrix: activity per (day-of-week × hour) cell
+    with each cell's micro-share of the total — the load-profile
+    rollup behind capacity planning and anomaly baselines (reference
+    parity: the hourly grid mart's time axis, crossed with the
+    weekly cycle it cannot see).
+
+    day-of-week via DATE arithmetic on a known anchor Monday
+    (engine-exact integer days-since-epoch modulo 7 — ``dayofweek``
+    builtins disagree on week start across engines), hour via
+    EXTRACT. One rollup + a 1-row broadcast total; ≤168 output
+    rows."""
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    cells = ev.select(
+        F.expr(
+            "CAST(pmod(datediff(CAST(ts AS DATE),"
+            " DATE '1995-01-02'), 7) AS INT)"
+        ).alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.expr("CAST((1000000 * n_events) div total AS BIGINT)").alias(
+            "share_micro"
+        ),
+    )
+
+
+register(
+    "events_dow_hour_matrix",
+    """
+WITH cells AS (
+  SELECT CAST(((CAST(ts AS DATE) - DATE '1995-01-02') % 7 + 7) % 7
+              AS INT) AS dow,
+         EXTRACT(hour FROM ts) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+total AS (SELECT SUM(n_events) AS total FROM cells)
+SELECT dow, hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST((1000000 * n_events) // total AS BIGINT) AS share_micro
+FROM cells, total
+""",
+)(events_dow_hour_matrix)

@@ -1217,3 +1217,56 @@ SELECT rank, pair, CAST(total_freq AS BIGINT) AS total_freq FROM head
 register("corpus_bpe_merge_candidates", _BPE_SQL)(
     corpus_bpe_merge_candidates
 )
+
+
+def doc_length_magnitude_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude length profile per source: documents bucketed
+    by the DIGIT COUNT of their character length (1 → 1-9 chars, 2 →
+    10-99, …) — the log-free histogram a corpus audit uses to spot
+    truncation spikes and length outliers per provider (log10 binning
+    is the textbook form, but log10 is not cross-engine bit-stable;
+    decimal digit count is the same partition computed exactly:
+    integer→string length is identical in every engine).
+
+    One rollup over (source, magnitude) + per-source totals joined
+    back by broadcast; micro-share output."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("n_chars")
+    )
+    bucketed = docs.select(
+        "source",
+        F.length(F.col("n_chars").cast("string")).alias("magnitude"),
+    ).groupBy("source", "magnitude").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = bucketed.groupBy("source").agg(
+        F.sum("n_docs").alias("total")
+    )
+    return bucketed.join(F.broadcast(totals), "source").select(
+        "source",
+        F.col("magnitude").cast("int").alias("magnitude"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("CAST((1000000 * n_docs) div total AS BIGINT)").alias(
+            "share_micro"
+        ),
+    )
+
+
+register(
+    "doc_length_magnitude_profile",
+    """
+WITH bucketed AS (
+  SELECT source,
+         LENGTH(CAST(LENGTH(text) AS VARCHAR)) AS magnitude,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, SUM(n_docs) AS total FROM bucketed GROUP BY 1
+)
+SELECT source, CAST(magnitude AS INT) AS magnitude,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((1000000 * n_docs) // total AS BIGINT) AS share_micro
+FROM bucketed JOIN totals USING (source)
+""",
+)(doc_length_magnitude_profile)

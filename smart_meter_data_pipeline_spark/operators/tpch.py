@@ -1958,3 +1958,52 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 register("tpch_forecast_revenue", _FORECAST_REVENUE_SQL)(
     tpch_forecast_revenue
 )
+
+
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal index: each (year, month)'s order count as a
+    micro-ratio against ITS year's monthly average — index 1e6 = an
+    average month, >1e6 = seasonal peak. The demand-planning staple
+    next to events_seasonal_anomaly (which models the weekly cycle;
+    this is the annual one on the orders fact).
+
+    Pure integer rational: index_micro = (1e6·12·month_cnt) div
+    year_cnt. One (year, month) rollup, one year re-rollup joined back
+    by broadcast (≤ years rows) — no windows."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(F.count(F.lit(1)).alias("month_cnt"))
+    yearly = monthly.groupBy("o_year").agg(
+        F.sum("month_cnt").alias("year_cnt")
+    )
+    return monthly.join(F.broadcast(yearly), "o_year").select(
+        "o_year",
+        "o_month",
+        F.col("month_cnt").cast("bigint").alias("month_cnt"),
+        F.expr(
+            "CAST((1000000 * 12 * month_cnt) div year_cnt AS BIGINT)"
+        ).alias("index_micro"),
+    )
+
+
+register(
+    "orders_seasonal_index",
+    """
+WITH monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         EXTRACT(month FROM o_orderdate) AS o_month,
+         COUNT(*) AS month_cnt
+  FROM orders GROUP BY 1, 2
+),
+yearly AS (
+  SELECT o_year, SUM(month_cnt) AS year_cnt FROM monthly GROUP BY 1
+)
+SELECT o_year, o_month,
+       CAST(month_cnt AS BIGINT) AS month_cnt,
+       CAST((1000000 * 12 * month_cnt) // year_cnt AS BIGINT)
+           AS index_micro
+FROM monthly JOIN yearly USING (o_year)
+""",
+)(orders_seasonal_index)

@@ -98,6 +98,10 @@ _PRIORITY = [
     "events_exact_median_2pass",
     "manifest_change_feed",
     "tpch_forecast_revenue",
+    "events_user_type_gini",
+    "events_dow_hour_matrix",
+    "orders_seasonal_index",
+    "doc_length_magnitude_profile",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",
