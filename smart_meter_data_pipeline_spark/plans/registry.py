@@ -102,6 +102,7 @@ _PRIORITY = [
     "events_dow_hour_matrix",
     "orders_seasonal_index",
     "doc_length_magnitude_profile",
+    "stream_cusum_changepoint",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",

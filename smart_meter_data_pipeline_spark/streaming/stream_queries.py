@@ -28,6 +28,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from smart_meter_data_pipeline_spark.operators.common import dsum
 from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
@@ -2013,3 +2015,160 @@ UNION ALL
 SELECT 'in_range_value', v3, v3 = 0, n_rows FROM counters
 """,
 )(stream_dq_monitor)
+
+
+def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM changepoint screen as a STREAMING stateful operator:
+    per event type, the running deviation sum lives in keyed state
+    (ONE int64 per type) and survives micro-batch handoffs; the
+    argmax-|CUSUM| changepoint falls out of the drained per-event
+    feed batch-side. Same oracle as the batch twin
+    (events_cusum_changepoint) — a level-shift monitor a pipeline
+    runs ON the stream instead of re-scanning history.
+
+    Exactness: type means come from a batch stats pass (production:
+    the previous corpus version), quantized to the 6-digit grid and
+    carried into the closure as INTEGER micro-units; each value
+    quantizes to the same grid (the running-totals contract, verified
+    equal to the SQL decimal cast over this corpus), so state handoff
+    is bit-exact int64 arithmetic. The closure inlines everything
+    (module references don't survive pickling to workers launched
+    outside the repo). Two ts-split deliveries force cross-batch
+    state continuation."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_cusum_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        means = (
+            ev.groupBy("event_type")
+            .agg(
+                F.round(
+                    F.sum(F.col("value").cast("decimal(25,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                .cast("decimal(12,6)")
+                .alias("mean_v"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        mean_rows = means.collect()
+        mean_map = {
+            r["event_type"]: int(r["mean_v"] * 1_000_000)
+            for r in mean_rows
+        }
+
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("cusum_micro", T.LongType()),
+            ]
+        )
+
+        def _fn(key, pdfs, state):
+            import pandas as pd
+            from decimal import ROUND_HALF_UP, Decimal
+
+            quantum = Decimal("0.000001")
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            base = state.get[0] if state.exists else 0
+            mm = mean_map[key[0]]
+            devs = pdf["value"].map(
+                lambda v: int(
+                    Decimal(float(v)).quantize(quantum, ROUND_HALF_UP)
+                    * 1_000_000
+                )
+                - mm
+            )
+            running = devs.astype("int64").cumsum() + base
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].astype("int64").values,
+                    "event_type": key[0],
+                    "ts": pdf["ts"].values,
+                    "cusum_micro": running.astype("int64").values,
+                }
+            )
+            state.update((int(running.iloc[-1]),))
+            yield out
+
+        sink = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy("event_type")
+            .applyInPandasWithState(
+                _fn,
+                out_schema,
+                T.StructType(
+                    [T.StructField("cusum_micro", T.LongType())]
+                ),
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        feed = spark.table(sink)
+        return (
+            feed.join(
+                F.broadcast(means.select("event_type", "n_events")),
+                "event_type",
+            )
+            .groupBy("event_type", "n_events")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.abs(F.col("cusum_micro")).alias("a"),
+                        F.col("ts").alias("ts"),
+                        F.col("event_id").alias("eid"),
+                    )
+                ).alias("peak")
+            )
+            .select(
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("peak.ts").alias("changepoint_ts"),
+                F.col("peak.eid").alias("changepoint_event_id"),
+                F.col("peak.a").cast("bigint").alias("peak_cusum_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_cusum() -> None:
+    from smart_meter_data_pipeline_spark.operators.events_pipeline import (
+        _CUSUM_SQL,
+    )
+
+    register("stream_cusum_changepoint", _CUSUM_SQL)(
+        stream_cusum_changepoint
+    )
+
+
+_register_stream_cusum()
