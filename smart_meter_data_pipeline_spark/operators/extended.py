@@ -2838,3 +2838,74 @@ SELECT dow, hour,
 FROM cells, total
 """,
 )(events_dow_hour_matrix)
+
+
+def events_flapping_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flapping detection: how often each user's value series REVERSES
+    direction — the alert-fatigue primitive (a service bouncing
+    between states flaps; a trending one doesn't). Count of sign
+    changes between consecutive deltas, per user, with a micro-ratio
+    against the maximum possible reversals.
+
+    Exactness: deltas compare by SIGN only (IEEE subtraction then a
+    three-way sign — selection-grade determinism, zero-deltas count
+    as no reversal); all outputs integer. One (user)-partitioned LAG
+    window chain + one rollup — the stg-deltas shape with a second
+    LAG over the sign."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sgn = F.signum(F.col("value") - F.lag("value").over(w))
+    signed = ev.withColumn("sgn", sgn).filter(
+        F.col("sgn").isNotNull() & (F.col("sgn") != 0)
+    )
+    flips = signed.withColumn(
+        "prev_sgn", F.lag("sgn").over(w)
+    ).withColumn(
+        "flip",
+        (
+            F.col("prev_sgn").isNotNull()
+            & (F.col("sgn") != F.col("prev_sgn"))
+        ).cast("long"),
+    )
+    return flips.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.sum("flip").cast("bigint").alias("n_reversals"),
+        F.expr(
+            "CAST(CASE WHEN count(1) > 1 THEN"
+            " (1000000 * sum(flip)) div (count(1) - 1)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("flap_micro"),
+    )
+
+
+register(
+    "events_flapping_detection",
+    """
+WITH sgn AS (
+  SELECT user_id, ts, event_id,
+         SIGN(value - LAG(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS sgn
+  FROM events
+),
+moves AS (
+  SELECT user_id, ts, event_id, sgn,
+         LAG(sgn) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_sgn
+  FROM sgn WHERE sgn IS NOT NULL AND sgn <> 0
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reversals,
+       CAST(CASE WHEN COUNT(*) > 1 THEN
+              (1000000 * SUM(CASE WHEN prev_sgn IS NOT NULL
+                                   AND sgn <> prev_sgn
+                                  THEN 1 ELSE 0 END))
+              // (COUNT(*) - 1)
+            ELSE 0 END AS BIGINT) AS flap_micro
+FROM moves
+GROUP BY user_id
+""",
+)(events_flapping_detection)

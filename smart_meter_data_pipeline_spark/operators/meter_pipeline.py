@@ -1178,3 +1178,105 @@ SELECT reading_timestamp, meter_id,
        'delete'
 FROM readings WHERE meter_id % 11 = 5""",
 )(manifest_change_feed)
+
+
+def manifest_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance driven by the row-level change
+    feed — the capstone use of ``change_feed``: a per-meter
+    consumption rollup is materialized at v0, the table is then
+    upserted (meters ≡3 mod 7 at +10007) and deleted from (meters ≡5
+    mod 11), and the rollup is MAINTAINED by applying signed deltas
+    from the feed (+post-images and inserts, −pre-images and deletes)
+    — never re-reading the unchanged rows. The oracle recomputes the
+    final rollup from scratch relationally, so the hash proves
+    base ⊕ deltas ≡ full recompute exactly.
+
+    This is the Δ-relation form of IVM for distributive aggregates
+    (SUM/COUNT): cost ∝ |changes| (the feed reads only the snapshot
+    file difference) + |affected groups|, the property that keeps a
+    100 TB mart maintainable per commit instead of rebuilt per day.
+    All-integer arithmetic (milliwatt sums in int64)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_ivm_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        base = (
+            t.read(spark)
+            .groupBy("meter_id")
+            .agg(
+                F.sum("reading_consumption_milliwatts").alias("total_mw"),
+                F.count(F.lit(1)).alias("n_readings"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        restated = readings.filter(F.col("meter_id") % 7 == 3).withColumn(
+            "reading_consumption_milliwatts",
+            F.col("reading_consumption_milliwatts") + F.lit(10007),
+        )
+        t.upsert(spark, restated)
+        doomed = readings.filter(F.col("meter_id") % 11 == 5).select(
+            "reading_timestamp", "meter_id"
+        )
+        t.delete_keys(spark, doomed)
+
+        feed = t.change_feed(spark, 0, 2)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        delta = (
+            feed.withColumn("w", sign)
+            .groupBy("meter_id")
+            .agg(
+                F.sum(
+                    F.col("w") * F.col("reading_consumption_milliwatts")
+                ).alias("d_total"),
+                F.sum("w").alias("d_count"),
+            )
+        )
+        maintained = (
+            base.join(delta, "meter_id", "full_outer")
+            .select(
+                "meter_id",
+                (
+                    F.coalesce(F.col("total_mw"), F.lit(0))
+                    + F.coalesce(F.col("d_total"), F.lit(0))
+                ).alias("total_mw"),
+                (
+                    F.coalesce(F.col("n_readings"), F.lit(0))
+                    + F.coalesce(F.col("d_count"), F.lit(0))
+                ).alias("n_readings"),
+            )
+            .filter(F.col("n_readings") > 0)
+            .select(
+                "meter_id",
+                F.col("total_mw").cast("bigint").alias("total_mw"),
+                F.col("n_readings").cast("bigint").alias("n_readings"),
+            )
+        )
+        return maintained.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_ivm_rollup",
+    f"""WITH {_readings_cte()}
+SELECT meter_id,
+       CAST(SUM(CASE WHEN meter_id % 7 = 3
+                     THEN reading_consumption_milliwatts + 10007
+                     ELSE reading_consumption_milliwatts END)
+            AS BIGINT) AS total_mw,
+       CAST(COUNT(*) AS BIGINT) AS n_readings
+FROM readings
+WHERE meter_id % 11 <> 5
+GROUP BY meter_id""",
+)(manifest_ivm_rollup)

@@ -103,6 +103,8 @@ _PRIORITY = [
     "orders_seasonal_index",
     "doc_length_magnitude_profile",
     "stream_cusum_changepoint",
+    "events_flapping_detection",
+    "manifest_ivm_rollup",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",
