@@ -1012,3 +1012,100 @@ WHERE r.rn = CAST((c.n_events + 1) // 2 AS BIGINT)
 register("events_exact_median_2pass", _MEDIAN_2PASS_SQL)(
     events_exact_median_2pass
 )
+
+
+LDC_EXCEEDANCE_PCTS = [10, 50, 90]
+
+
+def nation_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve per nation — the power-engineering readout
+    of the reference's hourly grid mart (fact_grid_load_hourly,
+    models/marts/fact_grid_load_hourly.sql): sort each nation's
+    hourly totals descending and read the load EXCEEDED 10% / 50% /
+    90% of hours. Capacity planning reads peaks off the left edge and
+    baseload off the right.
+
+    Discrete rank selection over the hourly ROLLUP (nations × hours —
+    already bounded long before any ranking), never the event fact:
+    position = ((n·pct) div 100) + 1 in the descending (load, hour)
+    order, pure row selection with integer positions so both engines
+    pick identical rows. Exact-decimal hourly sums; micro outputs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    hourly = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("hour", "ts").alias("load_hour"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("load_dec")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy(
+        F.col("load_dec").desc(), F.col("load_hour")
+    )
+    ranked = hourly.withColumn("rn", F.row_number().over(w))
+    counts = hourly.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_hours")
+    )
+    j = ranked.join(F.broadcast(counts), "nationkey")
+    sels = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr(f"(n_hours * {p}) div 100 + 1"),
+                F.floor(F.col("load_dec").cast("double") * 1000000),
+            )
+        )
+        .cast("bigint")
+        .alias(f"exceeded_{p}pct_micro")
+        for p in LDC_EXCEEDANCE_PCTS
+    ]
+    return (
+        j.groupBy("nationkey")
+        .agg(F.max("n_hours").cast("bigint").alias("n_hours"), *sels)
+    )
+
+
+def _ldc_sql() -> str:
+    sel = ",\n".join(
+        f"       CAST(MAX(CASE WHEN rn = CAST((n_hours * {p}) // 100"
+        f" AS BIGINT) + 1\n"
+        f"                     THEN FLOOR(CAST(load_dec AS DOUBLE)"
+        f" * 1000000) END) AS BIGINT)\n"
+        f"           AS exceeded_{p}pct_micro"
+        for p in LDC_EXCEEDANCE_PCTS
+    )
+    return f"""
+WITH hourly AS (
+  SELECT c_nationkey AS nationkey,
+         date_trunc('hour', ts) AS load_hour,
+         SUM(CAST(value AS DECIMAL(25,6))) AS load_dec
+  FROM events JOIN customer ON user_id = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, load_dec,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY load_dec DESC, load_hour) AS rn,
+         COUNT(*) OVER (PARTITION BY nationkey) AS n_hours
+  FROM hourly
+)
+SELECT nationkey,
+       CAST(MAX(n_hours) AS BIGINT) AS n_hours,
+{sel}
+FROM ranked
+GROUP BY nationkey
+"""
+
+
+register("nation_load_duration_curve", _ldc_sql())(
+    nation_load_duration_curve
+)

@@ -2007,3 +2007,76 @@ SELECT o_year, o_month,
 FROM monthly JOIN yearly USING (o_year)
 """,
 )(orders_seasonal_index)
+
+
+SURVIVAL_HORIZONS = [7, 14, 30, 60, 90]
+
+
+def orders_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase survival curve: per market segment, the
+    micro-fraction of reorder gaps EXCEEDING each fixed horizon —
+    S(t) at t ∈ {7,14,30,60,90} days, the retention-model input next
+    to orders_gap_stats' moments (a curve says when customers churn;
+    a mean doesn't).
+
+    One per-customer LAG pass (the gaps), one conditional-sum rollup
+    per segment with one column per horizon — the horizons are FIXED
+    literals, so S(t) is pure integer counting: (1e6·n_gaps>t) div
+    n_gaps. No windows beyond the LAG, no percentile machinery."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_date").alias("gap_days"),
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_gaps")] + [
+        F.sum((F.col("gap_days") > h).cast("long")).alias(f"gt_{h}")
+        for h in SURVIVAL_HORIZONS
+    ]
+    out_cols = ["c_mktsegment", F.col("n_gaps").cast("bigint").alias("n_gaps")]
+    for h in SURVIVAL_HORIZONS:
+        out_cols.append(
+            F.expr(f"CAST((1000000 * gt_{h}) div n_gaps AS BIGINT)").alias(
+                f"s{h}_micro"
+            )
+        )
+    return gaps.groupBy("c_mktsegment").agg(*aggs).select(*out_cols)
+
+
+def _gap_survival_sql() -> str:
+    sh = ",\n".join(
+        f"       CAST((1000000 * SUM(CASE WHEN gap_days > {h} THEN 1"
+        f" ELSE 0 END)) // COUNT(*) AS BIGINT) AS s{h}_micro"
+        for h in SURVIVAL_HORIZONS
+    )
+    return f"""
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE)
+           - CAST(LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+             ) AS DATE) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+{sh}
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
+register("orders_gap_survival", _gap_survival_sql())(orders_gap_survival)

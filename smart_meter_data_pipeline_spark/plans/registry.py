@@ -105,6 +105,8 @@ _PRIORITY = [
     "stream_cusum_changepoint",
     "events_flapping_detection",
     "manifest_ivm_rollup",
+    "orders_gap_survival",
+    "nation_load_duration_curve",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",
