@@ -63,50 +63,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Evaluation-priority order. An external harness may evaluate only a
 # prefix of the registry (~50 of the len(QUERIES) registered rows per
-# round), so order by proof staleness for ROUND 8:
-# (0) queries added in round 8 — first driver row needed (inserted at
-#     the head as they land);
+# round), so order by proof staleness for ROUND 8 — the window budget
+# is EXACT this round (26 + 24 = 50):
 # (1) the 26 queries whose latest green row is round 4 (the staleness
 #     tail round 7 asked to drain — zero queries older than r5 after
 #     this round);
-# (2) queries whose code materially changed in round 8 AFTER their
-#     last driver row: the de-hinted TPC-H star joins, the
-#     TakeOrdered top-k rewrite, the linearized vocab-growth curve,
-#     and the manifest-path queries (upsert schema contract, diff
-#     schema, metadata-only change feed);
-# (3) r5-latest, then r6-latest, then r7-latest (freshest proofs
-#     last). Names not listed keep registration order after these.
+# (2) 24 of the 29 queries added in round 8 — first driver row
+#     needed; the five simplest rollups (zipf, gini, dow matrix,
+#     seasonal index, length profile — all replica-verified at two
+#     SFs) wait just past the window and head round 9;
+# (3) the round-8 queries whose COMPUTATION changed after their last
+#     row (TakeOrdered top-k, linearized vocab growth, manifest
+#     machinery); the nine de-hinted TPC-H queries follow — their
+#     VALUES are untouched by hint removal and each was re-proven on
+#     the local replica at sf0.01+sf0.1 this round;
+# (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
-    # (0) new in round 8 — first driver row needed
-    "tpch_lone_late_supplier",
-    "trade_kcore",
-    "events_mad_outliers",
-    "events_sax_symbols",
-    "doc_bigram_fluency",
-    "multimodal_shard_pack",
-    "embedding_class_separation",
-    "tpch_idle_rich_customers",
-    "embedding_power_iteration",
-    "events_max_drawdown",
-    "events_benford_digits",
-    "corpus_zipf_check",
-    "manifest_restore_roundtrip",
-    "corpus_bpe_merge_candidates",
-    "events_top_paths",
-    "dq_expectations_report",
-    "stream_dq_monitor",
-    "events_exact_median_2pass",
-    "manifest_change_feed",
-    "tpch_forecast_revenue",
-    "events_user_type_gini",
-    "events_dow_hour_matrix",
-    "orders_seasonal_index",
-    "doc_length_magnitude_profile",
-    "stream_cusum_changepoint",
-    "events_flapping_detection",
-    "manifest_ivm_rollup",
-    "orders_gap_survival",
-    "nation_load_duration_curve",
     # (1) r4-staleness tail — drain completely this round
     "ann_topk_cosine",
     "batch_billing_incremental",
@@ -134,7 +106,44 @@ _PRIORITY = [
     "source_quota_cap",
     "top_revenue_orders",
     "train_val_test_split",
-    # (2) code changed in round 8 after their last green row
+    # (2) new in round 8 — first driver row needed (24 of 29)
+    "manifest_restore_roundtrip",
+    "manifest_change_feed",
+    "manifest_ivm_rollup",
+    "stream_dq_monitor",
+    "stream_cusum_changepoint",
+    "dq_expectations_report",
+    "embedding_power_iteration",
+    "embedding_class_separation",
+    "trade_kcore",
+    "tpch_lone_late_supplier",
+    "tpch_idle_rich_customers",
+    "tpch_forecast_revenue",
+    "events_mad_outliers",
+    "events_exact_median_2pass",
+    "events_sax_symbols",
+    "events_max_drawdown",
+    "events_benford_digits",
+    "events_top_paths",
+    "events_flapping_detection",
+    "doc_bigram_fluency",
+    "corpus_bpe_merge_candidates",
+    "multimodal_shard_pack",
+    "orders_gap_survival",
+    "nation_load_duration_curve",
+    # (3a) round-8 computation changes (replica-proven; next in line)
+    "embedding_centroid_outliers",
+    "doc_vocab_growth",
+    "manifest_cow_roundtrip",
+    "manifest_optimize_roundtrip",
+    "stream_restatement_upsert",
+    # (3b) remaining round-8 rollups (head round 9's window)
+    "corpus_zipf_check",
+    "events_user_type_gini",
+    "events_dow_hour_matrix",
+    "orders_seasonal_index",
+    "doc_length_magnitude_profile",
+    # (3c) de-hinted TPC-H (plan-only change, values identical)
     "tpch_volume_shipping",
     "tpch_returned_items",
     "nation_trade_reciprocity",
@@ -144,11 +153,6 @@ _PRIORITY = [
     "tpch_disjunctive_revenue",
     "tpch_supplier_part_variety",
     "tpch_small_qty_revenue",
-    "embedding_centroid_outliers",
-    "doc_vocab_growth",
-    "manifest_cow_roundtrip",
-    "manifest_optimize_roundtrip",
-    "stream_restatement_upsert",
 ]
 
 
