@@ -2909,3 +2909,62 @@ FROM moves
 GROUP BY user_id
 """,
 )(events_flapping_detection)
+
+
+ROLLING_ACTIVE_DAYS = 7
+
+
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU curve next to DAU):
+    for every calendar day with activity, the count of DISTINCT users
+    seen in the trailing ``ROLLING_ACTIVE_DAYS``-day window.
+
+    COUNT(DISTINCT) over a sliding range frame is not
+    partial-aggregatable — the scale-correct formulation EXPLODES each
+    (user, active-day) pair to the ≤7 window-days it covers (a
+    generated date sequence, LINEAR in pairs × window — never a
+    pairs⋈spine range join, which plans as a nested loop), then runs
+    one exact distinct count per window day. A broadcast semi-join
+    against the observed-day spine (bounded by the calendar, not the
+    data) drops trailing window days nothing actually happened on, so
+    both engines emit the identical day set."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    pairs = ev.distinct()
+    spine = pairs.select("d").distinct().select(
+        F.col("d").alias("window_day")
+    )
+    covered = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), ROLLING_ACTIVE_DAYS - 1),
+            )
+        ).alias("window_day"),
+    ).join(F.broadcast(spine), "window_day", "left_semi")
+    return (
+        covered.groupBy("window_day")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias(
+                "active_users"
+            )
+        )
+    )
+
+
+register(
+    "events_rolling_active_users",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+spine AS (SELECT DISTINCT d AS window_day FROM pairs)
+SELECT window_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM pairs JOIN spine
+  ON window_day >= d AND window_day < d + INTERVAL {ROLLING_ACTIVE_DAYS} DAY
+GROUP BY window_day
+""",
+)(events_rolling_active_users)

@@ -2080,3 +2080,94 @@ GROUP BY c_mktsegment
 
 
 register("orders_gap_survival", _gap_survival_sql())(orders_gap_survival)
+
+
+def tpch_nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the finance
+    readout over the Q5 star: one fact rollup to (nation, year), then
+    a LAG window over that tiny frame and an integer micro-ratio
+    growth rate ((1e6·(cur − prev)) div prev computed on MILLI-unit
+    revenues — micro-unit operands overflow int64 once 1e6·Δ exceeds
+    2^63 at yearly-revenue magnitudes; the milli rescale (derived by
+    the same floor-div in both engines) keeps every intermediate
+    under ~1e16 while the reported revenue stays micro).
+
+    Scale shape: the only fact-scale work is the star join + rollup
+    (orders/customer shuffle on their keys, nation broadcasts); the
+    LAG runs on ≤ nations × years rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rollup = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.floor(
+                F.sum(revenue.cast("decimal(25,6)")).cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("revenue_micro")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    return (
+        rollup.withColumn(
+            "prev_micro", F.lag("revenue_micro").over(w)
+        )
+        .filter(F.col("prev_micro").isNotNull())
+        .select(
+            "n_name",
+            "o_year",
+            "revenue_micro",
+            F.expr(
+                "CAST((1000000 * ((revenue_micro div 1000)"
+                " - (prev_micro div 1000)))"
+                " div (prev_micro div 1000) AS BIGINT)"
+            ).alias("yoy_growth_micro"),
+        )
+    )
+
+
+register(
+    "tpch_nation_yoy_growth",
+    """
+WITH rollup AS (
+  SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(25,6))) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS revenue_micro
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT n_name, o_year, revenue_micro,
+         LAG(revenue_micro) OVER (PARTITION BY n_name
+                                  ORDER BY o_year) AS prev_micro
+  FROM rollup
+)
+SELECT n_name, CAST(o_year AS INT) AS o_year, revenue_micro,
+       CAST((1000000 * (CAST(revenue_micro // 1000 AS BIGINT)
+                        - CAST(prev_micro // 1000 AS BIGINT)))
+            // CAST(prev_micro // 1000 AS BIGINT)
+            AS BIGINT) AS yoy_growth_micro
+FROM lagged WHERE prev_micro IS NOT NULL
+""",
+)(tpch_nation_yoy_growth)

@@ -132,6 +132,8 @@ _PRIORITY = [
     "orders_gap_survival",
     "nation_load_duration_curve",
     # (3a) round-8 computation changes (replica-proven; next in line)
+    "tpch_nation_yoy_growth",
+    "events_rolling_active_users",
     "embedding_centroid_outliers",
     "doc_vocab_growth",
     "manifest_cow_roundtrip",

@@ -685,3 +685,13 @@ def test_expectations_row_checks_fold_into_one_scan(spark, sf_dir):
     )
     assert p.count("Scan parquet  (") <= 2  # tree+details: ONE scan
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rolling_active_users_linear_no_theta_join(spark, sf_dir):
+    """The WAU expansion must be the explode-to-covering-days form —
+    a pairs⋈spine range join plans as a BroadcastNestedLoopJoin with
+    pairs × days comparisons and must never come back."""
+    p = _plan(extended.events_rolling_active_users(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" in p  # the sequence explode
