@@ -1389,3 +1389,43 @@ FROM documents
 """
 
 register("doc_prefix_dup", _PREFIX_DUP_SQL)(doc_prefix_dup)
+
+
+SUFFIX_DUP_LEN = PREFIX_DUP_LEN
+
+
+def doc_suffix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-boilerplate duplicate detection — doc_prefix_dup's
+    mirror for the OTHER place crawl templates live: shared footers,
+    signature blocks, license tails. Key = last ``SUFFIX_DUP_LEN``
+    characters (``right()``, same builtin both engines); one window
+    over the suffix key, single short-string shuffle, near-uniform
+    groups at 100 TB, two scalars of window state. Lowest doc_id per
+    group survives (the MinHash keep rule), so prefix- and suffix-
+    pass verdicts compose by AND-ing ``kept``."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffixed = docs.select(
+        "doc_id", F.expr(f"right(text, {SUFFIX_DUP_LEN})").alias("suffix")
+    )
+    w = Window.partitionBy("suffix")
+    return suffixed.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_same_suffix"),
+        (F.col("doc_id") == F.min("doc_id").over(w))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+_SUFFIX_DUP_SQL = f"""
+SELECT doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY right(text, {SUFFIX_DUP_LEN}))
+            AS BIGINT) AS n_same_suffix,
+       CAST(doc_id = MIN(doc_id) OVER (
+            PARTITION BY right(text, {SUFFIX_DUP_LEN})) AS INT) AS kept
+FROM documents
+"""
+
+register("doc_suffix_dup", _SUFFIX_DUP_SQL)(doc_suffix_dup)

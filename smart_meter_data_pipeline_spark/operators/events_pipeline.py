@@ -1109,3 +1109,99 @@ GROUP BY nationkey
 register("nation_load_duration_curve", _ldc_sql())(
     nation_load_duration_curve
 )
+
+
+def nation_peak_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coincidence (diversity) factor per nation — the grid-planning
+    ratio the reference's zone marts exist to feed: the nation's
+    single system peak hour divided by the SUM of its users'
+    individual peak hours. Near 1e6 means everyone peaks together
+    (worst case for capacity); low means diversity absorbs the load.
+
+    Exact path: (nation, user, hour) decimal rollup → per-user peak
+    (decimal MAX — selection only) and per-(nation, hour) system
+    series → nation peak; both floored to micro int64 BEFORE the
+    single integer ratio. Three partial-combinable rollups, no
+    windows, nothing driver-side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    user_hour = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            "user_id",
+            F.date_trunc("hour", "ts").alias("load_hour"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("v"))
+    )
+    user_peak = user_hour.groupBy("nationkey", "user_id").agg(
+        F.max("v").alias("peak_v")
+    )
+    sum_user_peaks = user_peak.groupBy("nationkey").agg(
+        F.floor(F.sum("peak_v").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("sum_user_peaks_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    system_peak = (
+        user_hour.groupBy("nationkey", "load_hour")
+        .agg(F.sum("v").alias("system_v"))
+        .groupBy("nationkey")
+        .agg(
+            F.floor(F.max("system_v").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("system_peak_micro")
+        )
+    )
+    return sum_user_peaks.join(system_peak, "nationkey").select(
+        "nationkey",
+        "n_users",
+        "system_peak_micro",
+        "sum_user_peaks_micro",
+        F.expr(
+            "CAST((1000000 * system_peak_micro)"
+            " div sum_user_peaks_micro AS BIGINT)"
+        ).alias("coincidence_micro"),
+    )
+
+
+register(
+    "nation_peak_coincidence",
+    """
+WITH user_hour AS (
+  SELECT c_nationkey AS nationkey, user_id,
+         date_trunc('hour', ts) AS load_hour,
+         SUM(CAST(value AS DECIMAL(25,6))) AS v
+  FROM events JOIN customer ON user_id = c_custkey
+  GROUP BY 1, 2, 3
+),
+user_peak AS (
+  SELECT nationkey, user_id, MAX(v) AS peak_v
+  FROM user_hour GROUP BY 1, 2
+),
+sums AS (
+  SELECT nationkey,
+         CAST(FLOOR(CAST(SUM(peak_v) AS DOUBLE) * 1000000) AS BIGINT)
+             AS sum_user_peaks_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM user_peak GROUP BY 1
+),
+system_peak AS (
+  SELECT nationkey,
+         CAST(FLOOR(CAST(MAX(system_v) AS DOUBLE) * 1000000) AS BIGINT)
+             AS system_peak_micro
+  FROM (
+    SELECT nationkey, load_hour, SUM(v) AS system_v
+    FROM user_hour GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT nationkey, n_users, system_peak_micro, sum_user_peaks_micro,
+       CAST((1000000 * system_peak_micro) // sum_user_peaks_micro
+            AS BIGINT) AS coincidence_micro
+FROM sums JOIN system_peak USING (nationkey)
+""",
+)(nation_peak_coincidence)

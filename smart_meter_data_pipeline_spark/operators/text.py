@@ -1270,3 +1270,101 @@ SELECT source, CAST(magnitude AS INT) AS magnitude,
 FROM bucketed JOIN totals USING (source)
 """,
 )(doc_length_magnitude_profile)
+
+
+COVERAGE_KS = [10, 100, 1000]
+
+
+def corpus_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve for tokenizer sizing: what share of
+    ALL bigram occurrences do the top-10 / top-100 / top-1000 bigram
+    types cover? A steep curve says a small merge table captures the
+    corpus; a flat one says the long tail dominates (the
+    Zipf/BPE-sizing companion to corpus_zipf_check and
+    corpus_bpe_merge_candidates).
+
+    Scale shape: bigram rollup (partial-combined) → TakeOrdered head
+    of max(K) rows → cumulative window over ≤1000 rows → three
+    fixed-rank selections; the total is a 1-row broadcast. All
+    integers: coverage_micro = (1e6·cum_topk) div total."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "word")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        words.withColumn("nxt", F.lead("word").over(w_doc))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "word", "nxt").alias("bg"))
+    )
+    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    head = counts.orderBy(F.col("cnt").desc(), F.col("bg")).limit(
+        max(COVERAGE_KS)
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("bg")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rn = Window.orderBy(F.col("cnt").desc(), F.col("bg"))
+    cum = head.select(
+        F.row_number().over(w_rn).alias("rank"),
+        F.sum("cnt").over(w_rank).alias("cum_cnt"),
+    )
+    picked = cum.filter(
+        F.col("rank").isin([k for k in COVERAGE_KS])
+    )
+    return picked.crossJoin(F.broadcast(total)).select(
+        F.col("rank").cast("int").alias("top_k"),
+        F.col("cum_cnt").cast("bigint").alias("cum_occurrences"),
+        F.expr("CAST((1000000 * cum_cnt) div total AS BIGINT)").alias(
+            "coverage_micro"
+        ),
+    )
+
+
+def _bigram_coverage_sql() -> str:
+    ks = ", ".join(str(k) for k in COVERAGE_KS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+words AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS word
+  FROM toks
+),
+bigrams AS (
+  SELECT word || ' ' || nxt AS bg
+  FROM (
+    SELECT doc_id, word,
+           LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM words
+  ) WHERE nxt IS NOT NULL
+),
+counts AS (SELECT bg, COUNT(*) AS cnt FROM bigrams GROUP BY bg),
+total AS (SELECT SUM(cnt) AS total FROM counts),
+head AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, bg) AS rank
+  FROM counts ORDER BY cnt DESC, bg LIMIT {max(COVERAGE_KS)}
+),
+cum AS (
+  SELECT rank,
+         SUM(cnt) OVER (ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_cnt
+  FROM head
+)
+SELECT CAST(rank AS INT) AS top_k,
+       CAST(cum_cnt AS BIGINT) AS cum_occurrences,
+       CAST((1000000 * cum_cnt) // total AS BIGINT) AS coverage_micro
+FROM cum, total
+WHERE rank IN ({ks})
+"""
+
+
+register("corpus_bigram_coverage", _bigram_coverage_sql())(
+    corpus_bigram_coverage
+)

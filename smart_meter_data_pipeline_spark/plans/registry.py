@@ -134,6 +134,9 @@ _PRIORITY = [
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
+    "doc_suffix_dup",
+    "corpus_bigram_coverage",
+    "nation_peak_coincidence",
     "embedding_centroid_outliers",
     "doc_vocab_growth",
     "manifest_cow_roundtrip",
