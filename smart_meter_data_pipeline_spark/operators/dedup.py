@@ -1429,3 +1429,48 @@ FROM documents
 """
 
 register("doc_suffix_dup", _SUFFIX_DUP_SQL)(doc_suffix_dup)
+
+
+def doc_normalized_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-equivalence dedup: documents identical after
+    casefolding and whitespace collapse — the cleaner pass between
+    exact-hash dedup (misses trivial reformatting) and MinHash
+    (overkill for it). Key = md5 of lower(text) with every whitespace
+    run collapsed to one space and ends trimmed; both engines share
+    the regex class semantics (``\\s+``) and md5, so the group key is
+    byte-identical.
+
+    Same scale shape as the prefix/suffix passes: one window over a
+    32-char digest, near-uniform groups, two scalars of state; lowest
+    doc_id survives so all three cheap passes compose by AND."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("norm_key"),
+    )
+    w = Window.partitionBy("norm_key")
+    return keyed.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_same_norm"),
+        (F.col("doc_id") == F.min("doc_id").over(w))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+_NORMALIZED_DUP_SQL = r"""
+SELECT doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY md5(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')
+            ))) AS BIGINT) AS n_same_norm,
+       CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')
+            ))) AS INT) AS kept
+FROM documents
+"""
+
+register("doc_normalized_dup", _NORMALIZED_DUP_SQL)(doc_normalized_dup)

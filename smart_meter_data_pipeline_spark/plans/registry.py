@@ -137,6 +137,7 @@ _PRIORITY = [
     "doc_suffix_dup",
     "corpus_bigram_coverage",
     "nation_peak_coincidence",
+    "doc_normalized_dup",
     "embedding_centroid_outliers",
     "doc_vocab_growth",
     "manifest_cow_roundtrip",
