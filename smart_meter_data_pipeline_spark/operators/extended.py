@@ -1876,6 +1876,130 @@ FROM edges
 )(events_type_transitions)
 
 
+MARKOV_ROUNDS = 6
+_MICRO = 1_000_000
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (the convergence companion to events_type_transitions):
+    row-normalize the transition matrix in integer micro-units, then
+    run {MARKOV_ROUNDS} power-iteration steps from the uniform vector
+    — v'_j = (Σ_i v_i·p_micro(i→j)) div 1e6 — and report each type's
+    stationary share next to its empirical share, the standard check
+    that a sequence model's long-run behavior matches the observed
+    mix.
+
+    Scale shape: the ONLY data-sized work is the per-user LAG window
+    (one shuffle keyed by user, shared contract with
+    events_type_transitions) and the |types|² rollup; the matrix is
+    bounded by the type vocabulary — independent of corpus size — so
+    collecting it and iterating driver-side is the scale-correct
+    plan (same class as the scalar-stats collects elsewhere). All
+    arithmetic int64 floor-division, bit-identical cross-engine.
+
+    Reference parity: greenfield beyond the reference surface
+    (sequence-model summaries family)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    p_rows = (
+        trans.withColumn("tot_n", F.sum("n").over(tot))
+        .select(
+            "prev_type",
+            "event_type",
+            F.expr(f"(n * {_MICRO}) div tot_n").alias("p_micro"),
+        )
+        .collect()
+    )
+    emp = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .select(
+            "event_type",
+            F.expr(f"(cnt * {_MICRO}) div total").alias("empirical_micro"),
+        )
+    )
+    types = sorted(r["event_type"] for r in emp.select("event_type").collect())
+    p = {(r["prev_type"], r["event_type"]): r["p_micro"] for r in p_rows}
+    v = {t: _MICRO // len(types) for t in types}
+    for _ in range(MARKOV_ROUNDS):
+        v = {
+            j: sum(v[i] * p.get((i, j), 0) for i in types) // _MICRO
+            for j in types
+        }
+    stat = spark.createDataFrame(
+        [(t, v[t]) for t in types], ["event_type", "stationary_micro"]
+    )
+    return emp.join(stat, "event_type").select(
+        "event_type",
+        F.col("stationary_micro").cast("bigint").alias("stationary_micro"),
+        F.col("empirical_micro").cast("bigint").alias("empirical_micro"),
+    )
+
+
+def _markov_oracle(rounds: int = MARKOV_ROUNDS) -> str:
+    """Unrolled power-iteration CTEs; the per-step correlated subquery
+    runs over the ≤|types|² matrix only. Every integer division is
+    CAST(... AS BIGINT)-wrapped (DuckDB // promotes through DOUBLE;
+    intermediates stay < 2^53: Σ v·p ≤ |types|·1e6·1e6 ≈ 5e12)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+v{i} AS (
+  SELECT ty.t,
+         CAST(COALESCE((SELECT SUM(v.s * p.p_micro)
+                        FROM p JOIN v{i - 1} v ON v.t = p.prev_type
+                        WHERE p.event_type = ty.t), 0)
+              // {_MICRO} AS BIGINT) AS s
+  FROM types ty
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT prev_type, event_type,
+         CAST((n * {_MICRO})
+              // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS p_micro
+  FROM tr
+),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+nt AS (SELECT COUNT(*) AS n FROM types),
+v0 AS (SELECT t, CAST({_MICRO} // nt.n AS BIGINT) AS s FROM types, nt),{body},
+emp AS (
+  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS total FROM emp)
+SELECT e.event_type,
+       v.s AS stationary_micro,
+       CAST((e.cnt * {_MICRO}) // t.total AS BIGINT) AS empirical_micro
+FROM emp e CROSS JOIN tot t JOIN v{rounds} v ON v.t = e.event_type
+"""
+
+
+register("events_markov_stationary", _markov_oracle())(events_markov_stationary)
+
+
 DRIFT_SPLIT = "2024-01-16 00:00:00"  # events span Jan 1-30; mid-month
 # split gives two comparable windows (shared literal in both engines).
 

@@ -400,3 +400,133 @@ GROUP BY node"""
 
 
 register("trade_kcore", _kcore_oracle())(trade_kcore)
+
+
+LPA_ROUNDS = 3
+
+
+def trade_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-rounds synchronous label propagation (community
+    detection) over the undirected customer↔supplier trade graph —
+    graph kernel #5 next to connected components (dedup.py), PageRank,
+    triangles, and k-core. Every node starts labeled with its own id;
+    each round it adopts the most frequent label among its neighbors,
+    ties broken to the SMALLEST label (the standard deterministic LPA
+    tie-break). Rounds are fixed, not run-to-convergence, so the
+    iteration prefix is oracle-checkable.
+
+    Scale shape: per round, one shuffle joining the edge list to the
+    label table (keyed by node), one partial-combined (dst, label)
+    rollup, then an AGGREGATE argmax — max(struct(count, -label)) —
+    instead of a per-dst window, so the pick is map-side combinable
+    and no sort runs over the message volume. Edge state is
+    checkpointed once; per-round label frames are checkpointed to
+    keep lineage flat. All arithmetic int64.
+
+    Reference parity: greenfield beyond the reference surface, same
+    family as pagerank_trade_graph (reference queries/* JOIN+GROUP BY
+    class extended with iterative kernels)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LPA_ROUNDS):
+        msgs = edges.join(lab, edges.src == lab.node, "inner").select(
+            "dst", "label"
+        )
+        cnt = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("c"))
+        best = cnt.groupBy("dst").agg(
+            F.max(
+                F.struct(F.col("c").alias("c"), (-F.col("label")).alias("neg"))
+            ).alias("b")
+        )
+        lab = best.select(
+            F.col("dst").alias("node"), (-F.col("b.neg")).alias("label")
+        ).localCheckpoint(eager=True)
+    sizes = lab.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return lab.join(sizes, "label").select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_id"),
+        F.col("label").cast("bigint").alias("community_id"),
+        F.col("community_size").cast("bigint").alias("community_size"),
+    )
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled LPA rounds as chained CTEs. The argmax is expressed as
+    a row_number window here (DuckDB side only — values are identical
+    to Spark's aggregate max(struct(c, -label)) pick because both
+    select (max count, min label))."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+g{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{i - 1} l ON e.src = l.node
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM g{i}
+  ) WHERE rn = 1
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),{body},
+sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+  FROM l{rounds} GROUP BY 1
+)
+SELECT CASE WHEN l.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(l.node // 2 AS BIGINT) AS node_id,
+       CAST(l.label AS BIGINT) AS community_id,
+       s.community_size
+FROM l{rounds} l JOIN sizes s ON l.label = s.label
+"""
+
+
+register("trade_label_propagation", _lpa_oracle())(trade_label_propagation)

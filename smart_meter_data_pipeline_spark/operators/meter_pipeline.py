@@ -1280,3 +1280,66 @@ FROM readings
 WHERE meter_id % 11 <> 5
 GROUP BY meter_id""",
 )(manifest_ivm_rollup)
+
+
+def manifest_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF under the driver gate: land the generator day
+    as TWO commits (even meters at v0, odd meters at v1), then
+
+    - read ``asof`` v0's recorded ``committed_at`` and assert it
+      resolves to v0 and sees exactly the even-meter rows,
+    - assert an ``asof`` BEFORE the first commit raises (Delta's
+      `timestampAsOf` error contract),
+    - return the ``asof`` "now" read — against the PLAIN generator
+      oracle, so timestamp resolution that picked the wrong version
+      (or a read that dropped/duplicated rows) breaks the hash.
+
+    Timestamp resolution is metadata-only (one commit-log listing, no
+    data IO), same as read(version=) — sources/manifest.py
+    version_asof."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_asof_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(
+            spark, readings.filter(F.col("meter_id") % 2 == 0)
+        )
+        t.idempotent_append(
+            spark, readings.filter(F.col("meter_id") % 2 == 1)
+        )
+        ts0 = t.snapshot()[0]["committed_at"]
+        if t.version_asof(ts0) != 0:
+            raise AssertionError(
+                f"asof(ts0) resolved to {t.version_asof(ts0)}, not 0"
+            )
+        n_v0 = t.read(spark, asof=ts0).count()
+        n_even = readings.filter(F.col("meter_id") % 2 == 0).count()
+        if n_v0 != n_even:
+            raise AssertionError(
+                f"asof v0 read {n_v0} rows, expected {n_even}"
+            )
+        try:
+            t.version_asof(ts0 - 3600.0)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("pre-first-commit asof did not raise")
+        return t.read(spark, asof=_time.time()).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_asof_read",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings""",
+)(manifest_asof_read)

@@ -2505,3 +2505,89 @@ FROM w{rounds}, m{rounds}"""
 register("embedding_power_iteration", _power_iteration_oracle())(
     embedding_power_iteration
 )
+
+
+PAIR_MUL = 127  # deterministic pseudo-random pairing stride
+
+
+def embedding_pair_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-geometry health check: the histogram of cosine
+    similarity over one deterministic pseudo-random pair per vector
+    (partner(i) = (127·i + 1) mod N). A healthy embedding space puts
+    unrelated pairs in a band near 0; a collapsed/anisotropic space
+    (the classic failure after bad contrastive training) piles mass
+    in the high-cosine buckets — this is the O(N) screen you run
+    BEFORE paying for any O(N²)-flavored dedup or ANN build.
+
+    Scale shape: norms computed per row in one pass; the pairing is a
+    plain equi-join on the derived partner key (both sides shuffle-
+    partitioned by vec_id — nothing corpus-sized broadcasts; the
+    1-row count rides a scalar broadcast); buckets aggregate
+    map-side. Output is integers only — the cosine (bit-identical
+    cross-engine: exact-decimal dot fold, correctly-rounded sqrt and
+    divide) is used solely for floor-bucketing."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("norm2", _dot("embedding", "embedding"))
+    n = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    a = emb.crossJoin(F.broadcast(n)).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm2").alias("a_norm2"),
+        F.expr(f"(vec_id * {PAIR_MUL} + 1) % n_vec").alias("partner"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm2").alias("b_norm2"),
+    )
+    pairs = a.join(b, a.partner == b.b_id, "inner").filter(
+        F.col("a_id") != F.col("b_id")
+    )
+    cos = pairs.select(
+        (
+            _dot("a_emb", "b_emb")
+            / (F.sqrt(F.col("a_norm2")) * F.sqrt(F.col("b_norm2")))
+        ).alias("cosine")
+    )
+    return (
+        cos.select(
+            F.floor(F.col("cosine") * 10).cast("int").alias("cos_bucket")
+        )
+        .groupBy("cos_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("cos_bucket", F.col("n_pairs").cast("bigint").alias("n_pairs"))
+    )
+
+
+register(
+    "embedding_pair_sim_hist",
+    f"""
+WITH nv AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         a.embedding AS ae, b.embedding AS be
+  FROM embeddings a CROSS JOIN nv
+  JOIN embeddings b ON (a.vec_id * {PAIR_MUL} + 1) % nv.n_vec = b.vec_id
+  WHERE a.vec_id <> b.vec_id
+),
+un AS (
+  SELECT a_id, b_id,
+         CAST(unnest(ae) AS DOUBLE) AS x,
+         CAST(unnest(be) AS DOUBLE) AS y
+  FROM pairs
+),
+dots AS (
+  SELECT a_id, b_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS na,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS nb
+  FROM un GROUP BY 1, 2
+)
+SELECT CAST(floor((dot / (sqrt(na) * sqrt(nb))) * 10) AS INT)
+         AS cos_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM dots
+GROUP BY 1
+""",
+)(embedding_pair_sim_hist)

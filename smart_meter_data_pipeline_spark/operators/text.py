@@ -1368,3 +1368,182 @@ WHERE rank IN ({ks})
 register("corpus_bigram_coverage", _bigram_coverage_sql())(
     corpus_bigram_coverage
 )
+
+
+RARE_MAX_COUNT = 2  # corpus count at or below which a token is "rare"
+
+
+def doc_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score without transcendentals: build the
+    corpus unigram model, then score each document by the
+    occurrence-weighted mean corpus frequency of its tokens
+    (micro-units) plus the share of its tokens that are corpus-rare
+    (count ≤ {RARE_MAX_COUNT}). This is the rational-arithmetic stand-in
+    for the classic per-doc LM perplexity filter: garbled or
+    off-distribution documents score low commonness / high rare-share,
+    exactly the rows a pretraining curation pass drops or
+    down-weights. (True log-perplexity is deliberately avoided — ln()
+    is not cross-engine bit-stable; see the verify notes.)
+
+    Scale shape: per-doc token counts aggregate BEFORE the vocabulary
+    join (so the join volume is distinct (doc, word) pairs, not raw
+    occurrences) and the join is an equi-join keyed by word — both
+    sides partitioned by the same key, no broadcast of anything
+    corpus-sized; the 1-row total rides a scalar broadcast. All
+    integer arithmetic: f_micro = (1e6·cnt) div total, per-doc means
+    by int64 floor division."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(tokens()).alias("word")
+    )
+    dw = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dw.groupBy("word").agg(F.sum("c").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    f = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        "cnt",
+        F.expr(f"({_MICRO_LM} * cnt) div total").alias("f_micro"),
+    )
+    scored = (
+        dw.join(f, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("f_micro")).alias("wsum"),
+            F.sum(
+                F.when(F.col("cnt") <= RARE_MAX_COUNT, F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_rare"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("wsum div n_tokens").cast("bigint").alias(
+            "mean_commonness_micro"
+        ),
+        F.expr(f"({_MICRO_LM} * n_rare) div n_tokens").cast("bigint").alias(
+            "rare_share_micro"
+        ),
+    )
+
+
+_MICRO_LM = 1_000_000
+
+
+register(
+    "doc_lm_commonness",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(arr) AS word FROM toks),
+dw AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+vocab AS (SELECT word, SUM(c) AS cnt FROM dw GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+f AS (
+  SELECT word, cnt,
+         CAST(({_MICRO_LM} * cnt) // total AS BIGINT) AS f_micro
+  FROM vocab, tot
+)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.c * f.f_micro) // SUM(d.c) AS BIGINT)
+         AS mean_commonness_micro,
+       CAST(({_MICRO_LM} * SUM(CASE WHEN f.cnt <= {RARE_MAX_COUNT}
+                                    THEN d.c ELSE 0 END))
+            // SUM(d.c) AS BIGINT) AS rare_share_micro
+FROM dw d JOIN f ON d.word = f.word
+GROUP BY d.doc_id
+""",
+)(doc_lm_commonness)
+
+
+_HEXD = "0123456789abcdef"
+HASH_BUCKETS = 64
+# Frozen "trained" weights as a closed-form integer schedule over the
+# bucket id: w(b) = ((b·40503) mod 1001) − 500 ∈ [−500, 500]. A real
+# deployment loads learned weights; the schedule keeps the pipeline
+# deterministic and oracle-checkable while exercising the identical
+# plan (hash → bucket → weight → per-doc sum).
+_W_MUL, _W_MOD, _W_SHIFT = 40503, 1001, 500
+
+
+def doc_hashed_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-shaped quality classifier: feature-hash every token
+    into {HASH_BUCKETS} buckets (first two hex digits of md5 — the
+    same portable hex→int idiom as SimHash), look up a frozen integer
+    weight per bucket, and score each document by the
+    occurrence-weighted sum; verdict = keep iff the sum is positive.
+    This is the linear text-classifier filter (fastText / logistic
+    over hashed n-grams) that large-scale curation stacks run after
+    the cheap heuristics — mechanically identical to serving a real
+    weight vector.
+
+    Scale shape: explode → per-token constant-time bucket/weight
+    arithmetic (no vocabulary join at all — hashing is what makes the
+    classifier O(tokens) with O(buckets) state) → one partial-combined
+    per-doc aggregation. Everything int64; no division anywhere, so
+    Spark's truncating `div` vs DuckDB's flooring `//` never meet a
+    negative operand."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    scored = tok.select(
+        "doc_id",
+        F.expr(
+            f"((instr('{_HEXD}', substr(md5(tok), 1, 1)) - 1) * 16"
+            f" + (instr('{_HEXD}', substr(md5(tok), 2, 1)) - 1))"
+            f" % {HASH_BUCKETS}"
+        ).alias("bucket"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"((bucket * {_W_MUL}) % {_W_MOD}) - {_W_SHIFT}"
+        ).alias("w"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w").alias("feat_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("feat_sum").cast("bigint").alias("feat_sum"),
+        F.when(F.col("feat_sum") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    )
+
+
+register(
+    "doc_hashed_ngram_score",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(arr) AS tok FROM toks),
+b AS (
+  SELECT doc_id,
+         ((strpos('{_HEXD}', substr(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('{_HEXD}', substr(md5(tok), 2, 1)) - 1))
+           % {HASH_BUCKETS} AS bucket
+  FROM words
+),
+w AS (
+  SELECT doc_id,
+         ((bucket * {_W_MUL}) % {_W_MOD}) - {_W_SHIFT} AS w
+  FROM b
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS feat_sum,
+       CASE WHEN SUM(w) > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM w
+GROUP BY doc_id
+""",
+)(doc_hashed_ngram_score)

@@ -131,6 +131,13 @@ _PRIORITY = [
     "multimodal_shard_pack",
     "orders_gap_survival",
     "nation_load_duration_curve",
+    # (3a0) new late in round 8 — no driver row yet; head round 9's window
+    "manifest_asof_read",
+    "trade_label_propagation",
+    "events_markov_stationary",
+    "doc_lm_commonness",
+    "doc_hashed_ngram_score",
+    "embedding_pair_sim_hist",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

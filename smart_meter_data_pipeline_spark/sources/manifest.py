@@ -245,11 +245,36 @@ class ManifestTable:
 
     # -- read --------------------------------------------------------------
 
+    def version_asof(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution (Delta semantics): the latest
+        positional version whose commit landed at or before ``ts``.
+        Commits written before timestamp tracking fall back to the
+        commit file's mtime. Raises when ``ts`` predates the first
+        commit (nothing existed to read), matching Delta's
+        `timestampAsOf` error contract."""
+        best = None
+        for i, (num, c) in enumerate(self.numbered_snapshot()):
+            at = c.get("committed_at")
+            if at is None:
+                try:
+                    at = os.path.getmtime(self._commit_path(num))
+                except OSError:
+                    continue
+            if at <= ts:
+                best = i
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} predates the first commit of "
+                f"{self.table_dir}"
+            )
+        return best
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         dates: list | None = None,
+        asof: float | None = None,
     ) -> DataFrame | None:
         """The committed table contents (None when no commits yet).
 
@@ -275,7 +300,16 @@ class ManifestTable:
         Taking the schema from COMMIT METADATA, not from merging
         parquet footers, is what makes the evolved read free at scale:
         ``mergeSchema`` touches every file's footer, the log is one
-        directory listing."""
+        directory listing.
+
+        ``asof`` (unix seconds) is TIMESTAMP AS OF: resolved to the
+        latest version committed at or before that instant via
+        :meth:`version_asof`, then read as a version time-travel.
+        Mutually exclusive with ``version``."""
+        if asof is not None:
+            if version is not None:
+                raise ValueError("pass version OR asof, not both")
+            version = self.version_asof(asof)
         commits = self.snapshot()
         if version is not None:
             if version < 0 or version >= len(commits):
@@ -668,6 +702,7 @@ class ManifestTable:
                         "dates": sorted(batch_dates),
                         "schema": in_batch.schema.json(),
                         "stats": self._file_stats(staged),
+                        "committed_at": time.time(),
                     }
                 ).encode()
                 if _put_if_absent(self._commit_path(validated_through), payload):
@@ -1037,6 +1072,7 @@ class ManifestTable:
                             if ev_schema is not None
                             else None
                         ),
+                        "committed_at": time.time(),
                     }
                 ).encode()
                 if _put_if_absent(self._commit_path(fence), payload):
@@ -1161,6 +1197,11 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
             "compacted_from": cut,
             "schema": base_schema.json() if base_schema else None,
             "stats": base_stats,
+            # The base REPRESENTS the table as of the last merged
+            # commit, so it inherits that commit's timestamp: asof
+            # reads inside the merged range are no longer resolvable
+            # (the same granularity loss Delta log cleanup accepts).
+            "committed_at": base[-1][1].get("committed_at"),
         }
         tmp = table._commit_path(base_num) + f".compacting.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -1271,6 +1312,7 @@ def optimize_table(
                     "schema": schema.json() if schema else None,
                     "stats": table._file_stats(staged),
                     "optimize": True,
+                    "committed_at": time.time(),
                 }
             ).encode()
             if _put_if_absent(table._commit_path(fence), payload):
@@ -1375,6 +1417,7 @@ def restore_version(table: ManifestTable, version: int) -> dict:
                         target_schema.json() if target_schema else None
                     ),
                     "restore_of": version,
+                    "committed_at": time.time(),
                 }
             ).encode()
             if table._pre_publish_hook is not None:

@@ -1487,3 +1487,33 @@ def test_deterministic_append_lands_between_restore_validate_and_publish(
     # the raced append still time-travels (history preserved)
     n_commits = len(t.snapshot())
     assert t.read(spark, version=n_commits - 2).count() == 26
+
+
+def test_timestamp_asof_resolution(spark, table_dir):
+    """TIMESTAMP AS OF: commits record committed_at; version_asof
+    resolves to the latest version at-or-before the instant;
+    read(asof=) equals read(version=); pre-first-commit timestamps
+    raise; version+asof together raise; compaction leaves the merged
+    base carrying the LAST merged commit's timestamp (asof granularity
+    inside the merged range is lost, same as Delta log cleanup)."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))    # v0
+    t.idempotent_append(spark, _valid_batch(spark, 11, 21))   # v1
+    t.idempotent_append(spark, _valid_batch(spark, 21, 31))   # v2
+    snaps = t.snapshot()
+    stamps = [c["committed_at"] for c in snaps]
+    assert stamps == sorted(stamps)
+    assert t.version_asof(stamps[0]) == 0
+    assert t.version_asof(stamps[1]) == 1
+    assert t.version_asof(stamps[2] + 1e6) == 2
+    assert t.read(spark, asof=stamps[1]).count() == 20
+    with pytest.raises(ValueError):
+        t.version_asof(stamps[0] - 3600.0)
+    with pytest.raises(ValueError):
+        t.read(spark, version=1, asof=stamps[1])
+    # compaction: merged base inherits the last merged stamp
+    manifest.compact_log(t, keep_last=1)
+    snaps2 = t.snapshot()
+    assert snaps2[0]["committed_at"] == stamps[1]
+    assert t.version_asof(stamps[1]) == 0
+    assert t.read(spark, asof=stamps[2]).count() == 30
