@@ -131,16 +131,19 @@ def daily_customer_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact COUNT(DISTINCT) (billing:61), guarded percentage
     (billing:106-111).
 
-    The customer dim is broadcast: at reference scale it is 1M rows ≈
-    tens of MB — well under the broadcast threshold a production
-    cluster would set; the events side never shuffles for this join.
+    The customer join carries NO broadcast hint: customer scales
+    linearly with the fact (15B rows at the 100 TB design point), so
+    the hint would be an executor OOM there — both sides are already
+    keyed/reducible on the same key, and AQE is free to pick broadcast
+    at small SF where customer genuinely fits (the round-7 fact-scale
+    hint policy; contract-pinned in test_plan_contracts).
     """
     rollup = daily_user_rollup(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
     joined = rollup.join(
-        F.broadcast(cust), rollup.user_id == cust.c_custkey, "inner"
+        cust, rollup.user_id == cust.c_custkey, "inner"
     )
     total_events = F.sum("n_events")
     return (
@@ -192,6 +195,10 @@ def hourly_nation_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     (grid:85-104, both guarded on capacity > 0). Capacity here is the
     deterministic expression ``n_nationkey*10 + 100`` (the testdata has
     no capacity column).
+
+    Hint policy: nation keeps its broadcast (25 rows, bounded);
+    customer does NOT (scales with the fact — AQE may still choose
+    broadcast at small SF, but the plan must not force it).
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
@@ -204,7 +211,7 @@ def hourly_nation_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        hourly.join(F.broadcast(cust), hourly.user_id == cust.c_custkey, "inner")
+        hourly.join(cust, hourly.user_id == cust.c_custkey, "inner")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
         .withColumn("capacity", F.col("n_nationkey") * 10 + 100)
     )

@@ -450,7 +450,10 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order is bounded by basket size squared (≤13² here; baskets
     are small by nature, never corpus-sized — the same bounded-group
     argument as the session ops), and the pair rollup combines
-    map-side. Part-frequency tables are dim-sized and broadcast. All
+    map-side. The part-frequency rollup scales with the part catalog
+    (fact-linked), so it carries NO broadcast hint — the pair⋈freq
+    joins are equi-joins on the part key and AQE may still broadcast
+    at small SF (round-7 fact-scale hint policy). All
     scores are int-ratio divisions rounded at 9 — no transcendentals
     (lift = n·pair/(cnt_a·cnt_b), algebraically P(ab)/(P(a)P(b)) with
     one division instead of three, which also keeps it exact).
@@ -477,13 +480,13 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     out = (
         pairs.join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
-                                    F.col("cnt").alias("cnt_a"))),
+            freq.select(F.col("l_partkey").alias("part_a"),
+                        F.col("cnt").alias("cnt_a")),
             "part_a",
         )
         .join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
-                                    F.col("cnt").alias("cnt_b"))),
+            freq.select(F.col("l_partkey").alias("part_b"),
+                        F.col("cnt").alias("cnt_b")),
             "part_b",
         )
         .select(

@@ -156,7 +156,11 @@ _PRIORITY = [
     "events_dow_hour_matrix",
     "orders_seasonal_index",
     "doc_length_magnitude_profile",
-    # (3c) de-hinted TPC-H (plan-only change, values identical)
+    # (3c) de-hinted (plan-only change, values identical)
+    "daily_customer_billing",
+    "hourly_nation_load",
+    "basket_part_pairs",
+    "stream_static_join",
     "tpch_volume_shipping",
     "tpch_returned_items",
     "nation_trade_reciprocity",

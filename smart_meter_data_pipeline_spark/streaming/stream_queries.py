@@ -1232,9 +1232,11 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dimension (stateless on the stream side; Spark re-resolves
     the static relation each batch, so dimension updates between
     batches are picked up — the streaming twin of the marts' fact⋈dim
-    joins). The static side is broadcast: at reference scale the dim is
-    ~1M rows ≈ tens of MB, far under the broadcast threshold, so the
-    stream side never shuffles. Enriched rows drain append into a
+    joins). The static side carries NO broadcast hint: customer scales
+    with the fact (the round-7 fact-scale hint policy), so forcing it
+    onto every executor is an OOM at the 100 TB design point — the
+    planner may still pick broadcast per micro-batch where the dim
+    actually fits. Enriched rows drain append into a
     memory sink; the compacting per-nation rollup runs batch over the
     drained table (same drain-then-aggregate protocol as the
     stream-stream join — the join is the operator under test). The
@@ -1247,7 +1249,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"),
         "c_nationkey",
     )
-    enriched = ev.join(F.broadcast(cust), "user_id").select(
+    enriched = ev.join(cust, "user_id").select(
         "event_id", "user_id", "c_nationkey", "value"
     )
     sink = f"stream_static_{uuid.uuid4().hex[:8]}"

@@ -49,17 +49,25 @@ def test_pricing_summary_partial_aggregation(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_customer_billing_broadcasts_dim(spark, sf_dir):
-    """The fact⋈customer join must be a broadcast, not a shuffle of the
-    fact side."""
-    p = _plan(events_pipeline.daily_customer_billing(spark, sf_dir))
-    assert "BroadcastExchange" in p
-    assert "SortMergeJoin" not in p
+def test_customer_billing_customer_join_not_hinted(spark, sf_dir):
+    """customer scales with the fact, so the rollup⋈customer join must
+    NOT force-broadcast it (round-7 fact-scale hint policy): with
+    auto-broadcast off, the join keeps its shuffle. AQE choosing
+    broadcast at small SF remains allowed — this pins hint absence."""
+    with _no_auto_broadcast(spark):
+        p = _plan(events_pipeline.daily_customer_billing(spark, sf_dir))
+        assert p.count("SortMergeJoin") >= 1
+        assert "BroadcastExchange" not in p
 
 
-def test_hourly_nation_load_broadcasts_dims(spark, sf_dir):
-    p = _plan(events_pipeline.hourly_nation_load(spark, sf_dir))
-    assert "BroadcastExchange" in p
+def test_hourly_nation_load_hints_only_bounded_dims(spark, sf_dir):
+    """nation (25 rows) keeps its broadcast hint; customer must not be
+    hinted — under no-auto-broadcast exactly the nation join may
+    remain a BroadcastExchange and the customer join must shuffle."""
+    with _no_auto_broadcast(spark):
+        p = _plan(events_pipeline.hourly_nation_load(spark, sf_dir))
+        assert "BroadcastExchange" in p        # the nation hint
+        assert p.count("SortMergeJoin") >= 1   # the customer join
 
 
 def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
@@ -483,6 +491,7 @@ def test_fact_scale_tables_never_force_broadcast(spark, sf_dir):
         (tpch.tpch_disjunctive_revenue, 1),
         (tpch.tpch_supplier_part_variety, 1),
         (tpch.tpch_small_qty_revenue, 1),  # li⋈part; threshold rollup may hint
+        (tpch.basket_part_pairs, 3),       # self-join + 2 part-freq joins
     ]
     with _no_auto_broadcast(spark):
         for fn, floor in cases:
