@@ -1547,3 +1547,87 @@ FROM w
 GROUP BY doc_id
 """,
 )(doc_hashed_ngram_score)
+
+
+WINNOW_W = 8  # winnowing guarantee window (in shingle positions)
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every char-{SHINGLE_WIDTH}-gram at its position,
+    slide a window of {WINNOW_W} consecutive hashes, keep each
+    window's minimum — the selected-fingerprint density is
+    2/(w+1) yet any shared substring of length
+    {SHINGLE_WIDTH}+{WINNOW_W}-1 is GUARANTEED to collide on at least
+    one fingerprint. This is the local-fingerprint generalization of
+    doc_fingerprint's global-min and the standard plagiarism /
+    near-dup screen for code and text corpora. Output per doc:
+    window count, distinct-fingerprint count, and the lexicographic
+    min/max fingerprint (set summary).
+
+    Scale shape: the explode is partition-local; ONE shuffle keys by
+    doc_id for the position-ordered window (frames are row-bounded,
+    ROWS CURRENT..{WINNOW_W}-1 FOLLOWING); the distinct and rollup
+    reuse the same doc_id partitioning. Fingerprint selection cuts
+    the downstream set to ~2/(w+1) of the shingle volume — the point
+    of winnowing at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos_h = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (SHINGLE_WIDTH - 1))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.expr(f"substr(text, pos, {SHINGLE_WIDTH})")).alias("h"),
+    )
+    win = (
+        SqlWindow.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    full = (
+        pos_h.withColumn("n_in_win", F.count("h").over(win))
+        .withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("n_in_win") == WINNOW_W)
+    )
+    fps = full.select("doc_id", "pos", "wmin")
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.countDistinct("wmin").cast("bigint").alias("n_fingerprints"),
+        F.min("wmin").alias("min_fingerprint"),
+        F.max("wmin").alias("max_fingerprint"),
+    )
+
+
+register(
+    "doc_winnowing",
+    f"""
+WITH pos_h AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         md5(substr(text, CAST(pos AS INT), {SHINGLE_WIDTH})) AS h
+  FROM documents, range(1, 100000) t(pos)
+  WHERE pos <= length(text) - {SHINGLE_WIDTH - 1}
+),
+win AS (
+  SELECT doc_id, pos,
+         COUNT(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS n_in_win,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM pos_h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+       MIN(wmin) AS min_fingerprint,
+       MAX(wmin) AS max_fingerprint
+FROM win
+WHERE n_in_win = {WINNOW_W}
+GROUP BY doc_id
+""",
+)(doc_winnowing)

@@ -2174,3 +2174,181 @@ SELECT n_name, CAST(o_year AS INT) AS o_year, revenue_micro,
 FROM lagged WHERE prev_micro IS NOT NULL
 """,
 )(tpch_nation_yoy_growth)
+
+
+IMPORTANT_NATION = "NATION_3"
+IMPORTANT_PERMILLE = 1  # keep parts holding > 0.1% of national value
+
+
+def tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification) adapted to the
+    available columns: per part, the traded value supplied from one
+    nation, keeping only parts whose value exceeds a fixed fraction
+    of the national total — the fraction compare is Q11's signature
+    correlated scalar subquery (HAVING SUM(...) > total * f).
+
+    All-integer arithmetic: prices land on the cent grid, so
+    value_cents = Σ CAST(DECIMAL(25,6)·100 AS BIGINT) is exact int64;
+    the threshold test is 1000·value > total (no division), and
+    share_micro = (1e6·value) div total.
+
+    Scale shape: lineitem ⋈ supplier keyed by suppkey — supplier is a
+    bounded frame (SURVEY hint policy) and broadcast; the per-part
+    rollup partial-aggregates map-side; the national total is a 1-row
+    scalar broadcast. One fact scan, one shuffle keyed by partkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == IMPORTANT_NATION)
+        .select("s_suppkey")
+    )
+    cents = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100 AS BIGINT)"
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * (1000 // IMPORTANT_PERMILLE)
+            > F.col("total_cents")
+        )
+        .select(
+            "l_partkey",
+            F.col("value_cents").cast("bigint").alias("value_cents"),
+            F.expr("(1000000 * value_cents) div total_cents")
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )
+
+
+register(
+    "tpch_important_parts",
+    f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100 AS BIGINT))
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{IMPORTANT_NATION}'
+  GROUP BY 1
+),
+tot AS (SELECT SUM(value_cents) AS total_cents FROM per_part)
+SELECT l_partkey,
+       CAST(value_cents AS BIGINT) AS value_cents,
+       CAST((1000000 * value_cents) // total_cents AS BIGINT)
+         AS share_micro
+FROM per_part, tot
+WHERE value_cents * {1000 // IMPORTANT_PERMILLE} > total_cents
+""",
+)(tpch_important_parts)
+
+
+MIN_COST_REGION = "EUROPE"
+
+
+def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) adapted to the available
+    columns: for every part traded in one region, the supplier
+    offering the lowest observed unit price (extendedprice/quantity),
+    ties to the smallest suppkey — Q2's correlated
+    MIN(ps_supplycost) rewritten as a distributed argmin.
+
+    Unit price in exact integer micro-units:
+    (1e6·price-as-DECIMAL) div quantity — no decimal division, whose
+    scale rules differ across engines. The argmin is an AGGREGATE
+    max/min(struct(...)) — partial-combinable, no per-part window
+    over the fact.
+
+    Scale shape: lineitem ⋈ supplier(region-filtered) keyed by
+    suppkey (supplier/nation/region are bounded frames, broadcast);
+    one partkey-keyed shuffle for the argmin; the name joins run on
+    the part-sized result, never the fact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == MIN_COST_REGION)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    unit = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
+    best = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("l_partkey", unit.alias("unit_micro"), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.min(F.struct("unit_micro", "l_suppkey")).alias("b")
+        )
+        .select(
+            "l_partkey",
+            F.col("b.unit_micro").alias("unit_micro"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+        )
+    )
+    return best.join(F.broadcast(supp), "s_suppkey").select(
+        "l_partkey",
+        F.col("unit_micro").cast("bigint").alias("unit_micro"),
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        "n_name",
+    )
+
+
+register(
+    "tpch_min_cost_supplier",
+    f"""
+WITH supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MIN_COST_REGION}'
+),
+unit AS (
+  SELECT l_partkey,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000
+                   AS BIGINT)
+              // CAST(l_quantity AS BIGINT) AS BIGINT) AS unit_micro,
+         l_suppkey
+  FROM lineitem
+  JOIN supp ON l_suppkey = s_suppkey
+),
+ranked AS (
+  SELECT l_partkey, unit_micro, l_suppkey,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_micro, l_suppkey) AS rn
+  FROM unit
+)
+SELECT r.l_partkey,
+       CAST(r.unit_micro AS BIGINT) AS unit_micro,
+       CAST(r.l_suppkey AS BIGINT) AS s_suppkey,
+       s.s_name, s.n_name
+FROM ranked r JOIN supp s ON r.l_suppkey = s.s_suppkey
+WHERE r.rn = 1
+""",
+)(tpch_min_cost_supplier)

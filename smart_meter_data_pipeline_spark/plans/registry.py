@@ -138,6 +138,9 @@ _PRIORITY = [
     "doc_lm_commonness",
     "doc_hashed_ngram_score",
     "embedding_pair_sim_hist",
+    "doc_winnowing",
+    "tpch_important_parts",
+    "tpch_min_cost_supplier",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
