@@ -1474,3 +1474,107 @@ FROM documents
 """
 
 register("doc_normalized_dup", _NORMALIZED_DUP_SQL)(doc_normalized_dup)
+
+
+EDIT_SIM_MICRO = 900_000  # keep pairs with >= 0.9 normalized similarity
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: the same one-pass
+    MinHash-LSH banding as :func:`dedup_minhash_lsh` generates
+    candidates, but the verify stage is CHARACTER-LEVEL Levenshtein
+    instead of set-Jaccard — the complementary metric (Jaccard is
+    blind to ordering/locality; edit distance catches
+    transposition-style edits and is what fuzzy-match curation rules
+    are usually written in). Output: candidate pairs with
+    sim_micro = 1e6 − (1e6·dist) div max(len) ≥ {EDIT_SIM_MICRO}.
+
+    Scale shape: identical candidate economics to the LSH query (the
+    corpus is scanned once for signatures; candidates are
+    bucket-equi-join survivors), and the O(len²) Levenshtein runs
+    ONLY on candidate pairs — never all-pairs. The candidate set
+    broadcasts into the text fetch, so the fact-sized documents table
+    is filtered, not shuffled. Integer output only (distance and
+    micro-similarity; both engines implement unit-cost Levenshtein)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    band_rows = minhash_band_table(docs).localCheckpoint(eager=True)
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    texts = docs.select("doc_id", "text")
+    pa = texts.join(
+        F.broadcast(candidates), texts.doc_id == candidates.doc_a
+    ).select("doc_a", "doc_b", F.col("text").alias("text_a"))
+    pb = texts.join(
+        F.broadcast(pa), texts.doc_id == F.col("doc_b")
+    ).select("doc_a", "doc_b", "text_a", F.col("text").alias("text_b"))
+    scored = pb.select(
+        "doc_a",
+        "doc_b",
+        F.length("text_a").cast("bigint").alias("len_a"),
+        F.length("text_b").cast("bigint").alias("len_b"),
+        F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"),
+    ).withColumn(
+        "sim_micro",
+        F.expr(
+            "CAST(1000000 - (1000000 * edit_dist)"
+            " div greatest(len_a, len_b) AS BIGINT)"
+        ),
+    )
+    return scored.filter(F.col("sim_micro") >= EDIT_SIM_MICRO)
+
+
+register(
+    "dedup_edit_distance",
+    f"""
+WITH sh AS ({_shingles_sql()}),
+hashed AS (
+  SELECT doc_id, md5(shingle) AS h,
+         (strpos('{_HEX}', substr(md5(shingle), 1, 1)) - 1) % {N_BINS} AS bin
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {_MH_AGGS}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+candidates AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(length(a.text) AS BIGINT) AS len_a,
+         CAST(length(b.text) AS BIGINT) AS len_b,
+         CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+  FROM candidates c
+  JOIN documents a ON c.doc_a = a.doc_id
+  JOIN documents b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, len_a, len_b, edit_dist,
+       CAST(1000000 - CAST((1000000 * edit_dist)
+                           // greatest(len_a, len_b) AS BIGINT)
+            AS BIGINT) AS sim_micro
+FROM scored
+WHERE 1000000 - CAST((1000000 * edit_dist)
+                     // greatest(len_a, len_b) AS BIGINT)
+      >= {EDIT_SIM_MICRO}
+""",
+)(dedup_edit_distance)

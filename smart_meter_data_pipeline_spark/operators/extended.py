@@ -3092,3 +3092,57 @@ FROM pairs JOIN spine
 GROUP BY window_day
 """,
 )(events_rolling_active_users)
+
+
+MOTIF = ("view", "click", "purchase")
+
+
+def events_motif_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped strict-sequence motif detection: count,
+    per user, the CONSECUTIVE view→click→purchase triples in their
+    event stream (no gaps — the strict contiguity SQL's
+    MATCH_RECOGNIZE PATTERN (A B C) expresses, which Spark lacks as a
+    native operator). The funnel query answers "did they eventually
+    convert"; this answers "how often does the exact 3-step path
+    occur", the sequence-mining primitive under session-quality and
+    bot-detection rules.
+
+    Scale shape: one shuffle keyed by user for the ordered window,
+    two row-bounded LEADs, then a map-side-combinable count — the
+    same single-pass economics as the LAG/delta operators. Total
+    order within user via (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == MOTIF[0])
+        & (F.col("t1") == MOTIF[1])
+        & (F.col("t2") == MOTIF[2])
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_motifs")
+    )
+
+
+register(
+    "events_motif_vcp",
+    f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+         LEAD(event_type, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS t2
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_motifs
+FROM seq
+WHERE event_type = '{MOTIF[0]}' AND t1 = '{MOTIF[1]}' AND t2 = '{MOTIF[2]}'
+GROUP BY user_id
+""",
+)(events_motif_vcp)

@@ -2352,3 +2352,87 @@ FROM ranked r JOIN supp s ON r.l_suppkey = s.s_suppkey
 WHERE r.rn = 1
 """,
 )(tpch_min_cost_supplier)
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve by acquisition cohort: customers
+    are grouped by the month of their FIRST order; for each cohort ×
+    months-since-acquisition cell, the active-customer count, the
+    period revenue, and the cohort's cumulative revenue — the LTV
+    table every growth/retention analysis starts from (the orders-fact
+    twin of events_cohort_retention).
+
+    Scale shape: the first-order date is a customer-keyed rollup
+    joined back to orders on the same key (both sides shuffle-keyed by
+    custkey; customer scales with the fact so NO broadcast hint); the
+    cohort × month rollup is calendar-bounded (months², tiny), and the
+    cumulative window runs over that rollup only. Month index is pure
+    integer calendar arithmetic (y·12+m), revenue is exact int64
+    cents."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_date")
+    )
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT)"
+    )
+    joined = orders.join(first, "o_custkey").select(
+        "o_custkey",
+        F.date_trunc("month", "first_date").cast("date").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("first_date") * 12 + F.month("first_date"))
+        ).cast("int").alias("month_index"),
+        cents.alias("cents"),
+    )
+    cell = joined.groupBy("cohort_month", "month_index").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    cum = Window.partitionBy("cohort_month").orderBy("month_index").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cell.select(
+        "cohort_month",
+        "month_index",
+        "n_active",
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        F.sum("revenue_cents").over(cum).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+    )
+
+
+register(
+    "orders_cohort_ltv",
+    """
+WITH first AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_date
+  FROM orders GROUP BY 1
+),
+joined AS (
+  SELECT o.o_custkey,
+         CAST(date_trunc('month', f.first_date) AS DATE) AS cohort_month,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(f.first_date) * 12 + month(f.first_date)) AS month_index,
+         CAST(CAST(o.o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+),
+cell AS (
+  SELECT cohort_month, CAST(month_index AS INT) AS month_index,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM joined GROUP BY 1, 2
+)
+SELECT cohort_month, month_index, n_active, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+              PARTITION BY cohort_month ORDER BY month_index
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_revenue_cents
+FROM cell
+""",
+)(orders_cohort_ltv)

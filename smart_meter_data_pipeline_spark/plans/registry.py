@@ -141,6 +141,9 @@ _PRIORITY = [
     "doc_winnowing",
     "tpch_important_parts",
     "tpch_min_cost_supplier",
+    "dedup_edit_distance",
+    "events_motif_vcp",
+    "orders_cohort_ltv",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
