@@ -958,3 +958,135 @@ SELECT lang, n_lang AS n_docs, target_share,
 FROM joined CROSS JOIN tote
 """,
 )(mixture_rebalance)
+
+
+CMS_D = 4    # count-min depth (independent hash rows)
+CMS_W = 64   # count-min width (buckets per row)
+CMS_TOPK = 20
+_CMS_HEX = "0123456789abcdef"
+
+
+def _cms_bucket_expr(d: int, word_col: str = "word") -> str:
+    """Bucket of ``word`` under hash row ``d``: two hex digits of
+    md5('<d>:'||word) → 0..255 → % CMS_W. Portable (same strpos/instr
+    hex→int idiom as SimHash/minhash — no engine bit ops)."""
+    h = f"md5(concat('{d}:', {word_col}))"
+    return (
+        f"((instr('{_CMS_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_CMS_HEX}', substr({h}, 2, 1)) - 1)) % {CMS_W}"
+    )
+
+
+def corpus_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, audited against
+    exact counts: build a {CMS_D}×{CMS_W} counter sketch, then report
+    — for the top-{CMS_TOPK} tokens by exact count — the exact count,
+    the CMS estimate (min over the {CMS_D} hashed counters), and the
+    overestimate. CMS never underestimates, so ``overestimate >= 0``
+    by construction and the oracle hash proves the sketch arithmetic
+    end-to-end. This is the streaming-friendly frequency structure a
+    100 TB pipeline uses when the vocabulary itself is too large to
+    rollup exactly (the audit quantifies the collision error at a
+    given sketch size).
+
+    Scale shape: counters build from the (word, cnt) vocabulary rollup
+    — NOT a second corpus scan — by exploding each distinct word into
+    its {CMS_D} (row, bucket) cells and re-aggregating to the fixed
+    {CMS_D}·{CMS_W}-cell sketch (bounded state, broadcastable); the
+    probe joins the {CMS_TOPK}-row head against the sketch. One corpus
+    scan total, everything after it vocabulary-sized or constant."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(F.explode(tokens()).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = vocab.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_bucket_expr(d)).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("db"),
+    ).select("cnt", "db.d", "db.bucket")
+    sketch = cells.groupBy("d", "bucket").agg(F.sum("cnt").alias("counter"))
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("word")).limit(CMS_TOPK)
+    probes = top.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_bucket_expr(d)).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("db"),
+    ).select("word", "cnt", "db.d", "db.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("word", "cnt")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    return est.select(
+        "word",
+        F.col("cnt").cast("bigint").alias("exact_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("cnt")).cast("bigint").alias(
+            "overestimate"
+        ),
+    )
+
+
+def _cms_oracle() -> str:
+    def bucket_sql(d: int, word_col: str = "word") -> str:
+        h = f"md5(concat('{d}:', {word_col}))"
+        return (
+            f"((strpos('{_CMS_HEX}', substr({h}, 1, 1)) - 1) * 16"
+            f" + (strpos('{_CMS_HEX}', substr({h}, 2, 1)) - 1)) % {CMS_W}"
+        )
+
+    cell_branches = "\n  UNION ALL ".join(
+        f"SELECT cnt, {d} AS d, {bucket_sql(d)} AS bucket FROM vocab"
+        for d in range(CMS_D)
+    )
+    probe_branches = "\n  UNION ALL ".join(
+        f"SELECT word, cnt, {d} AS d, {bucket_sql(d)} AS bucket FROM top"
+        for d in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+words AS (SELECT unnest(arr) AS word FROM toks),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY 1),
+cells AS (
+  {cell_branches}
+),
+sketch AS (
+  SELECT d, bucket, SUM(cnt) AS counter FROM cells GROUP BY 1, 2
+),
+top AS (
+  SELECT word, cnt FROM vocab ORDER BY cnt DESC, word LIMIT {CMS_TOPK}
+),
+probes AS (
+  {probe_branches}
+)
+SELECT p.word,
+       CAST(p.cnt AS BIGINT) AS exact_count,
+       CAST(MIN(s.counter) AS BIGINT) AS cms_estimate,
+       CAST(MIN(s.counter) - p.cnt AS BIGINT) AS overestimate
+FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.word, p.cnt
+"""
+
+
+register("corpus_countmin_estimate", _cms_oracle())(corpus_countmin_estimate)

@@ -3146,3 +3146,106 @@ WHERE event_type = '{MOTIF[0]}' AND t1 = '{MOTIF[1]}' AND t2 = '{MOTIF[2]}'
 GROUP BY user_id
 """,
 )(events_motif_vcp)
+
+
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic for the event fact's natural key: the
+    per-user event-count distribution summarized as exact order
+    statistics (p50/p99), the hottest key's share, and the p99/p50
+    skew ratio — the report that decides whether a keyed shuffle
+    needs salting (events_salted_rollup is the companion treatment).
+
+    Scale shape: percentiles come from the COUNT-OF-COUNTS
+    distribution — per-key rollup → groupBy(count) histogram (rows =
+    distinct count VALUES, a tiny domain) → cumulative window over
+    that histogram — so no user-sized frame is ever sorted in one
+    partition (the trap the round-7 top-k fix removed elsewhere).
+    Output is a single row of integers; all divisions are int64
+    micro-unit floor divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    dist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys_at"))
+    w = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.select(
+        "cnt",
+        F.sum("n_keys_at").over(w).alias("cum_keys"),
+    )
+    totals = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_events"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    picked = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.min(
+                F.when(
+                    F.col("cum_keys") * 2 >= F.col("n_keys"), F.col("cnt")
+                )
+            ).alias("p50_cnt"),
+            F.min(
+                F.when(
+                    F.col("cum_keys") * 100 >= F.col("n_keys") * 99,
+                    F.col("cnt"),
+                )
+            ).alias("p99_cnt"),
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(picked))
+        .select(
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("total_events").cast("bigint").alias("total_events"),
+            F.col("max_cnt").cast("bigint").alias("max_cnt"),
+            F.col("p50_cnt").cast("bigint").alias("p50_cnt"),
+            F.col("p99_cnt").cast("bigint").alias("p99_cnt"),
+            F.expr("(1000000 * p99_cnt) div p50_cnt")
+            .cast("bigint")
+            .alias("skew_ratio_micro"),
+            F.expr("(1000000 * max_cnt) div total_events")
+            .cast("bigint")
+            .alias("top_key_share_micro"),
+        )
+    )
+
+
+register(
+    "events_key_skew_report",
+    """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+dist AS (
+  SELECT cnt, COUNT(*) AS n_keys_at FROM per_key GROUP BY 1
+),
+cum AS (
+  SELECT cnt,
+         SUM(n_keys_at) OVER (ORDER BY cnt
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_keys
+  FROM dist
+),
+tot AS (
+  SELECT COUNT(*) AS n_keys, SUM(cnt) AS total_events, MAX(cnt) AS max_cnt
+  FROM per_key
+),
+picked AS (
+  SELECT MIN(CASE WHEN cum_keys * 2 >= t.n_keys THEN cnt END) AS p50_cnt,
+         MIN(CASE WHEN cum_keys * 100 >= t.n_keys * 99 THEN cnt END)
+           AS p99_cnt
+  FROM cum CROSS JOIN tot t
+)
+SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(t.total_events AS BIGINT) AS total_events,
+       CAST(t.max_cnt AS BIGINT) AS max_cnt,
+       CAST(p.p50_cnt AS BIGINT) AS p50_cnt,
+       CAST(p.p99_cnt AS BIGINT) AS p99_cnt,
+       CAST((1000000 * p.p99_cnt) // p.p50_cnt AS BIGINT)
+         AS skew_ratio_micro,
+       CAST((1000000 * t.max_cnt) // t.total_events AS BIGINT)
+         AS top_key_share_micro
+FROM tot t CROSS JOIN picked p
+""",
+)(events_key_skew_report)

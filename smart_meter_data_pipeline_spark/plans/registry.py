@@ -144,6 +144,8 @@ _PRIORITY = [
     "dedup_edit_distance",
     "events_motif_vcp",
     "orders_cohort_ltv",
+    "corpus_countmin_estimate",
+    "events_key_skew_report",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
