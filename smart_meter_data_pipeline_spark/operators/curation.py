@@ -1090,3 +1090,122 @@ GROUP BY p.word, p.cnt
 
 
 register("corpus_countmin_estimate", _cms_oracle())(corpus_countmin_estimate)
+
+
+_ABLATION_RULES = (
+    "too_short",
+    "too_long",
+    "too_much_punct",
+    "tokens_too_short",
+    "tokens_too_long",
+)
+
+
+def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the quality gate: for each rule of
+    :func:`quality_filter_chain`, evaluated INDEPENDENTLY (not
+    first-fail), the number of docs failing it, the number failing
+    ONLY it (its unique contribution — exactly the docs that would be
+    rescued if the rule were removed), and its fail share. This is the
+    filter-tuning report: a rule with large n_fail but zero
+    n_fail_only is redundant; one with large n_fail_only deserves a
+    threshold review before it silently deletes a slice of the corpus.
+
+    Scale shape: one scan computes all five boolean flags as column
+    expressions; a single global aggregate produces the 10 counters;
+    the per-rule rows come from exploding that 1-row aggregate —
+    nothing after the scan is corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[^.!?,;:]", "")).cast("double")
+        / F.length("text").cast("double")
+    )
+    mean_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / n_tokens.cast("double")
+    )
+    flags = docs.select(
+        (n_tokens < MIN_TOKENS).alias("too_short"),
+        (n_tokens > MAX_TOKENS).alias("too_long"),
+        (punct_ratio > MAX_PUNCT_RATIO).alias("too_much_punct"),
+        (mean_len < MIN_MEAN_TOKEN_LEN).alias("tokens_too_short"),
+        (mean_len > MAX_MEAN_TOKEN_LEN).alias("tokens_too_long"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in _ABLATION_RULES:
+        others = [o for o in _ABLATION_RULES if o != r]
+        only = F.col(r)
+        for o in others:
+            only = only & ~F.col(o)
+        aggs.append(F.sum(F.col(r).cast("long")).alias(f"fail_{r}"))
+        aggs.append(F.sum(only.cast("long")).alias(f"only_{r}"))
+    one = flags.agg(*aggs)
+    rows = one.select(
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"),
+                        F.col(f"fail_{r}").alias("n_fail"),
+                        F.col(f"only_{r}").alias("n_fail_only"),
+                    )
+                    for r in _ABLATION_RULES
+                ]
+            )
+        ).alias("s"),
+    )
+    return rows.select(
+        F.col("s.rule").alias("rule"),
+        F.col("s.n_fail").cast("bigint").alias("n_fail"),
+        F.col("s.n_fail_only").cast("bigint").alias("n_fail_only"),
+        F.expr("CAST((1000000 * s.n_fail) div n_docs AS BIGINT)").alias(
+            "fail_share_micro"
+        ),
+    )
+
+
+def _ablation_oracle() -> str:
+    branches = []
+    for r in _ABLATION_RULES:
+        others = " AND ".join(
+            f"NOT {o}" for o in _ABLATION_RULES if o != r
+        )
+        branches.append(
+            f"""
+  SELECT '{r}' AS rule,
+         CAST(SUM(CASE WHEN {r} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+         CAST(SUM(CASE WHEN {r} AND {others} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fail_only,
+         CAST((1000000 * SUM(CASE WHEN {r} THEN 1 ELSE 0 END))
+              // COUNT(*) AS BIGINT) AS fail_share_micro
+  FROM flags"""
+        )
+    union = "\n  UNION ALL".join(branches)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+           AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+           / CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS DOUBLE) AS mean_token_len
+  FROM documents
+),
+flags AS (
+  SELECT n_tokens < {MIN_TOKENS} AS too_short,
+         n_tokens > {MAX_TOKENS} AS too_long,
+         punct_ratio > {MAX_PUNCT_RATIO} AS too_much_punct,
+         mean_token_len < {MIN_MEAN_TOKEN_LEN} AS tokens_too_short,
+         mean_token_len > {MAX_MEAN_TOKEN_LEN} AS tokens_too_long
+  FROM t
+)
+{union}
+"""
+
+
+register("quality_filter_ablation", _ablation_oracle())(quality_filter_ablation)

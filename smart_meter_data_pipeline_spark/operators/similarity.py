@@ -2591,3 +2591,68 @@ FROM dots
 GROUP BY 1
 """,
 )(embedding_pair_sim_hist)
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN path against the brute-force
+    ground truth, per query, UNDER THE HASH GATE — the quality metric
+    every ANN deployment tracks, here deterministic end-to-end (both
+    paths rank by the exact-decimal cosine with total tie-breaks, so
+    the recall itself is oracle-checkable, not a statistical
+    estimate). Output per query: ground-truth k, LSH candidate count,
+    hits, and recall in micro-units.
+
+    Scale shape: both sides reuse their registered plans (brute-force
+    = one corpus scan against broadcast queries; LSH = bucket
+    equi-join); the report joins two k-row-per-query results — trivial
+    next to either input."""
+    brute = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = brute.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+    k_b = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_brute"))
+    k_l = lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_lsh"))
+    n_h = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        k_b.join(k_l, "query_id", "left")
+        .join(n_h, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k_brute").cast("bigint").alias("k_brute"),
+            F.coalesce(F.col("k_lsh"), F.lit(0)).cast("bigint").alias("k_lsh"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_hits, 0)) div k_brute AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+def _recall_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    b = ORACLES["ann_topk_cosine"]
+    l = ORACLES["ann_lsh_topk"]
+    return f"""
+WITH b AS (SELECT query_id, neighbor_id FROM ({b})),
+l AS (SELECT query_id, neighbor_id FROM ({l})),
+kb AS (SELECT query_id, COUNT(*) AS k_brute FROM b GROUP BY 1),
+kl AS (SELECT query_id, COUNT(*) AS k_lsh FROM l GROUP BY 1),
+nh AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM b JOIN l ON b.query_id = l.query_id
+              AND b.neighbor_id = l.neighbor_id
+  GROUP BY 1
+)
+SELECT kb.query_id,
+       CAST(kb.k_brute AS BIGINT) AS k_brute,
+       CAST(COALESCE(kl.k_lsh, 0) AS BIGINT) AS k_lsh,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000000 * COALESCE(nh.n_hits, 0)) // kb.k_brute AS BIGINT)
+         AS recall_micro
+FROM kb
+LEFT JOIN kl ON kb.query_id = kl.query_id
+LEFT JOIN nh ON kb.query_id = nh.query_id
+"""
+
+
+register("ann_recall_report", _recall_oracle())(ann_recall_report)

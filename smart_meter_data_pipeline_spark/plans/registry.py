@@ -146,6 +146,8 @@ _PRIORITY = [
     "orders_cohort_ltv",
     "corpus_countmin_estimate",
     "events_key_skew_report",
+    "ann_recall_report",
+    "quality_filter_ablation",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
