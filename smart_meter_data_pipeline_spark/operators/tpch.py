@@ -2436,3 +2436,60 @@ SELECT cohort_month, month_index, n_active, revenue_cents,
 FROM cell
 """,
 )(orders_cohort_ltv)
+
+
+LATE_DAYS = 90
+
+
+def tpch_late_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority) adapted to
+    the available columns: classify each lineitem as LATE when it
+    shipped more than {LATE_DAYS} days after its order date, then per
+    order-priority report the high-priority and low-priority line
+    counts among late vs on-time — Q12's signature two-way
+    conditional aggregation (SUM(CASE WHEN priority IN high ...)).
+
+    Scale shape: lineitem ⋈ orders is the single big join, an
+    equi-join on the order key with NO broadcast hint (both scale with
+    the fact — the round-7 hint policy); the conditional rollup
+    partial-aggregates map-side into ≤|priorities| rows. Pure integer
+    date arithmetic (datediff in days)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    is_late = (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > LATE_DAYS
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy(is_late.alias("is_late"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high_priority"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_low_priority"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+register(
+    "tpch_late_by_priority",
+    f"""
+SELECT datediff('day', o_orderdate, CAST(l_shipdate AS DATE)) > {LATE_DAYS}
+         AS is_late,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_priority,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_low_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+)(tpch_late_by_priority)

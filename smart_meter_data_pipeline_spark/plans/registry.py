@@ -148,6 +148,7 @@ _PRIORITY = [
     "events_key_skew_report",
     "ann_recall_report",
     "quality_filter_ablation",
+    "tpch_late_by_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
