@@ -1578,3 +1578,87 @@ WHERE 1000000 - CAST((1000000 * edit_dist)
       >= {EDIT_SIM_MICRO}
 """,
 )(dedup_edit_distance)
+
+
+TRIPLET_MUL = 9176  # deterministic negative-sampling stride
+
+
+def train_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet generation: every LSH-verified
+    near-dup pair becomes an (anchor, positive) example, and the
+    negative is drawn deterministically from the corpus by a hash
+    stride — the (a, p, n) triplets an embedding-model fine-tune
+    consumes. Skips a candidate negative that collides with the
+    anchor or positive by stepping once more (open addressing on the
+    id ring).
+
+    Scale shape: rides the already-bounded verified-pair set; the
+    negative assignment is closed-form arithmetic on ids (no join
+    against the corpus until the final id-resolution equi-join, keyed
+    by doc_id); the 1-row corpus count broadcasts."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    with_neg = pairs.crossJoin(F.broadcast(n)).select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("positive_id"),
+        F.expr(f"(doc_a * {TRIPLET_MUL} + 7) % n_docs").alias("neg0"),
+        "n_docs",
+    )
+    neg = (
+        F.when(
+            (F.col("neg0") != F.col("anchor_id"))
+            & (F.col("neg0") != F.col("positive_id")),
+            F.col("neg0"),
+        )
+        .when(
+            ((F.col("neg0") + 1) % F.col("n_docs") != F.col("anchor_id"))
+            & ((F.col("neg0") + 1) % F.col("n_docs") != F.col("positive_id")),
+            (F.col("neg0") + 1) % F.col("n_docs"),
+        )
+        .otherwise((F.col("neg0") + 2) % F.col("n_docs"))
+    )
+    trip = with_neg.select(
+        "anchor_id", "positive_id", neg.alias("negative_id")
+    )
+    # resolve against real ids (documents' doc_ids are 0..N-1 in the
+    # testdata; the semi-join keeps the op honest if they ever aren't)
+    return trip.join(
+        docs.select(F.col("doc_id").alias("negative_id")),
+        "negative_id",
+        "left_semi",
+    ).select("anchor_id", "positive_id", "negative_id")
+
+
+def _triplet_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    mh = ORACLES["dedup_minhash_lsh"]
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({mh})),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+base AS (
+  SELECT doc_a AS anchor_id, doc_b AS positive_id,
+         (doc_a * {TRIPLET_MUL} + 7) % n_docs AS neg0, n_docs
+  FROM pairs CROSS JOIN nn
+),
+trip AS (
+  SELECT anchor_id, positive_id,
+         CASE
+           WHEN neg0 <> anchor_id AND neg0 <> positive_id THEN neg0
+           WHEN (neg0 + 1) % n_docs <> anchor_id
+                AND (neg0 + 1) % n_docs <> positive_id
+             THEN (neg0 + 1) % n_docs
+           ELSE (neg0 + 2) % n_docs
+         END AS negative_id
+  FROM base
+)
+SELECT t.anchor_id, t.positive_id, t.negative_id
+FROM trip t
+WHERE t.negative_id IN (SELECT doc_id FROM documents)
+"""
+
+
+register("train_contrastive_triplets", _triplet_oracle())(
+    train_contrastive_triplets
+)

@@ -2493,3 +2493,156 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """,
 )(tpch_late_by_priority)
+
+
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: how many orders have been placed but
+    not yet (fully) shipped as of each day — the interval-overlap
+    count every ops dashboard needs, computed WITHOUT a fact×calendar
+    join: each order contributes a +1 delta at its order date and a
+    −1 at its completion date (its LAST lineitem ship date), the
+    deltas roll up per day, and a cumulative window over the
+    calendar-bounded day rollup yields the running backlog.
+
+    Scale shape: one orders scan + one lineitem scan; the
+    order-completion rollup and the order⋈completion join key on
+    o_orderkey (both fact-scale — no broadcast hint); after the delta
+    rollup everything is calendar-sized. The cumulative window is
+    unpartitioned but runs over ≤ |days| rows by construction —
+    the bounded-domain exception to the single-partition-sort rule."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    done = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("done_date")
+    )
+    spans = orders.join(done, orders.o_orderkey == done.l_orderkey, "inner")
+    deltas = spans.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select(F.col("done_date").alias("day"), F.lit(-1).alias("d"))
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        F.col("net").cast("bigint").alias("net_change"),
+        F.sum("net").over(w).cast("bigint").alias("open_backlog"),
+    )
+
+
+register(
+    "orders_open_backlog",
+    """
+WITH done AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS done_date
+  FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS start_day, d.done_date
+  FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+),
+deltas AS (
+  SELECT start_day AS day, 1 AS d FROM spans
+  UNION ALL
+  SELECT done_date AS day, -1 AS d FROM spans
+),
+per_day AS (
+  SELECT day, SUM(d) AS net FROM deltas GROUP BY 1
+)
+SELECT day,
+       CAST(net AS BIGINT) AS net_change,
+       CAST(SUM(net) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS open_backlog
+FROM per_day
+""",
+)(orders_open_backlog)
+
+
+def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical rollup: revenue per (region,
+    nation) with each nation's share WITHIN its region — the two-level
+    drill-down table (region subtotal → nation share) OLAP front-ends
+    render, computed with one window over the nation-sized rollup
+    instead of a second aggregation + re-join.
+
+    Scale shape: lineitem ⋈ orders ⋈ customer are fact-scale keyed
+    equi-joins (no hints); nation/region broadcast; the share window
+    partitions by region over ≤|nations| rows. Revenue in exact int64
+    cents; share in micro-units by integer division."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    cents = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100 AS BIGINT)"
+    )
+    rolled = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return rolled.select(
+        "r_name",
+        "n_name",
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "region_revenue_cents"
+        ),
+        F.expr(
+            "CAST((1000000 * revenue_cents)"
+            " div SUM(revenue_cents) OVER (PARTITION BY r_name)"
+            " AS BIGINT)"
+        ).alias("share_of_region_micro"),
+    )
+
+
+register(
+    "region_nation_revenue_share",
+    """
+WITH rolled AS (
+  SELECT r_name, n_name,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100 AS BIGINT))
+           AS revenue_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS region_revenue_cents,
+       CAST((1000000 * revenue_cents)
+            // SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_of_region_micro
+FROM rolled
+""",
+)(region_nation_revenue_share)

@@ -149,6 +149,9 @@ _PRIORITY = [
     "ann_recall_report",
     "quality_filter_ablation",
     "tpch_late_by_priority",
+    "orders_open_backlog",
+    "region_nation_revenue_share",
+    "train_contrastive_triplets",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
