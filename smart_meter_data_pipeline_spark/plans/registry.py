@@ -152,6 +152,7 @@ _PRIORITY = [
     "orders_open_backlog",
     "region_nation_revenue_share",
     "train_contrastive_triplets",
+    "stream_motif_vcp",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -2174,3 +2174,121 @@ def _register_stream_cusum() -> None:
 
 
 _register_stream_cusum()
+
+
+def stream_motif_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence motif detection ON the stream: per user, the
+    consecutive view→click→purchase triple counter runs as keyed
+    streaming state — exactly two event-type strings (the user's last
+    two events) plus nothing else, so state is O(users)·2 small
+    strings no matter how long the stream runs. Batch twin / oracle:
+    events_motif_vcp (the drained per-batch completions sum to the
+    batch LEAD-window counts — the hash proves cross-batch boundary
+    handling, since motifs SPANNING micro-batch cuts only count if the
+    carried state is stitched correctly).
+
+    Per micro-batch: sort the user's new rows by (ts, event_id),
+    prepend the carried two types, count triple completions in the
+    stitched sequence, emit one (user, n_new) row, store the new last
+    two types. The closure inlines everything (pickled by value). Two
+    ts-split file chunks force at least one cross-batch stitch."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_motif_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("n_new", T.LongType()),
+            ]
+        )
+        state_schema = T.StructType(
+            [
+                T.StructField("t1", T.StringType()),
+                T.StructField("t2", T.StringType()),
+            ]
+        )
+
+        def _fn(key, pdfs, state):
+            import pandas as pd
+
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            t1, t2 = state.get if state.exists else (None, None)
+            seq = ([] if t1 is None else [t1]) + (
+                [] if t2 is None else [t2]
+            ) + list(pdf["event_type"])
+            n_new = sum(
+                1
+                for i in range(2, len(seq))
+                if seq[i - 2] == "view"
+                and seq[i - 1] == "click"
+                and seq[i] == "purchase"
+            )
+            # No double-count across batches: a completion is counted
+            # at its 'purchase' row, which lives in exactly one batch;
+            # the prepended carry only supplies the two predecessors.
+            if len(seq) >= 2:
+                new_t1, new_t2 = seq[-2], seq[-1]
+            elif len(seq) == 1:
+                new_t1, new_t2 = None, seq[-1]
+            else:
+                new_t1, new_t2 = t1, t2
+            state.update((new_t1, new_t2))
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n_new": [int(n_new)]}
+            )
+
+        sink = f"stream_motif_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                _fn,
+                out_schema,
+                state_schema,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        feed = spark.table(sink)
+        return (
+            feed.groupBy("user_id")
+            .agg(F.sum("n_new").cast("bigint").alias("n_motifs"))
+            .filter(F.col("n_motifs") > 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_motif() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("stream_motif_vcp", ORACLES["events_motif_vcp"])(
+        stream_motif_vcp
+    )
+
+
+_register_stream_motif()
