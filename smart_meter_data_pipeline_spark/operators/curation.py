@@ -1209,3 +1209,72 @@ flags AS (
 
 
 register("quality_filter_ablation", _ablation_oracle())(quality_filter_ablation)
+
+
+def source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity audit per source: Simpson diversity index
+    (1 − Σ share², the probability two random docs from the source
+    differ in language) — the log-free diversity measure (Shannon
+    entropy needs ln(), which is not cross-engine bit-stable; Simpson
+    carries the same monotone signal for mixture monitoring). A feed
+    that suddenly collapses to one language shows up as diversity → 0.
+
+    All-integer: shares in micro-units, Σ share² scaled back down by
+    integer division; diversity_micro = 1e6 − Σshare²_micro.
+
+    Scale shape: one (source, lang) rollup (map-side combined), then a
+    per-source window over ≤|sources|·|langs| rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source")
+    share = cell.select(
+        "source",
+        F.expr(
+            "(1000000 * n) div SUM(n) OVER (PARTITION BY source)"
+        ).alias("share_micro"),
+        F.sum("n").over(w).alias("n_docs"),
+    )
+    return (
+        share.groupBy("source", "n_docs")
+        .agg(
+            F.sum(
+                F.expr("(share_micro * share_micro) div 1000000")
+            ).alias("sum_sq_micro")
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (F.lit(1_000_000) - F.col("sum_sq_micro"))
+            .cast("bigint")
+            .alias("simpson_diversity_micro"),
+        )
+    )
+
+
+register(
+    "source_lang_simpson",
+    """
+WITH cell AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+share AS (
+  SELECT source,
+         CAST((1000000 * n)
+              // SUM(n) OVER (PARTITION BY source) AS BIGINT)
+           AS share_micro,
+         SUM(n) OVER (PARTITION BY source) AS n_docs
+  FROM cell
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(1000000 - SUM(CAST((share_micro * share_micro) // 1000000
+                               AS BIGINT)) AS BIGINT)
+         AS simpson_diversity_micro
+FROM share
+GROUP BY source, n_docs
+""",
+)(source_lang_simpson)

@@ -2646,3 +2646,63 @@ SELECT r_name, n_name,
 FROM rolled
 """,
 )(region_nation_revenue_share)
+
+
+def nation_repeat_customer_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by nation: per nation, the customers with
+    at least one order, those with 2+, and the repeat share — the
+    basic loyalty KPI (and the orders-side sibling of the events
+    cohort/retention family).
+
+    Scale shape: per-customer order counts key by custkey (fact-scale
+    equi-join to customer, no hint); the nation rollup is
+    nation-sized; shares are integer micro divisions."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeat"),
+        )
+        .select(
+            "n_name",
+            "n_buyers",
+            "n_repeat",
+            F.expr("(1000000 * n_repeat) div n_buyers")
+            .cast("bigint")
+            .alias("repeat_share_micro"),
+        )
+    )
+
+
+register(
+    "nation_repeat_customer_rate",
+    """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST((1000000 * SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS repeat_share_micro
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)(nation_repeat_customer_rate)

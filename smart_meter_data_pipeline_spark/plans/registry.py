@@ -153,6 +153,8 @@ _PRIORITY = [
     "region_nation_revenue_share",
     "train_contrastive_triplets",
     "stream_motif_vcp",
+    "source_lang_simpson",
+    "nation_repeat_customer_rate",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
