@@ -3249,3 +3249,98 @@ SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
 FROM tot t CROSS JOIN picked p
 """,
 )(events_key_skew_report)
+
+
+def events_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution-shift screen per event type: the
+    Kolmogorov–Smirnov statistic between the value distributions of
+    the first and second half-month, computed as the max
+    micro-quantized ECDF gap — the CDF-based companion to
+    events_drift_report's total-variation view (TV sees category mix;
+    KS sees continuous-value shift). Each half's ECDF is evaluated in
+    integer micro-units ((1e6·cum) div N, exact int64, no overflow at
+    any N), so the reported statistic is the true KS within 2 micro —
+    deterministic cross-engine, unlike a float ECDF.
+
+    Scale shape: values quantize to the 6-digit decimal grid and roll
+    up per (type, value) with the two half-counts as conditional sums
+    — one fact scan, map-side combined; the cumulative window
+    partitions by type over the DISTINCT-value domain, never raw
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    v_micro = F.expr(
+        "CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+    )
+    cell = (
+        ev.select(
+            "event_type",
+            v_micro.alias("v"),
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("in_first"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum("in_first").alias("n1"),
+            F.sum(F.lit(1) - F.col("in_first")).alias("n2"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("event_type")
+    gaps = cell.select(
+        "event_type",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n2").over(w).alias("c2"),
+        F.sum("n1").over(tot).alias("t1"),
+        F.sum("n2").over(tot).alias("t2"),
+    ).select(
+        "event_type",
+        "t1",
+        "t2",
+        F.abs(
+            F.expr("(1000000 * c1) div t1") - F.expr("(1000000 * c2) div t2")
+        ).alias("gap_micro"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.max("t1").cast("bigint").alias("n_first"),
+        F.max("t2").cast("bigint").alias("n_second"),
+        F.max("gap_micro").cast("bigint").alias("ks_micro"),
+    )
+
+
+register(
+    "events_ks_distance",
+    f"""
+WITH cell AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS v,
+         SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END)
+           AS n1,
+         SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 0 ELSE 1 END)
+           AS n2
+  FROM events
+  GROUP BY 1, 2
+),
+gaps AS (
+  SELECT event_type,
+         SUM(n1) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c1,
+         SUM(n2) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c2,
+         SUM(n1) OVER (PARTITION BY event_type) AS t1,
+         SUM(n2) OVER (PARTITION BY event_type) AS t2
+  FROM cell
+)
+SELECT event_type,
+       CAST(MAX(t1) AS BIGINT) AS n_first,
+       CAST(MAX(t2) AS BIGINT) AS n_second,
+       CAST(MAX(ABS(CAST((1000000 * c1) // t1 AS BIGINT)
+                    - CAST((1000000 * c2) // t2 AS BIGINT))) AS BIGINT)
+         AS ks_micro
+FROM gaps
+GROUP BY event_type
+""",
+)(events_ks_distance)

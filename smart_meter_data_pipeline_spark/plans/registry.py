@@ -155,6 +155,7 @@ _PRIORITY = [
     "stream_motif_vcp",
     "source_lang_simpson",
     "nation_repeat_customer_rate",
+    "events_ks_distance",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
