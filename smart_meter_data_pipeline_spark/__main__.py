@@ -11,6 +11,7 @@ the reference's assorted entry points (producer loop, consumer loop,
         [--keep-last N] [--vacuum-ttl-s S]
     python -m smart_meter_data_pipeline_spark history <table_dir>
     python -m smart_meter_data_pipeline_spark restore <table_dir> <version>
+    python -m smart_meter_data_pipeline_spark asof <table_dir> <unix_ts>
 
 ``run`` executes any registered query (the full SURVEY §2 + LLM-ops
 registry); ``marts`` is the ``dbt run`` twin (rebuild staging + both
@@ -84,6 +85,19 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     rest.add_argument("table_dir", help="ManifestTable directory")
     rest.add_argument("version", type=int, help="target commit version")
+
+    asof = sub.add_parser(
+        "asof",
+        help="resolve TIMESTAMP AS OF to a commit version "
+        "(metadata-only; read the data with read(version=...))",
+    )
+    asof.add_argument("table_dir", help="ManifestTable directory")
+    asof.add_argument(
+        "timestamp",
+        type=float,
+        help="unix seconds; resolves to the latest version committed "
+        "at or before this instant",
+    )
     return p
 
 
@@ -100,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{oracle}")
         return 0
 
-    if args.cmd in ("history", "restore"):
+    if args.cmd in ("history", "restore", "asof"):
         # Metadata-only (one log listing; restore publishes one
         # commit) — no Spark session, same typo'd-path guard as
         # maintain.
@@ -120,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "history":
             for row in t.history():
                 print(json.dumps(row))
+            return 0
+        if args.cmd == "asof":
+            try:
+                v = t.version_asof(args.timestamp)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            print(json.dumps({"version": v, "asof": args.timestamp}))
             return 0
         try:
             res = mf.restore_version(t, args.version)

@@ -78,3 +78,29 @@ def test_cli_history_and_restore(spark, tmp_path, capsys):
     # typo'd path: no empty-table creation, exit 2
     assert main(["restore", str(tmp_path / "nope"), "0"]) == 2
     assert main(["history", str(tmp_path / "nope")]) == 2
+
+
+def test_cli_asof(spark, tmp_path, capsys):
+    import json as _json
+
+    from tests.test_manifest import _valid_batch
+    from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+    tdir = str(tmp_path / "fact_asof")
+    t = mf.ManifestTable(tdir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))
+    t.idempotent_append(spark, _valid_batch(spark, 11, 21))
+    ts0 = t.snapshot()[0]["committed_at"]
+
+    assert main(["asof", tdir, str(ts0)]) == 0
+    res = _json.loads(capsys.readouterr().out.strip())
+    assert res["version"] == 0
+
+    assert main(["asof", tdir, str(ts0 + 1e6)]) == 0
+    res = _json.loads(capsys.readouterr().out.strip())
+    assert res["version"] == 1
+
+    # pre-first-commit -> exit 2; typo'd path -> exit 2
+    assert main(["asof", tdir, str(ts0 - 3600.0)]) == 2
+    capsys.readouterr()
+    assert main(["asof", str(tmp_path / "nope"), "0"]) == 2
