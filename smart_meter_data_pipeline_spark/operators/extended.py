@@ -3344,3 +3344,66 @@ FROM gaps
 GROUP BY event_type
 """,
 )(events_ks_distance)
+
+
+def events_daily_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long) over the daily operations rollup: the
+    per-day wide row (n_events, n_errors, n_users, total_value) turns
+    into (day, metric, value_micro) rows via ``stack`` — the
+    relational inverse of event_type_pivot and the shape metric
+    stores / plotting layers ingest. Counts are carried in micro too
+    so the long column has ONE consistent unit.
+
+    Scale shape: one calendar-bounded rollup (map-side combined), then
+    a 4× Generate over day-sized rows — the explode happens AFTER
+    aggregation, so the wide table is tiny when it fans out."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        ).alias("value_sum_micro"),
+    )
+    return daily.select(
+        "day",
+        F.expr(
+            "stack(4,"
+            " 'n_events', CAST(n_events * 1000000 AS BIGINT),"
+            " 'n_errors', CAST(n_errors * 1000000 AS BIGINT),"
+            " 'n_users', CAST(n_users * 1000000 AS BIGINT),"
+            " 'value_sum_micro', value_sum_micro"
+            ") AS (metric, value_micro)"
+        ),
+    )
+
+
+register(
+    "events_daily_metrics_long",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+         COUNT(DISTINCT user_id) AS n_users,
+         SUM(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT))
+           AS value_sum_micro
+  FROM events
+  GROUP BY 1
+)
+SELECT day, metric, CAST(value_micro AS BIGINT) AS value_micro
+FROM (
+  SELECT day, 'n_events' AS metric, n_events * 1000000 AS value_micro
+  FROM daily
+  UNION ALL
+  SELECT day, 'n_errors', n_errors * 1000000 FROM daily
+  UNION ALL
+  SELECT day, 'n_users', n_users * 1000000 FROM daily
+  UNION ALL
+  SELECT day, 'value_sum_micro', value_sum_micro FROM daily
+)
+""",
+)(events_daily_metrics_long)

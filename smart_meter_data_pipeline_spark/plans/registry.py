@@ -156,6 +156,7 @@ _PRIORITY = [
     "source_lang_simpson",
     "nation_repeat_customer_rate",
     "events_ks_distance",
+    "events_daily_metrics_long",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
