@@ -1631,3 +1631,53 @@ WHERE n_in_win = {WINNOW_W}
 GROUP BY doc_id
 """,
 )(doc_winnowing)
+
+
+def doc_char_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level repetition screen (the compressibility proxy
+    from the Gopher-rules family): per doc, total vs distinct
+    char-{SHINGLE_WIDTH}-gram counts and their ratio — a document
+    whose shingle stream is mostly repeats compresses well and is the
+    classic generated/boilerplate spam signature. Token-level TTR
+    (doc_ttr, doc_repetition_ratio) misses this when the repetition
+    unit is longer than a word or crosses word boundaries.
+
+    Scale shape: the positional explode is partition-local; both
+    counts come from ONE (doc, shingle) rollup (count + count distinct
+    share the doc_id partitioning); integer micro ratio."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos_sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (SHINGLE_WIDTH - 1))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id", F.expr(f"substr(text, pos, {SHINGLE_WIDTH})").alias("sh")
+    )
+    return pos_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.countDistinct("sh").cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST((1000000 * count(DISTINCT sh)) div count(1) AS BIGINT)"
+        ).alias("diversity_micro"),
+    )
+
+
+register(
+    "doc_char_ngram_diversity",
+    f"""
+WITH sh AS (
+  SELECT doc_id, substr(text, CAST(pos AS INT), {SHINGLE_WIDTH}) AS sh
+  FROM documents, range(1, 100000) t(pos)
+  WHERE pos <= length(text) - {SHINGLE_WIDTH - 1}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
+       CAST((1000000 * COUNT(DISTINCT sh)) // COUNT(*) AS BIGINT)
+         AS diversity_micro
+FROM sh
+GROUP BY doc_id
+""",
+)(doc_char_ngram_diversity)

@@ -157,6 +157,7 @@ _PRIORITY = [
     "nation_repeat_customer_rate",
     "events_ks_distance",
     "events_daily_metrics_long",
+    "doc_char_ngram_diversity",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
