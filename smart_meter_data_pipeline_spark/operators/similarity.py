@@ -992,7 +992,7 @@ def _fixed_kmeans_assignment(
             .localCheckpoint(eager=True)
         )
 
-    return el, _assign(cent)
+    return el, _assign(cent), cent, norm2
 
 
 def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,7 +1022,7 @@ def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded equi-join shape here is still fully distributed (shuffle
     bounded by n·K per round), just chosen for exactness over speed.
     """
-    el, final = _fixed_kmeans_assignment(spark, sf_dir)
+    el, final, _cent, _norm2 = _fixed_kmeans_assignment(spark, sf_dir)
     return final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.floor(F.sum("dist2") * 1000000)
@@ -1145,7 +1145,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is the same quantized-decimal grid as
     :func:`kmeans_fixed_rounds`, so the FULL pipeline — Lloyd rounds
     included — hash-matches the DuckDB twin."""
-    el, members = _fixed_kmeans_assignment(spark, sf_dir)
+    el, members, _cent, _norm2 = _fixed_kmeans_assignment(spark, sf_dir)
     return _semantic_prune(el, members)
 
 
@@ -1157,7 +1157,7 @@ def semantic_save_assignment(
     assign/update rounds over the corpus). Re-clustering is an
     occasional scheduled event at scale; the pairwise prune is the
     per-run cost. :func:`dedup_semantic_serve` consumes the artifact."""
-    _, members = _fixed_kmeans_assignment(spark, sf_dir)
+    _, members, _cent, _norm2 = _fixed_kmeans_assignment(spark, sf_dir)
     members.select("vec_id", "cluster_id").write.mode("overwrite").parquet(
         path
     )
@@ -2656,3 +2656,109 @@ LEFT JOIN nh ON kb.query_id = nh.query_id
 
 
 register("ann_recall_report", _recall_oracle())(ann_recall_report)
+
+
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit for the oracle-checked Lloyd pipeline:
+    the simplified silhouette per cluster — for every vector, a = its
+    squared distance to its OWN (final) centroid, b = the min squared
+    distance to any OTHER centroid, score = (b−a)/b (a ≤ b always,
+    since the assignment IS the argmin; b is max(a,b)) — then the
+    per-cluster mean. Reported in exact integer milli-units on the
+    same quantized-decimal grid as kmeans_fixed_rounds, so the quality
+    metric itself sits under the hash gate rather than being a float
+    estimate.
+
+    Scale shape: one (vec × centroid) scored table — shuffle bounded
+    by n·K, identical to one Lloyd assignment round — then vec-keyed
+    and cluster-keyed rollups. Nothing new beyond what one more Lloyd
+    iteration would cost."""
+    el, final, cent, norm2 = _fixed_kmeans_assignment(spark, sf_dir)
+    c_norm2 = cent.groupBy("cluster_id").agg(
+        F.sum(F.col("cv") * F.col("cv")).alias("c_norm2")
+    )
+    dots = (
+        el.join(cent, "pos")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+    )
+    scored = (
+        dots.join(norm2, "vec_id")
+        .join(c_norm2, "cluster_id")
+        .withColumn(
+            "dist2", F.col("norm2") + F.col("c_norm2") - 2 * F.col("dot")
+        )
+    )
+    ab = (
+        scored.join(
+            final.select("vec_id", F.col("cluster_id").alias("own")),
+            "vec_id",
+        )
+        .groupBy("vec_id", "own")
+        .agg(
+            F.floor(
+                F.min(
+                    F.when(F.col("cluster_id") == F.col("own"), F.col("dist2"))
+                )
+                * 1000000
+            ).alias("a_micro"),
+            F.floor(
+                F.min(
+                    F.when(F.col("cluster_id") != F.col("own"), F.col("dist2"))
+                )
+                * 1000000
+            ).alias("b_micro"),
+        )
+    )
+    sil = ab.select(
+        F.col("own").alias("cluster_id"),
+        F.when(
+            F.col("b_micro") > F.col("a_micro"),
+            F.expr("((b_micro - a_micro) * 1000) div b_micro"),
+        )
+        .otherwise(F.lit(0))
+        .alias("s_milli"),
+    )
+    return sil.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.expr("CAST(SUM(s_milli) div COUNT(1) AS BIGINT)").alias(
+            "mean_silhouette_milli"
+        ),
+    )
+
+
+def _silhouette_oracle() -> str:
+    f = KMEANS_FIXED_ITERS + 1
+    final_sql = f"""
+, scored AS (
+  SELECT d.vec_id, d.cluster_id,
+         n.norm2 + cn.c_norm2 - 2 * d.dot AS dist2
+  FROM d{f} d JOIN norm2 n USING (vec_id) JOIN cn{f} cn USING (cluster_id)
+),
+ab AS (
+  SELECT s.vec_id, a.cluster_id AS own,
+         CAST(floor(MIN(CASE WHEN s.cluster_id = a.cluster_id
+                              THEN s.dist2 END) * 1000000) AS BIGINT)
+           AS a_micro,
+         CAST(floor(MIN(CASE WHEN s.cluster_id <> a.cluster_id
+                              THEN s.dist2 END) * 1000000) AS BIGINT)
+           AS b_micro
+  FROM scored s JOIN {{final}} a USING (vec_id)
+  GROUP BY 1, 2
+),
+sil AS (
+  SELECT own AS cluster_id,
+         CASE WHEN b_micro > a_micro
+              THEN CAST(((b_micro - a_micro) * 1000) // b_micro AS BIGINT)
+              ELSE 0 END AS s_milli
+  FROM ab
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(s_milli) // COUNT(*) AS BIGINT) AS mean_silhouette_milli
+FROM sil GROUP BY 1
+"""
+    return _kmeans_fixed_oracle(final_sql=final_sql)
+
+
+register("kmeans_silhouette", _silhouette_oracle())(kmeans_silhouette)
