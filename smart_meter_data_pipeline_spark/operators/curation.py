@@ -997,7 +997,16 @@ def corpus_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan total, everything after it vocabulary-sized or constant."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select(F.explode(tokens()).alias("word"))
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # Checkpointed: the rollup feeds BOTH the sketch build and the
+    # top-k probe head — without this the corpus scan appears twice in
+    # the static plan (AQE would reuse the exchange at runtime, but
+    # the checkpoint makes the one-scan property structural and the
+    # plan contract checkable).
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     cells = vocab.select(
         "cnt",
         F.explode(

@@ -704,3 +704,71 @@ def test_rolling_active_users_linear_no_theta_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Generate" in p  # the sequence explode
+
+
+def test_winnowing_window_partitioned_by_doc(spark, sf_dir):
+    """The winnowing window must partition by doc_id — a fingerprint
+    pass that funnels the corpus-sized shingle stream through one task
+    is the single-partition trap at 100 TB."""
+    p = _plan(text.doc_winnowing(spark, sf_dir))
+    assert "Window" in p
+    assert "Exchange SinglePartition" not in p.split("Window")[0]
+    assert "hashpartitioning(doc_id" in p
+
+
+def test_ks_distance_windows_partition_by_type(spark, sf_dir):
+    """Both the cumulative and the total windows must partition by
+    event_type (the distinct-value domain), never a global sort."""
+    p = _plan(extended.events_ks_distance(spark, sf_dir))
+    assert "hashpartitioning(event_type" in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_edit_distance_verify_stays_candidate_bounded(spark, sf_dir):
+    """The Levenshtein verify must join candidates to texts by key —
+    never a nested-loop over the corpus (the candidate set is the
+    broadcast side by construction)."""
+    from smart_meter_data_pipeline_spark.operators import dedup
+
+    p = _plan(dedup.dedup_edit_distance(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_countmin_single_corpus_scan(spark, sf_dir):
+    """The sketch must build from the CHECKPOINTED vocabulary rollup,
+    not rescan the corpus per consumer: the final plan contains ZERO
+    documents scans (the one scan is paid at checkpoint time; both
+    the sketch build and the probe head read the checkpoint's
+    ExistingRDD lineage)."""
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    p = _plan(curation.corpus_countmin_estimate(spark, sf_dir), "simple")
+    assert p.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p
+
+
+def test_new_rollups_no_cartesian_no_python(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators import curation, graph
+
+    for fn in (
+        tpch.orders_cohort_ltv,
+        tpch.orders_open_backlog,
+        tpch.region_nation_revenue_share,
+        tpch.tpch_late_by_priority,
+        tpch.tpch_important_parts,
+        tpch.tpch_min_cost_supplier,
+        extended.events_motif_vcp,
+        extended.events_daily_metrics_long,
+        curation.quality_filter_ablation,
+        curation.source_lang_simpson,
+        graph.trade_label_propagation,
+        text.doc_lm_commonness,
+        text.doc_hashed_ngram_score,
+        text.doc_char_ngram_diversity,
+    ):
+        p = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            fn.__name__
+        )
