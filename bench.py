@@ -383,6 +383,15 @@ def main() -> None:
             "dedup_incremental",
             lambda: _materialize(dedup.dedup_incremental(spark, SF_DIR)),
         )
+        # 14b. Edit-distance verify (NEW leg, late r8 — not in earlier
+        # totals): the same one-pass LSH banding as dedup_minhash_lsh
+        # but with character-Levenshtein verification of candidates —
+        # times the candidate-bounded O(len²) verify the fuzzy-match
+        # curation rules pay.
+        leg(
+            "dedup_edit_distance",
+            lambda: _materialize(dedup.dedup_edit_distance(spark, SF_DIR)),
+        )
         # 15. Copy-on-write upsert at ingest scale (NEW leg r7): land
         # the simulated day in a manifest table once (not timed as a
         # leg — same work as meter_ingest_day through the commit log),
