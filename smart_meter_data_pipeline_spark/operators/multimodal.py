@@ -342,3 +342,45 @@ FROM sized
 GROUP BY 1, 2
 """,
 )(multimodal_shard_pack)
+
+
+def multimodal_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the OPAQUE binary payload: group by
+    md5(content) without ever decoding — the first pass every
+    multimodal corpus runs (identical image/audio bytes re-crawled
+    under different ids), and the reason payload dedup needs no codec
+    at all. Output: one row per distinct payload (min doc_id kept,
+    copy count, payload size) — this synthetic corpus plants NEAR-dups
+    only, so every group has n_copies = 1 here; the filter
+    `n_copies > 1` is the caller's one-line drop rule.
+
+    The hash gate works because the payload is the UTF-8 encoding of
+    the text column, so DuckDB's VARCHAR md5 reproduces Spark's binary
+    md5 byte-for-byte (same trick as multimodal_features).
+
+    Scale shape: ONE shuffle on the 32-char digest (fixed width, never
+    the payload itself — the binary column stays partition-local);
+    map-side partial aggregation applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = with_binary_content(docs)
+    return (
+        rows.groupBy(F.md5("content").alias("content_md5"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min(F.col("meta.n_bytes")).cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
+register(
+    "multimodal_dup_groups",
+    """
+SELECT md5(text) AS content_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY md5(text)
+""",
+)(multimodal_dup_groups)

@@ -159,6 +159,7 @@ _PRIORITY = [
     "events_daily_metrics_long",
     "doc_char_ngram_diversity",
     "kmeans_silhouette",
+    "multimodal_dup_groups",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
