@@ -3407,3 +3407,179 @@ FROM (
 )
 """,
 )(events_daily_metrics_long)
+
+
+def events_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between event types: Pearson r between every
+    PAIR of types' hourly value series (same-hour inner join) — the
+    lead-indicator screen (does view volume co-move with purchase
+    volume?) that complements events_hourly_autocorr's within-series
+    view. Same determinism contract: series on the DECIMAL(12,6)
+    grid, exact sufficient sums, final r a handful of float ops plus
+    one IEEE-exact sqrt, degenerate series guarded to NULL.
+
+    Scale shape: ONE fact rollup to type×hours (map-side combine);
+    the pair join and sums run over that tiny series (|types|²/2
+    pairs × hours). Hours absent for either type drop from that
+    pair's sample — identical semantics both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("v")
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_a"),
+        F.col("h").alias("h"),
+        F.col("v").alias("x"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"),
+        F.col("h").alias("hb"),
+        F.col("v").alias("y"),
+    )
+    paired = a.join(
+        b,
+        (F.col("h") == F.col("hb")) & (F.col("type_a") < F.col("type_b")),
+    )
+    sums = paired.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    return sums.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_hours"),
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 9)).alias(
+            "crosscorr"
+        ),
+    )
+
+
+register(
+    "events_type_crosscorr",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS v
+  FROM events GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(a.v AS DECIMAL(25,6)) AS x,
+         CAST(b.v AS DECIMAL(25,6)) AS y
+  FROM hourly a JOIN hourly b
+    ON a.h = b.h AND a.event_type < b.event_type
+)
+SELECT type_a, type_b, COUNT(*) AS n_hours,
+       CASE WHEN CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+                 - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) > 0
+             AND CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y * y) AS DOUBLE)
+                 - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) > 0
+            THEN round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+                        - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                       / sqrt((CAST(COUNT(*) AS DOUBLE)
+                               * CAST(SUM(x * x) AS DOUBLE)
+                               - CAST(SUM(x) AS DOUBLE)
+                                 * CAST(SUM(x) AS DOUBLE))
+                              * (CAST(COUNT(*) AS DOUBLE)
+                                 * CAST(SUM(y * y) AS DOUBLE)
+                                 - CAST(SUM(y) AS DOUBLE)
+                                   * CAST(SUM(y) AS DOUBLE))), 9)
+            END AS crosscorr
+FROM paired
+GROUP BY 1, 2
+""",
+)(events_type_crosscorr)
+
+
+EQUIDEPTH_BINS = 10
+
+
+def events_value_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) feature binning per event type — the exact
+    quantile-bucketing pass ML feature prep runs (equal-POPULATION
+    bins, where equi-width histograms waste buckets on sparse tails).
+    Each distinct value's bin is ((cum−1)·{EQUIDEPTH_BINS}) div n + 1
+    over the cumulative count — deterministic, ties share a bin, all
+    int64. Output per (type, bin): value range, row count, distinct
+    values.
+
+    Scale shape: the fact rolls up to per-(type, distinct-value)
+    counts once (map-side combine); the cumulative window partitions
+    by type over the DISTINCT-value domain (the same count-of-counts
+    economics as events_key_skew_report — no fact-sized sort
+    anywhere); the bin rollup is ≤ types×{EQUIDEPTH_BINS} rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v_micro = F.expr(
+        "CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+    )
+    dist = ev.select("event_type", v_micro.alias("v")).groupBy(
+        "event_type", "v"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("event_type")
+    binned = dist.select(
+        "event_type",
+        "v",
+        "c",
+        F.expr(
+            f"((SUM(c) OVER (PARTITION BY event_type ORDER BY v"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)"
+            f" * {EQUIDEPTH_BINS})"
+            f" div SUM(c) OVER (PARTITION BY event_type) + 1"
+        ).alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.min("v").cast("bigint").alias("lo_micro"),
+        F.max("v").cast("bigint").alias("hi_micro"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+
+
+register(
+    "events_value_equidepth_bins",
+    f"""
+WITH dist AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS v,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+binned AS (
+  SELECT event_type, v, c,
+         CAST(((SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - c)
+               * {EQUIDEPTH_BINS})
+              // SUM(c) OVER (PARTITION BY event_type) AS BIGINT) + 1
+           AS bin
+  FROM dist
+)
+SELECT event_type, bin,
+       CAST(MIN(v) AS BIGINT) AS lo_micro,
+       CAST(MAX(v) AS BIGINT) AS hi_micro,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct
+FROM binned
+GROUP BY 1, 2
+""",
+)(events_value_equidepth_bins)

@@ -160,6 +160,8 @@ _PRIORITY = [
     "doc_char_ngram_diversity",
     "kmeans_silhouette",
     "multimodal_dup_groups",
+    "events_type_crosscorr",
+    "events_value_equidepth_bins",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
