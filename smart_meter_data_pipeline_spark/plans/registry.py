@@ -162,6 +162,7 @@ _PRIORITY = [
     "multimodal_dup_groups",
     "events_type_crosscorr",
     "events_value_equidepth_bins",
+    "supplier_delivery_consistency",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
