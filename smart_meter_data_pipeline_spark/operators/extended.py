@@ -3583,3 +3583,71 @@ FROM binned
 GROUP BY 1, 2
 """,
 )(events_value_equidepth_bins)
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the
+    user's most recent PRECEDING non-purchase event type (the
+    marketing-attribution primitive; first-touch and position-decay
+    are the same plan with a different window pick). Purchases with
+    no preceding touch attribute to 'none'. Output: attributed type ×
+    purchase count × share.
+
+    Scale shape: one shuffle keys by user for the ordered window
+    (LAST_VALUE ... IGNORE NULLS over the preceding frame — both
+    engines implement the same SQL window semantics); the attribution
+    rollup is ≤|types|+1 rows and the share is an integer micro
+    division over a window total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce(F.col("touch"), F.lit("none")).alias("touch"))
+    )
+    counts = attributed.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    return counts.select(
+        "touch",
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        F.expr(
+            "CAST((1000000 * n_purchases)"
+            " div SUM(n_purchases) OVER () AS BIGINT)"
+        ).alias("share_micro"),
+    )
+
+
+register(
+    "events_attribution_last_touch",
+    """
+WITH touched AS (
+  SELECT event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM events
+),
+counts AS (
+  SELECT COALESCE(touch, 'none') AS touch, COUNT(*) AS n_purchases
+  FROM touched
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT touch,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST((1000000 * n_purchases) // SUM(n_purchases) OVER () AS BIGINT)
+         AS share_micro
+FROM counts
+""",
+)(events_attribution_last_touch)

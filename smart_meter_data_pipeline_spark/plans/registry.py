@@ -163,6 +163,7 @@ _PRIORITY = [
     "events_type_crosscorr",
     "events_value_equidepth_bins",
     "supplier_delivery_consistency",
+    "events_attribution_last_touch",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
