@@ -1287,3 +1287,90 @@ FROM share
 GROUP BY source, n_docs
 """,
 )(source_lang_simpson)
+
+
+COLLOC_TOPK = 20
+
+
+def corpus_token_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining with rational lift: for the top-{COLLOC_TOPK}
+    tokens by document frequency, every pair's document co-occurrence
+    count and lift = P(ab)/(P(a)P(b)) — computed as ONE integer
+    division (1000·N·n_ab) div (df_a·df_b), no logs (PMI's ln is not
+    cross-engine bit-stable; lift ranks pairs identically). Lift ≫ 1
+    flags collocations worth merging in a tokenizer; ≪ 1 flags
+    near-exclusive topical splits.
+
+    Scale shape: the presence set is distinct (doc, word) restricted
+    to a {COLLOC_TOPK}-row broadcast head, so the within-doc self-join
+    fans out at most C({COLLOC_TOPK},2) pairs per doc; the pair
+    rollup combines map-side; df and N ride the broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(tokens()).alias("word")
+    ).distinct()
+    df_tab = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    top = df_tab.orderBy(F.col("df").desc(), F.col("word")).limit(
+        COLLOC_TOPK
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    pres = words.join(F.broadcast(top), "word")
+    a = pres.select(
+        "doc_id", F.col("word").alias("word_a"), F.col("df").alias("df_a")
+    )
+    b = pres.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("word").alias("word_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("word_a") < F.col("word_b")),
+    )
+    return (
+        pairs.groupBy("word_a", "word_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word_a",
+            "word_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            F.expr("(1000 * n_docs * n_ab) div (df_a * df_b)")
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+    )
+
+
+register(
+    "corpus_token_collocation",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+words AS (SELECT DISTINCT doc_id, unnest(arr) AS word FROM toks),
+df_tab AS (SELECT word, COUNT(*) AS df FROM words GROUP BY 1),
+top AS (
+  SELECT word, df FROM df_tab ORDER BY df DESC, word LIMIT {COLLOC_TOPK}
+),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+pres AS (
+  SELECT w.doc_id, w.word, t.df FROM words w JOIN top t ON w.word = t.word
+)
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(COUNT(*) AS BIGINT) AS n_ab,
+       CAST(a.df AS BIGINT) AS df_a,
+       CAST(b.df AS BIGINT) AS df_b,
+       CAST((1000 * nn.n_docs * COUNT(*)) // (a.df * b.df) AS BIGINT)
+         AS lift_milli
+FROM pres a
+JOIN pres b ON a.doc_id = b.doc_id AND a.word < b.word
+CROSS JOIN nn
+GROUP BY a.word, b.word, a.df, b.df, nn.n_docs
+""",
+)(corpus_token_collocation)

@@ -2796,3 +2796,104 @@ SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
 FROM stats st JOIN supplier s ON st.l_suppkey = s.s_suppkey
 """,
 )(supplier_delivery_consistency)
+
+
+BASE_YEAR = 1995
+
+
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per year: how much the {BASE_YEAR} basket
+    would cost at each year's prices — index_milli =
+    1000·Σ p_y·q₀ / Σ p₀·q₀ over the MATCHED basket (parts traded in
+    both the base year and year y; the standard fixed-basket price
+    index, the economics twin of the YoY revenue view).
+
+    Determinism: per-(part, year) unit prices are exact int64 micro
+    ((1e4·rev_cents) div qty, intermediates < 2^53 so DuckDB's
+    double-promoting // recovers the same integer); the two basket
+    sums are exact integer sums; ONLY the final ratio goes through
+    double — both engines cast the same exact integers and apply the
+    same correctly-rounded divide, multiply, floor sequence.
+
+    Scale shape: one (part, year) rollup off the fact (map-side
+    combined); base-year frame and per-year joins key on partkey
+    (part scales with the fact — no broadcast hint); the per-year
+    index rollup is |years| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    cents = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100 AS BIGINT)"
+    )
+    py = (
+        li.groupBy("l_partkey", "yr")
+        .agg(
+            F.sum(cents).alias("rev_cents"),
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("qty"),
+        )
+        .select(
+            "l_partkey",
+            "yr",
+            "qty",
+            F.expr("(10000 * rev_cents) div qty").alias("p_micro"),
+        )
+    )
+    base = py.filter(F.col("yr") == BASE_YEAR).select(
+        "l_partkey",
+        F.col("qty").alias("q0"),
+        F.col("p_micro").alias("p0_micro"),
+    )
+    matched = py.filter(F.col("yr") != BASE_YEAR).join(base, "l_partkey")
+    return (
+        matched.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts_matched"),
+            F.sum(F.col("p_micro") * F.col("q0")).alias("num"),
+            F.sum(F.col("p0_micro") * F.col("q0")).alias("den"),
+        )
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            "n_parts_matched",
+            F.floor(
+                (F.col("num").cast("double") / F.col("den").cast("double"))
+                * F.lit(1000.0)
+            )
+            .cast("bigint")
+            .alias("index_milli"),
+        )
+    )
+
+
+register(
+    "lineitem_price_index",
+    f"""
+WITH py AS (
+  SELECT l_partkey, year(l_shipdate) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST((10000 * SUM(CAST(CAST(l_extendedprice AS DECIMAL(25,6))
+                                * 100 AS BIGINT)))
+              // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p_micro
+  FROM lineitem
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT l_partkey, qty AS q0, p_micro AS p0_micro
+  FROM py WHERE yr = {BASE_YEAR}
+),
+matched AS (
+  SELECT p.yr, p.p_micro, b.q0, b.p0_micro
+  FROM py p JOIN base b ON p.l_partkey = b.l_partkey
+  WHERE p.yr <> {BASE_YEAR}
+)
+SELECT CAST(yr AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_matched,
+       CAST(floor((CAST(SUM(p_micro * q0) AS DOUBLE)
+                   / CAST(SUM(p0_micro * q0) AS DOUBLE)) * 1000.0)
+            AS BIGINT) AS index_milli
+FROM matched
+GROUP BY yr
+""",
+)(lineitem_price_index)

@@ -164,6 +164,8 @@ _PRIORITY = [
     "events_value_equidepth_bins",
     "supplier_delivery_consistency",
     "events_attribution_last_touch",
+    "lineitem_price_index",
+    "corpus_token_collocation",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
