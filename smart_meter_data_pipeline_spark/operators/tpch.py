@@ -2897,3 +2897,110 @@ FROM matched
 GROUP BY yr
 """,
 )(lineitem_price_index)
+
+
+PROFIT_PART_MARKER = "widget"
+COST_FRACTION_PCT = 60  # supply cost proxy: 60% of retail price
+
+
+def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) adapted
+    to the available columns: for parts whose name contains
+    '{PROFIT_PART_MARKER}' (Q9's LIKE '%green%'), profit per
+    (supplier nation, ship year) with the supply cost proxied as
+    {COST_FRACTION_PCT}% of the part's retail price (the testdata has
+    no partsupp) — profit = Σ(extprice·(1−disc) − cost·qty). This
+    completes the 22/22 adapted TPC-H query-shape coverage.
+
+    Exactness: revenue stays in the DECIMAL(25,6) lane (the
+    extprice·(1−disc) product is exact on the cent×(1−disc on the
+    0.01 grid) lattice); the cost proxy is integer cents
+    ((cents·{COST_FRACTION_PCT}) div 100 per unit, times integer
+    quantity); the final profit is reported in cents (int64).
+
+    Scale shape: lineitem ⋈ orders keys the year; part (name-filtered,
+    pushed to the scan) and supplier⋈nation join by their keys — part
+    scales with the fact so NO hint on it; supplier/nation broadcast;
+    the (nation, year) rollup is tiny and partial-aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(PROFIT_PART_MARKER))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    # price (2 decimals) x (1 - discount) (2 decimals) has EXACTLY 4
+    # decimals, so x1e4 lands on integers and the bigint cast is exact
+    # in both engines (a trailing cents division would hit Spark's
+    # truncating vs DuckDB's flooring div on negative profits).
+    rev_dmilli = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(25,6))"
+        " * (CAST(1 AS DECIMAL(25,6)) - CAST(l_discount AS DECIMAL(25,6)))"
+        " * 10000 AS BIGINT)"
+    )
+    cost_dmilli = F.expr(
+        "((CAST(CAST(p_retailprice AS DECIMAL(25,6)) * 100 AS BIGINT)"
+        f" * {COST_FRACTION_PCT}) div 100) * 100"
+        " * CAST(l_quantity AS BIGINT)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum(rev_dmilli - cost_dmilli).cast("bigint").alias(
+                "profit_dmilli"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            "n_name",
+            F.col("o_year").cast("int").alias("o_year"),
+            "profit_dmilli",
+            "n_lines",
+        )
+    )
+
+
+register(
+    "tpch_product_profit",
+    f"""
+SELECT n_name,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(
+         CAST(CAST(l_extendedprice AS DECIMAL(25,6))
+              * (CAST(1 AS DECIMAL(25,6))
+                 - CAST(l_discount AS DECIMAL(25,6)))
+              * 10000 AS BIGINT)
+         - CAST((CAST(CAST(p_retailprice AS DECIMAL(25,6)) * 100 AS BIGINT)
+                 * {COST_FRACTION_PCT}) // 100 AS BIGINT) * 100
+           * CAST(l_quantity AS BIGINT)
+       ) AS BIGINT) AS profit_dmilli,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{PROFIT_PART_MARKER}%'
+GROUP BY 1, 2
+""",
+)(tpch_product_profit)

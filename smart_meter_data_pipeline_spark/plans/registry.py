@@ -166,6 +166,7 @@ _PRIORITY = [
     "events_attribution_last_touch",
     "lineitem_price_index",
     "corpus_token_collocation",
+    "tpch_product_profit",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
