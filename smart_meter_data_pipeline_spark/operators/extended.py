@@ -3651,3 +3651,63 @@ SELECT touch,
 FROM counts
 """,
 )(events_attribution_last_touch)
+
+
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (island id = day_number −
+    dense_rank-over-days, constant within a consecutive run) that
+    powers engagement streak features. Output per user: active days,
+    longest streak, number of distinct streaks.
+
+    Scale shape: distinct (user, day) first (map-side combined — the
+    fact collapses to at most users×days rows before any window);
+    both windows partition by user; the island rollup reuses the same
+    partitioning. All integer date arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
+
+
+register(
+    "events_user_streaks",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         datediff('day', DATE '2024-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+""",
+)(events_user_streaks)

@@ -167,6 +167,7 @@ _PRIORITY = [
     "lineitem_price_index",
     "corpus_token_collocation",
     "tpch_product_profit",
+    "events_user_streaks",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
