@@ -2762,3 +2762,125 @@ FROM sil GROUP BY 1
 
 
 register("kmeans_silhouette", _silhouette_oracle())(kmeans_silhouette)
+
+
+KCENTER_K = 6
+
+
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's 2-approximation):
+    start from vec 0, then {KCENTER_K}−1 times add the point FARTHEST
+    from the chosen set (max-min squared distance, ties to the lowest
+    vec_id) — the diversity-maximizing seed selection used for coreset
+    sampling and diverse few-shot pools, the geometric opposite of
+    cluster-center seeding. Output: the centers in selection order
+    with the max-min distance at their selection (the shrinking
+    coverage radius — a selection whose radius plateaus says the
+    corpus is covered).
+
+    Determinism: distances are na + nb − 2·dot with the exact-decimal
+    dot fold, so they are bit-identical doubles cross-engine, and the
+    (dist desc, vec_id) argmax is a total order; the per-step argmax
+    is a TakeOrdered(1), never a global sort.
+
+    Scale shape: each of the {KCENTER_K}−1 steps is one corpus pass
+    against a ≤{KCENTER_K}-row broadcast of chosen vectors (min-dist
+    aggregate per vector, then a 1-row top pick) — O(K·N·dim) total,
+    the textbook cost of greedy k-center; the driver holds only the K
+    chosen ids (a constant)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("norm2", _dot("embedding", "embedding"))
+    emb = emb.localCheckpoint(eager=True)
+
+    first = emb.filter(F.col("vec_id") == 0)
+    chosen = [(0, 0.0)]  # (vec_id, dist2_at_selection)
+    for _ in range(KCENTER_K - 1):
+        ids = [c[0] for c in chosen]
+        cset = emb.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm2").alias("c_norm2"),
+        )
+        dists = (
+            emb.filter(~F.col("vec_id").isin(ids))
+            .crossJoin(F.broadcast(cset))
+            .select(
+                "vec_id",
+                (
+                    F.col("norm2")
+                    + F.col("c_norm2")
+                    - 2 * _dot("embedding", "c_emb")
+                ).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("dmin"))
+        )
+        top = dists.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
+        chosen.append((top["vec_id"], float(top["dmin"])))
+    out = spark.createDataFrame(
+        [
+            (i, vid, round(d, 9))
+            for i, (vid, d) in enumerate(chosen)
+        ],
+        ["sel_order", "vec_id", "radius_d2"],
+    )
+    return out.select(
+        F.col("sel_order").cast("int").alias("sel_order"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("radius_d2").cast("double").alias("radius_d2"),
+    )
+
+
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
+    """Unrolled greedy steps; each step's min-dist uses the same
+    exact-decimal dot fold as the ANN oracles (lockstep unnest)."""
+    parts = [
+        "s0(sel_order, vec_id, radius_d2) AS (SELECT 0, 0, CAST(0.0 AS DOUBLE))"
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"""
+p{i} AS (
+  SELECT e.vec_id, c.vec_id AS c_id, e.embedding AS ee, c.embedding AS ce
+  FROM embeddings e, embeddings c
+  WHERE c.vec_id IN (SELECT vec_id FROM s{i - 1})
+    AND e.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+),
+u{i} AS (
+  SELECT vec_id, c_id,
+         CAST(unnest(ee) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+  FROM p{i}
+),
+d{i} AS (
+  SELECT vec_id, MIN(d2) AS dmin
+  FROM (
+    SELECT vec_id, c_id,
+           CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE)
+           + CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE)
+           - 2 * CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS d2
+    FROM u{i} GROUP BY vec_id, c_id
+  ) GROUP BY vec_id
+),
+s{i} AS (
+  SELECT * FROM s{i - 1}
+  UNION ALL
+  SELECT * FROM (
+    SELECT {i} AS sel_order, vec_id, round(dmin, 9) AS radius_d2
+    FROM d{i} ORDER BY dmin DESC, vec_id LIMIT 1
+  )
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(sel_order AS INT) AS sel_order,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(radius_d2 AS DOUBLE) AS radius_d2
+FROM s{k - 1}
+"""
+
+
+register("embedding_kcenter_coreset", _kcenter_oracle())(
+    embedding_kcenter_coreset
+)

@@ -168,6 +168,7 @@ _PRIORITY = [
     "corpus_token_collocation",
     "tpch_product_profit",
     "events_user_streaks",
+    "embedding_kcenter_coreset",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
