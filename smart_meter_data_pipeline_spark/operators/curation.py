@@ -1374,3 +1374,118 @@ CROSS JOIN nn
 GROUP BY a.word, b.word, a.df, b.df, nn.n_docs
 """,
 )(corpus_token_collocation)
+
+
+MAXCOVER_K = 5
+
+
+def doc_maxcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection (the submodular coreset
+    classic, 1−1/e guarantee): pick {MAXCOVER_K} documents one at a
+    time, each maximizing the number of distinct char-shingles NOT
+    covered by the already-chosen docs — the lexical-coverage
+    companion to embedding_kcenter_coreset's feature-space diversity
+    (instruction-set curation runs both). Ties to the lowest doc_id.
+    Output: selection order, doc_id, marginal gain, cumulative
+    coverage.
+
+    Scale shape: each of the {MAXCOVER_K} steps is one pass over the
+    (doc, shingle) table with the covered set as a broadcast anti-join
+    filter (covered is bounded by K docs' shingles — constant-sized),
+    then a per-doc count and a TakeOrdered(1) argmax. The shingle
+    table is checkpointed once."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingles(docs).localCheckpoint(eager=True)
+
+    chosen: list[tuple[int, int, int]] = []  # (doc_id, gain, cum)
+    covered = None
+    cum = 0
+    for _ in range(MAXCOVER_K):
+        remaining = sh
+        if chosen:
+            ids = [c[0] for c in chosen]
+            remaining = sh.filter(~F.col("doc_id").isin(ids)).join(
+                F.broadcast(covered), "shingle", "left_anti"
+            )
+        gains = remaining.groupBy("doc_id").agg(
+            F.countDistinct("shingle").alias("gain")
+        )
+        top = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()
+        if not top:
+            break
+        doc_id, gain = top[0]["doc_id"], top[0]["gain"]
+        cum += gain
+        chosen.append((doc_id, gain, cum))
+        ids = [c[0] for c in chosen]
+        covered = (
+            sh.filter(F.col("doc_id").isin(ids))
+            .select("shingle")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        [
+            (i, int(d), int(g), int(c))
+            for i, (d, g, c) in enumerate(chosen)
+        ],
+        ["sel_order", "doc_id", "marginal_gain", "cum_coverage"],
+    ).select(
+        F.col("sel_order").cast("int").alias("sel_order"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("marginal_gain").cast("bigint").alias("marginal_gain"),
+        F.col("cum_coverage").cast("bigint").alias("cum_coverage"),
+    )
+
+
+def _maxcover_oracle(k: int = MAXCOVER_K) -> str:
+    parts = [
+        """g0 AS (
+  SELECT doc_id, COUNT(DISTINCT shingle) AS gain
+  FROM sh GROUP BY 1
+),
+s0 AS (
+  SELECT * FROM (
+    SELECT 0 AS sel_order, doc_id, gain AS marginal_gain
+    FROM g0 ORDER BY gain DESC, doc_id LIMIT 1
+  )
+)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"""
+cov{i} AS (
+  SELECT DISTINCT shingle FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM s{i - 1})
+),
+g{i} AS (
+  SELECT doc_id, COUNT(DISTINCT shingle) AS gain
+  FROM sh
+  WHERE doc_id NOT IN (SELECT doc_id FROM s{i - 1})
+    AND shingle NOT IN (SELECT shingle FROM cov{i})
+  GROUP BY 1
+),
+s{i} AS (
+  SELECT * FROM s{i - 1}
+  UNION ALL
+  SELECT * FROM (
+    SELECT {i} AS sel_order, doc_id, gain AS marginal_gain
+    FROM g{i} ORDER BY gain DESC, doc_id LIMIT 1
+  )
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH sh AS ({_shingles_sql()}),
+{body}
+SELECT CAST(sel_order AS INT) AS sel_order,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(marginal_gain AS BIGINT) AS marginal_gain,
+       CAST(SUM(marginal_gain) OVER (ORDER BY sel_order
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+         AS cum_coverage
+FROM s{k - 1}
+"""
+
+
+register("doc_maxcover_selection", _maxcover_oracle())(doc_maxcover_selection)

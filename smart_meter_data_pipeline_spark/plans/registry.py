@@ -169,6 +169,7 @@ _PRIORITY = [
     "tpch_product_profit",
     "events_user_streaks",
     "embedding_kcenter_coreset",
+    "doc_maxcover_selection",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
