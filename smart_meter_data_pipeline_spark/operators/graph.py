@@ -530,3 +530,52 @@ FROM l{rounds} l JOIN sizes s ON l.label = s.label
 
 
 register("trade_label_propagation", _lpa_oracle())(trade_label_propagation)
+
+
+def trade_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier↔part bipartite trade graph:
+    for each side, the count-of-counts histogram (how many suppliers
+    serve exactly d parts; how many parts have exactly d suppliers) —
+    the first diagnostic read on any graph workload (heavy-tailed
+    degrees → plan for hub skew in the join kernels; the same signal
+    events_key_skew_report gives for keyed shuffles, here for both
+    ends of an edge list).
+
+    Scale shape: distinct edge list once, two per-node degree rollups
+    (map-side combined), then count-of-counts over the degree DOMAIN
+    (tiny) — the fact is never sorted and no single-partition frame
+    exceeds the distinct-degree count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    ).distinct()
+    s_deg = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    p_deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    s_hist = s_deg.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).select(F.lit("supplier").alias("side"), "deg", "n_nodes")
+    p_hist = p_deg.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).select(F.lit("part").alias("side"), "deg", "n_nodes")
+    return s_hist.unionByName(p_hist).select(
+        "side",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+    )
+
+
+register(
+    "trade_degree_distribution",
+    """
+WITH edges AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+),
+s_deg AS (SELECT l_suppkey, COUNT(*) AS deg FROM edges GROUP BY 1),
+p_deg AS (SELECT l_partkey, COUNT(*) AS deg FROM edges GROUP BY 1)
+SELECT 'supplier' AS side, CAST(deg AS BIGINT) AS deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM s_deg GROUP BY deg
+UNION ALL
+SELECT 'part', CAST(deg AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM p_deg GROUP BY deg
+""",
+)(trade_degree_distribution)

@@ -170,6 +170,7 @@ _PRIORITY = [
     "events_user_streaks",
     "embedding_kcenter_coreset",
     "doc_maxcover_selection",
+    "trade_degree_distribution",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
