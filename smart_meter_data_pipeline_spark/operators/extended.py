@@ -3711,3 +3711,89 @@ FROM streaks
 GROUP BY user_id
 """,
 )(events_user_streaks)
+
+
+HLL_BUCKETS = 64
+HLL_RHO_NIBBLES = 8  # scan 8 hex digits after the bucket pair; cap rho at 33
+_HLL_HEX = "0123456789abcdef"
+
+
+def _hll_rho_case(instr_fn: str) -> str:
+    """Portable rho (leading-zero-bits + 1) over the md5 nibbles after
+    the bucket pair — a nested CASE both engines evaluate identically.
+    ``instr_fn`` is 'instr' (Spark) or 'strpos' (DuckDB)."""
+    def lz(pos: int) -> str:
+        d = f"({instr_fn}('{_HLL_HEX}', substr(h, {pos}, 1)) - 1)"
+        return (
+            f"CASE WHEN {d} >= 8 THEN 0 WHEN {d} >= 4 THEN 1"
+            f" WHEN {d} >= 2 THEN 2 WHEN {d} >= 1 THEN 3 ELSE 4 END"
+        )
+
+    branches = []
+    for i in range(HLL_RHO_NIBBLES):
+        pos = 3 + i  # nibbles 3..10 of the hex digest
+        branches.append(
+            f"WHEN substr(h, {pos}, 1) <> '0'"
+            f" THEN {i * 4 + 1} + {lz(pos)}"
+        )
+    return "CASE " + " ".join(branches) + f" ELSE {HLL_RHO_NIBBLES * 4 + 1} END"
+
+
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperLogLog REGISTER TABLE per event type, hash-checked:
+    bucket = first md5 byte mod {HLL_BUCKETS}, register = max(rho)
+    where rho is leading-zero-bits+1 of the following nibbles. The
+    registers — not the harmonic-mean estimate — are the output, for
+    two reasons: they are exactly the mergeable state a distributed /
+    streaming distinct-count maintains (max is commutative,
+    associative, idempotent — any partitioning, any arrival order,
+    same table), and they are pure integers, so the sketch CONTENT
+    sits under the oracle hash while the float estimate could not.
+    stream_hll_registers runs the identical sketch as streaming state.
+
+    Scale shape: one scan, per-row constant hashing, one
+    (type × bucket ≤ types·{HLL_BUCKETS}) rollup — map-side combined;
+    this is the bounded-state form of COUNT(DISTINCT) at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.withColumn(
+        "h", F.md5(F.col("user_id").cast("string").cast("binary"))
+    )
+    bucket = F.expr(
+        f"((instr('{_HLL_HEX}', substr(h, 1, 1)) - 1) * 16"
+        f" + (instr('{_HLL_HEX}', substr(h, 2, 1)) - 1)) % {HLL_BUCKETS}"
+    )
+    rho = F.expr(_hll_rho_case("instr"))
+    return (
+        h.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("register"))
+        .select(
+            "event_type",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("register").cast("int").alias("register"),
+        )
+    )
+
+
+def _hll_oracle() -> str:
+    rho = _hll_rho_case("strpos")
+    return f"""
+WITH hashed AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+scored AS (
+  SELECT event_type,
+         ((strpos('{_HLL_HEX}', substr(h, 1, 1)) - 1) * 16
+          + (strpos('{_HLL_HEX}', substr(h, 2, 1)) - 1)) % {HLL_BUCKETS}
+           AS bucket,
+         {rho} AS rho
+  FROM hashed
+)
+SELECT event_type, CAST(bucket AS INT) AS bucket,
+       CAST(MAX(rho) AS INT) AS register
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+register("events_hll_registers", _hll_oracle())(events_hll_registers)

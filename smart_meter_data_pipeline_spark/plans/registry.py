@@ -171,6 +171,8 @@ _PRIORITY = [
     "embedding_kcenter_coreset",
     "doc_maxcover_selection",
     "trade_degree_distribution",
+    "events_hll_registers",
+    "stream_hll_registers",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

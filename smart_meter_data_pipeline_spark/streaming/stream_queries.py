@@ -2292,3 +2292,119 @@ def _register_stream_motif() -> None:
 
 
 _register_stream_motif()
+
+
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch: the per-type HyperLogLog
+    register table maintained as keyed streaming state — EXACTLY 64
+    int registers per event type, forever, regardless of stream
+    length or user cardinality (the bounded-state COUNT(DISTINCT)
+    the complete-mode rule demands). Registers are monotone maxes, so
+    the drained per-batch emissions reduce to the final table with a
+    batch-side max, and the hash gate proves the streaming sketch ==
+    the batch sketch (events_hll_registers) bit-for-bit — merge
+    order, batch boundaries, and the Python-vs-SQL md5/rho paths all
+    land in the check. Two ts-split chunks force cross-batch merges.
+
+    The closure inlines the hash/rho arithmetic (constants and all) —
+    module references do not survive pickling to workers launched
+    outside the repo."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_hll_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "user_id"
+        )
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("register", T.IntegerType()),
+            ]
+        )
+        state_schema = T.StructType(
+            [T.StructField("regs", T.ArrayType(T.IntegerType()))]
+        )
+
+        def _fn(key, pdfs, state):
+            import hashlib
+
+            import pandas as pd
+
+            regs = list(state.get[0]) if state.exists else [0] * 64
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            for uid in pdf["user_id"]:
+                hh = hashlib.md5(str(int(uid)).encode()).hexdigest()
+                bucket = (int(hh[0], 16) * 16 + int(hh[1], 16)) % 64
+                rho = 33
+                for i in range(8):
+                    v = int(hh[2 + i], 16)
+                    if v:
+                        rho = i * 4 + 1 + (4 - v.bit_length())
+                        break
+                if rho > regs[bucket]:
+                    regs[bucket] = rho
+            state.update((regs,))
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "bucket": [b for b, r in enumerate(regs) if r > 0],
+                    "register": [r for r in regs if r > 0],
+                }
+            )
+
+        sink = f"stream_hll_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy("event_type")
+            .applyInPandasWithState(
+                _fn,
+                out_schema,
+                state_schema,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        feed = spark.table(sink)
+        return (
+            feed.groupBy("event_type", "bucket")
+            .agg(F.max("register").alias("register"))
+            .select(
+                "event_type",
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("register").cast("int").alias("register"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_hll() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("stream_hll_registers", ORACLES["events_hll_registers"])(
+        stream_hll_registers
+    )
+
+
+_register_stream_hll()
