@@ -3797,3 +3797,70 @@ GROUP BY 1, 2
 
 
 register("events_hll_registers", _hll_oracle())(events_hll_registers)
+
+
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation, proven in-query: build PER-DAY HLL
+    register tables, merge them with an elementwise max, and assert
+    the merged table equals the direct whole-period sketch before
+    returning it — the pre-aggregated-cube pattern that makes
+    COUNT(DISTINCT) serveable at 100 TB (store daily sketches, merge
+    any date range on demand; exact distinct cannot re-aggregate,
+    sketches can). A failed merge (any register differing) raises
+    rather than returning, so the driver hash additionally certifies
+    the merge path end-to-end.
+
+    Scale shape: one scan builds the (type × day × bucket) table —
+    map-side combined; the merge is a second tiny rollup; the
+    equality check joins two ≤types×{HLL_BUCKETS} tables."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    h = ev.withColumn(
+        "h", F.md5(F.col("user_id").cast("string").cast("binary"))
+    )
+    bucket = F.expr(
+        f"((instr('{_HLL_HEX}', substr(h, 1, 1)) - 1) * 16"
+        f" + (instr('{_HLL_HEX}', substr(h, 2, 1)) - 1)) % {HLL_BUCKETS}"
+    )
+    rho = F.expr(_hll_rho_case("instr"))
+    scored = h.select(
+        "event_type", "day", bucket.alias("bucket"), rho.alias("rho")
+    )
+    daily = scored.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("register")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    direct = scored.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("register")
+    )
+    n_mismatch = (
+        merged.join(direct, ["event_type", "bucket"], "full_outer")
+        .filter(
+            ~(merged["register"].eqNullSafe(direct["register"]))
+        )
+        .count()
+    )
+    if n_mismatch != 0:
+        raise AssertionError(
+            f"daily-sketch merge diverged from the direct sketch on "
+            f"{n_mismatch} registers"
+        )
+    return merged.select(
+        "event_type",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("register").cast("int").alias("register"),
+    )
+
+
+def _register_hll_daily() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("events_hll_daily_rollup", ORACLES["events_hll_registers"])(
+        events_hll_daily_rollup
+    )
+
+
+_register_hll_daily()

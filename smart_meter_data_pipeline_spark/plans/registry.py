@@ -173,6 +173,7 @@ _PRIORITY = [
     "trade_degree_distribution",
     "events_hll_registers",
     "stream_hll_registers",
+    "events_hll_daily_rollup",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
