@@ -1662,3 +1662,149 @@ WHERE t.negative_id IN (SELECT doc_id FROM documents)
 register("train_contrastive_triplets", _triplet_oracle())(
     train_contrastive_triplets
 )
+
+
+def corpus_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level similarity via MERGED MinHash signatures: each
+    source's signature is the elementwise min of its docs' shingle
+    hashes (min-merge — the same re-aggregation property the HLL
+    family proves for max), so source signatures can be maintained
+    incrementally and compared without touching the corpus. For every
+    source pair: the estimated Jaccard (matching signature slots /
+    {N_BINS}) NEXT TO the exact shingle-set Jaccard — the
+    estimator-vs-truth audit at the provenance level (two sources
+    with high overlap usually share a mirror or a common upstream
+    dump).
+
+    Scale shape: one shingle scan builds both the per-source
+    signatures (a sources×{N_BINS} table) and the per-source distinct
+    sets; the exact intersection pairs sources PER SHINGLE (bounded
+    by sources-per-shingle, never |sources|²·|shingles|); all pair
+    math runs on source-sized rollups. Integer milli outputs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sh = (
+        docs.select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("text") - (SHINGLE_WIDTH - 1)
+                )
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "source",
+            F.expr(f"substr(text, pos, {SHINGLE_WIDTH})").alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hashed = sh.withColumn("h", F.md5("shingle")).withColumn(
+        "bin",
+        (F.expr(f"instr('{_HEX}', substr(h, 1, 1))") - 1) % N_BINS,
+    )
+    sig = hashed.groupBy("source", "bin").agg(F.min("h").alias("mh"))
+    a = sig.select(
+        F.col("source").alias("source_a"), "bin", F.col("mh").alias("mh_a")
+    )
+    b = sig.select(
+        F.col("source").alias("source_b"), "bin", F.col("mh").alias("mh_b")
+    )
+    est = (
+        a.join(b, "bin")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            ).alias("n_match")
+        )
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    pair_inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        est.join(pair_inter, ["source_a", "source_b"], "left")
+        .join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_match").cast("bigint").alias("n_match"),
+            F.expr(f"CAST((1000 * n_match) div {N_BINS} AS BIGINT)").alias(
+                "est_jaccard_milli"
+            ),
+            F.coalesce(F.col("n_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.expr(
+                "CAST((1000 * coalesce(n_inter, 0))"
+                " div (n_a + n_b - coalesce(n_inter, 0)) AS BIGINT)"
+            ).alias("exact_jaccard_milli"),
+        )
+    )
+
+
+register(
+    "corpus_source_minhash_jaccard",
+    f"""
+WITH sh AS (
+  SELECT DISTINCT source, substr(text, CAST(pos AS INT), {SHINGLE_WIDTH})
+           AS shingle
+  FROM documents, range(1, 100000) t(pos)
+  WHERE pos <= length(text) - {SHINGLE_WIDTH - 1}
+),
+hashed AS (
+  SELECT source, shingle, md5(shingle) AS h,
+         (strpos('{_HEX}', substr(md5(shingle), 1, 1)) - 1) % {N_BINS} AS bin
+  FROM sh
+),
+sig AS (
+  SELECT source, bin, MIN(h) AS mh FROM hashed GROUP BY 1, 2
+),
+est AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_match
+  FROM sig a JOIN sig b ON a.bin = b.bin AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+pair_inter AS (
+  SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS n_inter
+  FROM sh x JOIN sh y
+    ON x.shingle = y.shingle AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT e.source_a, e.source_b,
+       CAST(e.n_match AS BIGINT) AS n_match,
+       CAST((1000 * e.n_match) // {N_BINS} AS BIGINT) AS est_jaccard_milli,
+       CAST(COALESCE(p.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST((1000 * COALESCE(p.n_inter, 0))
+            // (sa.n_sh + sb.n_sh - COALESCE(p.n_inter, 0)) AS BIGINT)
+         AS exact_jaccard_milli
+FROM est e
+LEFT JOIN pair_inter p
+  ON e.source_a = p.source_a AND e.source_b = p.source_b
+JOIN sizes sa ON e.source_a = sa.source
+JOIN sizes sb ON e.source_b = sb.source
+""",
+)(corpus_source_minhash_jaccard)
