@@ -3004,3 +3004,87 @@ WHERE p_name LIKE '%{PROFIT_PART_MARKER}%'
 GROUP BY 1, 2
 """,
 )(tpch_product_profit)
+
+
+MIGRATION_YEARS = (1995, 1996)
+# fixed value bands in cents: the scale-safe banding (rank-based
+# quartiles would need a customer-scale ordered window per year)
+BAND_EDGES_CENTS = (10_000_000, 30_000_000)
+
+
+def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-band migration matrix: each customer's spend
+    band in {MIGRATION_YEARS[0]} vs {MIGRATION_YEARS[1]} ('low' /
+    'mid' / 'high' by fixed cent thresholds, 'none' when inactive
+    that year), counted per (from, to) cell — the churn/upsell
+    dashboard's core table. Fixed bands deliberately: rank-based
+    quartiles would require a customer-scale ordered window per year
+    (the single-partition trap); fixed thresholds band at scan speed
+    and keep the matrix semantics.
+
+    Scale shape: one orders scan → per (customer, year) rollup keyed
+    by custkey (map-side combined); the two years FULL-OUTER join on
+    custkey (same key, no re-shuffle); the matrix rollup is ≤4×4."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    )
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT)"
+    )
+    per_cy = (
+        orders.filter(F.col("yr").isin(list(MIGRATION_YEARS)))
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    lo, hi = BAND_EDGES_CENTS
+    band = (
+        F.when(F.col("rev_cents") < lo, "low")
+        .when(F.col("rev_cents") < hi, "mid")
+        .otherwise("high")
+    )
+    y0 = per_cy.filter(F.col("yr") == MIGRATION_YEARS[0]).select(
+        "o_custkey", band.alias("band_from")
+    )
+    y1 = per_cy.filter(F.col("yr") == MIGRATION_YEARS[1]).select(
+        F.col("o_custkey").alias("cust_b"), band.alias("band_to")
+    )
+    joined = y0.join(
+        y1, y0.o_custkey == y1.cust_b, "full_outer"
+    ).select(
+        F.coalesce(F.col("band_from"), F.lit("none")).alias("band_from"),
+        F.coalesce(F.col("band_to"), F.lit("none")).alias("band_to"),
+    )
+    return joined.groupBy("band_from", "band_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+register(
+    "customer_value_migration",
+    f"""
+WITH per_cy AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT))
+           AS rev_cents
+  FROM orders
+  WHERE year(o_orderdate) IN {MIGRATION_YEARS}
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT o_custkey, yr,
+         CASE WHEN rev_cents < {BAND_EDGES_CENTS[0]} THEN 'low'
+              WHEN rev_cents < {BAND_EDGES_CENTS[1]} THEN 'mid'
+              ELSE 'high' END AS band
+  FROM per_cy
+),
+y0 AS (SELECT o_custkey, band FROM banded WHERE yr = {MIGRATION_YEARS[0]}),
+y1 AS (SELECT o_custkey, band FROM banded WHERE yr = {MIGRATION_YEARS[1]})
+SELECT COALESCE(y0.band, 'none') AS band_from,
+       COALESCE(y1.band, 'none') AS band_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM y0 FULL OUTER JOIN y1 ON y0.o_custkey = y1.o_custkey
+GROUP BY 1, 2
+""",
+)(customer_value_migration)

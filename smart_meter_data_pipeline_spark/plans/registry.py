@@ -175,6 +175,7 @@ _PRIORITY = [
     "stream_hll_registers",
     "events_hll_daily_rollup",
     "corpus_source_minhash_jaccard",
+    "customer_value_migration",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
