@@ -3088,3 +3088,74 @@ FROM y0 FULL OUTER JOIN y1 ON y0.o_custkey = y1.o_custkey
 GROUP BY 1, 2
 """,
 )(customer_value_migration)
+
+
+def orders_dow_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week uniformity test: the χ² goodness-of-fit statistic
+    for order placement across weekdays, in EXACT integer milli-units
+    — χ² = Σ(obs−N/7)²/(N/7) rewritten as Σ(7·obs−N)² div (7·N) so
+    no fractional expectation ever materializes (the closed form
+    keeps every intermediate an int64 at the gate scales; at extreme
+    N swap milli for centi units). Per-dow rows carry the observed
+    count, each cell's contribution, and the shared total — the
+    seasonality-significance companion to orders_seasonal_index
+    (which measures the effect size; this measures the evidence).
+
+    Scale shape: one orders scan → 7-row rollup (map-side combined);
+    everything after is constant-sized."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.pmod(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-02").cast("date")
+            ),
+            F.lit(7),
+        ).alias("dow")
+    )
+    obs = orders.groupBy("dow").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = obs.agg(F.sum("n_orders").alias("n_total"))
+    scored = obs.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_orders",
+        F.expr(
+            "CAST((1000 * (7 * n_orders - n_total)"
+            " * (7 * n_orders - n_total)) div (7 * n_total) AS BIGINT)"
+        ).alias("chi2_contrib_milli"),
+    )
+    from pyspark.sql import Window
+
+    return scored.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "chi2_contrib_milli",
+        F.sum("chi2_contrib_milli")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("chi2_total_milli"),
+    )
+
+
+register(
+    "orders_dow_uniformity_chi2",
+    """
+WITH obs AS (
+  SELECT (datediff('day', DATE '1995-01-02', CAST(o_orderdate AS DATE)) % 7
+          + 7) % 7 AS dow,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_orders) AS n_total FROM obs),
+scored AS (
+  SELECT dow, n_orders,
+         CAST((1000 * (7 * n_orders - n_total)
+               * (7 * n_orders - n_total)) // (7 * n_total) AS BIGINT)
+           AS chi2_contrib_milli
+  FROM obs, tot
+)
+SELECT CAST(dow AS INT) AS dow,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       chi2_contrib_milli,
+       CAST(SUM(chi2_contrib_milli) OVER () AS BIGINT)
+         AS chi2_total_milli
+FROM scored
+""",
+)(orders_dow_uniformity_chi2)

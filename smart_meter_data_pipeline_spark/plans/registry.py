@@ -176,6 +176,7 @@ _PRIORITY = [
     "events_hll_daily_rollup",
     "corpus_source_minhash_jaccard",
     "customer_value_migration",
+    "orders_dow_uniformity_chi2",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
