@@ -3159,3 +3159,116 @@ SELECT CAST(dow AS INT) AS dow,
 FROM scored
 """,
 )(orders_dow_uniformity_chi2)
+
+
+SKYLINE_BAND_CENTS = 5_000  # $50 price bands for the parallel phase
+
+
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of the part catalog on (minimize
+    retail price, maximize size): the parts no other part beats on
+    both axes — the multi-criteria shortlist operator (SKYLINE OF in
+    research SQL dialects; no Spark native equivalent).
+
+    Two-phase band-parallel plan: distinct (price, size) pairs bucket
+    into $50 price bands; WITHIN each band a (price asc, size desc)
+    ordered window marks pairs whose preceding-frame max size reaches
+    them (preceding rows have strictly lower price, or equal price
+    and strictly larger size — in both cases frame-max ≥ mine is
+    exact dominance on distinct pairs); ACROSS bands, a pair must
+    also exceed the running max size of all strictly-cheaper bands (a
+    band-domain cumulative, bounded rows). No global sort: the
+    per-band windows are parallel and the cross-band pass runs over
+    the band rollup only. Survivors join back to the catalog for ids
+    (min partkey per surviving pair reported)."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(25,6)) * 100 AS BIGINT)"
+        ).alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    pairs = part.groupBy("price_cents", "size").agg(
+        F.min("p_partkey").alias("rep_partkey"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    banded = pairs.withColumn(
+        "band", F.expr(f"price_cents div {SKYLINE_BAND_CENTS}")
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.asc("price_cents"), F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = banded.withColumn("prev_max", F.max("size").over(w_in)).filter(
+        (F.col("prev_max").isNull()) | (F.col("size") > F.col("prev_max"))
+    )
+    band_max = banded.groupBy("band").agg(F.max("size").alias("bmax"))
+    w_band = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cheaper = band_max.withColumn(
+        "cheaper_max", F.max("bmax").over(w_band)
+    ).select("band", "cheaper_max")
+    return (
+        local.join(cheaper, "band")
+        .filter(
+            (F.col("cheaper_max").isNull())
+            | (F.col("size") > F.col("cheaper_max"))
+        )
+        .select(
+            F.col("rep_partkey").cast("bigint").alias("rep_partkey"),
+            "price_cents",
+            F.col("size").cast("int").alias("p_size"),
+            F.col("n_parts").cast("bigint").alias("n_parts_at_point"),
+        )
+    )
+
+
+register(
+    "part_price_size_skyline",
+    f"""
+WITH part_p AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(25,6)) * 100 AS BIGINT)
+           AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+pairs AS (
+  SELECT price_cents, size,
+         MIN(p_partkey) AS rep_partkey, COUNT(*) AS n_parts
+  FROM part_p GROUP BY 1, 2
+),
+banded AS (
+  SELECT *, CAST(price_cents // {SKYLINE_BAND_CENTS} AS BIGINT) AS band
+  FROM pairs
+),
+local AS (
+  SELECT * FROM (
+    SELECT *,
+           MAX(size) OVER (PARTITION BY band
+                           ORDER BY price_cents ASC, size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+    FROM banded
+  ) WHERE prev_max IS NULL OR size > prev_max
+),
+band_max AS (SELECT band, MAX(size) AS bmax FROM banded GROUP BY 1),
+cheaper AS (
+  SELECT band,
+         MAX(bmax) OVER (ORDER BY band
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS cheaper_max
+  FROM band_max
+)
+SELECT CAST(l.rep_partkey AS BIGINT) AS rep_partkey,
+       l.price_cents,
+       CAST(l.size AS INT) AS p_size,
+       CAST(l.n_parts AS BIGINT) AS n_parts_at_point
+FROM local l JOIN cheaper c ON l.band = c.band
+WHERE c.cheaper_max IS NULL OR l.size > c.cheaper_max
+""",
+)(part_price_size_skyline)

@@ -116,3 +116,35 @@ def test_delivery_variance_nonnegative_identity(spark, sf_dir):
         assert r["var_delay_milli"] >= -2
         assert 0 <= r["mean_delay_milli"] <= 400_000  # <= 400 days
         assert r["n_lines"] > 0
+
+
+def test_skyline_equals_bruteforce(spark, sf_dir):
+    """The band-parallel skyline must equal the O(n^2) definition:
+    a (price, size) point survives iff no other point has
+    price <= p AND size >= s with strict inequality somewhere."""
+    from smart_meter_data_pipeline_spark.operators.tpch import (
+        part_price_size_skyline,
+    )
+
+    got = {
+        (r["price_cents"], r["p_size"])
+        for r in part_price_size_skyline(spark, sf_dir).collect()
+    }
+    import duckdb
+
+    pts = duckdb.connect().execute(
+        f"""
+        SELECT DISTINCT
+               CAST(CAST(p_retailprice AS DECIMAL(25,6)) * 100 AS BIGINT),
+               p_size
+        FROM read_parquet('{sf_dir}/part.parquet')
+        """
+    ).fetchall()
+    expect = set()
+    for p, s in pts:
+        dominated = any(
+            p2 <= p and s2 >= s and (p2 < p or s2 > s) for p2, s2 in pts
+        )
+        if not dominated:
+            expect.add((p, s))
+    assert got == expect and got
