@@ -579,3 +579,72 @@ SELECT 'part', CAST(deg AS BIGINT), CAST(COUNT(*) AS BIGINT)
 FROM p_deg GROUP BY deg
 """,
 )(trade_degree_distribution)
+
+
+def trade_graph_densification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph growth: per month, how many of the month's
+    active customer↔supplier edges are NEW (first ever occurrence)
+    vs repeat — the densification curve (new-edge rate decaying while
+    actives grow says the graph is consolidating; a flat new-edge
+    rate says it keeps expanding). The month of an edge's first
+    activity comes from a per-edge min, so the fact is scanned once.
+
+    Scale shape: (edge, month) distinct rollup keyed by the pair →
+    per-edge first-month aggregate on the same key (no re-shuffle) →
+    calendar-sized month rollup. All integer date arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    em = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_custkey",
+            "l_suppkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        )
+        .distinct()
+    )
+    first = em.groupBy("o_custkey", "l_suppkey").agg(
+        F.min("m").alias("first_m")
+    )
+    tagged = em.join(first, ["o_custkey", "l_suppkey"]).select(
+        "m", (F.col("m") == F.col("first_m")).alias("is_new")
+    )
+    return tagged.groupBy("m").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new_edges"),
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_repeat_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_edges"),
+    )
+
+
+register(
+    "trade_graph_densification",
+    """
+WITH em AS (
+  SELECT DISTINCT o_custkey, l_suppkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+first AS (
+  SELECT o_custkey, l_suppkey, MIN(m) AS first_m
+  FROM em GROUP BY 1, 2
+)
+SELECT em.m,
+       CAST(SUM(CASE WHEN em.m = f.first_m THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_edges,
+       CAST(SUM(CASE WHEN em.m = f.first_m THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_repeat_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_active_edges
+FROM em
+JOIN first f
+  ON em.o_custkey = f.o_custkey AND em.l_suppkey = f.l_suppkey
+GROUP BY em.m
+""",
+)(trade_graph_densification)
