@@ -3864,3 +3864,108 @@ def _register_hll_daily() -> None:
 
 
 _register_hll_daily()
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic for the mean value shift between
+    the two half-months, per event type — the significance companion
+    to the distance-based drift screens (TV sees mix shift, KS sees
+    distribution shift; Welch says whether the MEAN moved beyond
+    sampling noise, without assuming equal variances).
+
+    Determinism contract (same as events_hourly_autocorr): the five
+    sufficient sums per side are exact decimals off the value column;
+    the t statistic is a fixed sequence of float ops plus one
+    IEEE-correctly-rounded sqrt, rounded at 9; degenerate sides
+    (n < 2 or zero variance both sides) emit NULL.
+
+    Scale shape: ONE fact scan with the side flag folded into the
+    conditional sums (map-side combined, |types| output rows); no
+    join, no window, no second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    in_first = F.when(F.col("ts") < split, 1).otherwise(0)
+    v = F.col("value").cast("decimal(25,6)")
+    sums = ev.groupBy("event_type").agg(
+        F.sum(in_first).alias("n1"),
+        F.sum(F.lit(1) - in_first).alias("n2"),
+        F.sum(v * in_first).alias("s1"),
+        F.sum(v * (F.lit(1) - in_first)).alias("s2"),
+        F.sum(v * v * in_first).alias("q1"),
+        F.sum(v * v * (F.lit(1) - in_first)).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    q1 = F.col("q1").cast("double")
+    q2 = F.col("q2").cast("double")
+    var1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    var2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+    se2 = var1 / n1 + var2 / n2
+    t = (s1 / n1 - s2 / n2) / F.sqrt(se2)
+    return sums.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_first"),
+        F.col("n2").cast("bigint").alias("n_second"),
+        F.when(
+            (F.col("n1") > 1) & (F.col("n2") > 1) & (se2 > 0),
+            F.round(t, 9),
+        ).alias("t_stat"),
+    )
+
+
+register(
+    "events_welch_ttest",
+    f"""
+WITH sums AS (
+  SELECT event_type,
+         SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END)
+           AS n1,
+         SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 0 ELSE 1 END)
+           AS n2,
+         SUM(CAST(value AS DECIMAL(25,6))
+             * CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END)
+           AS s1,
+         SUM(CAST(value AS DECIMAL(25,6))
+             * CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 0 ELSE 1 END)
+           AS s2,
+         SUM(CAST(CAST(value AS DECIMAL(25,6))
+                  * CAST(value AS DECIMAL(25,6)) AS DECIMAL(38,12))
+             * CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END)
+           AS q1,
+         SUM(CAST(CAST(value AS DECIMAL(25,6))
+                  * CAST(value AS DECIMAL(25,6)) AS DECIMAL(38,12))
+             * CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 0 ELSE 1 END)
+           AS q2
+  FROM events
+  GROUP BY 1
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_first,
+       CAST(n2 AS BIGINT) AS n_second,
+       CASE WHEN n1 > 1 AND n2 > 1
+             AND (CAST(q1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1)
+                 / CAST(n1 AS DOUBLE)
+               + (CAST(q2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)
+                 / CAST(n2 AS DOUBLE) > 0
+            THEN round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / sqrt((CAST(q1 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                 / CAST(n1 AS DOUBLE))
+                              / (CAST(n1 AS DOUBLE) - 1)
+                              / CAST(n1 AS DOUBLE)
+                              + (CAST(q2 AS DOUBLE)
+                                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                   / CAST(n2 AS DOUBLE))
+                                / (CAST(n2 AS DOUBLE) - 1)
+                                / CAST(n2 AS DOUBLE)), 9)
+            END AS t_stat
+FROM sums
+""",
+)(events_welch_ttest)

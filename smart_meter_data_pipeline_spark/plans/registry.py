@@ -179,6 +179,7 @@ _PRIORITY = [
     "orders_dow_uniformity_chi2",
     "part_price_size_skyline",
     "trade_graph_densification",
+    "events_welch_ttest",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
