@@ -1681,3 +1681,66 @@ FROM sh
 GROUP BY doc_id
 """,
 )(doc_char_ngram_diversity)
+
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by (source, lang): BPE-ish pieces per
+    whitespace word in micro-units — THE tokenizer-evaluation metric
+    (fertility ≫ 1 on a slice means the tokenizer fragments that
+    slice's text and its effective context shrinks; the per-slice
+    view shows which sources/languages pay the fragmentation tax).
+
+    Scale shape: per-doc counts are scan-speed regex/size expressions
+    (shared contract with doc_token_stats); one (source, lang) rollup
+    of two integer sums; fertility by int64 floor division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    per = docs.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.regexp_count(
+            F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+        ).alias("n_pieces"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr("(1000000 * n_pieces) div n_words")
+            .cast("bigint")
+            .alias("fertility_micro"),
+        )
+    )
+
+
+register(
+    "corpus_tokenizer_fertility",
+    """
+WITH per AS (
+  SELECT source, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+              AS BIGINT) AS n_pieces
+  FROM documents
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       CAST((1000000 * SUM(n_pieces)) // SUM(n_words) AS BIGINT)
+         AS fertility_micro
+FROM per
+GROUP BY 1, 2
+""",
+)(corpus_tokenizer_fertility)

@@ -3272,3 +3272,58 @@ FROM local l JOIN cheaper c ON l.band = c.band
 WHERE c.cheaper_max IS NULL OR l.size > c.cheaper_max
 """,
 )(part_price_size_skyline)
+
+
+def orders_cumulative_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-customer curve by month WITHOUT a rolling
+    COUNT(DISTINCT): each customer contributes once at their first
+    order month; the monthly first-appearance counts then cumulate
+    over the calendar-bounded month rollup — the standard trick that
+    turns an unmergeable rolling distinct into a distributive sum
+    (the exact-arithmetic sibling of the HLL approach).
+
+    Scale shape: per-customer min-month rollup keyed by custkey, a
+    month-sized rollup, and a cumulative window over months only."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    monthly = first.groupBy("first_m").agg(
+        F.count(F.lit(1)).alias("n_new_customers")
+    )
+    w = Window.orderBy("first_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        F.col("first_m").alias("m"),
+        F.col("n_new_customers").cast("bigint").alias("n_new_customers"),
+        F.sum("n_new_customers")
+        .over(w)
+        .cast("bigint")
+        .alias("cum_customers"),
+    )
+
+
+register(
+    "orders_cumulative_customers",
+    """
+WITH first AS (
+  SELECT o_custkey,
+         MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_m
+  FROM orders GROUP BY 1
+),
+monthly AS (
+  SELECT first_m, COUNT(*) AS n_new_customers FROM first GROUP BY 1
+)
+SELECT first_m AS m,
+       CAST(n_new_customers AS BIGINT) AS n_new_customers,
+       CAST(SUM(n_new_customers) OVER (ORDER BY first_m
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+         AS cum_customers
+FROM monthly
+""",
+)(orders_cumulative_customers)

@@ -180,6 +180,8 @@ _PRIORITY = [
     "part_price_size_skyline",
     "trade_graph_densification",
     "events_welch_ttest",
+    "orders_cumulative_customers",
+    "corpus_tokenizer_fertility",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
