@@ -1343,3 +1343,51 @@ register(
     f"""WITH {_readings_cte()}
 SELECT * FROM readings""",
 )(manifest_asof_read)
+
+
+def meter_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load factor per meter — the power-industry utilization KPI
+    (average load / peak load; a factor near 1 is a flat, efficient
+    profile, near 0 a peaky one that drives capacity cost): computed
+    over the staged interval deltas as
+    lf_micro = (1e6·Σdelta) div (n·max_delta), all int64. Grid
+    planners rank retrofit/tariff candidates by exactly this table.
+
+    Scale shape: rides the staged deltas (one LAG pass, shared with
+    meter_stg); one per-meter rollup of three integers. Reference
+    parity: extends fact_grid_load_hourly.sql's utilization framing
+    (grid:85-104) from zone-hour to per-meter lifetime."""
+    stg = stg_transform(gen_meter_readings(spark))
+    per = stg.filter(F.col("consumption_delta_mwh").isNotNull()).groupBy(
+        "meter_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("consumption_delta_mwh").alias("sum_delta"),
+        F.max("consumption_delta_mwh").alias("peak_delta"),
+    )
+    return per.select(
+        "meter_id",
+        F.col("n_intervals").cast("bigint").alias("n_intervals"),
+        F.col("peak_delta").cast("bigint").alias("peak_delta_mwh"),
+        F.expr(
+            "CASE WHEN peak_delta > 0"
+            " THEN CAST((1000000 * sum_delta) div (n_intervals * peak_delta)"
+            " AS BIGINT) ELSE NULL END"
+        ).alias("load_factor_micro"),
+    )
+
+
+register(
+    "meter_load_factor",
+    f"""{_stg_cte()}
+SELECT meter_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(MAX(consumption_delta_mwh) AS BIGINT) AS peak_delta_mwh,
+       CASE WHEN MAX(consumption_delta_mwh) > 0
+            THEN CAST((1000000 * SUM(consumption_delta_mwh))
+                      // (COUNT(*) * MAX(consumption_delta_mwh)) AS BIGINT)
+            END AS load_factor_micro
+FROM stg
+WHERE consumption_delta_mwh IS NOT NULL
+GROUP BY meter_id""",
+)(meter_load_factor)

@@ -182,6 +182,7 @@ _PRIORITY = [
     "events_welch_ttest",
     "orders_cumulative_customers",
     "corpus_tokenizer_fertility",
+    "meter_load_factor",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
