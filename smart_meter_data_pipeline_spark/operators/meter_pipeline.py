@@ -1391,3 +1391,59 @@ FROM stg
 WHERE consumption_delta_mwh IS NOT NULL
 GROUP BY meter_id""",
 )(meter_load_factor)
+
+
+def meter_diversity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System diversity factor — Σ(individual meter peaks) over the
+    coincident system peak (one row; always ≥ 1e6 in micro-units):
+    the grid-sizing KPI that quantifies how much installed capacity
+    non-coincident demand saves (meter_load_factor profiles each
+    meter; this is the fleet-level complement, and the
+    nation_peak_coincidence inverse at meter grain).
+
+    Scale shape: two rollups off the shared staged deltas — per-meter
+    max (keyed by meter) and per-tick system total (keyed by
+    timestamp) → 1-row aggregates; integer division in micro."""
+    stg = stg_transform(gen_meter_readings(spark)).filter(
+        F.col("consumption_delta_mwh").isNotNull()
+    )
+    ind = stg.groupBy("meter_id").agg(
+        F.max("consumption_delta_mwh").alias("peak")
+    )
+    sum_peaks = ind.agg(F.sum("peak").alias("sum_ind_peaks"))
+    sys_peak = (
+        stg.groupBy("reading_timestamp")
+        .agg(F.sum("consumption_delta_mwh").alias("tot"))
+        .agg(F.max("tot").alias("system_peak"))
+    )
+    return sum_peaks.crossJoin(F.broadcast(sys_peak)).select(
+        F.col("sum_ind_peaks").cast("bigint").alias("sum_ind_peaks_mwh"),
+        F.col("system_peak").cast("bigint").alias("system_peak_mwh"),
+        F.expr(
+            "CAST((1000000 * sum_ind_peaks) div system_peak AS BIGINT)"
+        ).alias("diversity_factor_micro"),
+    )
+
+
+register(
+    "meter_diversity_factor",
+    f"""{_stg_cte()},
+ind AS (
+  SELECT meter_id, MAX(consumption_delta_mwh) AS peak
+  FROM stg WHERE consumption_delta_mwh IS NOT NULL
+  GROUP BY 1
+),
+sp AS (SELECT SUM(peak) AS sum_ind_peaks FROM ind),
+sys AS (
+  SELECT MAX(tot) AS system_peak FROM (
+    SELECT reading_timestamp, SUM(consumption_delta_mwh) AS tot
+    FROM stg WHERE consumption_delta_mwh IS NOT NULL
+    GROUP BY 1
+  )
+)
+SELECT CAST(sp.sum_ind_peaks AS BIGINT) AS sum_ind_peaks_mwh,
+       CAST(sys.system_peak AS BIGINT) AS system_peak_mwh,
+       CAST((1000000 * sp.sum_ind_peaks) // sys.system_peak AS BIGINT)
+         AS diversity_factor_micro
+FROM sp, sys""",
+)(meter_diversity_factor)

@@ -183,6 +183,7 @@ _PRIORITY = [
     "orders_cumulative_customers",
     "corpus_tokenizer_fertility",
     "meter_load_factor",
+    "meter_diversity_factor",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
