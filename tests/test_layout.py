@@ -126,3 +126,19 @@ def test_jsonl_schema_evolution(spark, sf_dir, tmp_path):
     assert langs == {
         r["lang"] for r in docs.select("lang").distinct().collect()
     }
+
+
+def test_priority_names_all_registered():
+    """Every _PRIORITY entry must name a registered query — a typo'd
+    name silently drops out of the driver's evaluation ordering (the
+    list is filtered, not validated, at load), which would quietly
+    burn one of the ~50 per-round evaluation slots."""
+    from smart_meter_data_pipeline_spark.plans import registry
+
+    registry.load_all()
+    missing = [n for n in registry._PRIORITY if n not in registry.QUERIES]
+    assert missing == []
+    dupes = {
+        n for n in registry._PRIORITY if registry._PRIORITY.count(n) > 1
+    }
+    assert dupes == set()
