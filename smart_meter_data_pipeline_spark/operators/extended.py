@@ -3969,3 +3969,133 @@ SELECT event_type,
 FROM sums
 """,
 )(events_welch_ttest)
+
+
+# Behavioral archetypes over the 24-hour activity profile, in micro
+# shares (each sums to 1e6): the "model" of a serving-only segmentation
+# — in production these come from an offline clustering; fixed literals
+# keep the operator deterministic while exercising the identical plan.
+ARCHETYPES = {
+    "early_bird": [
+        83334 if 5 <= h < 11 else 20833 for h in range(24)
+    ],
+    "night_owl": [
+        83334 if (h >= 19 or h < 1) else 20833 for h in range(24)
+    ],
+    "uniform": [41667] * 24,
+}
+
+
+def events_user_archetypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-only behavioral segmentation: each user's 24-hour
+    activity share profile is assigned to its nearest archetype
+    (early-bird / night-owl / uniform) by squared distance in integer
+    micro-units — the nearest-centroid SERVE path of a behavioral
+    clustering, run entirely with built-in expressions (the archetype
+    table is a broadcast literal frame; in production it is the
+    offline model artifact, same plan). Ties break to the
+    lexicographically first archetype. Output: archetype × user count
+    × mean distance.
+
+    Scale shape: one (user, hour) rollup (map-side combined) → join
+    the 72-row archetype frame (broadcast) → per-user distance sums
+    reusing the user keying → argmin via aggregate struct-min → a
+    3-row rollup. Missing hours contribute the archetype share
+    squared, handled by summing over the ARCHETYPE frame side (every
+    (user, hour) cell exists after the outer expansion)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_uh = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    totals = per_uh.groupBy("user_id").agg(F.sum("c").alias("n"))
+    arch_rows = [
+        (name, h, share)
+        for name, prof in sorted(ARCHETYPES.items())
+        for h, share in enumerate(prof)
+    ]
+    arch = spark.createDataFrame(
+        arch_rows, ["archetype", "h", "arch_micro"]
+    )
+    # outer-expand: every (user, archetype, hour) cell — users missing
+    # an hour contribute (0 - arch_micro)^2 for it
+    cells = (
+        totals.crossJoin(F.broadcast(arch))
+        .join(per_uh, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "archetype",
+            (
+                (
+                    F.expr(
+                        "(1000000 * coalesce(c, 0)) div n"
+                    )
+                    - F.col("arch_micro")
+                )
+            ).alias("diff"),
+        )
+    )
+    dists = cells.groupBy("user_id", "archetype").agg(
+        F.sum(F.col("diff") * F.col("diff")).alias("d2")
+    )
+    best = (
+        dists.groupBy("user_id")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("archetype"))).alias("b")
+        )
+        .select(
+            "user_id",
+            F.col("b.archetype").alias("archetype"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+    return best.groupBy("archetype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("CAST(SUM(d2) div COUNT(1) AS BIGINT)").alias("mean_d2"),
+    )
+
+
+def _archetype_oracle() -> str:
+    rows = ",\n    ".join(
+        f"('{name}', {h}, {share})"
+        for name, prof in sorted(ARCHETYPES.items())
+        for h, share in enumerate(prof)
+    )
+    return f"""
+WITH arch(archetype, h, arch_micro) AS (
+  SELECT * FROM (VALUES
+    {rows}
+  )
+),
+per_uh AS (
+  SELECT user_id, hour(ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT user_id, SUM(c) AS n FROM per_uh GROUP BY 1),
+cells AS (
+  SELECT t.user_id, a.archetype,
+         CAST((1000000 * COALESCE(p.c, 0)) // t.n AS BIGINT)
+           - a.arch_micro AS diff
+  FROM totals t
+  CROSS JOIN arch a
+  LEFT JOIN per_uh p ON p.user_id = t.user_id AND p.h = a.h
+),
+dists AS (
+  SELECT user_id, archetype, SUM(diff * diff) AS d2
+  FROM cells GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, archetype, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY d2, archetype) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT archetype,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2
+FROM best
+GROUP BY archetype
+"""
+
+
+register("events_user_archetypes", _archetype_oracle())(events_user_archetypes)

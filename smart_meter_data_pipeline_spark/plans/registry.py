@@ -184,6 +184,7 @@ _PRIORITY = [
     "corpus_tokenizer_fertility",
     "meter_load_factor",
     "meter_diversity_factor",
+    "events_user_archetypes",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
