@@ -3327,3 +3327,160 @@ SELECT first_m AS m,
 FROM monthly
 """,
 )(orders_cumulative_customers)
+
+
+def orders_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting bridge (the SaaS/marketplace GMV
+    decomposition): month-over-month revenue change split into NEW
+    (first-ever month), RESURRECTED (returning after absence),
+    EXPANSION (same customer spending more), CONTRACTION (spending
+    less), and CHURNED (present last month, absent now) — with the
+    accounting identity gmv_m − gmv_{m−1} = new + resurrected +
+    expansion − contraction − churned holding EXACTLY in integer
+    cents (pinned by an invariant test).
+
+    Scale shape: per-(customer, month) rollup keyed by custkey; the
+    month-pair comparison is a self-join on (custkey, month+1) — the
+    same key family, no broadcast of anything customer-scaled; the
+    monthly bridge is a calendar-sized rollup. Month arithmetic is
+    integer (y·12+m)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("mi"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    cm = orders.groupBy("o_custkey", "mi").agg(
+        F.sum("cents").alias("rev")
+    )
+    first = cm.groupBy("o_custkey").agg(F.min("mi").alias("first_mi"))
+    cur = cm.select("o_custkey", "mi", F.col("rev").alias("rev_cur"))
+    prev = cm.select(
+        "o_custkey",
+        (F.col("mi") + 1).alias("mi"),
+        F.col("rev").alias("rev_prev"),
+    )
+    paired = (
+        cur.join(prev, ["o_custkey", "mi"], "full_outer")
+        .join(first, "o_custkey")
+        .filter(F.col("mi") > F.col("first_mi"))  # first month rows are
+        # emitted by the 'new' classification below via their own mi
+        .unionByName(
+            cm.join(first, "o_custkey")
+            .filter(F.col("mi") == F.col("first_mi"))
+            .select(
+                "o_custkey",
+                "mi",
+                F.col("rev").alias("rev_cur"),
+                F.lit(None).cast("long").alias("rev_prev"),
+                "first_mi",
+            )
+        )
+    )
+    is_new = (F.col("mi") == F.col("first_mi"))
+    cls = paired.select(
+        "mi",
+        F.coalesce("rev_cur", F.lit(0)).alias("rc"),
+        F.coalesce("rev_prev", F.lit(0)).alias("rp"),
+        F.when(is_new, "new")
+        .when(F.col("rev_cur").isNull(), "churned")
+        .when(F.col("rev_prev").isNull(), "resurrected")
+        .when(F.col("rc") >= F.col("rp"), "expansion")
+        .otherwise("contraction")
+        .alias("cls"),
+    )
+    return (
+        cls.groupBy("mi")
+        .agg(
+            F.sum("rc").cast("bigint").alias("gmv_cents"),
+            F.sum(F.when(F.col("cls") == "new", F.col("rc")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(
+                F.when(F.col("cls") == "resurrected", F.col("rc")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("resurrected_cents"),
+            F.sum(
+                F.when(
+                    F.col("cls") == "expansion", F.col("rc") - F.col("rp")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("expansion_cents"),
+            F.sum(
+                F.when(
+                    F.col("cls") == "contraction", F.col("rp") - F.col("rc")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("contraction_cents"),
+            F.sum(
+                F.when(F.col("cls") == "churned", F.col("rp")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("churned_cents"),
+        )
+        .select(
+            F.col("mi").cast("int").alias("month_index"),
+            "gmv_cents",
+            "new_cents",
+            "resurrected_cents",
+            "expansion_cents",
+            "contraction_cents",
+            "churned_cents",
+        )
+    )
+
+
+register(
+    "orders_growth_accounting",
+    """
+WITH cm AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 100 AS BIGINT))
+           AS rev
+  FROM orders GROUP BY 1, 2
+),
+first AS (SELECT o_custkey, MIN(mi) AS first_mi FROM cm GROUP BY 1),
+paired AS (
+  SELECT COALESCE(c.o_custkey, p.o_custkey) AS o_custkey,
+         COALESCE(c.mi, p.mi + 1) AS mi,
+         c.rev AS rev_cur, p.rev AS rev_prev
+  FROM cm c
+  FULL OUTER JOIN cm p
+    ON c.o_custkey = p.o_custkey AND c.mi = p.mi + 1
+),
+tagged AS (
+  SELECT pr.mi,
+         COALESCE(pr.rev_cur, 0) AS rc,
+         COALESCE(pr.rev_prev, 0) AS rp,
+         CASE WHEN pr.mi = f.first_mi THEN 'new'
+              WHEN pr.rev_cur IS NULL THEN 'churned'
+              WHEN pr.rev_prev IS NULL THEN 'resurrected'
+              WHEN COALESCE(pr.rev_cur, 0) >= COALESCE(pr.rev_prev, 0)
+                THEN 'expansion'
+              ELSE 'contraction' END AS cls
+  FROM paired pr JOIN first f ON pr.o_custkey = f.o_custkey
+  WHERE pr.mi >= f.first_mi
+)
+SELECT CAST(mi AS INT) AS month_index,
+       CAST(SUM(rc) AS BIGINT) AS gmv_cents,
+       CAST(SUM(CASE WHEN cls = 'new' THEN rc ELSE 0 END) AS BIGINT)
+         AS new_cents,
+       CAST(SUM(CASE WHEN cls = 'resurrected' THEN rc ELSE 0 END) AS BIGINT)
+         AS resurrected_cents,
+       CAST(SUM(CASE WHEN cls = 'expansion' THEN rc - rp ELSE 0 END)
+            AS BIGINT) AS expansion_cents,
+       CAST(SUM(CASE WHEN cls = 'contraction' THEN rp - rc ELSE 0 END)
+            AS BIGINT) AS contraction_cents,
+       CAST(SUM(CASE WHEN cls = 'churned' THEN rp ELSE 0 END) AS BIGINT)
+         AS churned_cents
+FROM tagged
+GROUP BY mi
+""",
+)(orders_growth_accounting)

@@ -88,3 +88,37 @@ def test_price_index_base_year_excluded_and_positive(spark, sf_dir):
         assert r["yr"] != BASE_YEAR
         assert r["index_milli"] > 0
         assert r["n_parts_matched"] > 0
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """The bridge must balance exactly: gmv_m - gmv_(m-1) =
+    new + resurrected + expansion - contraction - churned, in integer
+    cents, for every consecutive month pair."""
+    from smart_meter_data_pipeline_spark.operators.tpch import (
+        orders_growth_accounting,
+    )
+
+    rows = {
+        r["month_index"]: r
+        for r in orders_growth_accounting(spark, sf_dir).collect()
+    }
+    assert rows
+    for mi, r in rows.items():
+        prev = rows.get(mi - 1)
+        gmv_prev = prev["gmv_cents"] if prev else 0
+        delta = (
+            r["new_cents"]
+            + r["resurrected_cents"]
+            + r["expansion_cents"]
+            - r["contraction_cents"]
+            - r["churned_cents"]
+        )
+        assert r["gmv_cents"] - gmv_prev == delta, mi
+        for k in (
+            "new_cents",
+            "resurrected_cents",
+            "expansion_cents",
+            "contraction_cents",
+            "churned_cents",
+        ):
+            assert r[k] >= 0, (mi, k)
