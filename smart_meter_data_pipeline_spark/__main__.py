@@ -12,6 +12,9 @@ the reference's assorted entry points (producer loop, consumer loop,
     python -m smart_meter_data_pipeline_spark history <table_dir>
     python -m smart_meter_data_pipeline_spark restore <table_dir> <version>
     python -m smart_meter_data_pipeline_spark asof <table_dir> <unix_ts>
+    python -m smart_meter_data_pipeline_spark tag <table_dir> <name>
+    python -m smart_meter_data_pipeline_spark tags <table_dir>
+    python -m smart_meter_data_pipeline_spark untag <table_dir> <name>
 
 ``run`` executes any registered query (the full SURVEY §2 + LLM-ops
 registry); ``marts`` is the ``dbt run`` twin (rebuild staging + both
@@ -98,6 +101,24 @@ def _build_parser() -> argparse.ArgumentParser:
         help="unix seconds; resolves to the latest version committed "
         "at or before this instant",
     )
+
+    tagp = sub.add_parser(
+        "tag",
+        help="create an immutable named ref to a version "
+        "(default: current); tags are compaction GC roots",
+    )
+    tagp.add_argument("table_dir", help="ManifestTable directory")
+    tagp.add_argument("name", help="tag name ([A-Za-z0-9._-]{1,64})")
+    tagp.add_argument(
+        "--version", type=int, default=None, help="version to tag"
+    )
+
+    tags = sub.add_parser("tags", help="list a manifest table's tags")
+    tags.add_argument("table_dir", help="ManifestTable directory")
+
+    untag = sub.add_parser("untag", help="delete a tag")
+    untag.add_argument("table_dir", help="ManifestTable directory")
+    untag.add_argument("name", help="tag name")
     return p
 
 
@@ -114,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{oracle}")
         return 0
 
-    if args.cmd in ("history", "restore", "asof"):
+    if args.cmd in ("history", "restore", "asof", "tag", "tags", "untag"):
         # Metadata-only (one log listing; restore publishes one
         # commit) — no Spark session, same typo'd-path guard as
         # maintain.
@@ -142,6 +163,25 @@ def main(argv: list[str] | None = None) -> int:
                 print(str(e), file=sys.stderr)
                 return 2
             print(json.dumps({"version": v, "asof": args.timestamp}))
+            return 0
+        if args.cmd == "tag":
+            try:
+                print(json.dumps(t.create_tag(args.name, args.version)))
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            return 0
+        if args.cmd == "tags":
+            for row in t.list_tags():
+                print(json.dumps(row))
+            return 0
+        if args.cmd == "untag":
+            try:
+                t.delete_tag(args.name)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            print(json.dumps({"deleted": args.name}))
             return 0
         try:
             res = mf.restore_version(t, args.version)

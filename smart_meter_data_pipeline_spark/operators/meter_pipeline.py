@@ -1447,3 +1447,58 @@ SELECT CAST(sp.sum_ind_peaks AS BIGINT) AS sum_ind_peaks_mwh,
          AS diversity_factor_micro
 FROM sp, sys""",
 )(meter_diversity_factor)
+
+
+def manifest_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs under the driver gate: land the generator day as two
+    commits (even meters tagged 'baseline', then odd meters), then
+
+    - assert the tag still reads exactly the even-meter snapshot
+      after the second commit,
+    - assert a log compaction that would merge the tagged commit
+      NO-OPS (tags are GC roots — sources/manifest.py compact_log),
+      and the tag read is unchanged after the attempt,
+    - return the current read — against the PLAIN generator oracle.
+
+    This is the savepoint workflow (tag a corpus version before a
+    risky restatement; readers pin the tag) with its two safety
+    properties checked in-query."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        compact_log,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_tag_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(
+            spark, readings.filter(F.col("meter_id") % 2 == 0)
+        )
+        t.create_tag("baseline")
+        t.idempotent_append(
+            spark, readings.filter(F.col("meter_id") % 2 == 1)
+        )
+        n_even = readings.filter(F.col("meter_id") % 2 == 0).count()
+        if t.read(spark, tag="baseline").count() != n_even:
+            raise AssertionError("tag drifted after the second commit")
+        if compact_log(t, keep_last=1) != 0:
+            raise AssertionError(
+                "compaction merged a tagged commit (GC-root violation)"
+            )
+        if t.read(spark, tag="baseline").count() != n_even:
+            raise AssertionError("tag drifted after compaction attempt")
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_tag_read",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings""",
+)(manifest_tag_read)

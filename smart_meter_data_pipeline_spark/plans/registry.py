@@ -186,6 +186,7 @@ _PRIORITY = [
     "meter_diversity_factor",
     "events_user_archetypes",
     "orders_growth_accounting",
+    "manifest_tag_read",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

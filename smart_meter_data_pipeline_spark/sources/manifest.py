@@ -45,6 +45,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -54,6 +55,7 @@ from pyspark.sql import functions as F
 
 COMMITS_DIRNAME = "_commits"
 DATA_DIRNAME = "_data"
+REFS_DIRNAME = "_refs"
 
 PK = ["reading_timestamp", "meter_id"]
 
@@ -120,9 +122,11 @@ class ManifestTable:
         self.constraints = list(constraints) if constraints else []
         self.commits_dir = os.path.join(table_dir, COMMITS_DIRNAME)
         self.data_dir = os.path.join(table_dir, DATA_DIRNAME)
+        self.refs_dir = os.path.join(table_dir, REFS_DIRNAME)
         self._recover_interrupted_compaction()
         os.makedirs(self.commits_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.refs_dir, exist_ok=True)
         # Test seam: invoked between validation/staging and the
         # publish attempt, so tests can deterministically land a
         # competing commit in the exact window the optimistic
@@ -269,12 +273,86 @@ class ManifestTable:
             )
         return best
 
+    # -- tags (named immutable refs — Delta/Iceberg savepoint parity) ------
+
+    _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+
+    def create_tag(self, name: str, version: int | None = None) -> dict:
+        """Tag a version (default: the current one) with an immutable
+        named ref. Tags pin the commit's stable NUMBER, not its log
+        position, so they survive compaction renumbering-free;
+        resolving a tag whose commit was later merged into the
+        compaction base fails with a clear error — the same
+        granularity loss Delta accepts after log cleanup. Creation is
+        put-if-absent: tags are immutable (delete then re-create to
+        move one), and concurrent same-name creators get one winner."""
+        if not self._TAG_NAME_RE.match(name or ""):
+            raise ValueError(
+                f"bad tag name {name!r}: use 1-64 chars of [A-Za-z0-9._-]"
+            )
+        numbered = self.numbered_snapshot()
+        if not numbered:
+            raise ValueError(f"cannot tag an empty table: {self.table_dir}")
+        if version is None:
+            version = len(numbered) - 1
+        if version < 0 or version >= len(numbered):
+            raise ValueError(
+                f"version {version} out of range: table has "
+                f"{len(numbered)} commits"
+            )
+        payload = {
+            "name": name,
+            "commit_number": numbered[version][0],
+            "created_at": time.time(),
+        }
+        path = os.path.join(self.refs_dir, f"{name}.json")
+        if not _put_if_absent(path, json.dumps(payload).encode()):
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable — "
+                "delete_tag then re-create to move one)"
+            )
+        return payload
+
+    def list_tags(self) -> list[dict]:
+        out = []
+        for n in sorted(os.listdir(self.refs_dir)):
+            if n.endswith(".json"):
+                with open(os.path.join(self.refs_dir, n)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        path = os.path.join(self.refs_dir, f"{name}.json")
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            raise ValueError(f"no such tag: {name!r}") from None
+
+    def version_of_tag(self, name: str) -> int:
+        """Positional version a tag resolves to in the CURRENT log."""
+        path = os.path.join(self.refs_dir, f"{name}.json")
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(f"no such tag: {name!r}") from None
+        num = payload["commit_number"]
+        for i, (n, _) in enumerate(self.numbered_snapshot()):
+            if n == num:
+                return i
+        raise ValueError(
+            f"tag {name!r} points at commit number {num}, which is not "
+            "addressable in the current log (a foreign/stale ref — the "
+            "in-protocol compaction never merges tagged commits)"
+        )
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         dates: list | None = None,
         asof: float | None = None,
+        tag: str | None = None,
     ) -> DataFrame | None:
         """The committed table contents (None when no commits yet).
 
@@ -305,11 +383,15 @@ class ManifestTable:
         ``asof`` (unix seconds) is TIMESTAMP AS OF: resolved to the
         latest version committed at or before that instant via
         :meth:`version_asof`, then read as a version time-travel.
-        Mutually exclusive with ``version``."""
+        ``tag`` reads a named ref (:meth:`create_tag`). version /
+        asof / tag are mutually exclusive."""
+        n_selectors = sum(x is not None for x in (version, asof, tag))
+        if n_selectors > 1:
+            raise ValueError("pass at most one of version / asof / tag")
         if asof is not None:
-            if version is not None:
-                raise ValueError("pass version OR asof, not both")
             version = self.version_asof(asof)
+        if tag is not None:
+            version = self.version_of_tag(tag)
         commits = self.snapshot()
         if version is not None:
             if version < 0 or version >= len(commits):
@@ -1168,6 +1250,20 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         if len(numbered) <= max(keep_last, 1):
             return 0
         cut = len(numbered) - keep_last
+        # Tags are GC roots (Iceberg ref-based retention): a tagged
+        # commit must stay individually addressable, and the merged
+        # base REUSES the lowest number — so merging a tagged commit
+        # would silently point its tag at different content. Clamp the
+        # cut to before the oldest tagged commit.
+        tagged = {t["commit_number"] for t in table.list_tags()}
+        if tagged:
+            for i in range(cut):
+                if numbered[i][0] in tagged:
+                    cut = i
+                    break
+        if cut < 2:
+            # merging 0 or 1 commits is a no-op (the base IS the commit)
+            return 0
         base = numbered[:cut]
         # NUMBERS ARE PRESERVED: the base reuses the lowest existing
         # number (0 in practice), the tail keeps its original numbers.

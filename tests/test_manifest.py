@@ -1517,3 +1517,56 @@ def test_timestamp_asof_resolution(spark, table_dir):
     assert snaps2[0]["committed_at"] == stamps[1]
     assert t.version_asof(stamps[1]) == 0
     assert t.read(spark, asof=stamps[2]).count() == 30
+
+
+def test_tags_pin_numbers_and_survive_compaction(spark, table_dir):
+    """Tags: immutable named refs by stable commit number — reads see
+    the tagged snapshot after later mutations; compaction treats tags
+    as GC ROOTS (it clamps its cut before the oldest tagged commit, so
+    a tagged snapshot can never silently drift onto merged-base
+    content); duplicate creation, bad names, unknown and foreign refs
+    all raise; delete + re-create moves a tag."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))    # v0 (num 0)
+    t.create_tag("launch")                                    # -> num 0
+    t.idempotent_append(spark, _valid_batch(spark, 11, 21))   # v1
+    t.idempotent_append(spark, _valid_batch(spark, 21, 31))   # v2
+    assert t.read(spark, tag="launch").count() == 10
+    assert t.version_of_tag("launch") == 0
+    assert [x["name"] for x in t.list_tags()] == ["launch"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.create_tag("launch")  # immutable
+    with _pytest.raises(ValueError):
+        t.create_tag("bad/name")
+    with _pytest.raises(ValueError):
+        t.read(spark, tag="nope")
+    with _pytest.raises(ValueError):
+        t.read(spark, version=1, tag="launch")
+
+    # the tag is a GC root: compaction that would merge num 0 no-ops
+    assert manifest.compact_log(t, keep_last=1) == 0
+    assert t.read(spark, tag="launch").count() == 10
+
+    # delete the root; compaction now merges the head, tail tag survives
+    t.create_tag("latest", version=2)
+    t.delete_tag("launch")
+    assert manifest.compact_log(t, keep_last=1) > 0
+    assert t.read(spark, tag="latest").count() == 30
+    assert t.version_of_tag("latest") >= 0
+
+    # a foreign/stale ref (number never in this log) fails clearly
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(t.refs_dir, "foreign.json"), "w") as fh:
+        _json.dump({"name": "foreign", "commit_number": 999}, fh)
+    with _pytest.raises(ValueError, match="not .?addressable"):
+        t.version_of_tag("foreign")
+
+    t.create_tag("launch")  # re-created at the current version
+    assert t.read(spark, tag="launch").count() == 30
+    with _pytest.raises(ValueError):
+        t.delete_tag("never-existed")
