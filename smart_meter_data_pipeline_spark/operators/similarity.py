@@ -2884,3 +2884,112 @@ FROM s{k - 1}
 register("embedding_kcenter_coreset", _kcenter_oracle())(
     embedding_kcenter_coreset
 )
+
+
+TOPIC_TOPK = 3
+
+
+def cluster_topic_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: for every k-means cluster (the semantic-dedup
+    assignment; vec_id ↔ doc_id), the top-{TOPIC_TOPK} tokens by lift
+    — (token share within the cluster) / (share in the corpus),
+    computed as ONE integer division (1000·n_cw·T) div (n_c·t_w) —
+    the names a human reads on a cluster dashboard and the sanity
+    check that a "semantic" cluster actually has a lexical identity.
+    Rational lift, not PMI (ln is not cross-engine exact); ties break
+    (lift desc, word asc). The 1000·n_cw·t_total product stays inside
+    int64 far past any parity scale; if the corpus token count ever
+    approaches 1e7.5, drop the lift scale to centi.
+
+    Scale shape: the Lloyd assignment is the already-bounded pipeline;
+    token counts roll up per (cluster, word) map-side; the rank
+    window partitions per cluster over its vocabulary only. Output:
+    (cluster_id, rank, word, lift_milli, n_in_cluster)."""
+    _, members, _cent, _norm2 = _fixed_kmeans_assignment(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from smart_meter_data_pipeline_spark.operators.text import tokens
+
+    words = docs.select(
+        "doc_id", F.explode(tokens()).alias("word")
+    ).join(
+        members.select(F.col("vec_id").alias("doc_id"), "cluster_id"),
+        "doc_id",
+    )
+    cw = words.groupBy("cluster_id", "word").agg(
+        F.count(F.lit(1)).alias("n_cw")
+    )
+    c_tot = cw.groupBy("cluster_id").agg(F.sum("n_cw").alias("n_c"))
+    w_tot = cw.groupBy("word").agg(F.sum("n_cw").alias("t_w"))
+    grand = w_tot.agg(F.sum("t_w").alias("t_total"))
+    scored = (
+        cw.join(c_tot, "cluster_id")
+        .join(w_tot, "word")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "cluster_id",
+            "word",
+            "n_cw",
+            F.expr(
+                "CAST((1000 * n_cw * t_total) div (n_c * t_w) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("lift_milli"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPIC_TOPK)
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            "lift_milli",
+            F.col("n_cw").cast("bigint").alias("n_in_cluster"),
+        )
+    )
+
+
+def _topic_oracle() -> str:
+    final_sql = f"""
+, toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+wrds AS (SELECT doc_id, unnest(arr) AS word FROM toks),
+assigned AS (
+  SELECT w.word, a.cluster_id
+  FROM wrds w JOIN {{final}} a ON w.doc_id = a.vec_id
+),
+cw AS (
+  SELECT cluster_id, word, COUNT(*) AS n_cw
+  FROM assigned GROUP BY 1, 2
+),
+c_tot AS (SELECT cluster_id, SUM(n_cw) AS n_c FROM cw GROUP BY 1),
+w_tot AS (SELECT word, SUM(n_cw) AS t_w FROM cw GROUP BY 1),
+grand AS (SELECT SUM(t_w) AS t_total FROM w_tot),
+scored AS (
+  SELECT cw.cluster_id, cw.word, cw.n_cw,
+         CAST((1000 * cw.n_cw * g.t_total)
+              // (ct.n_c * wt.t_w) AS BIGINT) AS lift_milli
+  FROM cw
+  JOIN c_tot ct ON cw.cluster_id = ct.cluster_id
+  JOIN w_tot wt ON cw.word = wt.word
+  CROSS JOIN grand g
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY lift_milli DESC, word) AS rank
+  FROM scored
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(rank AS INT) AS rank,
+       word, lift_milli,
+       CAST(n_cw AS BIGINT) AS n_in_cluster
+FROM ranked WHERE rank <= {TOPIC_TOPK}
+"""
+    return _kmeans_fixed_oracle(final_sql=final_sql)
+
+
+register("cluster_topic_words", _topic_oracle())(cluster_topic_words)

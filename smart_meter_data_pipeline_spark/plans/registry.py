@@ -187,6 +187,7 @@ _PRIORITY = [
     "events_user_archetypes",
     "orders_growth_accounting",
     "manifest_tag_read",
+    "cluster_topic_words",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
