@@ -188,6 +188,9 @@ _PRIORITY = [
     "orders_growth_accounting",
     "manifest_tag_read",
     "cluster_topic_words",
+    "lineitem_bloom_semijoin",
+    "events_encoding_advisor",
+    "sample_weighted_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
@@ -246,6 +249,7 @@ def load_all() -> None:
         incremental,
         skew,
         expectations,
+        scale_ops,
     )
     from smart_meter_data_pipeline_spark.streaming import stream_queries  # noqa: F401
 

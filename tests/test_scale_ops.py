@@ -1,0 +1,116 @@
+"""Invariant tests for the scale-technique operators: Bloom-filter
+runtime-join transparency (no false negatives, real pruning), the
+encoding advisor's accounting, and priority-sampling determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.scale_ops import (
+    BLOOM_HASHES,
+    BLOOM_WORDS,
+    PRIORITY_SAMPLE_K,
+    URGENT_CUTOFF,
+    bloom_bitmap_rows,
+    events_encoding_advisor,
+    lineitem_bloom_semijoin,
+    sample_weighted_priority,
+)
+from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+
+def test_bloom_semijoin_equals_plain_join(spark, sf_dir):
+    """The Bloom prefilter must be result-transparent: the rollup over
+    the pruned probe equals the plain exact-join rollup."""
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["revenue"],
+            r["n_items"],
+            r["n_orders"],
+        )
+        for r in lineitem_bloom_semijoin(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit(URGENT_CUTOFF))
+    )
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["revenue"],
+            r["n_items"],
+            r["n_orders"],
+        )
+        for r in plain.collect()
+    }
+    assert got == want
+
+
+def test_bloom_bitmap_bounded_and_complete(spark, sf_dir):
+    """The bitmap payload is bounded by its word count, never the
+    data; and every build key tests positive (no false negatives)."""
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    rows = bloom_bitmap_rows(build, "o_orderkey")
+    assert 1 <= len(rows) <= BLOOM_WORDS
+    bitmap = {r["word"]: r["bits"] for r in rows}
+    # No false negatives: recompute each key's positions and test bits.
+    from smart_meter_data_pipeline_spark.operators.scale_ops import (
+        _bloom_positions,
+    )
+    pos = build.select(
+        "o_orderkey", *[p.alias(f"p{i}") for i, p in enumerate(_bloom_positions(F.col("o_orderkey")))]
+    )
+    for r in pos.limit(200).collect():
+        for i in range(BLOOM_HASHES):
+            p = r[f"p{i}"]
+            assert bitmap.get(p // 64, 0) >> (p % 64) & 1 == 1
+
+
+def test_encoding_advisor_accounting(spark, sf_dir):
+    rows = {r["column_name"]: r for r in events_encoding_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {"event_type", "user_id", "value", "props"}
+    n = next(iter(rows.values()))["n_rows"]
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 1 <= r["n_distinct"] <= n
+        assert 0 <= r["distinct_ratio_micro"] <= 1_000_000
+        assert r["recommended_encoding"] in ("DICT", "PLAIN")
+        expected = (
+            "DICT" if r["distinct_ratio_micro"] < 100_000 else "PLAIN"
+        )
+        assert r["recommended_encoding"] == expected
+    # event_type is a tiny enum — must always come out dictionary-coded.
+    assert rows["event_type"]["recommended_encoding"] == "DICT"
+
+
+def test_priority_sample_deterministic_and_thresholded(spark, sf_dir):
+    a = sample_weighted_priority(spark, sf_dir).collect()
+    b = sample_weighted_priority(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == PRIORITY_SAMPLE_K
+    tau = a[0]["tau"]
+    for r in a:
+        assert r["tau"] == tau
+        assert r["priority"] >= tau
+        assert r["weight"] > 0
+    # Priorities are sorted descending with doc_id tiebreak.
+    keys = [(-r["priority"], r["doc_id"]) for r in a]
+    assert keys == sorted(keys)
