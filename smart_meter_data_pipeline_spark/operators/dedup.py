@@ -1808,3 +1808,175 @@ JOIN sizes sa ON e.source_a = sa.source
 JOIN sizes sb ON e.source_b = sb.source
 """,
 )(corpus_source_minhash_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+# Token-3gram Jaccard threshold for the prefix-filter path. 3-grams of
+# word tokens (not char shingles) keep the sets small (~n_tokens per
+# doc) while staying discriminative enough that the background corpus
+# sits far below the threshold.
+PREFIX_JACCARD_MILLI = 800
+
+
+def _token_3grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) — DISTINCT word-token 3-grams per document."""
+    w = docs.select("doc_id", tokens().alias("w")).filter(F.size("w") >= 3)
+    return w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), i ->"
+                " concat(element_at(w, i), ' ', element_at(w, i + 1),"
+                " ' ', element_at(w, i + 2)))"
+            )
+        ).alias("g"),
+    ).distinct()
+
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join via prefix filtering (PPJoin family —
+    Xiao, Wang, Lin, Yu, WWW 2008): order each document's token-3gram
+    set by GLOBAL rarity (document frequency asc, gram asc), keep only
+    the first |x| − ⌈t·|x|⌉ + 1 grams as the *prefix*, and generate
+    candidate pairs from a prefix⋈prefix equi-join. The prefix-filter
+    theorem guarantees every pair with Jaccard ≥ t shares at least one
+    prefix gram, so recall is exact; candidates are then verified with
+    an exact intersection count and pure-integer Jaccard test
+    (1000·∩ ≥ {t_milli}·∪).
+
+    Contrast with the MinHash/LSH path above: LSH is probabilistic
+    (recall < 1 by construction) and hash-sized; prefix filtering is
+    EXACT with a candidate volume bounded by the df of the rarest
+    grams — at 100 TB the join key distribution is exactly the rare
+    tail of the gram table, so fan-out per key stays tiny while hot
+    boilerplate grams never enter any prefix (they sort last). The
+    size filter (t ≤ |a|/|b| ≤ 1/t) prunes cross-size pairs before
+    the verify join.
+
+    Scale shape: one corpus scan → distinct gram table; df rollup and
+    per-doc rarity rank are map-side-combining aggregations / one
+    window keyed by doc; candidate generation joins only PREFIX rows;
+    verification is an equi-join on (doc, gram). No all-pairs stage
+    anywhere.
+    """
+    from pyspark.sql import Window
+
+    t = PREFIX_JACCARD_MILLI  # milli-units
+    grams = _token_3grams(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_tab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        grams.join(df_tab, "g")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "g")
+            ),
+        )
+        .join(sizes, "doc_id")
+        # prefix length = n − ⌈t·n⌉ + 1, all-integer ceil
+        .filter(F.expr(f"pos <= n - ((({t}) * n + 999) div 1000) + 1"))
+        .select("doc_id", "g", "n")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("n_a")
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("g").alias("g_b"),
+        F.col("n").alias("n_b"),
+    )
+    candidates = (
+        a.join(
+            b,
+            (F.col("g") == F.col("g_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            # size filter: J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|)
+            & (F.col("n_a") * t <= F.col("n_b") * 1000)
+            & (F.col("n_b") * t <= F.col("n_a") * 1000),
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("g_b"))
+    inter = (
+        candidates.join(ga, "doc_a")
+        .join(gb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("g") == F.col("g_b")))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.filter(
+            F.col("n_inter") * 1000
+            >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("(1000 * n_inter) div (n_a + n_b - n_inter)")
+            .cast("bigint")
+            .alias("jaccard_milli"),
+        )
+    )
+
+
+register(
+    "dedup_prefix_filter_join",
+    f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, len(w) - 1)]) AS g
+  FROM toks WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+df_tab AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1),
+ranked AS (
+  SELECT gr.doc_id, gr.g, s.n,
+         ROW_NUMBER() OVER (PARTITION BY gr.doc_id ORDER BY d.df, gr.g)
+           AS pos
+  FROM grams gr JOIN df_tab d ON gr.g = d.g
+  JOIN sizes s ON gr.doc_id = s.doc_id
+),
+prefix AS (
+  SELECT doc_id, g, n FROM ranked
+  WHERE pos <= n - CAST(({PREFIX_JACCARD_MILLI} * n + 999) // 1000 AS BIGINT) + 1
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS n_a, b.n AS n_b
+  FROM prefix a JOIN prefix b
+    ON a.g = b.g AND a.doc_id < b.doc_id
+   AND a.n * {PREFIX_JACCARD_MILLI} <= b.n * 1000
+   AND b.n * {PREFIX_JACCARD_MILLI} <= a.n * 1000
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, COUNT(*) AS n_inter
+  FROM candidates c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST((1000 * n_inter) // (n_a + n_b - n_inter) AS BIGINT)
+         AS jaccard_milli
+FROM inter
+WHERE n_inter * 1000 >= {PREFIX_JACCARD_MILLI} * (n_a + n_b - n_inter)
+""",
+)(dedup_prefix_filter_join)

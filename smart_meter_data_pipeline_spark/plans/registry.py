@@ -189,6 +189,7 @@ _PRIORITY = [
     "manifest_tag_read",
     "cluster_topic_words",
     "lineitem_bloom_semijoin",
+    "dedup_prefix_filter_join",
     "events_encoding_advisor",
     "sample_weighted_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)

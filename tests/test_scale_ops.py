@@ -114,3 +114,46 @@ def test_priority_sample_deterministic_and_thresholded(spark, sf_dir):
     # Priorities are sorted descending with doc_id tiebreak.
     keys = [(-r["priority"], r["doc_id"]) for r in a]
     assert keys == sorted(keys)
+
+
+def test_prefix_filter_join_exact_recall(spark, sf_dir):
+    """The prefix filter must lose NO pair: its output equals the
+    unfiltered inverted-index join (pairs sharing >=1 gram) verified
+    with the same integer Jaccard test."""
+    from smart_meter_data_pipeline_spark.operators.dedup import (
+        PREFIX_JACCARD_MILLI,
+        _token_3grams,
+        dedup_prefix_filter_join,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard_milli"])
+        for r in dedup_prefix_filter_join(spark, sf_dir).collect()
+    }
+    grams = _token_3grams(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = (
+        a.join(b, (F.col("g") == F.col("g_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .filter(
+            F.col("n_inter") * 1000
+            >= F.lit(PREFIX_JACCARD_MILLI)
+            * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_inter"],
+            (1000 * r["n_inter"]) // (r["n_a"] + r["n_b"] - r["n_inter"]),
+        )
+        for r in inter.collect()
+    }
+    assert got == want
+    assert got  # planted near-dups must surface at the test SF
