@@ -1489,3 +1489,69 @@ FROM s{k - 1}
 
 
 register("doc_maxcover_selection", _maxcover_oracle())(doc_maxcover_selection)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+K_ANONYMITY = 5
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (event_type, ISO day-of-week, value band of width 50): the
+    equivalence-class size histogram plus a risky flag for classes
+    smaller than k={K_ANONYMITY} — the Sweeney re-identification
+    criterion a privacy review runs BEFORE releasing a derived
+    dataset. A release is k-anonymous iff no risky row exists; the
+    histogram (not just the boolean) shows how far away it is and
+    which generalization (wider value bands, coarser time) would fix
+    it.
+
+    Scale shape: two map-side-combining aggregations (rows → classes
+    → histogram), grouping-key cardinality bounded by the QI domain
+    (types × 7 × bands), not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).alias("dow"),
+        F.expr("CAST(floor(value / 50) AS INT)").alias("value_band"),
+    )
+    classes = qi.groupBy("event_type", "dow", "value_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        classes.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("class_size"),
+            F.col("n_classes").cast("bigint").alias("n_classes"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("k") < K_ANONYMITY).alias("risky"),
+        )
+    )
+
+
+register(
+    "events_k_anonymity",
+    f"""
+WITH qi AS (
+  SELECT event_type, isodow(ts) AS dow,
+         CAST(floor(value / 50) AS INT) AS value_band
+  FROM events
+),
+classes AS (
+  SELECT event_type, dow, value_band, COUNT(*) AS k
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT CAST(k AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       k < {K_ANONYMITY} AS risky
+FROM classes GROUP BY k
+""",
+)(events_k_anonymity)

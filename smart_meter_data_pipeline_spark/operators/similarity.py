@@ -2993,3 +2993,162 @@ FROM ranked WHERE rank <= {TOPIC_TOPK}
 
 
 register("cluster_topic_words", _topic_oracle())(cluster_topic_words)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-dimension) retrieval evaluation
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = 16  # evaluated prefix width (full vectors are 64-d)
+
+
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of PREFIX-dimension retrieval vs full-dimension
+    retrieval — the evaluation behind Matryoshka-style embeddings
+    (Kusupati et al., NeurIPS 2022): if the first {MATRYOSHKA_DIMS} of
+    64 dims retrieve nearly the same top-k, the serving index can
+    store/scan 4× less vector data and re-rank the shortlist with the
+    full vectors. Per query: the overlap count between the truncated
+    top-{TOP_K} and the full top-{TOP_K}, and recall in milli-units.
+
+    Scale shape: both rankings share ONE corpus scan; the query side
+    ({N_QUERIES} rows) broadcasts; per-query ranking is a window over
+    the corpus partitioned by query (at a real 100 TB serving corpus
+    the brute-force stage swaps for the IVF path above — this query
+    is the EVALUATOR, run on a sampled corpus slice, not the server).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, MATRYOSHKA_DIMS).alias("trunc"),
+    )
+    emb = emb.withColumn("norm2", _dot("embedding", "embedding")).withColumn(
+        "tnorm2", _dot("trunc", "trunc")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("trunc").alias("qt"),
+        F.col("norm2").alias("q_norm2"),
+        F.col("tnorm2").alias("qt_norm2"),
+    )
+    pairs = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_full",
+            F.round(
+                F.expr(_DOT.format(a="qe", b="embedding"))
+                / (F.sqrt("q_norm2") * F.sqrt("norm2")),
+                12,
+            ),
+        )
+        .withColumn(
+            "cos_trunc",
+            F.round(
+                F.expr(_DOT.format(a="qt", b="trunc"))
+                / (F.sqrt("qt_norm2") * F.sqrt("tnorm2")),
+                12,
+            ),
+        )
+        .select("query_id", "vec_id", "cos_full", "cos_trunc")
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("vec_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_trunc).alias("r_trunc"),
+    )
+    common = (
+        ranked.filter(
+            (F.col("r_full") <= TOP_K) & (F.col("r_trunc") <= TOP_K)
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        queries.select("query_id")
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_common"),
+            F.expr(f"(1000 * coalesce(n_common, 0)) div {TOP_K}")
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+    )
+
+
+register(
+    "embedding_matryoshka_recall",
+    f"""
+WITH base AS (
+  SELECT vec_id, embedding AS ee, embedding[1:{MATRYOSHKA_DIMS}] AS te
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         q.ee AS qe, q.te AS qt, e.ee AS ee, e.te AS te
+  FROM base q, base e
+  WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id
+),
+un AS (
+  SELECT query_id, vec_id,
+         CAST(unnest(qe) AS DOUBLE) AS qx,
+         CAST(unnest(ee) AS DOUBLE) AS ex,
+         generate_subscripts(qe, 1) AS i
+  FROM pairs
+),
+dots AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(CAST(qx * ex AS DECIMAL(30,15))) AS DOUBLE) AS dot_full,
+         CAST(SUM(CAST(qx * qx AS DECIMAL(30,15))) AS DOUBLE) AS nq_full,
+         CAST(SUM(CAST(ex * ex AS DECIMAL(30,15))) AS DOUBLE) AS ne_full,
+         CAST(SUM(CASE WHEN i <= {MATRYOSHKA_DIMS}
+                       THEN CAST(qx * ex AS DECIMAL(30,15))
+                       ELSE CAST(0 AS DECIMAL(30,15)) END) AS DOUBLE)
+           AS dot_t,
+         CAST(SUM(CASE WHEN i <= {MATRYOSHKA_DIMS}
+                       THEN CAST(qx * qx AS DECIMAL(30,15))
+                       ELSE CAST(0 AS DECIMAL(30,15)) END) AS DOUBLE)
+           AS nq_t,
+         CAST(SUM(CASE WHEN i <= {MATRYOSHKA_DIMS}
+                       THEN CAST(ex * ex AS DECIMAL(30,15))
+                       ELSE CAST(0 AS DECIMAL(30,15)) END) AS DOUBLE)
+           AS ne_t
+  FROM un GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot_full / (sqrt(nq_full) * sqrt(ne_full)), 12)
+                    DESC, vec_id) AS r_full,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot_t / (sqrt(nq_t) * sqrt(ne_t)), 12)
+                    DESC, vec_id) AS r_trunc
+  FROM dots
+),
+common AS (
+  SELECT query_id, COUNT(*) AS n_common
+  FROM ranked
+  WHERE r_full <= {TOP_K} AND r_trunc <= {TOP_K}
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST((1000 * COALESCE(c.n_common, 0)) // {TOP_K} AS BIGINT)
+         AS recall_milli
+FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+      WHERE vec_id < {N_QUERIES}) q
+LEFT JOIN common c ON q.query_id = c.query_id
+""",
+)(embedding_matryoshka_recall)

@@ -190,6 +190,8 @@ _PRIORITY = [
     "cluster_topic_words",
     "lineitem_bloom_semijoin",
     "dedup_prefix_filter_join",
+    "embedding_matryoshka_recall",
+    "events_k_anonymity",
     "events_encoding_advisor",
     "sample_weighted_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)

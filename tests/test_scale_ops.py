@@ -157,3 +157,33 @@ def test_prefix_filter_join_exact_recall(spark, sf_dir):
     }
     assert got == want
     assert got  # planted near-dups must surface at the test SF
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        embedding_matryoshka_recall,
+    )
+
+    rows = embedding_matryoshka_recall(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r["n_common"] <= TOP_K
+        assert r["recall_milli"] == (1000 * r["n_common"]) // TOP_K
+
+
+def test_k_anonymity_accounting(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        K_ANONYMITY,
+        events_k_anonymity,
+    )
+
+    rows = events_k_anonymity(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_rows"] for r in rows)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events  # every event lands in exactly one class
+    for r in rows:
+        assert r["n_rows"] == r["class_size"] * r["n_classes"]
+        assert r["risky"] == (r["class_size"] < K_ANONYMITY)
