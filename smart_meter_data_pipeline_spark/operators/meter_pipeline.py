@@ -1502,3 +1502,66 @@ register(
     f"""WITH {_readings_cte()}
 SELECT * FROM readings""",
 )(manifest_tag_read)
+
+
+def manifest_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the driver gate: land the generator day as
+    two commits, zero-copy clone the table, then
+
+    - assert the clone was created WITHOUT copying a single data file
+      (its data dir is empty right after the clone),
+    - delete the even meters FROM THE CLONE (copy-on-write) and
+      assert the SOURCE still reads the full day — divergence is
+      isolated,
+    - assert the clone reads exactly the odd meters,
+
+    and return the clone's read — against the generator oracle
+    filtered to odd meters, so the hash certifies the entire
+    clone→mutate→read path end-to-end (sources/manifest.py
+    shallow_clone; Delta SHALLOW CLONE semantics)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        PK,
+        ManifestTable,
+        shallow_clone,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_clone_q_")
+    try:
+        src = ManifestTable(os.path.join(workdir, "src"))
+        readings = gen_meter_readings(spark)
+        src.idempotent_append(
+            spark, readings.filter(F.col("meter_id") % 2 == 0)
+        )
+        src.idempotent_append(
+            spark, readings.filter(F.col("meter_id") % 2 == 1)
+        )
+        clone = shallow_clone(src, os.path.join(workdir, "clone"))
+        if any(files for _, _, files in os.walk(clone.data_dir)):
+            raise AssertionError("shallow clone copied data files")
+        doomed = (
+            clone.read(spark)
+            .filter(F.col("meter_id") % 2 == 0)
+            .select(*PK)
+        )
+        clone.delete_keys(spark, doomed)
+        n_total = readings.count()
+        if src.read(spark).count() != n_total:
+            raise AssertionError("clone mutation leaked into the source")
+        return (
+            clone.read(spark)
+            .select(*readings.columns)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_clone_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings WHERE meter_id % 2 = 1""",
+)(manifest_clone_roundtrip)

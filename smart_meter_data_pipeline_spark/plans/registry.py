@@ -192,6 +192,7 @@ _PRIORITY = [
     "dedup_prefix_filter_join",
     "embedding_matryoshka_recall",
     "events_k_anonymity",
+    "manifest_clone_roundtrip",
     "events_encoding_advisor",
     "sample_weighted_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)

@@ -1581,3 +1581,72 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
                 with contextlib.suppress(OSError):
                     os.rmdir(p)
         return removed
+
+
+def shallow_clone(source: ManifestTable, target_dir: str) -> ManifestTable:
+    """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``
+    parity): a new table at ``target_dir`` whose single base commit
+    references the SOURCE's live data files — no bytes copied, clone
+    cost is one metadata commit regardless of table size.
+
+    Mechanics: the clone's ``added`` entries are data-dir-RELATIVE
+    traversal paths (``../..``-style) that resolve to the source's
+    files, so every existing reader/mutator works unchanged: reads
+    follow the paths; copy-on-write mutations record removals with the
+    SAME relative strings (``_rel`` computes them against the clone's
+    data dir) and write survivors into the clone's own data dir;
+    ``optimize_table`` naturally MATERIALIZES the clone (rewrites into
+    local files); the clone's vacuum can never delete source bytes
+    (it only sweeps the clone's own data dir). Divergence after the
+    clone point is therefore fully isolated — the Delta semantics.
+
+    Carried metadata: evolved schema (so evolution history collapses
+    to one recorded schema), per-file skipping stats (live files
+    only, keyed by the clone-relative path), and the union of commit
+    dates (over-approximate like all add-side date pruning).
+
+    HAZARD (same as Delta): the source's VACUUM does not know about
+    clones — a CoW mutation or OPTIMIZE on the SOURCE followed by its
+    vacuum can delete files the clone still references. Clones are
+    for short-lived branches (experiments, dev snapshots, blue/green
+    validation), not long-term archival; materialize with
+    ``optimize_table`` to cut the dependency."""
+    numbered = source.numbered_snapshot()
+    if not numbered:
+        raise ValueError(f"cannot clone an empty table: {source.table_dir}")
+    commits = [c for _, c in numbered]
+    live_abs = source._files(commits)
+
+    clone = ManifestTable(
+        target_dir,
+        stats_columns=source.stats_columns,
+        constraints=source.constraints,
+    )
+    if clone.snapshot():
+        raise ValueError(f"clone target is not empty: {target_dir}")
+
+    stats_by_abs: dict[str, dict] = {}
+    for c in commits:
+        for f, s in (c.get("stats") or {}).items():
+            stats_by_abs[os.path.join(source.data_dir, f)] = s
+    rel_of = {p: os.path.relpath(p, clone.data_dir) for p in live_abs}
+    schema = source._evolved_schema(commits)
+    payload = {
+        "version": 0,
+        "added": [rel_of[p] for p in live_abs],
+        "dates": sorted({d for c in commits for d in c["dates"]}),
+        "stats": {
+            rel_of[p]: stats_by_abs[p]
+            for p in live_abs
+            if p in stats_by_abs
+        },
+        "committed_at": time.time(),
+        "cloned_from": source.table_dir,
+    }
+    if schema is not None:
+        payload["schema"] = schema.json()
+    if not _put_if_absent(
+        clone._commit_path(0), json.dumps(payload).encode()
+    ):
+        raise ValueError(f"clone target is not empty: {target_dir}")
+    return clone

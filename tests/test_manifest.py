@@ -1570,3 +1570,84 @@ def test_tags_pin_numbers_and_survive_compaction(spark, table_dir):
     assert t.read(spark, tag="launch").count() == 30
     with _pytest.raises(ValueError):
         t.delete_tag("never-existed")
+
+
+# -- shallow clone ----------------------------------------------------------
+
+
+def test_shallow_clone_reads_source_without_copy(spark, tmp_path):
+    src = manifest.ManifestTable(str(tmp_path / "src"))
+    src.idempotent_append(spark, _valid_batch(spark, 0, 40))
+    src.idempotent_append(spark, _valid_batch(spark, 40, 60))
+
+    clone = manifest.shallow_clone(src, str(tmp_path / "clone"))
+    got = {r["meter_id"] for r in clone.read(spark).collect()}
+    assert got == set(range(60))
+    # zero data files copied — the clone's data dir holds nothing
+    assert not any(
+        files for _, _, files in os.walk(clone.data_dir)
+    )
+    # schema and stats carried into the base commit
+    base = clone.snapshot()[0]
+    assert base.get("schema")
+    assert base.get("stats")
+    assert base["cloned_from"] == src.table_dir
+
+
+def test_shallow_clone_diverges_in_isolation(spark, tmp_path):
+    src = manifest.ManifestTable(str(tmp_path / "src"))
+    src.idempotent_append(spark, _valid_batch(spark, 0, 50))
+    clone = manifest.shallow_clone(src, str(tmp_path / "clone"))
+
+    # mutate the CLONE: delete + append must not touch the source
+    doomed = (
+        clone.read(spark).filter("meter_id < 10").select(*manifest.PK)
+    )
+    clone.delete_keys(spark, doomed)
+    clone.idempotent_append(spark, _valid_batch(spark, 100, 110))
+    assert {r["meter_id"] for r in clone.read(spark).collect()} == (
+        set(range(10, 50)) | set(range(100, 110))
+    )
+    assert {r["meter_id"] for r in src.read(spark).collect()} == set(range(50))
+
+    # append to the SOURCE after the clone point: clone must not see it
+    src.idempotent_append(spark, _valid_batch(spark, 50, 70))
+    assert {r["meter_id"] for r in clone.read(spark).collect()} == (
+        set(range(10, 50)) | set(range(100, 110))
+    )
+
+    # the clone's vacuum never deletes source bytes
+    removed = manifest.vacuum_unreferenced(clone, ttl_s=0.0)
+    assert {r["meter_id"] for r in src.read(spark).collect()} == set(
+        range(70)
+    )
+
+
+def test_shallow_clone_materializes_via_optimize(spark, tmp_path):
+    src = manifest.ManifestTable(str(tmp_path / "src"))
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        src.idempotent_append(spark, _valid_batch(spark, lo, hi))
+    clone = manifest.shallow_clone(src, str(tmp_path / "clone"))
+    manifest.optimize_table(clone, spark)
+    # all live files are now LOCAL to the clone
+    live = clone._files(clone.snapshot())
+    for p in live:
+        assert os.path.realpath(p).startswith(
+            os.path.realpath(clone.data_dir)
+        )
+    assert {r["meter_id"] for r in clone.read(spark).collect()} == set(
+        range(60)
+    )
+
+
+def test_shallow_clone_refuses_nonempty_target_and_empty_source(
+    spark, tmp_path
+):
+    src = manifest.ManifestTable(str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="empty table"):
+        manifest.shallow_clone(src, str(tmp_path / "c0"))
+    src.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    tgt = manifest.ManifestTable(str(tmp_path / "c1"))
+    tgt.idempotent_append(spark, _valid_batch(spark, 0, 5))
+    with pytest.raises(ValueError, match="not empty"):
+        manifest.shallow_clone(src, str(tmp_path / "c1"))
