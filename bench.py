@@ -467,6 +467,28 @@ def main() -> None:
             "files_live": live_before,
             "mismatched_rows": clustered_mismatches,
         }
+
+        # 17. Bloom runtime-filter semi-join (r8 scale_ops): 8 KiB
+        # bitset from the selective order filter prunes the lineitem
+        # probe BEFORE its shuffle; result identical to the plain join.
+        from smart_meter_data_pipeline_spark.operators import scale_ops
+
+        leg(
+            "bloom_semijoin",
+            lambda: _materialize(
+                scale_ops.lineitem_bloom_semijoin(spark, SF_DIR)
+            ),
+        )
+
+        # 18. PPJoin prefix-filtered set-similarity self-join (exact
+        # recall, candidates bounded by rare-gram df — the non-LSH
+        # exact near-dup path).
+        leg(
+            "prefix_filter_join",
+            lambda: _materialize(
+                dedup.dedup_prefix_filter_join(spark, SF_DIR)
+            ),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -772,3 +772,60 @@ def test_new_rollups_no_cartesian_no_python(spark, sf_dir):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
             fn.__name__
         )
+
+
+def test_bloom_semijoin_filters_probe_before_join(spark, sf_dir):
+    """The Bloom runtime filter must sit on the LINEITEM side BELOW
+    the equi-join: the plan shows the bitwise membership test as a
+    Filter (shiftleft over the broadcast bitmap) and the exact join
+    stays a shuffle join on the key with auto-broadcast off — the
+    probe shuffles only post-prune rows at scale."""
+    from smart_meter_data_pipeline_spark.operators import scale_ops
+
+    with _no_auto_broadcast(spark):
+        p = _plan(scale_ops.lineitem_bloom_semijoin(spark, sf_dir))
+    assert "shiftleft" in p  # the membership test is in the plan
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p  # exact join keeps its shuffle
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the bitmap rides a broadcast (1-row scalar), never a shuffle
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_prefix_filter_join_no_cartesian_no_python(spark, sf_dir):
+    """Candidate generation must be the prefix equi-join — never an
+    all-pairs product — and verification an equi-join on (doc, gram)."""
+    from smart_meter_data_pipeline_spark.operators import dedup
+
+    p = _plan(dedup.dedup_prefix_filter_join(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_matryoshka_windows_partition_by_query(spark, sf_dir):
+    """Both rankings partition by query_id — no global single-partition
+    sort funnels the corpus through one task."""
+    from smart_meter_data_pipeline_spark.operators import similarity
+
+    p = _plan(similarity.embedding_matryoshka_recall(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p.split("AdaptiveSparkPlan")[0]
+    assert "CartesianProduct" not in p
+
+
+def test_k_anonymity_two_rollups_one_scan(spark, sf_dir):
+    """rows → classes → histogram: exactly one events scan, no joins."""
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    p = _plan(curation.events_k_anonymity(spark, sf_dir))
+    assert p.count("Scan parquet  (") == 1
+    assert "Join" not in p
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    """Top-(k+1) by priority must be TakeOrdered (per-partition top-k,
+    driver merge), never a global sort."""
+    from smart_meter_data_pipeline_spark.operators import scale_ops
+
+    p = _plan(scale_ops.sample_weighted_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
