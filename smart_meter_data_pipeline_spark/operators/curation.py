@@ -1555,3 +1555,97 @@ SELECT CAST(k AS BIGINT) AS class_size,
 FROM classes GROUP BY k
 """,
 )(events_k_anonymity)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe (group-aware) train split
+# ---------------------------------------------------------------------------
+
+# Near-dup family key: the same 24-char leading fingerprint
+# doc_prefix_dup clusters on (operators/dedup.py) — two docs sharing it
+# are one content family for split purposes.
+LEAKAGE_GROUP_CHARS = 24
+
+
+def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: the split is drawn on the
+    content FAMILY (md5 of the {LEAKAGE_GROUP_CHARS}-char leading
+    fingerprint), not the document, so near-duplicate documents can
+    never straddle train and test — the eval-contamination mode a
+    doc-keyed split invites the moment the corpus holds near-dups.
+    Arms: first md5 nibble 0-11 → train (75%), 12-13 → val, 14-15 →
+    test. Output: per-split document/family/char counts plus a
+    hash-certified ``n_leaky_groups`` column — the count of families
+    observed in more than one split, provably 0 by construction.
+
+    Scale shape: per-row hash (no join — the family key derives from
+    the row), one rollup per split + one family-level distinct for
+    the leak audit; family cardinality ~ corpus size but both
+    aggregations combine map-side."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.substring("text", 1, LEAKAGE_GROUP_CHARS)).alias("fam"),
+    )
+    nib = F.expr("instr('0123456789abcdef', substr(fam, 1, 1)) - 1")
+    tagged = docs.withColumn(
+        "split",
+        F.when(nib <= 11, F.lit("train"))
+        .when(nib <= 13, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    leaky = (
+        tagged.groupBy("fam")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_groups"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fam").alias("n_groups"),
+            F.sum("n_chars").alias("n_chars_sum"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select(
+            "split",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            F.col("n_chars_sum").cast("bigint").alias("n_chars_sum"),
+            F.col("n_leaky_groups").cast("bigint").alias("n_leaky_groups"),
+        )
+    )
+
+
+register(
+    "train_split_leakage_safe",
+    f"""
+WITH tagged AS (
+  SELECT doc_id, n_chars,
+         md5(substr(text, 1, {LEAKAGE_GROUP_CHARS})) AS fam,
+         CASE
+           WHEN strpos('0123456789abcdef',
+                       substr(md5(substr(text, 1, {LEAKAGE_GROUP_CHARS})),
+                              1, 1)) - 1 <= 11 THEN 'train'
+           WHEN strpos('0123456789abcdef',
+                       substr(md5(substr(text, 1, {LEAKAGE_GROUP_CHARS})),
+                              1, 1)) - 1 <= 13 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+),
+leaky AS (
+  SELECT COUNT(*) AS n_leaky_groups FROM (
+    SELECT fam FROM tagged GROUP BY fam
+    HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fam) AS BIGINT) AS n_groups,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST((SELECT n_leaky_groups FROM leaky) AS BIGINT) AS n_leaky_groups
+FROM tagged GROUP BY split
+""",
+)(train_split_leakage_safe)

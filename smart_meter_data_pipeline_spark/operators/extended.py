@@ -4099,3 +4099,98 @@ GROUP BY archetype
 
 
 register("events_user_archetypes", _archetype_oracle())(events_user_archetypes)
+
+
+# ---------------------------------------------------------------------------
+# Experiment assignment + sample-ratio-mismatch audit
+# ---------------------------------------------------------------------------
+
+
+def events_ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50/50 experiment assignment + the sample-ratio-
+    mismatch (SRM) audit every A/B platform runs before trusting a
+    readout: users land in arm A/B by the parity of their first
+    md5 nibble (portable, sticky, no rand()), and the audit computes
+    the exact one-degree-of-freedom chi-square statistic for the
+    50/50 design in micro-units — with exp = n/2 the statistic
+    collapses to (2·n_A − n)²/n, so it is PURE integer arithmetic
+    (no transcendental, hash-safe). chi2_micro > 3,841,459 (the 0.95
+    quantile in micro-units) would flag assignment corruption.
+
+    Per arm: distinct users, event volume, exact-decimal value sum —
+    the balance columns a triggered-analysis readout starts from.
+
+    Scale shape: one events scan → per-user rollup (map-side
+    combined), then a 2-row arm rollup; the chi-square rides the
+    2-row frame via a scalar crossJoin."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    arm = F.expr(
+        "CASE WHEN (instr('0123456789abcdef',"
+        " substr(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 1)) - 1)"
+        " % 2 = 0 THEN 'A' ELSE 'B' END"
+    )
+    per_user = (
+        ev.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("value_sum"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_sum").cast("double").alias("value_sum"),
+    )
+    totals = arms.agg(
+        F.sum("n_users").alias("n_total"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("n_a"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(totals))
+        .select(
+            "arm",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "value_sum",
+            F.expr(
+                "(1000000 * (2 * n_a - n_total) * (2 * n_a - n_total))"
+                " div n_total"
+            )
+            .cast("bigint")
+            .alias("srm_chi2_micro"),
+        )
+    )
+
+
+register(
+    "events_ab_assignment_srm",
+    """
+WITH per_user AS (
+  SELECT CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         user_id,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(25,6))) AS value_sum
+  FROM events GROUP BY 1, 2
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(n_events) AS n_events,
+         CAST(SUM(value_sum) AS DOUBLE) AS value_sum
+  FROM per_user GROUP BY 1
+),
+totals AS (
+  SELECT SUM(n_users) AS n_total,
+         MAX(CASE WHEN arm = 'A' THEN n_users END) AS n_a
+  FROM arms
+)
+SELECT arm,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_events AS BIGINT) AS n_events,
+       value_sum,
+       CAST((1000000 * (2 * n_a - n_total) * (2 * n_a - n_total))
+            // n_total AS BIGINT) AS srm_chi2_micro
+FROM arms, totals
+""",
+)(events_ab_assignment_srm)

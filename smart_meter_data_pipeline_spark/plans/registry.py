@@ -193,6 +193,8 @@ _PRIORITY = [
     "embedding_matryoshka_recall",
     "events_k_anonymity",
     "manifest_clone_roundtrip",
+    "train_split_leakage_safe",
+    "events_ab_assignment_srm",
     "events_encoding_advisor",
     "sample_weighted_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)

@@ -187,3 +187,37 @@ def test_k_anonymity_accounting(spark, sf_dir):
     for r in rows:
         assert r["n_rows"] == r["class_size"] * r["n_classes"]
         assert r["risky"] == (r["class_size"] < K_ANONYMITY)
+
+
+def test_leakage_safe_split_partitions_families(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        train_split_leakage_safe,
+    )
+
+    rows = train_split_leakage_safe(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    for r in rows:
+        assert r["n_leaky_groups"] == 0
+        assert 1 <= r["n_groups"] <= r["n_docs"]
+    by = {r["split"]: r["n_docs"] for r in rows}
+    assert by.get("train", 0) > by.get("val", 0)  # 75/12.5/12.5 design
+
+
+def test_ab_srm_accounting(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        events_ab_assignment_srm,
+    )
+
+    rows = events_ab_assignment_srm(spark, sf_dir).collect()
+    assert {r["arm"] for r in rows} == {"A", "B"}
+    n_users = sum(r["n_users"] for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    assert n_users == ev.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    chi2 = {r["srm_chi2_micro"] for r in rows}
+    assert len(chi2) == 1  # same global statistic on both rows
+    n_a = next(r["n_users"] for r in rows if r["arm"] == "A")
+    assert chi2.pop() == (1_000_000 * (2 * n_a - n_users) ** 2) // n_users
