@@ -3152,3 +3152,117 @@ FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
 LEFT JOIN common c ON q.query_id = c.query_id
 """,
 )(embedding_matryoshka_recall)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # Cormack-Clarke-Buettcher constant
+FUSION_TOP_K = 10
+
+
+def doc_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke,
+    Büttcher, SIGIR 2009): fuse the lexical BM25 more-like-this
+    ranking (text.doc_bm25_mlt) with the dense cosine ranking
+    (ann_topk_cosine, vec_id ↔ doc_id) by RRF score
+    Σ 1/({RRF_K} + rank) over the UNION of both lists — a doc missing
+    from one list simply contributes nothing for it. Computed in
+    exact micro-units (10^6 div ({RRF_K}+rank)) so the fused score is
+    pure integer arithmetic, hash-stable across engines. This is the
+    standard first-stage fusion of a RAG serving stack: lexical
+    recall catches exact identifiers dense vectors blur, dense recall
+    catches paraphrase BM25 misses.
+
+    Scale shape: both input rankings are top-k tables (queries ×
+    ≤ k rows) — the fusion full-join and per-query re-rank run on
+    k-sized frames regardless of corpus size; all heavy lifting
+    stays inside the two constituent retrieval plans."""
+    from smart_meter_data_pipeline_spark.operators.text import (
+        BM25_QUERY_DOCS,
+        doc_bm25_mlt,
+    )
+
+    bm = doc_bm25_mlt(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("r_bm")
+    )
+    ann = ann_topk_cosine(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_ann"),
+    )
+    n_q = min(BM25_QUERY_DOCS, N_QUERIES)
+    joined = (
+        bm.join(ann, ["query_id", "doc_id"], "full")
+        .filter(F.col("query_id") < n_q)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("r_bm").isNotNull().alias("in_bm25"),
+            F.col("r_ann").isNotNull().alias("in_ann"),
+            F.expr(
+                f"coalesce(CAST(1000000 AS BIGINT) div ({RRF_K} + r_bm), 0)"
+                f" + coalesce(CAST(1000000 AS BIGINT) div ({RRF_K} + r_ann), 0)"
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= FUSION_TOP_K)
+        .select(
+            "query_id", "doc_id", "in_bm25", "in_ann", "rrf_micro",
+            "fused_rank",
+        )
+    )
+
+
+def _rrf_oracle() -> str:
+    # Composes the two constituent oracles verbatim — the fusion layer
+    # adds only integer arithmetic on their rank outputs.
+    from smart_meter_data_pipeline_spark.operators import text  # noqa: F401
+    from smart_meter_data_pipeline_spark.operators.text import BM25_QUERY_DOCS
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    n_q = min(BM25_QUERY_DOCS, N_QUERIES)
+    return f"""
+WITH bm AS (
+  SELECT query_id, doc_id, rank AS r_bm FROM ({ORACLES["doc_bm25_mlt"]}) tb
+),
+ann AS (
+  SELECT query_id, neighbor_id AS doc_id, rank AS r_ann
+  FROM ({ORACLES["ann_topk_cosine"]}) ta
+),
+joined AS (
+  SELECT COALESCE(b.query_id, a.query_id) AS query_id,
+         COALESCE(b.doc_id, a.doc_id) AS doc_id,
+         b.r_bm, a.r_ann
+  FROM bm b FULL JOIN ann a
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id,
+         r_bm IS NOT NULL AS in_bm25,
+         r_ann IS NOT NULL AS in_ann,
+         CAST(COALESCE(1000000 // ({RRF_K} + r_bm), 0)
+              + COALESCE(1000000 // ({RRF_K} + r_ann), 0) AS BIGINT)
+           AS rrf_micro
+  FROM joined WHERE query_id < {n_q}
+)
+SELECT query_id, doc_id, in_bm25, in_ann, rrf_micro, fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id)
+              AS fused_rank
+  FROM scored
+)
+WHERE fused_rank <= {FUSION_TOP_K}
+"""
+
+
+register("doc_rank_fusion", _rrf_oracle())(doc_rank_fusion)

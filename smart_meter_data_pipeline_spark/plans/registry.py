@@ -195,6 +195,7 @@ _PRIORITY = [
     "manifest_clone_roundtrip",
     "train_split_leakage_safe",
     "events_ab_assignment_srm",
+    "doc_rank_fusion",
     "events_encoding_advisor",
     "sample_weighted_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)
