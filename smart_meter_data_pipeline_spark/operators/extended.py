@@ -4194,3 +4194,105 @@ SELECT arm,
 FROM arms, totals
 """,
 )(events_ab_assignment_srm)
+
+
+# ---------------------------------------------------------------------------
+# Two-way chi-square independence test (type × hour)
+# ---------------------------------------------------------------------------
+
+# Per-cell ratio grid: 1e8 keeps the floor-quantization error of the
+# whole statistic under ~cells·n/1e8 (≈ 0.12 chi2 units at sf0.1)
+# while every intermediate stays far inside int64.
+_CHI2_GRID = 10**8
+
+
+def events_type_hour_independence_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square test of INDEPENDENCE between event type and
+    hour-of-day — the two-way companion of the one-way uniformity
+    test (orders_dow_uniformity_chi2): does traffic mix shift by hour
+    (chi2 ≫ critical at df=(r−1)(c−1)) or is the type share
+    hour-invariant? Uses the algebraic identity
+    chi2 = n·(Σ_ij n_ij²/(r_i·c_j) − 1), whose per-cell ratio is
+    bounded by 1 — so the whole statistic is EXACT integer arithmetic
+    on a 1e8 grid (no transcendental, no decimal division), identical
+    in both engines by construction; quantization bias is
+    deterministic and < 1 chi2 unit at bench scales.
+
+    Scale shape: one scan → (type × hour ≤ r·24)-cell rollup with
+    map-side combine; marginals derive from the CELLS (window-free
+    rollups over ≤ r·24 rows), never a second scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    cells = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("n_ij").alias("r_i"))
+    cols_m = cells.groupBy("hr").agg(F.sum("n_ij").alias("c_j"))
+    n_tot = cells.agg(F.sum("n_ij").alias("n"))
+    s = (
+        cells.join(rows_m, "event_type")
+        .join(F.broadcast(cols_m), "hr")
+        .select(
+            F.expr(
+                f"(CAST({_CHI2_GRID} AS BIGINT) * n_ij * n_ij)"
+                " div (r_i * c_j)"
+            ).alias("cell")
+        )
+        .agg(F.sum("cell").alias("s_grid"))
+    )
+    return (
+        s.crossJoin(F.broadcast(n_tot))
+        .crossJoin(
+            F.broadcast(
+                rows_m.agg(F.count(F.lit(1)).alias("n_types"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(cols_m.agg(F.count(F.lit(1)).alias("n_hours")))
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            ((F.col("n_types") - 1) * (F.col("n_hours") - 1))
+            .cast("bigint")
+            .alias("df"),
+            F.expr(
+                f"(1000 * n * greatest(s_grid - CAST({_CHI2_GRID} AS BIGINT),"
+                f" CAST(0 AS BIGINT))) div CAST({_CHI2_GRID} AS BIGINT)"
+            )
+            .cast("bigint")
+            .alias("chi2_milli"),
+        )
+    )
+
+
+register(
+    "events_type_hour_independence_chi2",
+    f"""
+WITH cells AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n_ij
+  FROM events GROUP BY 1, 2
+),
+rows_m AS (SELECT event_type, SUM(n_ij) AS r_i FROM cells GROUP BY 1),
+cols_m AS (SELECT hr, SUM(n_ij) AS c_j FROM cells GROUP BY 1),
+tot AS (SELECT SUM(n_ij) AS n FROM cells),
+s AS (
+  SELECT SUM(CAST(({_CHI2_GRID} * n_ij * n_ij) // (r_i * c_j) AS BIGINT))
+           AS s_grid
+  FROM cells c JOIN rows_m r ON c.event_type = r.event_type
+  JOIN cols_m m ON c.hr = m.hr
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST((SELECT COUNT(*) FROM rows_m) AS BIGINT) AS n_types,
+       CAST((SELECT COUNT(*) FROM cols_m) AS BIGINT) AS n_hours,
+       CAST(((SELECT COUNT(*) FROM rows_m) - 1)
+            * ((SELECT COUNT(*) FROM cols_m) - 1) AS BIGINT) AS df,
+       CAST((1000 * n * greatest(s_grid - {_CHI2_GRID}, 0)) // {_CHI2_GRID} AS BIGINT)
+         AS chi2_milli
+FROM s, tot
+""",
+)(events_type_hour_independence_chi2)

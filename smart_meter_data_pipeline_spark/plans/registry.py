@@ -196,6 +196,7 @@ _PRIORITY = [
     "train_split_leakage_safe",
     "events_ab_assignment_srm",
     "doc_rank_fusion",
+    "events_type_hour_independence_chi2",
     "events_encoding_advisor",
     "sample_weighted_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)

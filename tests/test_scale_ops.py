@@ -246,3 +246,35 @@ def test_rank_fusion_union_and_monotonic(spark, sf_dir):
         rs.sort(key=lambda r: r["fused_rank"])
         scores = [r["rrf_micro"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_independence_chi2_reference_value(spark, sf_dir):
+    """Cross-check the integer-grid statistic against a float
+    reference computation within the documented quantization bound."""
+    from collections import Counter
+
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        events_type_hour_independence_chi2,
+    )
+
+    row = events_type_hour_independence_chi2(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    ).collect()
+    cells = Counter((r["event_type"], r["hr"]) for r in ev)
+    ri = Counter(); cj = Counter()
+    for (t, h), k in cells.items():
+        ri[t] += k
+        cj[h] += k
+    n = sum(cells.values())
+    chi2 = sum(
+        (cells.get((t, h), 0) - ri[t] * cj[h] / n) ** 2
+        / (ri[t] * cj[h] / n)
+        for t in ri
+        for h in cj
+    )
+    assert row["n_events"] == n
+    assert row["df"] == (len(ri) - 1) * (len(cj) - 1)
+    # grid bound: cells·n/1e8 plus the output's own milli rounding
+    bound = len(cells) * n / 1e8 + 0.002
+    assert abs(row["chi2_milli"] / 1000 - chi2) <= bound + 1e-6
