@@ -1212,3 +1212,219 @@ SELECT nationkey, n_users, system_peak_micro, sum_user_peaks_micro,
 FROM sums JOIN system_peak USING (nationkey)
 """,
 )(nation_peak_coincidence)
+
+
+# ---------------------------------------------------------------------------
+# Outlier-method ensemble agreement
+# ---------------------------------------------------------------------------
+
+IQR_FENCE_K = 1.5  # Tukey fence multiplier — same literal both engines
+
+
+def events_outlier_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble agreement audit across the three outlier screens the
+    engine ships — parametric z-score (events_anomaly_zscore), robust
+    MAD (events_mad_outliers), and Tukey IQR fences — re-derived
+    per-row in one pipeline and voted: per event type, each method's
+    flag count, the majority-vote (≥2) count, and the unanimous
+    count. This is the dedup_method_agreement pattern applied to
+    anomaly detection: methods disagreeing wildly on a type means the
+    flags there are modeling artifacts, not data problems.
+
+    Exactness: z reuses the quantized-grid sufficient statistics
+    (decimal sums → round-12 mean/var → round-9 z); medians/quartiles
+    are DISCRETE rank selections (both engines pick the identical
+    row); fences and comparisons are single IEEE ops.
+
+    Scale shape: per-type sufficient stats are a map-side-combining
+    rollup; the rank selections ride per-type windows (bounded type
+    cardinality — the documented exact-median skew trade); flags are
+    broadcast joins of the tiny per-type stat tables back onto one
+    scan; the vote rollup combines map-side."""
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        ZSCORE_THRESHOLD,
+        with_v6,
+        zscore_stats,
+    )
+
+    events = with_v6(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+    )
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.withColumn("rn", F.row_number().over(w_val)).join(
+        F.broadcast(counts), "event_type"
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n_events + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    q1 = ranked.filter(F.col("rn") == F.expr("(n_events + 1) div 4")).select(
+        "event_type", F.col("value").alias("q1")
+    )
+    q3 = ranked.filter(
+        F.col("rn") == F.expr("(3 * (n_events + 1)) div 4")
+    ).select("event_type", F.col("value").alias("q3"))
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_dev))
+        .join(F.broadcast(counts), "event_type")
+        .filter(F.col("rn") == F.expr("(n_events + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    stats = zscore_stats(events)
+    mean = F.round(F.col("sv").cast("double") / F.col("n"), 12)
+    var = F.greatest(
+        F.round(F.col("sv2").cast("double") / F.col("n") - mean * mean, 12),
+        F.lit(0.0),
+    )
+    z = F.when(
+        var > 0,
+        F.round((F.col("v6").cast("double") - mean) / F.sqrt(var), 9),
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(q1), "event_type")
+        .join(F.broadcast(q3), "event_type")
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            # coalesce: degenerate-variance types give z = NULL; the
+            # vote sum needs 0 there (NULL would void the whole row)
+            F.coalesce(
+                (F.abs(z) > F.lit(ZSCORE_THRESHOLD)).cast("int"), F.lit(0)
+            ).alias("f_z"),
+            (F.col("dev") > F.lit(float(MAD_FACTOR)) * F.col("mad"))
+            .cast("int")
+            .alias("f_mad"),
+            (
+                (
+                    F.col("value")
+                    > F.col("q3")
+                    + F.lit(IQR_FENCE_K) * (F.col("q3") - F.col("q1"))
+                )
+                | (
+                    F.col("value")
+                    < F.col("q1")
+                    - F.lit(IQR_FENCE_K) * (F.col("q3") - F.col("q1"))
+                )
+            )
+            .cast("int")
+            .alias("f_iqr"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("f_z").cast("bigint").alias("n_flag_z"),
+        F.sum("f_mad").cast("bigint").alias("n_flag_mad"),
+        F.sum("f_iqr").cast("bigint").alias("n_flag_iqr"),
+        F.sum(
+            ((F.col("f_z") + F.col("f_mad") + F.col("f_iqr")) >= 2).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_majority"),
+        F.sum(
+            ((F.col("f_z") + F.col("f_mad") + F.col("f_iqr")) == 3).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_unanimous"),
+    )
+
+
+register(
+    "events_outlier_ensemble",
+    f"""
+WITH g AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value, 6) AS DECIMAL(12,6)) AS v6
+  FROM events
+),
+counts AS (SELECT event_type, COUNT(*) AS n_events FROM g GROUP BY 1),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn
+  FROM g
+),
+med AS (
+  SELECT r.event_type, r.value AS med
+  FROM ranked r JOIN counts c ON r.event_type = c.event_type
+  WHERE r.rn = CAST((c.n_events + 1) // 2 AS BIGINT)
+),
+q1 AS (
+  SELECT r.event_type, r.value AS q1
+  FROM ranked r JOIN counts c ON r.event_type = c.event_type
+  WHERE r.rn = CAST((c.n_events + 1) // 4 AS BIGINT)
+),
+q3 AS (
+  SELECT r.event_type, r.value AS q3
+  FROM ranked r JOIN counts c ON r.event_type = c.event_type
+  WHERE r.rn = CAST((3 * (c.n_events + 1)) // 4 AS BIGINT)
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, e.v6,
+         ABS(e.value - m.med) AS dev
+  FROM g e JOIN med m ON e.event_type = m.event_type
+),
+dev_ranked AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT r.event_type, r.dev AS mad
+  FROM dev_ranked r JOIN counts c ON r.event_type = c.event_type
+  WHERE r.rn = CAST((c.n_events + 1) // 2 AS BIGINT)
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(v6 AS DECIMAL(25,6))) AS sv,
+         SUM(CAST(v6 AS DECIMAL(25,6)) * CAST(v6 AS DECIMAL(25,6))) AS sv2
+  FROM g GROUP BY 1
+),
+flagged AS (
+  SELECT d.event_type,
+         CASE WHEN greatest(round(CAST(s.sv2 AS DOUBLE) / s.n
+                  - round(CAST(s.sv AS DOUBLE) / s.n, 12)
+                    * round(CAST(s.sv AS DOUBLE) / s.n, 12), 12), 0.0) > 0
+               AND ABS(round((CAST(d.v6 AS DOUBLE)
+                              - round(CAST(s.sv AS DOUBLE) / s.n, 12))
+                  / sqrt(greatest(round(CAST(s.sv2 AS DOUBLE) / s.n
+                      - round(CAST(s.sv AS DOUBLE) / s.n, 12)
+                        * round(CAST(s.sv AS DOUBLE) / s.n, 12), 12), 0.0)),
+                  9)) > 3.0
+              THEN 1 ELSE 0 END AS f_z,
+         CASE WHEN d.dev > {MAD_FACTOR}.0 * m.mad THEN 1 ELSE 0 END
+           AS f_mad,
+         CASE WHEN d.value > t3.q3 + {IQR_FENCE_K} * (t3.q3 - t1.q1)
+                OR d.value < t1.q1 - {IQR_FENCE_K} * (t3.q3 - t1.q1)
+              THEN 1 ELSE 0 END AS f_iqr
+  FROM dev d
+  JOIN mad m ON d.event_type = m.event_type
+  JOIN q1 t1 ON d.event_type = t1.event_type
+  JOIN q3 t3 ON d.event_type = t3.event_type
+  JOIN stats s ON d.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(f_z) AS BIGINT) AS n_flag_z,
+       CAST(SUM(f_mad) AS BIGINT) AS n_flag_mad,
+       CAST(SUM(f_iqr) AS BIGINT) AS n_flag_iqr,
+       CAST(SUM(CASE WHEN f_z + f_mad + f_iqr >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_majority,
+       CAST(SUM(CASE WHEN f_z + f_mad + f_iqr = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unanimous
+FROM flagged GROUP BY event_type
+""",
+)(events_outlier_ensemble)

@@ -197,6 +197,7 @@ _PRIORITY = [
     "events_ab_assignment_srm",
     "doc_rank_fusion",
     "events_type_hour_independence_chi2",
+    "events_outlier_ensemble",
     "events_encoding_advisor",
     "sample_weighted_priority",
     # (3a) round-8 computation changes (replica-proven; next in line)

@@ -278,3 +278,20 @@ def test_independence_chi2_reference_value(spark, sf_dir):
     # grid bound: cells·n/1e8 plus the output's own milli rounding
     bound = len(cells) * n / 1e8 + 0.002
     assert abs(row["chi2_milli"] / 1000 - chi2) <= bound + 1e-6
+
+
+def test_outlier_ensemble_vote_bounds(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.events_pipeline import (
+        events_outlier_ensemble,
+    )
+
+    rows = events_outlier_ensemble(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        flags = (r["n_flag_z"], r["n_flag_mad"], r["n_flag_iqr"])
+        assert all(0 <= f <= r["n_events"] for f in flags)
+        # unanimous ⊆ majority ⊆ any single method's ceiling
+        assert 0 <= r["n_unanimous"] <= r["n_majority"]
+        assert r["n_majority"] <= sum(flags)
+        # majority cannot exceed the 2nd-largest method count
+        assert r["n_majority"] <= sorted(flags)[1]
