@@ -15,6 +15,7 @@ the reference's assorted entry points (producer loop, consumer loop,
     python -m smart_meter_data_pipeline_spark tag <table_dir> <name>
     python -m smart_meter_data_pipeline_spark tags <table_dir>
     python -m smart_meter_data_pipeline_spark untag <table_dir> <name>
+    python -m smart_meter_data_pipeline_spark clone <table_dir> <target_dir>
 
 ``run`` executes any registered query (the full SURVEY §2 + LLM-ops
 registry); ``marts`` is the ``dbt run`` twin (rebuild staging + both
@@ -119,6 +120,14 @@ def _build_parser() -> argparse.ArgumentParser:
     untag = sub.add_parser("untag", help="delete a tag")
     untag.add_argument("table_dir", help="ManifestTable directory")
     untag.add_argument("name", help="tag name")
+
+    clone = sub.add_parser(
+        "clone",
+        help="zero-copy SHALLOW CLONE into an empty target directory "
+        "(one metadata commit; source bytes are never copied)",
+    )
+    clone.add_argument("table_dir", help="source ManifestTable directory")
+    clone.add_argument("target_dir", help="empty clone target directory")
     return p
 
 
@@ -135,7 +144,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{oracle}")
         return 0
 
-    if args.cmd in ("history", "restore", "asof", "tag", "tags", "untag"):
+    if args.cmd in (
+        "history", "restore", "asof", "tag", "tags", "untag", "clone",
+    ):
         # Metadata-only (one log listing; restore publishes one
         # commit) — no Spark session, same typo'd-path guard as
         # maintain.
@@ -182,6 +193,22 @@ def main(argv: list[str] | None = None) -> int:
                 print(str(e), file=sys.stderr)
                 return 2
             print(json.dumps({"deleted": args.name}))
+            return 0
+        if args.cmd == "clone":
+            try:
+                c = mf.shallow_clone(t, args.target_dir)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            print(
+                json.dumps(
+                    {
+                        "cloned_from": args.table_dir,
+                        "clone": c.table_dir,
+                        "files_referenced": len(c._files(c.snapshot())),
+                    }
+                )
+            )
             return 0
         try:
             res = mf.restore_version(t, args.version)

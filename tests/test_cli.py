@@ -134,3 +134,27 @@ def test_cli_tag_tags_untag(spark, tmp_path, capsys):
     assert main(["untag", tdir, "launch"]) == 2
     capsys.readouterr()
     assert main(["tags", str(tmp_path / "nope")]) == 2
+
+
+def test_cli_clone(spark, tmp_path, capsys):
+    import json as _json
+
+    from tests.test_manifest import _valid_batch
+    from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+    tdir = str(tmp_path / "fact_src")
+    t = mf.ManifestTable(tdir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 21))
+
+    target = str(tmp_path / "fact_clone")
+    assert main(["clone", tdir, target]) == 0
+    res = _json.loads(capsys.readouterr().out.strip())
+    assert res["clone"] == target
+    assert res["files_referenced"] >= 1
+    clone = mf.ManifestTable(target)
+    assert clone.read(spark).count() == t.read(spark).count()
+
+    # non-empty target refused; bad source path refused
+    assert main(["clone", tdir, target]) == 2
+    capsys.readouterr()
+    assert main(["clone", str(tmp_path / "nope"), str(tmp_path / "c2")]) == 2
