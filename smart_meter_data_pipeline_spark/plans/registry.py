@@ -200,6 +200,12 @@ _PRIORITY = [
     "events_outlier_ensemble",
     "events_encoding_advisor",
     "sample_weighted_priority",
+    "events_bitmap_distinct",
+    "events_hll_overlap",
+    "events_runs_test",
+    "events_mann_whitney_u",
+    "dedup_sorted_neighborhood",
+    "corpus_inverted_index",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
@@ -259,6 +265,7 @@ def load_all() -> None:
         skew,
         expectations,
         scale_ops,
+        stats_sketch,
     )
     from smart_meter_data_pipeline_spark.streaming import stream_queries  # noqa: F401
 

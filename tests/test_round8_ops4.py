@@ -1,0 +1,136 @@
+"""Invariant tests for the stats_sketch operator family (bitmap
+exact-distinct, HLL set algebra, runs test, Mann-Whitney U)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.operators.stats_sketch import (
+    events_bitmap_distinct,
+    events_hll_overlap,
+    events_mann_whitney_u,
+    events_runs_test,
+)
+from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    """The bitmap path must reproduce COUNT(DISTINCT) exactly — the
+    construction is lossless, not an estimate."""
+    got = {
+        r["event_type"]: r for r in events_bitmap_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, r in got.items():
+        assert r["n_users"] == exact[t], t
+        # each 64-bit word holds 1..64 users
+        assert r["n_words"] <= r["n_users"] <= 64 * r["n_words"], t
+
+
+def test_hll_overlap_pairs_and_error(spark, sf_dir):
+    rows = events_hll_overlap(spark, sf_dir).collect()
+    types = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        types.update((r["type_a"], r["type_b"]))
+        # union sketch dominates both sides; estimates are positive
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-6
+        assert r["est_a"] > 0 and r["est_b"] > 0
+        # m=64 raw HLL has ~13% standard error per estimate and
+        # inclusion-exclusion stacks three of them — allow a loose
+        # band around the exact overlap, relative to the union size.
+        union_scale = max(r["est_union"], 1.0)
+        assert abs(r["est_overlap"] - r["exact_overlap"]) <= 0.75 * union_scale
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_runs_test_bounds(spark, sf_dir):
+    rows = events_runs_test(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_runs"] <= r["n_rows"]
+        assert 0 < r["n_above"] < r["n_rows"]  # both signs present here
+        assert r["z_runs"] is not None and math.isfinite(r["z_runs"])
+
+
+def test_mann_whitney_bounds(spark, sf_dir):
+    rows = events_mann_whitney_u(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 <= U1 <= n1*n2, doubled
+        assert 0 <= r["u1_x2"] <= 2 * r["n_first"] * r["n_second"]
+        assert r["tie_term"] >= 0
+        assert r["z_u"] is not None and math.isfinite(r["z_u"])
+
+
+def test_mann_whitney_brute_force_tiny(spark, sf_dir):
+    """U1 from the rank rollup must equal the O(n²) pairwise count
+    definition (#{(x,y): x>y} + ties/2, doubled) on one event type."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "value")
+        .collect()
+    )
+    from smart_meter_data_pipeline_spark.operators.extended import DRIFT_SPLIT
+    import datetime
+
+    split = datetime.datetime.fromisoformat(DRIFT_SPLIT)
+    first = [r["value"] for r in ev if r["ts"] < split]
+    second = [r["value"] for r in ev if r["ts"] >= split]
+    u1_x2 = 0
+    for x in first:
+        for y in second:
+            if x > y:
+                u1_x2 += 2
+            elif x == y:
+                u1_x2 += 1
+    got = {
+        r["event_type"]: r["u1_x2"]
+        for r in events_mann_whitney_u(spark, sf_dir).collect()
+    }
+    assert got["click"] == u1_x2
+
+
+def test_snm_candidates_bounded_and_detect_prefix_dups(spark, sf_dir):
+    """Candidate volume must be ≤ n·w, and the known prefix-duplicate
+    families (doc_prefix_dup's 24-char clusters) must surface at least
+    one high-Jaccard neighbor pair."""
+    from smart_meter_data_pipeline_spark.operators.dedup import (
+        SNM_WINDOW,
+        dedup_sorted_neighborhood,
+    )
+
+    rows = dedup_sorted_neighborhood(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < len(rows) <= n_docs * SNM_WINDOW
+    assert all(1 <= r["gap"] <= SNM_WINDOW for r in rows)
+    assert all(r["doc_a"] != r["doc_b"] for r in rows)
+    assert max(r["jaccard_milli"] for r in rows) >= 500
+
+
+def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        corpus_inverted_index,
+    )
+
+    rows = corpus_inverted_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        entries = [p.split(":") for p in r["postings"].split(",")]
+        ids = [int(d) for d, _ in entries]
+        tfs = [int(t) for _, t in entries]
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)
+        assert len(ids) == r["df"]
+        assert sum(tfs) == r["cf"]
+        assert all(t >= 1 for t in tfs)
