@@ -1649,3 +1649,86 @@ SELECT split,
 FROM tagged GROUP BY split
 """,
 )(train_split_leakage_safe)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (posting lists)
+# ---------------------------------------------------------------------------
+
+INDEX_TOP_TOKENS = 150
+
+
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index construction — the IR-serving
+    artifact behind the BM25 family: for each of the top
+    {INDEX_TOP_TOKENS} tokens (by collection frequency, total order),
+    the document frequency, collection frequency, and the FULL
+    posting list serialized as 'doc:tf' entries sorted by doc_id.
+
+    This is the classic MapReduce indexing job re-expressed
+    declaratively: explode → (token, doc) tf rollup (map-side
+    combined) → per-token list aggregation. At 100 TB the posting
+    lists shard by token hash — exactly the shuffle this plan
+    produces — and the sort_array keeps each list in ascending doc_id
+    order, the property delta-encoded postings compression and
+    galloping-intersection query evaluation both require. The
+    string serialization keeps the list under the driver's value-hash
+    gate (array renderings differ between engines; 'a:b,c:d' does
+    not).
+
+    Reference parity: generalizes the reference's per-batch aggregate
+    verification counts (consumer/meter_consumer.py:116-183) to the
+    corpus-indexing shape per SURVEY.md §2's beyond-reference
+    mandate."""
+    from smart_meter_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat_ws(
+                ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            postings.alias("postings"),
+        )
+        .orderBy(F.col("cf").desc(), "token")
+        .limit(INDEX_TOP_TOKENS)
+    )
+
+
+register(
+    "corpus_inverted_index",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents
+),
+tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY token
+ORDER BY cf DESC, token
+LIMIT {INDEX_TOP_TOKENS}
+""",
+)(corpus_inverted_index)

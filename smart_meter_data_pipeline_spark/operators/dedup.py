@@ -1980,3 +1980,177 @@ FROM inter
 WHERE n_inter * 1000 >= {PREFIX_JACCARD_MILLI} * (n_a + n_b - n_inter)
 """,
 )(dedup_prefix_filter_join)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood (SNM) candidate generation
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 3  # compare each doc with its next w sort neighbors
+SNM_KEY_LEN = 32  # normalized sort-key prefix
+SNM_BLOCK_LEN = 2  # block = leading key chars; windows stay inside a block
+
+
+def _snm_key():
+    from pyspark.sql import functions as F
+
+    return F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        1,
+        SNM_KEY_LEN,
+    )
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (Hernández-Stolfo) candidate generation:
+    sort the corpus by a normalized key, compare each record only with
+    its next {SNM_WINDOW} sort neighbors — O(n·w) candidates instead
+    of the O(n²) all-pairs — then verify each candidate with exact
+    token Jaccard (reported in milli-units, integer division).
+
+    The complement to the blocking families already here: LSH bounds
+    candidates probabilistically, PPJoin by rare-gram prefixes; SNM
+    bounds them POSITIONALLY, catching near-dups whose edit noise
+    keeps shared grams rare but leaves the sort key close (the
+    classic merge/purge shape for name-and-address style data).
+
+    Scale shape: ranking runs per BLOCK (leading {SNM_BLOCK_LEN} key
+    chars) — windows are partitioned, never global, and the
+    cross-block boundary pairs the single-pass variant misses are the
+    documented SNM recall trade (production runs multi-pass with
+    rotated keys). The neighbor join is an equi-join on
+    (block, rank + offset) — offsets exploded, no theta-join — and
+    the verify stage touches candidate pairs only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id", _snm_key().alias("key")
+    ).withColumn("blk", F.substring("key", 1, SNM_BLOCK_LEN))
+    w = Window.partitionBy("blk").orderBy("key", "doc_id")
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    probes = ranked.select(
+        "blk",
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(*[F.lit(o) for o in range(1, SNM_WINDOW + 1)])
+        ).alias("off"),
+    ).select(
+        "blk",
+        "doc_a",
+        "rn_a",
+        (F.col("rn_a") + F.col("off")).alias("rn_b"),
+    )
+    pairs = probes.join(
+        ranked.select(
+            "blk", F.col("doc_id").alias("doc_b"), F.col("rn").alias("rn_b")
+        ),
+        ["blk", "rn_b"],
+    ).select(
+        "doc_a", "doc_b", (F.col("rn_b") - F.col("rn_a")).alias("gap")
+    )
+    from smart_meter_data_pipeline_spark.operators.text import tokens
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens()).alias("token")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(
+            tok.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a"
+        )
+        .join(
+            tok.select(F.col("doc_id").alias("doc_b"), "token"),
+            ["doc_b", "token"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("gap").cast("int").alias("gap"),
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard_milli",
+            F.when(
+                F.col("n_a") + F.col("n_b") - F.col("n_inter") > 0,
+                F.expr(
+                    "CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+    )
+    return out
+
+
+register(
+    "dedup_sorted_neighborhood",
+    f"""
+WITH norm AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')),
+                1, {SNM_KEY_LEN}) AS key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, key, substr(key, 1, {SNM_BLOCK_LEN}) AS blk,
+         row_number() OVER (PARTITION BY substr(key, 1, {SNM_BLOCK_LEN})
+                            ORDER BY key, doc_id) AS rn
+  FROM norm
+),
+offs AS (SELECT UNNEST(generate_series(1, {SNM_WINDOW})) AS off),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, o.off AS gap
+  FROM ranked a
+  CROSS JOIN offs o
+  JOIN ranked b ON b.blk = a.blk AND b.rn = a.rn + o.off
+),
+tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS token
+    FROM documents
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN tok ta ON ta.doc_id = p.doc_a
+  JOIN tok tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, CAST(p.gap AS INT) AS gap,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(COALESCE(sa.n, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(sb.n, 0) AS BIGINT) AS n_b,
+       CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                 - COALESCE(i.n_inter, 0) > 0
+            THEN CAST((1000 * COALESCE(i.n_inter, 0))
+                      // (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                          - COALESCE(i.n_inter, 0)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS jaccard_milli
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
+""",
+)(dedup_sorted_neighborhood)
