@@ -16,6 +16,7 @@ the reference's assorted entry points (producer loop, consumer loop,
     python -m smart_meter_data_pipeline_spark tags <table_dir>
     python -m smart_meter_data_pipeline_spark untag <table_dir> <name>
     python -m smart_meter_data_pipeline_spark clone <table_dir> <target_dir>
+    python -m smart_meter_data_pipeline_spark reorg <table_dir>
 
 ``run`` executes any registered query (the full SURVEY §2 + LLM-ops
 registry); ``marts`` is the ``dbt run`` twin (rebuild staging + both
@@ -128,6 +129,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     clone.add_argument("table_dir", help="source ManifestTable directory")
     clone.add_argument("target_dir", help="empty clone target directory")
+
+    reorg = sub.add_parser(
+        "reorg",
+        help="apply pending merge-on-read tombstones as physical "
+        "rewrites (REORG TABLE ... APPLY; needs a Spark session)",
+    )
+    reorg.add_argument("table_dir", help="ManifestTable directory")
     return p
 
 
@@ -215,6 +223,27 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "reorg":
+        import os
+
+        from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+        commits_dir = os.path.join(args.table_dir, mf.COMMITS_DIRNAME)
+        if not os.path.isdir(commits_dir):
+            print(
+                f"not a manifest table (no {mf.COMMITS_DIRNAME}/ dir): "
+                f"{args.table_dir}",
+                file=sys.stderr,
+            )
+            return 2
+        from smart_meter_data_pipeline_spark.session import get_spark
+
+        res = mf.apply_tombstones(
+            mf.ManifestTable(args.table_dir), get_spark("smart-meter-reorg")
+        )
         print(json.dumps(res))
         return 0
 

@@ -1009,6 +1009,87 @@ WHERE meter_id % 11 <> 5""",
 )(manifest_cow_roundtrip)
 
 
+def manifest_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes under the driver gate — the
+    deletion-vector lifecycle end to end: append the generator day,
+    tombstone meters ≡5 (mod 11) WITHOUT touching a data file
+    (:meth:`ManifestTable.delete_keys_mor`), re-append the ≡5 (mod 22)
+    half of the deleted keys (the tombstone-aware validation must
+    accept them and the read must show them — re-inserts outrank
+    older tombstones by commit origin), tombstone meters ≡3 (mod 13)
+    on top (two pending tombstones with different epochs), read the
+    logical view, then :func:`apply_tombstones` and assert the
+    physical rewrite changed NOTHING logically (row count preserved,
+    zero pending left) before returning the final read. The DuckDB
+    twin states the same end set relationally, so the hash gate
+    certifies tombstone suppression, re-insert visibility, epoch
+    ordering, and apply-neutrality in one row (sources/manifest.py;
+    reference parity: extends the PK sink of
+    consumer/meter_consumer.py:104-114 with the Delta DV / Iceberg
+    merge-on-read delete shape)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        apply_tombstones,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_mor_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        doomed = readings.filter(F.col("meter_id") % 11 == 5).select(
+            "reading_timestamp", "meter_id"
+        )
+        t.delete_keys_mor(spark, doomed)
+        reinserted = readings.filter(F.col("meter_id") % 22 == 5)
+        n_back = t.idempotent_append(spark, reinserted)
+        if n_back == 0:
+            raise AssertionError(
+                "tombstone-aware append validation rejected the "
+                "re-insert of deleted keys"
+            )
+        t.delete_keys_mor(
+            spark,
+            readings.filter(F.col("meter_id") % 13 == 3).select(
+                "reading_timestamp", "meter_id"
+            ),
+        )
+        pre_n = t.read(spark).count()
+        apply_tombstones(t, spark)
+        if t._pending_tombstones(t.numbered_snapshot()):
+            raise AssertionError("tombstones still pending after apply")
+        final = t.read(spark)
+        if final.count() != pre_n:
+            raise AssertionError(
+                "apply_tombstones changed the logical row count"
+            )
+        return final.select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_mor_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id,
+       reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM readings
+WHERE (meter_id % 11 <> 5 OR meter_id % 22 = 5)
+  AND meter_id % 13 <> 3""",
+)(manifest_mor_roundtrip)
+
+
 def manifest_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE under the driver gate: land the generator day as many
     small commits (micro-batch ingest shape), bin-pack the files with

@@ -206,6 +206,7 @@ _PRIORITY = [
     "events_mann_whitney_u",
     "dedup_sorted_neighborhood",
     "corpus_inverted_index",
+    "manifest_mor_roundtrip",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -64,6 +64,13 @@ class CommitConflictError(RuntimeError):
     """Raised when a writer exhausts its retries losing commit races."""
 
 
+class PendingTombstonesError(RuntimeError):
+    """Raised when a physical-rewrite operation (CoW mutation,
+    OPTIMIZE, RESTORE) runs over unapplied merge-on-read tombstones —
+    those paths read data files raw and would resurrect
+    logically-deleted rows. Run :func:`apply_tombstones` first."""
+
+
 def _put_if_absent(path: str, payload: bytes) -> bool:
     """Atomically create ``path`` with ``payload`` iff it doesn't
     exist. One winner among concurrent callers; losers get False.
@@ -392,14 +399,15 @@ class ManifestTable:
             version = self.version_asof(asof)
         if tag is not None:
             version = self.version_of_tag(tag)
-        commits = self.snapshot()
+        numbered = self.numbered_snapshot()
         if version is not None:
-            if version < 0 or version >= len(commits):
+            if version < 0 or version >= len(numbered):
                 raise ValueError(
                     f"version {version} out of range: table has "
-                    f"{len(commits)} commits"
+                    f"{len(numbered)} commits"
                 )
-            commits = commits[: version + 1]
+            numbered = numbered[: version + 1]
+        commits = [c for _, c in numbered]
         files = self._files(
             commits,
             {str(d) for d in dates} if dates is not None else None,
@@ -407,10 +415,12 @@ class ManifestTable:
         if not files:
             return None
         schema = self._evolved_schema(commits)
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*files)
+        # Pending merge-on-read tombstones (delete_keys_mor) anti-join
+        # onto exactly the files they govern; a tombstone-free table
+        # takes the plain one-reader path inside.
+        return self._read_files_with_tombstones(
+            spark, numbered, files, schema
+        )
 
     @staticmethod
     def _evolved_schema(commits: list[dict]):
@@ -509,7 +519,15 @@ class ManifestTable:
         table (everything is an insert). Returns None when the
         snapshots share every file. Complements :meth:`diff` (the
         cheaper post-image/file-level feed) — use this one when the
-        consumer needs deletes and pre-images."""
+        consumer needs deletes and pre-images.
+
+        Merge-on-read divergence (documented): a pending tombstone
+        (:meth:`delete_keys_mor`) moves no files, so its logical
+        deletes enter this feed only when :func:`apply_tombstones`
+        rewrites the governed files (whose commit's file difference
+        then yields exactly those delete rows). Consumers needing
+        delete latency below the apply cadence should read the
+        tombstone commits' ``removed_dates`` directly."""
         commits = self.snapshot()
         if not (-1 <= v_from <= v_to < len(commits)):
             raise ValueError(
@@ -761,7 +779,9 @@ class ManifestTable:
             numbered = self.numbered_snapshot()
             commits = [c for _, c in numbered]
             self._check_schema_compat(in_batch, commits)
-            fresh, n = self._anti_join(spark, in_batch, commits, batch_dates, pk)
+            fresh, n = self._anti_join(
+                spark, in_batch, numbered, batch_dates, pk
+            )
             staged: list[str] = []
             # Fence by NUMBER, not position: compaction leaves gaps in
             # the numbering, so len() could alias an old slot and let
@@ -819,7 +839,7 @@ class ManifestTable:
                         commits = [c for _, c in numbered]
                         validated_through = self._fence(numbered)
                         fresh, n = self._anti_join(
-                            spark, in_batch, commits, batch_dates, pk
+                            spark, in_batch, numbered, batch_dates, pk
                         )
                         staged = []
             self._discard_stage(staged)
@@ -951,6 +971,194 @@ class ManifestTable:
         u, i = self._cow_mutation(spark, batch, batch, pk, max_retries)
         return {"updated": u, "inserted": i}
 
+    # -- merge-on-read mutations ---------------------------------------------
+
+    @staticmethod
+    def _mor_high_water(commits: list[dict]) -> int:
+        """Largest commit number whose tombstones have been physically
+        applied (−1 when none): tombstone records at or below it are
+        inert — their logical deletes are baked into rewritten files."""
+        return max(
+            (c.get("mor_applied_upto", -1) for c in commits), default=-1
+        )
+
+    def _pending_tombstones(
+        self, numbered: list[tuple[int, dict]]
+    ) -> list[dict]:
+        """Unapplied tombstone records, ascending by ``upto`` (the
+        commit number the delete landed at — the record is
+        self-describing so log compaction can carry it into the merged
+        base without losing its position in time)."""
+        high = self._mor_high_water([c for _, c in numbered])
+        out = [
+            t
+            for _, c in numbered
+            for t in c.get("tombstones", [])
+            if t["upto"] > high
+        ]
+        return sorted(out, key=lambda t: t["upto"])
+
+    def _file_origins(
+        self, numbered: list[tuple[int, dict]]
+    ) -> dict[str, int]:
+        """{absolute live file path: the commit NUMBER whose commit
+        first added it}. A tombstone applies to a file iff the file's
+        origin is <= the tombstone's ``upto`` — rows (re-)written
+        AFTER the delete survive it, which is what makes
+        re-inserting a deleted key, CoW rewrites, and OPTIMIZE all
+        compose with pending tombstones. Log compaction preserves
+        origins through the merged base's ``added_numbers`` map."""
+        origins: dict[str, int] = {}
+        for num, c in numbered:
+            for f in c.get("removed", []):
+                origins.pop(os.path.join(self.data_dir, f), None)
+            recorded = c.get("added_numbers", {})
+            for f in c["added"]:
+                origins[os.path.join(self.data_dir, f)] = recorded.get(
+                    f, num
+                )
+        return origins
+
+    def _tombstone_keys(self, spark: SparkSession, t: dict) -> DataFrame:
+        return spark.read.parquet(
+            *(os.path.join(self.data_dir, r) for r in t["rels"])
+        )
+
+    def _read_files_with_tombstones(
+        self,
+        spark: SparkSession,
+        numbered: list[tuple[int, dict]],
+        files: list[str],
+        schema,
+    ) -> DataFrame:
+        """Read ``files`` with every pending tombstone anti-joined onto
+        exactly the rows it governs: files are grouped by which SUFFIX
+        of the (upto-ascending) tombstone list applies to their origin
+        number, each group is read once and anti-joined with its
+        suffix, and the groups union back. With no pending tombstones
+        this is a plain parquet read."""
+        import bisect
+
+        def _reader():
+            r = spark.read
+            return r.schema(schema) if schema is not None else r
+
+        pending = self._pending_tombstones(numbered)
+        if not pending:
+            return _reader().parquet(*files)
+        origins = self._file_origins(numbered)
+        uptos = [t["upto"] for t in pending]
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            i = bisect.bisect_left(uptos, origins.get(f, -1))
+            groups.setdefault(i, []).append(f)
+        parts = []
+        for i, grp in sorted(groups.items()):
+            df = _reader().parquet(*grp)
+            for t in pending[i:]:
+                df = df.join(
+                    self._tombstone_keys(spark, t), t["pk"], "left_anti"
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def delete_keys_mor(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        pk: list[str] = PK,
+        max_retries: int = 5,
+    ) -> int:
+        """Merge-on-read DELETE — the deletion-vector shape (Delta DVs
+        / Iceberg merge-on-read deletes), keyed on ``pk`` rather than
+        row positions (a manifest of immutable parquet files has no
+        stable row ordinals to point at). The delete stages only the
+        KEY TUPLES and publishes one metadata commit; no data file is
+        read or rewritten, so deleting a handful of rows from a 100 TB
+        table costs O(|keys|) regardless of table size — the whole
+        point of merge-on-read. Readers anti-join pending tombstones
+        onto exactly the files the delete governs (origin number <=
+        the tombstone's commit number), so later re-inserts of a
+        deleted key are visible, and :func:`apply_tombstones`
+        reconciles the debt into real rewrites when the read-side tax
+        is no longer worth it (the Delta ``REORG TABLE APPLY``
+        lifecycle). Copy-on-write mutations, OPTIMIZE and RESTORE
+        refuse to run over pending tombstones (apply first) — they
+        read files raw and would resurrect logically-deleted rows.
+
+        Returns the number of distinct key tuples recorded."""
+        in_keys = keys.select(*pk).dropDuplicates(pk).persist()
+        try:
+            n_keys = in_keys.count()
+            if n_keys == 0:
+                return 0
+            key_dates = (
+                {
+                    str(r["d"])
+                    for r in in_keys.select(
+                        F.to_date("reading_timestamp").alias("d")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                if "reading_timestamp" in in_keys.columns
+                else set()
+            )
+            staged = self._stage(in_keys)
+            for _ in range(max_retries):
+                numbered = self.numbered_snapshot()
+                commits = [c for _, c in numbered]
+                fence = self._fence(numbered)
+                tbl_schema = self._evolved_schema(commits)
+                if tbl_schema is not None:
+                    missing = [
+                        c
+                        for c in pk
+                        if c not in {f.name for f in tbl_schema.fields}
+                    ]
+                    if missing:
+                        self._discard_stage_all(staged)
+                        raise ValueError(
+                            f"tombstone pk columns {missing} do not "
+                            "exist in the table schema"
+                        )
+                payload = json.dumps(
+                    {
+                        "version": fence,
+                        "added": [],
+                        "removed": [],
+                        "count": 0,
+                        "dates": [],
+                        "stats": {},
+                        # CDC metadata: the delete logically changed
+                        # these dates even though no file moved.
+                        "removed_dates": sorted(key_dates),
+                        "batch_dates": [],
+                        "tombstones": [
+                            {"upto": fence, "rels": staged, "pk": list(pk)}
+                        ],
+                        "schema": None,
+                        "committed_at": time.time(),
+                    }
+                ).encode()
+                if self._pre_publish_hook is not None:
+                    self._pre_publish_hook()
+                if _put_if_absent(self._commit_path(fence), payload):
+                    return n_keys
+                # Lost the race: the staged keys are still valid (a
+                # tombstone validates against nothing — it only needs
+                # a fresh fence), so retry with the same stage.
+            self._discard_stage_all(staged)
+            raise CommitConflictError(
+                f"gave up after {max_retries} tombstone attempts on "
+                f"{self.table_dir}"
+            )
+        finally:
+            in_keys.unpersist()
+
     def _cow_mutation(
         self,
         spark: SparkSession,
@@ -986,6 +1194,12 @@ class ManifestTable:
                 numbered = self.numbered_snapshot()
                 commits = [c for _, c in numbered]
                 fence = self._fence(numbered)
+                if self._pending_tombstones(numbered):
+                    raise PendingTombstonesError(
+                        f"{self.table_dir} has pending merge-on-read "
+                        "tombstones; run apply_tombstones() before "
+                        "copy-on-write mutations"
+                    )
                 self._check_schema_compat(in_keys, commits)
                 if batch is not None:
                     # MERGE "UPDATE SET *" contract: matched rows are
@@ -1183,15 +1397,20 @@ class ManifestTable:
         self,
         spark: SparkSession,
         in_batch: DataFrame,
-        commits: list[dict],
+        numbered: list[tuple[int, dict]],
         batch_dates: set[str],
         pk: list[str],
     ) -> tuple[DataFrame, int]:
-        files = self._files(commits, batch_dates)
+        files = self._files([c for _, c in numbered], batch_dates)
         if not files:
             fresh = in_batch
         else:
-            existing = spark.read.parquet(*files).select(*pk)
+            # Tombstone-aware: a key deleted by a pending merge-on-read
+            # tombstone must be re-insertable — validating against the
+            # raw files would see the dead row and drop the re-insert.
+            existing = self._read_files_with_tombstones(
+                spark, numbered, files, None
+            ).select(*pk)
             fresh = in_batch.join(existing, pk, "left_anti")
         return fresh, fresh.count()
 
@@ -1299,6 +1518,37 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
             # (the same granularity loss Delta log cleanup accepts).
             "committed_at": base[-1][1].get("committed_at"),
         }
+        # Merge-on-read bookkeeping survives compaction: the applied
+        # high-water and any still-pending tombstone records carry
+        # over verbatim (records are self-describing via their
+        # original ``upto`` numbers), and — whenever pending
+        # tombstones exist anywhere in the log — the base records each
+        # merged file's ORIGINAL commit number so tombstone
+        # applicability (origin <= upto) keeps meaning "rows written
+        # before the delete", not "rows that happen to sit in the
+        # base".
+        merged_high = max(
+            (c.get("mor_applied_upto", -1) for _, c in base), default=-1
+        )
+        if merged_high >= 0:
+            merged["mor_applied_upto"] = merged_high
+        full_high = ManifestTable._mor_high_water([c for _, c in numbered])
+        kept_tombs = sorted(
+            (
+                t
+                for _, c in base
+                for t in c.get("tombstones", [])
+                if t["upto"] > full_high
+            ),
+            key=lambda t: t["upto"],
+        )
+        if kept_tombs:
+            merged["tombstones"] = kept_tombs
+        if table._pending_tombstones(numbered):
+            merged["added_numbers"] = {
+                os.path.relpath(p, table.data_dir): n
+                for p, n in table._file_origins(base).items()
+            }
         tmp = table._commit_path(base_num) + f".compacting.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(merged, fh)
@@ -1353,6 +1603,11 @@ def optimize_table(
             numbered = table.numbered_snapshot()
             commits = [c for _, c in numbered]
             fence = table._fence(numbered)
+            if table._pending_tombstones(numbered):
+                raise PendingTombstonesError(
+                    f"{table.table_dir} has pending merge-on-read "
+                    "tombstones; run apply_tombstones() before OPTIMIZE"
+                )
             live = table._files(commits)
             small = [
                 f
@@ -1423,6 +1678,188 @@ def optimize_table(
         )
 
 
+def apply_tombstones(
+    table: ManifestTable, spark: SparkSession, max_retries: int = 5
+) -> dict:
+    """Reconcile every pending merge-on-read tombstone into physical
+    rewrites — Delta's ``REORG TABLE ... APPLY (PURGE)``: files that
+    actually CONTAIN governed keys are rewritten minus the matches
+    (stats-skipped and semi-join-detected, so untouched files stay
+    untouched), and one commit swaps them in and advances the
+    ``mor_applied_upto`` high-water, after which the tombstone records
+    are inert and their key files vacuumable.
+
+    All pending tombstones are applied in ONE pass with the same
+    origin-suffix grouping the read path uses — applying them one at a
+    time would bump rewritten files' origins past the remaining
+    tombstones and resurrect rows. Logical table content is unchanged
+    (read() before == read() after), which the manifest_mor_roundtrip
+    driver query certifies under the hash gate.
+
+    Returns ``{"applied_tombstones": n, "files_rewritten": m,
+    "files_created": k, "rows_deleted": d}``."""
+    import bisect
+
+    from smart_meter_data_pipeline_spark.sources.txn import table_lock
+
+    with table_lock(table.table_dir):
+        for _ in range(max_retries):
+            numbered = table.numbered_snapshot()
+            commits = [c for _, c in numbered]
+            fence = table._fence(numbered)
+            pending = table._pending_tombstones(numbered)
+            if not pending:
+                return {
+                    "applied_tombstones": 0,
+                    "files_rewritten": 0,
+                    "files_created": 0,
+                    "rows_deleted": 0,
+                }
+            origins = table._file_origins(numbered)
+            live = table._files(commits)
+            ev_schema = table._evolved_schema(commits)
+            uptos = [t["upto"] for t in pending]
+            groups: dict[int, list[str]] = {}
+            for f in live:
+                i = bisect.bisect_left(uptos, origins.get(f, -1))
+                if i < len(pending):
+                    groups.setdefault(i, []).append(f)
+            staged_all: list[str] = []
+            removed_rel: list[str] = []
+            n_deleted = 0
+            for i, grp in sorted(groups.items()):
+                tombs = pending[i:]
+                # File skipping: keep a file only if its recorded stats
+                # intersect at least one applicable tombstone's key
+                # range — a narrow-key delete rewrites only its range.
+                cand: set[str] = set()
+                for t in tombs:
+                    keys = table._tombstone_keys(spark, t)
+                    stat_cols = [
+                        c for c in table.stats_columns if c in keys.columns
+                    ]
+                    if not stat_cols:
+                        cand.update(grp)
+                        continue
+                    row = keys.agg(
+                        *(
+                            agg
+                            for j, c in enumerate(stat_cols)
+                            for agg in (
+                                F.min(c).alias(f"mn{j}"),
+                                F.max(c).alias(f"mx{j}"),
+                            )
+                        )
+                    ).collect()[0]
+                    ranges = {
+                        c: (row[f"mn{j}"], row[f"mx{j}"])
+                        for j, c in enumerate(stat_cols)
+                    }
+                    cand.update(table._prune_by_stats(grp, commits, ranges))
+                if not cand:
+                    continue
+                reader = spark.read
+                if ev_schema is not None:
+                    reader = reader.schema(ev_schema)
+                tagged = reader.parquet(*sorted(cand)).withColumn(
+                    "_file", F.input_file_name()
+                )
+                affected = None
+                for t in tombs:
+                    m = tagged.join(
+                        table._tombstone_keys(spark, t), t["pk"], "left_semi"
+                    ).select("_file")
+                    affected = (
+                        m if affected is None else affected.unionByName(m)
+                    )
+                affected_uris = [
+                    r["_file"] for r in affected.distinct().collect()
+                ]
+                if not affected_uris:
+                    continue
+                survivors = tagged.filter(F.col("_file").isin(affected_uris))
+                n_before = survivors.count()
+                for t in tombs:
+                    survivors = survivors.join(
+                        table._tombstone_keys(spark, t), t["pk"], "left_anti"
+                    )
+                survivors = survivors.drop("_file")
+                staged = table._stage(survivors)
+                staged_all += staged
+                removed_rel += sorted(table._rel(u) for u in affected_uris)
+                n_after = (
+                    spark.read.parquet(
+                        *(os.path.join(table.data_dir, f) for f in staged)
+                    ).count()
+                    if staged
+                    else 0
+                )
+                n_deleted += n_before - n_after
+            if staged_all and "reading_timestamp" in (
+                f.name for f in (ev_schema.fields if ev_schema else [])
+            ):
+                stat = (
+                    spark.read.parquet(
+                        *(
+                            os.path.join(table.data_dir, f)
+                            for f in staged_all
+                        )
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.collect_set(
+                            F.to_date("reading_timestamp").cast("string")
+                        ).alias("dates"),
+                    )
+                    .collect()[0]
+                )
+                n_staged, added_dates = stat["n"], sorted(stat["dates"])
+            elif staged_all:
+                n_staged = spark.read.parquet(
+                    *(os.path.join(table.data_dir, f) for f in staged_all)
+                ).count()
+                # no timestamp column to derive dates from: record the
+                # union of all commit dates (over-approximation is safe
+                # for add-side pruning)
+                added_dates = sorted(
+                    {d for c in commits for d in c.get("dates", [])}
+                )
+            else:
+                n_staged, added_dates = 0, []
+            payload = json.dumps(
+                {
+                    "version": fence,
+                    "added": staged_all,
+                    "removed": sorted(removed_rel),
+                    "count": n_staged,
+                    "dates": added_dates,
+                    "stats": table._file_stats(staged_all),
+                    # Logical content is unchanged by the apply — the
+                    # deletes were already visible via the tombstones —
+                    # so no removed_dates/batch_dates for CDC.
+                    "removed_dates": [],
+                    "batch_dates": [],
+                    "schema": ev_schema.json() if ev_schema else None,
+                    "mor_applied_upto": uptos[-1],
+                    "committed_at": time.time(),
+                }
+            ).encode()
+            if table._pre_publish_hook is not None:
+                table._pre_publish_hook()
+            if _put_if_absent(table._commit_path(fence), payload):
+                return {
+                    "applied_tombstones": len(pending),
+                    "files_rewritten": len(removed_rel),
+                    "files_created": len(staged_all),
+                    "rows_deleted": n_deleted,
+                }
+            table._discard_stage_all(staged_all)
+        raise CommitConflictError(
+            f"apply_tombstones gave up after {max_retries} attempts on "
+            f"{table.table_dir}"
+        )
+
+
 def restore_version(table: ManifestTable, version: int) -> dict:
     """RESTORE TABLE ... TO VERSION — roll the table's LIVE state back
     to what ``version`` saw, as ONE new commit and ZERO data movement:
@@ -1455,6 +1892,11 @@ def restore_version(table: ManifestTable, version: int) -> dict:
         for _ in range(5):
             numbered = table.numbered_snapshot()
             commits = [c for _, c in numbered]
+            if table._pending_tombstones(numbered):
+                raise PendingTombstonesError(
+                    f"{table.table_dir} has pending merge-on-read "
+                    "tombstones; run apply_tombstones() before RESTORE"
+                )
             if not (0 <= version < len(commits)):
                 raise ValueError(
                     f"version {version} out of range: table has "
@@ -1552,7 +1994,19 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
             "(ManifestTable restores the displaced log) and retry"
         )
     with table_lock(table.table_dir):
-        referenced = {f for c in table.snapshot() for f in c["added"]}
+        commits_all = table.snapshot()
+        referenced = {f for c in commits_all for f in c["added"]}
+        # Pending merge-on-read tombstone key files are live metadata
+        # (readers anti-join them every read); applied ones are inert
+        # and sweepable like any other unreferenced stage.
+        high = ManifestTable._mor_high_water(commits_all)
+        referenced |= {
+            r
+            for c in commits_all
+            for t in c.get("tombstones", [])
+            if t["upto"] > high
+            for r in t["rels"]
+        }
         removed = 0
         now = time.time()
         for name in os.listdir(table.data_dir):
@@ -1614,6 +2068,13 @@ def shallow_clone(source: ManifestTable, target_dir: str) -> ManifestTable:
     numbered = source.numbered_snapshot()
     if not numbered:
         raise ValueError(f"cannot clone an empty table: {source.table_dir}")
+    if source._pending_tombstones(numbered):
+        raise PendingTombstonesError(
+            f"{source.table_dir} has pending merge-on-read tombstones; "
+            "run apply_tombstones() before cloning (the clone's base "
+            "commit references raw files and would resurrect "
+            "logically-deleted rows)"
+        )
     commits = [c for _, c in numbered]
     live_abs = source._files(commits)
 

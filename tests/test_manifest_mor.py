@@ -1,0 +1,203 @@
+"""Merge-on-read tombstone lifecycle (delete_keys_mor /
+apply_tombstones): suppression, re-insert epochs, guards, compaction
+survival, vacuum retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.sources.manifest import (
+    ManifestTable,
+    PendingTombstonesError,
+    apply_tombstones,
+    compact_log,
+    optimize_table,
+    restore_version,
+    shallow_clone,
+    vacuum_unreferenced,
+)
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "reading_timestamp timestamp, meter_id bigint, v double"
+    )
+
+
+def _rows(n=100, mod=10):
+    return [
+        (TS + dt.timedelta(minutes=i), i % mod, float(i)) for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.idempotent_append(spark, _mk(spark, _rows()))
+    return t
+
+
+def _keys(spark, meter):
+    return _mk(spark, [r for r in _rows() if r[1] == meter]).select(
+        "reading_timestamp", "meter_id"
+    )
+
+
+def test_mor_delete_is_metadata_only_and_suppresses(spark, table):
+    live_before = set(table._files(table.snapshot()))
+    n = table.delete_keys_mor(spark, _keys(spark, 3))
+    assert n == 10
+    c = table.snapshot()[-1]
+    assert c["added"] == [] and c["removed"] == []
+    assert c["tombstones"][0]["pk"] == ["reading_timestamp", "meter_id"]
+    # no data file moved
+    assert set(table._files(table.snapshot())) == live_before
+    df = table.read(spark)
+    assert df.count() == 90
+    assert df.filter("meter_id = 3").count() == 0
+    # time travel to before the delete still sees everything
+    assert table.read(spark, version=0).count() == 100
+
+
+def test_mor_reinsert_after_delete_is_visible(spark, table):
+    table.delete_keys_mor(spark, _keys(spark, 3))
+    back = [r for r in _rows() if r[1] == 3][:4]
+    assert table.idempotent_append(spark, _mk(spark, back)) == 4
+    df = table.read(spark)
+    assert df.filter("meter_id = 3").count() == 4
+    assert df.count() == 94
+    # a SECOND tombstone over the same keys (later epoch) removes the
+    # re-inserts too
+    table.delete_keys_mor(spark, _keys(spark, 3))
+    assert table.read(spark).filter("meter_id = 3").count() == 0
+
+
+def test_physical_rewrite_paths_are_guarded(spark, table):
+    table.delete_keys_mor(spark, _keys(spark, 3))
+    with pytest.raises(PendingTombstonesError):
+        table.delete_keys(spark, _keys(spark, 4))
+    with pytest.raises(PendingTombstonesError):
+        table.upsert(spark, _mk(spark, _rows(10)))
+    with pytest.raises(PendingTombstonesError):
+        optimize_table(table, spark, small_file_bytes=1 << 30)
+    with pytest.raises(PendingTombstonesError):
+        restore_version(table, 0)
+    with pytest.raises(PendingTombstonesError):
+        shallow_clone(table, table.table_dir + "_clone")
+
+
+def test_apply_is_logically_neutral_and_unblocks(spark, table):
+    table.delete_keys_mor(spark, _keys(spark, 3))
+    table.delete_keys_mor(spark, _keys(spark, 5))
+    before = sorted(map(tuple, table.read(spark).collect()))
+    res = apply_tombstones(table, spark)
+    assert res["applied_tombstones"] == 2
+    assert res["rows_deleted"] == 20
+    assert res["files_rewritten"] >= 1
+    assert table._pending_tombstones(table.numbered_snapshot()) == []
+    after = sorted(map(tuple, table.read(spark).collect()))
+    assert before == after
+    # physical paths unblocked now
+    assert table.delete_keys(spark, _keys(spark, 4)) == 10
+    # idempotent: second apply is a no-op
+    assert apply_tombstones(table, spark)["applied_tombstones"] == 0
+
+
+def test_apply_skips_disjoint_files_by_stats(spark, tmp_path):
+    """A narrow-key tombstone must rewrite only the files whose
+    recorded meter_id range can contain it."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    # two appends with disjoint meter ranges -> distinct files + stats
+    lo = [(TS + dt.timedelta(minutes=i), i % 5, float(i)) for i in range(50)]
+    hi = [
+        (TS + dt.timedelta(minutes=50 + i), 100 + i % 5, float(i))
+        for i in range(50)
+    ]
+    t.idempotent_append(spark, _mk(spark, lo).repartition(1))
+    t.idempotent_append(spark, _mk(spark, hi).repartition(1))
+    t.delete_keys_mor(
+        spark,
+        _mk(spark, [r for r in hi if r[1] == 102]).select(
+            "reading_timestamp", "meter_id"
+        ),
+    )
+    res = apply_tombstones(t, spark)
+    assert res["files_rewritten"] == 1  # the hi file only
+    assert t.read(spark).count() == 90
+    assert t.read(spark).filter("meter_id = 102").count() == 0
+    assert t.read(spark).filter("meter_id < 5").count() == 50
+
+
+def test_compaction_preserves_pending_tombstones_and_origins(spark, table):
+    table.delete_keys_mor(spark, _keys(spark, 7))
+    back = [r for r in _rows() if r[1] == 7][:3]
+    table.idempotent_append(spark, _mk(spark, back))
+    expect = sorted(map(tuple, table.read(spark).collect()))
+    assert compact_log(table, keep_last=1) > 0
+    base = table.snapshot()[0]
+    assert base.get("tombstones"), "pending tombstone lost in compaction"
+    assert base.get("added_numbers"), "file origins lost in compaction"
+    got = sorted(map(tuple, table.read(spark).collect()))
+    assert got == expect
+    # re-inserts (origin > upto) still visible, originals still gone
+    assert table.read(spark).filter("meter_id = 7").count() == 3
+    # apply after compaction: content unchanged
+    apply_tombstones(table, spark)
+    assert sorted(map(tuple, table.read(spark).collect())) == expect
+
+
+def test_vacuum_keeps_pending_tombstone_files(spark, table):
+    table.delete_keys_mor(spark, _keys(spark, 3))
+    tomb_rels = table.snapshot()[-1]["tombstones"][0]["rels"]
+    vacuum_unreferenced(table, ttl_s=0.0)
+    for rel in tomb_rels:
+        assert os.path.exists(os.path.join(table.data_dir, rel))
+    assert table.read(spark).count() == 90
+    # once applied, the tombstone files become sweepable
+    apply_tombstones(table, spark)
+    compact_log(table, keep_last=1)
+    vacuum_unreferenced(table, ttl_s=0.0)
+    assert not any(
+        os.path.exists(os.path.join(table.data_dir, rel))
+        for rel in tomb_rels
+    )
+    assert table.read(spark).count() == 90
+
+
+def test_mor_tombstone_survives_lost_commit_race(spark, table):
+    """A competing append landing between the tombstone's listing and
+    its publish forces a retry at the next number; the delete must
+    still land and suppress."""
+    competing = _mk(
+        spark,
+        [(TS + dt.timedelta(days=2, minutes=i), 900 + i, 1.0) for i in range(3)],
+    )
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t2 = ManifestTable(table.table_dir)
+            t2.idempotent_append(spark, competing)
+
+    table._pre_publish_hook = hook
+    try:
+        assert table.delete_keys_mor(spark, _keys(spark, 3)) == 10
+    finally:
+        table._pre_publish_hook = None
+    df = table.read(spark)
+    assert df.filter("meter_id = 3").count() == 0
+    assert df.filter("meter_id >= 900").count() == 3
+    assert df.count() == 93
+
+
+def test_mor_dates_recorded_for_cdc(spark, table):
+    table.delete_keys_mor(spark, _keys(spark, 3))
+    c = table.snapshot()[-1]
+    assert c["removed_dates"] == ["2024-01-01"]
