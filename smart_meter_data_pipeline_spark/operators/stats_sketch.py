@@ -172,15 +172,21 @@ def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Full (type × bucket) grid — empty buckets carry register 0 and
     # must contribute 2^0 to the denominator, exactly as in the
-    # textbook estimator.
-    types = regs.select("event_type").distinct()
-    buckets = spark.range(HLL_BUCKETS).select(
-        F.col("id").cast("int").alias("bucket")
+    # textbook estimator. Generated by EXPLODE over the distinct
+    # types (never a cross join — no nested-loop node enters the
+    # plan; the grid is |types|·{HLL_BUCKETS} rows).
+    grid = (
+        regs.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(HLL_BUCKETS - 1))
+            ).alias("bucket"),
+        )
     )
-    full = (
-        types.crossJoin(F.broadcast(buckets))
-        .join(regs, ["event_type", "bucket"], "left")
-        .fillna(0, subset=["register"])
+    full = grid.join(regs, ["event_type", "bucket"], "left").fillna(
+        0, subset=["register"]
     )
     term = F.expr(
         "shiftleft(CAST(1 AS BIGINT), CAST(33 - register AS INT))"

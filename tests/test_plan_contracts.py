@@ -829,3 +829,82 @@ def test_priority_sample_is_take_ordered(spark, sf_dir):
 
     p = _plan(scale_ops.sample_weighted_priority(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_bitmap_distinct_two_rollups_one_scan(spark, sf_dir):
+    """rows → (type × word) bit_or → popcount rollup: one events
+    scan, no joins, no global sort — the mergeable exact-distinct
+    plan shape."""
+    from smart_meter_data_pipeline_spark.operators import stats_sketch
+
+    p = _plan(stats_sketch.events_bitmap_distinct(spark, sf_dir))
+    assert p.count("Scan parquet  (") == 1
+    assert "Join" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_overlap_joins_are_keyed_never_nested_loop(spark, sf_dir):
+    """The grid comes from EXPLODE (no cross join); the pair join is
+    keyed on the 64-value bucket; the exact-overlap audit join is an
+    equi-join on user_id. Nothing nested-loop, nothing cartesian,
+    nothing single-partition."""
+    from smart_meter_data_pipeline_spark.operators import stats_sketch
+
+    p = _plan(stats_sketch.events_hll_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_runs_test_broadcast_means_window_by_type(spark, sf_dir):
+    """The per-type sums ride a broadcast back onto the fact; the LAG
+    window partitions by event_type — never a single-partition sort
+    of the fact."""
+    from smart_meter_data_pipeline_spark.operators import stats_sketch
+
+    p = _plan(stats_sketch.events_runs_test(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_mann_whitney_window_runs_on_value_rollup(spark, sf_dir):
+    """The ranking window's child must be the (type × value) rollup
+    (HashAggregate below Window), partitioned by type — the fact is
+    never row-ranked, and nothing funnels to one partition."""
+    from smart_meter_data_pipeline_spark.operators import stats_sketch
+
+    p = _plan(stats_sketch.events_mann_whitney_u(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+    # exactly one scan feeds aggregate -> window -> aggregate
+    assert p.count("Scan parquet  (") == 1
+    assert "Window" in p and "HashAggregate" in p
+
+
+def test_snm_window_partitioned_by_block_neighbor_join_equi(
+    spark, sf_dir
+):
+    """Ranking partitions by the block prefix (no global sort); the
+    neighbor pairing is an equi-join on (block, rank+offset) — no
+    theta-join, no cartesian; verification touches candidates only."""
+    from smart_meter_data_pipeline_spark.operators import dedup
+
+    p = _plan(dedup.dedup_sorted_neighborhood(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_inverted_index_take_ordered_single_scan(spark, sf_dir):
+    """One corpus scan, two rollups, and the top-N cut is TakeOrdered
+    (per-partition top-k + driver merge), never a global sort."""
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    p = _plan(curation.corpus_inverted_index(spark, sf_dir))
+    assert p.count("Scan parquet  (") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
