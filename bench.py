@@ -489,6 +489,44 @@ def main() -> None:
                 dedup.dedup_prefix_filter_join(spark, SF_DIR)
             ),
         )
+
+        # 19. Merge-on-read delete lifecycle (NEW legs, late r8): on
+        # the same manifest table, tombstone 10% of the meters —
+        # metadata-only, zero files rewritten, the O(keys) cost that
+        # makes row deletes affordable on a 100 TB table — then time
+        # the tombstone-taxed read, then the reorg that reconciles the
+        # debt into real rewrites. Best-of-2 on the delete lands a
+        # second identical tombstone (another metadata commit, same
+        # work); the reorg runs ONCE (its second run would be a no-op
+        # and best-of-2 would record that instead of the rewrite).
+        from smart_meter_data_pipeline_spark.sources.manifest import (
+            apply_tombstones,
+        )
+
+        doomed = readings.filter((readings.meter_id % 10) == 7).select(
+            "reading_timestamp", "meter_id"
+        )
+        leg(
+            "manifest_mor_delete",
+            lambda: mt.delete_keys_mor(spark, doomed),
+        )
+        leg("manifest_mor_read", lambda: _materialize(mt.read(spark)))
+        mor_rows_before = mt.read(spark).count()
+        leg(
+            "manifest_mor_reorg",
+            lambda: apply_tombstones(mt, spark),
+            repeat=1,
+        )
+        reorg_commit = mt.snapshot()[-1]
+        manifest_mor = {
+            # the delete commit itself moves no data files
+            "delete_files_rewritten": 0,
+            "reorg_files_rewritten": len(reorg_commit.get("removed", [])),
+            "reorg_files_created": len(reorg_commit.get("added", [])),
+            # reorg must be logically invisible
+            "rows_changed_by_reorg": mt.read(spark).count()
+            - mor_rows_before,
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -515,6 +553,7 @@ def main() -> None:
             "serve_vs_full_mismatched_rows": serve_mismatches,
         },
         "manifest_clustered": manifest_clustered,
+        "manifest_mor": manifest_mor,
         "repeat": 2,
         "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},
         "load_avg_start": load_avg_start,

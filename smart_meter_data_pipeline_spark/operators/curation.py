@@ -1732,3 +1732,143 @@ ORDER BY cf DESC, token
 LIMIT {INDEX_TOP_TOKENS}
 """,
 )(corpus_inverted_index)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+K_FOLDS = 5
+KFOLD_SALT = 43
+_M31_KF = 2147483647
+
+
+def _fold_expr_spark():
+    h1 = (
+        F.col("doc_id") * F.lit(2654435761) + F.lit(KFOLD_SALT * 97)
+    ) % F.lit(_M31_KF)
+    return ((h1 * F.lit(48271)) % F.lit(_M31_KF)) % F.lit(K_FOLDS)
+
+
+_FOLD_SQL = (
+    f"((((doc_id * 2654435761 + {KFOLD_SALT * 97}) % {_M31_KF})"
+    f" * 48271) % {_M31_KF}) % {K_FOLDS}"
+)
+
+
+def train_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {K_FOLDS}-fold cross-validation assignment: the
+    fold is a stateless integer-hash expression of doc_id (the
+    portable-PRNG idiom, all intermediates < 2^52), so every engine,
+    rerun, and corpus subset agrees on every document's fold — the
+    property that makes CV results reproducible and lets fold
+    training sets be CARVED AT SCAN TIME (``fold <> i`` is a pushable
+    predicate; no materialized split tables, no shuffle). Returns the
+    per-(fold, source) balance manifest a CV harness audits before
+    training {K_FOLDS} models.
+
+    Complements ``train_val_test_split`` (fractional holdout) and
+    ``train_split_leakage_safe`` (group-aware holdout): k-fold is the
+    small-data / hyperparameter-search shape.
+
+    Scale shape: one scan, one map-side-combining rollup of
+    {K_FOLDS}×|sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            _fold_expr_spark().cast("int").alias("fold"),
+            "source",
+            "n_chars",
+        )
+        .groupBy("fold", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+register(
+    "train_kfold_assign",
+    f"""
+SELECT CAST({_FOLD_SQL} AS INT) AS fold, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+)(train_kfold_assign)
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to events_k_anonymity)
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY = 3
+
+
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al.): within
+    each quasi-identifier equivalence class (ISO day-of-week × value
+    band of width 50 — the k-anonymity QI minus the sensitive
+    attribute), count DISTINCT values of the sensitive attribute
+    (event_type) and histogram the classes by that l. k-anonymity
+    alone cannot stop the homogeneity attack — a class where all k
+    rows share one sensitive value re-identifies it perfectly even at
+    large k; a release is distinct-l-diverse iff no class has
+    l < {L_DIVERSITY}.
+
+    Scale shape: rows → (QI × sensitive) rollup → QI classes →
+    l histogram, all map-side-combining aggregations with
+    QI-domain-bounded keys; one scan, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        (F.expr("weekday(ts)") + 1).alias("dow"),
+        F.expr("CAST(floor(value / 50) AS INT)").alias("value_band"),
+        "event_type",
+    )
+    classes = (
+        qi.groupBy("dow", "value_band", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("dow", "value_band")
+        .agg(
+            F.count(F.lit(1)).alias("l"),
+            F.sum("n").alias("k"),
+        )
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+        )
+        .select(
+            F.col("l").cast("bigint").alias("distinct_sensitive"),
+            F.col("n_classes").cast("bigint").alias("n_classes"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("l") < L_DIVERSITY).alias("risky"),
+        )
+    )
+
+
+register(
+    "events_l_diversity",
+    f"""
+WITH cells AS (
+  SELECT isodow(ts) AS dow,
+         CAST(floor(value / 50) AS INT) AS value_band,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT dow, value_band, COUNT(*) AS l, SUM(n) AS k
+  FROM cells GROUP BY 1, 2
+)
+SELECT CAST(l AS BIGINT) AS distinct_sensitive,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       l < {L_DIVERSITY} AS risky
+FROM classes
+GROUP BY l
+""",
+)(events_l_diversity)

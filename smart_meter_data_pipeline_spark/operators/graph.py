@@ -648,3 +648,140 @@ JOIN first f
 GROUP BY em.m
 """,
 )(trade_graph_densification)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common neighbors / resource allocation over the
+# bipartite trade graph
+# ---------------------------------------------------------------------------
+
+# Customers connected to more suppliers than this are dropped as
+# evidence: a hub customer generates O(deg²) supplier pairs while
+# carrying almost no signal (the same reasoning as the resource-
+# allocation 1/deg weighting, taken to its limit) — the standard
+# hot-key cap that bounds the self-join fan-out at MAX² per customer
+# regardless of graph size (MAX_SHINGLE_DF precedent in dedup).
+LINKPRED_MAX_DEG = 40
+LINKPRED_TOP_K = 50
+RA_SCALE = 1_000_000
+
+
+def trade_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the bipartite customer↔supplier trade
+    graph: for supplier pairs that share customers, the
+    common-neighbors count, Jaccard (milli), and the Zhou-Lü-Zhang
+    resource-allocation index RA = Σ_z 1/deg(z) over shared customers
+    z — the strongest of the classic local similarity indices and the
+    one that needs no logarithm (Adamic-Adar's ln(deg) would break
+    the cross-engine hash contract; RA is its rational twin).
+    Predicted links rank suppliers a procurement graph would
+    recommend pairing/substituting.
+
+    RA is reported in exact micro-units: each shared customer
+    contributes {RA_SCALE} div deg(z) (integer floor division, both
+    engines agree), so the SUM is an exact bigint.
+
+    Scale shape: distinct (customer, supplier) edge list → hub cap
+    (bounds the per-customer pair fan-out at {LINKPRED_MAX_DEG}²) →
+    self-join on the customer key (equi-join, never all-pairs) →
+    (s_a, s_b) rollup → TakeOrdered top-{LINKPRED_TOP_K} on the total
+    order (common desc, ra desc, ids)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    cdeg = pairs.groupBy("cust").agg(F.count(F.lit(1)).alias("cdeg"))
+    kept = pairs.join(
+        cdeg.filter(F.col("cdeg") <= LINKPRED_MAX_DEG), "cust"
+    )
+    sdeg = kept.groupBy("supp").agg(F.count(F.lit(1)).alias("sdeg"))
+    a = kept.select(
+        "cust", F.col("supp").alias("s_a"), F.col("cdeg").alias("cdeg_a")
+    )
+    b = kept.select("cust", F.col("supp").alias("s_b"))
+    co = (
+        a.join(b, "cust")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(
+                F.expr(f"CAST({RA_SCALE} AS BIGINT) div cdeg_a")
+            ).alias("ra_micro"),
+        )
+    )
+    scored = (
+        co.join(
+            sdeg.select(F.col("supp").alias("s_a"), F.col("sdeg").alias("deg_a")),
+            "s_a",
+        )
+        .join(
+            sdeg.select(F.col("supp").alias("s_b"), F.col("sdeg").alias("deg_b")),
+            "s_b",
+        )
+        .select(
+            "s_a",
+            "s_b",
+            F.col("common").cast("bigint").alias("common"),
+            F.col("ra_micro").cast("bigint").alias("ra_micro"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            F.expr(
+                "CAST((1000 * common) div (deg_a + deg_b - common)"
+                " AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common").desc(),
+        F.col("ra_micro").desc(),
+        "s_a",
+        "s_b",
+    ).limit(LINKPRED_TOP_K)
+
+
+register(
+    "trade_common_neighbors",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY 1),
+kept AS (
+  SELECT p.cust, p.supp, d.cdeg
+  FROM pairs p JOIN cdeg d ON p.cust = d.cust
+  WHERE d.cdeg <= {LINKPRED_MAX_DEG}
+),
+sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM kept GROUP BY 1),
+co AS (
+  SELECT a.supp AS s_a, b.supp AS s_b, COUNT(*) AS common,
+         SUM(CAST(CAST({RA_SCALE} AS BIGINT) // a.cdeg AS BIGINT))
+           AS ra_micro
+  FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2
+)
+SELECT co.s_a, co.s_b,
+       CAST(common AS BIGINT) AS common,
+       CAST(ra_micro AS BIGINT) AS ra_micro,
+       CAST(da.sdeg AS BIGINT) AS deg_a,
+       CAST(db.sdeg AS BIGINT) AS deg_b,
+       CAST((1000 * common) // (da.sdeg + db.sdeg - common) AS BIGINT)
+         AS jaccard_milli
+FROM co
+JOIN sdeg da ON co.s_a = da.supp
+JOIN sdeg db ON co.s_b = db.supp
+ORDER BY common DESC, ra_micro DESC, s_a, s_b
+LIMIT {LINKPRED_TOP_K}
+""",
+)(trade_common_neighbors)

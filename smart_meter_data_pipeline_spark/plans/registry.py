@@ -207,6 +207,9 @@ _PRIORITY = [
     "dedup_sorted_neighborhood",
     "corpus_inverted_index",
     "manifest_mor_roundtrip",
+    "train_kfold_assign",
+    "events_l_diversity",
+    "trade_common_neighbors",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -908,3 +908,25 @@ def test_inverted_index_take_ordered_single_scan(spark, sf_dir):
     assert p.count("Scan parquet  (") == 1
     assert "TakeOrderedAndProject" in p
     assert "Join" not in p
+
+
+def test_kfold_and_l_diversity_single_scan_no_join(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    for fn in (curation.train_kfold_assign, curation.events_l_diversity):
+        p = _plan(fn(spark, sf_dir))
+        assert p.count("Scan parquet  (") == 1, fn.__name__
+        assert "Join" not in p, fn.__name__
+        assert "Exchange SinglePartition" not in p, fn.__name__
+
+
+def test_common_neighbors_capped_equi_join_take_ordered(spark, sf_dir):
+    """Candidate pairs come from a customer-key equi-join over the
+    hub-capped edge list; the final cut is TakeOrdered."""
+    from smart_meter_data_pipeline_spark.operators import graph
+
+    p = _plan(graph.trade_common_neighbors(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

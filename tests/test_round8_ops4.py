@@ -134,3 +134,58 @@ def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
         assert len(ids) == r["df"]
         assert sum(tfs) == r["cf"]
         assert all(t >= 1 for t in tfs)
+
+
+def test_kfold_partition_is_total_and_balanced(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        K_FOLDS,
+        train_kfold_assign,
+    )
+
+    rows = train_kfold_assign(spark, sf_dir).collect()
+    folds = {r["fold"] for r in rows}
+    assert folds <= set(range(K_FOLDS))
+    n_total = sum(r["n_docs"] for r in rows)
+    assert n_total == load_table(spark, sf_dir, "documents").count()
+    per_fold = {}
+    for r in rows:
+        per_fold[r["fold"]] = per_fold.get(r["fold"], 0) + r["n_docs"]
+    # hash-uniform: no fold dominates (loose 3x band)
+    assert max(per_fold.values()) <= 3 * max(1, min(per_fold.values()))
+
+
+def test_l_diversity_accounts_for_every_row(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        events_l_diversity,
+    )
+
+    rows = events_l_diversity(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_rows"] for r in rows) == load_table(
+        spark, sf_dir, "events"
+    ).count()
+    for r in rows:
+        assert 1 <= r["distinct_sensitive"]
+        assert r["risky"] == (r["distinct_sensitive"] < 3)
+        # l cannot exceed the sensitive-domain size (5 event types)
+        assert r["distinct_sensitive"] <= 5
+
+
+def test_common_neighbors_scores_consistent(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.graph import (
+        LINKPRED_TOP_K,
+        RA_SCALE,
+        trade_common_neighbors,
+    )
+
+    rows = trade_common_neighbors(spark, sf_dir).collect()
+    assert 0 < len(rows) <= LINKPRED_TOP_K
+    for r in rows:
+        assert r["s_a"] < r["s_b"]
+        assert 1 <= r["common"] <= min(r["deg_a"], r["deg_b"])
+        # each shared customer contributes at most RA_SCALE (deg>=1)
+        assert 0 < r["ra_micro"] <= r["common"] * RA_SCALE
+        assert 0 <= r["jaccard_milli"] <= 1000
+    # ranking respects the declared total order
+    keys = [(-r["common"], -r["ra_micro"], r["s_a"], r["s_b"]) for r in rows]
+    assert keys == sorted(keys)
