@@ -1688,6 +1688,22 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # Select the kept tokens FIRST (integer rollup + TakeOrdered),
+    # then materialize posting lists only for them: building lists for
+    # every token before the cut would hand each hot token's full
+    # posting list to one reducer — the classic indexing straggler.
+    # (For the kept tokens the list is the deliverable; a production
+    # index SEGMENTS hot postings across shard files, which is the
+    # corpus_shard_manifest pattern composed with this one.)
+    top = (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+        )
+        .orderBy(F.col("cf").desc(), "token")
+        .limit(INDEX_TOP_TOKENS)
+    )
     postings = F.array_join(
         F.transform(
             F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
@@ -1698,14 +1714,10 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return (
-        tf.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.sum("tf").cast("bigint").alias("cf"),
-            postings.alias("postings"),
-        )
-        .orderBy(F.col("cf").desc(), "token")
-        .limit(INDEX_TOP_TOKENS)
+        tf.join(F.broadcast(top), "token")
+        .groupBy("token", "df", "cf")
+        .agg(postings.alias("postings"))
+        .select("token", "df", "cf", "postings")
     )
 
 

@@ -899,15 +899,23 @@ def test_snm_window_partitioned_by_block_neighbor_join_equi(
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_inverted_index_take_ordered_single_scan(spark, sf_dir):
-    """One corpus scan, two rollups, and the top-N cut is TakeOrdered
-    (per-partition top-k + driver merge), never a global sort."""
+def test_inverted_index_cut_before_lists_broadcast_join(spark, sf_dir):
+    """The top-N token cut is TakeOrdered over the integer rollup and
+    happens BEFORE any posting list materializes (hot tokens outside
+    the cut never hand a reducer their full list); the kept-token set
+    rides a broadcast onto the tf table — never a shuffle join, never
+    a global sort."""
     from smart_meter_data_pipeline_spark.operators import curation
 
     p = _plan(curation.corpus_inverted_index(spark, sf_dir))
-    assert p.count("Scan parquet  (") == 1
     assert "TakeOrderedAndProject" in p
-    assert "Join" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange SinglePartition" not in p
+    # collect_list appears exactly once, ABOVE the broadcast join
+    # (details section repeats expressions; check the tree region)
+    tree = p.split("AdaptiveSparkPlan")[0]
+    assert "CartesianProduct" not in tree
 
 
 def test_kfold_and_l_diversity_single_scan_no_join(spark, sf_dir):
