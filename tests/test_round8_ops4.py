@@ -189,3 +189,43 @@ def test_common_neighbors_scores_consistent(spark, sf_dir):
     # ranking respects the declared total order
     keys = [(-r["common"], -r["ra_micro"], r["s_a"], r["s_b"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_reservoir_per_key_exact_k_and_uniformish(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        RESERVOIR_K,
+        sample_reservoir_per_key,
+    )
+
+    rows = sample_reservoir_per_key(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_events = load_table(spark, sf_dir, "events").count()
+    for t, rs in by_type.items():
+        # every type here has >= K events, so the sample is exactly K
+        assert len(rs) == RESERVOIR_K, t
+        assert sorted(r["sample_rank"] for r in rs) == list(
+            range(1, RESERVOIR_K + 1)
+        )
+        assert len({r["event_id"] for r in rs}) == RESERVOIR_K
+    # determinism: second run identical
+    again = sample_reservoir_per_key(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert n_events > sum(len(v) for v in by_type.values())
+
+
+def test_lix_bounds_and_formula(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.text import (
+        doc_lix_readability,
+    )
+
+    rows = doc_lix_readability(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_long_words"] <= r["n_words"]
+        assert r["n_sentences"] >= 1
+        expect = (1000 * r["n_words"]) // r["n_sentences"] + (
+            100000 * r["n_long_words"]
+        ) // max(r["n_words"], 1)
+        assert r["lix_milli"] == expect
