@@ -4296,3 +4296,115 @@ SELECT CAST(n AS BIGINT) AS n_events,
 FROM s, tot
 """,
 )(events_type_hour_independence_chi2)
+
+
+# ---------------------------------------------------------------------------
+# Per-user automation (bot) screening
+# ---------------------------------------------------------------------------
+
+BOT_MIN_GAPS = 5
+BOT_CV_MAX = "0.5"  # same literal string in both engines
+BOT_MEAN_GAP_MAX_S = 60 * 60  # fast cadence: mean gap under an hour
+
+
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user automation screening — the trust-and-safety twin of
+    ``events_interarrival_stats``: a bot emits events at a fast AND
+    unnaturally regular cadence, so the screen is (mean inter-arrival
+    below {BOT_MEAN_GAP_MAX_S}s) AND (coefficient of variation of the
+    gaps below {BOT_CV_MAX} — humans are bursty, cron jobs are not).
+
+    Determinism contract: gaps are exact integer seconds; the CV
+    simplifies to sqrt(n·Σg² − (Σg)²)/Σg — one IEEE sqrt over an
+    exact integer, one division, rounded at 9 (the welch shape); the
+    flag compares the UNROUNDED double against the same literal in
+    both engines. Degenerate users (zero gap sum) emit NULL cv and
+    never flag.
+
+    Scale shape: one user-partitioned LAG pass (the sessionization
+    exchange), then a per-user rollup of integer sufficient sums —
+    no second scan, no joins, output one row per active user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("t"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("gap_s", F.col("t") - F.lag("t").over(w))
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("gap_s").isNotNull(), 1).otherwise(0)).alias(
+            "n_gaps"
+        ),
+        F.sum("gap_s").alias("sum_gap_s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_gap2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sd = F.col("sum_gap_s").cast("double")
+    qd = F.col("sum_gap2").cast("double")
+    cv = F.sqrt(nd * qd - sd * sd) / sd
+    mean_gap = F.expr("sum_gap_s div n_gaps")
+    return (
+        stats.filter(F.col("n_gaps") >= BOT_MIN_GAPS)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.col("sum_gap_s").cast("bigint").alias("sum_gap_s"),
+            mean_gap.cast("bigint").alias("mean_gap_s"),
+            F.when(F.col("sum_gap_s") > 0, F.round(cv, 9)).alias("gap_cv"),
+            (
+                (mean_gap < F.lit(BOT_MEAN_GAP_MAX_S))
+                & F.coalesce(
+                    F.when(F.col("sum_gap_s") > 0, cv)
+                    < F.expr(f"CAST({BOT_CV_MAX} AS DOUBLE)"),
+                    F.lit(False),
+                )
+            ).alias("bot_suspect"),
+        )
+    )
+
+
+register(
+    "events_bot_score",
+    f"""
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+stats AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END) AS n_gaps,
+         SUM(gap_s) AS sum_gap_s,
+         SUM(gap_s * gap_s) AS sum_gap2
+  FROM seq GROUP BY 1
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(sum_gap_s AS BIGINT) AS sum_gap_s,
+       CAST(CAST(sum_gap_s // n_gaps AS BIGINT) AS BIGINT) AS mean_gap_s,
+       CASE WHEN sum_gap_s > 0
+            THEN round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(sum_gap2 AS DOUBLE)
+                            - CAST(sum_gap_s AS DOUBLE)
+                              * CAST(sum_gap_s AS DOUBLE))
+                       / CAST(sum_gap_s AS DOUBLE), 9) END AS gap_cv,
+       (CAST(sum_gap_s // n_gaps AS BIGINT) < {BOT_MEAN_GAP_MAX_S}
+        AND COALESCE(
+          CASE WHEN sum_gap_s > 0
+               THEN sqrt(CAST(n_gaps AS DOUBLE) * CAST(sum_gap2 AS DOUBLE)
+                         - CAST(sum_gap_s AS DOUBLE)
+                           * CAST(sum_gap_s AS DOUBLE))
+                    / CAST(sum_gap_s AS DOUBLE) END
+          < CAST({BOT_CV_MAX} AS DOUBLE), FALSE)) AS bot_suspect
+FROM stats
+WHERE n_gaps >= {BOT_MIN_GAPS}
+""",
+)(events_bot_score)

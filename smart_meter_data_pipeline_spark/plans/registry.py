@@ -212,6 +212,7 @@ _PRIORITY = [
     "trade_common_neighbors",
     "sample_reservoir_per_key",
     "doc_lix_readability",
+    "events_bot_score",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

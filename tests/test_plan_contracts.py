@@ -950,3 +950,10 @@ def test_reservoir_window_partitioned_lix_pure_scan(spark, sf_dir):
     assert p2.count("Scan parquet  (") == 1
     assert "Exchange" not in p2.split("AdaptiveSparkPlan")[0] or True
     assert "Join" not in p2 and "Window" not in p2
+
+
+def test_bot_score_single_scan_user_window(spark, sf_dir):
+    p = _plan(extended.events_bot_score(spark, sf_dir))
+    assert p.count("Scan parquet  (") == 1
+    assert "Join" not in p
+    assert "Exchange SinglePartition" not in p

@@ -229,3 +229,23 @@ def test_lix_bounds_and_formula(spark, sf_dir):
             100000 * r["n_long_words"]
         ) // max(r["n_words"], 1)
         assert r["lix_milli"] == expect
+
+
+def test_bot_score_invariants(spark, sf_dir):
+    import math
+
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        BOT_MIN_GAPS,
+        events_bot_score,
+    )
+
+    rows = events_bot_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] == r["n_events"] - 1
+        assert r["n_gaps"] >= BOT_MIN_GAPS
+        assert r["mean_gap_s"] * r["n_gaps"] <= r["sum_gap_s"]
+        if r["gap_cv"] is not None:
+            assert math.isfinite(r["gap_cv"]) and r["gap_cv"] >= 0
+        if r["bot_suspect"]:
+            assert r["mean_gap_s"] < 3600 and r["gap_cv"] < 0.5
