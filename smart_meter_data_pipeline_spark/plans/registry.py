@@ -213,6 +213,7 @@ _PRIORITY = [
     "sample_reservoir_per_key",
     "doc_lix_readability",
     "events_bot_score",
+    "stream_bot_score",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

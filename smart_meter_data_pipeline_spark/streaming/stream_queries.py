@@ -2408,3 +2408,157 @@ def _register_stream_hll() -> None:
 
 
 _register_stream_hll()
+
+
+def stream_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_bot_score``: per-user inter-arrival
+    sufficient statistics (n, Σgap, Σgap², last timestamp) maintained
+    as keyed streaming state — four integers per user, the mergeable
+    form that turns the batch screen into a continuously-updated
+    abuse monitor. Gaps BETWEEN micro-batches are computed against
+    the state's last timestamp, so batch boundaries are invisible to
+    the statistics; per-batch emissions carry monotone n_events, so
+    the drain reduces with a max-by and the hash gate proves the
+    streamed screen == the batch screen row-for-row (same oracle).
+    Two ts-split chunks force the cross-batch gap path.
+
+    The closure inlines everything (pandas only) — module references
+    do not survive pickling to workers launched outside the repo."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_botstream_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_id", "user_id"
+        )
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("n_gaps", T.LongType()),
+                T.StructField("sum_gap_s", T.LongType()),
+                T.StructField("sum_gap2", T.LongType()),
+            ]
+        )
+        state_schema = T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("sg", T.LongType()),
+                T.StructField("sq", T.LongType()),
+                T.StructField("last_t", T.LongType()),
+            ]
+        )
+
+        def _fn(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                n, sg, sq, last_t = state.get
+            else:
+                n, sg, sq, last_t = 0, 0, 0, None
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_s = (pdf["ts"].astype("int64") // 10**9).tolist()
+            for t in ts_s:
+                if last_t is not None:
+                    g = t - last_t
+                    sg += g
+                    sq += g * g
+                n += 1
+                last_t = t
+            state.update((n, sg, sq, last_t))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_gaps": [n - 1],
+                    "sum_gap_s": [sg],
+                    "sum_gap2": [sq],
+                }
+            )
+
+        sink = f"stream_bot_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                _fn,
+                out_schema,
+                state_schema,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        feed = spark.table(sink)
+        # n_events is monotone per user, so max_by picks each user's
+        # final statistics regardless of how many batches touched it.
+        final = feed.groupBy("user_id").agg(
+            F.expr(
+                "max_by(struct(n_events, n_gaps, sum_gap_s, sum_gap2),"
+                " n_events)"
+            ).alias("s")
+        ).select("user_id", "s.*")
+        nd = F.col("n_gaps").cast("double")
+        sd = F.col("sum_gap_s").cast("double")
+        qd = F.col("sum_gap2").cast("double")
+        cv = F.sqrt(nd * qd - sd * sd) / sd
+        mean_gap = F.expr("sum_gap_s div n_gaps")
+        from smart_meter_data_pipeline_spark.operators.extended import (
+            BOT_CV_MAX,
+            BOT_MEAN_GAP_MAX_S,
+            BOT_MIN_GAPS,
+        )
+
+        return (
+            final.filter(F.col("n_gaps") >= BOT_MIN_GAPS)
+            .select(
+                "user_id",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("n_gaps").cast("bigint").alias("n_gaps"),
+                F.col("sum_gap_s").cast("bigint").alias("sum_gap_s"),
+                mean_gap.cast("bigint").alias("mean_gap_s"),
+                F.when(F.col("sum_gap_s") > 0, F.round(cv, 9)).alias(
+                    "gap_cv"
+                ),
+                (
+                    (mean_gap < F.lit(BOT_MEAN_GAP_MAX_S))
+                    & F.coalesce(
+                        F.when(F.col("sum_gap_s") > 0, cv)
+                        < F.expr(f"CAST({BOT_CV_MAX} AS DOUBLE)"),
+                        F.lit(False),
+                    )
+                ).alias("bot_suspect"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_bot() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("stream_bot_score", ORACLES["events_bot_score"])(
+        stream_bot_score
+    )
+
+
+_register_stream_bot()
