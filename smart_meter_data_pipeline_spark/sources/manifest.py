@@ -108,6 +108,7 @@ class ManifestTable:
         table_dir: str,
         stats_columns: list[str] | None = None,
         constraints: list[dict] | None = None,
+        bloom_columns: list[str] | None = None,
     ) -> None:
         self.table_dir = table_dir
         # Columns whose per-file [min, max] footers are recorded in
@@ -127,6 +128,16 @@ class ManifestTable:
         # design — uniqueness is the PK protocol's job and FKs are
         # query-time checks (run_expectations), exactly Delta's split.
         self.constraints = list(constraints) if constraints else []
+        # Optional per-file BLOOM FILTER index (Delta's bloom filter
+        # index / Iceberg puffin blobs): for each named INTEGER
+        # column, every commit records a {BLOOM_BITS}-bit bitmap of
+        # the file's values. Min/max stats cannot skip POINT lookups
+        # on an unclustered table (every file's range overlaps every
+        # key); the bloom can — a restatement of a handful of keys
+        # prunes its candidate scan to ~the files that truly contain
+        # them, from metadata alone. Off by default (costs one column
+        # read per staged file at write time).
+        self.bloom_columns = list(bloom_columns) if bloom_columns else []
         self.commits_dir = os.path.join(table_dir, COMMITS_DIRNAME)
         self.data_dir = os.path.join(table_dir, DATA_DIRNAME)
         self.refs_dir = os.path.join(table_dir, REFS_DIRNAME)
@@ -684,6 +695,138 @@ class ManifestTable:
                 out[rel] = per_col
         return out
 
+    # Bloom index shape: m bits / k hashes sized for ~4K distinct
+    # values per file at ~1% false positives (FP only costs a wasted
+    # candidate read — never correctness). The hash is the same
+    # MINSTD integer mix the portable PRNG uses: cheap, stable across
+    # processes (no PYTHONHASHSEED), and int-exact.
+    BLOOM_BITS = 32768
+    BLOOM_HASHES = 3
+    _BLOOM_M31 = 2147483647
+
+    @classmethod
+    def _bloom_positions(cls, value: int) -> list[int]:
+        return [
+            (
+                (value * 2654435761 + seed * 40503) % cls._BLOOM_M31
+            ) % cls.BLOOM_BITS
+            for seed in range(1, cls.BLOOM_HASHES + 1)
+        ]
+
+    def _file_blooms(self, rel_files: list[str]) -> dict:
+        """Per-file {column: hex bitmap} over ``bloom_columns``, read
+        from the just-staged files' column data (pyarrow, no Spark
+        job). Unlike the min/max stats this touches the column's
+        values, so it is opt-in; non-integer columns are skipped the
+        same way non-integral stats are."""
+        if not self.bloom_columns:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            path = os.path.join(self.data_dir, rel)
+            try:
+                tbl = pq.read_table(path, columns=[
+                    c for c in self.bloom_columns
+                ])
+            except Exception:
+                continue
+            per_col: dict[str, str] = {}
+            for c in self.bloom_columns:
+                if c not in tbl.column_names:
+                    continue
+                bits = 0
+                ok = True
+                for v in tbl.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    if not isinstance(v, int):
+                        ok = False
+                        break
+                    for pos in self._bloom_positions(v):
+                        bits |= 1 << pos
+                if ok and bits:
+                    per_col[c] = f"{bits:x}"
+            if per_col:
+                out[rel] = per_col
+        return out
+
+    def _prune_by_bloom(
+        self,
+        files: list[str],
+        commits: list[dict],
+        key_values: dict[str, list],
+    ) -> list[str]:
+        """Drop candidate files whose recorded bloom proves they
+        contain NONE of the mutation's key values on some bloom
+        column. Complements :meth:`_prune_by_stats`: ranges skip
+        clustered tables, blooms skip POINT lookups on unclustered
+        ones. Files without a bloom record are always kept — skipping
+        is an optimization, never a correctness filter."""
+        key_values = {
+            c: vs
+            for c, vs in key_values.items()
+            if vs and all(isinstance(v, int) for v in vs)
+        }
+        if not key_values:
+            return files
+        key_pos = {
+            c: [self._bloom_positions(v) for v in vs]
+            for c, vs in key_values.items()
+        }
+        recorded: dict[str, dict] = {}
+        for c in commits:
+            recorded.update(c.get("blooms", {}))
+        kept = []
+        for f in files:
+            rel = os.path.relpath(f, self.data_dir)
+            e = recorded.get(rel)
+            if not e:
+                kept.append(f)
+                continue
+            disjoint = False
+            for col, poss in key_pos.items():
+                if col not in e:
+                    continue
+                bits = int(e[col], 16)
+                if not any(
+                    all(bits >> p & 1 for p in pp) for pp in poss
+                ):
+                    disjoint = True
+                    break
+            if not disjoint:
+                kept.append(f)
+        return kept
+
+    # Collecting more key values than this to the driver would cost
+    # more than the candidate reads the bloom could save — above it
+    # the range stats carry the pruning alone.
+    BLOOM_PRUNE_MAX_KEYS = 4096
+
+    def _prune_candidates_by_bloom(
+        self, files: list[str], commits: list[dict], keys: DataFrame
+    ) -> list[str]:
+        """Point-lookup file skipping for a mutation's key frame:
+        collect each bloom column's distinct values (bounded — a
+        too-large key set skips bloom pruning entirely) and drop
+        candidates whose bloom excludes all of them."""
+        cols = [c for c in self.bloom_columns if c in keys.columns]
+        if not files or not cols:
+            return files
+        key_values: dict[str, list] = {}
+        for c in cols:
+            vs = (
+                keys.select(c)
+                .distinct()
+                .limit(self.BLOOM_PRUNE_MAX_KEYS + 1)
+                .collect()
+            )
+            if len(vs) > self.BLOOM_PRUNE_MAX_KEYS:
+                continue
+            key_values[c] = [r[c] for r in vs if r[c] is not None]
+        return self._prune_by_bloom(files, commits, key_values)
+
     def _prune_by_stats(
         self,
         files: list[str],
@@ -804,6 +947,7 @@ class ManifestTable:
                         "dates": sorted(batch_dates),
                         "schema": in_batch.schema.json(),
                         "stats": self._file_stats(staged),
+                        "blooms": self._file_blooms(staged),
                         "committed_at": time.time(),
                     }
                 ).encode()
@@ -1255,6 +1399,9 @@ class ManifestTable:
                         for i, c in enumerate(stat_cols)
                     }
                 cand = self._prune_by_stats(cand, commits, key_ranges)
+                cand = self._prune_candidates_by_bloom(
+                    cand, commits, in_keys
+                )
                 staged: list[str] = []
                 removed_rel: list[str] = []
                 n_matched = 0
@@ -1346,6 +1493,7 @@ class ManifestTable:
                         "count": n_staged,
                         "dates": added_dates,
                         "stats": self._file_stats(staged),
+                        "blooms": self._file_blooms(staged),
                         # CDC metadata: the dates the matched (removed
                         # or re-stated) rows lived on — the only
                         # record of a date a DELETE emptied entirely,
@@ -1502,6 +1650,12 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
             for rel, r in c.get("stats", {}).items()
             if rel in net_rel
         }
+        base_blooms = {
+            rel: b
+            for _, c in base
+            for rel, b in c.get("blooms", {}).items()
+            if rel in net_rel
+        }
         merged = {
             "version": base_num,
             "added": table._net_relfiles([c for _, c in base]),
@@ -1512,6 +1666,7 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
             "compacted_from": cut,
             "schema": base_schema.json() if base_schema else None,
             "stats": base_stats,
+            "blooms": base_blooms,
             # The base REPRESENTS the table as of the last merged
             # commit, so it inherits that commit's timestamp: asof
             # reads inside the merged range are no longer resolvable
@@ -1662,6 +1817,7 @@ def optimize_table(
                     "dates": dates,
                     "schema": schema.json() if schema else None,
                     "stats": table._file_stats(staged),
+                    "blooms": table._file_blooms(staged),
                     "optimize": True,
                     "committed_at": time.time(),
                 }
@@ -1755,7 +1911,11 @@ def apply_tombstones(
                         c: (row[f"mn{j}"], row[f"mx{j}"])
                         for j, c in enumerate(stat_cols)
                     }
-                    cand.update(table._prune_by_stats(grp, commits, ranges))
+                    pruned = table._prune_by_stats(grp, commits, ranges)
+                    pruned = table._prune_candidates_by_bloom(
+                        pruned, commits, keys
+                    )
+                    cand.update(pruned)
                 if not cand:
                     continue
                 reader = spark.read
@@ -1834,6 +1994,7 @@ def apply_tombstones(
                     "count": n_staged,
                     "dates": added_dates,
                     "stats": table._file_stats(staged_all),
+                    "blooms": table._file_blooms(staged_all),
                     # Logical content is unchanged by the apply — the
                     # deletes were already visible via the tombstones —
                     # so no removed_dates/batch_dates for CDC.
@@ -1949,6 +2110,7 @@ def restore_version(table: ManifestTable, version: int) -> dict:
                         }
                     ),
                     "stats": table._file_stats(readd),
+                    "blooms": table._file_blooms(readd),
                     "removed_dates": reverted_dates,
                     "batch_dates": [],
                     "schema": (
@@ -2082,14 +2244,18 @@ def shallow_clone(source: ManifestTable, target_dir: str) -> ManifestTable:
         target_dir,
         stats_columns=source.stats_columns,
         constraints=source.constraints,
+        bloom_columns=source.bloom_columns,
     )
     if clone.snapshot():
         raise ValueError(f"clone target is not empty: {target_dir}")
 
     stats_by_abs: dict[str, dict] = {}
+    blooms_by_abs: dict[str, dict] = {}
     for c in commits:
         for f, s in (c.get("stats") or {}).items():
             stats_by_abs[os.path.join(source.data_dir, f)] = s
+        for f, b in (c.get("blooms") or {}).items():
+            blooms_by_abs[os.path.join(source.data_dir, f)] = b
     rel_of = {p: os.path.relpath(p, clone.data_dir) for p in live_abs}
     schema = source._evolved_schema(commits)
     payload = {
@@ -2100,6 +2266,11 @@ def shallow_clone(source: ManifestTable, target_dir: str) -> ManifestTable:
             rel_of[p]: stats_by_abs[p]
             for p in live_abs
             if p in stats_by_abs
+        },
+        "blooms": {
+            rel_of[p]: blooms_by_abs[p]
+            for p in live_abs
+            if p in blooms_by_abs
         },
         "committed_at": time.time(),
         "cloned_from": source.table_dir,
