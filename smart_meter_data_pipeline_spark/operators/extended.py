@@ -4408,3 +4408,124 @@ FROM stats
 WHERE n_gaps >= {BOT_MIN_GAPS}
 """,
 )(events_bot_score)
+
+
+# ---------------------------------------------------------------------------
+# Rolling Bollinger-band breakouts
+# ---------------------------------------------------------------------------
+
+BOLL_LOOKBACK = 23  # band from the 23 preceding observations
+BOLL_WIDTH = "2.0"  # ±2σ, same literal both engines
+
+
+def events_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Bollinger-band breakout screen: each event is compared
+    against mean ± {BOLL_WIDTH}·σ of the {BOLL_LOOKBACK} PRECEDING
+    values of its type (history only — the observation never sits
+    inside its own band), and breakouts are counted per (type, day).
+    The rolling-volatility complement to the fixed-split z-score and
+    EWMA screens: the band adapts to local variance, so a level shift
+    flags immediately while a slowly-trending series does not.
+
+    Determinism: the rolling Σv and Σv² are EXACT decimal window sums
+    (the frame is a row-count frame, identical in both engines —
+    order pinned by (ts, event_id)); mean/σ/band are a fixed-shape
+    double expression over those exact sums with one IEEE sqrt;
+    windows shorter than {BOLL_LOOKBACK} or with non-positive
+    variance evaluate to 'no breakout'. Output is pure integers.
+
+    Scale shape: one scan, one per-type ordered window (bounded
+    |types|-way parallelism, the CUSUM/runs-test shape), one
+    (type × day) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-BOLL_LOOKBACK, -1)
+    )
+    v = F.col("value").cast("decimal(25,6)")
+    v2 = (v * v).cast("decimal(38,12)")
+    framed = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v).over(w).alias("s"),
+        F.sum(v2).over(w).alias("q"),
+    )
+    # greatest() guards keep ANSI division happy on short windows
+    # (n=0/1); those rows are excluded by the full-window flag anyway,
+    # and the guard is written identically in the oracle.
+    nd = F.greatest(F.col("n").cast("double"), F.lit(1.0))
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    mean = sd / nd
+    var = (qd - sd * sd / nd) / F.greatest(nd - F.lit(1.0), F.lit(1.0))
+    band = F.expr(f"CAST({BOLL_WIDTH} AS DOUBLE)") * F.sqrt(var)
+    full = F.col("n") == BOLL_LOOKBACK
+    ok = full & (var > 0)
+    return (
+        framed.groupBy("event_type", "day")
+        .agg(
+            F.sum(F.when(ok & (F.col("value") > mean + band), 1).otherwise(0))
+            .cast("bigint")
+            .alias("breakouts_up"),
+            F.sum(F.when(ok & (F.col("value") < mean - band), 1).otherwise(0))
+            .cast("bigint")
+            .alias("breakouts_down"),
+            F.sum(F.when(ok, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_evaluated"),
+        )
+    )
+
+
+register(
+    "events_bollinger_breakouts",
+    f"""
+WITH framed AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value,
+         COUNT(*) OVER w AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) OVER w AS s,
+         SUM(CAST(CAST(value AS DECIMAL(25,6))
+                  * CAST(value AS DECIMAL(25,6)) AS DECIMAL(38,12)))
+           OVER w AS q
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {BOLL_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day,
+       CAST(SUM(CASE WHEN n = {BOLL_LOOKBACK}
+                      AND (CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / GREATEST(CAST(n AS DOUBLE), 1.0))
+                          / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0) > 0
+                      AND value > CAST(s AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0)
+                          + CAST({BOLL_WIDTH} AS DOUBLE)
+                            * sqrt((CAST(q AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / GREATEST(CAST(n AS DOUBLE), 1.0))
+                                   / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS breakouts_up,
+       CAST(SUM(CASE WHEN n = {BOLL_LOOKBACK}
+                      AND (CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / GREATEST(CAST(n AS DOUBLE), 1.0))
+                          / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0) > 0
+                      AND value < CAST(s AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0)
+                          - CAST({BOLL_WIDTH} AS DOUBLE)
+                            * sqrt((CAST(q AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / GREATEST(CAST(n AS DOUBLE), 1.0))
+                                   / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS breakouts_down,
+       CAST(SUM(CASE WHEN n = {BOLL_LOOKBACK}
+                      AND (CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / GREATEST(CAST(n AS DOUBLE), 1.0))
+                          / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_evaluated
+FROM framed
+GROUP BY 1, 2
+""",
+)(events_bollinger_breakouts)

@@ -214,6 +214,7 @@ _PRIORITY = [
     "doc_lix_readability",
     "events_bot_score",
     "stream_bot_score",
+    "events_bollinger_breakouts",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -957,3 +957,10 @@ def test_bot_score_single_scan_user_window(spark, sf_dir):
     assert p.count("Scan parquet  (") == 1
     assert "Join" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_bollinger_window_partitioned_single_scan(spark, sf_dir):
+    p = _plan(extended.events_bollinger_breakouts(spark, sf_dir))
+    assert p.count("Scan parquet  (") == 1
+    assert "Join" not in p
+    assert "Exchange SinglePartition" not in p

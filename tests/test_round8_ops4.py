@@ -249,3 +249,28 @@ def test_bot_score_invariants(spark, sf_dir):
             assert math.isfinite(r["gap_cv"]) and r["gap_cv"] >= 0
         if r["bot_suspect"]:
             assert r["mean_gap_s"] < 3600 and r["gap_cv"] < 0.5
+
+
+def test_bollinger_counts_consistent(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        BOLL_LOOKBACK,
+        events_bollinger_breakouts,
+    )
+
+    rows = events_bollinger_breakouts(spark, sf_dir).collect()
+    assert rows
+    per_type_eval = {}
+    n_total = load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r["breakouts_up"] + r["breakouts_down"] <= r["n_evaluated"]
+        per_type_eval[r["event_type"]] = (
+            per_type_eval.get(r["event_type"], 0) + r["n_evaluated"]
+        )
+    # per type, all but the first LOOKBACK observations are evaluated
+    # (variance is positive on this data)
+    n_types = len(per_type_eval)
+    assert sum(per_type_eval.values()) == n_total - n_types * BOLL_LOOKBACK
+    # ±2σ on ~uniform data: breakouts exist but are a small minority
+    ups = sum(r["breakouts_up"] for r in rows)
+    downs = sum(r["breakouts_down"] for r in rows)
+    assert 0 < ups + downs < 0.2 * sum(per_type_eval.values())
