@@ -1962,3 +1962,169 @@ SELECT event_type, CAST(sample_rank AS INT) AS sample_rank,
 FROM ranked WHERE sample_rank <= {RESERVOIR_K}
 """,
 )(sample_reservoir_per_key)
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted corpus selection (DSIR-shaped)
+# ---------------------------------------------------------------------------
+
+DSIR_SAMPLE_K = 25
+DSIR_U_NIBBLES = 10
+DSIR_U_SCALE = 10**9
+_DSIR_HEX = "0123456789abcdef"
+
+
+def _dsir_u(spark_side: bool) -> str:
+    """Portable uniform integer from md5 of a SALTED doc id (salt 131
+    keeps this draw independent of sample_weighted_priority's)."""
+    fn = "instr" if spark_side else "strpos"
+    h = (
+        "md5(CAST(CAST(doc_id * 31 + 131 AS STRING) AS BINARY))"
+        if spark_side
+        else "md5(CAST(doc_id * 31 + 131 AS VARCHAR))"
+    )
+    terms = [
+        f"({fn}('{_DSIR_HEX}', substr({h}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (DSIR_U_NIBBLES - 1 - i)} AS BIGINT)"
+        for i in range(DSIR_U_NIBBLES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampled corpus selection, DSIR-shaped (Xie et al.
+    2023): score every document with the hashed-n-gram linear
+    classifier (``doc_hashed_ngram_score``'s frozen weights — the
+    target-domain likelihood surrogate), convert the score to a
+    POSITIVE importance weight, and draw a weighted sample of
+    {DSIR_SAMPLE_K} documents by Duffield-Lund-Thorup priority
+    sampling — weightier (more target-like) documents enter the
+    training mix proportionally more often, yet the draw is exactly
+    reproducible (hash uniform, no rand()).
+
+    Documented divergence from the paper: DSIR exponentiates a
+    log-likelihood ratio; exp/ln cannot cross the engine-hash
+    contract (JVM vs libm last-bit), so the weight is the RATIONAL
+    surrogate max(feat_sum, 0) + 1 — order-equivalent for ranking a
+    single classifier's scores, and the sampling machinery (priority
+    = w·{DSIR_U_SCALE} div (u+1), HT threshold τ in-row) is the
+    paper's resampling stage verbatim.
+
+    Scale shape: explode → O(tokens) constant-time hashing (no vocab
+    join) → per-doc rollup → one TakeOrdered(K+1); no global sort, no
+    shuffle of the corpus."""
+    from smart_meter_data_pipeline_spark.operators.text import (
+        HASH_BUCKETS,
+        _HEXD,
+        _W_MOD,
+        _W_MUL,
+        _W_SHIFT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    from smart_meter_data_pipeline_spark.operators.text import tokens
+
+    tok = docs.select("doc_id", "source", F.explode(tokens()).alias("tok"))
+    scored = tok.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"((((instr('{_HEXD}', substr(md5(tok), 1, 1)) - 1) * 16"
+            f" + (instr('{_HEXD}', substr(md5(tok), 2, 1)) - 1))"
+            f" % {HASH_BUCKETS}) * {_W_MUL}) % {_W_MOD} - {_W_SHIFT}"
+        ).alias("w"),
+    )
+    agg = scored.groupBy("doc_id", "source").agg(
+        F.sum("w").alias("feat_sum")
+    )
+    weighted = agg.select(
+        "doc_id",
+        "source",
+        F.col("feat_sum").cast("bigint").alias("feat_sum"),
+        (F.greatest(F.col("feat_sum"), F.lit(0)) + F.lit(1))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    prio = weighted.withColumn(
+        "priority",
+        F.expr(
+            f"(weight * CAST({DSIR_U_SCALE} AS BIGINT))"
+            f" div ({_dsir_u(True)} + 1)"
+        ).cast("bigint"),
+    )
+    top = prio.orderBy(F.col("priority").desc(), "doc_id").limit(
+        DSIR_SAMPLE_K + 1
+    )
+    tau = top.agg(F.min("priority").alias("tau"))
+    return (
+        top.crossJoin(F.broadcast(tau))
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(DSIR_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "feat_sum",
+            "weight",
+            "priority",
+            F.col("tau").cast("bigint").alias("tau"),
+        )
+    )
+
+
+def _register_dsir() -> None:
+    from smart_meter_data_pipeline_spark.operators.text import (
+        HASH_BUCKETS,
+        _HEXD,
+        _W_MOD,
+        _W_MUL,
+        _W_SHIFT,
+    )
+
+    register(
+        "corpus_dsir_sample",
+        f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         ((((strpos('{_HEXD}', substr(md5(tok), 1, 1)) - 1) * 16
+            + (strpos('{_HEXD}', substr(md5(tok), 2, 1)) - 1))
+           % {HASH_BUCKETS}) * {_W_MUL}) % {_W_MOD} - {_W_SHIFT} AS w
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, source, CAST(SUM(w) AS BIGINT) AS feat_sum
+  FROM scored GROUP BY 1, 2
+),
+weighted AS (
+  SELECT doc_id, source, feat_sum,
+         CAST(GREATEST(feat_sum, 0) + 1 AS BIGINT) AS weight
+  FROM agg
+),
+prio AS (
+  SELECT *, CAST((weight * CAST({DSIR_U_SCALE} AS BIGINT))
+                 // ({_dsir_u(False)} + 1) AS BIGINT) AS priority
+  FROM weighted
+),
+top AS (
+  SELECT * FROM prio ORDER BY priority DESC, doc_id
+  LIMIT {DSIR_SAMPLE_K + 1}
+),
+tau AS (SELECT MIN(priority) AS tau FROM top)
+SELECT doc_id, source, feat_sum, weight, priority,
+       CAST(tau AS BIGINT) AS tau
+FROM (
+  SELECT t.*, tau.tau FROM top t, tau
+  ORDER BY priority DESC, doc_id LIMIT {DSIR_SAMPLE_K}
+)
+""",
+    )(corpus_dsir_sample)
+
+
+_register_dsir()

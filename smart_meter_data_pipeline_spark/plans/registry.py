@@ -215,6 +215,7 @@ _PRIORITY = [
     "events_bot_score",
     "stream_bot_score",
     "events_bollinger_breakouts",
+    "corpus_dsir_sample",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -964,3 +964,12 @@ def test_bollinger_window_partitioned_single_scan(spark, sf_dir):
     assert p.count("Scan parquet  (") == 1
     assert "Join" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_dsir_sample_take_ordered_no_vocab_join(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    p = _plan(curation.corpus_dsir_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p  # hashing replaces the vocab join
+    assert "CartesianProduct" not in p

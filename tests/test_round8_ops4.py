@@ -274,3 +274,28 @@ def test_bollinger_counts_consistent(spark, sf_dir):
     ups = sum(r["breakouts_up"] for r in rows)
     downs = sum(r["breakouts_down"] for r in rows)
     assert 0 < ups + downs < 0.2 * sum(per_type_eval.values())
+
+
+def test_dsir_sample_weight_biased_and_deterministic(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        DSIR_SAMPLE_K,
+        corpus_dsir_sample,
+    )
+
+    rows = corpus_dsir_sample(spark, sf_dir).collect()
+    assert len(rows) == DSIR_SAMPLE_K
+    for r in rows:
+        assert r["weight"] == max(r["feat_sum"], 0) + 1
+        assert r["priority"] >= r["tau"]
+    again = corpus_dsir_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # weight bias: the sampled docs' mean weight exceeds the corpus
+    # mean (positive-score docs are favored)
+    from smart_meter_data_pipeline_spark.operators.text import (
+        doc_hashed_ngram_score,
+    )
+
+    corpus = doc_hashed_ngram_score(spark, sf_dir).collect()
+    corpus_mean = sum(max(c["feat_sum"], 0) + 1 for c in corpus) / len(corpus)
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
