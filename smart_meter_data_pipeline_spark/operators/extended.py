@@ -4529,3 +4529,166 @@ FROM framed
 GROUP BY 1, 2
 """,
 )(events_bollinger_breakouts)
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for the A/B readout
+# ---------------------------------------------------------------------------
+
+
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013) — the industry-standard experiment
+    variance reduction: regress each user's post-period metric on
+    their PRE-period metric (θ = cov(x,y)/var(x), pooled across
+    arms), report per-arm raw and adjusted means plus the pooled ρ²
+    (the fraction of metric variance the covariate removes — the
+    sensitivity gain an A/B platform quotes before/after CUPED).
+    Composes with ``events_ab_assignment_srm``'s sticky md5 arms and
+    the half-month split the drift family uses.
+
+    Determinism: per-user pre/post totals are EXACT integer cents
+    (value sits on the 0.01 grid; decimal ×100 → bigint is
+    integer-valued, so Spark's truncating cast == DuckDB's rounding
+    cast); the user-level moment sums are exact int64; θ, means and
+    ρ² are fixed-shape double expressions over them, rounded at 9.
+
+    Scale shape: one scan → per-(user, arm) conditional-sum rollup →
+    a 2-row arm rollup + a 1-row pooled-moments aggregate joined back
+    by broadcast; no windows, no row-level second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.expr(
+        f"CASE WHEN (instr('{_HLL_HEX}',"
+        " substr(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 1)) - 1)"
+        " % 2 = 0 THEN 'A' ELSE 'B' END"
+    )
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    per_user = (
+        ev.select("user_id", arm.alias("arm"), "ts", cents.alias("c"))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < split, F.col("c")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= split, F.col("c")).otherwise(0)
+            ).alias("y"),
+        )
+        # feeds BOTH the pooled moments and the arm rollup: checkpoint
+        # makes the one-scan property structural (user-count-sized)
+        .localCheckpoint(eager=True)
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("ax"),
+        F.sum("y").alias("ay"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    cov_n = nd * sxyd - sxd * syd
+    varx_n = nd * sxxd - sxd * sxd
+    vary_n = nd * syyd - syd * syd
+    theta = cov_n / varx_n
+    rho2 = cov_n * cov_n / (varx_n * vary_n)
+    and_ = F.col("n_users").cast("double")
+    mean_y = F.col("ay").cast("double") / and_
+    mean_x = F.col("ax").cast("double") / and_
+    mean_y_adj = mean_y - theta * (mean_x - sxd / nd)
+    ok = (varx_n > 0) & (vary_n > 0)
+    return j.select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("ax").cast("bigint").alias("pre_cents"),
+        F.col("ay").cast("bigint").alias("post_cents"),
+        F.round(mean_y, 9).alias("mean_post_cents"),
+        F.when(ok, F.round(mean_y_adj, 9)).alias("mean_post_adj_cents"),
+        F.when(ok, F.round(theta, 9)).alias("theta"),
+        F.when(ok, F.round(rho2, 9)).alias("rho2"),
+    )
+
+
+_CUPED_CENTS = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+register(
+    "events_cuped_adjustment",
+    f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (strpos('{_HLL_HEX}',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}'
+                       THEN {_CUPED_CENTS} ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}'
+                       THEN {_CUPED_CENTS} ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pooled AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay
+  FROM per_user GROUP BY 1
+)
+SELECT arm,
+       CAST(n_users AS BIGINT) AS n_users,
+       ax AS pre_cents,
+       ay AS post_cents,
+       round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 9)
+         AS mean_post_cents,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+                       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+                            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+            END AS mean_post_adj_cents,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+            END AS theta,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+            END AS rho2
+FROM arms CROSS JOIN pooled
+""",
+)(events_cuped_adjustment)

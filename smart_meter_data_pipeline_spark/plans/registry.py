@@ -216,6 +216,7 @@ _PRIORITY = [
     "stream_bot_score",
     "events_bollinger_breakouts",
     "corpus_dsir_sample",
+    "events_cuped_adjustment",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -973,3 +973,13 @@ def test_dsir_sample_take_ordered_no_vocab_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p  # hashing replaces the vocab join
     assert "CartesianProduct" not in p
+
+
+def test_cuped_one_scan_broadcast_pooled_moments(spark, sf_dir):
+    """The per-user rollup is checkpointed (ExistingRDD) so the fact
+    scans ONCE structurally; the pooled 1-row moments ride a
+    broadcast."""
+    p = _plan(extended.events_cuped_adjustment(spark, sf_dir))
+    assert p.count("Scan parquet  (") == 0  # checkpointed lineage
+    assert "ExistingRDD" in p
+    assert "CartesianProduct" not in p

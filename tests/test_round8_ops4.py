@@ -299,3 +299,20 @@ def test_dsir_sample_weight_biased_and_deterministic(spark, sf_dir):
     corpus_mean = sum(max(c["feat_sum"], 0) + 1 for c in corpus) / len(corpus)
     sample_mean = sum(r["weight"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_cuped_reduces_variance_and_is_consistent(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        events_cuped_adjustment,
+    )
+
+    rows = {r["arm"]: r for r in events_cuped_adjustment(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B"}
+    a, b = rows["A"], rows["B"]
+    # theta/rho2 are POOLED: identical on both arm rows
+    assert a["theta"] == b["theta"] and a["rho2"] == b["rho2"]
+    assert 0 <= a["rho2"] <= 1
+    for r in rows.values():
+        assert r["post_cents"] >= 0 and r["n_users"] > 0
+        assert abs(r["mean_post_cents"] - r["post_cents"] / r["n_users"]) < 1e-6
+        assert r["mean_post_adj_cents"] is not None
