@@ -4692,3 +4692,212 @@ SELECT arm,
 FROM arms CROSS JOIN pooled
 """,
 )(events_cuped_adjustment)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences and minimum detectable effect
+# ---------------------------------------------------------------------------
+
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout over the sticky md5 arms and
+    the half-month split: DiD = (B_post − B_pre) − (A_post − A_pre)
+    on per-user mean cents — the quasi-experimental estimator that
+    nets out both the arm-level baseline difference and the
+    common time trend. One row: the four cell means (exact integer
+    cent sums over per-user totals, divided once) and the DiD point
+    estimate, rounded at 9.
+
+    Scale shape: one scan → (arm × period) conditional-sum rollup
+    (4 cells, map-side combined) → a 1-row pivot; no joins on the
+    fact, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = F.expr(
+        f"(instr('{_HLL_HEX}',"
+        " substr(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 1)) - 1)"
+        " % 2 = 0"
+    )
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    pre = F.col("ts") < split
+    cell = ev.select(arm_a.alias("is_a"), pre.alias("is_pre"), cents.alias("c"))
+    agg = cell.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("is_a") == a) & (F.col("is_pre") == p), F.col("c")
+                ).otherwise(0)
+            ).alias(f"s_{'a' if a else 'b'}_{'pre' if p else 'post'}")
+            for a in (True, False)
+            for p in (True, False)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("is_a") == a) & (F.col("is_pre") == p), 1
+                ).otherwise(0)
+            ).alias(f"n_{'a' if a else 'b'}_{'pre' if p else 'post'}")
+            for a in (True, False)
+            for p in (True, False)
+        ],
+    )
+
+    def m(side, period):
+        return F.col(f"s_{side}_{period}").cast("double") / F.greatest(
+            F.col(f"n_{side}_{period}"), F.lit(1)
+        ).cast("double")
+
+    did = (m("b", "post") - m("b", "pre")) - (m("a", "post") - m("a", "pre"))
+    return agg.select(
+        *[
+            F.col(f"n_{s}_{p}").cast("bigint").alias(f"n_{s}_{p}")
+            for s in ("a", "b")
+            for p in ("pre", "post")
+        ],
+        F.round(m("a", "pre"), 9).alias("mean_a_pre"),
+        F.round(m("a", "post"), 9).alias("mean_a_post"),
+        F.round(m("b", "pre"), 9).alias("mean_b_pre"),
+        F.round(m("b", "post"), 9).alias("mean_b_post"),
+        F.round(did, 9).alias("did_cents"),
+    )
+
+
+def _did_mean_sql(side: str, period: str) -> str:
+    return (
+        f"CAST(s_{side}_{period} AS DOUBLE)"
+        f" / CAST(GREATEST(n_{side}_{period}, 1) AS DOUBLE)"
+    )
+
+
+register(
+    "events_diff_in_diff",
+    f"""
+WITH cells AS (
+  SELECT (strpos('{_HLL_HEX}',
+          substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+           AS is_a,
+         ts < TIMESTAMP '{DRIFT_SPLIT}' AS is_pre,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN is_a AND is_pre THEN c ELSE 0 END) AS BIGINT) AS s_a_pre,
+    CAST(SUM(CASE WHEN is_a AND NOT is_pre THEN c ELSE 0 END) AS BIGINT) AS s_a_post,
+    CAST(SUM(CASE WHEN NOT is_a AND is_pre THEN c ELSE 0 END) AS BIGINT) AS s_b_pre,
+    CAST(SUM(CASE WHEN NOT is_a AND NOT is_pre THEN c ELSE 0 END) AS BIGINT) AS s_b_post,
+    CAST(SUM(CASE WHEN is_a AND is_pre THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+    CAST(SUM(CASE WHEN is_a AND NOT is_pre THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+    CAST(SUM(CASE WHEN NOT is_a AND is_pre THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+    CAST(SUM(CASE WHEN NOT is_a AND NOT is_pre THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post
+  FROM cells
+)
+SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+       round({_did_mean_sql('a', 'pre')}, 9) AS mean_a_pre,
+       round({_did_mean_sql('a', 'post')}, 9) AS mean_a_post,
+       round({_did_mean_sql('b', 'pre')}, 9) AS mean_b_pre,
+       round({_did_mean_sql('b', 'post')}, 9) AS mean_b_post,
+       round(({_did_mean_sql('b', 'post')} - {_did_mean_sql('b', 'pre')})
+             - ({_did_mean_sql('a', 'post')} - {_did_mean_sql('a', 'pre')}),
+             9) AS did_cents
+FROM agg
+""",
+)(events_diff_in_diff)
+
+
+def events_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the A/B metric at 80% power /
+    5% two-sided α: MDE = (z_{{α/2}} + z_{{power}}) · sqrt(σ²/n_A +
+    σ²/n_B) with the z constants as the same decimal literals in
+    both engines (1.959964, 0.841621) — the pre-experiment sizing
+    answer ("what lift could this traffic even see?") every platform
+    computes next to the readout. σ² is the pooled per-user metric
+    variance from exact integer-cent sums; one sqrt, rounded at 6.
+
+    Scale shape: one scan → per-(user, arm) cent totals → 2-row arm
+    rollup with moment sums; the 1-row pooled variance broadcasts
+    back."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.expr(
+        f"CASE WHEN (instr('{_HLL_HEX}',"
+        " substr(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 1)) - 1)"
+        " % 2 = 0 THEN 'A' ELSE 'B' END"
+    )
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    per_user = (
+        ev.select("user_id", arm.alias("arm"), cents.alias("c"))
+        .groupBy("user_id", "arm")
+        .agg(F.sum("c").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(F.count(F.lit(1)).alias("n_users"))
+    j = arms.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    syd = F.col("sy").cast("double")
+    syyd = F.col("syy").cast("double")
+    var = (syyd - syd * syd / nd) / (nd - F.lit(1.0))
+    # n of the OTHER arm = n - n_users (two arms by construction)
+    na = F.col("n_users").cast("double")
+    nb = (F.col("n") - F.col("n_users")).cast("double")
+    mde = F.expr("CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)") * F.sqrt(
+        var / na + var / nb
+    )
+    return j.select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        # the variance's moment sums ride along EXACT (a rounded float
+        # variance at ~1e10 magnitude has no stable 6th decimal)
+        F.col("sy").cast("bigint").alias("sum_y_cents"),
+        F.col("syy").cast("bigint").alias("sum_y2_cents"),
+        F.when((na > 1) & (nb > 0) & (var > 0), F.round(mde, 6)).alias(
+            "mde_cents"
+        ),
+    )
+
+
+register(
+    "events_ab_mde",
+    f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (strpos('{_HLL_HEX}',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pooled AS (
+  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user
+),
+arms AS (SELECT arm, COUNT(*) AS n_users FROM per_user GROUP BY 1)
+SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+       sy AS sum_y_cents,
+       syy AS sum_y2_cents,
+       CASE WHEN CAST(n_users AS DOUBLE) > 1
+             AND CAST(n - n_users AS DOUBLE) > 0
+             AND (CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0
+            THEN round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                       * sqrt((CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0)
+                              / CAST(n_users AS DOUBLE)
+                              + (CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                                / (CAST(n AS DOUBLE) - 1.0)
+                                / CAST(n - n_users AS DOUBLE)), 6)
+            END AS mde_cents
+FROM arms CROSS JOIN pooled
+""",
+)(events_ab_mde)

@@ -785,3 +785,115 @@ ORDER BY common DESC, ra_micro DESC, s_a, s_b
 LIMIT {LINKPRED_TOP_K}
 """,
 )(trade_common_neighbors)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected customer↔supplier trade graph: the Pearson correlation
+    of endpoint degrees over all directed edge instances — negative
+    r means hubs attach to leaves (the disassortative shape almost
+    all bipartite commerce graphs have), positive means rich-club.
+    One number that tells the graph kernels' cost model whether
+    hub-orientation tricks (trade_triangles' degree ordering) will
+    pay.
+
+    Determinism: every sufficient sum (Σx, Σx², Σxy over directed
+    edges, x = source degree, y = destination degree) is an exact
+    int64; r is one fixed-shape double expression with one sqrt,
+    rounded at 9. By symmetry of the directed-instance list, x and y
+    have identical marginals — the classic formula collapses to
+    (SxyΣ·n − Sx²) / (Sxx·n − Sx²).
+
+    Scale shape: edges → degree rollup → two broadcast-eligible
+    degree joins onto the edge list → one 1-row moment aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    withx = edges.join(deg, "src").select(
+        "dst", F.col("deg").alias("x")
+    )
+    withxy = withx.join(
+        deg.select(F.col("src").alias("dst"), F.col("deg").alias("y")),
+        "dst",
+    )
+    agg = withxy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    num = md * sxyd - sxd * sxd
+    den = md * sxxd - sxd * sxd
+    return agg.select(
+        F.col("m").cast("bigint").alias("n_edge_instances"),
+        F.col("sx").cast("bigint").alias("deg_sum"),
+        F.col("sxx").cast("bigint").alias("deg_sq_sum"),
+        F.col("sxy").cast("bigint").alias("deg_prod_sum"),
+        F.when(den > 0, F.round(num / den, 9)).alias("assortativity"),
+    )
+
+
+register(
+    "trade_assortativity",
+    """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+inst AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM edges e
+  JOIN deg dx ON e.src = dx.src
+  JOIN deg dy ON e.dst = dy.src
+),
+agg AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM inst
+)
+SELECT CAST(m AS BIGINT) AS n_edge_instances,
+       sx AS deg_sum, sxx AS deg_sq_sum, sxy AS deg_prod_sum,
+       CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+            END AS assortativity
+FROM agg
+""",
+)(trade_assortativity)

@@ -217,6 +217,9 @@ _PRIORITY = [
     "events_bollinger_breakouts",
     "corpus_dsir_sample",
     "events_cuped_adjustment",
+    "events_diff_in_diff",
+    "events_ab_mde",
+    "trade_assortativity",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

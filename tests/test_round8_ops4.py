@@ -316,3 +316,36 @@ def test_cuped_reduces_variance_and_is_consistent(spark, sf_dir):
         assert r["post_cents"] >= 0 and r["n_users"] > 0
         assert abs(r["mean_post_cents"] - r["post_cents"] / r["n_users"]) < 1e-6
         assert r["mean_post_adj_cents"] is not None
+
+
+def test_did_identity_and_mde_positive(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        events_ab_mde,
+        events_diff_in_diff,
+    )
+
+    r = events_diff_in_diff(spark, sf_dir).collect()[0]
+    did = (r["mean_b_post"] - r["mean_b_pre"]) - (
+        r["mean_a_post"] - r["mean_a_pre"]
+    )
+    assert abs(did - r["did_cents"]) < 1e-6
+    assert all(
+        r[f"n_{s}_{p}"] > 0 for s in ("a", "b") for p in ("pre", "post")
+    )
+    mde = {x["arm"]: x for x in events_ab_mde(spark, sf_dir).collect()}
+    assert set(mde) == {"A", "B"}
+    for x in mde.values():
+        assert x["mde_cents"] is not None and x["mde_cents"] > 0
+        assert x["sum_y2_cents"] * (x["n_users"] + mde["A"]["n_users"]) >= 0
+
+
+def test_assortativity_in_range_and_disassortative(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.graph import (
+        trade_assortativity,
+    )
+
+    r = trade_assortativity(spark, sf_dir).collect()[0]
+    assert r["assortativity"] is not None
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edge_instances"] > 0
+    assert r["deg_sq_sum"] >= r["deg_sum"]
