@@ -3484,3 +3484,100 @@ FROM tagged
 GROUP BY mi
 """,
 )(orders_growth_accounting)
+
+
+# ---------------------------------------------------------------------------
+# Demand-curve slope per brand (OLS over exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+def part_demand_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand demand-curve estimation: the OLS slope of each
+    part's total quantity sold on its retail price —
+    slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) over the brand's parts,
+    the first-order price-sensitivity readout a pricing team runs
+    (negative slope = demand falls with price). Pure-integer
+    sufficient moments (price sits on the cent grid, quantities are
+    integers), one fixed-shape double division per brand, rounded at
+    9; single-part or constant-price brands emit NULL.
+
+    Scale shape: lineitem → per-part quantity rollup (map-side
+    combined) → broadcast-eligible join onto part (scales with the
+    part dim, not the fact) → |brands| moment rollup. The fact is
+    touched once and only its two needed columns are read."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    qty = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("y")
+    )
+    joined = qty.join(
+        part, qty.l_partkey == part.p_partkey
+    ).select(
+        "p_brand",
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+        "y",
+    )
+    agg = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    den = nd * sxxd - sxd * sxd
+    slope = (nd * sxyd - sxd * syd) / den
+    return agg.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.col("sx").cast("bigint").alias("price_cents_sum"),
+        F.col("sy").cast("bigint").alias("qty_sum"),
+        F.when(den > 0, F.round(slope, 9)).alias("qty_per_cent_slope"),
+    )
+
+
+register(
+    "part_demand_curve",
+    """
+WITH qty AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+joined AS (
+  SELECT p.p_brand,
+         CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         q.y
+  FROM qty q JOIN part p ON q.l_partkey = p.p_partkey
+),
+agg AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM joined GROUP BY 1
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_parts,
+       sx AS price_cents_sum,
+       sy AS qty_sum,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+            END AS qty_per_cent_slope
+FROM agg
+""",
+)(part_demand_curve)

@@ -220,6 +220,7 @@ _PRIORITY = [
     "events_diff_in_diff",
     "events_ab_mde",
     "trade_assortativity",
+    "part_demand_curve",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
