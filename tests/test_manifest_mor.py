@@ -201,3 +201,59 @@ def test_mor_dates_recorded_for_cdc(spark, table):
     table.delete_keys_mor(spark, _keys(spark, 3))
     c = table.snapshot()[-1]
     assert c["removed_dates"] == ["2024-01-01"]
+
+
+def test_two_concurrent_mor_deletes_both_land(spark, table):
+    """Two tombstone writers racing: the loser's put-if-absent fails,
+    it retries at the next number with the SAME stage, and both
+    deletes end up applied to reads."""
+    keys5 = _keys(spark, 5)
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t2 = ManifestTable(table.table_dir)
+            t2.delete_keys_mor(spark, keys5)
+
+    table._pre_publish_hook = hook
+    try:
+        assert table.delete_keys_mor(spark, _keys(spark, 3)) == 10
+    finally:
+        table._pre_publish_hook = None
+    df = table.read(spark)
+    assert df.filter("meter_id IN (3, 5)").count() == 0
+    assert df.count() == 80
+    pend = table._pending_tombstones(table.numbered_snapshot())
+    assert len(pend) == 2
+    assert pend[0]["upto"] < pend[1]["upto"]
+
+
+def test_apply_retries_when_append_lands_mid_publish(spark, table):
+    """An append winning the fence between apply_tombstones'
+    validation and its publish forces a clean retry; the final state
+    contains the appended rows and no tombstoned ones."""
+    table.delete_keys_mor(spark, _keys(spark, 3))
+    competing = _mk(
+        spark,
+        [(TS + dt.timedelta(days=3, minutes=i), 700 + i, 2.0) for i in range(2)],
+    )
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t2 = ManifestTable(table.table_dir)
+            t2.idempotent_append(spark, competing)
+
+    table._pre_publish_hook = hook
+    try:
+        res = apply_tombstones(table, spark)
+    finally:
+        table._pre_publish_hook = None
+    assert res["applied_tombstones"] == 1 and res["rows_deleted"] == 10
+    df = table.read(spark)
+    assert df.filter("meter_id = 3").count() == 0
+    assert df.filter("meter_id >= 700").count() == 2
+    assert df.count() == 92
+    assert table._pending_tombstones(table.numbered_snapshot()) == []
