@@ -221,6 +221,7 @@ _PRIORITY = [
     "events_ab_mde",
     "trade_assortativity",
     "part_demand_curve",
+    "stream_jsonl_sink_roundtrip",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

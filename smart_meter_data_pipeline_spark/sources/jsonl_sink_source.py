@@ -97,6 +97,88 @@ def make_jsonl_corpus_sink():
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(os.path.join(self.path, m.temp_name))
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class _StreamWriter(DataSourceStreamWriter):
+        """Streaming half (Spark 4 ``DataSourceStreamWriter``): the
+        same temp-write / rename-publish two-phase protocol PER
+        MICRO-BATCH, made exactly-once under batch REPLAY by the
+        batch manifest: ``commit(messages, batchId)`` first deletes
+        any files a previous attempt of the SAME batchId published
+        (listed in its ``_batch-<id>.manifest``), then publishes the
+        new files and atomically replaces the manifest — a crash
+        between epochs replays the batch without duplicating rows,
+        which is the contract a foreachBatch sink has to hand-roll."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError(
+                    "jsonl_corpus stream sink requires option 'path'"
+                )
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            stem = uuid.uuid4().hex
+            temp_name = f"_tmp.{stem}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, temp_name), "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), default=str))
+                    fh.write("\n")
+                    n += 1
+            return _Committed(temp_name, f"part-{stem}.jsonl", n)
+
+        def commit(self, messages, batchId):
+            import contextlib
+            import json
+            import os
+            import uuid
+
+            manifest = os.path.join(
+                self.path, f"_batch-{batchId}.manifest"
+            )
+            # Idempotent replay: unpublish a previous attempt's files.
+            if os.path.exists(manifest):
+                with open(manifest) as fh:
+                    stale = json.load(fh)["files"]
+                for e in stale:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(os.path.join(self.path, e["file"]))
+            published = []
+            for m in messages:
+                final = f"batch{batchId}-{m.final_name}"
+                os.rename(
+                    os.path.join(self.path, m.temp_name),
+                    os.path.join(self.path, final),
+                )
+                published.append({"file": final, "n_rows": m.n_rows})
+            tmp = manifest + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "batch_id": batchId,
+                        "files": sorted(
+                            published, key=lambda p: p["file"]
+                        ),
+                        "n_rows": sum(p["n_rows"] for p in published),
+                    },
+                    fh,
+                )
+            os.rename(tmp, manifest)
+
+        def abort(self, messages, batchId):
+            import contextlib
+            import os
+
+            for m in messages:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(self.path, m.temp_name))
+
     class JsonlCorpusSink(DataSource):
         @classmethod
         def name(cls):
@@ -105,4 +187,25 @@ def make_jsonl_corpus_sink():
         def writer(self, schema, overwrite):
             return _Writer(self.options, overwrite)
 
+        def streamWriter(self, schema, overwrite):
+            return _StreamWriter(self.options)
+
     return JsonlCorpusSink
+
+
+def manifested_stream_files(path: str) -> list[str]:
+    """The files the streaming sink's batch manifests declare visible —
+    the reader half of the manifest-gated visibility contract (a torn
+    or aborted batch's temp files are never listed)."""
+    import json
+    import os
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("_batch-") and name.endswith(".manifest"):
+            with open(os.path.join(path, name)) as fh:
+                out += [
+                    os.path.join(path, e["file"])
+                    for e in json.load(fh)["files"]
+                ]
+    return out

@@ -2562,3 +2562,93 @@ def _register_stream_bot() -> None:
 
 
 _register_stream_bot()
+
+
+def stream_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python ``DataSourceStreamWriter`` under the hash
+    gate: stream the events table (two ts-split chunks → two
+    micro-batches) through ``jsonl_corpus``'s streaming sink — task
+    temp files, per-batch rename-publish, atomic ``_batch-<id>``
+    manifests — then read back ONLY the manifested files and roll up.
+    Matching the plain-SQL oracle proves the sink published every row
+    exactly once across batch boundaries (and nothing from temp
+    files). The replay-idempotence of commit() is pinned separately in
+    tests/test_jsonl_sink_source.py."""
+    from smart_meter_data_pipeline_spark.sources.jsonl_sink_source import (
+        make_jsonl_corpus_sink,
+        manifested_stream_files,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    try:
+        spark.dataSource.register(make_jsonl_corpus_sink())
+    except Exception:
+        pass  # already registered in this session
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_jsonl_stream_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_id", "user_id", "event_type", "value"
+        )
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        # chunks live under their own subdir: the source glob must not
+        # match the sink/checkpoint dirs this query also creates here
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunks", "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunks", "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "chunks", "*"))
+        )
+        sink_dir = os.path.join(workdir, "sink")
+        q = (
+            stream.select("event_id", "user_id", "event_type", "value")
+            .writeStream.format("jsonl_corpus")
+            .option("path", sink_dir)
+            .option(
+                "checkpointLocation", os.path.join(workdir, "ckpt")
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        files = manifested_stream_files(sink_dir)
+        back = spark.read.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING,"
+            " value DOUBLE"
+        ).json(files)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(value AS DECIMAL(12,2)) * 100"
+                        " AS BIGINT)"
+                    )
+                ).cast("bigint").alias("value_cents"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_jsonl_sink_roundtrip",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)(stream_jsonl_sink_roundtrip)

@@ -65,3 +65,69 @@ def test_failed_job_leaves_no_visible_output(registered, spark, sf_dir, tmp_path
         ).save()
     assert not glob.glob(os.path.join(out, "part-*.jsonl"))
     assert not os.path.exists(os.path.join(out, "_SUCCESS.manifest"))
+
+
+def test_stream_sink_two_batches_manifested(spark, sf_dir, tmp_path):
+    """The streaming writer publishes per-batch manifests and the
+    manifested reader sees every row exactly once."""
+    from smart_meter_data_pipeline_spark.streaming.stream_queries import (
+        stream_jsonl_sink_roundtrip,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    out = stream_jsonl_sink_roundtrip(spark, sf_dir)
+    got = {r["event_type"]: r["n_rows"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_sink_commit_replay_is_idempotent(tmp_path):
+    """Re-committing the SAME batchId (the crash-between-epochs replay)
+    unpublishes the previous attempt's files first — no duplicates."""
+    import json
+    import os
+
+    from smart_meter_data_pipeline_spark.sources.jsonl_sink_source import (
+        make_jsonl_corpus_sink,
+        manifested_stream_files,
+    )
+
+    ds = make_jsonl_corpus_sink()({"path": str(tmp_path)})
+    w = ds.streamWriter(None, False)
+
+    class _Row:
+        def __init__(self, i):
+            self.i = i
+
+        def asDict(self):
+            return {"event_id": self.i}
+
+    m1 = w.write(iter([_Row(1), _Row(2)]))
+    w.commit([m1], batchId=0)
+    first_files = manifested_stream_files(str(tmp_path))
+    assert len(first_files) == 1
+
+    # replay batch 0 with a fresh attempt
+    m2 = w.write(iter([_Row(1), _Row(2)]))
+    w.commit([m2], batchId=0)
+    files = manifested_stream_files(str(tmp_path))
+    assert len(files) == 1
+    assert files != first_files  # old attempt unpublished
+    assert not os.path.exists(first_files[0])
+    rows = [json.loads(line) for line in open(files[0])]
+    assert [r["event_id"] for r in rows] == [1, 2]
+
+    # abort leaves nothing visible
+    m3 = w.write(iter([_Row(9)]))
+    w.abort([m3], batchId=1)
+    assert manifested_stream_files(str(tmp_path)) == files
+    assert not any(
+        n.startswith("_tmp.") for n in os.listdir(str(tmp_path))
+    )
