@@ -1646,3 +1646,105 @@ register(
     f"""WITH {_readings_cte()}
 SELECT * FROM readings WHERE meter_id % 2 = 1""",
 )(manifest_clone_roundtrip)
+
+
+# ---------------------------------------------------------------------------
+# Peak shaving analysis
+# ---------------------------------------------------------------------------
+
+PEAK_FRACTION_PCT = 5  # top 5% of hours by system load are "peak"
+
+
+def meter_peak_shaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-shaving potential of the simulated day — the
+    demand-response KPI a utility sizes batteries/curtailment
+    programs with: system load per hour, the top {PEAK_FRACTION_PCT}%
+    hours flagged as peak (rank-based, so the threshold is the
+    SMALLEST peak hour's integer load — no percentile interpolation,
+    all math stays int64), and per-hour shave_milliwatts = how much
+    each peak hour exceeds that threshold's floor. Σshave is the
+    energy a shaving program must absorb to flatten the system to the
+    threshold (reference domain parity: the grid-load mart's
+    capacity-utilization flags, fact_grid_load_hourly.sql, taken from
+    monitoring to PLANNING).
+
+    Scale shape: one generator pass → hourly system rollup (map-side
+    combined, 24 rows/day) — ranking and the threshold scalar live on
+    that rollup, never the readings (the pareto-on-rollups
+    contract)."""
+    readings = gen_meter_readings(spark)
+    hourly = (
+        readings.groupBy(
+            F.date_trunc("hour", "reading_timestamp").alias("hour_ts")
+        )
+        .agg(
+            F.sum(
+                F.col("reading_consumption_milliwatts").cast("bigint")
+            ).alias("load_milliwatts")
+        )
+    )
+    from pyspark.sql import Window
+
+    n_hours = hourly.agg(F.count(F.lit(1)).alias("n_hours"))
+    w = Window.orderBy(
+        F.col("load_milliwatts").desc(), F.col("hour_ts")
+    )
+    ranked = hourly.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(n_hours)
+    )
+    # ceil(n·pct/100) via integer arithmetic (non-negative operands)
+    k = F.expr(f"CAST((n_hours * {PEAK_FRACTION_PCT} + 99) div 100 AS INT)")
+    flagged = ranked.withColumn("is_peak", F.col("rk") <= k)
+    thr = flagged.filter(F.col("is_peak")).agg(
+        F.min("load_milliwatts").alias("thr")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(thr))
+        .select(
+            "hour_ts",
+            F.col("load_milliwatts").cast("bigint").alias("load_milliwatts"),
+            "is_peak",
+            F.col("thr").cast("bigint").alias("threshold_milliwatts"),
+            F.when(
+                F.col("is_peak"),
+                F.col("load_milliwatts") - F.col("thr"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("shave_milliwatts"),
+        )
+    )
+
+
+register(
+    "meter_peak_shaving",
+    f"""WITH {_readings_cte()},
+hourly AS (
+  SELECT date_trunc('hour', reading_timestamp) AS hour_ts,
+         CAST(SUM(CAST(reading_consumption_milliwatts AS BIGINT))
+              AS BIGINT) AS load_milliwatts
+  FROM readings GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY load_milliwatts DESC, hour_ts)
+              AS rk,
+         COUNT(*) OVER () AS n_hours
+  FROM hourly
+),
+flagged AS (
+  SELECT *, rk <= CAST((n_hours * {PEAK_FRACTION_PCT} + 99) // 100
+                       AS INT) AS is_peak
+  FROM ranked
+),
+thr AS (
+  SELECT MIN(load_milliwatts) AS thr FROM flagged WHERE is_peak
+)
+SELECT hour_ts,
+       CAST(load_milliwatts AS BIGINT) AS load_milliwatts,
+       is_peak,
+       CAST(thr AS BIGINT) AS threshold_milliwatts,
+       CAST(CASE WHEN is_peak THEN load_milliwatts - thr ELSE 0 END
+            AS BIGINT) AS shave_milliwatts
+FROM flagged CROSS JOIN thr
+""",
+)(meter_peak_shaving)

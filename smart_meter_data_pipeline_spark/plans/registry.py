@@ -222,6 +222,7 @@ _PRIORITY = [
     "trade_assortativity",
     "part_demand_curve",
     "stream_jsonl_sink_roundtrip",
+    "meter_peak_shaving",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
