@@ -384,3 +384,121 @@ FROM documents
 GROUP BY md5(text)
 """,
 )(multimodal_dup_groups)
+
+
+# ---------------------------------------------------------------------------
+# Activity-detection segmentation (the audio-VAD shape)
+# ---------------------------------------------------------------------------
+
+VAD_FRAME_BYTES = 64
+
+_VAD_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("n_marks", T.IntegerType()),
+    ]
+)
+
+
+def frame_activity(binary_df: DataFrame) -> DataFrame:
+    """Fixed-width framing + per-frame activity feature over the
+    opaque payload, Arrow-batched — the exact seam a real audio VAD
+    occupies (frame the PCM, score each frame's energy). The decoder
+    is the documented stub (:func:`decode_audio`); the deterministic
+    surrogate scores each {VAD_FRAME_BYTES}-byte frame by its digit
+    count, which DuckDB reproduces character-wise so the whole
+    framing → scoring → segmentation loop sits under the hash gate."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                for f, off in enumerate(
+                    range(0, len(b), VAD_FRAME_BYTES)
+                ):
+                    chunk = b[off : off + VAD_FRAME_BYTES]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            len(chunk),
+                            sum(1 for c in chunk if c in (113, 106)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_id", "frame_len", "n_marks"]
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        batches, schema=_VAD_FRAME_SCHEMA
+    )
+
+
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation end to end: frame the binary
+    payload ({VAD_FRAME_BYTES}-byte frames, Arrow-batched Python — the
+    codec seam), mark frames active (digit-bearing, the deterministic
+    energy surrogate), then merge consecutive active frames into
+    segments with the gaps-and-islands window — the structure a
+    speech pipeline emits as utterances before transcription, with
+    frame scoring in the (stubbed) codec layer and ALL segmentation
+    logic declarative Spark.
+
+    Scale shape: mapInPandas is the only Python (per-byte work — the
+    codec's job even in production); the island window partitions by
+    doc_id; the output is segment-count-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_activity(with_binary_content(docs))
+    active = frames.filter(F.col("n_marks") >= 1)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    grouped = active.withColumn(
+        "grp", F.col("frame_id") - F.row_number().over(w)
+    )
+    return (
+        grouped.groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_id").cast("int").alias("seg_start_frame"),
+            F.max("frame_id").cast("int").alias("seg_end_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum("n_marks").cast("bigint").alias("n_marks"),
+        )
+        .drop("grp")
+    )
+
+
+register(
+    "multimodal_vad_segments",
+    f"""
+WITH pos AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, length(text))) AS i,
+         text
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         CAST((i - 1) // {VAD_FRAME_BYTES} AS INT) AS frame_id,
+         SUM(CASE WHEN substr(text, i, 1) IN ('q', 'j')
+                  THEN 1 ELSE 0 END) AS n_marks
+  FROM pos GROUP BY 1, 2
+),
+active AS (
+  SELECT doc_id, frame_id, n_marks,
+         frame_id - row_number() OVER (
+           PARTITION BY doc_id ORDER BY frame_id) AS grp
+  FROM frames WHERE n_marks >= 1
+)
+SELECT doc_id,
+       CAST(MIN(frame_id) AS INT) AS seg_start_frame,
+       CAST(MAX(frame_id) AS INT) AS seg_end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(n_marks) AS BIGINT) AS n_marks
+FROM active
+GROUP BY doc_id, grp
+""",
+)(multimodal_vad_segments)

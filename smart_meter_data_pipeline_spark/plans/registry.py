@@ -223,6 +223,7 @@ _PRIORITY = [
     "part_demand_curve",
     "stream_jsonl_sink_roundtrip",
     "meter_peak_shaving",
+    "multimodal_vad_segments",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -349,3 +349,27 @@ def test_assortativity_in_range_and_disassortative(spark, sf_dir):
     assert -1.0 <= r["assortativity"] <= 1.0
     assert r["n_edge_instances"] > 0
     assert r["deg_sq_sum"] >= r["deg_sum"]
+
+
+def test_vad_segments_are_maximal_runs(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.multimodal import (
+        multimodal_vad_segments,
+    )
+
+    rows = multimodal_vad_segments(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert (
+            r["seg_end_frame"] - r["seg_start_frame"] + 1 == r["n_frames"]
+        )
+        assert r["n_marks"] >= r["n_frames"]  # >=1 marker per frame
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["seg_start_frame"], r["seg_end_frame"])
+        )
+    for doc, segs in by_doc.items():
+        segs.sort()
+        for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+            assert s2 > e1 + 1, (doc, segs)  # maximal: gaps separate
+    # segmentation is non-trivial: some doc has >1 segment
+    assert any(len(s) > 1 for s in by_doc.values())
