@@ -573,3 +573,138 @@ SELECT event_type,
 FROM stats
 """,
 )(events_mann_whitney_u)
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet multi-resolution energy
+# ---------------------------------------------------------------------------
+
+HAAR_WINDOW = 512  # dyadic hour window (events span ~720 hours)
+HAAR_LEVELS = 4
+_HAAR_T0 = "2024-01-01 00:00:00"
+
+
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of each type's hourly
+    value series (first {HAAR_WINDOW} hours — the dyadic window a DWT
+    needs; the tail is the documented truncation): at each of
+    {HAAR_LEVELS} levels, consecutive pairs fold into approximation
+    (a+b) and detail (a−b) coefficients, and the level's DETAIL ENERGY
+    Σd² localizes the series' variance by time scale — level 1 is
+    hour-to-hour noise, level 4 is 16-hour (shift-scale) structure.
+    The multi-resolution companion to the single-scale screens (SAX,
+    autocorrelation, Bollinger): a spectral fingerprint with NO
+    trigonometry — every coefficient is an exact integer on the cent
+    grid, so the whole transform sits under the hash gate (a Fourier
+    energy could not: sin/cos break cross-engine parity).
+
+    Scale shape: one scan → (type × hour) cents rollup (map-side
+    combined, ≤ types×{HAAR_WINDOW} rows) → {HAAR_LEVELS} halving
+    rollups on that tiny frame. The fact is never touched again."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = F.lit(_HAAR_T0).cast("timestamp")
+    hour_idx = F.expr(
+        f"CAST((CAST(floor(unix_timestamp(ts)) AS BIGINT)"
+        f" - CAST(floor(unix_timestamp(CAST('{_HAAR_T0}' AS TIMESTAMP)))"
+        f" AS BIGINT)) div 3600 AS INT)"
+    )
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("pos"), cents.alias("c"))
+        .filter((F.col("pos") >= 0) & (F.col("pos") < HAAR_WINDOW))
+        .groupBy("event_type", "pos")
+        .agg(F.sum("c").alias("v"))
+    )
+    # dense dyadic grid: silent hours carry 0
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(HAAR_WINDOW - 1))
+            ).alias("pos"),
+        )
+    )
+    series = (
+        grid.join(hourly, ["event_type", "pos"], "left")
+        .fillna(0, subset=["v"])
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    cur = series
+    for level in range(1, HAAR_LEVELS + 1):
+        folded = cur.groupBy(
+            "event_type", F.expr("CAST(pos div 2 AS INT)").alias("pos")
+        ).agg(
+            F.sum("v").alias("approx"),
+            F.sum(
+                F.when(F.col("pos") % 2 == 0, F.col("v")).otherwise(
+                    -F.col("v")
+                )
+            ).alias("detail"),
+        )
+        energy = folded.groupBy("event_type").agg(
+            F.sum(F.col("detail") * F.col("detail")).alias("detail_energy"),
+            F.count(F.lit(1)).alias("n_coeffs"),
+        ).select(
+            "event_type",
+            F.lit(level).alias("level"),
+            F.col("detail_energy").cast("bigint").alias("detail_energy"),
+            F.col("n_coeffs").cast("bigint").alias("n_coeffs"),
+        )
+        out = energy if out is None else out.unionByName(energy)
+        cur = folded.select(
+            "event_type", "pos", F.col("approx").alias("v")
+        ).localCheckpoint(eager=True)
+    return out
+
+
+def _haar_oracle() -> str:
+    cte = [
+        f"""hourly AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(TIMESTAMP '{_HAAR_T0}')) AS BIGINT))
+              // 3600 AS INT) AS pos,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM events
+  WHERE CAST((CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(TIMESTAMP '{_HAAR_T0}')) AS BIGINT))
+             // 3600 AS INT) BETWEEN 0 AND {HAAR_WINDOW - 1}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, g.pos
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {HAAR_WINDOW - 1}))
+                AS pos) g
+),
+lvl0 AS (
+  SELECT g.event_type, g.pos, COALESCE(h.v, 0) AS v
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.pos = g.pos
+)"""
+    ]
+    for level in range(1, HAAR_LEVELS + 1):
+        cte.append(
+            f"""lvl{level} AS (
+  SELECT event_type, CAST(pos // 2 AS INT) AS pos,
+         CAST(SUM(v) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN pos % 2 = 0 THEN v ELSE -v END) AS BIGINT)
+           AS detail
+  FROM lvl{level - 1} GROUP BY 1, 2
+)"""
+        )
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT event_type, {level} AS level,
+       CAST(SUM(detail * detail) AS BIGINT) AS detail_energy,
+       CAST(COUNT(*) AS BIGINT) AS n_coeffs
+FROM lvl{level} GROUP BY 1"""
+        for level in range(1, HAAR_LEVELS + 1)
+    )
+    return "WITH " + ",\n".join(cte) + "\n" + branches
+
+
+register("events_haar_energy", _haar_oracle())(events_haar_energy)

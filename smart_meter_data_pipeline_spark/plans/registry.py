@@ -224,6 +224,7 @@ _PRIORITY = [
     "stream_jsonl_sink_roundtrip",
     "meter_peak_shaving",
     "multimodal_vad_segments",
+    "events_haar_energy",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

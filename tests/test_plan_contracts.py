@@ -983,3 +983,14 @@ def test_cuped_one_scan_broadcast_pooled_moments(spark, sf_dir):
     assert p.count("Scan parquet  (") == 0  # checkpointed lineage
     assert "ExistingRDD" in p
     assert "CartesianProduct" not in p
+
+
+def test_haar_levels_run_on_checkpointed_rollup(spark, sf_dir):
+    """The halving rollups operate on the checkpointed (type × hour)
+    series — the final plan must not rescan the fact."""
+    from smart_meter_data_pipeline_spark.operators import stats_sketch
+
+    p = _plan(stats_sketch.events_haar_energy(spark, sf_dir))
+    assert "ExistingRDD" in p
+    assert p.count("Scan parquet  (") == 0
+    assert "CartesianProduct" not in p

