@@ -897,3 +897,155 @@ SELECT CAST(m AS BIGINT) AS n_edge_instances,
 FROM agg
 """,
 )(trade_assortativity)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+HITS_ROUNDS = 3
+HITS_SCALE = 1_000_000
+HITS_TOP_K = 20
+
+
+def trade_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg's HITS on the directed buys-from graph (customer →
+    supplier): hub score = how much authoritative supply a customer
+    aggregates, authority score = how much hub demand a supplier
+    attracts — the mutually-recursive centrality pair that, unlike
+    degree, rewards being connected to WELL-CONNECTED counterparties.
+    {HITS_ROUNDS} synchronous rounds with MAX-normalization in integer
+    micro-units (the usual L2 normalization needs a sqrt inside the
+    iteration; max-normalization keeps every score an exact int64, so
+    the whole fixpoint sits under the hash gate — pagerank's
+    int-nano precedent), then the top {HITS_TOP_K} of each side by
+    (score desc, id).
+
+    Scale shape: each round is two keyed join+rollup passes over the
+    edge list plus a 1-row max broadcast — the Pregel shape; the edge
+    frame is checkpointed once and reused every round."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = edges.select("supp").distinct().select(
+        "supp", F.lit(HITS_SCALE).cast("bigint").alias("a")
+    ).localCheckpoint(eager=True)
+    hubs = None
+    for _ in range(HITS_ROUNDS):
+        h_raw = (
+            edges.join(auth, "supp")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("m"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_max))
+            .select(
+                "cust",
+                F.expr(f"(h_raw * CAST({HITS_SCALE} AS BIGINT)) div m")
+                .cast("bigint")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        a_raw = (
+            edges.join(hubs, "cust")
+            .groupBy("supp")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("m"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_max))
+            .select(
+                "supp",
+                F.expr(f"(a_raw * CAST({HITS_SCALE} AS BIGINT)) div m")
+                .cast("bigint")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    top_hubs = (
+        hubs.select(
+            F.lit("hub").alias("role"),
+            F.col("cust").cast("bigint").alias("node_id"),
+            F.col("h").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "node_id")
+        .limit(HITS_TOP_K)
+    )
+    top_auth = (
+        auth.select(
+            F.lit("authority").alias("role"),
+            F.col("supp").cast("bigint").alias("node_id"),
+            F.col("a").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "node_id")
+        .limit(HITS_TOP_K)
+    )
+    return top_hubs.unionByName(top_auth)
+
+
+def _hits_oracle(rounds: int = HITS_ROUNDS) -> str:
+    parts = []
+    prev_a = "a0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+hraw{i} AS (
+  SELECT e.cust, SUM(a.a) AS h_raw
+  FROM edges e JOIN {prev_a} a ON e.supp = a.supp GROUP BY 1
+),
+h{i} AS (
+  SELECT cust,
+         CAST((h_raw * CAST({HITS_SCALE} AS BIGINT))
+              // (SELECT MAX(h_raw) FROM hraw{i}) AS BIGINT) AS h
+  FROM hraw{i}
+),
+araw{i} AS (
+  SELECT e.supp, SUM(h.h) AS a_raw
+  FROM edges e JOIN h{i} h ON e.cust = h.cust GROUP BY 1
+),
+a{i} AS (
+  SELECT supp,
+         CAST((a_raw * CAST({HITS_SCALE} AS BIGINT))
+              // (SELECT MAX(a_raw) FROM araw{i}) AS BIGINT) AS a
+  FROM araw{i}
+)"""
+        )
+        prev_a = f"a{i}"
+    body = ",".join(parts)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a0 AS (
+  SELECT DISTINCT supp, CAST({HITS_SCALE} AS BIGINT) AS a FROM edges
+),{body}
+SELECT * FROM (
+  SELECT 'hub' AS role, CAST(cust AS BIGINT) AS node_id,
+         h AS score_micro
+  FROM h{rounds} ORDER BY h DESC, cust LIMIT {HITS_TOP_K}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'authority' AS role, CAST(supp AS BIGINT) AS node_id,
+         a AS score_micro
+  FROM a{rounds} ORDER BY a DESC, supp LIMIT {HITS_TOP_K}
+)
+"""
+
+
+register("trade_hits_scores", _hits_oracle())(trade_hits_scores)

@@ -225,6 +225,7 @@ _PRIORITY = [
     "meter_peak_shaving",
     "multimodal_vad_segments",
     "events_haar_energy",
+    "trade_hits_scores",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

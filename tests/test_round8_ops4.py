@@ -399,3 +399,26 @@ def test_haar_energy_parseval_consistent(spark, sf_dir):
             assert r["detail_energy"] >= 0
     # detail energy exists somewhere (the series is not constant)
     assert sum(r["detail_energy"] for r in rows) > 0
+
+
+def test_hits_scores_normalized_and_ranked(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.graph import (
+        HITS_SCALE,
+        HITS_TOP_K,
+        trade_hits_scores,
+    )
+
+    rows = trade_hits_scores(spark, sf_dir).collect()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append(r)
+    assert set(by_role) == {"hub", "authority"}
+    for role, rs in by_role.items():
+        assert len(rs) == HITS_TOP_K
+        scores = [r["score_micro"] for r in rs]
+        # max-normalized: the top score is exactly the scale
+        assert scores[0] <= HITS_SCALE
+        assert max(scores) == HITS_SCALE
+        assert all(0 < s <= HITS_SCALE for s in scores)
+        keys = [(-r["score_micro"], r["node_id"]) for r in rs]
+        assert keys == sorted(keys)
