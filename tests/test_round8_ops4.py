@@ -414,7 +414,8 @@ def test_hits_scores_normalized_and_ranked(spark, sf_dir):
         by_role.setdefault(r["role"], []).append(r)
     assert set(by_role) == {"hub", "authority"}
     for role, rs in by_role.items():
-        assert len(rs) == HITS_TOP_K
+        # a side smaller than K (tiny SFs) yields its full node set
+        assert 0 < len(rs) <= HITS_TOP_K
         scores = [r["score_micro"] for r in rs]
         # max-normalized: the top score is exactly the scale
         assert scores[0] <= HITS_SCALE
