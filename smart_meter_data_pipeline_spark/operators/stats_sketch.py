@@ -708,3 +708,114 @@ FROM lvl{level} GROUP BY 1"""
 
 
 register("events_haar_energy", _haar_oracle())(events_haar_energy)
+
+
+# ---------------------------------------------------------------------------
+# Statistical process control: X̄-R chart, all-integer
+# ---------------------------------------------------------------------------
+
+SPC_SUBGROUP = 4
+# Shewhart chart constants for n=4, written as exact rationals so the
+# control-limit comparisons stay pure integer cross-multiplications:
+# A2 = 729/1000, D4 = 2282/1000, D3 = 0.
+SPC_A2_MILLI = 729
+SPC_D4_MILLI = 2282
+
+
+def events_spc_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X̄-R control chart per event type: consecutive
+    {SPC_SUBGROUP}-observation subgroups (ts order), subgroup mean vs
+    X̿ ± A2·R̄ and subgroup range vs D4·R̄ — the classic
+    process-control screen, here with EVERY limit comparison done as
+    an integer cross-multiplication (A2/D4 are exact milli rationals,
+    means stay as cent sums), so out-of-control flags carry no float
+    at all: Σ₄·1000·m vs ΣΣ·1000 ± A2_milli·{SPC_SUBGROUP}·ΣR decides
+    the mean chart, R·1000·m vs D4_milli·ΣR the range chart.
+
+    Scale shape: one scan → per-type ordered index (the CUSUM-family
+    |types|-way window) → subgroup rollup → per-type chart constants
+    broadcast back; output is subgroup-count-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "ts", "event_id", cents.alias("c")
+    ).withColumn("idx", F.row_number().over(w) - 1)
+    sub = (
+        seq.withColumn("subgroup", F.expr(f"idx div {SPC_SUBGROUP}"))
+        .groupBy("event_type", "subgroup")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sum_c"),
+            (F.max("c") - F.min("c")).alias("r"),
+        )
+        .filter(F.col("n") == SPC_SUBGROUP)  # drop the partial tail
+        .localCheckpoint(eager=True)
+    )
+    chart = sub.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("sum_c").alias("grand_sum"),
+        F.sum("r").alias("r_sum"),
+    )
+    j = sub.join(F.broadcast(chart), "event_type")
+    lhs_mean = F.col("sum_c") * F.lit(1000) * F.col("m")
+    center = F.col("grand_sum") * F.lit(1000)
+    band = (
+        F.lit(SPC_A2_MILLI * SPC_SUBGROUP) * F.col("r_sum")
+    )
+    ooc_hi = lhs_mean > center + band
+    ooc_lo = lhs_mean < center - band
+    ooc_r = (
+        F.col("r") * F.lit(1000) * F.col("m")
+        > F.lit(SPC_D4_MILLI) * F.col("r_sum")
+    )
+    return j.select(
+        "event_type",
+        F.col("subgroup").cast("bigint").alias("subgroup"),
+        F.col("sum_c").cast("bigint").alias("sum_cents"),
+        F.col("r").cast("bigint").alias("range_cents"),
+        ooc_hi.alias("ooc_mean_high"),
+        ooc_lo.alias("ooc_mean_low"),
+        ooc_r.alias("ooc_range"),
+    )
+
+
+register(
+    "events_spc_xbar_r",
+    f"""
+WITH seq AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+),
+sub AS (
+  SELECT event_type,
+         CAST(idx // {SPC_SUBGROUP} AS BIGINT) AS subgroup,
+         COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_c,
+         CAST(MAX(c) - MIN(c) AS BIGINT) AS r
+  FROM seq GROUP BY 1, 2
+),
+kept AS (SELECT * FROM sub WHERE n = {SPC_SUBGROUP}),
+chart AS (
+  SELECT event_type, COUNT(*) AS m,
+         CAST(SUM(sum_c) AS BIGINT) AS grand_sum,
+         CAST(SUM(r) AS BIGINT) AS r_sum
+  FROM kept GROUP BY 1
+)
+SELECT k.event_type,
+       k.subgroup,
+       k.sum_c AS sum_cents,
+       k.r AS range_cents,
+       k.sum_c * 1000 * c.m > c.grand_sum * 1000
+         + {SPC_A2_MILLI * SPC_SUBGROUP} * c.r_sum AS ooc_mean_high,
+       k.sum_c * 1000 * c.m < c.grand_sum * 1000
+         - {SPC_A2_MILLI * SPC_SUBGROUP} * c.r_sum AS ooc_mean_low,
+       k.r * 1000 * c.m > {SPC_D4_MILLI} * c.r_sum AS ooc_range
+FROM kept k JOIN chart c ON k.event_type = c.event_type
+""",
+)(events_spc_xbar_r)

@@ -423,3 +423,26 @@ def test_hits_scores_normalized_and_ranked(spark, sf_dir):
         assert all(0 < s <= HITS_SCALE for s in scores)
         keys = [(-r["score_micro"], r["node_id"]) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_spc_flags_rare_and_integer_consistent(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.stats_sketch import (
+        SPC_SUBGROUP,
+        events_spc_xbar_r,
+    )
+
+    rows = events_spc_xbar_r(spark, sf_dir).collect()
+    assert rows
+    n_events = load_table(spark, sf_dir, "events").count()
+    # every full subgroup accounted for
+    assert len(rows) <= n_events // SPC_SUBGROUP
+    n_flagged = sum(
+        1
+        for r in rows
+        if r["ooc_mean_high"] or r["ooc_mean_low"] or r["ooc_range"]
+    )
+    # control charts flag a MINORITY of subgroups on stationary data
+    assert n_flagged < len(rows) // 2
+    for r in rows:
+        assert not (r["ooc_mean_high"] and r["ooc_mean_low"])
+        assert r["range_cents"] >= 0
