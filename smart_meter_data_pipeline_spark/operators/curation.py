@@ -2128,3 +2128,126 @@ FROM (
 
 
 _register_dsir()
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_NIBBLES = 10
+_KMV_SCALE = 16**KMV_NIBBLES
+_KMV_HEX = "0123456789abcdef"
+
+
+def _kmv_hash(spark_side: bool) -> str:
+    fn = "instr" if spark_side else "strpos"
+    h = "md5(CAST(token AS BINARY))" if spark_side else "md5(token)"
+    terms = [
+        f"({fn}('{_KMV_HEX}', substr({h}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (KMV_NIBBLES - 1 - i)} AS BIGINT)"
+        for i in range(KMV_NIBBLES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch per source (Bar-Yossef et
+    al.): hash every token into [0, 16^{KMV_NIBBLES}), keep the
+    {KMV_K} SMALLEST distinct hashes, and estimate the vocabulary as
+    (k−1)·R div h_(k) — if k uniform points fill the prefix up to
+    h_(k), the whole range holds ~that density. The third mergeable
+    distinct-count shape in the engine (HLL registers: fixed error,
+    fixed space; bitmap: exact; KMV: ALSO supports set operations by
+    merging bottom-k lists and, unlike HLL, gives unbiased
+    intersection estimates via the k-min coincidence trick). The
+    exact per-source vocabulary rides along as the audit column;
+    sources with fewer than {KMV_K} distinct hashes report exactly.
+
+    Determinism: the hash is the md5-nibble integer idiom, the
+    estimate one bigint floor division — no floats anywhere.
+
+    Scale shape: explode → (source × hash) distinct rollup → per-source
+    rank window ON THE ROLLUP → k-row rollup per source."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from smart_meter_data_pipeline_spark.operators.text import tokens
+
+    tok = docs.select(
+        "source", F.explode(tokens()).alias("token")
+    )
+    hashed = tok.select(
+        "source",
+        F.expr(_kmv_hash(True)).alias("h"),
+        "token",
+    )
+    distinct_h = hashed.select("source", "h").distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    ranked = distinct_h.withColumn("rk", F.row_number().over(w))
+    per_source = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("kth"),
+    )
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_hashes") < KMV_K, F.col("n_hashes")
+    ).otherwise(
+        F.expr(
+            f"(CAST({KMV_K - 1} AS BIGINT)"
+            f" * CAST({_KMV_SCALE} AS BIGINT)) div kth"
+        )
+    )
+    return (
+        per_source.join(exact, "source")
+        .select(
+            "source",
+            F.col("n_hashes").cast("bigint").alias("n_distinct_hashes"),
+            F.coalesce(F.col("kth"), F.lit(0)).cast("bigint").alias(
+                "kth_min_hash"
+            ),
+            est.cast("bigint").alias("est_distinct"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        )
+    )
+
+
+register(
+    "corpus_kmv_distinct",
+    f"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT source, {_kmv_hash(False)} AS h FROM tok
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM hashed
+),
+per_source AS (
+  SELECT source, COUNT(*) AS n_hashes,
+         MAX(CASE WHEN rk = {KMV_K} THEN h END) AS kth
+  FROM ranked GROUP BY 1
+),
+exact AS (
+  SELECT source, COUNT(DISTINCT token) AS exact_distinct
+  FROM tok GROUP BY 1
+)
+SELECT p.source,
+       CAST(n_hashes AS BIGINT) AS n_distinct_hashes,
+       CAST(COALESCE(kth, 0) AS BIGINT) AS kth_min_hash,
+       CAST(CASE WHEN n_hashes < {KMV_K} THEN n_hashes
+                 ELSE CAST((CAST({KMV_K - 1} AS BIGINT)
+                            * CAST({_KMV_SCALE} AS BIGINT)) // kth
+                           AS BIGINT) END AS BIGINT) AS est_distinct,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+FROM per_source p JOIN exact e ON p.source = e.source
+""",
+)(corpus_kmv_distinct)

@@ -227,6 +227,7 @@ _PRIORITY = [
     "events_haar_energy",
     "trade_hits_scores",
     "events_spc_xbar_r",
+    "corpus_kmv_distinct",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -446,3 +446,21 @@ def test_spc_flags_rare_and_integer_consistent(spark, sf_dir):
     for r in rows:
         assert not (r["ooc_mean_high"] and r["ooc_mean_low"])
         assert r["range_cents"] >= 0
+
+
+def test_kmv_estimate_within_error_band(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.curation import (
+        KMV_K,
+        corpus_kmv_distinct,
+    )
+
+    rows = corpus_kmv_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_distinct_hashes"] < KMV_K:
+            assert r["est_distinct"] == r["n_distinct_hashes"]
+            continue
+        # KMV relative error ~ 1/sqrt(k-2) ≈ 13% at k=64; allow 4σ
+        exact = r["exact_distinct"]
+        assert abs(r["est_distinct"] - exact) <= 0.52 * exact + 2
+        assert r["kth_min_hash"] > 0
