@@ -4901,3 +4901,158 @@ SELECT arm, CAST(n_users AS BIGINT) AS n_users,
 FROM arms CROSS JOIN pooled
 """,
 )(events_ab_mde)
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+USHAPE_EDGE_MILLI = 400  # first and last touch each
+USHAPE_MID_MILLI = 200  # split across the middle touches
+
+
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution —
+    the standard upgrade from ``events_attribution_last_touch``: each
+    purchase's journey (the user's non-purchase touches since their
+    previous purchase) splits 1000 milli-credits as {USHAPE_EDGE_MILLI}
+    to the first touch, {USHAPE_EDGE_MILLI} to the last,
+    {USHAPE_MID_MILLI} spread over the middles (integer floor per
+    middle, remainder to the FIRST middle — documented so the split
+    stays exactly 1000); single-touch journeys take all 1000,
+    two-touch journeys 500/500, touchless purchases credit 'none'.
+
+    Scale shape: journeys come from one per-user ordered window (a
+    running count of prior purchases); credits from per-journey rank
+    windows; everything integer, the final rollup ≤|types|+1 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_prior),
+            F.lit(0),
+        ),
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey"
+    )
+    touches = tagged.filter(F.col("event_type") != "purchase").join(
+        purchases, ["user_id", "journey"], "left_semi"
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wjn = Window.partitionBy("user_id", "journey")
+    ranked = (
+        touches.withColumn("rk", F.row_number().over(wj))
+        .withColumn("n", F.count(F.lit(1)).over(wjn))
+    )
+    q = F.expr(f"CAST({USHAPE_MID_MILLI} div (n - 2) AS BIGINT)")
+    rem = F.expr(
+        f"CAST({USHAPE_MID_MILLI} - (n - 2)"
+        f" * ({USHAPE_MID_MILLI} div (n - 2)) AS BIGINT)"
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000))
+        .when(F.col("n") == 2, F.lit(500))
+        .when(F.col("rk") == 1, F.lit(USHAPE_EDGE_MILLI))
+        .when(F.col("rk") == F.col("n"), F.lit(USHAPE_EDGE_MILLI))
+        .otherwise(
+            q + F.when(F.col("rk") == 2, rem).otherwise(F.lit(0))
+        )
+    )
+    credited = ranked.select(
+        F.col("event_type").alias("touch"),
+        credit.cast("bigint").alias("credit_milli"),
+    )
+    none_rows = (
+        purchases.join(
+            touches.select("user_id", "journey").distinct(),
+            ["user_id", "journey"],
+            "left_anti",
+        )
+        .select(
+            F.lit("none").alias("touch"),
+            F.lit(1000).cast("bigint").alias("credit_milli"),
+        )
+    )
+    out = credited.unionByName(none_rows)
+    counts = out.groupBy("touch").agg(
+        F.sum("credit_milli").alias("credit_milli")
+    )
+    return counts.select(
+        "touch",
+        F.col("credit_milli").cast("bigint").alias("credit_milli"),
+        F.expr(
+            "CAST((1000000 * credit_milli)"
+            " div SUM(credit_milli) OVER () AS BIGINT)"
+        ).alias("share_micro"),
+    )
+
+
+register(
+    "events_attribution_position",
+    f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS journey
+  FROM events
+),
+purchases AS (
+  SELECT user_id, journey FROM tagged WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT t.* FROM tagged t
+  SEMI JOIN purchases p
+    ON t.user_id = p.user_id AND t.journey = p.journey
+  WHERE t.event_type <> 'purchase'
+),
+ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, journey
+                            ORDER BY ts, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+  FROM touches
+),
+credited AS (
+  SELECT event_type AS touch,
+         CAST(CASE WHEN n = 1 THEN 1000
+                   WHEN n = 2 THEN 500
+                   WHEN rk = 1 THEN {USHAPE_EDGE_MILLI}
+                   WHEN rk = n THEN {USHAPE_EDGE_MILLI}
+                   ELSE CAST({USHAPE_MID_MILLI} // (n - 2) AS BIGINT)
+                        + CASE WHEN rk = 2
+                               THEN {USHAPE_MID_MILLI} - (n - 2)
+                                    * CAST({USHAPE_MID_MILLI} // (n - 2)
+                                      AS BIGINT)
+                               ELSE 0 END
+              END AS BIGINT) AS credit_milli
+  FROM ranked
+  UNION ALL
+  SELECT 'none' AS touch, CAST(1000 AS BIGINT) AS credit_milli
+  FROM purchases p
+  ANTI JOIN (SELECT DISTINCT user_id, journey FROM touches) t
+    ON p.user_id = t.user_id AND p.journey = t.journey
+),
+counts AS (
+  SELECT touch, CAST(SUM(credit_milli) AS BIGINT) AS credit_milli
+  FROM credited GROUP BY 1
+)
+SELECT touch, credit_milli,
+       CAST((1000000 * credit_milli)
+            // (SELECT SUM(credit_milli) FROM counts) AS BIGINT)
+         AS share_micro
+FROM counts
+""",
+)(events_attribution_position)

@@ -228,6 +228,7 @@ _PRIORITY = [
     "trade_hits_scores",
     "events_spc_xbar_r",
     "corpus_kmv_distinct",
+    "events_attribution_position",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -464,3 +464,21 @@ def test_kmv_estimate_within_error_band(spark, sf_dir):
         exact = r["exact_distinct"]
         assert abs(r["est_distinct"] - exact) <= 0.52 * exact + 2
         assert r["kth_min_hash"] > 0
+
+
+def test_ushape_credits_conserve_exactly(spark, sf_dir):
+    """Σ credit over all touch types must equal exactly 1000 × the
+    number of purchases — the integer split never leaks a milli."""
+    from smart_meter_data_pipeline_spark.operators.extended import (
+        events_attribution_position,
+    )
+
+    rows = events_attribution_position(spark, sf_dir).collect()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["credit_milli"] for r in rows) == 1000 * n_purchases
+    assert all(r["touch"] != "purchase" for r in rows)
+    assert 0 <= sum(r["share_micro"] for r in rows) <= 1_000_000
