@@ -3266,3 +3266,147 @@ WHERE fused_rank <= {FUSION_TOP_K}
 
 
 register("doc_rank_fusion", _rrf_oracle())(doc_rank_fusion)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out kNN label accuracy
+# ---------------------------------------------------------------------------
+
+KNN_EVAL_K = 5
+
+
+def embedding_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out {KNN_EVAL_K}-NN classification accuracy of the
+    embedding space, per true label — THE sanity metric for an
+    embedding table: if cosine neighborhoods cannot recover the
+    labels, no downstream ANN index or semantic-dedup threshold can
+    be trusted. Majority vote over the top-{KNN_EVAL_K} cosine
+    neighbors (excluding self), ties broken toward the smallest
+    label — a total order, so the verdict is deterministic.
+
+    Determinism: the exact-decimal dot/norm fold and the round-12
+    cosine are ``ann_topk_cosine``'s contract; votes and accuracies
+    are integers (milli).
+
+    Scale shape: brute-force all-pairs at test scale (the eval is
+    quadratic BY DEFINITION — it audits every vector); a 100 TB run
+    evaluates a fixed SAMPLE of queries through the IVF index
+    (ann_recall_report's pattern) rather than all pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", _dot("embedding", "embedding")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("l_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm2").alias("a_n2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("r_id"),
+        F.col("label").alias("r_label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm2").alias("b_n2"),
+    )
+    pairs = (
+        a.join(b, F.col("l_id") != F.col("r_id"))
+        .withColumn("dot", _dot("a_emb", "b_emb"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot") / (F.sqrt("a_n2") * F.sqrt("b_n2")), 12
+            ),
+        )
+    )
+    w = Window.partitionBy("l_id").orderBy(
+        F.col("cosine").desc(), F.col("r_id")
+    )
+    topk = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_EVAL_K
+    )
+    votes = topk.groupBy("l_id", "true_label", "r_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("l_id").orderBy(
+        F.col("v").desc(), F.col("r_label")
+    )
+    predicted = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "l_id",
+            "true_label",
+            F.col("r_label").alias("predicted_label"),
+        )
+    )
+    return (
+        predicted.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("predicted_label") == F.col("true_label"), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            F.expr(
+                "CAST((1000 * n_correct) div n AS BIGINT)"
+            ).alias("accuracy_milli"),
+        )
+    )
+
+
+register(
+    "embedding_knn_loo_accuracy",
+    f"""
+WITH unn AS (
+  SELECT a.vec_id AS l_id, a.label AS true_label,
+         b.vec_id AS r_id, b.label AS r_label,
+         UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+dots AS (
+  SELECT l_id, ANY_VALUE(true_label) AS true_label,
+         r_id, ANY_VALUE(r_label) AS r_label,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nl,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS nr
+  FROM unn GROUP BY l_id, r_id
+),
+scored AS (
+  SELECT l_id, true_label, r_id, r_label,
+         round(dot / (sqrt(nl) * sqrt(nr)), 12) AS cosine
+  FROM dots
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id
+                                 ORDER BY cosine DESC, r_id) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_EVAL_K}
+),
+votes AS (
+  SELECT l_id, true_label, r_label, COUNT(*) AS v
+  FROM topk GROUP BY 1, 2, 3
+),
+predicted AS (
+  SELECT l_id, true_label, r_label AS predicted_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id
+                                 ORDER BY v DESC, r_label) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT CAST(true_label AS INT) AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN predicted_label = true_label THEN 1 ELSE 0
+                END) AS BIGINT) AS n_correct,
+       CAST((1000 * SUM(CASE WHEN predicted_label = true_label
+                             THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS accuracy_milli
+FROM predicted
+GROUP BY true_label
+""",
+)(embedding_knn_loo_accuracy)

@@ -229,6 +229,7 @@ _PRIORITY = [
     "events_spc_xbar_r",
     "corpus_kmv_distinct",
     "events_attribution_position",
+    "embedding_knn_loo_accuracy",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
