@@ -3581,3 +3581,166 @@ SELECT p_brand,
 FROM agg
 """,
 )(part_demand_curve)
+
+
+# ---------------------------------------------------------------------------
+# Economic complexity (method of reflections)
+# ---------------------------------------------------------------------------
+
+ECI_SCALE = 1_000_000
+
+
+def nation_product_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic-complexity readout (Hidalgo-Hausmann method of
+    reflections) over the nation × part export matrix: a nation's
+    RCA-filtered export basket (comparative advantage as a pure
+    integer cross-multiplication — x_np·X_total > X_n·X_p, no
+    division), then two reflections — k_c1 = mean ubiquity of the
+    nation's advantaged products, k_c2 = mean of those products' mean
+    exporter diversity — the k_c2 ordering is the classic ECI proxy:
+    LOW mean-ubiquity-of-diverse-exporters = complex economy.
+    Divisions are integer micro floors, so every score is an exact
+    int64 both engines agree on.
+
+    Scale shape: lineitem ⋈ supplier (broadcast-eligible dim) folds to
+    the (nation × part) export rollup in one fact pass; everything
+    after runs on that ≤|nations|·|parts| matrix — reflections are
+    keyed join+rollup rounds on the advantaged-edge list."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    part_side = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    # export value in integer dollars (cents div 100 keeps the RCA
+    # cross-products inside int64 at bench scales)
+    x = (
+        part_side.join(F.broadcast(supplier), part_side.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nk"),
+            F.col("l_partkey").alias("pk"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT) div 100"
+            ).alias("v"),
+        )
+        .groupBy("nk", "pk")
+        .agg(F.sum("v").alias("x_np"))
+        .localCheckpoint(eager=True)
+    )
+    xn = x.groupBy("nk").agg(F.sum("x_np").alias("x_n"))
+    xp = x.groupBy("pk").agg(F.sum("x_np").alias("x_p"))
+    xt = x.agg(F.sum("x_np").alias("x_t"))
+    m = (
+        x.join(xn, "nk")
+        .join(xp, "pk")
+        .crossJoin(F.broadcast(xt))
+        .filter(F.col("x_np") * F.col("x_t") > F.col("x_n") * F.col("x_p"))
+        .select("nk", "pk")
+        .localCheckpoint(eager=True)
+    )
+    kc0 = m.groupBy("nk").agg(F.count(F.lit(1)).alias("kc0"))
+    kp0 = m.groupBy("pk").agg(F.count(F.lit(1)).alias("kp0"))
+    kc1 = (
+        m.join(kp0, "pk")
+        .groupBy("nk")
+        .agg(F.sum("kp0").alias("s"))
+        .join(kc0, "nk")
+        .select(
+            "nk",
+            F.expr(
+                f"(s * CAST({ECI_SCALE} AS BIGINT)) div kc0"
+            ).alias("kc1_micro"),
+        )
+    )
+    kp1 = (
+        m.join(kc0, "nk")
+        .groupBy("pk")
+        .agg(F.sum("kc0").alias("s"))
+        .join(kp0, "pk")
+        .select(
+            "pk",
+            F.expr(
+                f"(s * CAST({ECI_SCALE} AS BIGINT)) div kp0"
+            ).alias("kp1_micro"),
+        )
+    )
+    kc2 = (
+        m.join(kp1, "pk")
+        .groupBy("nk")
+        .agg(F.sum("kp1_micro").alias("s"))
+        .join(kc0, "nk")
+        .select("nk", F.expr("s div kc0").alias("kc2_micro"))
+    )
+    return (
+        kc0.join(kc1, "nk")
+        .join(kc2, "nk")
+        .join(nation, kc0.nk == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("kc0").cast("bigint").alias("diversity"),
+            F.col("kc1_micro").cast("bigint").alias("kc1_micro"),
+            F.col("kc2_micro").cast("bigint").alias("kc2_micro"),
+        )
+    )
+
+
+register(
+    "nation_product_complexity",
+    f"""
+WITH x AS (
+  SELECT s.s_nationkey AS nk, l.l_partkey AS pk,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) // 100) AS BIGINT) AS x_np
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+xn AS (SELECT nk, CAST(SUM(x_np) AS BIGINT) AS x_n FROM x GROUP BY 1),
+xp AS (SELECT pk, CAST(SUM(x_np) AS BIGINT) AS x_p FROM x GROUP BY 1),
+xt AS (SELECT CAST(SUM(x_np) AS BIGINT) AS x_t FROM x),
+m AS (
+  SELECT x.nk, x.pk
+  FROM x JOIN xn ON x.nk = xn.nk JOIN xp ON x.pk = xp.pk
+  CROSS JOIN xt
+  WHERE x.x_np * xt.x_t > xn.x_n * xp.x_p
+),
+kc0 AS (SELECT nk, COUNT(*) AS kc0 FROM m GROUP BY 1),
+kp0 AS (SELECT pk, COUNT(*) AS kp0 FROM m GROUP BY 1),
+kc1 AS (
+  SELECT s.nk,
+         CAST((s.s * CAST({ECI_SCALE} AS BIGINT)) // c.kc0 AS BIGINT)
+           AS kc1_micro
+  FROM (SELECT m.nk, CAST(SUM(k.kp0) AS BIGINT) AS s
+        FROM m JOIN kp0 k ON m.pk = k.pk GROUP BY 1) s
+  JOIN kc0 c ON s.nk = c.nk
+),
+kp1 AS (
+  SELECT s.pk,
+         CAST((s.s * CAST({ECI_SCALE} AS BIGINT)) // p.kp0 AS BIGINT)
+           AS kp1_micro
+  FROM (SELECT m.pk, CAST(SUM(k.kc0) AS BIGINT) AS s
+        FROM m JOIN kc0 k ON m.nk = k.nk GROUP BY 1) s
+  JOIN kp0 p ON s.pk = p.pk
+),
+kc2 AS (
+  SELECT s.nk, CAST(s.s // c.kc0 AS BIGINT) AS kc2_micro
+  FROM (SELECT m.nk, CAST(SUM(k.kp1_micro) AS BIGINT) AS s
+        FROM m JOIN kp1 k ON m.pk = k.pk GROUP BY 1) s
+  JOIN kc0 c ON s.nk = c.nk
+)
+SELECT n.n_name,
+       CAST(c0.kc0 AS BIGINT) AS diversity,
+       c1.kc1_micro,
+       c2.kc2_micro
+FROM kc0 c0
+JOIN kc1 c1 ON c0.nk = c1.nk
+JOIN kc2 c2 ON c0.nk = c2.nk
+JOIN nation n ON c0.nk = n.n_nationkey
+""",
+)(nation_product_complexity)

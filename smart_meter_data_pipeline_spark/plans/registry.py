@@ -230,6 +230,7 @@ _PRIORITY = [
     "corpus_kmv_distinct",
     "events_attribution_position",
     "embedding_knn_loo_accuracy",
+    "nation_product_complexity",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

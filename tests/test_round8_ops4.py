@@ -482,3 +482,20 @@ def test_ushape_credits_conserve_exactly(spark, sf_dir):
     assert sum(r["credit_milli"] for r in rows) == 1000 * n_purchases
     assert all(r["touch"] != "purchase" for r in rows)
     assert 0 <= sum(r["share_micro"] for r in rows) <= 1_000_000
+
+
+def test_eci_reflections_bounded(spark, sf_dir):
+    from smart_meter_data_pipeline_spark.operators.tpch import (
+        ECI_SCALE,
+        nation_product_complexity,
+    )
+
+    rows = nation_product_complexity(spark, sf_dir).collect()
+    assert rows
+    max_div = max(r["diversity"] for r in rows)
+    for r in rows:
+        assert r["diversity"] >= 1
+        # kc1 is a mean UBIQUITY (micro): 1..|nations| scaled
+        assert ECI_SCALE <= r["kc1_micro"] <= len(rows) * ECI_SCALE
+        # kc2 is a mean DIVERSITY (micro): 1..max diversity scaled
+        assert ECI_SCALE <= r["kc2_micro"] <= max_div * ECI_SCALE
