@@ -3744,3 +3744,111 @@ JOIN kc2 c2 ON c0.nk = c2.nk
 JOIN nation n ON c0.nk = n.n_nationkey
 """,
 )(nation_product_complexity)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: lead time by ship mode
+# ---------------------------------------------------------------------------
+
+
+def lineitem_leadtime_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for order-to-ship delay
+    (l_shipdate − o_orderdate, integer days) across the five order
+    priorities — the k-group generalization of ``events_welch_ttest``,
+    answering whether priority actually moves shipping latency beyond
+    noise (the statistical sequel to the Q4 priority-check counts).
+    Per-priority rows carry the group moments and milli mean; the
+    pooled F rides every row (the CUPED repeated-scalar shape).
+
+    Exactness: the between/within sums of squares are built from
+    integer floor divisions only — A = Σ_g ⌊S_g²/n_g⌋ (each term ≤1
+    below the rational value, documented floored variant), SSB =
+    A − ⌊S²/n⌋, SSW = Q − A — so both engines agree bit-for-bit on
+    the integer decomposition; F is one fixed-shape double ratio over
+    those exact integers, rounded at 9.
+
+    Scale shape: lineitem ⋈ orders is the one keyed fact shuffle
+    (no broadcast hint — AQE decides); the result folds to |priority|
+    rows of (n, Σd, Σd²) with map-side combine; the pooled scalars
+    broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.expr("datediff(l_shipdate, o_orderdate)").alias("d"),
+    )
+    g = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("d").cast("bigint")).alias("s_g"),
+        F.sum((F.col("d") * F.col("d")).cast("bigint")).alias("q_g"),
+    )
+    pooled = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(F.expr("(s_g * s_g) div n_g")).alias("a"),
+    )
+    j = g.crossJoin(F.broadcast(pooled))
+    ssb = F.col("a") - F.expr("(s * s) div n")
+    ssw = F.col("q") - F.col("a")
+    f_stat = (
+        ssb.cast("double") / (F.col("k") - F.lit(1)).cast("double")
+    ) / (
+        ssw.cast("double") / (F.col("n") - F.col("k")).cast("double")
+    )
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return j.select(
+        "o_orderpriority",
+        F.col("n_g").cast("bigint").alias("n_lineitems"),
+        F.col("s_g").cast("bigint").alias("delay_days_sum"),
+        F.expr("CAST((1000 * s_g) div n_g AS BIGINT)").alias(
+            "mean_delay_milli"
+        ),
+        ssb.cast("bigint").alias("ssb_days2"),
+        ssw.cast("bigint").alias("ssw_days2"),
+        F.when(ok, F.round(f_stat, 9)).alias("f_stat"),
+    )
+
+
+register(
+    "lineitem_leadtime_anova",
+    """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+g AS (
+  SELECT o_orderpriority, COUNT(*) AS n_g,
+         CAST(SUM(CAST(d AS BIGINT)) AS BIGINT) AS s_g,
+         CAST(SUM(CAST(d * d AS BIGINT)) AS BIGINT) AS q_g
+  FROM d GROUP BY 1
+),
+pooled AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(q_g) AS BIGINT) AS q,
+         CAST(SUM(CAST((s_g * s_g) // n_g AS BIGINT)) AS BIGINT) AS a
+  FROM g
+)
+SELECT o_orderpriority,
+       CAST(n_g AS BIGINT) AS n_lineitems,
+       s_g AS delay_days_sum,
+       CAST((1000 * s_g) // n_g AS BIGINT) AS mean_delay_milli,
+       CAST(a - CAST((s * s) // n AS BIGINT) AS BIGINT) AS ssb_days2,
+       CAST(q - a AS BIGINT) AS ssw_days2,
+       CASE WHEN k > 1 AND n > k AND q - a > 0
+            THEN round((CAST(a - CAST((s * s) // n AS BIGINT) AS DOUBLE)
+                        / CAST(k - 1 AS DOUBLE))
+                       / (CAST(q - a AS DOUBLE)
+                          / CAST(n - k AS DOUBLE)), 9)
+            END AS f_stat
+FROM g CROSS JOIN pooled
+""",
+)(lineitem_leadtime_anova)

@@ -231,6 +231,7 @@ _PRIORITY = [
     "events_attribution_position",
     "embedding_knn_loo_accuracy",
     "nation_product_complexity",
+    "lineitem_leadtime_anova",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
