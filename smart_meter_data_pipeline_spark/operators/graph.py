@@ -1049,3 +1049,181 @@ SELECT * FROM (
 
 
 register("trade_hits_scores", _hits_oracle())(trade_hits_scores)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from a seed nation's suppliers
+# ---------------------------------------------------------------------------
+
+PPR_SEED_NATION = 3
+PPR_TOP_K = 50
+
+
+def trade_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank — the recommendation workhorse: the
+    teleport mass lands ONLY on the seed set (nation {PPR_SEED_NATION}
+    's suppliers) instead of uniformly, so after {PAGERANK_ROUNDS}
+    rounds the ranking answers "which counterparties matter MOST from
+    this nation's point of view" (trade partners to prioritize,
+    customers to cross-sell). Same integer-nano fixpoint as
+    ``pagerank_trade_graph`` (teleport {TELEPORT_NANO}/1e9 split over
+    seeds, damping {DAMP_NUM}/{DAMP_DEN}, all floor divisions), so the
+    whole walk sits under the hash gate; output is the
+    top-{PPR_TOP_K} nodes by (rank desc, node) — a total order.
+
+    Scale shape: identical to pagerank — edge state checkpointed once,
+    each round one keyed join+rollup; the seed set is a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    seeds = (
+        supplier.filter(F.col("s_nationkey") == PPR_SEED_NATION)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .join(nodes.select("node"), "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seeds.agg(F.count(F.lit(1)).alias("ns"))
+    seed_mass = seeds.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        F.expr(f"CAST({TELEPORT_NANO} AS BIGINT) div ns").alias("tele"),
+    )
+    # start at the personalization vector itself
+    rank = (
+        nodes.join(
+            seed_mass.withColumnRenamed("tele", "r0"), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce(
+                F.expr(
+                    f"CAST((r0 * CAST({ONE_NANO} AS BIGINT))"
+                    f" div {TELEPORT_NANO} AS BIGINT)"
+                ),
+                F.lit(0),
+            ).alias("r_nano"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PAGERANK_ROUNDS):
+        contrib = edges_deg.join(
+            rank, edges_deg.src == rank.node, "inner"
+        ).select("dst", F.expr("r_nano div deg").alias("contrib"))
+        sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        rank = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .join(seed_mass, nodes.node == seed_mass.node, "left")
+            .select(
+                nodes.node.alias("node"),
+                (
+                    F.coalesce(F.col("tele"), F.lit(0))
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" div {DAMP_DEN}"
+                    )
+                ).alias("r_nano"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        rank.join(nodes, "node")
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").cast("bigint").alias("node_id"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.expr("r_nano div 1000").cast("bigint").alias("rank_micro"),
+        )
+        .orderBy(F.col("rank_micro").desc(), "node_type", "node_id")
+        .limit(PPR_TOP_K)
+    )
+
+
+def _ppr_oracle(n_rounds: int = PAGERANK_ROUNDS) -> str:
+    parts = []
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+c{i} AS (
+  SELECT e.dst AS node, CAST(r.r_nano // e.deg AS BIGINT) AS contrib
+  FROM edges_deg e JOIN r{i - 1} r ON e.src = r.node
+),
+s{i} AS (SELECT node, SUM(contrib) AS s FROM c{i} GROUP BY 1),
+r{i} AS (
+  SELECT d.node,
+         COALESCE(sm.tele, 0)
+           + CAST(({DAMP_NUM} * COALESCE(s.s, CAST(0 AS BIGINT)))
+                  // {DAMP_DEN} AS BIGINT) AS r_nano
+  FROM deg d
+  LEFT JOIN s{i} s ON d.node = s.node
+  LEFT JOIN seed_mass sm ON d.node = sm.node
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+edges_deg AS (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.node
+),
+seeds AS (
+  SELECT s_suppkey * 2 + 1 AS node FROM supplier
+  WHERE s_nationkey = {PPR_SEED_NATION}
+    AND s_suppkey * 2 + 1 IN (SELECT node FROM deg)
+),
+ns AS (SELECT COUNT(*) AS ns FROM seeds),
+seed_mass AS (
+  SELECT node, CAST(CAST({TELEPORT_NANO} AS BIGINT) // ns.ns AS BIGINT)
+           AS tele
+  FROM seeds CROSS JOIN ns
+),
+r0 AS (
+  SELECT d.node,
+         COALESCE(CAST((sm.tele * CAST({ONE_NANO} AS BIGINT))
+                       // {TELEPORT_NANO} AS BIGINT), 0) AS r_nano
+  FROM deg d LEFT JOIN seed_mass sm ON d.node = sm.node
+),{body}
+SELECT * FROM (
+  SELECT CASE WHEN d.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+           AS node_type,
+         CAST(d.node // 2 AS BIGINT) AS node_id,
+         CAST(d.deg AS BIGINT) AS deg,
+         CAST(r.r_nano // 1000 AS BIGINT) AS rank_micro
+  FROM r{n_rounds} r JOIN deg d ON r.node = d.node
+  ORDER BY rank_micro DESC, node_type, node_id
+  LIMIT {PPR_TOP_K}
+)
+"""
+
+
+register("trade_personalized_pagerank", _ppr_oracle())(
+    trade_personalized_pagerank
+)

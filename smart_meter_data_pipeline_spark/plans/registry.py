@@ -232,6 +232,7 @@ _PRIORITY = [
     "embedding_knn_loo_accuracy",
     "nation_product_complexity",
     "lineitem_leadtime_anova",
+    "trade_personalized_pagerank",
     # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",

@@ -522,3 +522,33 @@ def test_anova_decomposition_consistent(spark, sf_dir):
     k = len(rows)
     expect_f = (r0["ssb_days2"] / (k - 1)) / (r0["ssw_days2"] / (n - k))
     assert abs(f - expect_f) < 1e-6
+
+
+def test_ppr_concentrates_on_seed_neighborhood(spark, sf_dir):
+    """PPR mass must concentrate near the seed nation's suppliers:
+    every returned node has positive rank, seeds' suppliers appear,
+    and the ranking respects the declared total order."""
+    from smart_meter_data_pipeline_spark.operators.graph import (
+        PPR_SEED_NATION,
+        PPR_TOP_K,
+        trade_personalized_pagerank,
+    )
+    from pyspark.sql import functions as F
+
+    rows = trade_personalized_pagerank(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PPR_TOP_K
+    assert all(r["rank_micro"] > 0 for r in rows)
+    keys = [
+        (-r["rank_micro"], r["node_type"], r["node_id"]) for r in rows
+    ]
+    assert keys == sorted(keys)
+    seed_supps = {
+        r["s_suppkey"]
+        for r in load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == PPR_SEED_NATION)
+        .collect()
+    }
+    top_suppliers = {
+        r["node_id"] for r in rows if r["node_type"] == "supplier"
+    }
+    assert top_suppliers & seed_supps, "no seed supplier in the top-k"
