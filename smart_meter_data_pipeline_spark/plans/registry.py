@@ -79,59 +79,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     the local replica at sf0.01+sf0.1 this round;
 # (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
-    # (1) r4-staleness tail — drain completely this round
-    "ann_topk_cosine",
-    "batch_billing_incremental",
-    "corpus_shard_manifest",
-    "corpus_token_freq",
-    "decontaminate_docs",
-    "dedup_exact",
-    "dedup_redelivery",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_ngram_novelty",
-    "doc_pii_scrub",
-    "doc_span_dedup",
-    "embedding_dim_stats",
-    "embedding_normalize_quantize",
-    "kmeans_embeddings",
-    "multimodal_features",
-    "multimodal_resize",
-    "nation_revenue",
-    "orders_above_customer_avg",
-    "pack_training_sequences",
-    "pricing_summary",
-    "quality_filter_chain",
-    "sample_stratified",
-    "source_quota_cap",
-    "top_revenue_orders",
-    "train_val_test_split",
-    # (2) new in round 8 — first driver row needed (24 of 29)
-    "manifest_restore_roundtrip",
-    "manifest_change_feed",
-    "manifest_ivm_rollup",
-    "stream_dq_monitor",
-    "stream_cusum_changepoint",
-    "dq_expectations_report",
-    "embedding_power_iteration",
-    "embedding_class_separation",
-    "trade_kcore",
-    "tpch_lone_late_supplier",
-    "tpch_idle_rich_customers",
-    "tpch_forecast_revenue",
-    "events_mad_outliers",
-    "events_exact_median_2pass",
-    "events_sax_symbols",
-    "events_max_drawdown",
-    "events_benford_digits",
-    "events_top_paths",
-    "events_flapping_detection",
-    "doc_bigram_fluency",
-    "corpus_bpe_merge_candidates",
-    "multimodal_shard_pack",
-    "orders_gap_survival",
-    "nation_load_duration_curve",
-    # (3a0) new late in round 8 — no driver row yet; head round 9's window
+    # Two-round drain schedule (written in round 9, per VERDICT r8 #1/#6):
+    # the driver evaluates a ~50-query prefix per round. 112 of 310
+    # queries had no driver row after r8; section (r9) below is the
+    # round-9 window (50 never-evaluated, 3a0-first), section (r10) the
+    # remaining 62 never-evaluated — after r10 every query has a row and
+    # staleness rotation restarts from the full base in section (stale).
+    # (r9) never-evaluated window — round 9 driver prefix
     "manifest_asof_read",
     "trade_label_propagation",
     "events_markov_stationary",
@@ -182,6 +136,7 @@ _PRIORITY = [
     "events_welch_ttest",
     "orders_cumulative_customers",
     "corpus_tokenizer_fertility",
+    # (r10) remaining never-evaluated — round 10 driver prefix
     "meter_load_factor",
     "meter_diversity_factor",
     "events_user_archetypes",
@@ -233,38 +188,216 @@ _PRIORITY = [
     "nation_product_complexity",
     "lineitem_leadtime_anova",
     "trade_personalized_pagerank",
-    # (3a) round-8 computation changes (replica-proven; next in line)
     "tpch_nation_yoy_growth",
     "events_rolling_active_users",
     "doc_suffix_dup",
     "corpus_bigram_coverage",
     "nation_peak_coincidence",
     "doc_normalized_dup",
-    "embedding_centroid_outliers",
-    "doc_vocab_growth",
-    "manifest_cow_roundtrip",
-    "manifest_optimize_roundtrip",
-    "stream_restatement_upsert",
-    # (3b) remaining round-8 rollups (head round 9's window)
     "corpus_zipf_check",
     "events_user_type_gini",
     "events_dow_hour_matrix",
     "orders_seasonal_index",
     "doc_length_magnitude_profile",
-    # (3c) de-hinted (plan-only change, values identical)
+    # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",
-    "basket_part_pairs",
     "stream_static_join",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "corpus_build_pipeline",
+    "cumulative_user_value",
+    "customers_with_error",
+    "customers_without_purchase",
+    "daily_user_rollup",
+    "dedup_embedding_cosine",
+    "dedup_keep_best",
+    "event_type_pivot",
+    "event_value_percentiles",
+    "events_anomaly_zscore",
+    "events_asof_orders",
+    "events_cube",
+    "events_json_props",
+    "events_ohlc_hourly",
+    "events_range_frame",
+    "events_range_pairs",
+    "events_rollup",
+    "events_sessionized",
+    "kmeans_fixed_rounds",
+    "meter_billing_daily",
+    "meter_dims",
+    "meter_gap_fill",
+    "meter_grid_load_hourly",
+    "meter_quality_checks",
+    "meter_readings",
+    "meter_stg",
+    "multimodal_frame_sample",
+    "sliding_window_avg",
+    "stg_event_deltas",
+    "stream_billing_incremental",
+    "stream_dedup_watermark",
+    "stream_grid_incremental",
+    "stream_hourly_events",
+    "stream_incremental_deltas",
+    "stream_ingest_daily",
+    "stream_session_windows",
+    "stream_stream_interval_join",
+    "top_value_users",
+    "user_retention_sets",
+    "user_weekly_wow_change",
+    "validation_summary",
+    "basket_part_pairs",
+    "nation_trade_reciprocity",
+    "tpch_promo_revenue",
+    "ann_lsh_multiprobe",
+    "corpus_dedup_rate_by_source",
+    "corpus_heavy_hitters",
+    "customer_rfm_segments",
+    "dedup_cluster_size_dist",
+    "dedup_incremental",
+    "dedup_method_agreement",
+    "dedup_semantic",
+    "dedup_threshold_sweep",
+    "doc_tfidf_keywords",
+    "embedding_jl_projection",
+    "event_value_hist_quantiles",
+    "events_burstiness",
+    "events_drift_report",
+    "events_ewma_smooth",
+    "events_hourly_autocorr",
+    "events_interarrival_stats",
+    "events_local_day_rollup",
+    "events_salted_rollup",
+    "events_seasonal_anomaly",
+    "events_seasonal_forecast_mae",
+    "events_type_transitions",
+    "events_winsorized_stats",
+    "lang_confusion_matrix",
+    "meter_sim_source_scan",
+    "mixture_rebalance",
+    "nation_daily_peak_hour",
+    "nation_trade_balance",
+    "pagerank_trade_graph",
+    "part_supplier_hhi",
+    "referential_integrity_audit",
+    "stream_drift_report",
+    "stream_full_outer_interval_join",
+    "stream_hist_quantiles",
+    "stream_meter_sim_totals",
+    "stream_outer_interval_join",
+    "stream_running_totals",
+    "stream_scd2_enrich",
+    "stream_semi_interval_join",
+    "stream_sessionized_timeout",
+    "stream_topk_users",
+    "tpch_large_orders",
+    "tpch_priority_checks",
+    "tpch_top_supplier",
+    "user_value_rank_bands",
+    "user_value_trend",
+    "vocab_oov_rate",
+    "embedding_centroid_outliers",
+    "doc_vocab_growth",
+    "manifest_cow_roundtrip",
+    "manifest_optimize_roundtrip",
+    "stream_restatement_upsert",
     "tpch_volume_shipping",
     "tpch_returned_items",
-    "nation_trade_reciprocity",
     "tpch_market_share",
     "nation_self_sufficiency",
-    "tpch_promo_revenue",
     "tpch_disjunctive_revenue",
     "tpch_supplier_part_variety",
     "tpch_small_qty_revenue",
+    "ann_pq_topk",
+    "approx_sketch_check",
+    "corpus_quality_report",
+    "customer_value_gini",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_served",
+    "dim_scd2_history",
+    "doc_bm25_mlt",
+    "doc_chunk_overlap",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_prefix_dup",
+    "doc_quality_score",
+    "doc_repetition_ratio",
+    "doc_token_stats",
+    "doc_ttr",
+    "events_cohort_retention",
+    "events_cusum_changepoint",
+    "events_dedup_latest",
+    "events_funnel",
+    "events_peak_detection",
+    "events_profile",
+    "events_zorder_key",
+    "first_last_readings",
+    "meter_quality_incidents",
+    "missing_readings",
+    "orders_gap_stats",
+    "part_brand_price_dispersion",
+    "source_temperature_sample",
+    "stream_score_zscore",
+    "stream_sliding_windows",
+    "supplier_revenue_pareto",
+    "tpch_order_count_dist",
+    "tpch_sales_opportunity",
+    "trade_triangles",
+    "ann_topk_cosine",
+    "batch_billing_incremental",
+    "corpus_shard_manifest",
+    "corpus_token_freq",
+    "decontaminate_docs",
+    "dedup_exact",
+    "dedup_redelivery",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_ngram_novelty",
+    "doc_pii_scrub",
+    "doc_span_dedup",
+    "embedding_dim_stats",
+    "embedding_normalize_quantize",
+    "kmeans_embeddings",
+    "multimodal_features",
+    "multimodal_resize",
+    "nation_revenue",
+    "orders_above_customer_avg",
+    "pack_training_sequences",
+    "pricing_summary",
+    "quality_filter_chain",
+    "sample_stratified",
+    "source_quota_cap",
+    "top_revenue_orders",
+    "train_val_test_split",
+    "manifest_restore_roundtrip",
+    "manifest_change_feed",
+    "manifest_ivm_rollup",
+    "stream_dq_monitor",
+    "stream_cusum_changepoint",
+    "dq_expectations_report",
+    "embedding_power_iteration",
+    "embedding_class_separation",
+    "trade_kcore",
+    "tpch_lone_late_supplier",
+    "tpch_idle_rich_customers",
+    "tpch_forecast_revenue",
+    "events_mad_outliers",
+    "events_exact_median_2pass",
+    "events_sax_symbols",
+    "events_max_drawdown",
+    "events_benford_digits",
+    "events_top_paths",
+    "events_flapping_detection",
+    "doc_bigram_fluency",
+    "corpus_bpe_merge_candidates",
+    "multimodal_shard_pack",
+    "orders_gap_survival",
+    "nation_load_duration_curve",
 ]
 
 
