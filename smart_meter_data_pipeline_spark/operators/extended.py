@@ -2197,7 +2197,7 @@ def nation_daily_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_nationkey"
     )
     hourly = (
-        ev.join(F.broadcast(cust), "user_id")
+        ev.join(cust, "user_id")
         .groupBy(
             F.col("c_nationkey").alias("nationkey"),
             F.date_trunc("hour", "ts").alias("load_hour"),

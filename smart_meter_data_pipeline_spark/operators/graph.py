@@ -201,7 +201,7 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             F.col("s_nationkey").cast("bigint").alias("sn"),
             F.col("c_nationkey").cast("bigint").alias("cn"),

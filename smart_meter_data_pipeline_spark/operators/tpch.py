@@ -5,6 +5,20 @@ queries prove the same aggregate/join/sort machinery on the warehouse
 tables (A1-A5, J1-J4, plus ORDER BY/LIMIT), at plans Catalyst can
 optimize fully: filter pushdown to parquet, broadcast of small dims,
 partial aggregation before the shuffle.
+
+Broadcast-hint policy (round-7, ceiling documented round-9): explicit
+``F.broadcast`` hints are reserved for frames bounded by a CONSTANT or
+near-constant (nation 25, region 5, aggregated rollups, 1-row scalars)
+— plus ``supplier``, the one linearly-scaling exception. The supplier
+hints assume supplier stays under ~10M rows / ~1.5 GB serialized
+(TPC-H supplier is SF x 10k rows at ~140 B/row → valid through
+SF ~1000, i.e. a ~1 TB warehouse). At the 100 TB design point
+(SF ~100k, supplier ~1e9 rows) that assumption breaks: strip the
+supplier hints (AQE then picks broadcast exactly while the table still
+fits ``spark.sql.autoBroadcastJoinThreshold``) — they are hints, not
+semantics, so removing them is plan-only. orders / customer / part
+scale with the fact at EVERY SF and are never hinted
+(test_fact_scale_tables_never_force_broadcast pins this).
 """
 
 from __future__ import annotations

@@ -15,6 +15,7 @@ import pytest
 from smart_meter_data_pipeline_spark.operators import (
     events_pipeline,
     extended,
+    graph,
     similarity,
     text,
     tpch,
@@ -492,6 +493,9 @@ def test_fact_scale_tables_never_force_broadcast(spark, sf_dir):
         (tpch.tpch_supplier_part_variety, 1),
         (tpch.tpch_small_qty_revenue, 1),  # li⋈part; threshold rollup may hint
         (tpch.basket_part_pairs, 3),       # self-join + 2 part-freq joins
+        # round-9 additions: the last two customer-broadcast stragglers
+        (extended.nation_daily_peak_hour, 1),  # events⋈customer
+        (graph.trade_triangles, 2),            # li⋈orders, orders⋈customer
     ]
     with _no_auto_broadcast(spark):
         for fn, floor in cases:
@@ -994,3 +998,22 @@ def test_haar_levels_run_on_checkpointed_rollup(spark, sf_dir):
     assert "ExistingRDD" in p
     assert p.count("Scan parquet  (") == 0
     assert "CartesianProduct" not in p
+
+
+def test_knn_loo_registered_plan_has_no_all_pairs_self_join(spark, sf_dir):
+    """Round-9 ask: the shipped LOO eval must route a FIXED query
+    sample through the IVF index. With auto-broadcast off, an
+    all-pairs formulation surfaces as a CartesianProduct (or a
+    nested-loop join whose only condition is the <> inequality);
+    the scale-safe plan instead carries the corpus⋈probes candidate
+    join as an equi-join on cell_id, and its only nested-loop joins
+    are the two hinted broadcasts of the bounded centroid set."""
+    p = _plan(similarity.embedding_knn_loo_accuracy(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "cell_id" in p  # the equi-join key survives into the plan
+    # both nested-loop sites are the hinted centroid broadcasts (<=64
+    # rows by construction); an all-pairs corpus join would add a third.
+    # Count tree nodes only (formatted explain repeats each node in the
+    # details section).
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
