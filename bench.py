@@ -560,6 +560,19 @@ def main() -> None:
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "leg_runs": leg_runs,
         "queries": timings,
+        # Compact headline echo at the VERY END of the line (round-8
+        # verdict ask #4): the driver's bounded tail window cuts the
+        # front of the JSON off, so the early headline fields
+        # (value/ingest_rows_per_sec/ivf_recall) vanish from
+        # BENCH_r{N}.json — this tail summary keeps them visible
+        # alongside the per-leg timings.
+        "summary": {
+            "total": total,
+            "ingest_rows_per_sec": round(
+                ingest_rows / timings["meter_ingest_day"]
+            ),
+            "ivf_recall": ivf_recall,
+        },
     }
     print(json.dumps(result))
 

@@ -205,7 +205,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "clone":
             try:
                 c = mf.shallow_clone(t, args.target_dir)
-            except ValueError as e:
+            except (ValueError, mf.PendingTombstonesError) as e:
+                # pending merge-on-read tombstones block physical
+                # copies (a RuntimeError, not ValueError) — same clean
+                # stderr + exit-2 path, pointing at `reorg`
                 print(str(e), file=sys.stderr)
                 return 2
             print(
@@ -220,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         try:
             res = mf.restore_version(t, args.version)
-        except ValueError as e:
+        except (ValueError, mf.PendingTombstonesError) as e:
             print(str(e), file=sys.stderr)
             return 2
         print(json.dumps(res))

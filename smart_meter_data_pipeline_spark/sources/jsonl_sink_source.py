@@ -142,13 +142,19 @@ def make_jsonl_corpus_sink():
             manifest = os.path.join(
                 self.path, f"_batch-{batchId}.manifest"
             )
-            # Idempotent replay: unpublish a previous attempt's files.
+            # Replay-idempotence ORDER (round-9 advisory): publish the
+            # replacement files + manifest FIRST, unpublish the
+            # previous attempt's files LAST. Deleting before the
+            # atomic manifest swap opens a crash window where the
+            # still-live old manifest lists already-deleted files and
+            # manifested_stream_files hands readers nonexistent paths;
+            # with this order the live manifest only ever lists files
+            # that exist (a crash after the swap at worst leaks
+            # unlisted orphans, which readers never see).
+            stale = []
             if os.path.exists(manifest):
                 with open(manifest) as fh:
                     stale = json.load(fh)["files"]
-                for e in stale:
-                    with contextlib.suppress(FileNotFoundError):
-                        os.remove(os.path.join(self.path, e["file"]))
             published = []
             for m in messages:
                 final = f"batch{batchId}-{m.final_name}"
@@ -170,6 +176,12 @@ def make_jsonl_corpus_sink():
                     fh,
                 )
             os.rename(tmp, manifest)
+            relisted = {e["file"] for e in published}
+            for e in stale:
+                if e["file"] in relisted:
+                    continue
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(self.path, e["file"]))
 
         def abort(self, messages, batchId):
             import contextlib

@@ -1556,8 +1556,15 @@ class ManifestTable:
             # Tombstone-aware: a key deleted by a pending merge-on-read
             # tombstone must be re-insertable — validating against the
             # raw files would see the dead row and drop the re-insert.
+            # Read under the evolved commit schema (as read() does):
+            # with schema=None, tombstone origin groups that straddle a
+            # schema-evolution boundary would infer DIFFERENT per-group
+            # schemas and the strict unionByName inside would raise.
             existing = self._read_files_with_tombstones(
-                spark, numbered, files, None
+                spark,
+                numbered,
+                files,
+                self._evolved_schema([c for _, c in numbered]),
             ).select(*pk)
             fresh = in_batch.join(existing, pk, "left_anti")
         return fresh, fresh.count()
@@ -2085,11 +2092,22 @@ def restore_version(table: ManifestTable, version: int) -> dict:
                     "files_removed": 0,
                     "restored_version": version,
                 }
+            # Every date a reverted commit TOUCHED is re-derived by the
+            # rollback — not only the dates it added rows to ("dates")
+            # but also dates it removed rows from (a reverted CoW
+            # delete that emptied a date re-adds that date's rows) and
+            # dates it restated ("batch_dates"). Missing any of them
+            # leaves changed_dates_since blind and incremental marts
+            # stale.
             reverted_dates = sorted(
                 {
                     d
                     for c in commits[version + 1 :]
-                    for d in c.get("dates", [])
+                    for d in (
+                        list(c.get("dates", []))
+                        + list(c.get("removed_dates", []))
+                        + list(c.get("batch_dates", []))
+                    )
                 }
             )
             target_schema = table._evolved_schema(commits[: version + 1])

@@ -190,3 +190,30 @@ def test_cli_reorg(spark, tmp_path, capsys):
         "applied_tombstones"
     ] == 0
     assert main(["reorg", str(tmp_path / "nope")]) == 2
+
+
+def test_cli_clone_restore_pending_tombstones_exit_2(spark, tmp_path, capsys):
+    """Round-9 advisory (low): clone/restore against a table with
+    pending merge-on-read tombstones must take the clean stderr +
+    exit-2 path (PendingTombstonesError is a RuntimeError, which the
+    ValueError-only handlers let escape as a raw traceback)."""
+    from pyspark.sql import functions as F
+
+    from tests.test_manifest import _valid_batch
+    from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+    tdir = str(tmp_path / "fact_pend")
+    t = mf.ManifestTable(tdir)
+    t.idempotent_append(spark, _valid_batch(spark, 1, 21))
+    t.delete_keys_mor(
+        spark,
+        _valid_batch(spark, 1, 6).select("reading_timestamp", "meter_id"),
+    )
+
+    assert main(["clone", tdir, str(tmp_path / "fact_pend_clone")]) == 2
+    err = capsys.readouterr().err
+    assert "tombstone" in err.lower()
+
+    assert main(["restore", tdir, "0"]) == 2
+    err = capsys.readouterr().err
+    assert "tombstone" in err.lower()

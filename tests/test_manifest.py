@@ -1261,6 +1261,48 @@ def test_restore_version_rolls_back_and_keeps_history(spark, table_dir):
     assert t.read(spark).count() == 15
 
 
+def test_restore_surfaces_dates_a_reverted_delete_emptied(spark, table_dir):
+    """Round-9 advisory (medium): restoring past a CoW delete that
+    emptied a whole date RE-ADDS that date's rows, but the delete
+    commit recorded the date only in its ``removed_dates`` — if the
+    restore commit's change metadata unions only ``dates`` of the
+    reverted commits, changed_dates_since skips the resurrected date
+    and incremental marts stay stale."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.operators.incremental import (
+        changed_dates_since,
+    )
+
+    def batch_on(day, lo, hi):
+        msgs = [
+            json.dumps(
+                dict(GOOD, meter_id=i, reading_timestamp=f"{day}T10:30:00")
+            )
+            for i in range(lo, hi)
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+        valid, _ = ingest.split_valid(
+            ingest.classify(ingest.parse_messages(raw))
+        )
+        return valid
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, batch_on("2024-03-01", 1, 11))  # v0
+    t.idempotent_append(spark, batch_on("2024-03-02", 1, 11))  # v1
+    dead = batch_on("2024-03-02", 1, 11).select(
+        "reading_timestamp", "meter_id"
+    )
+    assert t.delete_keys(spark, dead) == 10                    # v2
+    v_after_delete = len(t.snapshot()) - 1
+
+    manifest.restore_version(t, 1)                             # v3
+    assert t.read(spark).count() == 20  # 03-02 resurrected
+
+    changed = changed_dates_since(spark, t, v_after_delete)
+    assert dt.date(2024, 3, 2) in changed
+
+
 def test_restore_refuses_missing_target_files(spark, table_dir):
     """If a file the restore point references is gone from disk (an
     external cleanup outside the vacuum protocol — the in-protocol

@@ -257,3 +257,66 @@ def test_apply_retries_when_append_lands_mid_publish(spark, table):
     assert df.filter("meter_id >= 700").count() == 2
     assert df.count() == 92
     assert table._pending_tombstones(table.numbered_snapshot()) == []
+
+
+def test_append_validation_reads_across_evolution_with_tombstones(
+    spark, table
+):
+    """Round-9 advisory (low): when pending tombstones split the files
+    into origin groups that STRADDLE a schema-evolution boundary, the
+    append-validation anti-join must read every group under the
+    evolved commit schema — per-group inference would give the groups
+    different schemas and the strict union inside the tombstone reader
+    raises, failing an append that should succeed."""
+    import datetime as dt2
+
+    table.delete_keys_mor(spark, _keys(spark, 3))  # pending tombstone
+    evolved = spark.createDataFrame(
+        [(TS + dt2.timedelta(days=2), 500, 1.0, "a")],
+        "reading_timestamp timestamp, meter_id bigint, v double,"
+        " extra string",
+    )
+    assert table.idempotent_append(spark, evolved) == 1  # origin > upto
+
+    # this append's batch dates overlap BOTH origin groups
+    batch = _mk(
+        spark,
+        [(TS + dt2.timedelta(minutes=10), 0, 10.0),  # dup of origin-0 row
+         (TS + dt2.timedelta(days=2, minutes=1), 501, 2.0)],
+    )
+    assert table.idempotent_append(spark, batch) == 1  # dup dropped
+    assert table.read(spark).filter("meter_id = 501").count() == 1
+
+
+def test_upsert_losing_race_to_mor_tombstone_raises_on_retry(spark, table):
+    """Round-8 verdict #8: the MoR fence must hold under the
+    lost-commit retry loop — a copy-on-write upsert whose put-if-absent
+    loses to a concurrently-landed MoR tombstone must raise
+    PendingTombstonesError on revalidation (proceeding would rewrite
+    raw files, bump their origins past the tombstone, and resurrect
+    the deleted rows) and must leave no commit behind."""
+    restated = _mk(spark, _rows(10))
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t2 = ManifestTable(table.table_dir)
+            assert t2.delete_keys_mor(spark, _keys(spark, 3)) == 10
+
+    n_before = len(table.snapshot())
+    table._pre_publish_hook = hook
+    try:
+        with pytest.raises(PendingTombstonesError):
+            table.upsert(spark, restated)
+    finally:
+        table._pre_publish_hook = None
+
+    # exactly one new commit: the tombstone; the upsert left nothing
+    commits = table.snapshot()
+    assert len(commits) == n_before + 1
+    assert commits[-1].get("tombstones")
+    # and the table still reads as the tombstone dictates
+    df = table.read(spark)
+    assert df.filter("meter_id = 3").count() == 0
+    assert df.count() == 90
