@@ -2154,3 +2154,201 @@ LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
 LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
 """,
 )(dedup_sorted_neighborhood)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (round 9)
+# ---------------------------------------------------------------------------
+
+FS_BLOCK_CAP = 50  # blocks larger than this are non-discriminative: drop
+FS_BAL_EPS_CENTI = 1_000   # acctbal agreement band: within 10.00
+FS_ID_EPS = 50             # name-suffix agreement band
+# per-field likelihood ratios m/u as exact small-integer rationals
+# (log-free: the score is a rational product, never a float sum of logs)
+FS_RATIOS = {
+    "segment": ((9, 2), (1, 4)),
+    "balance": ((8, 1), (1, 2)),
+    "name_id": ((3, 1), (2, 3)),
+}
+FS_SCORE_MIN_MILLI = 1_000  # emit pairs whose composite ratio >= 1.0
+
+
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the customer
+    table: blocked candidate pairs scored by a product of per-field
+    m/u likelihood ratios — the classical entity-resolution scoring
+    model, complementing the similarity-driven dedup family with a
+    FIELD-AGREEMENT one (match weights, not distances).
+
+    Spark-first mechanics: blocking is an equi-self-join on
+    (nationkey, shifted-balance bucket); blocks larger than
+    {FS_BLOCK_CAP} are dropped first via an aggregated block-size
+    semi-join — oversized blocks are non-discriminative by definition
+    in FS, and the cap is what bounds the pair fan-out at 100 TB (the
+    hot-shingle-df-cap pattern). Every weight is an exact integer
+    rational: score_milli = 1000·Πnum div Πden, so the composite
+    ratio hashes identically cross-engine with no log-sum float path
+    (ln(m/u) differs in the last bit between JVM and libm).
+
+    Determinism notes: balance centi-units are shifted +100000 before
+    bucketing so the integer division never sees a negative dividend
+    (Spark div truncates, DuckDB // floors); the name-id field parses
+    the reference-style fixed-width numeric suffix."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_centi"),
+        F.substring("c_name", 10, 9).cast("bigint").alias("name_id"),
+    ).withColumn(
+        "block",
+        F.expr("(bal_centi + 100000) div 10000"),
+    )
+    sizes = (
+        cust.groupBy("c_nationkey", "block")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= FS_BLOCK_CAP)
+        .select("c_nationkey", "block")
+    )
+    small = cust.join(sizes, ["c_nationkey", "block"])
+    a = small.select(
+        "c_nationkey",
+        "block",
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("bal_centi").alias("a_bal"),
+        F.col("name_id").alias("a_id"),
+    )
+    b = small.select(
+        "c_nationkey",
+        "block",
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_mktsegment").alias("b_seg"),
+        F.col("bal_centi").alias("b_bal"),
+        F.col("name_id").alias("b_id"),
+    )
+    (sn, sd), (sdn, sdd) = FS_RATIOS["segment"]
+    (bn, bd), (bdn, bdd) = FS_RATIOS["balance"]
+    (nn, nd), (ndn, ndd) = FS_RATIOS["name_id"]
+    pairs = (
+        a.join(b, ["c_nationkey", "block"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn(
+            "agree_segment",
+            (F.col("a_seg") == F.col("b_seg")).cast("int"),
+        )
+        .withColumn(
+            "agree_balance",
+            (
+                F.abs(F.col("a_bal") - F.col("b_bal"))
+                <= FS_BAL_EPS_CENTI
+            ).cast("int"),
+        )
+        .withColumn(
+            "agree_name_id",
+            (F.abs(F.col("a_id") - F.col("b_id")) <= FS_ID_EPS).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "num",
+            F.when(F.col("agree_segment") == 1, F.lit(sn)).otherwise(
+                F.lit(sdn)
+            )
+            * F.when(F.col("agree_balance") == 1, F.lit(bn)).otherwise(
+                F.lit(bdn)
+            )
+            * F.when(F.col("agree_name_id") == 1, F.lit(nn)).otherwise(
+                F.lit(ndn)
+            ),
+        )
+        .withColumn(
+            "den",
+            F.when(F.col("agree_segment") == 1, F.lit(sd)).otherwise(
+                F.lit(sdd)
+            )
+            * F.when(F.col("agree_balance") == 1, F.lit(bd)).otherwise(
+                F.lit(bdd)
+            )
+            * F.when(F.col("agree_name_id") == 1, F.lit(nd)).otherwise(
+                F.lit(ndd)
+            ),
+        )
+        .withColumn(
+            "score_milli",
+            F.expr("CAST(1000 * num AS BIGINT) div CAST(den AS BIGINT)"),
+        )
+        .filter(F.col("score_milli") >= FS_SCORE_MIN_MILLI)
+    )
+    return pairs.select(
+        "a_key",
+        "b_key",
+        F.col("agree_segment").cast("int").alias("agree_segment"),
+        F.col("agree_balance").cast("int").alias("agree_balance"),
+        F.col("agree_name_id").cast("int").alias("agree_name_id"),
+        F.col("score_milli").cast("bigint").alias("score_milli"),
+    )
+
+
+def _fs_oracle() -> str:
+    (sn, sd), (sdn, sdd) = FS_RATIOS["segment"]
+    (bn, bd), (bdn, bdd) = FS_RATIOS["balance"]
+    (nn, nd), (ndn, ndd) = FS_RATIOS["name_id"]
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS bal_centi,
+         CAST(substring(c_name, 10, 9) AS BIGINT) AS name_id,
+         CAST((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               + 100000) // 10000 AS BIGINT) AS block
+  FROM customer
+),
+sizes AS (
+  SELECT c_nationkey, block FROM cust
+  GROUP BY 1, 2 HAVING COUNT(*) <= {FS_BLOCK_CAP}
+),
+small AS (
+  SELECT c.* FROM cust c JOIN sizes s
+    ON c.c_nationkey = s.c_nationkey AND c.block = s.block
+),
+pairs AS (
+  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+         CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+           AS agree_segment,
+         CASE WHEN abs(a.bal_centi - b.bal_centi)
+                   <= {FS_BAL_EPS_CENTI} THEN 1 ELSE 0 END
+           AS agree_balance,
+         CASE WHEN abs(a.name_id - b.name_id) <= {FS_ID_EPS}
+              THEN 1 ELSE 0 END AS agree_name_id
+  FROM small a JOIN small b
+    ON a.c_nationkey = b.c_nationkey AND a.block = b.block
+   AND a.c_custkey < b.c_custkey
+),
+scored AS (
+  SELECT *,
+         (CASE WHEN agree_segment = 1 THEN {sn} ELSE {sdn} END
+          * CASE WHEN agree_balance = 1 THEN {bn} ELSE {bdn} END
+          * CASE WHEN agree_name_id = 1 THEN {nn} ELSE {ndn} END)
+           AS num,
+         (CASE WHEN agree_segment = 1 THEN {sd} ELSE {sdd} END
+          * CASE WHEN agree_balance = 1 THEN {bd} ELSE {bdd} END
+          * CASE WHEN agree_name_id = 1 THEN {nd} ELSE {ndd} END)
+           AS den
+  FROM pairs
+)
+SELECT a_key, b_key,
+       CAST(agree_segment AS INT) AS agree_segment,
+       CAST(agree_balance AS INT) AS agree_balance,
+       CAST(agree_name_id AS INT) AS agree_name_id,
+       CAST(CAST(1000 * num AS BIGINT) // CAST(den AS BIGINT) AS BIGINT)
+         AS score_milli
+FROM scored
+WHERE CAST(CAST(1000 * num AS BIGINT) // CAST(den AS BIGINT) AS BIGINT)
+      >= {FS_SCORE_MIN_MILLI}
+"""
+
+
+register("dedup_fellegi_sunter", _fs_oracle())(dedup_fellegi_sunter)

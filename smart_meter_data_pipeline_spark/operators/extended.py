@@ -5056,3 +5056,225 @@ SELECT touch, credit_milli,
 FROM counts
 """,
 )(events_attribution_position)
+
+
+# ---------------------------------------------------------------------------
+# Bucketized range join (round 9)
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_WINDOW_S = 600  # follow-up window after each anchor event
+
+
+def events_range_join_bucketized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range join, made equi-joinable: every ``error`` event opens a
+    ({RANGE_JOIN_WINDOW_S}s] follow-up window, and we count the same
+    user's subsequent events inside it — the "post-incident activity"
+    probe a monitoring pipeline runs constantly.
+
+    Spark has no native range join, and the naive formulation
+    (``ON user AND t < ts AND ts <= t + w``) plans as a nested-loop
+    over every same-user pair. The scale-safe shape is BUCKETIZATION:
+    time is cut into window-width buckets, each anchor's window is
+    registered in the <= 2 buckets it can overlap (a bounded explode),
+    probes join on (user_id, bucket) — a plain shuffled equi-join
+    bounded by |events| x 2 — and the exact range predicate filters
+    the candidates. Each (anchor, probe) candidate appears at most
+    once because a probe lives in exactly one bucket, so no dedup pass
+    is needed. Plan contract (test_plan_contracts) pins the no-
+    nested-loop property.
+
+    Output: one row per anchor with the follow-up count and exact
+    centi-value sum (events.value sits on the 0.01 grid), anchors with
+    an empty window kept at zero via the left join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = RANGE_JOIN_WINDOW_S
+    anchors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.unix_timestamp("ts").alias("a_epoch"),
+    )
+    # the (a_ts, a_ts + w] window overlaps buckets b and b+1 only
+    a_buckets = anchors.select(
+        "anchor_id",
+        "a_user",
+        "a_ts",
+        F.explode(
+            F.array(
+                (F.col("a_epoch") / w).cast("bigint"),
+                (F.col("a_epoch") / w).cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    probes = ev.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (F.unix_timestamp("ts") / w).cast("bigint").alias("bucket"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("p_centi"),
+    )
+    matched = (
+        a_buckets.join(
+            probes,
+            (F.col("a_user") == F.col("p_user"))
+            & (a_buckets.bucket == probes.bucket),
+        )
+        .filter(
+            (F.col("p_ts") > F.col("a_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("a_ts") + F.expr(f"INTERVAL {w} SECONDS")
+            )
+        )
+        .groupBy("anchor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            F.sum("p_centi").alias("follow_value_centi"),
+        )
+    )
+    return anchors.join(matched, "anchor_id", "left").select(
+        "anchor_id",
+        F.col("a_user").alias("user_id"),
+        F.coalesce("n_follow", F.lit(0)).cast("bigint").alias("n_follow"),
+        F.coalesce("follow_value_centi", F.lit(0))
+        .cast("bigint")
+        .alias("follow_value_centi"),
+    )
+
+
+register(
+    "events_range_join_bucketized",
+    f"""
+WITH anchors AS (
+  SELECT event_id AS anchor_id, user_id, ts
+  FROM events WHERE event_type = 'error'
+),
+matched AS (
+  SELECT a.anchor_id,
+         COUNT(*) AS n_follow,
+         CAST(SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS follow_value_centi
+  FROM anchors a
+  JOIN events e
+    ON e.user_id = a.user_id
+   AND e.ts > a.ts
+   AND e.ts <= a.ts + INTERVAL {RANGE_JOIN_WINDOW_S} SECONDS
+  GROUP BY 1
+)
+SELECT a.anchor_id, a.user_id,
+       CAST(COALESCE(m.n_follow, 0) AS BIGINT) AS n_follow,
+       CAST(COALESCE(m.follow_value_centi, 0) AS BIGINT)
+         AS follow_value_centi
+FROM anchors a LEFT JOIN matched m ON a.anchor_id = m.anchor_id
+""",
+)(events_range_join_bucketized)
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (round 9)
+# ---------------------------------------------------------------------------
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double-exponential smoothing over each event type's daily
+    value series, with alpha = beta = 1/2 — the halving constants make
+    every update an INTEGER floor operation, so the sequential
+    recurrence (level/trend carried day to day) hashes identically
+    cross-engine with no float-accumulation drift (the PageRank int64
+    lesson applied to time-series state):
+
+        level' = floor((obs + level + trend) / 2)
+        trend' = floor((level' - level + trend) / 2)
+
+    seeded level_0 = obs_0, trend_0 = 0; forecast = level + trend.
+
+    Spark-first mechanics: the recurrence is inherently sequential per
+    key, so it runs as ``aggregate()`` (a catalyst fold, JVM-side — no
+    Python) over the per-type day-sorted series array; the DuckDB twin
+    is a recursive CTE stepping the same integers. The distributed
+    work is the (type, day) rollup — the fold input is CALENDAR-
+    bounded (one element per day, ~365/decade per key), so collecting
+    it into an array column stays O(days) at ANY corpus scale; daily
+    sums in centi-units stay far under 2^52, keeping the /2.0 double
+    path exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("obs")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "obs"))).alias("s")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(s, 2, size(s) - 1),
+          named_struct('level', s[0].obs, 'trend', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'level',
+            floor(CAST(x.obs + acc.level + acc.trend AS DOUBLE) / 2.0),
+            'trend',
+            floor(
+              CAST(
+                floor(CAST(x.obs + acc.level + acc.trend AS DOUBLE) / 2.0)
+                - acc.level + acc.trend
+                AS DOUBLE
+              ) / 2.0
+            )
+          )
+        )
+        """
+    )
+    return series.select(
+        "event_type",
+        F.size("s").cast("bigint").alias("n_days"),
+        fold.getField("level").cast("bigint").alias("level_centi"),
+        fold.getField("trend").cast("bigint").alias("trend_centi"),
+        (fold.getField("level") + fold.getField("trend"))
+        .cast("bigint")
+        .alias("forecast_centi"),
+    )
+
+
+register(
+    "events_holt_forecast",
+    """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, obs,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+holt AS (
+  SELECT event_type, 1 AS i, n, obs AS level, CAST(0 AS BIGINT) AS trend
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT h.event_type, h.i + 1, h.n,
+         CAST(floor((x.obs + h.level + h.trend) / 2.0) AS BIGINT),
+         CAST(floor((CAST(floor((x.obs + h.level + h.trend) / 2.0)
+                          AS BIGINT) - h.level + h.trend) / 2.0)
+              AS BIGINT)
+  FROM holt h
+  JOIN idx x ON x.event_type = h.event_type AND x.i = h.i + 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       level AS level_centi,
+       trend AS trend_centi,
+       CAST(level + trend AS BIGINT) AS forecast_centi
+FROM holt WHERE i = n
+""",
+)(events_holt_forecast)

@@ -3617,3 +3617,183 @@ FROM predicted
 GROUP BY true_label
 """,
 )(embedding_knn_loo_accuracy)
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified selection (round 9)
+# ---------------------------------------------------------------------------
+
+MMR_CAND_N = 10  # relevance short-list the greedy pass re-ranks
+MMR_K = 5        # picks emitted
+MMR_QUERY_ID = 0
+
+
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{MMR_K} selection: greedy re-ranking that
+    trades relevance against redundancy (lambda = 1/2, so the gain is
+    simply rel − max-sim-to-already-selected) — the standard move for
+    retrieval-augmented sampling and diverse exemplar picking, where
+    plain cosine top-k returns five near-copies of the same document.
+
+    Scale shape: the DISTRIBUTED stage is the relevance short-list —
+    one corpus scan ranked against the broadcast query, cut to a
+    CONSTANT {MMR_CAND_N} via TakeOrdered. The greedy pass then runs
+    {MMR_K} fixed steps over that bounded frame ({MMR_CAND_N}² pairwise
+    sims, each step an argmax + anti-join on <= {MMR_CAND_N} rows,
+    localCheckpointed so the plan stays flat) — O(N) scan once, O(1)
+    re-rank, at any corpus size.
+
+    Determinism: exact-decimal dots, round-12 cosines
+    (``ann_topk_cosine``'s contract); the gain is one double
+    subtraction of round-12 values, ties to the smallest vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", _dot("embedding", "embedding")
+    )
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("norm2").alias("q_n2")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel",
+            F.round(
+                _dot("embedding", "q_emb")
+                / (F.sqrt("norm2") * F.sqrt("q_n2")),
+                12,
+            ),
+        )
+    )
+    cands = (
+        rel.select("vec_id", "embedding", "norm2", "rel")
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_CAND_N)
+        .localCheckpoint()
+    )
+    a = cands.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm2").alias("a_n2"),
+    )
+    b = cands.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm2").alias("b_n2"),
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot("a_emb", "b_emb")
+                / (F.sqrt("a_n2") * F.sqrt("b_n2")),
+                12,
+            ),
+        )
+        .select("a", "b", "sim")
+        .localCheckpoint()
+    )
+    scores = cands.select("vec_id", "rel")
+    first = (
+        scores.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.col("rel").alias("mmr_gain"))
+        .localCheckpoint()
+    )
+    picks = [first]
+    for _ in range(MMR_K - 1):
+        sel = picks[0]
+        for p in picks[1:]:
+            sel = sel.unionByName(p)
+        sel_ids = sel.select("vec_id")
+        msim = (
+            sims.join(
+                F.broadcast(sel_ids.withColumnRenamed("vec_id", "b")), "b"
+            )
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("msim"))
+        )
+        step = (
+            scores.join(sel_ids, "vec_id", "left_anti")
+            .join(msim, "vec_id")
+            .withColumn(
+                "mmr_gain", F.round(F.col("rel") - F.col("msim"), 12)
+            )
+            .orderBy(F.col("mmr_gain").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", "mmr_gain")
+            .localCheckpoint()
+        )
+        picks.append(step)
+    out = None
+    for i, p in enumerate(picks, start=1):
+        ranked = p.select(
+            F.lit(i).cast("bigint").alias("pick_rank"),
+            "vec_id",
+            "rel",
+            "mmr_gain",
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out
+
+
+def _mmr_oracle() -> str:
+    sel_union = "SELECT vec_id FROM p1"
+    steps = []
+    for i in range(2, MMR_K + 1):
+        steps.append(
+            f"""
+p{i} AS (SELECT * FROM (
+  SELECT c.vec_id, c.rel, round(c.rel - MAX(s.sim), 12) AS mmr_gain
+  FROM cands c
+  JOIN sims s ON s.a = c.vec_id AND s.b IN ({sel_union})
+  WHERE c.vec_id NOT IN ({sel_union})
+  GROUP BY c.vec_id, c.rel
+  ORDER BY mmr_gain DESC, vec_id LIMIT 1
+))"""
+        )
+        sel_union += f" UNION ALL SELECT vec_id FROM p{i}"
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick_rank, vec_id, rel, mmr_gain"
+        f" FROM p{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH qc AS (
+  SELECT e.vec_id AS l_id, {MMR_QUERY_ID} AS r_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.embedding) AS DOUBLE) AS y
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id = {MMR_QUERY_ID} AND e.vec_id <> {MMR_QUERY_ID}
+),
+qd AS ({_IVF_DOTS.format(pairs_sql="SELECT * FROM qc")}),
+rel AS (
+  SELECT l_id AS vec_id, round(dot / (sqrt(nl) * sqrt(nr)), 12) AS rel
+  FROM qd
+),
+cands AS (SELECT * FROM (
+  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_CAND_N}
+)),
+pc AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+         CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+         CAST(unnest(eb.embedding) AS DOUBLE) AS y
+  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+pd AS ({_IVF_DOTS.format(pairs_sql="SELECT * FROM pc")}),
+sims AS (
+  SELECT l_id AS a, r_id AS b,
+         round(dot / (sqrt(nl) * sqrt(nr)), 12) AS sim
+  FROM pd
+),
+p1 AS (SELECT * FROM (
+  SELECT vec_id, rel, rel AS mmr_gain FROM cands
+  ORDER BY rel DESC, vec_id LIMIT 1
+)),{",".join(steps)}
+{finals}
+"""
+
+
+register("embedding_mmr_select", _mmr_oracle())(embedding_mmr_select)

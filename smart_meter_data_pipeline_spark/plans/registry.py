@@ -199,6 +199,12 @@ _PRIORITY = [
     "events_dow_hour_matrix",
     "orders_seasonal_index",
     "doc_length_magnitude_profile",
+    # (r9-new) added in round 9 — tail of the r10 window (the 62 above
+    # plus these 4 = 66 never-evaluated; the last ~16 spill to r11)
+    "events_range_join_bucketized",
+    "events_holt_forecast",
+    "embedding_mmr_select",
+    "dedup_fellegi_sunter",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",

@@ -1017,3 +1017,16 @@ def test_knn_loo_registered_plan_has_no_all_pairs_self_join(spark, sf_dir):
     # details section).
     tree = p.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_range_join_bucketized_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucketization must reach the physical plan: the anchor⋈probe
+    candidate join carries (user, bucket) equi-keys, so with
+    auto-broadcast off it plans as a SortMergeJoin — never the
+    BroadcastNestedLoopJoin/CartesianProduct a raw range predicate
+    degenerates to."""
+    with _no_auto_broadcast(spark):
+        p = _plan(extended.events_range_join_bucketized(spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert p.count("SortMergeJoin") >= 1
