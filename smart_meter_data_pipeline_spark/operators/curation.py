@@ -2251,3 +2251,112 @@ SELECT p.source,
 FROM per_source p JOIN exact e ON p.source = e.source
 """,
 )(corpus_kmv_distinct)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (round 9) — completes the k-anon / l-div / t-close triad
+# ---------------------------------------------------------------------------
+
+T_CLOSENESS_MICRO = 200_000  # release threshold t = 0.2
+
+
+def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al.): l-diversity still leaks when a
+    class's sensitive-value DISTRIBUTION is skewed relative to the
+    release (the skewness attack), so per QI class we measure the
+    distance between the class's event_type distribution and the
+    global one. For a categorical sensitive attribute the EMD with
+    unit ground distance IS the total variation distance, computed
+    here in EXACT integer cross-multiplication (the RCA/Hidalgo
+    pattern): tvd_micro = 10^6 · Σ_v |n_cv·N − N_v·k_c| div (2·k_c·N)
+    — no per-row float probabilities anywhere. QI classes are the
+    same (ISO dow × value band) spine as events_k_anonymity /
+    events_l_diversity.
+
+    Scale shape: one fact scan → (QI × sensitive) rollup; the class
+    spine crosses only the |sensitive-domain|-sized broadcast global
+    rollup (absent values must still contribute N_v·k_c to the
+    distance). Products stay int64-exact while N·max(n_cv) < 2^63
+    (corpora beyond ~3·10^9 rows: decimal-cast the two products —
+    DuckDB already promotes to int128)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        (F.expr("weekday(ts)") + 1).alias("dow"),
+        F.expr("CAST(floor(value / 50) AS INT)").alias("value_band"),
+        "event_type",
+    ).groupBy("dow", "value_band", "event_type").agg(
+        F.count(F.lit(1)).alias("n_cv")
+    )
+    classes = cells.groupBy("dow", "value_band").agg(
+        F.sum("n_cv").alias("k")
+    )
+    gv = cells.groupBy("event_type").agg(F.sum("n_cv").alias("n_v"))
+    gtot = gv.agg(F.sum("n_v").alias("n_total"))
+    spine = classes.crossJoin(F.broadcast(gv)).crossJoin(
+        F.broadcast(gtot)
+    )
+    diffs = (
+        spine.join(cells, ["dow", "value_band", "event_type"], "left")
+        .withColumn("n_cv", F.coalesce("n_cv", F.lit(0)))
+        .withColumn(
+            "diff",
+            F.abs(
+                F.col("n_cv") * F.col("n_total")
+                - F.col("n_v") * F.col("k")
+            ),
+        )
+        .groupBy("dow", "value_band", "k", "n_total")
+        .agg(F.sum("diff").alias("diff_sum"))
+    )
+    return diffs.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("value_band").cast("int").alias("value_band"),
+        F.col("k").cast("bigint").alias("k"),
+        F.expr(
+            "CAST((1000000 * diff_sum) div (2 * k * n_total) AS BIGINT)"
+        ).alias("tvd_micro"),
+        (
+            F.expr("(1000000 * diff_sum) div (2 * k * n_total)")
+            > T_CLOSENESS_MICRO
+        ).alias("risky"),
+    )
+
+
+register(
+    "events_t_closeness",
+    f"""
+WITH cells AS (
+  SELECT isodow(ts) AS dow,
+         CAST(floor(value / 50) AS INT) AS value_band,
+         event_type, COUNT(*) AS n_cv
+  FROM events GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT dow, value_band, SUM(n_cv) AS k FROM cells GROUP BY 1, 2
+),
+gv AS (SELECT event_type, SUM(n_cv) AS n_v FROM cells GROUP BY 1),
+gtot AS (SELECT SUM(n_v) AS n_total FROM gv),
+spine AS (
+  SELECT c.dow, c.value_band, c.k, g.event_type, g.n_v, t.n_total
+  FROM classes c CROSS JOIN gv g CROSS JOIN gtot t
+),
+diffs AS (
+  SELECT s.dow, s.value_band, s.k, s.n_total,
+         SUM(abs(COALESCE(e.n_cv, 0) * s.n_total - s.n_v * s.k))
+           AS diff_sum
+  FROM spine s
+  LEFT JOIN cells e
+    ON e.dow = s.dow AND e.value_band = s.value_band
+   AND e.event_type = s.event_type
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(dow AS INT) AS dow,
+       CAST(value_band AS INT) AS value_band,
+       CAST(k AS BIGINT) AS k,
+       CAST((1000000 * diff_sum) // (2 * k * n_total) AS BIGINT)
+         AS tvd_micro,
+       CAST((1000000 * diff_sum) // (2 * k * n_total) AS BIGINT)
+         > {T_CLOSENESS_MICRO} AS risky
+FROM diffs
+""",
+)(events_t_closeness)

@@ -203,8 +203,10 @@ _PRIORITY = [
     # plus these 4 = 66 never-evaluated; the last ~16 spill to r11)
     "events_range_join_bucketized",
     "events_holt_forecast",
+    "stream_holt_forecast",
     "embedding_mmr_select",
     "dedup_fellegi_sunter",
+    "events_t_closeness",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",

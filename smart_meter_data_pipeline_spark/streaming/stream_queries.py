@@ -2652,3 +2652,155 @@ FROM events
 GROUP BY event_type
 """,
 )(stream_jsonl_sink_roundtrip)
+
+
+def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_holt_forecast``: per-type Holt state
+    (level, trend in centi-units, plus the PENDING day's partial sum)
+    maintained as keyed streaming state. Completed days fold into the
+    recurrence exactly as the batch aggregate() does; the still-open
+    day rides the state as (day, partial-sum) so a micro-batch
+    boundary cutting through a day is invisible — the second chunk's
+    rows continue the same pending day before it folds. Emissions are
+    SPECULATIVE closes (state plus the pending day folded as-is),
+    tagged with a per-key emit_seq so the drain's max_by picks each
+    key's final emission, by which point every day is complete — the
+    hash gate then proves streamed Holt == batch Holt against the SAME
+    oracle. The two chunks split at a MID-DAY cutoff specifically to
+    force the cross-batch pending-day path.
+
+    The closure inlines the fold (Python ints: // floors, matching
+    the batch floor(double/2) for all magnitudes here) — module
+    references do not survive pickling to workers launched outside
+    the repo."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_holtstream_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_id", "event_type", "value"
+        )
+        # mid-day cutoff: day 2024-01-16 spans both micro-batches
+        mid = F.lit("2024-01-16 12:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("emit_seq", T.LongType()),
+                T.StructField("n_days", T.LongType()),
+                T.StructField("level_centi", T.LongType()),
+                T.StructField("trend_centi", T.LongType()),
+            ]
+        )
+        state_schema = T.StructType(
+            [
+                T.StructField("emit_seq", T.LongType()),
+                T.StructField("n_done", T.LongType()),
+                T.StructField("level", T.LongType()),
+                T.StructField("trend", T.LongType()),
+                T.StructField("pend_day", T.LongType()),
+                T.StructField("pend_sum", T.LongType()),
+            ]
+        )
+
+        def _fn(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                seq, n_done, level, trend, pend_day, pend_sum = state.get
+            else:
+                seq, n_done, level, trend = 0, 0, 0, 0
+                pend_day, pend_sum = -1, 0
+
+            def fold(nd, lv, tr, obs):
+                # day fold: seed on the first day, halve after
+                if nd == 0:
+                    return 1, obs, 0
+                l2 = (obs + lv + tr) // 2
+                return nd + 1, l2, (l2 - lv + tr) // 2
+
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            days = (pdf["ts"].astype("int64") // (86400 * 10**9)).tolist()
+            centi = (
+                (pdf["value"] * 100).round().astype("int64").tolist()
+            )
+            for d, c in zip(days, centi):
+                if d != pend_day:
+                    if pend_day >= 0:
+                        n_done, level, trend = fold(
+                            n_done, level, trend, pend_sum
+                        )
+                    pend_day, pend_sum = d, 0
+                pend_sum += c
+            seq += 1
+            state.update((seq, n_done, level, trend, pend_day, pend_sum))
+            # speculative close of the pending day for this emission
+            e_n, e_l, e_t = fold(n_done, level, trend, pend_sum)
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "emit_seq": [seq],
+                    "n_days": [e_n],
+                    "level_centi": [e_l],
+                    "trend_centi": [e_t],
+                }
+            )
+
+        sink = f"stream_holt_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy("event_type")
+            .applyInPandasWithState(
+                _fn,
+                out_schema,
+                state_schema,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        feed = spark.table(sink)
+        final = feed.groupBy("event_type").agg(
+            F.expr(
+                "max_by(struct(n_days, level_centi, trend_centi),"
+                " emit_seq)"
+            ).alias("s")
+        )
+        return final.select(
+            "event_type",
+            F.col("s.n_days").cast("bigint").alias("n_days"),
+            F.col("s.level_centi").cast("bigint").alias("level_centi"),
+            F.col("s.trend_centi").cast("bigint").alias("trend_centi"),
+            (F.col("s.level_centi") + F.col("s.trend_centi"))
+            .cast("bigint")
+            .alias("forecast_centi"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_holt() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("stream_holt_forecast", ORACLES["events_holt_forecast"])(
+        stream_holt_forecast
+    )
+
+
+_register_stream_holt()
