@@ -1748,3 +1748,75 @@ SELECT hour_ts,
 FROM flagged CROSS JOIN thr
 """,
 )(meter_peak_shaving)
+
+
+def manifest_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER under the driver gate: land the generator day
+    as micro-batches, rewrite with the bit-interleaved two-column
+    clustering (sources/manifest.py `_zorder_column`), and return the
+    packed table against the PLAIN generator oracle — the layout
+    transform must be row-invisible. In-query asserts the Z-property
+    itself: EVERY clustered column's mean per-file stats range is
+    under 60% of its full span (lexicographic clustering leaves the
+    second column's at ~100%), and the file count shrank."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        optimize_table,
+    )
+
+    cols = ["meter_id", "reading_consumption_milliwatts"]
+    workdir = tempfile.mkdtemp(prefix="manifest_zorder_q_")
+    try:
+        t = ManifestTable(
+            os.path.join(workdir, "fact"), stats_columns=cols
+        )
+        readings = gen_meter_readings(spark)
+        for k in range(8):
+            t.idempotent_append(
+                spark, readings.filter(F.col("meter_id") % 8 == k)
+            )
+        n_before = len(t._files(t.snapshot()))
+        res = optimize_table(
+            t,
+            spark,
+            small_file_bytes=32 << 20,
+            target_partitions=16,
+            cluster_by=cols,
+            zorder=True,
+        )
+        n_after = len(t._files(t.snapshot()))
+        if not (res["files_rewritten"] == n_before and n_after <= 16):
+            raise AssertionError(
+                f"zorder optimize did not repack: {n_before} -> "
+                f"{n_after} ({res})"
+            )
+        stats = t.snapshot()[-1]["stats"]
+        for c in cols:
+            widths = [
+                s[c][1] - s[c][0] for s in stats.values() if c in s
+            ]
+            if not widths:
+                raise AssertionError(f"no stats recorded for {c}")
+            lo = min(s[c][0] for s in stats.values() if c in s)
+            hi = max(s[c][1] for s in stats.values() if c in s)
+            span = max(1, hi - lo)
+            mean_w = sum(widths) / len(widths)
+            if mean_w > 0.6 * span:
+                raise AssertionError(
+                    f"z-order left {c} wide: mean width {mean_w} of "
+                    f"span {span}"
+                )
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_zorder_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings""",
+)(manifest_zorder_roundtrip)

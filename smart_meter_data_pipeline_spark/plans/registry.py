@@ -207,6 +207,7 @@ _PRIORITY = [
     "embedding_mmr_select",
     "dedup_fellegi_sunter",
     "events_t_closeness",
+    "manifest_zorder_roundtrip",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",

@@ -1723,12 +1723,55 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         return cut
 
 
+Z_BITS = 10  # per-column bucket resolution of the Z-order key
+
+
+def _zorder_column(spark: SparkSession, df, cols: list[str]):
+    """Bit-interleaved Z-order key over ``cols``: each column is
+    min/max-normalized to a {Z_BITS}-bit bucket (timestamps via epoch
+    seconds), then bucket bits are interleaved column-round-robin.
+    The min/max pass is one bounded aggregation over the files being
+    rewritten (a 1-row collect — scalars, not data)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def col_sql(c: str) -> str:
+        f = df.schema[c]
+        if isinstance(f.dataType, T.TimestampType):
+            return f"unix_timestamp(`{c}`)"
+        return f"CAST(`{c}` AS BIGINT)"
+
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.expr(col_sql(c))).alias(f"mn_{i}"))
+        aggs.append(F.max(F.expr(col_sql(c))).alias(f"mx_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    n = len(cols)
+    cap = (1 << Z_BITS) - 1
+    z = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        mn = row[f"mn_{ci}"] or 0
+        mx = row[f"mx_{ci}"] or 0
+        span = max(1, mx - mn)
+        bucket = F.expr(
+            f"CAST(greatest(least((({col_sql(c)} - {mn}) * {cap})"
+            f" div {span}, {cap}), 0) AS BIGINT)"
+        )
+        for b in range(Z_BITS):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                b * n + ci,
+            ).cast("bigint")
+    return z
+
+
 def optimize_table(
     table: ManifestTable,
     spark: SparkSession,
     small_file_bytes: int = 32 * 1024 * 1024,
     target_partitions: int | None = None,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> dict:
     """Bin-packing file compaction — the OPTIMIZE of the manifest
     world, and the operational answer to the small-file problem a
@@ -1752,6 +1795,18 @@ def optimize_table(
     mutations' file skipping) selective. Packing without clustering
     shrinks file COUNT; packing with it also shrinks every file's
     stats RANGE.
+
+    ``zorder=True`` (with >= 2 ``cluster_by`` columns) interleaves
+    instead of nesting: lexicographic clustering gives the FIRST
+    column narrow per-file ranges and leaves every later column's
+    range as wide as the whole table (a predicate on the second
+    column alone prunes nothing). The Z-order rewrite min/max-
+    normalizes each column to a {Z_BITS}-bit bucket and range-
+    partitions on the bit-interleaved key, so EVERY clustered
+    column's per-file range narrows like sqrt-of-file-count — the
+    Delta/Iceberg OPTIMIZE ZORDER trade. Numeric and timestamp
+    columns are supported (timestamps via epoch seconds); the
+    transform is layout-only, rows untouched.
 
     Runs under the table flock (serializes with other maintenance);
     publishes through put-if-absent at a fence from the SAME listing
@@ -1792,7 +1847,15 @@ def optimize_table(
             if schema is not None:
                 reader = reader.schema(schema)
             src_df = reader.parquet(*small)
-            if cluster_by:
+            if cluster_by and zorder and len(cluster_by) >= 2:
+                zcol = _zorder_column(spark, src_df, cluster_by)
+                packed = (
+                    src_df.withColumn("__z", zcol)
+                    .repartitionByRange(int(n_out), "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif cluster_by:
                 packed = src_df.repartitionByRange(
                     int(n_out), *cluster_by
                 ).sortWithinPartitions(*cluster_by)

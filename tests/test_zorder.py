@@ -1,0 +1,78 @@
+"""OPTIMIZE ZORDER: interleaved clustering must narrow EVERY clustered
+column's per-file stats range, where lexicographic clustering narrows
+only the first."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from smart_meter_data_pipeline_spark.sources.manifest import (
+    ManifestTable,
+    optimize_table,
+)
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _grid_table(spark, path):
+    """32x32 integer (meter_id, v) grid appended as 8 small files
+    (stats record integer columns only)."""
+    t = ManifestTable(str(path), stats_columns=["meter_id", "v"])
+    rows = [
+        (TS + dt.timedelta(minutes=i), i % 32, i // 32)
+        for i in range(1024)
+    ]
+    for lo in range(0, 1024, 128):
+        df = spark.createDataFrame(
+            rows[lo : lo + 128],
+            "reading_timestamp timestamp, meter_id bigint, v bigint",
+        ).repartition(1)
+        t.idempotent_append(spark, df)
+    return t
+
+
+def _stat_widths(t):
+    stats = t.snapshot()[-1]["stats"]
+    widths = {"meter_id": [], "v": []}
+    for per_file in stats.values():
+        for c in widths:
+            lo, hi = per_file[c]
+            widths[c].append(float(hi) - float(lo))
+    return {c: sum(w) / len(w) for c, w in widths.items()}
+
+
+def test_zorder_narrows_both_columns(spark, tmp_path):
+    tz = _grid_table(spark, tmp_path / "tz")
+    before = sorted(map(tuple, tz.read(spark).collect()))
+    res = optimize_table(
+        tz,
+        spark,
+        target_partitions=16,
+        cluster_by=["meter_id", "v"],
+        zorder=True,
+    )
+    assert res["files_rewritten"] == 8 and res["files_created"] >= 8
+    assert sorted(map(tuple, tz.read(spark).collect())) == before
+
+    tl = _grid_table(spark, tmp_path / "tl")
+    optimize_table(
+        tl, spark, target_partitions=16, cluster_by=["meter_id", "v"]
+    )
+
+    wz = _stat_widths(tz)
+    wl = _stat_widths(tl)
+    # lexicographic: first column narrow, second column ~full range
+    assert wl["meter_id"] <= 8
+    assert wl["v"] >= 24
+    # z-order: BOTH columns substantially narrower than full (31)
+    assert wz["meter_id"] <= 16
+    assert wz["v"] <= 16
+
+
+def test_zorder_single_column_falls_back_to_range_cluster(spark, tmp_path):
+    t = _grid_table(spark, tmp_path / "t1")
+    res = optimize_table(
+        t, spark, target_partitions=16, cluster_by=["meter_id"], zorder=True
+    )
+    assert res["files_created"] >= 1
+    assert _stat_widths(t)["meter_id"] <= 8
