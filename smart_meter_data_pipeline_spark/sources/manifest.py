@@ -1375,12 +1375,19 @@ class ManifestTable:
                 # one file's schema and silently drop the others'
                 # columns from the rewrite.
                 ev_schema = self._evolved_schema(commits)
-                # File skipping: the batch's range on every stats
-                # column vs each file's recorded min/max — a
+                # File skipping: the batch's range on every MATCH-KEY
+                # stats column vs each file's recorded min/max — a
                 # restatement targeting one meter range touches only
-                # that range's files, from metadata alone.
+                # that range's files, from metadata alone. ONLY pk
+                # columns are sound here (round-9 fix): matching is by
+                # pk, and a non-key column's value can CHANGE across a
+                # restatement — pruning by the batch's NEW value range
+                # would skip the file holding the stale OLD row and
+                # resurrect it next to its replacement (duplicate PK).
                 stat_cols = [
-                    c for c in self.stats_columns if c in in_keys.columns
+                    c
+                    for c in self.stats_columns
+                    if c in pk and c in in_keys.columns
                 ]
                 key_ranges: dict[str, tuple] = {}
                 if stat_cols:
@@ -1399,8 +1406,12 @@ class ManifestTable:
                         for i, c in enumerate(stat_cols)
                     }
                 cand = self._prune_by_stats(cand, commits, key_ranges)
+                # bloom pruning under the same pk-only rule: project
+                # the key frame to the match keys so a non-key bloom
+                # column's restated values can never skip a file that
+                # still holds the stale row
                 cand = self._prune_candidates_by_bloom(
-                    cand, commits, in_keys
+                    cand, commits, in_keys.select(*pk)
                 )
                 staged: list[str] = []
                 removed_rel: list[str] = []
@@ -1961,8 +1972,15 @@ def apply_tombstones(
                 cand: set[str] = set()
                 for t in tombs:
                     keys = table._tombstone_keys(spark, t)
+                    # pk-only pruning (round-9 fix, same rule as the
+                    # CoW path): the anti-join matches on the
+                    # tombstone's recorded pk — extra key-frame
+                    # columns must not skip files
+                    t_pk = set(t.get("pk", []))
                     stat_cols = [
-                        c for c in table.stats_columns if c in keys.columns
+                        c
+                        for c in table.stats_columns
+                        if c in t_pk and c in keys.columns
                     ]
                     if not stat_cols:
                         cand.update(grp)
@@ -1983,7 +2001,9 @@ def apply_tombstones(
                     }
                     pruned = table._prune_by_stats(grp, commits, ranges)
                     pruned = table._prune_candidates_by_bloom(
-                        pruned, commits, keys
+                        pruned,
+                        commits,
+                        keys.select(*[c for c in keys.columns if c in t_pk]),
                     )
                     cand.update(pruned)
                 if not cand:

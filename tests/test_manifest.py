@@ -1693,3 +1693,91 @@ def test_shallow_clone_refuses_nonempty_target_and_empty_source(
     tgt.idempotent_append(spark, _valid_batch(spark, 0, 5))
     with pytest.raises(ValueError, match="not empty"):
         manifest.shallow_clone(src, str(tmp_path / "c1"))
+
+
+def test_upsert_never_prunes_by_non_pk_stats_or_bloom(spark, tmp_path):
+    """Round-9 soundness fix: mutation file-skipping may use only
+    MATCH-KEY columns. A non-PK stats/bloom column's value can change
+    across a restatement; pruning by the batch's NEW value range used
+    to skip the file holding the stale OLD row, resurrecting it next
+    to its replacement (duplicate PK — reproduced before the fix)."""
+    import datetime as dt
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "reading_timestamp timestamp, meter_id bigint, v bigint"
+        )
+
+    base = dt.datetime(2024, 1, 1)
+    for kwargs in (
+        {"stats_columns": ["v"]},
+        {"bloom_columns": ["v"]},
+    ):
+        t = manifest.ManifestTable(
+            str(tmp_path / f"t_{'_'.join(kwargs)}"), **kwargs
+        )
+        t.idempotent_append(
+            spark,
+            mk(
+                [
+                    (base + dt.timedelta(minutes=i), i, 10 + i)
+                    for i in range(5)
+                ]
+            ).repartition(1),
+        )
+        t.idempotent_append(
+            spark,
+            mk(
+                [
+                    (base + dt.timedelta(minutes=10 + i), 100 + i, 1000 + i)
+                    for i in range(5)
+                ]
+            ).repartition(1),
+        )
+        # restate a low-v row with a v far outside its file's range
+        res = t.upsert(spark, mk([(base, 0, 5000)]))
+        assert res == {"updated": 1, "inserted": 0}, kwargs
+        df = t.read(spark)
+        assert df.count() == 10, kwargs
+        dup = (
+            df.groupBy("reading_timestamp", "meter_id")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert dup == 0, kwargs
+        assert [r["v"] for r in df.filter("meter_id = 0").collect()] == [
+            5000
+        ], kwargs
+
+
+def test_mor_apply_never_prunes_by_non_pk_stats(spark, tmp_path):
+    """Same pk-only rule on the tombstone-apply path: a key frame
+    carrying a non-PK stats column must not skip files that hold
+    matching PKs with other values."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        apply_tombstones,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "reading_timestamp timestamp, meter_id bigint, v bigint"
+        )
+
+    base = dt.datetime(2024, 1, 1)
+    t = manifest.ManifestTable(str(tmp_path / "t_mor"), stats_columns=["v"])
+    t.idempotent_append(
+        spark,
+        mk(
+            [(base + dt.timedelta(minutes=i), i, 10 + i) for i in range(5)]
+        ).repartition(1),
+    )
+    # tombstone keys carry a v value disjoint from the file's v range;
+    # the delete must still happen (match is by PK)
+    t.delete_keys_mor(spark, mk([(base, 0, 99999)]))
+    assert t.read(spark).filter("meter_id = 0").count() == 0
+    apply_tombstones(t, spark)
+    assert t.read(spark).filter("meter_id = 0").count() == 0
+    assert t.read(spark).count() == 4
