@@ -3866,3 +3866,129 @@ SELECT o_orderpriority,
 FROM g CROSS JOIN pooled
 """,
 )(lineitem_leadtime_anova)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 9)
+# ---------------------------------------------------------------------------
+
+RFM_BINS = 5
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic CRM cube: every customer scored 1-{RFM_BINS} on how
+    recently they ordered (quintile 1 = most recent), how often, and
+    how much (quintile {RFM_BINS} = most/highest), then counted per
+    (r,f,m) cell.
+
+    Scale shape: quintiles come from the equi-depth bin formula
+    (((cum − c)·B) div n + 1, ``events_value_equidepth_bins``'s
+    adjudicated idiom) over each measure's DISTINCT-VALUE rollup —
+    count-of-counts economics, never a global ntile window over the
+    customer table (the serialization point a naive NTILE(5) OVER
+    (ORDER BY …) introduces at 10^9 customers). The three
+    quintile maps join back on value equality; the final cube is
+    <= {RFM_BINS}³ rows. All integer: days, counts, exact centi."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("monetary_centi"),
+    )
+    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gday"))
+    cust = per_cust.crossJoin(F.broadcast(gmax)).withColumn(
+        "recency_days", F.datediff("gday", "last_day")
+    )
+
+    def quintiles(measure: str):
+        dist = cust.groupBy(measure).agg(F.count(F.lit(1)).alias("c"))
+        return dist.select(
+            measure,
+            F.expr(
+                f"CAST(((SUM(c) OVER (ORDER BY {measure} ROWS BETWEEN"
+                f" UNBOUNDED PRECEDING AND CURRENT ROW) - c)"
+                f" * {RFM_BINS}) div SUM(c) OVER () + 1 AS INT)"
+            ).alias(f"{measure}_q"),
+        )
+
+    scored = (
+        cust.join(quintiles("recency_days"), "recency_days")
+        .join(quintiles("freq"), "freq")
+        .join(quintiles("monetary_centi"), "monetary_centi")
+    )
+    return (
+        scored.groupBy("recency_days_q", "freq_q", "monetary_centi_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_centi").alias("cell_monetary_centi"),
+        )
+        .select(
+            F.col("recency_days_q").cast("int").alias("r_q"),
+            F.col("freq_q").cast("int").alias("f_q"),
+            F.col("monetary_centi_q").cast("int").alias("m_q"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("cell_monetary_centi")
+            .cast("bigint")
+            .alias("cell_monetary_centi"),
+        )
+    )
+
+
+register(
+    "orders_rfm_segments",
+    f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS monetary_centi
+  FROM orders GROUP BY 1
+),
+cust AS (
+  SELECT p.*,
+         date_diff('day', p.last_day,
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+           AS recency_days
+  FROM per_cust p
+),
+rq AS (
+  SELECT recency_days,
+         CAST(((SUM(c) OVER (ORDER BY recency_days ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+               * {RFM_BINS}) // SUM(c) OVER () + 1 AS INT)
+           AS recency_days_q
+  FROM (SELECT recency_days, COUNT(*) AS c FROM cust GROUP BY 1)
+),
+fq AS (
+  SELECT freq,
+         CAST(((SUM(c) OVER (ORDER BY freq ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+               * {RFM_BINS}) // SUM(c) OVER () + 1 AS INT) AS freq_q
+  FROM (SELECT freq, COUNT(*) AS c FROM cust GROUP BY 1)
+),
+mq AS (
+  SELECT monetary_centi,
+         CAST(((SUM(c) OVER (ORDER BY monetary_centi ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+               * {RFM_BINS}) // SUM(c) OVER () + 1 AS INT)
+           AS monetary_centi_q
+  FROM (SELECT monetary_centi, COUNT(*) AS c FROM cust GROUP BY 1)
+)
+SELECT CAST(r.recency_days_q AS INT) AS r_q,
+       CAST(f.freq_q AS INT) AS f_q,
+       CAST(m.monetary_centi_q AS INT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(c.monetary_centi) AS BIGINT) AS cell_monetary_centi
+FROM cust c
+JOIN rq r ON r.recency_days = c.recency_days
+JOIN fq f ON f.freq = c.freq
+JOIN mq m ON m.monetary_centi = c.monetary_centi
+GROUP BY 1, 2, 3
+""",
+)(orders_rfm_segments)

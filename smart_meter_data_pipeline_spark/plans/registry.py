@@ -208,6 +208,7 @@ _PRIORITY = [
     "dedup_fellegi_sunter",
     "events_t_closeness",
     "manifest_zorder_roundtrip",
+    "orders_rfm_segments",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",
