@@ -185,6 +185,19 @@ def main() -> None:
             lambda: _materialize(tpch.pricing_summary(spark, SF_DIR)),
         )
 
+        # 7b. Bucketized range join (round 9): the equi-join
+        # formulation of a time-range self-join — wall-clock here is
+        # the proof the bucket join beats a nested-loop (which would
+        # not finish at this SF).
+        from smart_meter_data_pipeline_spark.operators import extended
+
+        leg(
+            "range_join_bucketized",
+            lambda: _materialize(
+                extended.events_range_join_bucketized(spark, SF_DIR)
+            ),
+        )
+
         # 8-9. LLM-pipeline operators.
         leg(
             "dedup_minhash_lsh",
