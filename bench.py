@@ -584,7 +584,12 @@ def main() -> None:
             "ingest_rows_per_sec": round(
                 ingest_rows / timings["meter_ingest_day"]
             ),
-            "ivf_recall": ivf_recall,
+            # scalars only — the full ivf_recall dict lives in its own
+            # top-level key; repeating ~1 KB of it here would push the
+            # leg timings back out of the driver's bounded tail window
+            "pq_adc_recall": ivf_recall.get("pq_adc", {}).get(
+                "recall_at_k"
+            ),
         },
     }
     print(json.dumps(result))
