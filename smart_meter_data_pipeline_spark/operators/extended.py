@@ -5278,3 +5278,102 @@ SELECT event_type,
 FROM holt WHERE i = n
 """,
 )(events_holt_forecast)
+
+
+def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward evaluation of the Holt smoother: at every day t >= 2
+    the model's one-step-ahead forecast (level + trend BEFORE seeing
+    day t) is scored against the day's actual total, accumulating the
+    absolute error exactly in centi-units — the backtest that decides
+    whether the forecast is usable, not just computable. Same integer
+    fold as ``events_holt_forecast`` with an error accumulator riding
+    the state; MAE is emitted as exact integer division (the moment-
+    sums discipline: Σ|err| and n separately, plus the floored mean).
+
+    Scale shape identical to the forecast op: distributed (type, day)
+    rollup, calendar-bounded per-key fold."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("obs")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "obs"))).alias("s")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(s, 2, size(s) - 1),
+          named_struct('level', s[0].obs, 'trend', CAST(0 AS BIGINT),
+                       'abs_err', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'level',
+            floor(CAST(x.obs + acc.level + acc.trend AS DOUBLE) / 2.0),
+            'trend',
+            floor(
+              CAST(
+                floor(CAST(x.obs + acc.level + acc.trend AS DOUBLE) / 2.0)
+                - acc.level + acc.trend
+                AS DOUBLE
+              ) / 2.0
+            ),
+            'abs_err',
+            acc.abs_err + abs(x.obs - (acc.level + acc.trend))
+          )
+        )
+        """
+    )
+    return (
+        series.select(
+            "event_type", F.size("s").alias("n_days"), fold.alias("h")
+        )
+        .select(
+            "event_type",
+            (F.col("n_days") - 1).cast("bigint").alias("n_forecasts"),
+            F.col("h.abs_err").cast("bigint").alias("abs_err_centi"),
+            F.expr("CAST(h.abs_err div (n_days - 1) AS BIGINT)").alias(
+                "mae_centi"
+            ),
+        )
+    )
+
+
+register(
+    "events_holt_backtest",
+    """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, obs,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+holt AS (
+  SELECT event_type, 1 AS i, n, obs AS level,
+         CAST(0 AS BIGINT) AS trend, CAST(0 AS BIGINT) AS abs_err
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT h.event_type, h.i + 1, h.n,
+         CAST(floor((x.obs + h.level + h.trend) / 2.0) AS BIGINT),
+         CAST(floor((CAST(floor((x.obs + h.level + h.trend) / 2.0)
+                          AS BIGINT) - h.level + h.trend) / 2.0)
+              AS BIGINT),
+         h.abs_err + abs(x.obs - (h.level + h.trend))
+  FROM holt h
+  JOIN idx x ON x.event_type = h.event_type AND x.i = h.i + 1
+)
+SELECT event_type,
+       CAST(n - 1 AS BIGINT) AS n_forecasts,
+       abs_err AS abs_err_centi,
+       CAST(abs_err // (n - 1) AS BIGINT) AS mae_centi
+FROM holt WHERE i = n
+""",
+)(events_holt_backtest)

@@ -3992,3 +3992,104 @@ JOIN mq m ON m.monetary_centi = c.monetary_centi
 GROUP BY 1, 2, 3
 """,
 )(orders_rfm_segments)
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis (round 9)
+# ---------------------------------------------------------------------------
+
+ABC_A_MILLI = 800   # A: first 80% of revenue
+ABC_B_MILLI = 950   # B: next 15%; C: the tail
+
+
+def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification: parts ranked by revenue,
+    classified A/B/C by their position in the CUMULATIVE revenue share
+    (A = the head that carries 80%, B = to 95%, C = tail) — the 80/20
+    screen every supply-chain and catalog team runs.
+
+    Scale shape: fact → per-part exact-centi revenue rollup (map-side
+    combined); the cumulative window runs over the PART-level rollup
+    ordered by revenue — |parts|, not |lineitem| (and at 10^9 parts
+    the same count-of-counts trick as the equi-depth ops applies).
+    Class boundaries are integer milli cross-multiplications of exact
+    centi sums — no percentage floats. Output is the per-class
+    summary (bounded: 3 rows).
+
+    Ties: equal-revenue parts order by partkey under the window, so
+    class assignment is deterministic."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2))"
+                " * CAST((1 - l_discount) AS DECIMAL(5,2))"
+                " * 10000 AS BIGINT)"
+            )
+        ).alias("rev_ten_thousandths")
+    )
+    w = Window.orderBy(
+        F.col("rev_ten_thousandths").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = rev.agg(
+        F.sum("rev_ten_thousandths").alias("tot")
+    )
+    classed = rev.select(
+        "l_partkey",
+        "rev_ten_thousandths",
+        F.sum("rev_ten_thousandths").over(w).alias("cum"),
+    ).crossJoin(F.broadcast(total)).withColumn(
+        "abc",
+        F.when(
+            F.col("cum") * 1000 <= F.col("tot") * ABC_A_MILLI, "A"
+        )
+        .when(F.col("cum") * 1000 <= F.col("tot") * ABC_B_MILLI, "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_ten_thousandths").alias("class_rev"),
+        )
+        .select(
+            "abc",
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.col("class_rev").cast("bigint").alias(
+                "class_rev_ten_thousandths"
+            ),
+        )
+    )
+
+
+register(
+    "part_abc_analysis",
+    f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                       * CAST((1 - l_discount) AS DECIMAL(5,2))
+                       * 10000 AS BIGINT)) AS BIGINT)
+           AS rev_ten_thousandths
+  FROM lineitem GROUP BY 1
+),
+classed AS (
+  SELECT l_partkey, rev_ten_thousandths,
+         SUM(rev_ten_thousandths) OVER (
+           ORDER BY rev_ten_thousandths DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(rev_ten_thousandths) OVER () AS tot
+  FROM rev
+)
+SELECT CASE WHEN cum * 1000 <= tot * {ABC_A_MILLI} THEN 'A'
+            WHEN cum * 1000 <= tot * {ABC_B_MILLI} THEN 'B'
+            ELSE 'C' END AS abc,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_ten_thousandths) AS BIGINT)
+         AS class_rev_ten_thousandths
+FROM classed
+GROUP BY 1
+""",
+)(part_abc_analysis)

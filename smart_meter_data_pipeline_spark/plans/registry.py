@@ -209,6 +209,8 @@ _PRIORITY = [
     "events_t_closeness",
     "manifest_zorder_roundtrip",
     "orders_rfm_segments",
+    "events_holt_backtest",
+    "part_abc_analysis",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",
