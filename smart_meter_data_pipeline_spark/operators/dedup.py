@@ -2352,3 +2352,103 @@ WHERE CAST(CAST(1000 * num AS BIGINT) // CAST(den AS BIGINT) AS BIGINT)
 
 
 register("dedup_fellegi_sunter", _fs_oracle())(dedup_fellegi_sunter)
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-quality evaluation (round 9)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure-don't-guess for the dedup pipeline — the
+    ``ann_recall_report`` of near-duplicate detection: the banded
+    MinHash-LSH pair set is scored against the exact n-gram Jaccard
+    ground truth (full outer join on the pair key), emitting
+    tp/fp/fn and integer milli precision/recall. A recall drop here
+    is the first sign the band/row configuration stopped matching the
+    corpus' similarity profile; at 100 TB this is the audit you run
+    on a sample BEFORE trusting the banded pass on the whole corpus.
+
+    Both sides reuse the registered operators unchanged; the oracle
+    composes their oracle SQL verbatim, so constituent fixes
+    propagate."""
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    joined = lsh.join(exact, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_union"),
+        F.sum(F.coalesce("in_exact", F.lit(0)))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.coalesce("in_lsh", F.lit(0)))
+        .cast("bigint")
+        .alias("n_lsh"),
+        F.sum(
+            F.coalesce("in_lsh", F.lit(0))
+            * F.coalesce("in_exact", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("tp"),
+    ).select(
+        "n_pairs_union",
+        "n_exact",
+        "n_lsh",
+        "tp",
+        (F.col("n_lsh") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("n_exact") - F.col("tp")).cast("bigint").alias("fn"),
+        F.expr(
+            "CAST((1000 * tp) div greatest(n_exact, 1) AS BIGINT)"
+        ).alias("recall_milli"),
+        F.expr(
+            "CAST((1000 * tp) div greatest(n_lsh, 1) AS BIGINT)"
+        ).alias("precision_milli"),
+    )
+
+
+def _lsh_eval_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return f"""
+WITH l AS (
+  SELECT doc_a, doc_b, 1 AS in_lsh
+  FROM ({ORACLES["dedup_minhash_lsh"]}) t
+),
+e AS (
+  SELECT doc_a, doc_b, 1 AS in_exact
+  FROM ({ORACLES["dedup_ngram_jaccard"]}) t
+),
+j AS (
+  SELECT COALESCE(l.doc_a, e.doc_a) AS doc_a,
+         COALESCE(l.doc_b, e.doc_b) AS doc_b,
+         COALESCE(in_lsh, 0) AS in_lsh,
+         COALESCE(in_exact, 0) AS in_exact
+  FROM l FULL OUTER JOIN e
+    ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_union,
+         CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+         CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+         CAST(SUM(in_lsh * in_exact) AS BIGINT) AS tp
+  FROM j
+)
+SELECT n_pairs_union, n_exact, n_lsh, tp,
+       CAST(n_lsh - tp AS BIGINT) AS fp,
+       CAST(n_exact - tp AS BIGINT) AS fn,
+       CAST((1000 * tp) // greatest(n_exact, 1) AS BIGINT)
+         AS recall_milli,
+       CAST((1000 * tp) // greatest(n_lsh, 1) AS BIGINT)
+         AS precision_milli
+FROM agg
+"""
+
+
+def _register_lsh_eval() -> None:
+    register("dedup_lsh_eval", _lsh_eval_oracle())(dedup_lsh_eval)
+
+
+_register_lsh_eval()

@@ -211,6 +211,7 @@ _PRIORITY = [
     "orders_rfm_segments",
     "events_holt_backtest",
     "part_abc_analysis",
+    "dedup_lsh_eval",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",
