@@ -2286,7 +2286,8 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).groupBy("dow", "value_band", "event_type").agg(
         F.count(F.lit(1)).alias("n_cv")
-    )
+    ).localCheckpoint(eager=True)  # QI-domain-bounded rollup: one fact
+    # scan feeds classes / global / spine / diffs structurally
     classes = cells.groupBy("dow", "value_band").agg(
         F.sum("n_cv").alias("k")
     )

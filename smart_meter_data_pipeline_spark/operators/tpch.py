@@ -3901,8 +3901,13 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("monetary_centi"),
     )
     gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gday"))
-    cust = per_cust.crossJoin(F.broadcast(gmax)).withColumn(
-        "recency_days", F.datediff("gday", "last_day")
+    # one fact scan, structurally: the rollup is localCheckpointed so
+    # the three quintile maps and the score join all consume the
+    # materialized frame (ExistingRDD) instead of re-scanning orders
+    cust = (
+        per_cust.crossJoin(F.broadcast(gmax))
+        .withColumn("recency_days", F.datediff("gday", "last_day"))
+        .localCheckpoint(eager=True)
     )
 
     def quintiles(measure: str):
@@ -4029,7 +4034,7 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * 10000 AS BIGINT)"
             )
         ).alias("rev_ten_thousandths")
-    )
+    ).localCheckpoint(eager=True)  # one fact scan for window + total
     w = Window.orderBy(
         F.col("rev_ten_thousandths").desc(), F.col("l_partkey")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1030,3 +1030,20 @@ def test_range_join_bucketized_is_equi_join_not_nested_loop(spark, sf_dir):
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
         assert p.count("SortMergeJoin") >= 1
+
+
+def test_rfm_and_tclose_one_scan_structural(spark, sf_dir):
+    """The shared rollups are localCheckpointed, so the final plans
+    consume ExistingRDD lineage — zero parquet scans, one structural
+    fact read per query (the corpus_countmin_estimate pattern)."""
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    for fn in (
+        tpch.orders_rfm_segments,
+        tpch.part_abc_analysis,
+        curation.events_t_closeness,
+    ):
+        p = _plan(fn(spark, sf_dir))
+        assert p.count("Scan parquet  (") == 0, fn.__name__
+        assert "ExistingRDD" in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
