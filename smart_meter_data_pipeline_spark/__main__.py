@@ -77,6 +77,25 @@ def _build_parser() -> argparse.ArgumentParser:
         help="bin-pack live data files smaller than this many bytes "
         "before compacting the log (0 = skip; needs a Spark session)",
     )
+    maint.add_argument(
+        "--optimize-target-partitions",
+        type=int,
+        default=0,
+        help="explicit packed-file count for the optimize rewrite "
+        "(0 = size-derived)",
+    )
+    maint.add_argument(
+        "--cluster-by",
+        default="",
+        help="comma-separated columns to cluster the optimize rewrite "
+        "on (narrows per-file stats ranges for skipping)",
+    )
+    maint.add_argument(
+        "--zorder",
+        action="store_true",
+        help="bit-interleave >=2 --cluster-by columns (OPTIMIZE "
+        "ZORDER): every clustered column's file range narrows",
+    )
 
     hist = sub.add_parser(
         "history", help="manifest table commit history (DESCRIBE HISTORY)"
@@ -274,10 +293,16 @@ def main(argv: list[str] | None = None) -> int:
             # pure-metadata maintenance stays JVM-free.
             from smart_meter_data_pipeline_spark.session import get_spark
 
+            cluster = [
+                c.strip() for c in args.cluster_by.split(",") if c.strip()
+            ]
             optimized = mf.optimize_table(
                 t,
                 get_spark("smart-meter-maintain"),
                 small_file_bytes=args.optimize_small_bytes,
+                target_partitions=args.optimize_target_partitions or None,
+                cluster_by=cluster or None,
+                zorder=args.zorder,
             )
         merged = mf.compact_log(t, keep_last=args.keep_last)
         swept = mf.vacuum_unreferenced(t, ttl_s=args.vacuum_ttl_s)

@@ -144,6 +144,48 @@ class ManifestTable:
         self._recover_interrupted_compaction()
         os.makedirs(self.commits_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # Table config DURABILITY (round 9): stats/bloom columns and
+        # constraints are table properties, not per-process options —
+        # a maintenance job reopening the table bare must not silently
+        # OPTIMIZE with the default stats column and lose the
+        # configured skipping index. Explicitly-passed config is
+        # persisted (ALTER-TABLE-SET semantics, atomic rename); a bare
+        # open loads the persisted config.
+        cfg_path = os.path.join(table_dir, "_table.json")
+        explicit = {
+            k: v
+            for k, v in (
+                ("stats_columns", stats_columns),
+                ("bloom_columns", bloom_columns),
+                ("constraints", constraints),
+            )
+            if v
+        }
+        persisted: dict = {}
+        if os.path.exists(cfg_path):
+            try:
+                with open(cfg_path) as fh:
+                    persisted = json.load(fh)
+            except (OSError, ValueError):
+                persisted = {}
+        if not stats_columns and persisted.get("stats_columns"):
+            self.stats_columns = list(persisted["stats_columns"])
+        if not bloom_columns and persisted.get("bloom_columns"):
+            self.bloom_columns = list(persisted["bloom_columns"])
+        if not constraints and persisted.get("constraints"):
+            self.constraints = list(persisted["constraints"])
+        want = {
+            "stats_columns": self.stats_columns,
+            "bloom_columns": self.bloom_columns,
+            "constraints": self.constraints,
+        }
+        if explicit and {
+            k: persisted.get(k) for k in want
+        } != want:
+            tmp = cfg_path + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(want, fh)
+            os.replace(tmp, cfg_path)
         os.makedirs(self.refs_dir, exist_ok=True)
         # Test seam: invoked between validation/staging and the
         # publish attempt, so tests can deterministically land a

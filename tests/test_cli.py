@@ -217,3 +217,51 @@ def test_cli_clone_restore_pending_tombstones_exit_2(spark, tmp_path, capsys):
     assert main(["restore", tdir, "0"]) == 2
     err = capsys.readouterr().err
     assert "tombstone" in err.lower()
+
+
+def test_cli_maintain_zorder(spark, tmp_path, capsys):
+    """--cluster-by + --zorder reach optimize_table through the CLI."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.sources import manifest as mf
+
+    base = dt.datetime(2024, 1, 1)
+    tdir = str(tmp_path / "fact_z")
+    t = mf.ManifestTable(tdir, stats_columns=["meter_id", "v"])
+    for lo in range(0, 512, 128):
+        rows = [
+            (base + dt.timedelta(minutes=i), i % 32, i // 32)
+            for i in range(lo, lo + 128)
+        ]
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "reading_timestamp timestamp, meter_id bigint, v bigint",
+            ).repartition(1),
+        )
+    rc = main(
+        [
+            "maintain",
+            tdir,
+            "--optimize-small-bytes",
+            str(32 << 20),
+            "--optimize-target-partitions",
+            "8",
+            "--cluster-by",
+            "meter_id,v",
+            "--zorder",
+        ]
+    )
+    assert rc == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_rewritten"] == 4 and out["files_created"] >= 1
+    # z-property: per-file v range narrowed below the full span
+    stats = mf.ManifestTable(tdir).snapshot()[-1]["stats"]
+    widths = [s["v"][1] - s["v"][0] for s in stats.values() if "v" in s]
+    # the bare reopen must have inherited the persisted stats columns,
+    # and z-order must have narrowed v below its full 0..15 span
+    assert len(widths) >= 4
+    assert sum(widths) / len(widths) < 12

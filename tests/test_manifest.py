@@ -1781,3 +1781,30 @@ def test_mor_apply_never_prunes_by_non_pk_stats(spark, tmp_path):
     apply_tombstones(t, spark)
     assert t.read(spark).filter("meter_id = 0").count() == 0
     assert t.read(spark).count() == 4
+
+
+def test_table_config_persists_across_bare_reopen(spark, tmp_path):
+    """stats/bloom columns and CHECK constraints are table properties:
+    configured once, a bare ManifestTable(dir) reopen (a maintenance
+    job, the CLI) must inherit them — and an explicit re-configure
+    replaces them (ALTER TABLE SET semantics)."""
+    tdir = str(tmp_path / "cfg")
+    t = manifest.ManifestTable(
+        tdir,
+        stats_columns=["meter_id", "reading_consumption_milliwatts"],
+        bloom_columns=["meter_id"],
+        constraints=[{"kind": "not_null", "column": "meter_id"}],
+    )
+    t.idempotent_append(spark, _valid_batch(spark, 1, 11))
+
+    bare = manifest.ManifestTable(tdir)
+    assert bare.stats_columns == [
+        "meter_id",
+        "reading_consumption_milliwatts",
+    ]
+    assert bare.bloom_columns == ["meter_id"]
+    assert bare.constraints == [{"kind": "not_null", "column": "meter_id"}]
+
+    # explicit reconfigure wins and persists
+    manifest.ManifestTable(tdir, stats_columns=["meter_id"])
+    assert manifest.ManifestTable(tdir).stats_columns == ["meter_id"]
