@@ -1820,3 +1820,147 @@ register(
     f"""WITH {_readings_cte()}
 SELECT * FROM readings""",
 )(manifest_zorder_roundtrip)
+
+
+def manifest_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the two-table delta
+    identity next to ``manifest_ivm_rollup``'s single-table aggregate
+    case: a (fact ⋈ dim → per-zone rollup) view is materialized at
+    v0, then BOTH base tables change (a fact restatement and a dim
+    zone-move), and the view is maintained by
+
+        V_new = V_old ⊕ (ΔA ⋈ B_old) ⊕ (A_new ⋈ ΔB)
+
+    with signed change feeds (insert/post-image = +1, delete/
+    pre-image = −1) — the classical delta-join decomposition. The
+    oracle recomputes the final view from scratch, so the hash proves
+    the maintained view ≡ full recompute exactly.
+
+    Cost shape at 100 TB: ΔA joins only the dim (broadcast); the
+    A_new ⋈ ΔB leg reads the fact SEMI-JOINED to the changed dim
+    keys — with the dim's changed keys bounded, stats/bloom skipping
+    prunes that scan to the affected files; nothing rescans the
+    unchanged fact for the unchanged dim rows. All-integer milliwatt
+    arithmetic."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_ivmjoin_q_")
+    dim_pk = ["meter_id"]
+    try:
+        a = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        a.idempotent_append(spark, readings)
+
+        b = ManifestTable(os.path.join(workdir, "dim"))
+        dim = readings.select("meter_id").distinct().select(
+            F.lit("2024-01-01T00:00:00").cast("timestamp").alias(
+                "reading_timestamp"
+            ),
+            "meter_id",
+            (F.col("meter_id") % 5).cast("bigint").alias("zone"),
+        )
+        b.idempotent_append(spark, dim, pk=dim_pk)
+
+        view0 = (
+            a.read(spark)
+            .join(b.read(spark).select("meter_id", "zone"), "meter_id")
+            .groupBy("zone")
+            .agg(
+                F.sum("reading_consumption_milliwatts").alias("total_mw"),
+                F.count(F.lit(1)).alias("n_readings"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        restated = readings.filter(F.col("meter_id") % 7 == 3).withColumn(
+            "reading_consumption_milliwatts",
+            F.col("reading_consumption_milliwatts") + F.lit(10007),
+        )
+        a.upsert(spark, restated)                      # ΔA
+        moved = dim.filter(F.col("meter_id") % 9 == 2).withColumn(
+            "zone", F.col("zone") + F.lit(100)
+        )
+        b.upsert(spark, moved, pk=dim_pk)              # ΔB
+
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        # leg 1: ΔA ⋈ B_old (the dim BEFORE its change)
+        da = a.change_feed(spark, 0, 1).withColumn("w", sign)
+        b_old = b.read(spark, version=0).select("meter_id", "zone")
+        leg1 = (
+            da.join(F.broadcast(b_old), "meter_id")
+            .groupBy("zone")
+            .agg(
+                F.sum(
+                    F.col("w") * F.col("reading_consumption_milliwatts")
+                ).alias("d_total"),
+                F.sum("w").alias("d_count"),
+            )
+        )
+        # leg 2: A_new ⋈ ΔB (fact AFTER its change, changed dim rows)
+        db = b.change_feed(spark, 0, 1, pk=dim_pk).withColumn("w", sign)
+        a_new = a.read(spark).select(
+            "meter_id", "reading_consumption_milliwatts"
+        )
+        leg2 = (
+            a_new.join(
+                F.broadcast(db.select("meter_id", "zone", "w")),
+                "meter_id",
+            )
+            .groupBy("zone")
+            .agg(
+                F.sum(
+                    F.col("w") * F.col("reading_consumption_milliwatts")
+                ).alias("d_total"),
+                F.sum("w").alias("d_count"),
+            )
+        )
+        delta = leg1.unionByName(leg2).groupBy("zone").agg(
+            F.sum("d_total").alias("d_total"),
+            F.sum("d_count").alias("d_count"),
+        )
+        maintained = (
+            view0.join(delta, "zone", "full_outer")
+            .select(
+                "zone",
+                (
+                    F.coalesce(F.col("total_mw"), F.lit(0))
+                    + F.coalesce(F.col("d_total"), F.lit(0))
+                ).alias("total_mw"),
+                (
+                    F.coalesce(F.col("n_readings"), F.lit(0))
+                    + F.coalesce(F.col("d_count"), F.lit(0))
+                ).alias("n_readings"),
+            )
+            .filter(F.col("n_readings") > 0)
+            .select(
+                F.col("zone").cast("bigint").alias("zone"),
+                F.col("total_mw").cast("bigint").alias("total_mw"),
+                F.col("n_readings").cast("bigint").alias("n_readings"),
+            )
+        )
+        return maintained.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_ivm_join",
+    f"""WITH {_readings_cte()}
+SELECT CAST(CASE WHEN meter_id % 9 = 2 THEN meter_id % 5 + 100
+            ELSE meter_id % 5 END AS BIGINT) AS zone,
+       CAST(SUM(CASE WHEN meter_id % 7 = 3
+                     THEN reading_consumption_milliwatts + 10007
+                     ELSE reading_consumption_milliwatts END)
+            AS BIGINT) AS total_mw,
+       CAST(COUNT(*) AS BIGINT) AS n_readings
+FROM readings
+GROUP BY 1""",
+)(manifest_ivm_join)

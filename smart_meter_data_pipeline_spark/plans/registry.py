@@ -212,6 +212,7 @@ _PRIORITY = [
     "events_holt_backtest",
     "part_abc_analysis",
     "dedup_lsh_eval",
+    "manifest_ivm_join",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",
