@@ -481,6 +481,56 @@ def main() -> None:
             "mismatched_rows": clustered_mismatches,
         }
 
+        # 16b. Z-ORDER payoff on a 2-D mutation slice (round 9): the
+        # same fact clustered lexicographically on meter vs Z-ordered
+        # on the PK (meter, reading_timestamp), both restated over a
+        # (meter range × 2-hour window) slice. Every meter-clustered
+        # file spans the full day, so all files overlapping the meter
+        # range contain matches; Z-tiles split in time too, so only
+        # the tiles intersecting BOTH ranges rewrite.
+        from pyspark.sql import functions as F
+
+        pk_cols = ["meter_id", "reading_timestamp"]
+        # a wide meter range (40%) x narrow time range (2/24): meter-
+        # clustered files all span the full day, so ~40% of them hold
+        # matches; Z-tiles intersect both ranges -> far fewer
+        slice_2d = readings.filter(
+            (readings.meter_id >= 2000)
+            & (readings.meter_id < 10000)
+            & (F.hour("reading_timestamp").between(10, 11))
+        ).withColumn(
+            "reading_consumption_milliwatts",
+            readings.reading_consumption_milliwatts + 2,
+        )
+        mtz = ManifestTable(
+            os.path.join(workdir, "fact_zordered"), stats_columns=pk_cols
+        )
+        mtz.idempotent_append(spark, readings)
+        optimize_table(
+            mtz, spark, target_partitions=32, cluster_by=pk_cols,
+            zorder=True,
+        )
+        leg(
+            "manifest_upsert_zordered_2d",
+            lambda: mtz.upsert(spark, slice_2d),
+        )
+        z_first = mtz.snapshot()[-2]
+        # lexicographic control (meter-only clustering, same slice)
+        mtl = ManifestTable(
+            os.path.join(workdir, "fact_lexico"), stats_columns=pk_cols
+        )
+        mtl.idempotent_append(spark, readings)
+        optimize_table(
+            mtl, spark, target_partitions=32, cluster_by=["meter_id"]
+        )
+        mtl.upsert(spark, slice_2d)
+        l_up = mtl.snapshot()[-1]
+        manifest_zorder = {
+            "zorder_files_rewritten": len(z_first.get("removed", [])),
+            "lexico_files_rewritten": len(l_up.get("removed", [])),
+            "files_live": 32,
+        }
+
         # 17. Bloom runtime-filter semi-join (r8 scale_ops): 8 KiB
         # bitset from the selective order filter prunes the lineitem
         # probe BEFORE its shuffle; result identical to the plain join.
@@ -566,6 +616,7 @@ def main() -> None:
             "serve_vs_full_mismatched_rows": serve_mismatches,
         },
         "manifest_clustered": manifest_clustered,
+        "manifest_zorder": manifest_zorder,
         "manifest_mor": manifest_mor,
         "repeat": 2,
         "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},

@@ -48,6 +48,9 @@ def get_spark(
         # which the vectorized parquet reader rejects; read it as long
         # (nanos since epoch) and convert in sources.readers.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 timestamps carry no footer stats (kills the manifest's
+        # time-range file skipping); write INT64 micros instead.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # Catalog tables (bucketed layouts) go to a temp warehouse —
         # static conf, so it must be set before the first session.

@@ -43,6 +43,7 @@ files become vacuumable once compaction nets them out of the log.
 from __future__ import annotations
 
 import contextlib
+import datetime as _dt
 import json
 import os
 import re
@@ -723,16 +724,18 @@ class ManifestTable:
                         ]
                     else:
                         acc[name] = [s.min, s.max]
-            # Stats are an OPTIMIZATION: non-integral columns simply
-            # skip file-skipping — an unguarded int() here would turn
-            # every append on such a table into a hard ValueError.
-            per_col = {
-                name: [int(mn), int(mx)]
-                for name, (mn, mx) in acc.items()
-                if isinstance(mn, int)
-                and isinstance(mx, int)
-                and not isinstance(mn, bool)
-            }
+            # Stats are an OPTIMIZATION: unsupported column types
+            # simply skip file-skipping — an unguarded int() here
+            # would turn every append on such a table into a hard
+            # ValueError. Integers record as-is; timestamps as UTC
+            # epoch MICROSECONDS (round 9 — per-file time-range
+            # pruning, the most common mutation slice), normalized by
+            # the same helper the prune side uses.
+            per_col = {}
+            for name, (mn, mx) in acc.items():
+                lo, hi = self._stat_int(mn), self._stat_int(mx)
+                if lo is not None and hi is not None:
+                    per_col[name] = [lo, hi]
             if per_col:
                 out[rel] = per_col
         return out
@@ -869,6 +872,24 @@ class ManifestTable:
             key_values[c] = [r[c] for r in vs if r[c] is not None]
         return self._prune_by_bloom(files, commits, key_values)
 
+    @staticmethod
+    def _stat_int(v):
+        """Normalize a stats value to the int64 the commit log stores:
+        ints as-is, timestamps as UTC epoch microseconds (naive values
+        are UTC by session contract), anything else unsupported
+        (None → the column skips file-skipping). Used symmetrically at
+        record time (parquet footer values) and prune time (batch
+        min/max), so comparisons are always int vs int."""
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return v
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        return None
+
     def _prune_by_stats(
         self,
         files: list[str],
@@ -884,6 +905,10 @@ class ManifestTable:
         skipping is an optimization, never a correctness filter.
         Legacy single-column entries (``[min, max]`` lists) are read
         as the default column's range."""
+        key_ranges = {
+            c: (self._stat_int(mn), self._stat_int(mx))
+            for c, (mn, mx) in key_ranges.items()
+        }
         key_ranges = {
             c: (mn, mx)
             for c, (mn, mx) in key_ranges.items()

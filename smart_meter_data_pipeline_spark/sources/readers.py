@@ -49,6 +49,11 @@ _NANO_TS_COLUMNS = {"events": ("ts",)}
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # INT96 (the legacy default) carries NO footer min/max statistics,
+    # which silently disables the manifest's per-file TIMESTAMP stats
+    # (time-range file skipping). INT64 micros is the modern type
+    # (Spark reads both), values are identical.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -1808,3 +1808,59 @@ def test_table_config_persists_across_bare_reopen(spark, tmp_path):
     # explicit reconfigure wins and persists
     manifest.ManifestTable(tdir, stats_columns=["meter_id"])
     assert manifest.ManifestTable(tdir).stats_columns == ["meter_id"]
+
+
+def test_timestamp_stats_prune_time_sliced_mutations(spark, tmp_path):
+    """Round 9: per-file TIMESTAMP stats (UTC epoch micros) — a
+    mutation targeting one time slice must rewrite only that slice's
+    files even when every file shares the same meter range (where
+    meter-only stats cannot prune at all)."""
+    import datetime as dt
+
+    def mk(day_hour, lo, hi):
+        rows = [
+            (dt.datetime(2024, 3, 1, day_hour, i), i, 7.0)
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "reading_timestamp timestamp, meter_id bigint, v double"
+        ).repartition(1)
+
+    # same meters in both files -> meter stats are useless here
+    t_ts = manifest.ManifestTable(
+        str(tmp_path / "t_ts"),
+        stats_columns=["meter_id", "reading_timestamp"],
+    )
+    t_ts.idempotent_append(spark, mk(10, 1, 21))
+    t_ts.idempotent_append(spark, mk(11, 1, 21))
+    stats = t_ts.snapshot()[-1]["stats"]
+    assert all("reading_timestamp" in s for s in stats.values())
+
+    # the prune itself: the hour-11 key range must drop the hour-10
+    # file from the CANDIDATE SCAN (the rewrite set was always exact
+    # via the semi-join; stats save the scan). meter ranges are
+    # identical across files, so only the timestamp stats can prune.
+    import datetime as dt2
+
+    commits = t_ts.snapshot()
+    files = t_ts._files(commits)
+    assert len(files) == 2
+    ranges = {
+        "meter_id": (1, 5),
+        "reading_timestamp": (
+            dt2.datetime(2024, 3, 1, 11, 1),
+            dt2.datetime(2024, 3, 1, 11, 5),
+        ),
+    }
+    assert len(t_ts._prune_by_stats(files, commits, ranges)) == 1
+    # meter-only ranges keep both files (identical meter spans)
+    assert (
+        len(t_ts._prune_by_stats(files, commits, {"meter_id": (1, 5)}))
+        == 2
+    )
+
+    # end to end: the time-sliced delete is correct and exact
+    doomed = mk(11, 1, 6).select("reading_timestamp", "meter_id")
+    assert t_ts.delete_keys(spark, doomed) == 5
+    assert len(t_ts.snapshot()[-1]["removed"]) == 1
+    assert t_ts.read(spark).count() == 35
