@@ -2361,3 +2361,134 @@ SELECT CAST(dow AS INT) AS dow,
 FROM diffs
 """,
 )(events_t_closeness)
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel report (round 9)
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_CHARS = 100
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage curation funnel — the survivorship accounting a
+    training-data pipeline publishes with every corpus release: how
+    many documents each screen removed, in order, on the SURVIVORS of
+    the previous stage (overlap between screens is attributed to the
+    earlier stage, the convention that makes stage counts add up).
+    Stages: exact dedup (one doc per content hash, smallest id kept) →
+    normalized dedup (whitespace-collapsed hash) → minimum-length
+    gate ({FUNNEL_MIN_CHARS} chars).
+
+    Scale shape: one scan computes both keys; keeps are min-id window
+    flags over high-cardinality hash keys (partitioned windows, never
+    global); the funnel rollup is one conditional-sum aggregate →
+    3 rows. Integer milli removal rates."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("k_exact"),
+        F.md5(
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        ).alias("k_norm"),
+    )
+    w1 = Window.partitionBy("k_exact")
+    flagged = docs.withColumn(
+        "keep1", (F.col("doc_id") == F.min("doc_id").over(w1)).cast("int")
+    )
+    w2 = Window.partitionBy("k_norm")
+    flagged = flagged.withColumn(
+        "keep2",
+        (
+            (F.col("keep1") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(
+                    F.when(F.col("keep1") == 1, F.col("doc_id"))
+                ).over(w2)
+            )
+        ).cast("int"),
+    ).withColumn(
+        "keep3",
+        (
+            (F.col("keep2") == 1)
+            & (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+        ).cast("int"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("keep1").alias("n1"),
+        F.sum("keep2").alias("n2"),
+        F.sum("keep3").alias("n3"),
+    )
+    stages = agg.selectExpr(
+        """stack(3,
+             '1_exact_dedup', n0, n1,
+             '2_normalized_dedup', n1, n2,
+             '3_min_length', n2, n3
+           ) AS (stage, n_in, n_kept)"""
+    )
+    return stages.select(
+        "stage",
+        F.col("n_in").cast("bigint").alias("n_in"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        (F.col("n_in") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+        F.expr(
+            "CAST((1000 * (n_in - n_kept)) div greatest(n_in, 1)"
+            " AS BIGINT)"
+        ).alias("removed_milli"),
+    )
+
+
+register(
+    "corpus_curation_funnel",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(text) AS k_exact,
+         md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k_norm
+  FROM documents
+),
+f1 AS (
+  SELECT *,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY k_exact)
+              THEN 1 ELSE 0 END AS keep1
+  FROM keyed
+),
+f2 AS (
+  SELECT *,
+         CASE WHEN keep1 = 1 AND doc_id = MIN(
+                CASE WHEN keep1 = 1 THEN doc_id END)
+                OVER (PARTITION BY k_norm)
+              THEN 1 ELSE 0 END AS keep2
+  FROM f1
+),
+f3 AS (
+  SELECT *,
+         CASE WHEN keep2 = 1 AND n_chars >= {FUNNEL_MIN_CHARS}
+              THEN 1 ELSE 0 END AS keep3
+  FROM f2
+),
+agg AS (
+  SELECT COUNT(*) AS n0, SUM(keep1) AS n1, SUM(keep2) AS n2,
+         SUM(keep3) AS n3
+  FROM f3
+),
+stages AS (
+  SELECT '1_exact_dedup' AS stage, n0 AS n_in, n1 AS n_kept FROM agg
+  UNION ALL
+  SELECT '2_normalized_dedup', n1, n2 FROM agg
+  UNION ALL
+  SELECT '3_min_length', n2, n3 FROM agg
+)
+SELECT stage,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(n_in - n_kept AS BIGINT) AS n_removed,
+       CAST((1000 * (n_in - n_kept)) // greatest(n_in, 1) AS BIGINT)
+         AS removed_milli
+FROM stages
+""",
+)(corpus_curation_funnel)

@@ -213,6 +213,7 @@ _PRIORITY = [
     "part_abc_analysis",
     "dedup_lsh_eval",
     "manifest_ivm_join",
+    "corpus_curation_funnel",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",
