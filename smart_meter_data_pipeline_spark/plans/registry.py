@@ -214,6 +214,7 @@ _PRIORITY = [
     "dedup_lsh_eval",
     "manifest_ivm_join",
     "corpus_curation_funnel",
+    "multimodal_phash_neardup",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",
