@@ -79,13 +79,101 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     the local replica at sf0.01+sf0.1 this round;
 # (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
-    # Two-round drain schedule (written in round 9, per VERDICT r8 #1/#6):
-    # the driver evaluates a ~50-query prefix per round. 112 of 310
-    # queries had no driver row after r8; section (r9) below is the
-    # round-9 window (50 never-evaluated, 3a0-first), section (r10) the
-    # remaining 62 never-evaluated — after r10 every query has a row and
-    # staleness rotation restarts from the full base in section (stale).
-    # (r9) never-evaluated window — round 9 driver prefix
+    # Drain schedule, round 10 of 2+1 (VERDICT r9 #1): the driver
+    # evaluates a ~50-query prefix per round. Round 9 drained its 50
+    # (CORRECTNESS_r09: 50/50 hash-match); 76 never-driver-evaluated
+    # remain. This round's window = the two queries whose COMPUTATION
+    # changed this round, then the never-evaluated set ordered so the
+    # 50 builder-self-certified-only queries come before the ones a
+    # judge session already hash-verified via the driver contract in
+    # r9. The last ~26 (window overflow + judge-verified tail + the
+    # r9-new remainder) spill to r11, after which every query has a
+    # driver row and staleness rotation restarts from section (stale).
+    # (r10-changed) global-window quantile plans rebuilt this round
+    # (range-partitioned two-pass prefix sum, VERDICT r9 #3) — values
+    # unchanged, fresh rows wanted first:
+    "orders_rfm_segments",
+    "part_abc_analysis",
+    # (r10) never-driver-evaluated — round 10 driver prefix
+    "meter_load_factor",
+    "meter_diversity_factor",
+    "events_user_archetypes",
+    "orders_growth_accounting",
+    "manifest_tag_read",
+    "cluster_topic_words",
+    "lineitem_bloom_semijoin",
+    "dedup_prefix_filter_join",
+    "embedding_matryoshka_recall",
+    "events_k_anonymity",
+    "manifest_clone_roundtrip",
+    "train_split_leakage_safe",
+    "events_ab_assignment_srm",
+    "doc_rank_fusion",
+    "events_type_hour_independence_chi2",
+    "events_outlier_ensemble",
+    "events_encoding_advisor",
+    "sample_weighted_priority",
+    "events_bitmap_distinct",
+    "events_hll_overlap",
+    "events_runs_test",
+    "events_mann_whitney_u",
+    "dedup_sorted_neighborhood",
+    "corpus_inverted_index",
+    "manifest_mor_roundtrip",
+    "train_kfold_assign",
+    "events_l_diversity",
+    "trade_common_neighbors",
+    "sample_reservoir_per_key",
+    "doc_lix_readability",
+    "events_bot_score",
+    "stream_bot_score",
+    "events_bollinger_breakouts",
+    "events_cuped_adjustment",
+    "events_diff_in_diff",
+    "events_ab_mde",
+    "part_demand_curve",
+    "stream_jsonl_sink_roundtrip",
+    "meter_peak_shaving",
+    "events_haar_energy",
+    "trade_hits_scores",
+    "events_spc_xbar_r",
+    "corpus_kmv_distinct",
+    "events_attribution_position",
+    "embedding_knn_loo_accuracy",
+    "nation_product_complexity",
+    "lineitem_leadtime_anova",
+    "trade_personalized_pagerank",
+    "tpch_nation_yoy_growth",
+    "events_rolling_active_users",
+    "corpus_bigram_coverage",
+    "nation_peak_coincidence",
+    "doc_normalized_dup",
+    "corpus_zipf_check",
+    "events_user_type_gini",
+    "events_dow_hour_matrix",
+    "orders_seasonal_index",
+    "doc_length_magnitude_profile",
+    # (r10-judge) no driver row yet, but judge-r9 hash-verified via
+    # the driver contract — lowest urgency of the never-evaluated set
+    "trade_assortativity",
+    "corpus_dsir_sample",
+    "doc_suffix_dup",
+    "multimodal_vad_segments",
+    # (r9-new) judge-r9 hash-verified round-9 additions — tail of the
+    # drain; these + the window overflow form the ~26-query r11 window
+    "events_range_join_bucketized",
+    "events_holt_forecast",
+    "stream_holt_forecast",
+    "embedding_mmr_select",
+    "dedup_fellegi_sunter",
+    "events_t_closeness",
+    "manifest_zorder_roundtrip",
+    "events_holt_backtest",
+    "dedup_lsh_eval",
+    "manifest_ivm_join",
+    "corpus_curation_funnel",
+    "multimodal_phash_neardup",
+    # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
     "events_markov_stationary",
@@ -136,85 +224,6 @@ _PRIORITY = [
     "events_welch_ttest",
     "orders_cumulative_customers",
     "corpus_tokenizer_fertility",
-    # (r10) remaining never-evaluated — round 10 driver prefix
-    "meter_load_factor",
-    "meter_diversity_factor",
-    "events_user_archetypes",
-    "orders_growth_accounting",
-    "manifest_tag_read",
-    "cluster_topic_words",
-    "lineitem_bloom_semijoin",
-    "dedup_prefix_filter_join",
-    "embedding_matryoshka_recall",
-    "events_k_anonymity",
-    "manifest_clone_roundtrip",
-    "train_split_leakage_safe",
-    "events_ab_assignment_srm",
-    "doc_rank_fusion",
-    "events_type_hour_independence_chi2",
-    "events_outlier_ensemble",
-    "events_encoding_advisor",
-    "sample_weighted_priority",
-    "events_bitmap_distinct",
-    "events_hll_overlap",
-    "events_runs_test",
-    "events_mann_whitney_u",
-    "dedup_sorted_neighborhood",
-    "corpus_inverted_index",
-    "manifest_mor_roundtrip",
-    "train_kfold_assign",
-    "events_l_diversity",
-    "trade_common_neighbors",
-    "sample_reservoir_per_key",
-    "doc_lix_readability",
-    "events_bot_score",
-    "stream_bot_score",
-    "events_bollinger_breakouts",
-    "corpus_dsir_sample",
-    "events_cuped_adjustment",
-    "events_diff_in_diff",
-    "events_ab_mde",
-    "trade_assortativity",
-    "part_demand_curve",
-    "stream_jsonl_sink_roundtrip",
-    "meter_peak_shaving",
-    "multimodal_vad_segments",
-    "events_haar_energy",
-    "trade_hits_scores",
-    "events_spc_xbar_r",
-    "corpus_kmv_distinct",
-    "events_attribution_position",
-    "embedding_knn_loo_accuracy",
-    "nation_product_complexity",
-    "lineitem_leadtime_anova",
-    "trade_personalized_pagerank",
-    "tpch_nation_yoy_growth",
-    "events_rolling_active_users",
-    "doc_suffix_dup",
-    "corpus_bigram_coverage",
-    "nation_peak_coincidence",
-    "doc_normalized_dup",
-    "corpus_zipf_check",
-    "events_user_type_gini",
-    "events_dow_hour_matrix",
-    "orders_seasonal_index",
-    "doc_length_magnitude_profile",
-    # (r9-new) added in round 9 — tail of the r10 window (the 62 above
-    # plus these 4 = 66 never-evaluated; the last ~16 spill to r11)
-    "events_range_join_bucketized",
-    "events_holt_forecast",
-    "stream_holt_forecast",
-    "embedding_mmr_select",
-    "dedup_fellegi_sunter",
-    "events_t_closeness",
-    "manifest_zorder_roundtrip",
-    "orders_rfm_segments",
-    "events_holt_backtest",
-    "part_abc_analysis",
-    "dedup_lsh_eval",
-    "manifest_ivm_join",
-    "corpus_curation_funnel",
-    "multimodal_phash_neardup",
     # (stale) evaluated queries, stalest round first (r5 -> r8)
     "daily_customer_billing",
     "hourly_nation_load",

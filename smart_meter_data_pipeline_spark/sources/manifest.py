@@ -890,6 +890,38 @@ class ManifestTable:
             return int(v.timestamp() * 1_000_000)
         return None
 
+    @staticmethod
+    def _batch_key_ranges(keys: DataFrame, stat_cols: list[str]) -> dict:
+        """Engine-side {col: (min, max)} over the mutation batch's key
+        frame. TIMESTAMP columns are reduced to UTC epoch MICROSECONDS
+        inside Spark (``unix_micros``) BEFORE collect(): a collected
+        TimestampType value arrives as a NAIVE datetime in the
+        DRIVER'S LOCAL timezone (``TimestampType.fromInternal`` uses
+        ``datetime.fromtimestamp``), so feeding it to _stat_int's
+        naive-is-UTC rule on a non-UTC host shifts the prune window by
+        the UTC offset — skipping files that still hold stale rows and
+        resurrecting duplicate PKs (the same unsoundness class as the
+        round-9 non-pk-column fix). Integers collect exactly;
+        TIMESTAMP_NTZ collects as the literal wall value with no TZ
+        conversion, which IS UTC by session contract, so only the
+        tz-aware type needs the engine-side conversion."""
+        from pyspark.sql import types as T
+
+        if not stat_cols:
+            return {}
+        exprs = []
+        for i, c in enumerate(stat_cols):
+            e = F.col(c)
+            if isinstance(keys.schema[c].dataType, T.TimestampType):
+                e = F.unix_micros(e)
+            exprs.append(F.min(e).alias(f"mn{i}"))
+            exprs.append(F.max(e).alias(f"mx{i}"))
+        row = keys.agg(*exprs).collect()[0]
+        return {
+            c: (row[f"mn{i}"], row[f"mx{i}"])
+            for i, c in enumerate(stat_cols)
+        }
+
     def _prune_by_stats(
         self,
         files: list[str],
@@ -1456,22 +1488,7 @@ class ManifestTable:
                     for c in self.stats_columns
                     if c in pk and c in in_keys.columns
                 ]
-                key_ranges: dict[str, tuple] = {}
-                if stat_cols:
-                    row = in_keys.agg(
-                        *(
-                            agg
-                            for i, c in enumerate(stat_cols)
-                            for agg in (
-                                F.min(c).alias(f"mn{i}"),
-                                F.max(c).alias(f"mx{i}"),
-                            )
-                        )
-                    ).collect()[0]
-                    key_ranges = {
-                        c: (row[f"mn{i}"], row[f"mx{i}"])
-                        for i, c in enumerate(stat_cols)
-                    }
+                key_ranges = self._batch_key_ranges(in_keys, stat_cols)
                 cand = self._prune_by_stats(cand, commits, key_ranges)
                 # bloom pruning under the same pk-only rule: project
                 # the key frame to the match keys so a non-key bloom
@@ -2052,20 +2069,7 @@ def apply_tombstones(
                     if not stat_cols:
                         cand.update(grp)
                         continue
-                    row = keys.agg(
-                        *(
-                            agg
-                            for j, c in enumerate(stat_cols)
-                            for agg in (
-                                F.min(c).alias(f"mn{j}"),
-                                F.max(c).alias(f"mx{j}"),
-                            )
-                        )
-                    ).collect()[0]
-                    ranges = {
-                        c: (row[f"mn{j}"], row[f"mx{j}"])
-                        for j, c in enumerate(stat_cols)
-                    }
+                    ranges = table._batch_key_ranges(keys, stat_cols)
                     pruned = table._prune_by_stats(grp, commits, ranges)
                     pruned = table._prune_candidates_by_bloom(
                         pruned,

@@ -1864,3 +1864,61 @@ def test_timestamp_stats_prune_time_sliced_mutations(spark, tmp_path):
     assert t_ts.delete_keys(spark, doomed) == 5
     assert len(t_ts.snapshot()[-1]["removed"]) == 1
     assert t_ts.read(spark).count() == 35
+
+
+def test_batch_key_ranges_timestamp_is_tz_independent(spark):
+    """ADVICE r10 (high): mutation-prune batch ranges must be computed
+    ENGINE-SIDE as UTC epoch micros. A collected TimestampType value
+    arrives as a NAIVE datetime in the DRIVER'S LOCAL timezone
+    (TimestampType.fromInternal -> datetime.fromtimestamp), so the old
+    collect-then-assume-UTC path shifted the prune window by the UTC
+    offset on a non-UTC host — skipping files that still held stale
+    rows (duplicate-PK resurrection, same class as the round-9 non-pk
+    fix). Pin: _batch_key_ranges returns exact INT epoch micros and is
+    unchanged when the process timezone is forced 14h off UTC."""
+    import datetime as dt
+    import time
+
+    # instants defined by the SESSION timezone (UTC), not by any
+    # driver-side Python conversion
+    keys = spark.sql(
+        "SELECT to_timestamp('2024-03-01 10:30:00') AS reading_timestamp,"
+        " CAST(1 AS BIGINT) AS meter_id"
+        " UNION ALL"
+        " SELECT to_timestamp('2024-03-01 11:45:00'), CAST(2 AS BIGINT)"
+    )
+    want_lo = int(
+        dt.datetime(
+            2024, 3, 1, 10, 30, tzinfo=dt.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
+    want_hi = int(
+        dt.datetime(
+            2024, 3, 1, 11, 45, tzinfo=dt.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
+
+    def ranges():
+        return manifest.ManifestTable._batch_key_ranges(
+            keys, ["reading_timestamp", "meter_id"]
+        )
+
+    old_tz = os.environ.get("TZ")
+    try:
+        r = ranges()
+        assert r["reading_timestamp"] == (want_lo, want_hi)
+        assert all(isinstance(v, int) for v in r["reading_timestamp"])
+        assert r["meter_id"] == (1, 2)
+        # force the driver 14 hours east of UTC: engine-side epoch
+        # micros must not move (the pre-fix path shifts by 14h here)
+        os.environ["TZ"] = "Pacific/Kiritimati"
+        time.tzset()
+        assert ranges()["reading_timestamp"] == (want_lo, want_hi)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
