@@ -42,3 +42,84 @@ def guarded_pct(num: Column, den: Column, alias: str) -> Column:
         .otherwise(F.lit(0.0))
         .alias(alias)
     )
+
+
+def distributed_prefix_sum(
+    df,
+    order_cols,
+    value_col: str,
+    out_col: str,
+    n_parts: int | None = None,
+):
+    """Cumulative ``SUM(value_col)`` over *df* ordered by *order_cols*
+    WITHOUT the global single-partition window an un-partitioned
+    ``SUM(...) OVER (ORDER BY ...)`` plans to.
+
+    The classic two-pass distributed prefix sum (VERDICT r9 #3):
+
+    1. ``repartitionByRange`` on the order key — global order across
+       partitions, equal keys co-located — then ``localCheckpoint`` to
+       pin partition ids (the subtotal pass and the cumsum pass must
+       see the SAME pid assignment; checkpointing also makes the range
+       exchange run once).
+    2. Per-partition subtotals: a bounded frame (``<= n_parts`` rows)
+       collected to the driver and turned into broadcast offsets
+       (``offset[pid] = sum of subtotals of all earlier pids``) — the
+       same bounded-metadata-collect pattern as the Bloom bitmap and
+       greedy-argmax sites.
+    3. The cumulative window runs ``partitionBy(spark_partition_id)``
+       — every task sums only its own range; no Exchange
+       SinglePartition anywhere in the plan.
+
+    The result is invariant to where the sampled range boundaries
+    fall: ``cum(row) = offset(pid) + local_cumsum(row)`` equals the
+    global prefix sum for ANY contiguous split of a totally-ordered
+    key. *order_cols* must therefore form a total order (unique key
+    tuples — e.g. a DISTINCT-value rollup key, or (measure, pk));
+    duplicate tuples would make per-row cumulative values
+    tie-order-dependent under ANY engine, including the global window
+    this replaces.
+
+    ``value_col`` must be integer-typed (the offsets are carried as
+    exact int64 — consistent with the engine's int-first cumulative
+    discipline; see EXACT_DECIMAL note above for why float cumsums are
+    banned from hashed outputs anyway).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pfx_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subtot = (
+        part.groupBy("_pfx_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )  # bounded: <= n_parts rows
+    running = 0
+    offsets = []
+    for r in sorted(subtot, key=lambda r: r["_pfx_pid"]):
+        offsets.append((r["_pfx_pid"], running))
+        running += int(r["s"] or 0)
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pfx_pid INT, _pfx_off BIGINT"
+    )
+    w_local = (
+        Window.partitionBy("_pfx_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(off_df), "_pfx_pid")
+        .withColumn(
+            out_col,
+            (F.col("_pfx_off") + F.sum(value_col).over(w_local)).cast(
+                "bigint"
+            ),
+        )
+        .drop("_pfx_pid", "_pfx_off")
+    )

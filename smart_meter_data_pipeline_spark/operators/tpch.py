@@ -3884,12 +3884,19 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: quintiles come from the equi-depth bin formula
     (((cum − c)·B) div n + 1, ``events_value_equidepth_bins``'s
-    adjudicated idiom) over each measure's DISTINCT-VALUE rollup —
-    count-of-counts economics, never a global ntile window over the
-    customer table (the serialization point a naive NTILE(5) OVER
-    (ORDER BY …) introduces at 10^9 customers). The three
-    quintile maps join back on value equality; the final cube is
-    <= {RFM_BINS}³ rows. All integer: days, counts, exact centi."""
+    adjudicated idiom) over each measure's DISTINCT-VALUE rollup.
+    Count-of-counts bounds the recency (a few thousand distinct days)
+    and frequency (small ints) rollups, but ``monetary_centi`` is
+    near-unique per customer, so its rollup is ~|customers| rows — an
+    un-partitioned cumulative window over it would funnel 10^9 rows
+    through ONE task (VERDICT r9 #1). Each cumulative therefore runs
+    through :func:`common.distributed_prefix_sum`: range-repartition
+    on the measure, per-partition subtotals → broadcast offsets,
+    window PARTITIONED by the pinned range-partition id — no
+    Exchange SinglePartition anywhere (contract-pinned in
+    test_plan_contracts.test_rfm_abc_prefix_sum_partitioned). The
+    three quintile maps join back on value equality; the final cube
+    is <= {RFM_BINS}³ rows. All integer: days, counts, exact centi."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_day"),
@@ -3910,14 +3917,20 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    n_cust = cust.count()  # bounded scalar over the checkpointed rollup
+
     def quintiles(measure: str):
+        from smart_meter_data_pipeline_spark.operators.common import (
+            distributed_prefix_sum,
+        )
+
         dist = cust.groupBy(measure).agg(F.count(F.lit(1)).alias("c"))
-        return dist.select(
+        cum = distributed_prefix_sum(dist, [F.col(measure)], "c", "cum")
+        return cum.select(
             measure,
             F.expr(
-                f"CAST(((SUM(c) OVER (ORDER BY {measure} ROWS BETWEEN"
-                f" UNBOUNDED PRECEDING AND CURRENT ROW) - c)"
-                f" * {RFM_BINS}) div SUM(c) OVER () + 1 AS INT)"
+                f"CAST(((cum - c) * {RFM_BINS})"
+                f" div CAST({n_cust} AS BIGINT) + 1 AS INT)"
             ).alias(f"{measure}_q"),
         )
 
@@ -4014,16 +4027,23 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen every supply-chain and catalog team runs.
 
     Scale shape: fact → per-part exact-centi revenue rollup (map-side
-    combined); the cumulative window runs over the PART-level rollup
-    ordered by revenue — |parts|, not |lineitem| (and at 10^9 parts
-    the same count-of-counts trick as the equi-depth ops applies).
-    Class boundaries are integer milli cross-multiplications of exact
-    centi sums — no percentage floats. Output is the per-class
-    summary (bounded: 3 rows).
+    combined); the cumulative runs over the PART-level rollup ordered
+    by revenue — |parts|, not |lineitem|. Distinct revenue values are
+    ~|parts| (count-of-counts does NOT bound this axis), so the
+    cumulative is the two-pass range-partitioned prefix sum
+    (:func:`common.distributed_prefix_sum`) rather than an
+    un-partitioned window that would funnel 10^9 part rows through one
+    task (VERDICT r9 #1; contract-pinned in
+    test_plan_contracts.test_rfm_abc_prefix_sum_partitioned). Class
+    boundaries are integer milli cross-multiplications of exact centi
+    sums — no percentage floats. Output is the per-class summary
+    (bounded: 3 rows).
 
-    Ties: equal-revenue parts order by partkey under the window, so
-    class assignment is deterministic."""
-    from pyspark.sql import Window
+    Ties: equal-revenue parts order by partkey under the cumulative,
+    so class assignment is deterministic."""
+    from smart_meter_data_pipeline_spark.operators.common import (
+        distributed_prefix_sum,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -4034,17 +4054,15 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * 10000 AS BIGINT)"
             )
         ).alias("rev_ten_thousandths")
-    ).localCheckpoint(eager=True)  # one fact scan for window + total
-    w = Window.orderBy(
-        F.col("rev_ten_thousandths").desc(), F.col("l_partkey")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).localCheckpoint(eager=True)  # one fact scan for cumsum + total
     total = rev.agg(
         F.sum("rev_ten_thousandths").alias("tot")
     )
-    classed = rev.select(
-        "l_partkey",
+    classed = distributed_prefix_sum(
+        rev,
+        [F.col("rev_ten_thousandths").desc(), F.col("l_partkey")],
         "rev_ten_thousandths",
-        F.sum("rev_ten_thousandths").over(w).alias("cum"),
+        "cum",
     ).crossJoin(F.broadcast(total)).withColumn(
         "abc",
         F.when(
