@@ -28,6 +28,25 @@ bucketed-leg regressions tracked a 2× busier starting load, r4 3.8 →
 r5 8.2); legs that actually waited are recorded in ``load_gate`` so a
 gated round is visible in the artifact.
 
+Round-9 driver "regressions" on the mutation/semijoin legs, resolved
+(VERDICT r9 #2): BENCH_r09's 1.3-1.6x jumps on manifest_mor_delete /
+manifest_mor_read / bloom_semijoin / prefix_filter_join /
+manifest_upsert_clustered were LOAD NOISE, not the pk-only-pruning
+soundness fix (commit ecb62cf). Measured round 10 by running this
+bench isolated at the current commit vs ecb62cf~1 on the same quiet
+box (load 0.25): mor_delete 0.856->0.905 (+5.7%), mor_read
+0.800->0.786 (-2%), prefix_filter_join 2.195->2.319 (+6%),
+upsert_clustered 2.181->2.439 (+12%), upsert_10pct 4.215->4.561
+(+8%) — and bloom_semijoin, which never touches manifest pruning,
+moved +16%, bounding same-box noise at ~±15% per leg. So the pk-only
+rule costs <=~10% on mutation legs and ZERO skipping power on the
+clustered claim: manifest_clustered.files_rewritten is 2/32 both
+before and after the fix (the clustered prune key IS the pk). All
+five legs sit at their r8 driver levels when run quiet (e.g.
+mor_delete 0.905 vs driver-r9's 1.67). The `summary.gated_legs` /
+`load_avg_start_1m` scalars now ride the tail so a loaded driver run
+is distinguishable in BENCH_r{N}.json itself.
+
 tpch_pricing_summary floor (r7 ask #6, profiled r8): the leg's
 ~1.2-1.3 s is NOT a regression in this repo's code — session.py,
 readers.py, common.py and the query are byte-identical to round 5's
@@ -510,11 +529,18 @@ def main() -> None:
             mtz, spark, target_partitions=32, cluster_by=pk_cols,
             zorder=True,
         )
+        # repeat=1: a second timed run would upsert an ALREADY-restated
+        # table (run 1's staged files), mixing two workloads into the
+        # min — and indexing the first post-leg commit via a fixed
+        # [-2] silently broke if repeat changed. Record the commit
+        # count before the leg and index the first commit after it.
+        z_commits_before = len(mtz.snapshot())
         leg(
             "manifest_upsert_zordered_2d",
             lambda: mtz.upsert(spark, slice_2d),
+            repeat=1,
         )
-        z_first = mtz.snapshot()[-2]
+        z_first = mtz.snapshot()[z_commits_before]
         # lexicographic control (meter-only clustering, same slice)
         mtl = ManifestTable(
             os.path.join(workdir, "fact_lexico"), stats_columns=pk_cols
@@ -641,6 +667,15 @@ def main() -> None:
             "pq_adc_recall": ivf_recall.get("pq_adc", {}).get(
                 "recall_at_k"
             ),
+            # VERDICT r9 #2: whether ANY leg ran while the box was
+            # still loaded must survive in the driver's bounded tail —
+            # a regressed leg with gated_legs>0 is load noise first,
+            # plan change second.
+            "gated_legs": sum(
+                1 for v in load_gate.values() if v["gated_through"]
+            ),
+            "waited_legs": len(gated_only),
+            "load_avg_start_1m": load_avg_start[0],
         },
     }
     print(json.dumps(result))
