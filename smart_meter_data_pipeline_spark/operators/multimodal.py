@@ -640,17 +640,26 @@ def _phash_oracle() -> str:
     )
     return f"""
 WITH lens AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n,
+  -- byte-true twin of the Python side (which hashes raw UTF-8
+  -- bytes): hex() the encoded blob and decode each byte from its two
+  -- nibbles, so block size AND per-position values both index BYTES.
+  -- (ascii(substring(text, i, 1)) would index CHARACTERS and return
+  -- CODEPOINTS — divergent on any non-ASCII document.)
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
          1 + (octet_length(encode(text)) - 1) // {PHASH_BITS} AS blk
   FROM documents
 ),
 pos AS (
-  SELECT doc_id, text, blk, unnest(range(1, n + 1)) AS i FROM lens
+  SELECT doc_id, hx, blk, unnest(range(1, n + 1)) AS i FROM lens
 ),
 chars AS (
   SELECT doc_id,
          CAST((i - 1) // blk AS INT) AS b,
-         ascii(substring(text, CAST(i AS INT), 1)) AS v
+         (position(substring(hx, CAST(2 * i - 1 AS INT), 1)
+                   IN '0123456789ABCDEF') - 1) * 16
+         + (position(substring(hx, CAST(2 * i AS INT), 1)
+                     IN '0123456789ABCDEF') - 1) AS v
   FROM pos
 ),
 blocks AS (

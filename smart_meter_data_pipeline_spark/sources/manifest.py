@@ -1987,6 +1987,8 @@ def optimize_table(
                     "committed_at": time.time(),
                 }
             ).encode()
+            if table._pre_publish_hook is not None:
+                table._pre_publish_hook()
             if _put_if_absent(table._commit_path(fence), payload):
                 return {
                     "files_rewritten": len(small),

@@ -769,3 +769,75 @@ def test_coarse_iters_for_nprobe_dial():
     assert s.coarse_iters_for_nprobe(4) == s.COARSE_TRAIN_ITERS
     assert s.coarse_iters_for_nprobe(8) == 0
     assert s.coarse_iters_for_nprobe(16) == 0
+
+
+def test_phash_block_quantized_bit_stays_discriminative(spark, sf_dir):
+    """VERDICT r9 #7: a block-MEAN pHash bit is non-discriminative on
+    flat text payloads (uniform byte mass collapsed the corpus onto a
+    handful of signatures — 15.8k false pairs vs 23 true at sf0.01
+    before the quantized fix). Pin the shipped block-QUANTIZED bit
+    ((sum >> 1) & 1) at both symptom sites so a future
+    "simplification" back to block means cannot silently regress:
+
+    - signature DIVERSITY: distinct signatures ~ distinct documents
+      (the mean bit collapses this to a few percent);
+    - pair count stays within the near-dup regime (tens on the
+      fixture corpus, never thousands)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = multimodal.phash_signatures(multimodal.with_binary_content(docs))
+    n_docs = docs.count()
+    n_sigs = sig.select("phash").distinct().count()
+    assert n_sigs >= 0.9 * n_docs, (n_sigs, n_docs)
+
+    pairs = multimodal.multimodal_phash_neardup(spark, sf_dir)
+    n_pairs = pairs.count()
+    # sf0.001: 27 pairs / 500 docs; sf0.01: 23 pairs / 5000 docs.
+    # block-mean regression produced O(10^4) pairs at sf0.01.
+    assert n_pairs <= max(100, n_docs // 5), n_pairs
+    # every reported pair sits inside the pigeonhole radius
+    assert pairs.filter(
+        F.col("hamming") > multimodal.PHASH_MAX_HAMMING
+    ).count() == 0
+
+
+def test_phash_oracle_is_byte_true_on_non_ascii(spark, tmp_path):
+    """ADVICE r10: the DuckDB oracle must hash BYTES, not characters —
+    block size came from octet_length(encode(text)) but the old
+    per-position values used ascii(substring(text, i, 1)), which
+    indexes characters and returns codepoints, diverging from the
+    Python byte hash on any non-ASCII document. The oracle now decodes
+    each byte from hex(encode(text)) nibbles; pin it with a corpus
+    where byte length != char length."""
+    import duckdb
+
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    texts = [
+        (1, "héllo wörld — ünïcode pâyload"),
+        (2, "héllo wörld — ünïcode pâyload"),  # exact dup of 1
+        (3, "plain ascii payload of similar length"),
+        (4, "héllo wörld — ünïcode pàyload"),  # 1-char accent edit
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts], "doc_id BIGINT, text STRING"
+    )
+    pdir = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pdir)
+
+    got = sorted(
+        map(
+            tuple,
+            multimodal.multimodal_phash_neardup(spark, str(tmp_path))
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pdir}/*.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(ORACLES["multimodal_phash_neardup"]).fetchall())
+    )
+    assert got == want, (got, want)
+    # the exact unicode duplicate must land at hamming 0
+    assert (1, 2, 0) in got

@@ -320,3 +320,74 @@ def test_upsert_losing_race_to_mor_tombstone_raises_on_retry(spark, table):
     df = table.read(spark)
     assert df.filter("meter_id = 3").count() == 0
     assert df.count() == 90
+
+
+def test_optimize_zorder_losing_race_to_mor_tombstone_raises(spark, table):
+    """VERDICT r9 #8: OPTIMIZE (including the Z-order rewrite) reads
+    data files RAW, so a MoR tombstone landing between its listing and
+    its put-if-absent publish must force the retry loop to revalidate
+    and raise PendingTombstonesError — publishing the rewrite would
+    bump the packed files' origin commit past the tombstone's upto
+    fence and resurrect the deleted rows. Deterministic twin of the
+    CoW-upsert race above, for the OPTIMIZE path."""
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t2 = ManifestTable(table.table_dir)
+            assert t2.delete_keys_mor(spark, _keys(spark, 3)) == 10
+
+    n_before = len(table.snapshot())
+    table._pre_publish_hook = hook
+    try:
+        with pytest.raises(PendingTombstonesError):
+            optimize_table(
+                table,
+                spark,
+                target_partitions=2,
+                cluster_by=["meter_id", "reading_timestamp"],
+                zorder=True,
+            )
+    finally:
+        table._pre_publish_hook = None
+
+    # exactly one new commit: the tombstone; no optimize commit and no
+    # orphaned staged files
+    commits = table.snapshot()
+    assert len(commits) == n_before + 1
+    assert commits[-1].get("tombstones")
+    assert not any(c.get("optimize") for c in commits)
+    live = set(table._files(commits))
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(table.data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    tomb_files = {
+        os.path.join(table.data_dir, rel)
+        for c in commits
+        for tb in (c.get("tombstones") or [])
+        for rel in tb["rels"]
+    }
+    assert on_disk - live - tomb_files == set()
+    # reads still honor the tombstone
+    df = table.read(spark)
+    assert df.filter("meter_id = 3").count() == 0
+    assert df.count() == 90
+    # and after applying tombstones, OPTIMIZE ZORDER goes through
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        apply_tombstones,
+    )
+
+    apply_tombstones(table, spark)
+    res = optimize_table(
+        table,
+        spark,
+        target_partitions=2,
+        cluster_by=["meter_id", "reading_timestamp"],
+        zorder=True,
+    )
+    assert res["files_created"] >= 1
+    assert table.read(spark).count() == 90
