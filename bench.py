@@ -551,10 +551,27 @@ def main() -> None:
         )
         mtl.upsert(spark, slice_2d)
         l_up = mtl.snapshot()[-1]
+        # read-path zone-map skipping on the same 2-D slice: the
+        # Z-ordered layout must let the sliced read open only the
+        # tiles intersecting BOTH ranges (round-10 read(where=...))
+        import datetime as _dt
+
+        skip_where = {
+            "meter_id": (2000, 9999),
+            "reading_timestamp": (
+                _dt.datetime(2024, 1, 1, 10, 0, 0),
+                _dt.datetime(2024, 1, 1, 11, 59, 59),
+            ),
+        }
+        leg(
+            "manifest_skipping_read",
+            lambda: mtz.read(spark, where=skip_where).count(),
+        )
         manifest_zorder = {
             "zorder_files_rewritten": len(z_first.get("removed", [])),
             "lexico_files_rewritten": len(l_up.get("removed", [])),
             "files_live": 32,
+            "skipping_read": mtz.skipping_report(skip_where),
         }
 
         # 17. Bloom runtime-filter semi-join (r8 scale_ops): 8 KiB

@@ -2492,3 +2492,130 @@ SELECT stage,
 FROM stages
 """,
 )(corpus_curation_funnel)
+
+
+def events_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by count-min inner product (the AMS/CM
+    sketch identity: ``|A ⋈_k B| = Σ_k f_A(k)·f_B(k)`` and
+    ``min_d Σ_w c_A[d][w]·c_B[d][w]`` never underestimates it) —
+    what a cost-based planner consults BEFORE committing to a join
+    strategy at 100 TB, where computing the exact size is itself a
+    join. Estimates the user_id self-join size between the first and
+    second half of the events month, audited against the exact value
+    so the oracle hash proves the sketch arithmetic end-to-end.
+
+    Scale shape: each side is ONE fact rollup to (user, freq) —
+    map-side combined — then folded into a fixed {CMS_D}×{CMS_W}
+    counter grid (bounded state, broadcastable); the inner product is
+    an equi-join of two {CMS_D}·{CMS_W}-cell frames. The EXACT audit
+    term joins the two user-level rollups (|users| rows) — the thing
+    the sketch exists to avoid at scale, kept here as the yardstick.
+    All counters and products are exact int64."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    half = "CAST(ts AS DATE) < DATE'2024-01-16'"
+    fa = (
+        ev.filter(F.expr(half))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    fb = (
+        ev.filter(~F.expr(half))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+
+    def sketch(freqs: DataFrame) -> DataFrame:
+        cells = freqs.select(
+            "f",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.expr(
+                                _cms_bucket_expr(
+                                    d, "CAST(user_id AS STRING)"
+                                )
+                            ).alias("bucket"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("db"),
+        ).select("f", "db.d", "db.bucket")
+        return cells.groupBy("d", "bucket").agg(
+            F.sum("f").alias("counter")
+        )
+    sa, sb = sketch(fa), sketch(fb)
+    est = (
+        sa.join(sb.withColumnRenamed("counter", "counter_b"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("counter") * F.col("counter_b")).alias("ip"))
+        .agg(F.min("ip").alias("cm_estimate"))
+    )
+    exact = (
+        fa.join(fb.withColumnRenamed("f", "f_b"), "user_id")
+        .agg(F.sum(F.col("f") * F.col("f_b")).alias("exact_size"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            F.col("exact_size").cast("bigint").alias("exact_join_size"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_size"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+def _cm_join_size_oracle() -> str:
+    def bucket_sql(d: int) -> str:
+        h = f"md5(concat('{d}:', CAST(user_id AS STRING)))"
+        return (
+            f"((strpos('{_CMS_HEX}', substr({h}, 1, 1)) - 1) * 16"
+            f" + (strpos('{_CMS_HEX}', substr({h}, 2, 1)) - 1)) % {CMS_W}"
+        )
+
+    def cells(src: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT f, {d} AS d, {bucket_sql(d)} AS bucket"
+            f" FROM {src}"
+            for d in range(CMS_D)
+        )
+
+    return f"""
+WITH fa AS (
+  SELECT user_id, COUNT(*) AS f FROM events
+  WHERE CAST(ts AS DATE) < DATE '2024-01-16' GROUP BY 1
+),
+fb AS (
+  SELECT user_id, COUNT(*) AS f FROM events
+  WHERE NOT (CAST(ts AS DATE) < DATE '2024-01-16') GROUP BY 1
+),
+ca AS ({cells('fa')}),
+cb AS ({cells('fb')}),
+sa AS (SELECT d, bucket, SUM(f) AS counter FROM ca GROUP BY 1, 2),
+sb AS (SELECT d, bucket, SUM(f) AS counter FROM cb GROUP BY 1, 2),
+ip AS (
+  SELECT sa.d, SUM(sa.counter * sb.counter) AS ip
+  FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+  GROUP BY 1
+),
+est AS (SELECT MIN(ip) AS cm_estimate FROM ip),
+exact AS (
+  SELECT SUM(fa.f * fb.f) AS exact_size
+  FROM fa JOIN fb ON fa.user_id = fb.user_id
+)
+SELECT CAST(exact_size AS BIGINT) AS exact_join_size,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - exact_size AS BIGINT) AS overestimate
+FROM exact, est
+"""
+
+
+register("events_cm_join_size", _cm_join_size_oracle())(
+    events_cm_join_size
+)

@@ -5377,3 +5377,267 @@ SELECT event_type,
 FROM holt WHERE i = n
 """,
 )(events_holt_backtest)
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics over daily series (round 10): Spearman / Mann-Kendall
+# ---------------------------------------------------------------------------
+
+
+def events_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every PAIR of event types'
+    DAILY volumes — the robust (outlier- and monotone-transform-
+    invariant) twin of ``events_type_crosscorr``'s Pearson screen.
+    Computed on the PAIRED sample (days where both types fired), with
+    midranks for ties, via the d² identity
+    ``rho = 1 − 6·Σd² / (n(n²−1))``.
+
+    Determinism contract: ranks are carried as INTEGER doubled
+    midranks (``2·rank + ties − 1``), so ``(2d)²`` and its sum are
+    exact int64 and ``rho_micro`` is one integer cross-multiplication
+    — no floats anywhere (the d² identity with midranks is the
+    classic textbook estimator; it differs from Pearson-on-ranks only
+    under heavy ties, stated here so the semantics are pinned).
+
+    Scale shape: ONE fact scan → type×day rollup (map-side combine,
+    bounded |types|·|days|); the pair join and the rank windows run
+    over that tiny frame, windows partitioned by the (type_a, type_b)
+    pair — never a global sort, never a second fact scan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("c").alias("c_a"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("c").alias("c_b"),
+    )
+    paired = a.join(
+        b,
+        (F.col("day") == F.col("day_b"))
+        & (F.col("type_a") < F.col("type_b")),
+    ).select("type_a", "type_b", "day", "c_a", "c_b")
+
+    def r2(col: str) -> F.Column:
+        w_rank = Window.partitionBy("type_a", "type_b").orderBy(col)
+        w_tie = Window.partitionBy("type_a", "type_b", col)
+        return (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+        ).cast("bigint")
+
+    ranked = paired.select(
+        "type_a",
+        "type_b",
+        r2("c_a").alias("r2_a"),
+        r2("c_b").alias("r2_b"),
+    )
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            (F.col("r2_a") - F.col("r2_b"))
+            * (F.col("r2_a") - F.col("r2_b"))
+        ).alias("sum_4d2"),
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("sum_4d2").cast("bigint").alias("sum_4d2"),
+        F.expr(
+            "CASE WHEN n_days > 1 THEN CAST(1000000 -"
+            " (1500000 * sum_4d2)"
+            " div (n_days * (n_days * n_days - 1)) AS BIGINT) END"
+        ).alias("rho_micro"),
+    )
+
+
+register(
+    "events_spearman_daily",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+         a.c AS c_a, b.c AS c_b
+  FROM daily a JOIN daily b
+    ON a.day = b.day AND a.event_type < b.event_type
+),
+ranked AS (
+  SELECT type_a, type_b,
+         2 * RANK() OVER (PARTITION BY type_a, type_b ORDER BY c_a)
+           + COUNT(*) OVER (PARTITION BY type_a, type_b, c_a) - 1 AS r2_a,
+         2 * RANK() OVER (PARTITION BY type_a, type_b ORDER BY c_b)
+           + COUNT(*) OVER (PARTITION BY type_a, type_b, c_b) - 1 AS r2_b
+  FROM paired
+),
+agg AS (
+  SELECT type_a, type_b, COUNT(*) AS n_days,
+         SUM((r2_a - r2_b) * (r2_a - r2_b)) AS sum_4d2
+  FROM ranked GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(sum_4d2 AS BIGINT) AS sum_4d2,
+       CASE WHEN n_days > 1 THEN CAST(1000000 -
+            CAST((1500000 * sum_4d2) AS BIGINT)
+            // (n_days * (n_days * n_days - 1)) AS BIGINT) END
+         AS rho_micro
+FROM agg
+""",
+)(events_spearman_daily)
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type over the daily
+    volume series: ``S = Σ_{i<j} sign(x_j − x_i)`` with the
+    tie-corrected variance
+    ``Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18`` and the
+    continuity-corrected normal score — the standard nonparametric
+    "is this KPI drifting" screen (no distribution or linearity
+    assumption, unlike a regression slope).
+
+    Determinism contract: S, n and ``var18 = 18·Var(S)`` are exact
+    int64; z is the only float — one exact division by 18.0, one
+    IEEE-exact sqrt, one subtraction, rounded to 6 decimals at
+    z-score magnitude (safe per the round-precision rule).
+
+    Scale shape: ONE fact scan → type×day rollup (bounded
+    |types|·|days|); the sign pair join is a self-join of that tiny
+    frame per type (|days|²/2 pairs, calendar-bounded by
+    construction), tie terms a second rollup of the same frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )  # feeds pairs AND tie rollup: one fact scan, structurally
+    a = daily.select(
+        "event_type", F.col("day").alias("d_i"), F.col("c").alias("c_i")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("d_j"),
+        F.col("c").alias("c_j"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et"))
+            & (F.col("d_i") < F.col("d_j")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("c_j") > F.col("c_i"), 1)
+                .when(F.col("c_j") < F.col("c_i"), -1)
+                .otherwise(0)
+            ).alias("s_stat"),
+        )
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term")
+        )
+    )
+    out = (
+        per_type.join(s, "event_type")
+        .join(ties, "event_type")
+        .withColumn(
+            "var18",
+            F.expr(
+                "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "z",
+            F.when(
+                F.col("var18") > 0,
+                F.round(
+                    (
+                        F.col("s_stat")
+                        - F.signum(F.col("s_stat")).cast("bigint")
+                    ).cast("double")
+                    / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+                    6,
+                ),
+            ),
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        "var18",
+        F.col("z").alias("z_score"),
+        F.expr(
+            "CASE WHEN z > 1.959964 THEN 'increasing'"
+            " WHEN z < -1.959964 THEN 'decreasing'"
+            " ELSE 'no_trend' END"
+        ).alias("trend"),
+    )
+
+
+register(
+    "events_mann_kendall",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN b.c > a.c THEN 1
+                  WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+per_type AS (
+  SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT event_type, c, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+base AS (
+  SELECT p.event_type, p.n_days, s.s_stat,
+         CAST(p.n_days * (p.n_days - 1) * (2 * p.n_days + 5)
+              - t.tie_term AS BIGINT) AS var18
+  FROM per_type p JOIN s ON s.event_type = p.event_type
+  JOIN ties t ON t.event_type = p.event_type
+),
+z AS (
+  SELECT *,
+         CASE WHEN var18 > 0 THEN
+           round((s_stat - sign(s_stat))
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+         END AS z_score
+  FROM base
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       var18,
+       z_score,
+       CASE WHEN z_score > 1.959964 THEN 'increasing'
+            WHEN z_score < -1.959964 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM z
+""",
+)(events_mann_kendall)

@@ -1426,6 +1426,88 @@ SELECT * FROM readings""",
 )(manifest_asof_read)
 
 
+def manifest_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-path zone-map data skipping under the driver gate: land
+    the generator day, OPTIMIZE ZORDER on the PK so per-file
+    (meter_id, reading_timestamp) ranges are narrow, then
+    ``read(where={meter: range, ts: range})`` — a 2-D slice read that
+
+    - asserts the zone maps actually SKIPPED files
+      (``skipping_report``: files_read < files_live),
+    - asserts the pruned read equals the unpruned
+      ``read().filter(...)`` row-for-row in count (skipping is an IO
+      optimization, never the correctness filter — files are
+      immutable, so ANY stats column is sound on the read path,
+      unlike mutation pruning's pk-only rule),
+    - exercises an open-ended bound (``(150, None)``) the same way,
+    - returns the sliced read against the plain filtered generator
+      oracle, so a skip that hides a matching row (or a filter that
+      leaks one) breaks the hash.
+
+    This is the scan half of the clustering story the mutation bench
+    already proves: OPTIMIZE (ZORDER) narrows per-file stats exactly
+    so point/range reads open O(matching) files at 100 TB instead of
+    all of them (Delta/Iceberg data-skipping semantics)."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        optimize_table,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_skip_q_")
+    try:
+        pk = ["meter_id", "reading_timestamp"]
+        t = ManifestTable(
+            os.path.join(workdir, "fact"), stats_columns=pk
+        )
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        optimize_table(
+            t, spark, target_partitions=16, cluster_by=pk, zorder=True
+        )
+        lo_ts = _dt.datetime(2024, 1, 1, 10, 0, 0)
+        hi_ts = _dt.datetime(2024, 1, 1, 13, 45, 0)
+        where = {"meter_id": (40, 90), "reading_timestamp": (lo_ts, hi_ts)}
+        rep = t.skipping_report(where)
+        if not (0 < rep["files_read"] < rep["files_live"]):
+            raise AssertionError(f"zone maps skipped nothing: {rep}")
+        n_pruned = t.read(spark, where=where).count()
+        n_plain = (
+            t.read(spark)
+            .filter(F.col("meter_id").between(40, 90))
+            .filter(F.col("reading_timestamp").between(lo_ts, hi_ts))
+            .count()
+        )
+        if n_pruned != n_plain:
+            raise AssertionError(
+                f"pruned read {n_pruned} rows != filtered {n_plain}"
+            )
+        open_where = {"meter_id": (150, None)}
+        n_open = t.read(spark, where=open_where).count()
+        n_open_plain = t.read(spark).filter("meter_id >= 150").count()
+        if n_open != n_open_plain:
+            raise AssertionError(
+                f"open-ended read {n_open} != {n_open_plain}"
+            )
+        return t.read(spark, where=where).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_skipping_read",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings
+WHERE meter_id BETWEEN 40 AND 90
+  AND reading_timestamp BETWEEN TIMESTAMP '2024-01-01 10:00:00'
+                            AND TIMESTAMP '2024-01-01 13:45:00'""",
+)(manifest_skipping_read)
+
+
 def meter_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load factor per meter — the power-industry utilization KPI
     (average load / peak load; a factor near 1 is a flat, efficient

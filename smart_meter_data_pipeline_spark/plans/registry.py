@@ -173,6 +173,12 @@ _PRIORITY = [
     "manifest_ivm_join",
     "corpus_curation_funnel",
     "multimodal_phash_neardup",
+    # (r10-new) added in round 10 — never evaluated, tail of the r11
+    # drain window alongside the sections above
+    "manifest_skipping_read",
+    "events_spearman_daily",
+    "events_mann_kendall",
+    "events_cm_join_size",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",

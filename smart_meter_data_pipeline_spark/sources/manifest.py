@@ -414,8 +414,27 @@ class ManifestTable:
         dates: list | None = None,
         asof: float | None = None,
         tag: str | None = None,
+        where: dict | None = None,
     ) -> DataFrame | None:
         """The committed table contents (None when no commits yet).
+
+        ``where`` — zone-map data skipping on the READ path:
+        ``{col: (lo, hi)}`` inclusive ranges (ints or timestamps;
+        either bound None for open-ended). Files whose recorded
+        per-file [min, max] for ANY named column is disjoint from its
+        range are never opened, and the row-level filter is applied on
+        top, so the result ALWAYS equals ``read().filter(...)`` —
+        stats skipping is an IO optimization, never the correctness
+        filter. Unlike mutation pruning (pk-only, round-9 rule), read
+        pruning may use ANY stats column: data files are immutable and
+        their recorded stats bound their actual contents, so a
+        read-side skip can never hide a row the predicate matches —
+        the mutation hazard (a restatement CHANGING a non-key value
+        out from under the batch's range) does not exist when nothing
+        is rewritten. This is the scan-pruning half of the clustering
+        story: OPTIMIZE (ZORDER) narrows per-file ranges exactly so
+        that these reads open O(matching) files instead of all of
+        them.
 
         ``dates`` prunes at the FILE level from commit metadata — the
         manifest's partition pruning: only files added by commits
@@ -469,12 +488,37 @@ class ManifestTable:
         if not files:
             return None
         schema = self._evolved_schema(commits)
+        row_filters = []
+        if where:
+            key_ranges = {}
+            for col, (lo, hi) in where.items():
+                # open-ended bounds become int sentinels (wider than
+                # any epoch-micros or bigint stat) so the column still
+                # prunes on its bounded side
+                key_ranges[col] = (
+                    lo if lo is not None else -(2**62),
+                    hi if hi is not None else 2**62,
+                )
+                if lo is not None:
+                    row_filters.append(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    row_filters.append(F.col(col) <= F.lit(hi))
+            files = self._prune_by_stats(files, commits, key_ranges)
+            if not files:
+                if schema is not None:
+                    return spark.createDataFrame([], schema)
+                # legacy table without recorded schemas: derive it
+                # from one original file; the row filter empties it
+                files = self._files(commits)[:1]
         # Pending merge-on-read tombstones (delete_keys_mor) anti-join
         # onto exactly the files they govern; a tombstone-free table
         # takes the plain one-reader path inside.
-        return self._read_files_with_tombstones(
+        df = self._read_files_with_tombstones(
             spark, numbered, files, schema
         )
+        for f in row_filters:
+            df = df.filter(f)
+        return df
 
     @staticmethod
     def _evolved_schema(commits: list[dict]):
@@ -496,6 +540,28 @@ class ManifestTable:
         if not fields:
             return None
         return StructType(list(fields.values()))
+
+    def skipping_report(self, where: dict) -> dict:
+        """Metadata-only dry run of ``read(where=...)``'s file
+        skipping: how many live files the zone maps keep vs skip for
+        the given ranges. The observability half of read-path data
+        skipping — tests and the bench assert on it without reading a
+        byte of data."""
+        commits = self.snapshot()
+        files = self._files(commits)
+        key_ranges = {
+            col: (
+                lo if lo is not None else -(2**62),
+                hi if hi is not None else 2**62,
+            )
+            for col, (lo, hi) in where.items()
+        }
+        kept = self._prune_by_stats(files, commits, key_ranges)
+        return {
+            "files_live": len(files),
+            "files_read": len(kept),
+            "files_skipped": len(files) - len(kept),
+        }
 
     def history(self) -> list[dict]:
         """Audit view of the commit log: one dict per version with the

@@ -1922,3 +1922,92 @@ def test_batch_key_ranges_timestamp_is_tz_independent(spark):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def _skip_table(spark, tmp_path, stats_cols):
+    """16 single-file appends with disjoint meter ranges [i*10, i*10+10)."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(
+        str(tmp_path / "skip_tbl"), stats_columns=stats_cols
+    )
+    for i in range(16):
+        rows = [
+            (
+                dt.datetime(2024, 3, 1, i, m, 0),
+                i * 10 + m,
+                float(i),
+            )
+            for m in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "reading_timestamp timestamp, meter_id bigint, v double"
+        ).repartition(1)
+        t.idempotent_append(spark, df)
+    return t
+
+
+def test_read_where_skips_files_and_matches_filter(spark, tmp_path):
+    """Zone-map skipping on the READ path: disjoint per-file meter
+    ranges must let a narrow range read open only its files, and the
+    result must equal the unpruned filter row-for-row. Timestamp
+    ranges prune through the epoch-micros stats the same way."""
+    t = _skip_table(spark, tmp_path, ["meter_id", "reading_timestamp"])
+    rep = t.skipping_report({"meter_id": (25, 44)})
+    assert rep == {"files_live": 16, "files_read": 3, "files_skipped": 13}
+    got = t.read(spark, where={"meter_id": (25, 44)})
+    want = t.read(spark).filter("meter_id BETWEEN 25 AND 44")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # timestamp range: hours 3-5 live in exactly three files
+    import datetime as dt
+
+    lo, hi = dt.datetime(2024, 3, 1, 3), dt.datetime(2024, 3, 1, 5, 59)
+    rep_ts = t.skipping_report({"reading_timestamp": (lo, hi)})
+    assert rep_ts["files_read"] == 3
+    assert t.read(
+        spark, where={"reading_timestamp": (lo, hi)}
+    ).count() == 30
+    # open-ended bound still prunes on its bounded side
+    rep_open = t.skipping_report({"meter_id": (140, None)})
+    assert rep_open["files_read"] == 2
+    assert t.read(spark, where={"meter_id": (140, None)}).count() == 20
+    # pruned-to-empty returns an EMPTY frame, not None
+    empty = t.read(spark, where={"meter_id": (10_000, 20_000)})
+    assert empty is not None and empty.count() == 0
+    assert set(empty.columns) == {
+        "reading_timestamp",
+        "meter_id",
+        "v",
+    }
+
+
+def test_read_where_non_stats_column_filters_but_keeps_all_files(spark, tmp_path):
+    """A `where` column without recorded stats must keep every file —
+    the row filter alone provides the semantics (skipping is an
+    optimization, never the correctness filter)."""
+    t = _skip_table(spark, tmp_path, ["meter_id"])
+    # v has no stats records: zero pruning, still filtered
+    rep = t.skipping_report({"v": (3, 3)})
+    assert rep["files_read"] == rep["files_live"] == 16
+    assert t.read(spark, where={"v": (3, 3)}).count() == 10
+    # combined: the stats column prunes, the stats-free one filters
+    got = t.read(spark, where={"meter_id": (25, 44), "v": (3, 3)})
+    assert got.count() == 10
+    assert t.skipping_report(
+        {"meter_id": (25, 44), "v": (3, 3)}
+    )["files_read"] == 3
+
+
+def test_read_where_applies_pending_mor_tombstones(spark, tmp_path):
+    """A zone-map read must still anti-join pending MoR tombstones:
+    deleted keys stay invisible inside the kept files."""
+    t = _skip_table(spark, tmp_path, ["meter_id"])
+    doomed = t.read(spark).filter("meter_id BETWEEN 30 AND 34").select(
+        "reading_timestamp", "meter_id"
+    )
+    assert t.delete_keys_mor(spark, doomed) == 5
+    got = t.read(spark, where={"meter_id": (25, 44)})
+    assert got.count() == 15
+    assert got.filter("meter_id BETWEEN 30 AND 34").count() == 0
