@@ -819,3 +819,160 @@ SELECT k.event_type,
 FROM kept k JOIN chart c ON k.event_type = c.event_type
 """,
 )(events_spc_xbar_r)
+
+
+def events_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from STORED daily HLL
+    sketches — the rolling-audience metric (weekly active users, every
+    day) that exact distinct cannot serve at 100 TB: COUNT(DISTINCT)
+    does not re-aggregate, so the exact form re-scans 7 days of fact
+    per output day, while the sketch form OR-merges seven
+    64-register tables per output day from the daily sketch store
+    (``events_hll_daily_rollup``'s cube, consumed as a sliding
+    window). The exact WAU rides along as the audit column, same
+    yardstick pattern as ``events_hll_overlap``.
+
+    Determinism: registers exact integers; Σ2^-reg accumulated as the
+    exact bigint Σ2^(33-reg) with absent buckets contributing 2^33
+    (register 0) via the closed form — no grid join needed; one float
+    divide, rounded at 4.
+
+    Scale shape: ONE scan → (day × bucket ≤ 30·64) daily register
+    table; each day's registers explode to the ≤7 windows they cover
+    (a bounded calendar explode, the rolling-active-users idiom) and
+    re-aggregate — never a range join, never a re-scan. The exact
+    audit explodes the (user, day) dedup the same way — the
+    |user-days|·7 shuffle the sketch path exists to avoid, kept at
+    test scale as the yardstick."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    h = ev.withColumn(
+        "h", F.md5(F.col("user_id").cast("string").cast("binary"))
+    )
+    bucket = F.expr(
+        f"((instr('{_HLL_HEX}', substr(h, 1, 1)) - 1) * 16"
+        f" + (instr('{_HLL_HEX}', substr(h, 2, 1)) - 1)) % {HLL_BUCKETS}"
+    )
+    rho = F.expr(_hll_rho_case("instr"))
+    daily = (
+        h.select("day", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    lo, hi = "DATE'2024-01-07'", "DATE'2024-01-30'"
+    win = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("window_day"),
+            "bucket",
+            "register",
+        )
+        .filter(F.expr(f"window_day BETWEEN {lo} AND {hi}"))
+        .groupBy("window_day", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    sums = win.groupBy("window_day").agg(
+        F.sum(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(33 - register AS INT))"
+            )
+        ).alias("ssum_hit"),
+        F.count(F.lit(1)).alias("n_hit"),
+    )
+    ssum = F.expr(
+        f"ssum_hit + ({HLL_BUCKETS} - n_hit)"
+        " * shiftleft(CAST(1 AS BIGINT), 33)"
+    )
+    exact = (
+        ev.distinct()
+        .select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("window_day"),
+            "user_id",
+        )
+        .filter(F.expr(f"window_day BETWEEN {lo} AND {hi}"))
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        sums.join(exact, "window_day")
+        .select(
+            "window_day",
+            ssum.cast("bigint").alias("ssum"),
+            F.round(F.expr(_hll_est("ssum_hit + "
+                f"({HLL_BUCKETS} - n_hit)"
+                " * shiftleft(CAST(1 AS BIGINT), 33)")), 4).alias(
+                "est_users"
+            ),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+        )
+    )
+
+
+def _hll_sliding_oracle() -> str:
+    rho = _hll_rho_case("strpos")
+    return f"""
+WITH hashed AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+scored AS (
+  SELECT day,
+         ((strpos('{_HLL_HEX}', substr(h, 1, 1)) - 1) * 16
+          + (strpos('{_HLL_HEX}', substr(h, 2, 1)) - 1)) % {HLL_BUCKETS}
+           AS bucket,
+         {rho} AS rho
+  FROM hashed
+),
+daily AS (
+  SELECT day, bucket, MAX(rho) AS register FROM scored GROUP BY 1, 2
+),
+contrib AS (
+  SELECT unnest(range(day, day + INTERVAL 7 DAY, INTERVAL 1 DAY))
+           AS wd, bucket, register
+  FROM daily
+),
+win AS (
+  SELECT CAST(wd AS DATE) AS window_day, bucket, MAX(register) AS register
+  FROM contrib
+  WHERE CAST(wd AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-30'
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT window_day,
+         SUM(1::BIGINT << (33 - register)) AS ssum_hit,
+         COUNT(*) AS n_hit
+  FROM win GROUP BY 1
+),
+ud AS (SELECT DISTINCT day, user_id FROM hashed),
+uc AS (
+  SELECT unnest(range(day, day + INTERVAL 7 DAY, INTERVAL 1 DAY))
+           AS wd, user_id
+  FROM ud
+),
+exact AS (
+  SELECT CAST(wd AS DATE) AS window_day,
+         COUNT(DISTINCT user_id) AS exact_users
+  FROM uc
+  WHERE CAST(wd AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-30'
+  GROUP BY 1
+)
+SELECT s.window_day,
+       CAST(s.ssum_hit + ({HLL_BUCKETS} - s.n_hit) * (1::BIGINT << 33)
+            AS BIGINT) AS ssum,
+       round({_hll_est(
+           "s.ssum_hit + (" + str(HLL_BUCKETS)
+           + " - s.n_hit) * (1::BIGINT << 33)"
+       )}, 4) AS est_users,
+       CAST(e.exact_users AS BIGINT) AS exact_users
+FROM sums s JOIN exact e ON e.window_day = s.window_day
+"""
+
+
+register("events_hll_sliding_distinct", _hll_sliding_oracle())(
+    events_hll_sliding_distinct
+)
