@@ -1508,6 +1508,79 @@ WHERE meter_id BETWEEN 40 AND 90
 )(manifest_skipping_read)
 
 
+def manifest_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point-lookup reads under the driver gate — the
+    needle-in-haystack case zone maps CANNOT handle: the generator day
+    lands as 8 HASH-SHARDED commits (``meter_id % 8``), so every
+    file's meter [min, max] spans nearly the whole ID space (range
+    stats prune nothing) while file MEMBERSHIPS are disjoint (the
+    per-file Bloom index prunes surgically). Asserts
+
+    - zone maps alone keep ALL files for the point set {5, 14}
+      (ranges overlap — the honest negative control),
+    - blooms keep exactly the two shards holding meters 5 (5 % 8) and
+      14 (6 % 8),
+    - the bloom-pruned read equals the unpruned IN-filter read,
+
+    then returns the point lookup against the filtered generator
+    oracle. With zone maps (manifest_skipping_read) this completes
+    the Delta/Iceberg data-skipping pair: ranges for clustered
+    layouts, blooms for point lookups on unclustered ones."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_bloom_q_")
+    try:
+        t = ManifestTable(
+            os.path.join(workdir, "fact"),
+            stats_columns=["meter_id"],
+            bloom_columns=["meter_id"],
+        )
+        readings = gen_meter_readings(spark)
+        for shard in range(8):
+            t.idempotent_append(
+                spark,
+                readings.filter(
+                    F.col("meter_id") % 8 == shard
+                ).repartition(1),
+            )
+        lookup = [5, 14]
+        # negative control: hash-sharded ranges overlap, stats keep all
+        rep_stats = t.skipping_report(
+            where={"meter_id": (min(lookup), max(lookup))}
+        )
+        if rep_stats["files_skipped"] != 0:
+            raise AssertionError(
+                f"hash shards should defeat zone maps: {rep_stats}"
+            )
+        rep = t.skipping_report(where_in={"meter_id": lookup})
+        if rep["files_read"] != 2:
+            raise AssertionError(f"bloom kept {rep} files, wanted 2")
+        n_pruned = t.read(spark, where_in={"meter_id": lookup}).count()
+        n_plain = (
+            t.read(spark).filter(F.col("meter_id").isin(lookup)).count()
+        )
+        if n_pruned != n_plain:
+            raise AssertionError(f"{n_pruned} != {n_plain}")
+        return t.read(
+            spark, where_in={"meter_id": lookup}
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_bloom_read",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings WHERE meter_id IN (5, 14)""",
+)(manifest_bloom_read)
+
+
 def meter_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load factor per meter — the power-industry utilization KPI
     (average load / peak load; a factor near 1 is a flat, efficient

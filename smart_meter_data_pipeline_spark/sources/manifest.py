@@ -415,8 +415,21 @@ class ManifestTable:
         asof: float | None = None,
         tag: str | None = None,
         where: dict | None = None,
+        where_in: dict | None = None,
     ) -> DataFrame | None:
         """The committed table contents (None when no commits yet).
+
+        ``where_in`` — Bloom point-lookup skipping on the READ path:
+        ``{col: [v, ...]}`` membership sets. Files whose per-file
+        Bloom index excludes EVERY value of some set are never opened
+        (and the set's [min, max] additionally feeds the zone-map
+        prune), with ``col IN (...)`` applied row-level on top. This
+        is the needle-in-haystack complement to ``where``: zone maps
+        skip CLUSTERED layouts, blooms skip point lookups on
+        UNCLUSTERED ones (hash-sharded files whose min/max ranges all
+        overlap but whose memberships are disjoint). Same soundness
+        argument as ``where`` — immutable files, recorded indexes
+        bound actual contents, row filter provides the semantics.
 
         ``where`` — zone-map data skipping on the READ path:
         ``{col: (lo, hi)}`` inclusive ranges (ints or timestamps;
@@ -489,9 +502,9 @@ class ManifestTable:
             return None
         schema = self._evolved_schema(commits)
         row_filters = []
-        if where:
+        if where or where_in:
             key_ranges = {}
-            for col, (lo, hi) in where.items():
+            for col, (lo, hi) in (where or {}).items():
                 # open-ended bounds become int sentinels (wider than
                 # any epoch-micros or bigint stat) so the column still
                 # prunes on its bounded side
@@ -503,7 +516,21 @@ class ManifestTable:
                     row_filters.append(F.col(col) >= F.lit(lo))
                 if hi is not None:
                     row_filters.append(F.col(col) <= F.lit(hi))
+            for col, vals in (where_in or {}).items():
+                vals = [v for v in vals if v is not None]
+                row_filters.append(F.col(col).isin(vals))
+                if vals and col not in key_ranges:
+                    key_ranges[col] = (min(vals), max(vals))
             files = self._prune_by_stats(files, commits, key_ranges)
+            if where_in:
+                files = self._prune_by_bloom(
+                    files,
+                    commits,
+                    {
+                        c: [v for v in vs if v is not None]
+                        for c, vs in where_in.items()
+                    },
+                )
             if not files:
                 if schema is not None:
                     return spark.createDataFrame([], schema)
@@ -541,12 +568,14 @@ class ManifestTable:
             return None
         return StructType(list(fields.values()))
 
-    def skipping_report(self, where: dict) -> dict:
-        """Metadata-only dry run of ``read(where=...)``'s file
-        skipping: how many live files the zone maps keep vs skip for
-        the given ranges. The observability half of read-path data
-        skipping — tests and the bench assert on it without reading a
-        byte of data."""
+    def skipping_report(
+        self, where: dict | None = None, where_in: dict | None = None
+    ) -> dict:
+        """Metadata-only dry run of ``read(where=..., where_in=...)``'s
+        file skipping: how many live files the zone maps + blooms keep
+        vs skip. The observability half of read-path data skipping —
+        tests and the bench assert on it without reading a byte of
+        data."""
         commits = self.snapshot()
         files = self._files(commits)
         key_ranges = {
@@ -554,9 +583,22 @@ class ManifestTable:
                 lo if lo is not None else -(2**62),
                 hi if hi is not None else 2**62,
             )
-            for col, (lo, hi) in where.items()
+            for col, (lo, hi) in (where or {}).items()
         }
+        for col, vals in (where_in or {}).items():
+            vals = [v for v in vals if v is not None]
+            if vals and col not in key_ranges:
+                key_ranges[col] = (min(vals), max(vals))
         kept = self._prune_by_stats(files, commits, key_ranges)
+        if where_in:
+            kept = self._prune_by_bloom(
+                kept,
+                commits,
+                {
+                    c: [v for v in vs if v is not None]
+                    for c, vs in where_in.items()
+                },
+            )
         return {
             "files_live": len(files),
             "files_read": len(kept),

@@ -2011,3 +2011,49 @@ def test_read_where_applies_pending_mor_tombstones(spark, tmp_path):
     got = t.read(spark, where={"meter_id": (25, 44)})
     assert got.count() == 15
     assert got.filter("meter_id BETWEEN 30 AND 34").count() == 0
+
+
+def test_read_where_in_bloom_point_lookup(spark, tmp_path):
+    """Bloom point-lookup on the READ path: hash-sharded files whose
+    meter ranges all overlap (zone maps keep everything) but whose
+    memberships are disjoint (blooms keep only the matching shards)."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(
+        str(tmp_path / "bl_tbl"),
+        stats_columns=["meter_id"],
+        bloom_columns=["meter_id"],
+    )
+    for shard in range(8):
+        rows = [
+            (dt.datetime(2024, 3, 1, 0, m, 0), m * 8 + shard, 1.0)
+            for m in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "reading_timestamp timestamp, meter_id bigint, v double"
+        ).repartition(1)
+        t.idempotent_append(spark, df)
+    # zone maps: overlapping ranges keep all 8 files
+    assert t.skipping_report(where={"meter_id": (3, 30)})[
+        "files_read"
+    ] == 8
+    # blooms: {3, 30} lives in shards 3 and 6 only
+    rep = t.skipping_report(where_in={"meter_id": [3, 30]})
+    assert rep == {"files_live": 8, "files_read": 2, "files_skipped": 6}
+    got = t.read(spark, where_in={"meter_id": [3, 30]})
+    want = t.read(spark).filter("meter_id IN (3, 30)")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # combined range + point set composes; empty IN-list reads nothing
+    both = t.read(
+        spark,
+        where={"reading_timestamp": (dt.datetime(2024, 3, 1), None)},
+        where_in={"meter_id": [3]},
+    )
+    assert both.count() == 1
+    assert t.read(spark, where_in={"meter_id": []}).count() == 0
+    # a value absent everywhere: blooms prune every file, empty frame
+    rep_none = t.skipping_report(where_in={"meter_id": [10_000]})
+    assert rep_none["files_read"] == 0
+    assert t.read(spark, where_in={"meter_id": [10_000]}).count() == 0
