@@ -123,3 +123,32 @@ def distributed_prefix_sum(
         )
         .drop("_pfx_pid", "_pfx_off")
     )
+
+
+def distributed_row_number(df, order_cols, out_col: str, n_parts=None):
+    """``ROW_NUMBER() OVER (ORDER BY ...)`` without the
+    single-partition window: a :func:`distributed_prefix_sum` of
+    constant 1s. Same total-order requirement (unique key tuples)."""
+    tmp = df.withColumn("_pfx_one", F.lit(1).cast("bigint"))
+    return distributed_prefix_sum(
+        tmp, order_cols, "_pfx_one", out_col, n_parts
+    ).drop("_pfx_one")
+
+
+def ntile_sql(r: str, n: int, k: int) -> str:
+    """SQL-standard ``NTILE(k)`` from a row number: the first
+    ``n % k`` tiles carry ``n div k + 1`` rows, the rest ``n div k``
+    — the exact engine semantics, computed from (row_number, total)
+    so the tile assignment needs NO window at all (the row number
+    comes from the distributed prefix sum). Guarded so the ELSE
+    branch (which divides by ``n div k``) is unreachable when
+    ``n < k``."""
+    q, rem = n // k, n % k
+    big = q + 1
+    if q == 0:
+        return f"CAST(({r} - 1) + 1 AS INT)"
+    return (
+        f"CAST(CASE WHEN {r} <= {rem * big}"
+        f" THEN ({r} - 1) div {big} + 1"
+        f" ELSE {rem} + ({r} - {rem * big} - 1) div {q} + 1 END AS INT)"
+    )

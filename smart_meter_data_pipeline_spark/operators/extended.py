@@ -1451,25 +1451,43 @@ def user_value_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank bands for tiering, percentile position for scoring) the other
     window queries don't exercise.
 
-    Scale note: the window is deliberately global (NTILE is a global
-    construct) but it runs over the AGGREGATED user dimension — one row
-    per user, dim-sized (~200k at reference scale), not the event fact.
-    The fact-sized work is the one keyed aggregation shuffle before it.
-    At a corpus where even the user dim overflows one partition, the
-    production form is a range-partitioned global sort (Spark's
-    ``orderBy`` machinery) feeding distributed rank computation, or
-    approx-quantile band edges broadcast back — this exact output,
-    different physical plan. Ordering is made total with user_id as
-    tiebreak so every engine ranks identically."""
+    Scale note (rebuilt round 10): NTILE is a global CONSTRUCT but no
+    longer a global WINDOW — the row number comes from the
+    range-partitioned two-pass prefix sum
+    (:func:`common.distributed_row_number`, the orders_rfm_segments
+    machinery), and NTILE / PERCENT_RANK / CUME_DIST are closed forms
+    of (row_number, n): exact engine NTILE semantics via
+    :func:`common.ntile_sql`, ``(r−1)/(n−1)`` and ``r/n`` for the
+    rank fractions (the ordering is TOTAL — user_id tiebreak — so
+    rank == row_number and every engine agrees). Zero Exchange
+    SinglePartition in the plan at 10^9 users; contract-pinned."""
+    from smart_meter_data_pipeline_spark.operators.common import (
+        distributed_row_number,
+        ntile_sql,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(dsum("value", "total_value"))
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
-    return per_user.select(
+    n = per_user.count()  # bounded scalar over the user rollup
+    ranked = distributed_row_number(
+        per_user,
+        [F.col("total_value").desc(), F.col("user_id")],
+        "r",
+    )
+    return ranked.select(
         "user_id",
         "total_value",
-        F.ntile(4).over(w).alias("value_quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume_dist"),
+        F.expr(ntile_sql("r", n, 4)).alias("value_quartile"),
+        F.round(
+            F.expr(
+                f"CASE WHEN {n} > 1 THEN CAST(r - 1 AS DOUBLE)"
+                f" / CAST({n} - 1 AS DOUBLE) ELSE 0.0 END"
+            ),
+            9,
+        ).alias("pct_rank"),
+        F.round(
+            F.expr(f"CAST(r AS DOUBLE) / CAST({n} AS DOUBLE)"), 9
+        ).alias("cume_dist"),
     )
 
 

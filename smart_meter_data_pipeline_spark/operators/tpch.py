@@ -619,12 +619,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend, each scored into quartiles via NTILE with a total order
     (metric, then custkey), concatenated into the 'RFM' segment code.
 
-    Scale shape: one rollup shuffle keyed by customer builds the
-    metric table; the three NTILE windows run over the CUSTOMER DIM
-    (one row per customer, dim-sized — same argument as
-    ``user_value_rank_bands``), not the fact. Recency in whole days
-    via exact integer epoch arithmetic."""
-    from pyspark.sql import Window
+    Scale shape (rebuilt round 10): one rollup shuffle keyed by
+    customer builds the metric table (checkpointed — one fact scan);
+    each NTILE then comes from a range-partitioned distributed row
+    number (:func:`common.distributed_row_number`) and the exact
+    closed-form tile assignment (:func:`common.ntile_sql`) — never a
+    global single-partition window over the |customers|-row frame
+    (contract-pinned with user_value_rank_bands). Recency in whole
+    days via exact integer epoch arithmetic."""
+    from smart_meter_data_pipeline_spark.operators.common import (
+        distributed_row_number,
+        ntile_sql,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -640,17 +646,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice", "monetary"),
     )
-    w_r = Window.orderBy("recency_days", "o_custkey")  # fresher = lower
-    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    return per_cust.select(
+    per_cust = per_cust.localCheckpoint(eager=True)
+    n = per_cust.count()  # bounded scalar over the customer rollup
+    ranked = distributed_row_number(
+        per_cust, [F.col("recency_days"), F.col("o_custkey")], "rr"
+    )
+    ranked = distributed_row_number(
+        ranked, [F.col("frequency").desc(), F.col("o_custkey")], "rf"
+    )
+    ranked = distributed_row_number(
+        ranked, [F.col("monetary").desc(), F.col("o_custkey")], "rm"
+    )
+    return ranked.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(w_r).alias("r_score"),
-        F.ntile(4).over(w_f).alias("f_score"),
-        F.ntile(4).over(w_m).alias("m_score"),
+        F.expr(ntile_sql("rr", n, 4)).alias("r_score"),
+        F.expr(ntile_sql("rf", n, 4)).alias("f_score"),
+        F.expr(ntile_sql("rm", n, 4)).alias("m_score"),
     ).withColumn(
         "segment",
         F.concat(

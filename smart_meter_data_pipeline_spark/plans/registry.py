@@ -94,6 +94,8 @@ _PRIORITY = [
     # unchanged, fresh rows wanted first:
     "orders_rfm_segments",
     "part_abc_analysis",
+    "customer_rfm_segments",
+    "user_value_rank_bands",
     # (r10) never-driver-evaluated — round 10 driver prefix
     "meter_load_factor",
     "meter_diversity_factor",
@@ -287,7 +289,6 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "corpus_dedup_rate_by_source",
     "corpus_heavy_hitters",
-    "customer_rfm_segments",
     "dedup_cluster_size_dist",
     "dedup_incremental",
     "dedup_method_agreement",
@@ -328,7 +329,6 @@ _PRIORITY = [
     "tpch_large_orders",
     "tpch_priority_checks",
     "tpch_top_supplier",
-    "user_value_rank_bands",
     "user_value_trend",
     "vocab_oov_rate",
     "embedding_centroid_outliers",

@@ -1057,10 +1057,15 @@ def test_rfm_abc_prefix_sum_partitioned(spark, sf_dir):
     offsets, window partitioned by the pinned range-partition id — so
     the final plan has ZERO Exchange SinglePartition nodes and every
     cumulative Window partitions by _pfx_pid."""
-    for fn in (tpch.orders_rfm_segments, tpch.part_abc_analysis):
+    for fn in (
+        tpch.orders_rfm_segments,
+        tpch.part_abc_analysis,
+        tpch.customer_rfm_segments,
+        extended.user_value_rank_bands,
+    ):
         p = _plan(fn(spark, sf_dir))
         assert "Exchange SinglePartition" not in p, fn.__name__
-        # the cumulative windows partition by the range-partition id
+        # the cumulative/rank windows partition by the range-part id
         assert "_pfx_pid" in p, fn.__name__
         # offsets ride a broadcast, never a shuffle join
         assert "BroadcastHashJoin" in p, fn.__name__
