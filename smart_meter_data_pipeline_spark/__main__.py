@@ -85,6 +85,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "(0 = size-derived)",
     )
     maint.add_argument(
+        "--analyze",
+        action="store_true",
+        help="collect ANALYZE statistics (row count, per-column "
+        "nulls/NDV/min-max) into _table.json (needs a Spark session)",
+    )
+    maint.add_argument(
         "--cluster-by",
         default="",
         help="comma-separated columns to cluster the optimize rewrite "
@@ -304,6 +310,13 @@ def main(argv: list[str] | None = None) -> int:
                 cluster_by=cluster or None,
                 zorder=args.zorder,
             )
+        analyzed = None
+        if args.analyze:
+            from smart_meter_data_pipeline_spark.session import get_spark
+
+            analyzed = mf.analyze_table(
+                t, get_spark("smart-meter-maintain")
+            )
         merged = mf.compact_log(t, keep_last=args.keep_last)
         swept = mf.vacuum_unreferenced(t, ttl_s=args.vacuum_ttl_s)
         print(
@@ -314,6 +327,9 @@ def main(argv: list[str] | None = None) -> int:
                     "commits_merged": merged,
                     "stages_swept": swept,
                     "commits_now": len(t.snapshot()),
+                    "analyzed_rows": (
+                        analyzed["n_rows"] if analyzed else None
+                    ),
                 }
             )
         )

@@ -1581,6 +1581,99 @@ SELECT * FROM readings WHERE meter_id IN (5, 14)""",
 )(manifest_bloom_read)
 
 
+def manifest_analyze_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE under the driver gate: land the generator day,
+    run :func:`manifest.analyze_table` (exact NDV for the oracle
+    check), assert the profile persists to ``_table.json`` and reads
+    back FRESH through a bare reopen, then return it as a one-row-
+    per-column frame against a DuckDB oracle computing the identical
+    statistics from the generator CTE — row count, null count, NDV,
+    and int/epoch-micros min/max per column. The statistics layer a
+    cost-based planner consults for join-order and broadcast
+    decisions; production uses the approx-NDV sketch form
+    (rsd pinned at 0.01), exercised by pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        analyze_table,
+        analyzed_stats,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_analyze_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        t.idempotent_append(spark, gen_meter_readings(spark))
+        analyze_table(t, spark, exact_ndv=True)
+        prof, fresh = analyzed_stats(ManifestTable(t.table_dir))
+        if not fresh:
+            raise AssertionError("reopened profile not fresh")
+        rows = [
+            (
+                c,
+                prof["n_rows"],
+                s["null_count"],
+                s["ndv"],
+                s.get("min"),
+                s.get("max"),
+            )
+            for c, s in sorted(prof["columns"].items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "column STRING, n_rows BIGINT, null_count BIGINT,"
+            " ndv BIGINT, min_int BIGINT, max_int BIGINT",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _analyze_oracle() -> str:
+    def branch(col: str, minmax: str | None) -> str:
+        mn = (
+            f"CAST(MIN({minmax}) AS BIGINT)"
+            if minmax
+            else "CAST(NULL AS BIGINT)"
+        )
+        mx = (
+            f"CAST(MAX({minmax}) AS BIGINT)"
+            if minmax
+            else "CAST(NULL AS BIGINT)"
+        )
+        return f"""
+  SELECT '{col}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_count,
+         CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+         {mn} AS min_int, {mx} AS max_int
+  FROM readings"""
+
+    branches = " UNION ALL ".join(
+        [
+            branch("meter_id", "meter_id"),
+            branch(
+                "reading_consumption_milliwatts",
+                "reading_consumption_milliwatts",
+            ),
+            branch(
+                "reading_production_milliwatts",
+                "reading_production_milliwatts",
+            ),
+            branch("reading_timestamp", "epoch_us(reading_timestamp)"),
+            branch("status", None),
+        ]
+    )
+    return f"""WITH {_readings_cte()}
+{branches}"""
+
+
+register("manifest_analyze_report", _analyze_oracle())(
+    manifest_analyze_report
+)
+
+
 def meter_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load factor per meter — the power-industry utilization KPI
     (average load / peak load; a factor near 1 is a flat, efficient

@@ -185,7 +185,10 @@ class ManifestTable:
         } != want:
             tmp = cfg_path + f".tmp.{os.getpid()}"
             with open(tmp, "w") as fh:
-                json.dump(want, fh)
+                # merge, don't replace: other persisted sections
+                # (e.g. ANALYZE statistics) survive a reopen that
+                # pins skipping config explicitly
+                json.dump({**persisted, **want}, fh)
             os.replace(tmp, cfg_path)
         os.makedirs(self.refs_dir, exist_ok=True)
         # Test seam: invoked between validation/staging and the
@@ -2479,6 +2482,111 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
                 with contextlib.suppress(OSError):
                     os.rmdir(p)
         return removed
+
+
+def analyze_table(
+    table: ManifestTable,
+    spark: SparkSession,
+    columns: list[str] | None = None,
+    exact_ndv: bool = False,
+) -> dict:
+    """ANALYZE TABLE — table-level optimizer statistics in ONE scan:
+    row count plus per-column null count, NDV, and (for integer /
+    timestamp columns) min / max, persisted to ``_table.json`` under
+    ``analyze`` keyed by the snapshot version so a stale profile is
+    detectable (``analyzed_stats()`` reports freshness). This is the
+    statistics layer a cost-based planner consults for join ordering
+    and broadcast decisions — the table-level companion to the
+    per-file zone maps (those answer "which files", these answer
+    "how big / how selective").
+
+    NDV defaults to ``approx_count_distinct(rsd=0.01)`` — the sketch
+    is the only form that scales (exact COUNT(DISTINCT) per column is
+    a shuffle per column at 100 TB) and rsd is pinned explicitly
+    (the default 0.05 breaches property bounds on a few thousand
+    distinct keys). ``exact_ndv=True`` switches to exact counts for
+    oracle-checked paths. Timestamp min/max are reduced to UTC epoch
+    micros ENGINE-side (``unix_micros``) — never a driver-side
+    datetime conversion (the ``_batch_key_ranges`` timezone rule).
+    Doubles report null/NDV only (same int-first discipline as the
+    file stats)."""
+    from pyspark.sql import types as T
+
+    df = table.read(spark)
+    if df is None:
+        raise ValueError(f"{table.table_dir} has no commits to analyze")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns else list(fields)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            ).alias(f"nu{i}")
+        )
+        aggs.append(
+            (
+                F.countDistinct(c)
+                if exact_ndv
+                else F.approx_count_distinct(c, rsd=0.01)
+            ).alias(f"nd{i}")
+        )
+        e = None
+        if isinstance(fields[c], T.TimestampType):
+            e = F.unix_micros(F.col(c))
+        elif isinstance(fields[c], (T.IntegerType, T.LongType, T.ShortType)):
+            e = F.col(c).cast("bigint")
+        if e is not None:
+            aggs.append(F.min(e).alias(f"mn{i}"))
+            aggs.append(F.max(e).alias(f"mx{i}"))
+    row = df.agg(*aggs).collect()[0]
+    col_stats = {}
+    for i, c in enumerate(cols):
+        s = {
+            "null_count": int(row[f"nu{i}"] or 0),
+            "ndv": int(row[f"nd{i}"] or 0),
+        }
+        if f"mn{i}" in row.__fields__ and row[f"mn{i}"] is not None:
+            s["min"] = int(row[f"mn{i}"])
+            s["max"] = int(row[f"mx{i}"])
+        col_stats[c] = s
+    result = {
+        "version": len(table.snapshot()) - 1,
+        "n_rows": int(row["__n"]),
+        "exact_ndv": bool(exact_ndv),
+        "columns": col_stats,
+    }
+    cfg_path = os.path.join(table.table_dir, "_table.json")
+    persisted: dict = {}
+    if os.path.exists(cfg_path):
+        with contextlib.suppress(OSError, ValueError):
+            with open(cfg_path) as fh:
+                persisted = json.load(fh)
+    persisted["analyze"] = result
+    tmp = cfg_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(persisted, fh)
+    os.replace(tmp, cfg_path)
+    return result
+
+
+def analyzed_stats(table: ManifestTable) -> tuple[dict | None, bool]:
+    """The persisted ANALYZE profile and whether it is FRESH (computed
+    at the current snapshot version). A planner treats a stale profile
+    as a hint, a fresh one as authoritative."""
+    cfg_path = os.path.join(table.table_dir, "_table.json")
+    if not os.path.exists(cfg_path):
+        return None, False
+    try:
+        with open(cfg_path) as fh:
+            persisted = json.load(fh)
+    except (OSError, ValueError):
+        return None, False
+    prof = persisted.get("analyze")
+    if prof is None:
+        return None, False
+    fresh = prof.get("version") == len(table.snapshot()) - 1
+    return prof, fresh
 
 
 def shallow_clone(source: ManifestTable, target_dir: str) -> ManifestTable:

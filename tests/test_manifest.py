@@ -2057,3 +2057,67 @@ def test_read_where_in_bloom_point_lookup(spark, tmp_path):
     rep_none = t.skipping_report(where_in={"meter_id": [10_000]})
     assert rep_none["files_read"] == 0
     assert t.read(spark, where_in={"meter_id": [10_000]}).count() == 0
+
+
+def test_analyze_table_persists_and_staleness(spark, tmp_path):
+    """ANALYZE profile: exact stats persisted in _table.json, FRESH
+    through a bare reopen AND through a reopen that re-pins skipping
+    config explicitly (the merge-don't-replace rule), stale after a
+    new commit, refreshed by re-analyzing; approx-NDV default lands
+    within the rsd=0.01 envelope."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 3, 1, 0, i % 60, 0), i, float(i) if i % 3 else None)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "reading_timestamp timestamp, meter_id bigint, v double"
+    )
+    t = manifest.ManifestTable(
+        str(tmp_path / "an_tbl"), stats_columns=["meter_id"]
+    )
+    t.idempotent_append(spark, df)
+    prof = manifest.analyze_table(t, spark, exact_ndv=True)
+    assert prof["n_rows"] == 500
+    cs = prof["columns"]
+    assert cs["meter_id"] == {
+        "null_count": 0,
+        "ndv": 500,
+        "min": 0,
+        "max": 499,
+    }
+    assert cs["v"]["null_count"] == len([r for r in rows if r[2] is None])
+    assert "min" not in cs["v"]  # doubles: null/ndv only
+    want_mn = int(
+        dt.datetime(
+            2024, 3, 1, tzinfo=dt.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    assert cs["reading_timestamp"]["min"] == want_mn
+    assert cs["reading_timestamp"]["ndv"] == 60
+
+    # bare reopen: fresh
+    p2, fresh = manifest.analyzed_stats(
+        manifest.ManifestTable(t.table_dir)
+    )
+    assert fresh and p2 == prof
+    # reopen with explicit config: analyze section must survive
+    manifest.ManifestTable(t.table_dir, stats_columns=["meter_id"])
+    p3, fresh3 = manifest.analyzed_stats(t)
+    assert fresh3 and p3 == prof
+    # new commit -> stale; re-analyze -> fresh again with new counts
+    extra = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 2), 1000, 1.0)],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    t.idempotent_append(spark, extra)
+    _, fresh4 = manifest.analyzed_stats(t)
+    assert not fresh4
+    prof5 = manifest.analyze_table(t, spark, exact_ndv=True)
+    assert prof5["n_rows"] == 501
+    assert manifest.analyzed_stats(t)[1]
+    # approx default: NDV within 5% of exact on 501 keys (rsd 0.01)
+    prof6 = manifest.analyze_table(t, spark)
+    nd = prof6["columns"]["meter_id"]["ndv"]
+    assert abs(nd - 501) <= 25, nd
