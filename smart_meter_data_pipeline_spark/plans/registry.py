@@ -184,6 +184,7 @@ _PRIORITY = [
     "events_hll_sliding_distinct",
     "manifest_bloom_read",
     "manifest_analyze_report",
+    "stream_hll_sliding_distinct",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",

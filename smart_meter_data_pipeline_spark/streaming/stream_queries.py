@@ -2804,3 +2804,167 @@ def _register_stream_holt() -> None:
 
 
 _register_stream_holt()
+
+
+def stream_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_hll_sliding_distinct``: the DAILY
+    HLL register tables maintained as keyed streaming state (key =
+    event day, value = exactly 64 int registers — the bounded-state
+    rolling-audience store; production evicts days older than
+    watermark − window, here days stay within the 30-day test
+    horizon), drained and composed into the trailing-7-day distinct
+    estimate batch-side. The input splits into two chunks at a
+    MID-DAY cutoff so one day's registers MUST merge across batches —
+    the monotone-max drain (max per day × bucket over emissions) is
+    what the hash gate certifies against the batch twin's oracle,
+    exact WAU audit included.
+
+    The closure inlines the md5/rho arithmetic — module references do
+    not survive pickling to workers launched outside the repo."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_hll_sl_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+        mid = F.lit("2024-01-16 12:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("day", T.DateType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("register", T.IntegerType()),
+            ]
+        )
+        state_schema = T.StructType(
+            [T.StructField("regs", T.ArrayType(T.IntegerType()))]
+        )
+
+        def _fn(key, pdfs, state):
+            import hashlib
+
+            import pandas as pd
+
+            regs = list(state.get[0]) if state.exists else [0] * 64
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            for uid in pdf["user_id"]:
+                hh = hashlib.md5(str(int(uid)).encode()).hexdigest()
+                bucket = (int(hh[0], 16) * 16 + int(hh[1], 16)) % 64
+                rho = 33
+                for i in range(8):
+                    v = int(hh[2 + i], 16)
+                    if v:
+                        rho = i * 4 + 1 + (4 - v.bit_length())
+                        break
+                if rho > regs[bucket]:
+                    regs[bucket] = rho
+            state.update((regs,))
+            yield pd.DataFrame(
+                {
+                    "day": key[0],
+                    "bucket": [b for b, r in enumerate(regs) if r > 0],
+                    "register": [r for r in regs if r > 0],
+                }
+            )
+
+        sink = f"stream_hll_sl_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.withColumn("day", F.to_date("ts"))
+            .groupBy("day")
+            .applyInPandasWithState(
+                _fn,
+                out_schema,
+                state_schema,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        daily = (
+            spark.table(sink)
+            .groupBy("day", "bucket")
+            .agg(F.max("register").alias("register"))
+        )
+        # batch-side sliding composition — identical shape to the
+        # batch twin (operators/stats_sketch.py)
+        lo, hi = "DATE'2024-01-07'", "DATE'2024-01-30'"
+        win = (
+            daily.select(
+                F.explode(
+                    F.sequence(F.col("day"), F.date_add("day", 6))
+                ).alias("window_day"),
+                "bucket",
+                "register",
+            )
+            .filter(F.expr(f"window_day BETWEEN {lo} AND {hi}"))
+            .groupBy("window_day", "bucket")
+            .agg(F.max("register").alias("register"))
+        )
+        sums = win.groupBy("window_day").agg(
+            F.sum(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(33 - register AS INT))"
+                )
+            ).alias("ssum_hit"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        full_expr = (
+            "ssum_hit + (64 - n_hit) * shiftleft(CAST(1 AS BIGINT), 33)"
+        )
+        est_expr = (
+            "CAST(0.709 AS DOUBLE) * 4096 * 8589934592"
+            f" / CAST({full_expr} AS DOUBLE)"
+        )
+        exact = (
+            ev.select(F.to_date("ts").alias("day"), "user_id")
+            .distinct()
+            .select(
+                F.explode(
+                    F.sequence(F.col("day"), F.date_add("day", 6))
+                ).alias("window_day"),
+                "user_id",
+            )
+            .filter(F.expr(f"window_day BETWEEN {lo} AND {hi}"))
+            .groupBy("window_day")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+        )
+        return (
+            sums.join(exact, "window_day")
+            .select(
+                "window_day",
+                F.expr(full_expr).cast("bigint").alias("ssum"),
+                F.round(F.expr(est_expr), 4).alias("est_users"),
+                F.col("exact_users").cast("bigint").alias("exact_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_hll_sliding() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register(
+        "stream_hll_sliding_distinct",
+        ORACLES["events_hll_sliding_distinct"],
+    )(stream_hll_sliding_distinct)
+
+
+_register_stream_hll_sliding()
