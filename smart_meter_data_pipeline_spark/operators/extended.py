@@ -5659,3 +5659,109 @@ SELECT event_type,
 FROM z
 """,
 )(events_mann_kendall)
+
+
+def events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope per event type over the daily volume series —
+    the robust trend MAGNITUDE companion to ``events_mann_kendall``'s
+    direction test: the median of all pairwise slopes
+    ``(c_j − c_i)/(d_j − d_i)``, insensitive to ~29% outliers where a
+    least-squares slope is wrecked by one bad day.
+
+    Determinism contract: each slope is the exact integer
+    ``floor(10^6·dy/dx)``, computed SIGN-SPLIT so every integer
+    division sees non-negative operands (where Spark's truncating
+    ``div`` and DuckDB's flooring ``//`` agree, and intermediates
+    stay far under 2^53 for DuckDB's double-promoted ``//``):
+    ``dy >= 0 → (10^6·dy) div dx``;
+    ``dy < 0 → −((10^6·|dy| + dx − 1) div dx)`` (floor = −ceil of the
+    absolute value). The median is the LOWER median (element
+    ``(n+1) div 2`` of the sorted slopes) — pure integer selection,
+    no averaging, no floats.
+
+    Scale shape: ONE fact scan → type×day rollup (bounded
+    |types|·|days|); the pair join is |days|²/2 per type
+    (calendar-bounded by construction — 435 pairs for a month); the
+    median is a row_number selection in a per-type window over that
+    bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(
+        "event_type",
+        F.expr("datediff(day, DATE'2024-01-01')").alias("d_i"),
+        F.col("c").alias("c_i"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.expr("datediff(day, DATE'2024-01-01')").alias("d_j"),
+        F.col("c").alias("c_j"),
+    )
+    slopes = a.join(
+        b,
+        (F.col("event_type") == F.col("et"))
+        & (F.col("d_i") < F.col("d_j")),
+    ).select(
+        "event_type",
+        F.expr(
+            "CAST(CASE WHEN c_j >= c_i"
+            " THEN (1000000 * (c_j - c_i)) div (d_j - d_i)"
+            " ELSE -((1000000 * (c_i - c_j) + (d_j - d_i) - 1)"
+            " div (d_j - d_i)) END AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    counts = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return (
+        ranked.join(F.broadcast(counts), "event_type")
+        .filter(F.expr("rn = (n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("slope_micro").cast("bigint").alias(
+                "slope_micro_per_day"
+            ),
+        )
+    )
+
+
+register(
+    "events_theil_sen_slope",
+    f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS d, c
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(CASE WHEN b.c >= a.c
+              THEN CAST((1000000 * (b.c - a.c)) // (b.d - a.d)
+                        AS BIGINT)
+              ELSE -CAST((1000000 * (a.c - b.c) + (b.d - a.d) - 1)
+                         // (b.d - a.d) AS BIGINT) END AS BIGINT)
+           AS slope_micro
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope_micro,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM slopes
+)
+SELECT event_type,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(slope_micro AS BIGINT) AS slope_micro_per_day
+FROM ranked
+WHERE rn = (n_pairs + 1) // 2
+""",
+)(events_theil_sen_slope)

@@ -185,6 +185,7 @@ _PRIORITY = [
     "manifest_bloom_read",
     "manifest_analyze_report",
     "stream_hll_sliding_distinct",
+    "events_theil_sen_slope",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
