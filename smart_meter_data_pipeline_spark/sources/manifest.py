@@ -2570,6 +2570,102 @@ def analyze_table(
     return result
 
 
+def analyze_incremental(
+    table: ManifestTable, spark: SparkSession
+) -> dict:
+    """Refresh a stale ANALYZE profile from the CHANGE, not the table:
+    the commits since the profile's version are read through
+    :meth:`ManifestTable.diff` (exactly the files those commits added
+    — the CDC property), so the additive statistics update exactly —
+    ``n_rows += Δrows``, ``null_count += Δnulls``, min/max widen by
+    the delta's min/max — at a cost proportional to the appended
+    data, not the 100 TB behind it. NDV is NOT additive: the merged
+    profile carries ``max(old, Δ)`` as a LOWER BOUND and marks
+    ``ndv_stale: true`` per column until a full :func:`analyze_table`
+    recomputes it (a planner treats a stale NDV as a hint).
+
+    Falls back to a FULL re-analyze when any delta commit REMOVED
+    files (copy-on-write mutations invalidate additive update — the
+    removed rows' contribution cannot be subtracted from aggregates)
+    or when no profile exists yet."""
+    from pyspark.sql import types as T
+
+    prof, fresh = analyzed_stats(table)
+    commits = table.snapshot()
+    latest = len(commits) - 1
+    if prof is None:
+        return analyze_table(table, spark)
+    if fresh:
+        return prof
+    v_from = prof["version"]
+    if any(
+        c.get("removed") or c.get("tombstones")
+        for c in commits[v_from + 1 :]
+    ):
+        return analyze_table(table, spark, exact_ndv=prof["exact_ndv"])
+    delta = table.diff(spark, v_from, latest)
+    if delta is None:
+        prof = dict(prof, version=latest)
+    else:
+        fields = {f.name: f.dataType for f in delta.schema.fields}
+        cols = [c for c in prof["columns"] if c in fields]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cols):
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNull(), 1).otherwise(0)
+                ).alias(f"nu{i}")
+            )
+            aggs.append(
+                (
+                    F.countDistinct(c)
+                    if prof["exact_ndv"]
+                    else F.approx_count_distinct(c, rsd=0.01)
+                ).alias(f"nd{i}")
+            )
+            e = None
+            if isinstance(fields[c], T.TimestampType):
+                e = F.unix_micros(F.col(c))
+            elif isinstance(
+                fields[c], (T.IntegerType, T.LongType, T.ShortType)
+            ):
+                e = F.col(c).cast("bigint")
+            if e is not None:
+                aggs.append(F.min(e).alias(f"mn{i}"))
+                aggs.append(F.max(e).alias(f"mx{i}"))
+        row = delta.agg(*aggs).collect()[0]
+        merged = {}
+        for i, c in enumerate(cols):
+            old = dict(prof["columns"][c])
+            old["null_count"] += int(row[f"nu{i}"] or 0)
+            old["ndv"] = max(old["ndv"], int(row[f"nd{i}"] or 0))
+            old["ndv_stale"] = True
+            if "min" in old and row.__fields__.count(f"mn{i}"):
+                if row[f"mn{i}"] is not None:
+                    old["min"] = min(old["min"], int(row[f"mn{i}"]))
+                    old["max"] = max(old["max"], int(row[f"mx{i}"]))
+            merged[c] = old
+        prof = dict(
+            prof,
+            version=latest,
+            n_rows=prof["n_rows"] + int(row["__n"]),
+            columns=merged,
+            incremental=True,
+        )
+    cfg_path = os.path.join(table.table_dir, "_table.json")
+    persisted: dict = {}
+    if os.path.exists(cfg_path):
+        with contextlib.suppress(OSError, ValueError):
+            with open(cfg_path) as fh:
+                persisted = json.load(fh)
+    persisted["analyze"] = prof
+    tmp = cfg_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(persisted, fh)
+    os.replace(tmp, cfg_path)
+    return prof
+
+
 def analyzed_stats(table: ManifestTable) -> tuple[dict | None, bool]:
     """The persisted ANALYZE profile and whether it is FRESH (computed
     at the current snapshot version). A planner treats a stale profile

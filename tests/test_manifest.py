@@ -2121,3 +2121,52 @@ def test_analyze_table_persists_and_staleness(spark, tmp_path):
     prof6 = manifest.analyze_table(t, spark)
     nd = prof6["columns"]["meter_id"]["ndv"]
     assert abs(nd - 501) <= 25, nd
+
+
+def test_analyze_incremental_updates_from_delta_only(spark, tmp_path):
+    """Incremental ANALYZE: an append-only delta updates n_rows /
+    nulls / min-max EXACTLY through the CDC diff (no full re-scan),
+    marks NDV stale with a lower bound; a mutation in the delta falls
+    back to a full re-analyze (additive update invalid)."""
+    import datetime as dt
+
+    def mk(lo, hi, null_every=0):
+        rows = [
+            (
+                dt.datetime(2024, 3, 1 + i // 1000, 0, i % 60, 0),
+                i,
+                None if null_every and i % null_every == 0 else float(i),
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "reading_timestamp timestamp, meter_id bigint, v double"
+        )
+
+    t = manifest.ManifestTable(str(tmp_path / "inc_tbl"))
+    t.idempotent_append(spark, mk(0, 100, null_every=10))
+    full = manifest.analyze_table(t, spark, exact_ndv=True)
+    assert full["n_rows"] == 100 and full["columns"]["v"]["null_count"] == 10
+
+    t.idempotent_append(spark, mk(100, 150))
+    inc = manifest.analyze_incremental(t, spark)
+    assert inc["incremental"] and inc["version"] == 1
+    assert inc["n_rows"] == 150
+    assert inc["columns"]["v"]["null_count"] == 10
+    assert inc["columns"]["meter_id"]["max"] == 149
+    assert inc["columns"]["meter_id"]["min"] == 0
+    assert inc["columns"]["meter_id"]["ndv_stale"] is True
+    assert inc["columns"]["meter_id"]["ndv"] >= 100  # lower bound kept
+    # persisted + fresh
+    p, fresh = manifest.analyzed_stats(t)
+    assert fresh and p == inc
+    # already fresh: no-op returns the same profile
+    assert manifest.analyze_incremental(t, spark) == inc
+    # a mutation forces the full path: ndv exact again, no stale flag
+    restated = mk(0, 10)
+    t.upsert(spark, restated)
+    full2 = manifest.analyze_incremental(t, spark)
+    assert "incremental" not in full2
+    assert full2["n_rows"] == 150
+    assert full2["columns"]["meter_id"]["ndv"] == 150
+    assert "ndv_stale" not in full2["columns"]["meter_id"]
