@@ -2619,3 +2619,98 @@ FROM exact, est
 register("events_cm_join_size", _cm_join_size_oracle())(
     events_cm_join_size
 )
+
+
+SHUFFLE_EPOCHS = 3
+SHUFFLE_WORKERS = 8
+
+
+def train_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch reshuffling WITHOUT a global sort — how a training-data
+    loader re-permutes a 100 TB corpus every epoch: order-by
+    ``md5(epoch || ':' || doc_id)`` is a fresh pseudo-random
+    permutation per epoch (stateless, reproducible, engine-portable),
+    and the WORKER assignment is the hash's first byte, so each
+    worker streams its shard ordered by hash — no Fisher-Yates state,
+    no shuffle service, no coordination beyond the epoch number. The
+    plan manifest this returns is what the loader audits per epoch:
+    shard sizes (hash-balance check), an order-sensitive head marker
+    (``first_doc_id`` = the doc each worker reads FIRST — pins the
+    permutation itself under the oracle hash, not just membership),
+    and an order-insensitive id checksum.
+
+    Scale shape: ONE corpus scan exploded x{SHUFFLE_EPOCHS} epoch
+    rows, map-side combined into the
+    {SHUFFLE_EPOCHS}x{SHUFFLE_WORKERS}-row manifest; the per-worker
+    read itself needs only a shard-local sort (sortWithinPartitions
+    at load time), never a global one."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))
+        ).alias("epoch"),
+    )
+    h = F.expr(
+        "md5(concat(CAST(epoch AS STRING), ':', CAST(doc_id AS STRING)))"
+    )
+    hashed = epochs.select(
+        "epoch",
+        "doc_id",
+        h.alias("h"),
+        F.expr(
+            "((instr('0123456789abcdef', substr("
+            "md5(concat(CAST(epoch AS STRING), ':',"
+            " CAST(doc_id AS STRING))), 1, 1)) - 1) * 16"
+            " + (instr('0123456789abcdef', substr("
+            "md5(concat(CAST(epoch AS STRING), ':',"
+            " CAST(doc_id AS STRING))), 2, 1)) - 1))"
+            f" % {SHUFFLE_WORKERS}"
+        ).alias("worker"),
+    )
+    return (
+        hashed.groupBy("epoch", "worker")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min_by("doc_id", "h").alias("first_doc_id"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("worker").cast("int").alias("worker"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("first_doc_id").cast("bigint").alias("first_doc_id"),
+            F.col("doc_id_sum").cast("bigint").alias("doc_id_sum"),
+        )
+    )
+
+
+register(
+    "train_epoch_shuffle_plan",
+    f"""
+WITH epochs AS (
+  SELECT doc_id, unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch
+  FROM documents
+),
+hashed AS (
+  SELECT epoch, doc_id,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+           AS h,
+         ((strpos('0123456789abcdef', substr(
+             md5(CAST(epoch AS VARCHAR) || ':'
+                 || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(
+             md5(CAST(epoch AS VARCHAR) || ':'
+                 || CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+           % {SHUFFLE_WORKERS} AS worker
+  FROM epochs
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST(worker AS INT) AS worker,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(arg_min(doc_id, h) AS BIGINT) AS first_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM hashed
+GROUP BY 1, 2
+""",
+)(train_epoch_shuffle_plan)

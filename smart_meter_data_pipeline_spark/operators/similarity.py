@@ -3797,3 +3797,145 @@ p1 AS (SELECT * FROM (
 
 
 register("embedding_mmr_select", _mmr_oracle())(embedding_mmr_select)
+
+
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE without a rebuild (round 10): vectors
+    arriving after the index was built are assigned under the FROZEN
+    codebook — the ingest-time cost is one broadcast-argmax over the
+    DELTA only, never a re-scan of the 100 TB behind it (the
+    Delta/Faiss "add to a trained index" lifecycle; re-training moves
+    centroids and is a separate, rare operation). The split is
+    membership-stable: codebook (seed) rows land with the initial
+    load, every 5th non-seed row arrives as the delta.
+
+    In-query proof, then serve: the merged (base ∪ delta) assignment
+    table is asserted EQUAL to a from-scratch rebuild — centroid
+    assignment is a pure per-row function of the frozen codebook, so
+    incremental == rebuilt, and a failed assert (any cross-row
+    dependency creeping into assignment) breaks the row rather than
+    the hash — then the standard nprobe serve runs against the merged
+    index and hashes against the ann_ivf_topk oracle.
+
+    Scale shape: delta assignment = |delta| x broadcast codebook
+    (map-side argmax); the equality check joins two |corpus|-row
+    integer tables; the serve is the audited ann_ivf_topk plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_seed = _ivf_seed_pred()
+    base = emb.filter(is_seed | (F.col("vec_id") % 5 != 4))
+    delta = emb.filter(~is_seed & (F.col("vec_id") % 5 == 4))
+
+    cent = (
+        base.filter(is_seed)
+        .withColumn("c_norm2", _dot("embedding", "embedding"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_embedding"),
+            "c_norm2",
+        )
+        .localCheckpoint(eager=True)  # the FROZEN codebook
+    )
+
+    def assign(part: DataFrame) -> DataFrame:
+        e = part.withColumn("norm2", _dot("embedding", "embedding"))
+        scored = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("dot", _dot("embedding", "c_embedding"))
+            .withColumn(
+                "cos_c",
+                F.round(
+                    F.col("dot")
+                    / (F.sqrt("norm2") * F.sqrt("c_norm2")),
+                    12,
+                ),
+            )
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max(
+                F.struct(
+                    F.col("cos_c"), (-F.col("centroid_id")).alias("neg_cid")
+                )
+            ).alias("s")
+        )
+        return best.select(
+            "vec_id",
+            (-F.col("s.neg_cid")).cast("bigint").alias("cell_id"),
+        )
+
+    merged = assign(base).unionByName(assign(delta))
+    rebuilt = ivf_cell_assignments(emb)
+    n_diff = (
+        merged.withColumnRenamed("cell_id", "m_cell")
+        .join(rebuilt, "vec_id", "full_outer")
+        .filter(~F.col("m_cell").eqNullSafe(F.col("cell_id")))
+        .count()
+    )
+    if n_diff != 0:
+        raise AssertionError(
+            f"incremental IVF assignment diverged from rebuild on "
+            f"{n_diff} vectors"
+        )
+
+    # serve through the merged index (the ann_ivf_topk plan shape)
+    e = emb.join(merged, "vec_id").withColumn(
+        "norm2", _dot("embedding", "embedding")
+    )
+    raw = emb.withColumn("norm2", _dot("embedding", "embedding"))
+    q = raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dot", _dot("q_embedding", "c_embedding"))
+        .withColumn(
+            "c_cos",
+            F.round(
+                F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("c_norm2")), 12
+            ),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= NPROBE)
+        .select(
+            "query_id",
+            "q_embedding",
+            "q_norm2",
+            F.col("centroid_id").alias("probe_cell"),
+        )
+    )
+    cand = e.join(
+        F.broadcast(probes),
+        (F.col("cell_id") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).drop("probe_cell")
+    scored = cand.withColumn(
+        "dot", _dot("q_embedding", "embedding")
+    ).withColumn(
+        "cosine",
+        F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2")), 12),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
+        )
+    )
+
+
+def _register_ivf_incremental() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("ann_ivf_incremental", ORACLES["ann_ivf_topk"])(
+        ann_ivf_incremental
+    )
+
+
+_register_ivf_incremental()

@@ -186,6 +186,8 @@ _PRIORITY = [
     "manifest_analyze_report",
     "stream_hll_sliding_distinct",
     "events_theil_sen_slope",
+    "train_epoch_shuffle_plan",
+    "ann_ivf_incremental",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
