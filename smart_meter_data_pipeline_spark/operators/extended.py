@@ -5765,3 +5765,177 @@ FROM ranked
 WHERE rn = (n_pairs + 1) // 2
 """,
 )(events_theil_sen_slope)
+
+
+def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing (level +
+    trend + day-of-week seasonality, alpha = beta = gamma = 1/2) over
+    each type's daily centi totals — the seasonal upgrade of
+    ``events_holt_forecast`` for the strongly weekly-periodic series
+    this data actually is (a trend-only smoother chases the weekend
+    dip every Monday):
+
+        d  = t mod 7
+        L' = floor((x_t − S[d] + L + B) / 2)
+        B' = floor((L' − L + B) / 2)
+        S'[d] = floor((x_t − L' + S[d]) / 2)
+
+    seeded from week one (L = floor(mean week 1), B = 0,
+    S[i] = x_i − L) and folded from day 8 on; forecast for day n+1 is
+    L + B + S[(n) mod 7].
+
+    Same engineering contract as Holt: the recurrence is sequential
+    per key, so it runs as ONE Catalyst ``aggregate()`` fold JVM-side
+    — the seasonal array lives in the accumulator struct and updates
+    via an index-aware ``transform`` — over the calendar-bounded
+    day-sorted array; every update is an integer floor (the /2.0
+    double path is exact under 2^52), and the DuckDB twin is a
+    recursive CTE carrying the seven seasonal columns explicitly.
+    Types shorter than 8 days are excluded (not enough data to seed a
+    weekly profile) in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("obs")
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("day", "obs"))).alias("s")
+        )
+        .filter(F.size("s") >= 8)
+        .withColumn(
+            "l0",
+            F.expr(
+                "CAST(floor(CAST(aggregate(slice(s, 1, 7),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x.obs) AS DOUBLE)"
+                " / 7.0) AS BIGINT)"
+            ),
+        )
+    )
+    lvl = (
+        "floor(CAST(x.obs"
+        " - element_at(acc.s, CAST(acc.i % 7 AS INT) + 1)"
+        " + acc.level + acc.trend AS DOUBLE) / 2.0)"
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(s, 8, size(s) - 7),
+          named_struct(
+            'level', l0,
+            'trend', CAST(0 AS BIGINT),
+            's', transform(slice(s, 1, 7), x -> x.obs - l0),
+            'i', 7
+          ),
+          (acc, x) -> named_struct(
+            'level', {lvl},
+            'trend',
+            floor(CAST({lvl} - acc.level + acc.trend AS DOUBLE) / 2.0),
+            's',
+            transform(
+              acc.s,
+              (v, j) -> IF(
+                j = CAST(acc.i % 7 AS INT),
+                floor(CAST(x.obs - {lvl} + v AS DOUBLE) / 2.0),
+                v
+              )
+            ),
+            'i', acc.i + 1
+          )
+        )
+        """
+    )
+    return series.select(
+        "event_type",
+        F.size("s").cast("bigint").alias("n_days"),
+        fold.alias("hw"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("hw.level").cast("bigint").alias("level_centi"),
+        F.col("hw.trend").cast("bigint").alias("trend_centi"),
+        F.expr(
+            "CAST(element_at(hw.s, CAST(n_days % 7 AS INT) + 1)"
+            " AS BIGINT)"
+        ).alias("seasonal_next_centi"),
+        F.expr(
+            "CAST(hw.level + hw.trend"
+            " + element_at(hw.s, CAST(n_days % 7 AS INT) + 1)"
+            " AS BIGINT)"
+        ).alias("forecast_centi"),
+    )
+
+
+def _hw_oracle() -> str:
+    lvl = (
+        "floor((x.obs - (CASE h.i % 7"
+        " WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2"
+        " WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5"
+        " ELSE h.s6 END) + h.level + h.trend) / 2.0)"
+    )
+    s_next = " ,\n         ".join(
+        f"CAST(CASE WHEN h.i % 7 = {k}"
+        f" THEN floor((x.obs - CAST({lvl} AS BIGINT) + h.s{k}) / 2.0)"
+        f" ELSE h.s{k} END AS BIGINT) AS s{k}"
+        for k in range(7)
+    )
+    seed_s = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN i = {k + 1} THEN obs END)"
+        f" - floor(SUM(obs) / 7.0) AS BIGINT) AS s{k}"
+        for k in range(7)
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, obs,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+seed AS (
+  SELECT event_type, 7 AS i, MAX(n) AS n,
+         CAST(floor(SUM(obs) / 7.0) AS BIGINT) AS level,
+         CAST(0 AS BIGINT) AS trend,
+         {seed_s}
+  FROM idx WHERE i <= 7 AND n >= 8
+  GROUP BY event_type
+),
+hw AS (
+  SELECT * FROM seed
+  UNION ALL
+  SELECT h.event_type, h.i + 1, h.n,
+         CAST({lvl} AS BIGINT),
+         CAST(floor((CAST({lvl} AS BIGINT) - h.level + h.trend) / 2.0)
+              AS BIGINT),
+         {s_next}
+  FROM hw h
+  JOIN idx x ON x.event_type = h.event_type AND x.i = h.i + 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       level AS level_centi,
+       trend AS trend_centi,
+       CAST(CASE n % 7
+            WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+            WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5
+            ELSE s6 END AS BIGINT) AS seasonal_next_centi,
+       CAST(level + trend + (CASE n % 7
+            WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+            WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5
+            ELSE s6 END) AS BIGINT) AS forecast_centi
+FROM hw WHERE i = n
+"""
+
+
+register("events_holt_winters_forecast", _hw_oracle())(
+    events_holt_winters_forecast
+)

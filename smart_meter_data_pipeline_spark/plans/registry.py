@@ -188,6 +188,7 @@ _PRIORITY = [
     "events_theil_sen_slope",
     "train_epoch_shuffle_plan",
     "ann_ivf_incremental",
+    "events_holt_winters_forecast",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
