@@ -5939,3 +5939,135 @@ FROM hw WHERE i = n
 register("events_holt_winters_forecast", _hw_oracle())(
     events_holt_winters_forecast
 )
+
+
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal-trend decomposition (the moving-average STL
+    ancestor) of each type's daily centi totals: trend = centered
+    7-day moving average, seasonal = the mean detrended value of each
+    day-of-week CENTERED to sum ~0, residual = the rest — the
+    decomposition REPORT (what moved: trend, weekday pattern, or
+    noise?) that complements the Holt-Winters FORECAST.
+
+    Determinism: every component is an integer floor of an exact sum
+    (floor(CAST(Σ AS DOUBLE)/n) — exact under 2^52, negative-safe in
+    both engines); day-of-week is datediff-mod-7 from a shared epoch
+    literal (never engine dayofweek conventions). Only days with a
+    FULL 7-day window carry a trend (the classical edge rule).
+
+    Scale shape: one fact scan → type×day rollup; the trend is a
+    7-row window per type over that calendar-bounded frame; the
+    seasonal profile is a ≤|types|·7-row rollup broadcast back;
+    everything after the first rollup is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("obs")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = (
+        daily.withColumn("wsum", F.sum("obs").over(w))
+        .withColumn("wn", F.count(F.lit(1)).over(w))
+        .filter(F.col("wn") == 7)
+        .withColumn(
+            "trend",
+            F.expr("CAST(floor(CAST(wsum AS DOUBLE) / 7.0) AS BIGINT)"),
+        )
+        .withColumn("detrended", F.col("obs") - F.col("trend"))
+        .withColumn(
+            "dow",
+            F.expr("datediff(day, DATE'2024-01-01') % 7").cast("int"),
+        )
+        .localCheckpoint(eager=True)  # feeds profile AND final join
+    )
+    raw = trended.groupBy("event_type", "dow").agg(
+        F.expr(
+            "CAST(floor(CAST(SUM(detrended) AS DOUBLE) / COUNT(*))"
+            " AS BIGINT)"
+        ).alias("s_raw")
+    )
+    adj = raw.groupBy("event_type").agg(
+        F.expr(
+            "CAST(floor(CAST(SUM(s_raw) AS DOUBLE) / 7.0) AS BIGINT)"
+        ).alias("s_adj")
+    )
+    seasonal = raw.join(adj, "event_type").select(
+        "event_type",
+        "dow",
+        (F.col("s_raw") - F.col("s_adj")).alias("seasonal"),
+    )
+    return (
+        trended.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            F.col("obs").cast("bigint").alias("obs_centi"),
+            F.col("trend").cast("bigint").alias("trend_centi"),
+            F.col("seasonal").cast("bigint").alias("seasonal_centi"),
+            (F.col("obs") - F.col("trend") - F.col("seasonal"))
+            .cast("bigint")
+            .alias("residual_centi"),
+        )
+    )
+
+
+register(
+    "events_stl_decompose",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT *,
+         CAST(floor(CAST(wsum AS DOUBLE) / 7.0) AS BIGINT) AS trend,
+         obs - CAST(floor(CAST(wsum AS DOUBLE) / 7.0) AS BIGINT)
+           AS detrended,
+         CAST(date_diff('day', DATE '2024-01-01', day) % 7 AS INT)
+           AS dow
+  FROM (
+    SELECT event_type, day, obs,
+           SUM(obs) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+             AS wsum,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+             AS wn
+    FROM daily
+  )
+  WHERE wn = 7
+),
+raw AS (
+  SELECT event_type, dow,
+         CAST(floor(CAST(SUM(detrended) AS DOUBLE) / COUNT(*))
+              AS BIGINT) AS s_raw
+  FROM trended GROUP BY 1, 2
+),
+adj AS (
+  SELECT event_type,
+         CAST(floor(CAST(SUM(s_raw) AS DOUBLE) / 7.0) AS BIGINT)
+           AS s_adj
+  FROM raw GROUP BY 1
+),
+seasonal AS (
+  SELECT r.event_type, r.dow, r.s_raw - a.s_adj AS seasonal
+  FROM raw r JOIN adj a ON a.event_type = r.event_type
+)
+SELECT t.event_type, t.day,
+       CAST(t.obs AS BIGINT) AS obs_centi,
+       CAST(t.trend AS BIGINT) AS trend_centi,
+       CAST(s.seasonal AS BIGINT) AS seasonal_centi,
+       CAST(t.obs - t.trend - s.seasonal AS BIGINT) AS residual_centi
+FROM trended t
+JOIN seasonal s ON s.event_type = t.event_type AND s.dow = t.dow
+""",
+)(events_stl_decompose)

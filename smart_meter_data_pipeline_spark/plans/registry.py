@@ -189,6 +189,7 @@ _PRIORITY = [
     "train_epoch_shuffle_plan",
     "ann_ivf_incremental",
     "events_holt_winters_forecast",
+    "events_stl_decompose",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
