@@ -6071,3 +6071,110 @@ FROM trended t
 JOIN seasonal s ON s.event_type = t.event_type AND s.dow = t.dow
 """,
 )(events_stl_decompose)
+
+
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    purchase follows their first view, the view→purchase lag in whole
+    minutes, summarized as exact p50/p90/p99 — the latency readout the
+    funnel's REACH numbers (events_funnel) don't carry.
+
+    Determinism: lag minutes are exact integers
+    (``(floor(epoch(p)) − floor(epoch(v))) div 60`` — the portable
+    truncating-epoch idiom; non-negative, so div ≡ //); the
+    percentiles are the smallest lag whose cumulative user count
+    reaches ⌈q·n⌉, selected from the count-of-counts rollup (the
+    adjudicated equi-depth idiom).
+
+    Scale shape: two filtered aggregations and one join, all keyed on
+    user_id (one partitioning serves the plan); the percentile scan
+    runs over the DISTINCT-lag rollup — bounded by minutes in the
+    observation window (calendar-bounded), never user-count-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    first_purchase_after = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lags = first_purchase_after.select(
+        F.expr(
+            "CAST((CAST(floor(unix_timestamp(p_ts)) AS BIGINT)"
+            " - CAST(floor(unix_timestamp(v_ts)) AS BIGINT))"
+            " div 60 AS BIGINT)"
+        ).alias("lag_min")
+    )
+    hist = lags.groupBy("lag_min").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("lag_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "lag_min",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("lag_min").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+
+    def pick(q_milli: int, alias: str):
+        return F.min(
+            F.when(
+                F.col("cum") * 1000 >= F.lit(q_milli) * F.col("n"),
+                F.col("lag_min"),
+            )
+        ).alias(alias)
+
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        pick(500, "p50_lag_min").cast("bigint").alias("p50_lag_min"),
+        pick(900, "p90_lag_min").cast("bigint").alias("p90_lag_min"),
+        pick(990, "p99_lag_min").cast("bigint").alias("p99_lag_min"),
+    )
+
+
+register(
+    "events_conversion_lag",
+    """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id, v.v_ts, MIN(e.ts) AS p_ts
+  FROM events e JOIN views v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+  GROUP BY 1, 2
+),
+lags AS (
+  SELECT CAST((CAST(floor(epoch(p_ts)) AS BIGINT)
+               - CAST(floor(epoch(v_ts)) AS BIGINT)) // 60 AS BIGINT)
+           AS lag_min
+  FROM conv
+),
+hist AS (SELECT lag_min, COUNT(*) AS c FROM lags GROUP BY 1),
+cum AS (
+  SELECT lag_min,
+         SUM(c) OVER (ORDER BY lag_min
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MIN(CASE WHEN cum * 1000 >= 500 * n THEN lag_min END)
+            AS BIGINT) AS p50_lag_min,
+       CAST(MIN(CASE WHEN cum * 1000 >= 900 * n THEN lag_min END)
+            AS BIGINT) AS p90_lag_min,
+       CAST(MIN(CASE WHEN cum * 1000 >= 990 * n THEN lag_min END)
+            AS BIGINT) AS p99_lag_min
+FROM cum
+""",
+)(events_conversion_lag)

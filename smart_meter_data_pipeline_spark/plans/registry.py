@@ -190,6 +190,7 @@ _PRIORITY = [
     "ann_ivf_incremental",
     "events_holt_winters_forecast",
     "events_stl_decompose",
+    "events_conversion_lag",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
