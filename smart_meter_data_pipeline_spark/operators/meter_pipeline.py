@@ -1674,6 +1674,109 @@ register("manifest_analyze_report", _analyze_oracle())(
 )
 
 
+def manifest_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planner arithmetic the ANALYZE statistics exist for,
+    audited: cardinality estimates for a range predicate, a point
+    set, and their conjunction (uniformity + independence — the
+    textbook CBO defaults) next to the ACTUAL row counts from the
+    pruned reads. The generator's meter ids are uniform, so the
+    meter-side estimates land exactly; the timestamp range shows the
+    honest interpolation error of treating micros as a continuous
+    domain. Oracle recomputes the identical integer
+    cross-multiplications from the same statistics."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        analyze_table,
+        estimate_read_rows,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_cost_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        t.idempotent_append(spark, gen_meter_readings(spark))
+        analyze_table(t, spark, exact_ndv=True)
+        lo_ts = _dt.datetime(2024, 1, 1, 10, 0, 0)
+        hi_ts = _dt.datetime(2024, 1, 1, 13, 45, 0)
+        preds = {
+            "meter_range": dict(where={"meter_id": (40, 90)}),
+            "meter_in": dict(where_in={"meter_id": [5, 14]}),
+            "ts_range": dict(where={"reading_timestamp": (lo_ts, hi_ts)}),
+            "meter_and_ts": dict(
+                where={
+                    "meter_id": (40, 90),
+                    "reading_timestamp": (lo_ts, hi_ts),
+                }
+            ),
+        }
+        rows = []
+        for label, kw in sorted(preds.items()):
+            e = estimate_read_rows(t, **kw)
+            if not e["profile_fresh"]:
+                raise AssertionError("profile should be fresh")
+            actual = t.read(spark, **kw).count()
+            rows.append((label, e["est_rows"], actual))
+        return spark.createDataFrame(
+            rows, "predicate STRING, est_rows BIGINT, actual_rows BIGINT"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_COST_ORACLE = f"""
+WITH {_readings_cte()},
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(meter_id) AS BIGINT) AS m_mn,
+         CAST(MAX(meter_id) AS BIGINT) AS m_mx,
+         CAST(COUNT(DISTINCT meter_id) AS BIGINT) AS m_ndv,
+         CAST(epoch_us(MIN(reading_timestamp)) AS BIGINT) AS t_mn,
+         CAST(epoch_us(MAX(reading_timestamp)) AS BIGINT) AS t_mx
+  FROM readings
+),
+sel AS (
+  SELECT n,
+         CAST((n * (90 - 40 + 1)) // (m_mx - m_mn + 1) AS BIGINT)
+           AS sel_m,
+         CAST((n * 2) // m_ndv AS BIGINT) AS sel_in,
+         CAST((n * (epoch_us(TIMESTAMP '2024-01-01 13:45:00')
+                    - epoch_us(TIMESTAMP '2024-01-01 10:00:00') + 1))
+              // (t_mx - t_mn + 1) AS BIGINT) AS sel_t
+  FROM st
+)
+SELECT 'meter_and_ts' AS predicate,
+       CAST((sel_m * sel_t) // n AS BIGINT) AS est_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM readings
+        WHERE meter_id BETWEEN 40 AND 90
+          AND reading_timestamp BETWEEN TIMESTAMP '2024-01-01 10:00:00'
+                                    AND TIMESTAMP '2024-01-01 13:45:00')
+         AS actual_rows
+FROM sel
+UNION ALL
+SELECT 'meter_in', CAST(sel_in AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM readings
+        WHERE meter_id IN (5, 14))
+FROM sel
+UNION ALL
+SELECT 'meter_range', CAST(sel_m AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM readings
+        WHERE meter_id BETWEEN 40 AND 90)
+FROM sel
+UNION ALL
+SELECT 'ts_range', CAST(sel_t AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM readings
+        WHERE reading_timestamp BETWEEN TIMESTAMP '2024-01-01 10:00:00'
+                                    AND TIMESTAMP '2024-01-01 13:45:00')
+FROM sel
+"""
+
+register("manifest_cost_estimate", _COST_ORACLE)(manifest_cost_estimate)
+
+
 def meter_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load factor per meter — the power-industry utilization KPI
     (average load / peak load; a factor near 1 is a flat, efficient

@@ -191,6 +191,7 @@ _PRIORITY = [
     "events_holt_winters_forecast",
     "events_stl_decompose",
     "events_conversion_lag",
+    "manifest_cost_estimate",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",

@@ -2666,6 +2666,65 @@ def analyze_incremental(
     return prof
 
 
+def estimate_read_rows(
+    table: ManifestTable,
+    where: dict | None = None,
+    where_in: dict | None = None,
+) -> dict:
+    """Cardinality estimation from the persisted ANALYZE profile —
+    the planner arithmetic the statistics exist for: a range
+    predicate's selectivity is its overlap share of the column's
+    [min, max] under the uniformity assumption
+    (``rows ≈ n_nonnull · overlap / width``, exact integer
+    cross-multiplication, floored), an IN predicate's is
+    ``n_nonnull · k / ndv``; conjuncts multiply (independence
+    assumption — both assumptions are the textbook CBO defaults and
+    both are stated in the output so a consumer knows what it got).
+    Metadata-only: no data is read. Raises if the table was never
+    analyzed; a stale profile is used as-is (the freshness flag is
+    the caller's signal to re-analyze)."""
+    prof, fresh = analyzed_stats(table)
+    if prof is None:
+        raise ValueError(
+            f"{table.table_dir} has no ANALYZE profile; run "
+            "analyze_table() first"
+        )
+    n = prof["n_rows"]
+    est = n
+    for col, (lo, hi) in (where or {}).items():
+        s = prof["columns"].get(col)
+        if s is None or "min" not in s:
+            continue  # no stats: contributes selectivity 1
+        nn = n - s["null_count"]
+        lo_i = table._stat_int(lo) if lo is not None else s["min"]
+        hi_i = table._stat_int(hi) if hi is not None else s["max"]
+        lo_c = max(lo_i, s["min"])
+        hi_c = min(hi_i, s["max"])
+        if hi_c < lo_c or n == 0:
+            est = 0
+            break
+        width = s["max"] - s["min"] + 1
+        sel_rows = (nn * (hi_c - lo_c + 1)) // width
+        est = (est * sel_rows) // n if n else 0
+    for col, vals in (where_in or {}).items():
+        s = prof["columns"].get(col)
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            est = 0
+            break
+        if s is None or not s.get("ndv"):
+            continue
+        nn = n - s["null_count"]
+        sel_rows = min((nn * len(vals)) // s["ndv"], nn)
+        est = (est * sel_rows) // n if n else 0
+    return {
+        "est_rows": int(est),
+        "n_rows": n,
+        "profile_fresh": fresh,
+        "assumptions": "uniformity+independence",
+    }
+
+
 def analyzed_stats(table: ManifestTable) -> tuple[dict | None, bool]:
     """The persisted ANALYZE profile and whether it is FRESH (computed
     at the current snapshot version). A planner treats a stale profile
