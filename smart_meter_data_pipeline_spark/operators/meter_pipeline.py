@@ -1777,6 +1777,70 @@ FROM sel
 register("manifest_cost_estimate", _COST_ORACLE)(manifest_cost_estimate)
 
 
+def manifest_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range retention DELETE under the driver gate: the generator day
+    lands as hourly-clustered files (OPTIMIZE on reading_timestamp),
+    then ``delete_where(ts <= 05:59)`` sweeps the first six hours —
+    asserting the sweep DROPPED whole files by metadata alone
+    (files_dropped >= 1) and rewrote at most one straddler (the
+    time-clustered-retention price: O(straddling files), zero bytes
+    moved for the rest), then returns the surviving table against the
+    filtered generator oracle — a drop that swept a row it shouldn't
+    have (or a straddler rewrite that lost one) breaks the hash."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        delete_where,
+        optimize_table,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_ret_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        t.idempotent_append(spark, gen_meter_readings(spark))
+        optimize_table(
+            t,
+            spark,
+            target_partitions=24,
+            cluster_by=["reading_timestamp"],
+        )
+        res = delete_where(
+            t,
+            spark,
+            "reading_timestamp",
+            hi=_dt.datetime(2024, 1, 1, 5, 59, 59),
+        )
+        if res["files_dropped"] < 1:
+            raise AssertionError(
+                f"retention sweep dropped no whole files: {res}"
+            )
+        if res["files_rewritten"] > 2:
+            raise AssertionError(
+                f"time-clustered sweep rewrote too much: {res}"
+            )
+        expected_deleted = 200 * 24  # 6h of 15-min ticks x 200 meters
+        if res["rows_deleted"] != expected_deleted:
+            raise AssertionError(
+                f"deleted {res['rows_deleted']} rows, "
+                f"wanted {expected_deleted}"
+            )
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_retention_delete",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings
+WHERE reading_timestamp > TIMESTAMP '2024-01-01 05:59:59'""",
+)(manifest_retention_delete)
+
+
 def meter_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load factor per meter — the power-industry utilization KPI
     (average load / peak load; a factor near 1 is a flat, efficient

@@ -192,6 +192,7 @@ _PRIORITY = [
     "events_stl_decompose",
     "events_conversion_lag",
     "manifest_cost_estimate",
+    "manifest_retention_delete",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",

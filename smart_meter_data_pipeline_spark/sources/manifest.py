@@ -2484,6 +2484,181 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
         return removed
 
 
+def delete_where(
+    table: ManifestTable,
+    spark: SparkSession,
+    column: str,
+    lo=None,
+    hi=None,
+    max_retries: int = 20,
+) -> dict:
+    """Range DELETE with whole-file drops — the retention /
+    right-to-be-forgotten sweep (``DELETE WHERE ts < cutoff``) priced
+    by what it touches, not by the table: every live file is
+    classified from its parquet FOOTER (min/max + null count for
+    ``column`` — driver-side metadata, no data scan, works for ANY
+    column, not just configured stats columns):
+
+    - fully covered by [lo, hi] and null-free in the column →
+      DROPPED by a metadata-only commit (the partition-drop price:
+      zero bytes moved — this is the whole point of time-clustered
+      layouts for retention);
+    - disjoint → untouched;
+    - straddling, null-bearing, or footer-statless → copy-on-write
+      rewrite keeping rows OUTSIDE the range (NULLs survive — SQL
+      DELETE's three-valued WHERE never matches NULL).
+
+    Same optimistic protocol as the key mutations: one listing
+    supplies the validated file set and the publish fence; pending
+    MoR tombstones abort (raw-file reads); a lost put-if-absent
+    discards the stage and reruns. Bounds as ints or timestamps
+    (open ends allowed). Returns
+    ``{"files_dropped", "files_rewritten", "rows_deleted"}``."""
+    import pyarrow.parquet as pq
+
+    lo_i = table._stat_int(lo) if lo is not None else -(2**62)
+    hi_i = table._stat_int(hi) if hi is not None else 2**62
+    for _ in range(max_retries):
+        numbered = table.numbered_snapshot()
+        commits = [c for _, c in numbered]
+        fence = table._fence(numbered)
+        if table._pending_tombstones(numbered):
+            raise PendingTombstonesError(
+                f"{table.table_dir} has pending merge-on-read "
+                "tombstones; run apply_tombstones() before "
+                "copy-on-write mutations"
+            )
+        live = table._files(commits)
+        dropped: list[str] = []
+        rewrite: list[str] = []
+        dropped_rows = 0
+        for f in live:
+            if not os.path.exists(f):
+                rewrite.append(f)
+                continue
+            md = pq.read_metadata(f)
+            mn = mx = None
+            nulls = 0
+            known = True
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                got = False
+                for j in range(rg.num_columns):
+                    col = rg.column(j)
+                    if col.path_in_schema != column:
+                        continue
+                    got = True
+                    s = col.statistics
+                    if (
+                        s is None
+                        or not s.has_min_max
+                        or s.null_count is None
+                    ):
+                        known = False
+                        break
+                    smn, smx = (
+                        table._stat_int(s.min),
+                        table._stat_int(s.max),
+                    )
+                    if smn is None or smx is None:
+                        known = False
+                        break
+                    nulls += s.null_count
+                    mn = smn if mn is None else min(mn, smn)
+                    mx = smx if mx is None else max(mx, smx)
+                if not got or not known:
+                    known = False
+                    break
+            if not known or mn is None:
+                rewrite.append(f)
+            elif mx < lo_i or mn > hi_i:
+                continue  # disjoint: untouched
+            elif lo_i <= mn and mx <= hi_i and nulls == 0:
+                dropped.append(f)
+                dropped_rows += md.num_rows
+            else:
+                rewrite.append(f)
+        if not dropped and not rewrite:
+            return {
+                "files_dropped": 0,
+                "files_rewritten": 0,
+                "rows_deleted": 0,
+            }
+        ev_schema = table._evolved_schema(commits)
+        staged: list[str] = []
+        n_rewrite_orig = 0
+        n_survivors = 0
+        added_dates: list[str] = []
+        if rewrite:
+            reader = spark.read
+            if ev_schema is not None:
+                reader = reader.schema(ev_schema)
+            src = reader.parquet(*rewrite)
+            n_rewrite_orig = src.count()
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(column) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(column) <= F.lit(hi))
+            survivors = src.filter(~cond | F.col(column).isNull())
+            staged = table._stage(survivors)
+            if staged:
+                stat = (
+                    spark.read.parquet(
+                        *(
+                            os.path.join(table.data_dir, f)
+                            for f in staged
+                        )
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.collect_set(
+                            F.to_date("reading_timestamp").cast("string")
+                        ).alias("dates"),
+                    )
+                    .collect()[0]
+                )
+                n_survivors = stat["n"]
+                added_dates = sorted(stat["dates"])
+        removed_rel = sorted(
+            os.path.relpath(f, table.data_dir)
+            for f in dropped + rewrite
+        )
+        # removed_dates over-approximates with every commit date —
+        # safe for CDC consumers (they re-read more, never less)
+        all_dates = sorted(
+            {d for c in commits for d in c.get("dates", [])}
+        )
+        if table._pre_publish_hook is not None:
+            table._pre_publish_hook()
+        payload = json.dumps(
+            {
+                "version": fence,
+                "added": staged,
+                "removed": removed_rel,
+                "count": n_survivors,
+                "dates": added_dates,
+                "stats": table._file_stats(staged),
+                "blooms": table._file_blooms(staged),
+                "removed_dates": all_dates,
+                "schema": ev_schema.json() if ev_schema else None,
+                "committed_at": time.time(),
+            }
+        ).encode()
+        if _put_if_absent(table._commit_path(fence), payload):
+            return {
+                "files_dropped": len(dropped),
+                "files_rewritten": len(rewrite),
+                "rows_deleted": dropped_rows
+                + (n_rewrite_orig - n_survivors),
+            }
+        table._discard_stage_all(staged)
+    raise CommitConflictError(
+        f"gave up after {max_retries} delete_where attempts on "
+        f"{table.table_dir}"
+    )
+
+
 def analyze_table(
     table: ManifestTable,
     spark: SparkSession,

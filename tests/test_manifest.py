@@ -2170,3 +2170,124 @@ def test_analyze_incremental_updates_from_delta_only(spark, tmp_path):
     assert full2["n_rows"] == 150
     assert full2["columns"]["meter_id"]["ndv"] == 150
     assert "ndv_stale" not in full2["columns"]["meter_id"]
+
+
+def test_delete_where_drops_whole_files_metadata_only(spark, tmp_path):
+    """Range retention DELETE: fully-covered null-free files drop by
+    metadata alone, the straddler rewrites, disjoint files are
+    untouched, reads/time-travel/row counts all line up."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "ret_tbl"))
+    for h in range(8):
+        rows = [
+            (dt.datetime(2024, 3, 1, h, m, 0), h * 100 + m, 1.0)
+            for m in range(30)
+        ]
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "reading_timestamp timestamp, meter_id bigint, v double",
+            ).repartition(1),
+        )
+    live_before = set(t._files(t.snapshot()))
+    # delete everything before 03:15 — hours 0-2 fully covered,
+    # hour 3 straddles, hours 4-7 disjoint
+    res = manifest.delete_where(
+        t,
+        spark,
+        "reading_timestamp",
+        hi=dt.datetime(2024, 3, 1, 3, 14, 59),
+    )
+    assert res == {
+        "files_dropped": 3,
+        "files_rewritten": 1,
+        "rows_deleted": 3 * 30 + 15,
+    }
+    df = t.read(spark)
+    assert df.count() == 8 * 30 - res["rows_deleted"]
+    assert df.filter(
+        "reading_timestamp < timestamp'2024-03-01 03:15:00'"
+    ).count() == 0
+    # untouched files are literally the same paths (no rewrite)
+    live_after = set(t._files(t.snapshot()))
+    assert len(live_before & live_after) == 4
+    # time travel still sees the pre-delete rows
+    assert t.read(spark, version=7).count() == 240
+    # no-op delete commits nothing
+    n_commits = len(t.snapshot())
+    assert manifest.delete_where(
+        t, spark, "meter_id", lo=10_000
+    ) == {"files_dropped": 0, "files_rewritten": 0, "rows_deleted": 0}
+    assert len(t.snapshot()) == n_commits
+
+
+def test_delete_where_null_rows_survive(spark, tmp_path):
+    """SQL DELETE three-valued WHERE: NULL column values never match —
+    a value-range-covered file holding NULLs must REWRITE (not drop)
+    and keep its NULL rows."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "null_tbl"))
+    rows = [
+        (dt.datetime(2024, 3, 1, 0, m, 0), m, None if m % 5 == 0 else m * 10)
+        for m in range(20)
+    ]
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "reading_timestamp timestamp, meter_id bigint, v bigint",
+        ).repartition(1),
+    )
+    res = manifest.delete_where(t, spark, "v", lo=0, hi=1000)
+    assert res["files_dropped"] == 0 and res["files_rewritten"] == 1
+    assert res["rows_deleted"] == 16
+    left = t.read(spark)
+    assert left.count() == 4
+    assert left.filter("v IS NULL").count() == 4
+
+
+def test_delete_where_guards_and_race(spark, tmp_path):
+    """Pending MoR tombstones abort; a competing append between
+    listing and publish forces a clean retry that still lands."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 3, 1, 0, m, 0), m, 1.0) for m in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "reading_timestamp timestamp, meter_id bigint, v double"
+    )
+    t = manifest.ManifestTable(str(tmp_path / "race_tbl"))
+    t.idempotent_append(spark, df)
+    t.delete_keys_mor(
+        spark, df.filter("meter_id = 1").select("reading_timestamp", "meter_id")
+    )
+    with pytest.raises(manifest.PendingTombstonesError):
+        manifest.delete_where(t, spark, "meter_id", lo=0, hi=5)
+    manifest.apply_tombstones(t, spark)
+
+    competing = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 2), 900, 1.0)],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            manifest.ManifestTable(t.table_dir).idempotent_append(
+                spark, competing
+            )
+
+    t._pre_publish_hook = hook
+    try:
+        res = manifest.delete_where(t, spark, "meter_id", lo=0, hi=9)
+    finally:
+        t._pre_publish_hook = None
+    assert res["rows_deleted"] == 9  # meter 1 already MoR-deleted
+    got = t.read(spark)
+    assert got.filter("meter_id <= 9").count() == 0
+    assert got.filter("meter_id = 900").count() == 1
