@@ -1841,6 +1841,48 @@ WHERE reading_timestamp > TIMESTAMP '2024-01-01 05:59:59'""",
 )(manifest_retention_delete)
 
 
+def manifest_drop_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DROP COLUMN under the driver gate: land the
+    generator day, drop the solar-production column by a metadata-only
+    marker commit (bytes stay in the files; zero rewrite), assert the
+    pre-drop version still time-travels WITH the column, then return
+    the post-drop read against the generator oracle minus that column
+    — a drop that leaked the column (or disturbed any other value)
+    breaks the schema/hash check."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        alter_drop_column,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_dropcol_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        t.idempotent_append(spark, gen_meter_readings(spark))
+        files_before = sorted(t._files(t.snapshot()))
+        alter_drop_column(t, "reading_production_milliwatts")
+        if sorted(t._files(t.snapshot())) != files_before:
+            raise AssertionError("drop-column moved data files")
+        pre = t.read(spark, version=0)
+        if "reading_production_milliwatts" not in pre.columns:
+            raise AssertionError("time travel lost the dropped column")
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_drop_column_read",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       status
+FROM readings""",
+)(manifest_drop_column_read)
+
+
 def meter_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load factor per meter — the power-industry utilization KPI
     (average load / peak load; a factor near 1 is a flat, efficient

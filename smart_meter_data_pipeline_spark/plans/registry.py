@@ -193,6 +193,7 @@ _PRIORITY = [
     "events_conversion_lag",
     "manifest_cost_estimate",
     "manifest_retention_delete",
+    "manifest_drop_column_read",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",

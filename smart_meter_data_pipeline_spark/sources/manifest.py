@@ -555,13 +555,20 @@ class ManifestTable:
         """Union of the commits' recorded schemas in log order (later
         commits append new columns; a name seen twice keeps its first
         type — additive evolution only, type changes are rejected at
-        append time). None when no commit recorded a schema (tables
-        written before schema tracking — reader falls back to Spark's
-        own parquet inference)."""
+        append time), minus any columns a ``drop_columns`` marker
+        commit removed (ALTER TABLE DROP COLUMN — metadata-only:
+        bytes stay in the files, readers stop selecting them;
+        time travel to a pre-drop version still sees the column, and
+        a later append may re-introduce the name, possibly with a new
+        type). None when no commit recorded a schema (tables written
+        before schema tracking — reader falls back to Spark's own
+        parquet inference)."""
         from pyspark.sql.types import StructType
 
         fields: dict[str, object] = {}
         for c in commits:
+            for name in c.get("drop_columns", []):
+                fields.pop(name, None)
             if not c.get("schema"):
                 continue
             st = StructType.fromJson(json.loads(c["schema"]))
@@ -1215,6 +1222,12 @@ class ManifestTable:
         if table_schema is None:
             return
         existing = {f.name: f.dataType for f in table_schema.fields}
+        # type tombstones for ALTER-dropped columns (latest wins):
+        # re-introducing a dropped name with a DIFFERENT type would
+        # make pre-drop files unreadable under the new read schema
+        dropped: dict[str, str] = {}
+        for c in commits:
+            dropped.update(c.get("dropped_types") or {})
         for f in batch.schema.fields:
             if f.name in existing and f.dataType != existing[f.name]:
                 raise ValueError(
@@ -1222,6 +1235,17 @@ class ManifestTable:
                     f"'{f.name}' is {existing[f.name].simpleString()} "
                     f"in the table but {f.dataType.simpleString()} in "
                     f"the batch"
+                )
+            if (
+                f.name not in existing
+                and f.name in dropped
+                and f.dataType.json() != dropped[f.name]
+            ):
+                raise ValueError(
+                    f"column '{f.name}' was ALTER-dropped with type "
+                    f"{dropped[f.name]}; re-introducing it with "
+                    f"{f.dataType.simpleString()} would make pre-drop "
+                    "files unreadable — reuse the original type"
                 )
 
     def _check_constraints(self, batch: DataFrame) -> None:
@@ -1880,6 +1904,18 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
             "schema": base_schema.json() if base_schema else None,
             "stats": base_stats,
             "blooms": base_blooms,
+            # ALTER DROP COLUMN markers inside the merged prefix are
+            # already folded into base_schema; the dropped-type
+            # tombstones carry over (latest wins) so the re-add-with-
+            # different-type guard survives compaction for columns
+            # still absent from the base schema.
+            "dropped_types": {
+                name: tp
+                for _, c in base
+                for name, tp in (c.get("dropped_types") or {}).items()
+                if base_schema is None
+                or name not in {f.name for f in base_schema.fields}
+            },
             # The base REPRESENTS the table as of the last merged
             # commit, so it inherits that commit's timestamp: asof
             # reads inside the merged range are no longer resolvable
@@ -2418,7 +2454,9 @@ def restore_version(table: ManifestTable, version: int) -> dict:
         )
 
 
-def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
+def vacuum_unreferenced(
+    table: ManifestTable, ttl_s: float = 3600.0, dry_run: bool = False
+) -> int | list[str]:
     """Delete data FILES no commit references — crashed-writer stage
     leaks, and copy-on-write originals once compaction nets their
     removal out of the log (the Delta VACUUM lifecycle). File-level,
@@ -2431,7 +2469,12 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
     while a stranded ``.old`` log dir exists (legacy
     interrupted-compaction marker): until that log is restored, the
     current commits dir may under-report references and the sweep
-    would delete live data."""
+    would delete live data.
+
+    ``dry_run=True`` returns the data-dir-relative paths the sweep
+    WOULD delete (same TTL rules) without touching a byte — the
+    audit an operator runs before the first destructive vacuum of a
+    production table."""
     from smart_meter_data_pipeline_spark.sources.txn import table_lock
 
     if os.path.isdir(table.commits_dir + ".old"):
@@ -2455,6 +2498,7 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
             for r in t["rels"]
         }
         removed = 0
+        would: list[str] = []
         now = time.time()
         for name in os.listdir(table.data_dir):
             p = os.path.join(table.data_dir, name)
@@ -2475,13 +2519,16 @@ def vacuum_unreferenced(table: ManifestTable, ttl_s: float = 3600.0) -> int:
                     continue
                 if now - os.path.getmtime(fp) < ttl_s:
                     continue
+                if dry_run:
+                    would.append(rel)
+                    continue
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(fp)
                     removed += 1
-            if not os.listdir(p):
+            if not dry_run and not os.listdir(p):
                 with contextlib.suppress(OSError):
                     os.rmdir(p)
-        return removed
+        return sorted(would) if dry_run else removed
 
 
 def delete_where(
@@ -2656,6 +2703,72 @@ def delete_where(
     raise CommitConflictError(
         f"gave up after {max_retries} delete_where attempts on "
         f"{table.table_dir}"
+    )
+
+
+def alter_drop_column(table: ManifestTable, column: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only: one marker commit
+    removes the column from the evolved READ schema; the bytes stay
+    in the files (reclaimed only when rewrites/OPTIMIZE naturally
+    re-stage them), time travel to any pre-drop version still sees
+    the column, and a later append may re-introduce the name — with
+    the SAME type only (the marker records the dropped type and the
+    schema-compat gate rejects a type-changing re-add, which would
+    make pre-drop files unreadable under the new type; Delta solves
+    this with column mapping, this log solves it by refusing).
+
+    Refuses to drop PK / stats / bloom / constraint columns — each is
+    load-bearing for mutations or skipping. Returns the commit
+    number."""
+    guards = {
+        "pk": list(PK),
+        "stats_columns": table.stats_columns,
+        "bloom_columns": table.bloom_columns,
+    }
+    for what, cols in guards.items():
+        if column in cols:
+            raise ValueError(
+                f"cannot drop '{column}': it is a {what} column"
+            )
+    for c in table.constraints:
+        if column in str(c):
+            raise ValueError(
+                f"cannot drop '{column}': referenced by constraint {c}"
+            )
+    for attempt in range(20):
+        numbered = table.numbered_snapshot()
+        commits = [c for _, c in numbered]
+        fence = table._fence(numbered)
+        schema = table._evolved_schema(commits)
+        if schema is None or column not in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"column '{column}' does not exist in {table.table_dir}"
+            )
+        post = [f for f in schema.fields if f.name != column]
+        dropped = next(
+            f for f in schema.fields if f.name == column
+        )
+        from pyspark.sql.types import StructType
+
+        payload = json.dumps(
+            {
+                "version": fence,
+                "added": [],
+                "removed": [],
+                "count": 0,
+                "dates": [],
+                "stats": {},
+                "blooms": {},
+                "drop_columns": [column],
+                "dropped_types": {column: dropped.dataType.json()},
+                "schema": StructType(post).json() if post else None,
+                "committed_at": time.time(),
+            }
+        ).encode()
+        if _put_if_absent(table._commit_path(fence), payload):
+            return fence
+    raise CommitConflictError(
+        f"gave up after 20 drop-column attempts on {table.table_dir}"
     )
 
 

@@ -2291,3 +2291,83 @@ def test_delete_where_guards_and_race(spark, tmp_path):
     got = t.read(spark)
     assert got.filter("meter_id <= 9").count() == 0
     assert got.filter("meter_id = 900").count() == 1
+
+
+def test_alter_drop_column_metadata_only(spark, tmp_path):
+    """ALTER TABLE DROP COLUMN: marker-commit drop, time travel keeps
+    the column, same-type re-add works, type-changing re-add and
+    load-bearing-column drops are rejected, drop survives log
+    compaction."""
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 3, 1, 0, m, 0), m, float(m)) for m in range(20)]
+    df = spark.createDataFrame(
+        rows, "reading_timestamp timestamp, meter_id bigint, v double"
+    )
+    t = manifest.ManifestTable(str(tmp_path / "drop_tbl"))
+    t.idempotent_append(spark, df)
+    v_pre = len(t.snapshot()) - 1
+    files_before = set(t._files(t.snapshot()))
+    manifest.alter_drop_column(t, "v")
+    # metadata-only: same data files, column gone from reads
+    assert set(t._files(t.snapshot())) == files_before
+    assert "v" not in t.read(spark).columns
+    assert t.read(spark).count() == 20
+    # time travel still sees it
+    assert "v" in t.read(spark, version=v_pre).columns
+    # guards
+    with pytest.raises(ValueError, match="pk column"):
+        manifest.alter_drop_column(t, "meter_id")
+    with pytest.raises(ValueError, match="does not exist"):
+        manifest.alter_drop_column(t, "nope")
+    # type-changing re-add rejected; same-type re-add works
+    bad = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 2), 100, "s")],
+        "reading_timestamp timestamp, meter_id bigint, v string",
+    )
+    with pytest.raises(ValueError, match="ALTER-dropped"):
+        t.idempotent_append(spark, bad)
+    good = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 2), 100, 7.0)],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    t.idempotent_append(spark, good)
+    got = t.read(spark)
+    assert "v" in got.columns
+    # pre-drop files read v as NULL under the re-added schema? No —
+    # additive evolution re-selects the column, and the bytes are
+    # still there: original values come back (rename-free drop is a
+    # soft delete until files rewrite)
+    assert got.filter("v IS NOT NULL").count() == 21
+    # drop again, compact, guard still enforced post-compaction
+    manifest.alter_drop_column(t, "v")
+    assert manifest.compact_log(t, keep_last=1) > 0
+    assert "v" not in t.read(spark).columns
+    with pytest.raises(ValueError, match="ALTER-dropped"):
+        t.idempotent_append(spark, bad)
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "vac_tbl"))
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1), 1, 1.0)],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    t.idempotent_append(spark, df)
+    t.upsert(spark, df.withColumn("v", df.v + 1))
+    t.upsert(spark, df.withColumn("v", df.v + 2))
+    assert manifest.compact_log(t, keep_last=1) == 2
+    would = manifest.vacuum_unreferenced(t, ttl_s=0.0, dry_run=True)
+    assert isinstance(would, list) and len(would) >= 1
+    # nothing deleted
+    assert all(
+        os.path.exists(os.path.join(t.data_dir, rel)) for rel in would
+    )
+    swept = manifest.vacuum_unreferenced(t, ttl_s=0.0)
+    assert swept == len(would)
+    assert not any(
+        os.path.exists(os.path.join(t.data_dir, rel)) for rel in would
+    )
+    assert t.read(spark).count() == 1
