@@ -85,6 +85,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "(0 = size-derived)",
     )
     maint.add_argument(
+        "--drop-column",
+        default="",
+        help="ALTER TABLE DROP COLUMN (metadata-only marker commit; "
+        "refuses pk/stats/bloom/constraint columns)",
+    )
+    maint.add_argument(
+        "--vacuum-dry-run",
+        action="store_true",
+        help="list what vacuum WOULD sweep instead of deleting",
+    )
+    maint.add_argument(
         "--analyze",
         action="store_true",
         help="collect ANALYZE statistics (row count, per-column "
@@ -310,6 +321,9 @@ def main(argv: list[str] | None = None) -> int:
                 cluster_by=cluster or None,
                 zorder=args.zorder,
             )
+        dropped_col = None
+        if args.drop_column:
+            dropped_col = mf.alter_drop_column(t, args.drop_column)
         analyzed = None
         if args.analyze:
             from smart_meter_data_pipeline_spark.session import get_spark
@@ -318,18 +332,26 @@ def main(argv: list[str] | None = None) -> int:
                 t, get_spark("smart-meter-maintain")
             )
         merged = mf.compact_log(t, keep_last=args.keep_last)
-        swept = mf.vacuum_unreferenced(t, ttl_s=args.vacuum_ttl_s)
+        swept = mf.vacuum_unreferenced(
+            t, ttl_s=args.vacuum_ttl_s, dry_run=args.vacuum_dry_run
+        )
         print(
             json.dumps(
                 {
                     "files_rewritten": optimized["files_rewritten"],
                     "files_created": optimized["files_created"],
                     "commits_merged": merged,
-                    "stages_swept": swept,
+                    "stages_swept": (
+                        len(swept) if isinstance(swept, list) else swept
+                    ),
+                    "would_sweep": (
+                        swept if isinstance(swept, list) else None
+                    ),
                     "commits_now": len(t.snapshot()),
                     "analyzed_rows": (
                         analyzed["n_rows"] if analyzed else None
                     ),
+                    "dropped_column_commit": dropped_col,
                 }
             )
         )
