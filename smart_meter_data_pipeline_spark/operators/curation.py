@@ -2714,3 +2714,77 @@ FROM hashed
 GROUP BY 1, 2
 """,
 )(train_epoch_shuffle_plan)
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom runtime prefilter — the form that
+    survives a benchmark suite too big to broadcast as exact strings:
+    the held-out shingle set folds into a CONSTANT 8 KiB bitset
+    (bounded collect, broadcast as one row), the corpus shingle stream
+    drops everything the bitset excludes BEFORE any join, and only the
+    ~selectivity fraction reaches the exact membership semi-join —
+    which makes the whole construction result-transparent (false
+    positives die in the exact join, false negatives are impossible),
+    so the oracle is ``decontaminate_docs``' plain form verbatim. The
+    lineitem_bloom_semijoin pattern applied to corpus curation."""
+    from smart_meter_data_pipeline_spark.operators.scale_ops import (
+        BLOOM_HASHES,
+        _bloom_positions,
+        bloom_bitmap_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    bench_sh = (
+        sh.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds bitmap AND exact verify
+    )
+    rows = bloom_bitmap_rows(bench_sh, "shingle")
+    bitmap: dict[int, int] = {}
+    for r in rows:
+        bitmap[r["word"]] = r["bits"]
+    entries = sorted(bitmap.items()) or [(-1, 0)]
+    bitmap_map = F.create_map(
+        *[F.lit(v) for w, bits in entries for v in (w, bits)]
+    )
+    one_row = spark.range(1).select(bitmap_map.alias("bloom"))
+    probe = sh.crossJoin(F.broadcast(one_row))
+    for i, p in enumerate(_bloom_positions(F.col("shingle"))):
+        probe = probe.withColumn(f"_bpos{i}", p)
+    cond = None
+    for i in range(BLOOM_HASHES):
+        t = F.expr(
+            f"(coalesce(element_at(bloom, CAST(_bpos{i} div 64 AS INT)),"
+            f" CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(_bpos{i} % 64 AS INT)))"
+            " != 0"
+        )
+        cond = t if cond is None else cond & t
+    pruned = probe.filter(cond).select("doc_id", "shingle")
+    hits = (
+        pruned.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (F.col("doc_id") % BENCHMARK_MOD == 0).alias("is_benchmark"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (
+            (F.coalesce("n_shared", F.lit(0)) > 0)
+            & (F.col("doc_id") % BENCHMARK_MOD != 0)
+        ).alias("is_contaminated"),
+    )
+
+
+def _register_decontaminate_bloom() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("decontaminate_bloom", ORACLES["decontaminate_docs"])(
+        decontaminate_bloom
+    )
+
+
+_register_decontaminate_bloom()
