@@ -574,6 +574,35 @@ def main() -> None:
             "skipping_read": mtz.skipping_report(skip_where),
         }
 
+        # 16c. Range retention DELETE (round 10): on a time-clustered
+        # layout the sweep drops whole files by metadata and rewrites
+        # only the straddler — the files_dropped/rewritten split IS
+        # the feature's value claim, recorded next to the timing.
+        from smart_meter_data_pipeline_spark.sources.manifest import (
+            delete_where,
+        )
+
+        mtr = ManifestTable(os.path.join(workdir, "fact_retention"))
+        mtr.idempotent_append(spark, readings)
+        optimize_table(
+            mtr, spark, target_partitions=24,
+            cluster_by=["reading_timestamp"],
+        )
+        ret_res = {}
+        leg(
+            "manifest_retention_delete",
+            lambda: ret_res.update(
+                delete_where(
+                    mtr,
+                    spark,
+                    "reading_timestamp",
+                    hi=_dt.datetime(2024, 1, 1, 5, 59, 59),
+                )
+            ),
+            repeat=1,
+        )
+        manifest_retention = dict(ret_res)
+
         # 17. Bloom runtime-filter semi-join (r8 scale_ops): 8 KiB
         # bitset from the selective order filter prunes the lineitem
         # probe BEFORE its shuffle; result identical to the plain join.
@@ -660,6 +689,7 @@ def main() -> None:
         },
         "manifest_clustered": manifest_clustered,
         "manifest_zorder": manifest_zorder,
+        "manifest_retention": manifest_retention,
         "manifest_mor": manifest_mor,
         "repeat": 2,
         "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},

@@ -2959,6 +2959,12 @@ def stream_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_stream_hll_sliding() -> None:
+    # the batch twin's oracle registers on stats_sketch import — pull
+    # it in explicitly so THIS module is import-order independent
+    # (bench.py imports streaming without the full operator package)
+    from smart_meter_data_pipeline_spark.operators import (  # noqa: F401
+        stats_sketch as _sk,
+    )
     from smart_meter_data_pipeline_spark.plans.registry import ORACLES
 
     register(
