@@ -695,3 +695,135 @@ WHERE {hamming_sql} <= {PHASH_MAX_HAMMING}
 register("multimodal_phash_neardup", _phash_oracle())(
     multimodal_phash_neardup
 )
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection (round 10)
+# ---------------------------------------------------------------------------
+
+SCENE_FRAME_BYTES = 64
+SCENE_CUT_DELTA = 400  # byte-sum jump that starts a new scene
+
+
+def frame_energy(binary_df: DataFrame) -> DataFrame:
+    """Fixed-width framing + per-frame ENERGY (exact byte sum) over
+    the opaque payload, Arrow-batched — the video twin of
+    :func:`frame_activity`: a real pipeline decodes frames and scores
+    luminance deltas here; the byte sum is the deterministic
+    surrogate that keeps the downstream cut/segment logic under the
+    hash gate."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                for f, off in enumerate(
+                    range(0, len(b), SCENE_FRAME_BYTES)
+                ):
+                    chunk = b[off : off + SCENE_FRAME_BYTES]
+                    rows.append((int(doc_id), f, sum(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_id", "energy"]
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("frame_id", T.IntegerType()),
+                T.StructField("energy", T.LongType()),
+            ]
+        ),
+    )
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection end to end — the shot-boundary pass every
+    video curation pipeline runs before sampling frames for training:
+    frame the payload ({SCENE_FRAME_BYTES}-byte frames at the codec
+    seam), score each frame's energy, open a NEW scene wherever the
+    energy jumps by more than {SCENE_CUT_DELTA} vs the previous frame
+    (LAG per doc), then roll consecutive frames into scenes with a
+    running cut-count — per scene: frame span and exact total energy.
+
+    Scale shape mirrors the VAD op: mapInPandas only for the per-byte
+    codec work; cut detection and scene assembly are LAG + running
+    SUM windows partitioned by doc_id; output is scene-count-sized
+    (the payload never shuffles — only (doc, frame, energy) ints)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_energy(with_binary_content(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    cuts = frames.withColumn(
+        "is_cut",
+        F.when(
+            F.abs(
+                F.col("energy")
+                - F.lag("energy").over(w)
+            )
+            > SCENE_CUT_DELTA,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    scenes = cuts.withColumn(
+        "scene_id",
+        F.sum("is_cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return (
+        scenes.groupBy("doc_id", "scene_id")
+        .agg(
+            F.min("frame_id").cast("int").alias("start_frame"),
+            F.max("frame_id").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum("energy").cast("bigint").alias("scene_energy"),
+        )
+    )
+
+
+register(
+    "multimodal_scene_cuts",
+    f"""
+WITH pos AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         unnest(range(1, octet_length(encode(text)) + 1)) AS i
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         CAST((i - 1) // {SCENE_FRAME_BYTES} AS INT) AS frame_id,
+         SUM((position(substring(hx, CAST(2 * i - 1 AS INT), 1)
+                       IN '0123456789ABCDEF') - 1) * 16
+             + (position(substring(hx, CAST(2 * i AS INT), 1)
+                         IN '0123456789ABCDEF') - 1)) AS energy
+  FROM pos GROUP BY 1, 2
+),
+cuts AS (
+  SELECT doc_id, frame_id, energy,
+         CASE WHEN abs(energy - lag(energy) OVER (
+                PARTITION BY doc_id ORDER BY frame_id))
+              > {SCENE_CUT_DELTA} THEN 1 ELSE 0 END AS is_cut
+  FROM frames
+),
+scenes AS (
+  SELECT doc_id, frame_id, energy,
+         CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS INT) AS scene_id
+  FROM cuts
+)
+SELECT doc_id, scene_id,
+       CAST(MIN(frame_id) AS INT) AS start_frame,
+       CAST(MAX(frame_id) AS INT) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS scene_energy
+FROM scenes
+GROUP BY 1, 2
+""",
+)(multimodal_scene_cuts)

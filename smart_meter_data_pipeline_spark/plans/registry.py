@@ -196,6 +196,7 @@ _PRIORITY = [
     "manifest_drop_column_read",
     "stream_manifest_cdc_read",
     "decontaminate_bloom",
+    "multimodal_scene_cuts",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
