@@ -501,9 +501,15 @@ class ManifestTable:
             commits,
             {str(d) for d in dates} if dates is not None else None,
         )
-        if not files:
-            return None
         schema = self._evolved_schema(commits)
+        if not files:
+            # No commits at all → None (table never written). Commits
+            # with a recorded schema but zero live files (everything
+            # deleted) → an EMPTY frame: the table exists and has a
+            # shape, exactly like SELECT * FROM t after DELETE.
+            if commits and schema is not None:
+                return spark.createDataFrame([], schema)
+            return None
         row_filters = []
         if where or where_in:
             key_ranges = {}

@@ -912,7 +912,10 @@ def test_read_dates_prunes_files_from_metadata(spark, table_dir):
     )
     assert t.delete_keys(spark, dead) == 5
     assert t.read(spark, dates=[dt.date(2024, 3, 2)]).count() == 15
-    assert t.read(spark, dates=[dt.date(2024, 3, 4)]) is None
+    # round 10: a committed table with zero matching files reads as an
+    # EMPTY frame (schema known), not None — same contract as a table
+    # fully emptied by delete_where
+    assert t.read(spark, dates=[dt.date(2024, 3, 4)]).count() == 0
 
 
 def test_file_skipping_stats_prune_mutation_scans(spark, table_dir):

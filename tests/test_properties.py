@@ -371,3 +371,62 @@ def test_drawdown_matches_sequential_reference(spark, vals):
         run_max = max(run_max, v)
         best = max(best, run_max - v)
     assert got == best
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # meter_id
+            st.booleans(),                           # v is NULL?
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_files=st.integers(min_value=1, max_value=4),
+    lo=st.integers(min_value=-5, max_value=55),
+    width=st.integers(min_value=0, max_value=30),
+)
+@settings(**_SETTINGS)
+def test_delete_where_equals_filter_property(
+    spark, tmp_path_factory, vals, n_files, lo, width
+):
+    """delete_where soundness under ARBITRARY layouts and bounds:
+    however rows shard into files and wherever the range lands, the
+    surviving table must equal the three-valued-logic filter
+    ``NOT (col BETWEEN lo AND hi) OR col IS NULL`` — whole-file drops
+    and straddler rewrites are invisible to semantics."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.sources import manifest
+
+    hi = lo + width
+    base = str(tmp_path_factory.mktemp("dw_prop"))
+    t = manifest.ManifestTable(base + "/tbl")
+    rows = [
+        (
+            dt.datetime(2024, 3, 1, 0, 0, 0) + dt.timedelta(minutes=i),
+            m,
+            None if is_null else m,
+        )
+        for i, (m, is_null) in enumerate(vals)
+    ]
+    per = max(1, len(rows) // n_files)
+    for off in range(0, len(rows), per):
+        df = spark.createDataFrame(
+            rows[off : off + per],
+            "reading_timestamp timestamp, meter_id bigint, v bigint",
+        ).repartition(1)
+        t.idempotent_append(spark, df)
+
+    res = manifest.delete_where(t, spark, "v", lo=lo, hi=hi)
+    want = [
+        r for r in rows if r[2] is None or not (lo <= r[2] <= hi)
+    ]
+    got = t.read(spark)
+    assert got.count() == len(want)
+    assert res["rows_deleted"] == len(rows) - len(want)
+    got_rows = sorted(
+        ((r[0], r[1], r[2]) for r in got.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    assert got_rows == sorted(want, key=lambda x: (x[0], x[1]))
