@@ -1428,3 +1428,64 @@ SELECT event_type,
 FROM flagged GROUP BY event_type
 """,
 )(events_outlier_ensemble)
+
+
+SAX_DISCORD_TOP_K = 20
+
+
+def events_sax_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discord screening over the SAX vocabulary — the HOT-SAX
+    candidate heuristic: user-days whose symbol word is GLOBALLY
+    rarest are the anomaly candidates a full discord search examines
+    first (a pattern nobody else's day exhibits is exactly what
+    "unusual" means at the symbolic level; the exhaustive
+    nearest-neighbor distance pass is the refinement step, run only
+    on this shortlist). Reports the {SAX_DISCORD_TOP_K} rarest words
+    with their day counts and a deterministic exemplar (user, day).
+
+    Scale shape: composes ``events_sax_symbols``' bounded per-day
+    word table — the discord rollup is |distinct words| ≤ |user-days|
+    rows with a map-side-combined count, cut by TakeOrdered to a
+    constant head; the rank window runs over the post-limit 20-row
+    frame only (the adjudicated top-k shape)."""
+    from pyspark.sql import Window
+
+    words = events_sax_symbols(spark, sf_dir)
+    vocab = words.groupBy("sax").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(F.struct("user_id", "day")).alias("ex"),
+    )
+    head = vocab.orderBy("n_days", "sax").limit(SAX_DISCORD_TOP_K)
+    w = Window.orderBy("n_days", "sax")
+    return head.withColumn(
+        "discord_rank", F.row_number().over(w)
+    ).select(
+        F.col("discord_rank").cast("int").alias("discord_rank"),
+        "sax",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("ex.user_id").cast("bigint").alias("example_user"),
+        F.col("ex.day").alias("example_day"),
+    )
+
+
+register(
+    "events_sax_discords",
+    f"""
+WITH base AS ({_SAX_SQL}),
+vocab AS (
+  SELECT sax, COUNT(*) AS n_days,
+         MIN({{'user_id': user_id, 'day': day}}) AS ex
+  FROM base GROUP BY 1
+),
+head AS (
+  SELECT * FROM vocab ORDER BY n_days, sax LIMIT {SAX_DISCORD_TOP_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_days, sax) AS INT)
+         AS discord_rank,
+       sax,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(ex.user_id AS BIGINT) AS example_user,
+       ex.day AS example_day
+FROM head
+""",
+)(events_sax_discords)

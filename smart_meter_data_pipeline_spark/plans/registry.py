@@ -197,6 +197,7 @@ _PRIORITY = [
     "stream_manifest_cdc_read",
     "decontaminate_bloom",
     "multimodal_scene_cuts",
+    "events_sax_discords",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
