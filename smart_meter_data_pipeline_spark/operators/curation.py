@@ -2788,3 +2788,90 @@ def _register_decontaminate_bloom() -> None:
 
 
 _register_decontaminate_bloom()
+
+
+def corpus_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a curation team actually quotes: how many TOKENS
+    exact dedup saves — raw corpus tokens, tokens after keeping one
+    copy per distinct content, and the savings rate — broken out per
+    source plus a corpus-wide TOTAL row. (Document counts understate
+    duplication when the duplicated docs are long; token accounting
+    is what maps to training FLOPs and storage.)
+
+    Scale shape: ONE scan computes per-doc token counts + the content
+    hash; the rollup groups by (source, content) to charge each
+    distinct content once (map-side combined, |distinct contents|
+    rows), then by source; the TOTAL row is a second tiny rollup of
+    the per-source frame (grouping-sets shape without rescanning).
+    Integer milli rate, floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(tokens()).cast("bigint").alias("n_tok"),
+    )
+    per_content = per_doc.groupBy("source", "h").agg(
+        F.sum("n_tok").alias("tok_raw"),
+        F.min("n_tok").alias("tok_kept"),  # copies are identical text
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    per_source = per_content.groupBy("source").agg(
+        F.sum("tok_raw").alias("tokens_raw"),
+        F.sum("tok_kept").alias("tokens_deduped"),
+        F.sum(F.col("n_copies") - 1).alias("dup_docs_removed"),
+    ).localCheckpoint(eager=True)  # feeds per-source rows AND total
+    total = per_source.groupBy(F.lit("TOTAL").alias("source")).agg(
+        F.sum("tokens_raw").alias("tokens_raw"),
+        F.sum("tokens_deduped").alias("tokens_deduped"),
+        F.sum("dup_docs_removed").alias("dup_docs_removed"),
+    )
+    return per_source.unionByName(total).select(
+        "source",
+        F.col("tokens_raw").cast("bigint").alias("tokens_raw"),
+        F.col("tokens_deduped").cast("bigint").alias("tokens_deduped"),
+        F.col("dup_docs_removed").cast("bigint").alias("dup_docs_removed"),
+        F.expr(
+            "CASE WHEN tokens_raw > 0 THEN CAST(1000 *"
+            " (tokens_raw - tokens_deduped) div tokens_raw AS BIGINT)"
+            " END"
+        ).alias("savings_milli"),
+    )
+
+
+register(
+    "corpus_dedup_token_savings",
+    """
+WITH per_doc AS (
+  SELECT source, md5(text) AS h,
+         CAST(length(list_filter(string_split(text, ' '),
+                                 x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+per_content AS (
+  SELECT source, h, SUM(n_tok) AS tok_raw, MIN(n_tok) AS tok_kept,
+         COUNT(*) AS n_copies
+  FROM per_doc GROUP BY 1, 2
+),
+per_source AS (
+  SELECT source, SUM(tok_raw) AS tokens_raw,
+         SUM(tok_kept) AS tokens_deduped,
+         SUM(n_copies - 1) AS dup_docs_removed
+  FROM per_content GROUP BY 1
+),
+unioned AS (
+  SELECT * FROM per_source
+  UNION ALL
+  SELECT 'TOTAL', SUM(tokens_raw), SUM(tokens_deduped),
+         SUM(dup_docs_removed)
+  FROM per_source
+)
+SELECT source,
+       CAST(tokens_raw AS BIGINT) AS tokens_raw,
+       CAST(tokens_deduped AS BIGINT) AS tokens_deduped,
+       CAST(dup_docs_removed AS BIGINT) AS dup_docs_removed,
+       CASE WHEN tokens_raw > 0 THEN CAST(1000 *
+            (tokens_raw - tokens_deduped) // tokens_raw AS BIGINT)
+       END AS savings_milli
+FROM unioned
+""",
+)(corpus_dedup_token_savings)
