@@ -2421,3 +2421,78 @@ SELECT CAST(CASE WHEN meter_id % 9 = 2 THEN meter_id % 5 + 100
 FROM readings
 GROUP BY 1""",
 )(manifest_ivm_join)
+
+
+def meter_grid_ramp_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone ramp rates off the hourly grid mart — the KPI grid
+    operators actually dispatch on (how fast can net load SWING, not
+    just how high does it peak: ramping capability is what scarce
+    peaker/storage capacity is priced against). Per zone: the steepest
+    hour-over-hour net-load rise and fall with the hour each occurred.
+
+    Determinism: the mart's net kWh is an exact integer mWh sum
+    divided by the same power-of-ten literal in both engines, so the
+    hourly diffs are bit-identical doubles; the argmax hour rides a
+    struct max/min ((ramp, hour) lexicographic — rise ties break to
+    the LATER hour, fall ties to the EARLIER), so both engines pick
+    the same exemplar.
+
+    Scale shape: composes the audited mart (one extra LAG window
+    partitioned by zone over the zone×hour frame — bounded by
+    calendar × |zones|, never fact-sized) and a per-zone rollup.
+    Reference parity: extends fact_meter_grid_load_hourly's peak
+    framing (models/marts/fact_meter_grid_load_hourly.sql) from
+    levels to derivatives."""
+    from pyspark.sql import Window
+
+    grid = meter_grid_load_q(spark, sf_dir).select(
+        "grid_zone_id",
+        "zone_name",
+        "load_hour",
+        F.col("total_net_consumption_kwh").alias("net_kwh"),
+    )
+    w = Window.partitionBy("grid_zone_id").orderBy("load_hour")
+    ramps = grid.withColumn(
+        "ramp", F.col("net_kwh") - F.lag("net_kwh").over(w)
+    ).filter(F.col("ramp").isNotNull())
+    return ramps.groupBy("grid_zone_id", "zone_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ramps"),
+        F.max("ramp").alias("max_ramp_up_kwh"),
+        F.max(
+            F.struct(
+                F.col("ramp").alias("r"), F.col("load_hour").alias("h")
+            )
+        )["h"].alias("ramp_up_hour"),
+        F.min("ramp").alias("max_ramp_down_kwh"),
+        F.min(
+            F.struct(
+                F.col("ramp").alias("r"), F.col("load_hour").alias("h")
+            )
+        )["h"].alias("ramp_down_hour"),
+    )
+
+
+def _grid_ramp_oracle() -> str:
+    return f"""
+WITH base AS ({_GRID_LOAD_SQL}),
+ramps AS (
+  SELECT grid_zone_id, zone_name, load_hour,
+         total_net_consumption_kwh - lag(total_net_consumption_kwh)
+           OVER (PARTITION BY grid_zone_id ORDER BY load_hour) AS ramp
+  FROM base
+)
+SELECT grid_zone_id, zone_name,
+       CAST(COUNT(*) AS BIGINT) AS n_ramps,
+       MAX(ramp) AS max_ramp_up_kwh,
+       (MAX({{'r': ramp, 'h': load_hour}})).h AS ramp_up_hour,
+       MIN(ramp) AS max_ramp_down_kwh,
+       (MIN({{'r': ramp, 'h': load_hour}})).h AS ramp_down_hour
+FROM ramps
+WHERE ramp IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+register("meter_grid_ramp_rates", _grid_ramp_oracle())(
+    meter_grid_ramp_rates
+)

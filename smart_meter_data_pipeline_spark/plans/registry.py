@@ -199,6 +199,7 @@ _PRIORITY = [
     "multimodal_scene_cuts",
     "events_sax_discords",
     "corpus_dedup_token_savings",
+    "meter_grid_ramp_rates",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
