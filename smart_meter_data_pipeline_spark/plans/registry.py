@@ -200,6 +200,7 @@ _PRIORITY = [
     "events_sax_discords",
     "corpus_dedup_token_savings",
     "meter_grid_ramp_rates",
+    "stream_grid_ramp_rates",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",

@@ -3053,3 +3053,143 @@ def _register_manifest_cdc() -> None:
 
 
 _register_manifest_cdc()
+
+
+def stream_grid_ramp_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``meter_grid_ramp_rates``: per-zone
+    hour-over-hour net-load ramps computed as KEYED STREAMING STATE
+    (last seen (hour, net) per zone — the cross-batch LAG), with the
+    zone×hour mart rows arriving in two chunks cut MID-DAY so one
+    zone's ramp at the cut must bridge micro-batches. The drained
+    per-transition ramps reduce batch-side to the same per-zone
+    max-rise/max-fall report and hash against the batch twin's
+    oracle. This is the grid-operator alerting path: ramp limits are
+    monitored ON the stream, not recomputed from the mart after the
+    fact.
+
+    Closure rule: the per-group function touches only pandas (state
+    carries the last hour as epoch micros + the last net kWh)."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        meter_grid_load_q,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_ramp_")
+    try:
+        grid = meter_grid_load_q(spark, sf_dir).select(
+            "grid_zone_id",
+            "zone_name",
+            "load_hour",
+            F.col("total_net_consumption_kwh").alias("net_kwh"),
+        )
+        cut = F.lit("2024-01-01 12:00:00").cast("timestamp")
+        grid.filter(F.col("load_hour") < cut).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        grid.filter(F.col("load_hour") >= cut).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(grid.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("grid_zone_id", T.IntegerType()),
+                T.StructField("zone_name", T.StringType()),
+                T.StructField("load_hour", T.TimestampType()),
+                T.StructField("ramp", T.DoubleType()),
+            ]
+        )
+        state_schema = T.StructType(
+            [
+                T.StructField("last_us", T.LongType()),
+                T.StructField("last_net", T.DoubleType()),
+            ]
+        )
+
+        def _fn(key, pdfs, state):
+            import pandas as pd
+
+            pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+                "load_hour"
+            )
+            last_us, last_net = (
+                state.get if state.exists else (None, None)
+            )
+            out = []
+            for _, row in pdf.iterrows():
+                us = int(row["load_hour"].value // 1000)
+                net = float(row["net_kwh"])
+                if last_us is not None:
+                    out.append(
+                        (
+                            int(key[0]),
+                            row["zone_name"],
+                            row["load_hour"],
+                            net - last_net,
+                        )
+                    )
+                last_us, last_net = us, net
+            state.update((last_us, last_net))
+            yield pd.DataFrame(
+                out,
+                columns=["grid_zone_id", "zone_name", "load_hour", "ramp"],
+            )
+
+        sink = f"stream_ramp_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy("grid_zone_id")
+            .applyInPandasWithState(
+                _fn,
+                out_schema,
+                state_schema,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ramps = spark.table(sink)
+        return (
+            ramps.groupBy("grid_zone_id", "zone_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_ramps"),
+                F.max("ramp").alias("max_ramp_up_kwh"),
+                F.max(
+                    F.struct(
+                        F.col("ramp").alias("r"),
+                        F.col("load_hour").alias("h"),
+                    )
+                )["h"].alias("ramp_up_hour"),
+                F.min("ramp").alias("max_ramp_down_kwh"),
+                F.min(
+                    F.struct(
+                        F.col("ramp").alias("r"),
+                        F.col("load_hour").alias("h"),
+                    )
+                )["h"].alias("ramp_down_hour"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_grid_ramp() -> None:
+    from smart_meter_data_pipeline_spark.operators import (  # noqa: F401
+        meter_pipeline as _mp,
+    )
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register(
+        "stream_grid_ramp_rates", ORACLES["meter_grid_ramp_rates"]
+    )(stream_grid_ramp_rates)
+
+
+_register_stream_grid_ramp()

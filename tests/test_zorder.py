@@ -76,3 +76,63 @@ def test_zorder_single_column_falls_back_to_range_cluster(spark, tmp_path):
     )
     assert res["files_created"] >= 1
     assert _stat_widths(t)["meter_id"] <= 8
+
+
+def test_zorder_three_columns_all_narrow(spark, tmp_path):
+    """3-D Z-order: EVERY clustered column's per-file stats range must
+    narrow (≈ cube-root-of-file-count per axis), where lexicographic
+    clustering leaves the 2nd and 3rd columns at ~full range — pins
+    the generic bit-interleave beyond the 2-D grid the other tests
+    cover."""
+    import datetime as dt
+
+    def cube(path):
+        t = ManifestTable(
+            str(path), stats_columns=["meter_id", "v", "w"]
+        )
+        rows = [
+            (
+                TS + dt.timedelta(minutes=i),
+                i % 16,
+                (i // 16) % 16,
+                i // 256,
+            )
+            for i in range(4096)
+        ]
+        for lo in range(0, 4096, 512):
+            df = spark.createDataFrame(
+                rows[lo : lo + 512],
+                "reading_timestamp timestamp, meter_id bigint,"
+                " v bigint, w bigint",
+            ).repartition(1)
+            t.idempotent_append(spark, df)
+        return t
+
+    tz = cube(tmp_path / "z3")
+    optimize_table(
+        tz,
+        spark,
+        target_partitions=16,
+        cluster_by=["meter_id", "v", "w"],
+        zorder=True,
+    )
+    tl = cube(tmp_path / "l3")
+    optimize_table(
+        tl, spark, target_partitions=16, cluster_by=["meter_id", "v", "w"]
+    )
+
+    def widths(t):
+        stats = t.snapshot()[-1]["stats"]
+        out = {"meter_id": [], "v": [], "w": []}
+        for per_file in stats.values():
+            for c in out:
+                lo, hi = per_file[c]
+                out[c].append(hi - lo)
+        return {c: sum(ws) / len(ws) for c, ws in out.items()}
+
+    wz, wl = widths(tz), widths(tl)
+    # lexicographic at one-meter-per-file: only the first axis narrows
+    assert wl["meter_id"] <= 1, wl
+    assert wl["v"] >= 12 and wl["w"] >= 12, wl
+    # z-order: EVERY axis well under the full range (15)
+    assert wz["meter_id"] <= 10 and wz["v"] <= 10 and wz["w"] <= 10, wz
