@@ -2496,3 +2496,86 @@ GROUP BY 1, 2
 register("meter_grid_ramp_rates", _grid_ramp_oracle())(
     meter_grid_ramp_rates
 )
+
+
+def manifest_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistent read under the driver gate: a fact and a
+    dimension table commit INDEPENDENTLY (fact even-meter rows, dim
+    half the meters; then fact odd rows, dim the rest), and the report
+    joins them AS OF the instant between the two waves —
+    ``consistent_snapshot`` resolves BOTH logs to that timestamp, so
+    the join sees a state that actually coexisted (fact wave 1 × dim
+    wave 1) and asserts the anti-state (rows that would leak from
+    mixing wave-2 data) is absent; the returned join hashes against
+    the oracle restricted to wave 1. 'Latest of each' is exactly the
+    mix this prevents at 100 TB, where nightly jobs read dozens of
+    independently-committing tables."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        consistent_snapshot,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_consis_q_")
+    try:
+        fact = ManifestTable(os.path.join(workdir, "fact"))
+        dim = ManifestTable(os.path.join(workdir, "dim"))
+        readings = gen_meter_readings(spark)
+        meters = gen_dim_meters(spark)
+        fact.idempotent_append(
+            spark, readings.filter(F.col("meter_id") % 2 == 0)
+        )
+        dim.idempotent_append(
+            spark,
+            meters.filter(F.col("meter_id") <= N_METERS // 2),
+            pk=["meter_id"],
+        )
+        ts_mid = _time.time()
+        _time.sleep(0.05)
+        fact.idempotent_append(
+            spark, readings.filter(F.col("meter_id") % 2 == 1)
+        )
+        dim.idempotent_append(
+            spark,
+            meters.filter(F.col("meter_id") > N_METERS // 2),
+            pk=["meter_id"],
+        )
+        snap = consistent_snapshot(
+            {"fact": fact, "dim": dim}, spark, ts_mid
+        )
+        joined = snap["fact"].join(
+            snap["dim"].select("meter_id", "grid_zone_id"), "meter_id"
+        )
+        # anti-state guard: nothing from wave 2 leaks into the report
+        n_leak = joined.filter(
+            (F.col("meter_id") % 2 == 1)
+            | (F.col("meter_id") > N_METERS // 2)
+        ).count()
+        if n_leak:
+            raise AssertionError(
+                f"consistent snapshot leaked {n_leak} wave-2 rows"
+            )
+        return joined.select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "status",
+            "grid_zone_id",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_consistent_snapshot",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, r.meter_id, reading_consumption_milliwatts,
+       status,
+       CAST((r.meter_id % 16) + 5 AS INT) AS grid_zone_id
+FROM readings r
+WHERE r.meter_id % 2 = 0 AND r.meter_id <= {N_METERS // 2}""",
+)(manifest_consistent_snapshot)

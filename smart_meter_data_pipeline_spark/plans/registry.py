@@ -201,6 +201,7 @@ _PRIORITY = [
     "corpus_dedup_token_savings",
     "meter_grid_ramp_rates",
     "stream_grid_ramp_rates",
+    "manifest_consistent_snapshot",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",

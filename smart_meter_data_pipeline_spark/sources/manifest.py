@@ -1134,14 +1134,21 @@ class ManifestTable:
             n_batch = in_batch.count()
             if n_batch == 0:
                 return 0
-            batch_dates = {
-                str(r["d"])
-                for r in in_batch.select(
-                    F.to_date("reading_timestamp").alias("d")
-                )
-                .distinct()
-                .collect()
-            }
+            # Dateless tables (dimensions — no reading_timestamp):
+            # None disables date pruning, so validation anti-joins
+            # against ALL files (the safe direction) and the commit
+            # records no dates.
+            if "reading_timestamp" in in_batch.columns:
+                batch_dates = {
+                    str(r["d"])
+                    for r in in_batch.select(
+                        F.to_date("reading_timestamp").alias("d")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            else:
+                batch_dates = None
             numbered = self.numbered_snapshot()
             commits = [c for _, c in numbered]
             self._check_schema_compat(in_batch, commits)
@@ -1167,7 +1174,7 @@ class ManifestTable:
                         "version": validated_through,
                         "added": staged,
                         "count": n,
-                        "dates": sorted(batch_dates),
+                        "dates": sorted(batch_dates or []),
                         "schema": in_batch.schema.json(),
                         "stats": self._file_stats(staged),
                         "blooms": self._file_blooms(staged),
@@ -2710,6 +2717,29 @@ def delete_where(
         f"gave up after {max_retries} delete_where attempts on "
         f"{table.table_dir}"
     )
+
+
+def consistent_snapshot(
+    tables: dict[str, ManifestTable],
+    spark: SparkSession,
+    asof: float,
+) -> dict[str, DataFrame | None]:
+    """One TIMESTAMP across many tables — the cross-table consistent
+    read a multi-table report needs (each manifest table commits
+    independently, so 'latest of A' joined to 'latest of B' can mix
+    states that never coexisted; resolving EVERY table AS OF the same
+    instant yields a state that actually existed, because each
+    table's commit log is totally ordered by committed_at). Tables
+    with no commit at or before ``asof`` map to None (they did not
+    exist yet). Metadata-only resolution (version_asof), one read
+    per table."""
+    out: dict[str, DataFrame | None] = {}
+    for name, t in tables.items():
+        try:
+            out[name] = t.read(spark, asof=asof)
+        except ValueError:
+            out[name] = None
+    return out
 
 
 def alter_drop_column(table: ManifestTable, column: str) -> int:

@@ -83,6 +83,11 @@ def make_manifest_cdc_datasource():
         def __init__(self, options):
             self.table_dir = options["path"]
             self.cols = [n for n, _ in evolved_fields(self.table_dir)]
+            # Delta's startingVersion: begin the stream AT this commit
+            # number (earlier history is not replayed) — how a new
+            # consumer attaches to a long-lived table without paying
+            # a full-history backfill.
+            self.starting = int(options.get("startingversion", "0"))
 
         def _numbers(self):
             import os
@@ -95,7 +100,7 @@ def make_manifest_cdc_datasource():
             )
 
         def initialOffset(self):
-            return {"next": 0}
+            return {"next": self.starting}
 
         def latestOffset(self):
             nums = self._numbers()

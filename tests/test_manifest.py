@@ -2374,3 +2374,67 @@ def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
         os.path.exists(os.path.join(t.data_dir, rel)) for rel in would
     )
     assert t.read(spark).count() == 1
+
+
+def test_manifest_cdc_starting_version(spark, tmp_path):
+    """manifest_cdc startingVersion: a consumer attaching at commit N
+    streams only commits >= N (no history backfill)."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.sources.manifest_cdc_source import (
+        make_manifest_cdc_datasource,
+    )
+
+    spark.dataSource.register(make_manifest_cdc_datasource())
+    t = manifest.ManifestTable(str(tmp_path / "cdc_tbl"))
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (dt.datetime(2024, 3, 1, 0, i, 0), i, 1.0)
+                for i in range(lo, hi)
+            ],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        )
+
+    t.idempotent_append(spark, mk(0, 10))
+    t.idempotent_append(spark, mk(10, 25))
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("manifest_cdc")
+        .option("path", t.table_dir)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    assert out.count() == 15
+    assert out.agg({"meter_id": "min"}).collect()[0][0] == 10
+
+
+def test_dateless_dimension_table_append_roundtrip(spark, tmp_path):
+    """Dimension tables (no reading_timestamp) go through the same
+    idempotent-append protocol: validation anti-joins against ALL
+    files (no date pruning to mis-skip), re-delivery is a no-op, and
+    the commit simply records no dates."""
+    t = manifest.ManifestTable(str(tmp_path / "dim_tbl"))
+    dim = spark.createDataFrame(
+        [(i, f"zone-{i % 4}") for i in range(50)],
+        "meter_id bigint, zone string",
+    )
+    assert t.idempotent_append(spark, dim, pk=["meter_id"]) == 50
+    # exact redelivery: fully duplicate
+    assert t.idempotent_append(spark, dim, pk=["meter_id"]) == 0
+    # partial overlap: only the new keys land
+    more = spark.createDataFrame(
+        [(i, "z") for i in range(40, 60)], "meter_id bigint, zone string"
+    )
+    assert t.idempotent_append(spark, more, pk=["meter_id"]) == 10
+    got = t.read(spark)
+    assert got.count() == 60
+    assert t.snapshot()[0]["dates"] == []
