@@ -6178,3 +6178,106 @@ SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
 FROM cum
 """,
 )(events_conversion_lag)
+
+
+def events_forecast_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast MODEL SELECTION by walk-forward error — the decision a
+    forecasting platform automates per series: naive (yesterday),
+    seasonal-naive (same weekday last week) and Holt each score their
+    one-step-ahead MAE over the daily centi series, and the winner is
+    the model a deployment would serve for that type. Seasonal-naive
+    beating Holt on a strongly weekly series (and vice versa on a
+    trending one) is exactly the signal this table carries.
+
+    Determinism: every error is an exact centi integer
+    (naive/seasonal-naive as LAG diffs over the bounded daily rollup,
+    Holt via the audited integer fold — composed from
+    ``events_holt_backtest`` verbatim so constituent fixes
+    propagate); MAE is floored integer division; ties break by the
+    fixed priority naive < snaive < holt (simpler model wins a tie).
+    Each model scores on its OWN forecastable sample (naive from day
+    2, seasonal-naive from day 8 — the standard per-model backtest
+    convention, stated so the comparison is honest)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("obs")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type",
+        F.abs(F.col("obs") - F.lag("obs", 1).over(w)).alias("e1"),
+        F.abs(F.col("obs") - F.lag("obs", 7).over(w)).alias("e7"),
+    )
+    base = diffs.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(e1) div COUNT(e1) AS BIGINT)"
+        ).alias("mae_naive_centi"),
+        F.expr(
+            "CAST(SUM(e7) div COUNT(e7) AS BIGINT)"
+        ).alias("mae_snaive_centi"),
+    )
+    holt = events_holt_backtest(spark, sf_dir).select(
+        "event_type", F.col("mae_centi").alias("mae_holt_centi")
+    )
+    return (
+        base.join(holt, "event_type")
+        .withColumn(
+            "best_model",
+            F.expr(
+                "CASE WHEN mae_naive_centi <= mae_snaive_centi"
+                " AND mae_naive_centi <= mae_holt_centi THEN 'naive'"
+                " WHEN mae_snaive_centi <= mae_holt_centi"
+                " THEN 'seasonal_naive' ELSE 'holt' END"
+            ),
+        )
+    )
+
+
+def _model_select_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return f"""
+WITH holt_bt AS ({ORACLES["events_holt_backtest"]}),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+diffs AS (
+  SELECT event_type,
+         abs(obs - lag(obs, 1) OVER (PARTITION BY event_type
+                                     ORDER BY day)) AS e1,
+         abs(obs - lag(obs, 7) OVER (PARTITION BY event_type
+                                     ORDER BY day)) AS e7
+  FROM daily
+),
+base AS (
+  SELECT event_type,
+         CAST(CAST(SUM(e1) AS BIGINT) // COUNT(e1) AS BIGINT)
+           AS mae_naive_centi,
+         CAST(CAST(SUM(e7) AS BIGINT) // COUNT(e7) AS BIGINT)
+           AS mae_snaive_centi
+  FROM diffs GROUP BY 1
+)
+SELECT b.event_type, b.mae_naive_centi, b.mae_snaive_centi,
+       CAST(h.mae_centi AS BIGINT) AS mae_holt_centi,
+       CASE WHEN b.mae_naive_centi <= b.mae_snaive_centi
+             AND b.mae_naive_centi <= h.mae_centi THEN 'naive'
+            WHEN b.mae_snaive_centi <= h.mae_centi
+              THEN 'seasonal_naive' ELSE 'holt' END AS best_model
+FROM base b JOIN holt_bt h ON h.event_type = b.event_type
+"""
+
+
+def _register_model_select() -> None:
+    register("events_forecast_model_select", _model_select_oracle())(
+        events_forecast_model_select
+    )
+
+
+_register_model_select()

@@ -202,6 +202,7 @@ _PRIORITY = [
     "meter_grid_ramp_rates",
     "stream_grid_ramp_rates",
     "manifest_consistent_snapshot",
+    "events_forecast_model_select",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
