@@ -2719,6 +2719,38 @@ def delete_where(
     )
 
 
+def schema_history(table: ManifestTable) -> list[dict]:
+    """Schema-evolution audit — the schema half of DESCRIBE HISTORY:
+    one entry per commit that CHANGED the read schema, with the
+    columns it added and dropped (drop markers and additive evolution
+    both). Metadata-only (one log listing); the tool an operator
+    reaches for when a consumer breaks on a column that 'used to be
+    there'."""
+    out: list[dict] = []
+    prev: dict[str, object] = {}
+    running: list[dict] = []
+    for n, c in table.numbered_snapshot():
+        running.append(c)
+        cur_schema = ManifestTable._evolved_schema(running)
+        cur = (
+            {f.name: f.dataType.simpleString() for f in cur_schema.fields}
+            if cur_schema is not None
+            else {}
+        )
+        added = sorted(k for k in cur if k not in prev)
+        dropped = sorted(k for k in prev if k not in cur)
+        if added or dropped:
+            out.append(
+                {
+                    "version": n,
+                    "added_columns": added,
+                    "dropped_columns": dropped,
+                }
+            )
+        prev = cur
+    return out
+
+
 def consistent_snapshot(
     tables: dict[str, ManifestTable],
     spark: SparkSession,

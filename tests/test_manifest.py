@@ -2438,3 +2438,33 @@ def test_dateless_dimension_table_append_roundtrip(spark, tmp_path):
     got = t.read(spark)
     assert got.count() == 60
     assert t.snapshot()[0]["dates"] == []
+
+
+def test_schema_history_tracks_adds_and_drops(spark, tmp_path):
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "sh_tbl"))
+    base = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1), 1, 1.0)],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    t.idempotent_append(spark, base)
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 2), 2, 2.0, "x")],
+            "reading_timestamp timestamp, meter_id bigint,"
+            " v double, note string",
+        ),
+    )
+    manifest.alter_drop_column(t, "v")
+    hist = manifest.schema_history(t)
+    assert hist == [
+        {
+            "version": 0,
+            "added_columns": ["meter_id", "reading_timestamp", "v"],
+            "dropped_columns": [],
+        },
+        {"version": 1, "added_columns": ["note"], "dropped_columns": []},
+        {"version": 2, "added_columns": [], "dropped_columns": ["v"]},
+    ]
