@@ -4130,3 +4130,122 @@ FROM classed
 GROUP BY 1
 """,
 )(part_abc_analysis)
+
+
+CR_K = 4          # concentration ratio CR4
+CR_SALT = 16      # phase-1 fan-out per nation
+
+
+def nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer concentration (CR{CR_K}) per nation: the share of
+    national revenue held by the top {CR_K} customers — the
+    antitrust/key-account metric every market analysis starts with.
+
+    Scale shape — distributed group-wise top-k: a per-NATION rank
+    window hash-partitions on ~25 nation keys, funnelling each
+    nation's 10^8 customers through ONE task. Instead, the classic
+    salted two-phase: phase 1 ranks within (nation, custkey%{CR_SALT})
+    — {CR_SALT}× finer partitions — and keeps each salt's top {CR_K}
+    (any national top-{CR_K} customer is necessarily a top-{CR_K} of
+    its own salt, so this is EXACT, never a heuristic); phase 2 ranks
+    the ≤|nations|·{CR_SALT}·{CR_K} survivors — a bounded frame. The
+    national totals come from the same checkpointed rollup. All money
+    exact centi."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("rev_centi")
+        )
+        .localCheckpoint(eager=True)  # feeds totals AND the top-k
+    )
+    totals = per_cust.groupBy("c_nationkey").agg(
+        F.sum("rev_centi").alias("total_rev_centi"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    salted = per_cust.withColumn(
+        "salt", (F.col("c_custkey") % CR_SALT).cast("int")
+    )
+    w1 = Window.partitionBy("c_nationkey", "salt").orderBy(
+        F.col("rev_centi").desc(), F.col("c_custkey")
+    )
+    survivors = salted.withColumn(
+        "r1", F.row_number().over(w1)
+    ).filter(F.col("r1") <= CR_K)
+    w2 = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev_centi").desc(), F.col("c_custkey")
+    )
+    top = survivors.withColumn("r2", F.row_number().over(w2)).filter(
+        F.col("r2") <= CR_K
+    )
+    topk = top.groupBy("c_nationkey").agg(
+        F.sum("rev_centi").alias("topk_rev_centi")
+    )
+    return (
+        totals.join(topk, "c_nationkey")
+        .join(
+            F.broadcast(nation),
+            totals.c_nationkey == nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("total_rev_centi").cast("bigint").alias(
+                "total_rev_centi"
+            ),
+            F.col("topk_rev_centi").cast("bigint").alias(
+                "top4_rev_centi"
+            ),
+            F.expr(
+                "CAST((1000 * topk_rev_centi) div total_rev_centi"
+                " AS BIGINT)"
+            ).alias("cr4_milli"),
+        )
+    )
+
+
+register(
+    "nation_revenue_concentration",
+    f"""
+WITH per_cust AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev_centi
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT c_nationkey, SUM(rev_centi) AS total_rev_centi,
+         COUNT(*) AS n_customers
+  FROM per_cust GROUP BY 1
+),
+ranked AS (
+  SELECT c_nationkey, rev_centi,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev_centi DESC, c_custkey) AS r
+  FROM per_cust
+),
+topk AS (
+  SELECT c_nationkey, SUM(rev_centi) AS topk_rev_centi
+  FROM ranked WHERE r <= {CR_K} GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       CAST(t.n_customers AS BIGINT) AS n_customers,
+       CAST(t.total_rev_centi AS BIGINT) AS total_rev_centi,
+       CAST(k.topk_rev_centi AS BIGINT) AS top4_rev_centi,
+       CAST((1000 * k.topk_rev_centi) // t.total_rev_centi AS BIGINT)
+         AS cr4_milli
+FROM totals t
+JOIN topk k ON k.c_nationkey = t.c_nationkey
+JOIN nation n ON n.n_nationkey = t.c_nationkey
+""",
+)(nation_revenue_concentration)

@@ -203,6 +203,7 @@ _PRIORITY = [
     "stream_grid_ramp_rates",
     "manifest_consistent_snapshot",
     "events_forecast_model_select",
+    "nation_revenue_concentration",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
