@@ -1133,3 +1133,14 @@ def test_round10_ops_stay_jvm_side_and_bounded(spark, sf_dir):
     # below the window)
     p = _plan(extended.events_conversion_lag(spark, sf_dir))
     assert p.count("Window") >= 1
+
+
+def test_concentration_topk_is_salted_two_phase(spark, sf_dir):
+    """The CR4 top-k must keep its salted phase-1 window — a
+    'simplified' single per-nation rank funnels each nation's
+    customers through one task at scale. Pin: a window spec
+    partitioned by (nation, salt) exists in the plan."""
+    p = _plan(tpch.nation_revenue_concentration(spark, sf_dir))
+    assert "salt" in p
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
