@@ -2875,3 +2875,118 @@ SELECT source,
 FROM unioned
 """,
 )(corpus_dedup_token_savings)
+
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation — how a labeling
+    or eval budget of {NEYMAN_BUDGET} docs SHOULD split across
+    sources: n_h ∝ N_h·σ_h (big AND internally-varied strata get more
+    budget; proportional allocation over-samples homogeneous strata).
+    The op every eval-set builder runs before drawing.
+
+    Determinism: per-stratum variance comes from exact integer
+    moments (n·Σy² − (Σy)² over n_chars); σ_h is ONE IEEE-exact sqrt;
+    the weight N_h·σ_h/n_h is rounded to the 6-decimal grid and cast
+    DECIMAL so the cross-stratum total is an exact decimal sum; the
+    integer allocation is floor(B·w_h/W) with the leftover seats
+    assigned by LARGEST REMAINDER (exact decimal remainders, ties by
+    source name) — so allocations sum to exactly {NEYMAN_BUDGET} and
+    both engines seat the same strata.
+
+    Scale shape: one scan → per-source moment rollup (|sources|
+    rows); everything after is bounded by the stratum count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.col("n_chars").cast("bigint")
+    mom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s1"),
+        F.sum(y * y).alias("s2"),
+    )
+    w = mom.select(
+        "source",
+        "n",
+        F.expr(
+            "CAST(round(CAST(n AS DOUBLE)"
+            " * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n, 6)"
+            " AS DECIMAL(25,6))"
+        ).alias("w"),
+    ).localCheckpoint(eager=True)
+    tot = w.agg(F.sum("w").alias("wsum"))
+    alloc = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "exact_seats",
+            F.expr(f"CAST({NEYMAN_BUDGET} AS DECIMAL(25,6)) * w / wsum"),
+        )
+        .withColumn("base", F.floor("exact_seats").cast("bigint"))
+        .withColumn("rem", F.expr("exact_seats - base"))
+    )
+    short = F.lit(NEYMAN_BUDGET) - F.sum("base").over(
+        Window.partitionBy()
+        .orderBy(F.lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    return (
+        alloc.withColumn("short", short)
+        .withColumn("rr", F.row_number().over(wr))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+
+
+register(
+    "sample_neyman_allocation",
+    f"""
+WITH mom AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+              AS BIGINT) AS s2
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n,
+         CAST(round(CAST(n AS DOUBLE)
+              * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n, 6)
+              AS DECIMAL(25,6)) AS w
+  FROM mom
+),
+alloc AS (
+  SELECT source, n, w,
+         CAST({NEYMAN_BUDGET} AS DECIMAL(25,6)) * w
+           / (SELECT SUM(w) FROM w) AS exact_seats
+  FROM w
+),
+based AS (
+  SELECT source, n,
+         CAST(FLOOR(exact_seats) AS BIGINT) AS base,
+         exact_seats - FLOOR(exact_seats) AS rem
+  FROM alloc
+),
+seated AS (
+  SELECT source, n, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+         {NEYMAN_BUDGET} - (SELECT SUM(base) FROM based) AS short
+  FROM based
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(base + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM seated
+""",
+)(sample_neyman_allocation)

@@ -204,6 +204,7 @@ _PRIORITY = [
     "manifest_consistent_snapshot",
     "events_forecast_model_select",
     "nation_revenue_concentration",
+    "sample_neyman_allocation",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
