@@ -998,16 +998,22 @@ class ManifestTable:
 
     @staticmethod
     def _stat_int(v):
-        """Normalize a stats value to the int64 the commit log stores:
-        ints as-is, timestamps as UTC epoch microseconds (naive values
-        are UTC by session contract), anything else unsupported
-        (None → the column skips file-skipping). Used symmetrically at
-        record time (parquet footer values) and prune time (batch
-        min/max), so comparisons are always int vs int."""
+        """Normalize a stats value to the ORDERABLE number the commit
+        log stores: ints as-is, timestamps as UTC epoch microseconds
+        (naive values are UTC by session contract), floats as-is
+        (round 10 — parquet footers carry exact double min/max, so
+        zone maps and retention drops work on measure columns too;
+        NaN → None, which disables skipping for that file/column),
+        anything else unsupported (None → the column skips
+        file-skipping). Used symmetrically at record time (parquet
+        footer values) and prune time (query/batch bounds), so
+        comparisons are always number vs number."""
         if isinstance(v, bool):
             return None
         if isinstance(v, int):
             return v
+        if isinstance(v, float):
+            return None if v != v else v
         if isinstance(v, _dt.datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=_dt.timezone.utc)

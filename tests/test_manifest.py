@@ -2468,3 +2468,41 @@ def test_schema_history_tracks_adds_and_drops(spark, tmp_path):
         {"version": 1, "added_columns": ["note"], "dropped_columns": []},
         {"version": 2, "added_columns": [], "dropped_columns": ["v"]},
     ]
+
+
+def test_double_column_stats_enable_read_skipping_and_retention(
+    spark, tmp_path
+):
+    """Round 10: parquet footers carry exact double min/max, so zone
+    maps and whole-file retention drops work on MEASURE columns too
+    (previously int/timestamp only)."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(
+        str(tmp_path / "dbl_tbl"), stats_columns=["v"]
+    )
+    for i in range(4):
+        rows = [
+            (dt.datetime(2024, 3, 1, i, m, 0), i * 10 + m, i * 100.0 + m)
+            for m in range(10)
+        ]
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "reading_timestamp timestamp, meter_id bigint, v double",
+            ).repartition(1),
+        )
+    # zone maps on the double column: files are value-disjoint
+    rep = t.skipping_report(where={"v": (100.0, 199.0)})
+    assert rep == {"files_live": 4, "files_read": 1, "files_skipped": 3}
+    got = t.read(spark, where={"v": (100.0, 199.0)})
+    assert got.count() == 10
+    # retention DELETE drops the fully-covered double-range file whole
+    res = manifest.delete_where(t, spark, "v", lo=0.0, hi=105.5)
+    assert res == {
+        "files_dropped": 1,
+        "files_rewritten": 1,
+        "rows_deleted": 16,
+    }
+    assert t.read(spark).count() == 24
