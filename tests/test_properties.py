@@ -430,3 +430,71 @@ def test_delete_where_equals_filter_property(
         key=lambda x: (x[0], x[1]),
     )
     assert got_rows == sorted(want, key=lambda x: (x[0], x[1]))
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_files=st.integers(min_value=1, max_value=4),
+    lo=st.integers(min_value=-5, max_value=65),
+    width=st.integers(min_value=0, max_value=40),
+    use_in=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_read_where_equals_filter_property(
+    spark, tmp_path_factory, vals, n_files, lo, width, use_in
+):
+    """Read-path skipping soundness under arbitrary layouts: for ANY
+    file sharding, range position, NULL mix and predicate form (range
+    or IN-set, stats or bloom pruned), read(where=/where_in=) must
+    equal the plain filter row-for-row — zone maps and blooms are IO
+    optimizations only."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.sources import manifest
+
+    hi = lo + width
+    base = str(tmp_path_factory.mktemp("rw_prop"))
+    t = manifest.ManifestTable(
+        base + "/tbl",
+        stats_columns=["meter_id", "v"],
+        bloom_columns=["meter_id"],
+    )
+    rows = [
+        (
+            dt.datetime(2024, 3, 1, 0, 0, 0) + dt.timedelta(minutes=i),
+            m,
+            None if is_null else m * 2,
+        )
+        for i, (m, is_null) in enumerate(vals)
+    ]
+    per = max(1, len(rows) // n_files)
+    for off in range(0, len(rows), per):
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                rows[off : off + per],
+                "reading_timestamp timestamp, meter_id bigint, v bigint",
+            ).repartition(1),
+        )
+    if use_in:
+        in_set = list(range(lo, min(hi, lo + 5) + 1))
+        got = t.read(spark, where_in={"meter_id": in_set})
+        want = [r for r in rows if r[1] in set(in_set)]
+    else:
+        got = t.read(
+            spark, where={"meter_id": (lo, hi), "v": (lo, None)}
+        )
+        want = [
+            r
+            for r in rows
+            if lo <= r[1] <= hi and r[2] is not None and r[2] >= lo
+        ]
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(want), (lo, hi, use_in)
