@@ -498,3 +498,73 @@ def test_read_where_equals_filter_property(
         ]
     got_rows = sorted(map(tuple, got.collect()))
     assert got_rows == sorted(want), (lo, hi, use_in)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    parts=st.sampled_from([1, 2, 3, 8, 17]),
+)
+@settings(**_SETTINGS)
+def test_prefix_sum_invariant_to_partition_count(spark, n, parts):
+    """distributed_prefix_sum must return the SAME cumulative values
+    for any partition count — the property that makes the plan safe
+    under cluster-size / shuffle-partition changes."""
+    from pyspark.sql import functions as F
+
+    from smart_meter_data_pipeline_spark.operators.common import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 13) % 7 - 3).cast("bigint").alias("v"),
+    )
+    got = {
+        r["k"]: r["cum"]
+        for r in distributed_prefix_sum(
+            df, [F.col("k")], "v", "cum", n_parts=parts
+        ).collect()
+    }
+    run = 0
+    for k in range(n):
+        run += (k * 13) % 7 - 3
+        assert got[k] == run, (k, parts)
+
+
+def test_analyze_incremental_matches_full_on_appends(spark, tmp_path):
+    """On append-only history, the incremental profile's additive
+    fields must EQUAL a from-scratch analyze (n_rows, nulls, min/max);
+    only NDV is allowed to degrade to a flagged lower bound."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.sources import manifest
+
+    t = manifest.ManifestTable(str(tmp_path / "ainc"))
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (
+                    dt.datetime(2024, 3, 1, 0, 0, 0)
+                    + dt.timedelta(minutes=i),
+                    i * 3 % 97,
+                    None if i % 7 == 0 else float(i),
+                )
+                for i in range(lo, hi)
+            ],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        )
+
+    t.idempotent_append(spark, mk(0, 40))
+    manifest.analyze_table(t, spark, exact_ndv=True)
+    t.idempotent_append(spark, mk(40, 90))
+    t.idempotent_append(spark, mk(90, 130))
+    inc = manifest.analyze_incremental(t, spark)
+    full = manifest.analyze_table(t, spark, exact_ndv=True)
+    assert inc["n_rows"] == full["n_rows"]
+    for c in full["columns"]:
+        fi, fc = inc["columns"][c], full["columns"][c]
+        assert fi["null_count"] == fc["null_count"], c
+        assert fi.get("min") == fc.get("min"), c
+        assert fi.get("max") == fc.get("max"), c
+        assert fi["ndv"] <= fc["ndv"]
