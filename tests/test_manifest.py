@@ -2506,3 +2506,50 @@ def test_double_column_stats_enable_read_skipping_and_retention(
         "rows_deleted": 16,
     }
     assert t.read(spark).count() == 24
+
+
+def test_manifest_cdc_streams_evolved_schema(spark, tmp_path):
+    """manifest_cdc under schema evolution: pre-evolution files stream
+    the later column as NULL, and an ALTER-dropped column leaves the
+    stream schema entirely."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.sources.manifest_cdc_source import (
+        make_manifest_cdc_datasource,
+    )
+
+    spark.dataSource.register(make_manifest_cdc_datasource())
+    t = manifest.ManifestTable(str(tmp_path / "cdc_ev"))
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 1), 1, 1.0)],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        ),
+    )
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 2), 2, 2.0, "n2")],
+            "reading_timestamp timestamp, meter_id bigint,"
+            " v double, note string",
+        ),
+    )
+    manifest.alter_drop_column(t, "v")
+
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("manifest_cdc")
+        .option("path", t.table_dir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    assert set(out.columns) == {"reading_timestamp", "meter_id", "note"}
+    rows = {r["meter_id"]: r["note"] for r in out.collect()}
+    assert rows == {1: None, 2: "n2"}
