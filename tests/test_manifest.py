@@ -2553,3 +2553,44 @@ def test_manifest_cdc_streams_evolved_schema(spark, tmp_path):
     assert set(out.columns) == {"reading_timestamp", "meter_id", "note"}
     rows = {r["meter_id"]: r["note"] for r in out.collect()}
     assert rows == {1: None, 2: "n2"}
+
+
+def test_read_skipping_survives_compaction_and_optimize(spark, tmp_path):
+    """Zone maps must keep working across the maintenance lifecycle:
+    log compaction carries per-file stats for surviving files, and an
+    OPTIMIZE (ZORDER) rewrite records fresh stats for the packed
+    files — read(where=) skips correctly before and after both."""
+    import datetime as dt
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        compact_log,
+        optimize_table,
+    )
+
+    t = manifest.ManifestTable(
+        str(tmp_path / "life_tbl"), stats_columns=["meter_id"]
+    )
+    for i in range(8):
+        rows = [
+            (dt.datetime(2024, 3, 1, i, m, 0), i * 10 + m, 1.0)
+            for m in range(10)
+        ]
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "reading_timestamp timestamp, meter_id bigint, v double",
+            ).repartition(1),
+        )
+    where = {"meter_id": (25, 44)}
+    assert t.skipping_report(where)["files_read"] == 3
+    assert compact_log(t, keep_last=2) == 6
+    rep = t.skipping_report(where)
+    assert rep["files_read"] == 3, rep  # stats survived the merge
+    assert t.read(spark, where=where).count() == 20
+    optimize_table(
+        t, spark, target_partitions=4, cluster_by=["meter_id"]
+    )
+    rep2 = t.skipping_report(where)
+    assert rep2["files_live"] == 4 and rep2["files_read"] <= 2, rep2
+    assert t.read(spark, where=where).count() == 20
