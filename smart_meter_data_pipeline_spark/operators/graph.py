@@ -1227,3 +1227,157 @@ SELECT * FROM (
 register("trade_personalized_pagerank", _ppr_oracle())(
     trade_personalized_pagerank
 )
+
+
+def trade_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities — the quality score
+    that says whether the community structure is real or noise
+    (Q ≈ 0: no better than random wiring; Q ≥ ~0.3: meaningful
+    structure). The clustering-evaluation companion the kernels'
+    silhouette (kmeans) already has, for graphs.
+
+    Over the DOUBLED directed edge list (each undirected edge twice,
+    2m = |directed|): ``Q = [2m·Σᵢeᵢᵢ − Σᵢdᵢ²] / (2m)²`` with eᵢᵢ the
+    directed intra-community edges and dᵢ community i's degree sum —
+    all exact int64, one sign-split floor division to milli units
+    (numerator ≤ (2m)², so 10³·num stays far under 2⁶³ through
+    sf0.1's ~10⁶ directed edges; the envelope is documented, not
+    assumed). Composes the audited LPA labels verbatim.
+
+    Scale shape: one labels⋈edges join keyed by node (twice — src and
+    dst ends), a per-community rollup, then a 1-row summary."""
+    labels = trade_label_propagation(spark, sf_dir).select(
+        (
+            F.col("node_id") * 2
+            + F.when(F.col("node_type") == "supplier", 1).otherwise(0)
+        ).alias("node"),
+        F.col("community_id").alias("comm"),
+    ).localCheckpoint(eager=True)  # feeds both edge ends + degrees
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+        )
+    )
+    tagged = (
+        edges.join(
+            labels.withColumnRenamed("node", "src").withColumnRenamed(
+                "comm", "c_src"
+            ),
+            "src",
+        )
+        .join(
+            labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                "comm", "c_dst"
+            ),
+            "dst",
+        )
+    )
+    per_comm = tagged.groupBy("c_src").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(
+            F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)
+        ).alias("e_in"),
+    )
+    return per_comm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("d").cast("bigint").alias("n_edges_directed"),
+        F.sum("e_in").cast("bigint").alias("intra_edges_directed"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias(
+            "sum_degree_sq"
+        ),
+    ).select(
+        "n_communities",
+        "n_edges_directed",
+        "intra_edges_directed",
+        "sum_degree_sq",
+        F.expr(
+            "CAST(CASE WHEN n_edges_directed * intra_edges_directed"
+            " - sum_degree_sq >= 0"
+            " THEN (1000 * (n_edges_directed * intra_edges_directed"
+            " - sum_degree_sq))"
+            " div (n_edges_directed * n_edges_directed)"
+            " ELSE -((1000 * (sum_degree_sq"
+            " - n_edges_directed * intra_edges_directed)"
+            " + n_edges_directed * n_edges_directed - 1)"
+            " div (n_edges_directed * n_edges_directed))"
+            " END AS BIGINT)"
+        ).alias("modularity_milli"),
+    )
+
+
+def _modularity_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return f"""
+WITH lpa AS ({ORACLES["trade_label_propagation"]}),
+labels AS (
+  SELECT node_id * 2
+         + CASE WHEN node_type = 'supplier' THEN 1 ELSE 0 END AS node,
+         community_id AS comm
+  FROM lpa
+),
+pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node,
+         l_suppkey * 2 + 1 AS s_node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node, c_node FROM pairs
+),
+tagged AS (
+  SELECT ls.comm AS c_src, ld.comm AS c_dst
+  FROM edges e
+  JOIN labels ls ON ls.node = e.src
+  JOIN labels ld ON ld.node = e.dst
+),
+per_comm AS (
+  SELECT c_src, COUNT(*) AS d,
+         SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS e_in
+  FROM tagged GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         CAST(SUM(d) AS BIGINT) AS n_edges_directed,
+         CAST(SUM(e_in) AS BIGINT) AS intra_edges_directed,
+         CAST(SUM(d * d) AS BIGINT) AS sum_degree_sq
+  FROM per_comm
+)
+SELECT n_communities, n_edges_directed, intra_edges_directed,
+       sum_degree_sq,
+       CAST(CASE WHEN n_edges_directed * intra_edges_directed
+                      - sum_degree_sq >= 0
+            THEN CAST((1000 * (n_edges_directed * intra_edges_directed
+                 - sum_degree_sq))
+                 // (n_edges_directed * n_edges_directed) AS BIGINT)
+            ELSE -CAST((1000 * (sum_degree_sq
+                 - n_edges_directed * intra_edges_directed)
+                 + n_edges_directed * n_edges_directed - 1)
+                 // (n_edges_directed * n_edges_directed) AS BIGINT)
+            END AS BIGINT) AS modularity_milli
+FROM tot
+"""
+
+
+def _register_modularity() -> None:
+    register("trade_modularity", _modularity_oracle())(trade_modularity)
+
+
+_register_modularity()

@@ -205,6 +205,7 @@ _PRIORITY = [
     "events_forecast_model_select",
     "nation_revenue_concentration",
     "sample_neyman_allocation",
+    "trade_modularity",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
