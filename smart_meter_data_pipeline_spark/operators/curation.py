@@ -2990,3 +2990,111 @@ SELECT source,
 FROM seated
 """,
 )(sample_neyman_allocation)
+
+
+PACK_CONTEXT_LENGTHS = [512, 1024, 2048]
+
+
+def corpus_pack_boundary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length selection for sequence packing: under
+    concat-and-chunk packing (docs concatenated in doc_id order, cut
+    every L tokens), how many documents get SPLIT across a sequence
+    boundary at each candidate L — the quality cost of packing (split
+    docs lose cross-boundary attention) weighed against the tail
+    waste. The table a pretraining-data team reads before fixing L.
+
+    Scale shape: the global token offset of every document is a
+    corpus-wide prefix sum — computed with
+    :func:`common.distributed_prefix_sum` (range-partitioned two-pass,
+    zero Exchange SinglePartition), the same kit as the quantile
+    plans, so the report holds at 10^9 documents; the per-L analysis
+    is a bounded explode (×{len(PACK_CONTEXT_LENGTHS)}). A doc splits
+    at L iff its first and last token land in different L-chunks —
+    pure integer division on non-negative offsets."""
+    from smart_meter_data_pipeline_spark.operators.common import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokens()).cast("bigint").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    cum = distributed_prefix_sum(
+        toks, [F.col("doc_id")], "n_tok", "cum"
+    ).withColumn("start", F.col("cum") - F.col("n_tok"))
+    per_l = cum.select(
+        "n_tok",
+        "start",
+        "cum",
+        F.explode(
+            F.array(*[F.lit(l) for l in PACK_CONTEXT_LENGTHS])
+        ).alias("context_len"),
+    ).withColumn(
+        "is_split",
+        (
+            F.expr("start div context_len")
+            != F.expr("(cum - 1) div context_len")
+        ).cast("int"),
+    )
+    return (
+        per_l.groupBy("context_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("cum").alias("total_tokens"),
+            F.sum("is_split").alias("n_docs_split"),
+        )
+        .select(
+            F.col("context_len").cast("int").alias("context_len"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("n_docs_split").cast("bigint").alias("n_docs_split"),
+            F.expr(
+                "CAST((1000 * n_docs_split) div n_docs AS BIGINT)"
+            ).alias("split_rate_milli"),
+            F.expr(
+                "CAST(((total_tokens + context_len - 1)"
+                " div context_len) * context_len - total_tokens"
+                " AS BIGINT)"
+            ).alias("tail_waste_tokens"),
+        )
+    )
+
+
+register(
+    "corpus_pack_boundary_report",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(length(list_filter(string_split(text, ' '),
+                                 x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE n_tok > 0),
+cum AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM nz
+),
+lens AS (SELECT unnest([{", ".join(str(l) for l in PACK_CONTEXT_LENGTHS)}])
+           AS context_len),
+per_l AS (
+  SELECT l.context_len, c.n_tok, c.cum - c.n_tok AS start, c.cum,
+         CASE WHEN CAST((c.cum - c.n_tok) // l.context_len AS BIGINT)
+              <> CAST((c.cum - 1) // l.context_len AS BIGINT)
+              THEN 1 ELSE 0 END AS is_split
+  FROM cum c, lens l
+)
+SELECT CAST(context_len AS INT) AS context_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(cum) AS BIGINT) AS total_tokens,
+       CAST(SUM(is_split) AS BIGINT) AS n_docs_split,
+       CAST((1000 * CAST(SUM(is_split) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS split_rate_milli,
+       CAST(((MAX(cum) + context_len - 1) // context_len)
+            * context_len - MAX(cum) AS BIGINT) AS tail_waste_tokens
+FROM per_l
+GROUP BY context_len
+""",
+)(corpus_pack_boundary_report)

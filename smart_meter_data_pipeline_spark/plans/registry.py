@@ -206,6 +206,7 @@ _PRIORITY = [
     "nation_revenue_concentration",
     "sample_neyman_allocation",
     "trade_modularity",
+    "corpus_pack_boundary_report",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
