@@ -1368,6 +1368,49 @@ class ManifestTable:
         u, i = self._cow_mutation(spark, batch, batch, pk, max_retries)
         return {"updated": u, "inserted": i}
 
+    def upsert_partial(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        pk: list[str] = PK,
+        max_retries: int = 5,
+    ) -> dict:
+        """MERGE with a PARTIAL-column batch — ``WHEN MATCHED THEN
+        UPDATE SET <only the batch's columns>``: the unspecified
+        columns CARRY FORWARD from the current row (a plain
+        :meth:`upsert` replaces matched rows wholesale and would null
+        them, which is why it rejects partial batches loudly). Done
+        the only sound way under copy-on-write: enrich the batch
+        against the CURRENT table image (one pk-keyed left join —
+        matched rows pick up their unspecified columns, genuinely new
+        keys keep NULLs there, exactly Delta's
+        ``UPDATE SET col = source.col`` semantics), then run the
+        standard full-row upsert. The enrichment is materialized
+        BEFORE the mutation so the carried-forward values come from
+        one consistent snapshot even if the upsert retries."""
+        current = self.read(spark)
+        missing = (
+            [
+                f.name
+                for f in current.schema.fields
+                if f.name not in set(batch.columns)
+            ]
+            if current is not None
+            else []
+        )
+        if current is None or not missing:
+            return self.upsert(spark, batch, pk, max_retries)
+        enriched = (
+            batch.alias("b")
+            .join(current.alias("t"), pk, "left")
+            .select(
+                *[F.col(f"b.{c}") for c in batch.columns],
+                *[F.col(f"t.{c}") for c in missing],
+            )
+            .localCheckpoint(eager=True)
+        )
+        return self.upsert(spark, enriched, pk, max_retries)
+
     # -- merge-on-read mutations ---------------------------------------------
 
     @staticmethod

@@ -2594,3 +2594,45 @@ def test_read_skipping_survives_compaction_and_optimize(spark, tmp_path):
     rep2 = t.skipping_report(where)
     assert rep2["files_live"] == 4 and rep2["files_read"] <= 2, rep2
     assert t.read(spark, where=where).count() == 20
+
+
+def test_upsert_partial_carries_forward_unspecified_columns(spark, tmp_path):
+    """Partial-column MERGE: matched rows keep their unspecified
+    columns from the current image, new keys get NULL there, and the
+    plain upsert still rejects the same partial batch loudly."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "up_tbl"))
+    base = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 3, 1, 0, m, 0), m, float(m), f"tag{m}")
+            for m in range(10)
+        ],
+        "reading_timestamp timestamp, meter_id bigint,"
+        " v double, tag string",
+    )
+    t.idempotent_append(spark, base)
+    partial = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 3, 1, 0, 3, 0), 3, 999.0),   # restate
+            (dt.datetime(2024, 3, 1, 0, 30, 0), 30, 30.0),  # new key
+        ],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.upsert(spark, partial)
+    res = t.upsert_partial(spark, partial)
+    assert res == {"updated": 1, "inserted": 1}
+    got = {r["meter_id"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got[3] == (999.0, "tag3")   # v updated, tag carried forward
+    assert got[30] == (30.0, None)     # new key: no tag to carry
+    assert got[5] == (5.0, "tag5")     # untouched rows intact
+    assert len(got) == 11
+    # full-column batches route straight through the plain upsert
+    full = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1, 0, 5, 0), 5, 50.0, "newtag")],
+        "reading_timestamp timestamp, meter_id bigint,"
+        " v double, tag string",
+    )
+    assert t.upsert_partial(spark, full) == {"updated": 1, "inserted": 0}
+    assert t.read(spark).filter("meter_id = 5").collect()[0]["tag"] == "newtag"
