@@ -1411,6 +1411,41 @@ class ManifestTable:
         )
         return self.upsert(spark, enriched, pk, max_retries)
 
+    def upsert_if_newer(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        version_col: str,
+        pk: list[str] = PK,
+        max_retries: int = 5,
+    ) -> dict:
+        """MERGE guarded by a version/recency column — ``WHEN MATCHED
+        AND source.{version_col} >= target.{version_col} THEN UPDATE``:
+        the out-of-order-feed protection every CDC consumer needs (a
+        replayed or late batch must never regress a row that already
+        holds newer data). Batch rows older than the current row are
+        DROPPED before the mutation (one pk-keyed left join against
+        the current image); ties update (idempotent replay of the
+        newest batch stays a no-op in effect). Returns the plain
+        upsert counters plus ``skipped_stale``."""
+        current = self.read(spark)
+        if current is None:
+            res = self.upsert(spark, batch, pk, max_retries)
+            return dict(res, skipped_stale=0)
+        cur_v = current.select(
+            *pk, F.col(version_col).alias("_cur_v")
+        )
+        tagged = batch.join(cur_v, pk, "left").localCheckpoint(
+            eager=True
+        )
+        fresh = tagged.filter(
+            F.col("_cur_v").isNull()
+            | (F.col(version_col) >= F.col("_cur_v"))
+        ).drop("_cur_v")
+        n_stale = tagged.count() - fresh.count()
+        res = self.upsert(spark, fresh, pk, max_retries)
+        return dict(res, skipped_stale=int(n_stale))
+
     # -- merge-on-read mutations ---------------------------------------------
 
     @staticmethod

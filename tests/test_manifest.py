@@ -2636,3 +2636,44 @@ def test_upsert_partial_carries_forward_unspecified_columns(spark, tmp_path):
     )
     assert t.upsert_partial(spark, full) == {"updated": 1, "inserted": 0}
     assert t.read(spark).filter("meter_id = 5").collect()[0]["tag"] == "newtag"
+
+
+def test_upsert_if_newer_drops_stale_rows(spark, tmp_path):
+    """Ordering-guarded MERGE: a late/replayed batch never regresses a
+    row holding newer data; genuinely newer rows and new keys land;
+    ties update (idempotent replay)."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "new_tbl"))
+    pk = ["meter_id"]
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [
+                (dt.datetime(2024, 3, 1, 0, m, 0), m, 10.0 * m)
+                for m in range(5)
+            ],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        ),
+        pk=pk,
+    )
+    late = spark.createDataFrame(
+        [
+            # STALE: older ts than the current row for meter 1
+            (dt.datetime(2024, 2, 1), 1, -1.0),
+            # NEWER: must update meter 2
+            (dt.datetime(2024, 3, 5), 2, 222.0),
+            # TIE: same ts as current meter 3 — updates
+            (dt.datetime(2024, 3, 1, 0, 3, 0), 3, 333.0),
+            # NEW key
+            (dt.datetime(2024, 3, 9), 9, 999.0),
+        ],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    res = t.upsert_if_newer(spark, late, "reading_timestamp", pk=pk)
+    assert res == {"updated": 2, "inserted": 1, "skipped_stale": 1}
+    got = {r["meter_id"]: r["v"] for r in t.read(spark).collect()}
+    assert got[1] == 10.0      # stale row dropped
+    assert got[2] == 222.0     # newer row landed
+    assert got[3] == 333.0     # tie updates
+    assert got[9] == 999.0     # new key inserted
