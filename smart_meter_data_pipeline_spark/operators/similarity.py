@@ -3939,3 +3939,106 @@ def _register_ivf_incremental() -> None:
 
 
 _register_ivf_incremental()
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k restricted to corpus vectors
+    sharing the query's label (the tenant/category-scoped search every
+    vector store serves: "nearest products in MY catalog", "nearest
+    docs in MY workspace"). PRE-filtering done right: the label
+    predicate rides the broadcast equi-join key, so only same-label
+    candidates ever reach a distance computation — a post-filtered
+    top-k would compute 10× the distances and can silently return
+    < k survivors. Exact by construction; the oracle is the brute
+    filtered rank.
+
+    Plan shape: queries broadcast; the corpus side joins on
+    ``label`` (a BroadcastHashJoin with a real key, not the
+    unconditioned cross of the unfiltered baseline), distances only
+    on the ~1/|labels| surviving fraction, ranks partition by
+    query."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", _dot("embedding", "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    pairs = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("dot", _dot("q_embedding", "embedding"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2")), 12
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def _filtered_topk_oracle() -> str:
+    return f"""
+WITH el AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, MAX(label) AS label,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS norm2
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.x * p.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
+  FROM el q JOIN el p ON q.pos = p.pos AND q.vec_id <> p.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, np.label, d.neighbor_id,
+         round(d.dot / (sqrt(nq.norm2) * sqrt(np.norm2)), 12) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms np ON np.vec_id = d.neighbor_id
+  WHERE np.label = nq.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(label AS BIGINT) AS label, neighbor_id, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _register_filtered_topk() -> None:
+    register("ann_filtered_topk", _filtered_topk_oracle())(
+        ann_filtered_topk
+    )
+
+
+_register_filtered_topk()

@@ -207,6 +207,7 @@ _PRIORITY = [
     "sample_neyman_allocation",
     "trade_modularity",
     "corpus_pack_boundary_report",
+    "ann_filtered_topk",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
