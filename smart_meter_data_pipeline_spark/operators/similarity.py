@@ -4042,3 +4042,223 @@ def _register_filtered_topk() -> None:
 
 
 _register_filtered_topk()
+
+
+def ann_filtered_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE filtered-ANN problem, measured: running the label filter
+    through the IVF index (probe cells ∩ label) silently loses recall
+    — the probed cells were chosen for the query's neighborhood, not
+    the filtered SUBSET's, so when the filter is selective the true
+    same-label neighbors often live in unprobed cells and some queries
+    return SHORT (< k survivors). This report quantifies both against
+    the exact filtered ground truth (``ann_filtered_topk``): hit
+    recall in milli and the count of short queries — the numbers that
+    decide between post-filter-IVF, bigger nprobe, or a label-
+    partitioned index.
+
+    Scale shape: both paths are the audited plans with one extra
+    label equi-condition; the comparison joins two ≤N_QUERIES·k-row
+    frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf_cell_assignments(emb)
+    e = emb.join(cells, "vec_id").withColumn(
+        "norm2", _dot("embedding", "embedding")
+    )
+    raw = emb.withColumn("norm2", _dot("embedding", "embedding"))
+    cent = raw.filter(_ivf_seed_pred()).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    q = raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dot", _dot("q_embedding", "c_embedding"))
+        .withColumn(
+            "c_cos",
+            F.round(
+                F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("c_norm2")),
+                12,
+            ),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= NPROBE)
+        .select(
+            "query_id",
+            "q_label",
+            "q_embedding",
+            "q_norm2",
+            F.col("centroid_id").alias("probe_cell"),
+        )
+    )
+    cand = e.join(
+        F.broadcast(probes),
+        (F.col("cell_id") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") == F.col("q_label")),  # the filter, pushed
+    ).drop("probe_cell")
+    scored = cand.withColumn(
+        "dot", _dot("q_embedding", "embedding")
+    ).withColumn(
+        "cosine",
+        F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("norm2")), 12),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    fivf = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .localCheckpoint(eager=True)
+    )
+    truth = ann_filtered_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    hits = fivf.join(truth, ["query_id", "neighbor_id"]).count()
+    n_truth = truth.count()
+    short = (
+        q.select("query_id")
+        .join(
+            fivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")),
+            "query_id",
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("n"), F.lit(0)) < TOP_K
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                N_QUERIES,
+                TOP_K,
+                n_truth,
+                hits,
+                (1000 * hits) // n_truth if n_truth else None,
+                short,
+            )
+        ],
+        "n_queries BIGINT, k BIGINT, n_truth BIGINT, hits BIGINT,"
+        " recall_milli BIGINT, n_short_queries BIGINT",
+    )
+
+
+def _filtered_ivf_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding
+  FROM embeddings WHERE {_IVF_SEED_SQL}
+),
+acand AS (
+  SELECT e.vec_id AS l_id, c.centroid_id AS r_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.embedding) AS DOUBLE) AS y
+  FROM embeddings e, cent c
+),
+adots AS (
+  SELECT l_id, r_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nl,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS nr
+  FROM (SELECT * FROM acand) GROUP BY 1, 2
+),
+acells AS (
+  SELECT l_id AS vec_id, r_id AS cell_id,
+         row_number() OVER (PARTITION BY l_id
+           ORDER BY round(dot / (sqrt(nl) * sqrt(nr)), 12) DESC, r_id)
+           AS rn
+  FROM adots
+),
+cells AS (SELECT vec_id, cell_id FROM acells WHERE rn = 1),
+qcand AS (
+  SELECT q.vec_id AS l_id, c.centroid_id AS r_id,
+         CAST(unnest(q.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.embedding) AS DOUBLE) AS y
+  FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+),
+qdots AS (
+  SELECT l_id, r_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nl,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS nr
+  FROM (SELECT * FROM qcand) GROUP BY 1, 2
+),
+qprobes AS (
+  SELECT l_id AS query_id, r_id AS cell_id,
+         row_number() OVER (PARTITION BY l_id
+           ORDER BY round(dot / (sqrt(nl) * sqrt(nr)), 12) DESC, r_id)
+           AS rn
+  FROM qdots
+),
+probes AS (SELECT query_id, cell_id FROM qprobes WHERE rn <= {NPROBE}),
+scand AS (
+  SELECT p.query_id AS l_id, cl.vec_id AS r_id,
+         CAST(unnest(eq.embedding) AS DOUBLE) AS x,
+         CAST(unnest(en.embedding) AS DOUBLE) AS y
+  FROM probes p
+  JOIN cells cl ON cl.cell_id = p.cell_id AND cl.vec_id <> p.query_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings en ON en.vec_id = cl.vec_id
+                     AND en.label = eq.label
+),
+sdots AS (
+  SELECT l_id, r_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nl,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS nr
+  FROM (SELECT * FROM scand) GROUP BY 1, 2
+),
+fivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT l_id AS query_id, r_id AS neighbor_id,
+           row_number() OVER (PARTITION BY l_id
+             ORDER BY round(dot / (sqrt(nl) * sqrt(nr)), 12) DESC,
+                      r_id) AS rank
+    FROM sdots
+  ) WHERE rank <= {TOP_K}
+),
+truth AS (
+  SELECT query_id, neighbor_id
+  FROM ({ORACLES["ann_filtered_topk"]}) t
+),
+h AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS hits
+  FROM fivf f JOIN truth t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+per_q AS (
+  SELECT q.vec_id AS query_id, COUNT(f.neighbor_id) AS n
+  FROM embeddings q LEFT JOIN fivf f ON f.query_id = q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1
+)
+SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST({TOP_K} AS BIGINT) AS k,
+       nt.n_truth, h.hits,
+       CAST((1000 * h.hits) // nt.n_truth AS BIGINT) AS recall_milli,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM per_q
+        WHERE n < {TOP_K}) AS n_short_queries
+FROM h, nt
+"""
+
+
+def _register_filtered_ivf() -> None:
+    register("ann_filtered_ivf_recall", _filtered_ivf_oracle())(
+        ann_filtered_ivf_recall
+    )
+
+
+_register_filtered_ivf()

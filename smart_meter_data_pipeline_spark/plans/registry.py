@@ -208,6 +208,7 @@ _PRIORITY = [
     "trade_modularity",
     "corpus_pack_boundary_report",
     "ann_filtered_topk",
+    "ann_filtered_ivf_recall",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
