@@ -79,16 +79,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     the local replica at sf0.01+sf0.1 this round;
 # (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
-    # Drain schedule, round 10 of 2+1 (VERDICT r9 #1): the driver
-    # evaluates a ~50-query prefix per round. Round 9 drained its 50
-    # (CORRECTNESS_r09: 50/50 hash-match); 76 never-driver-evaluated
-    # remain. This round's window = the two queries whose COMPUTATION
-    # changed this round, then the never-evaluated set ordered so the
-    # 50 builder-self-certified-only queries come before the ones a
-    # judge session already hash-verified via the driver contract in
-    # r9. The last ~26 (window overflow + judge-verified tail + the
-    # r9-new remainder) spill to r11, after which every query has a
-    # driver row and staleness rotation restarts from section (stale).
+    # Drain schedule (round 10 written; r11 instructions): the driver
+    # evaluates a ~50-query prefix per round. The r10 window = 4
+    # changed-computation queries + 46 never-evaluated from (r10).
+    # FOR ROUND 11: rotate again — promote, in order, (a) any query
+    # whose computation changed in r11, (b) the (r10) overflow that
+    # missed the r10 window (positions ~51+ of the old window), (c)
+    # the (r10-judge) + (r9-new) sections, (d) the (r10-new) section
+    # (the 32 round-10 additions — all builder-proven at sf0.01+sf0.1
+    # but with no driver row yet). That is ~70 candidates; the ~50
+    # window drains most, the rest head r12, after which every query
+    # has a driver row and staleness rotation restarts from (stale).
     # (r10-changed) global-window quantile plans rebuilt this round
     # (range-partitioned two-pass prefix sum, VERDICT r9 #3) — values
     # unchanged, fresh rows wanted first:
