@@ -79,25 +79,93 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     the local replica at sf0.01+sf0.1 this round;
 # (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
-    # Drain schedule (round 10 written; r11 instructions): the driver
-    # evaluates a ~50-query prefix per round. The r10 window = 4
-    # changed-computation queries + 46 never-evaluated from (r10).
-    # FOR ROUND 11: rotate again — promote, in order, (a) any query
-    # whose computation changed in r11, (b) the (r10) overflow that
-    # missed the r10 window (positions ~51+ of the old window), (c)
-    # the (r10-judge) + (r9-new) sections, (d) the (r10-new) section
-    # (the 32 round-10 additions — all builder-proven at sf0.01+sf0.1
-    # but with no driver row yet). That is ~70 candidates; the ~50
-    # window drains most, the rest head r12, after which every query
-    # has a driver row and staleness rotation restarts from (stale).
-    # (r10-changed) global-window quantile plans rebuilt this round
-    # (range-partitioned two-pass prefix sum, VERDICT r9 #3) — values
-    # unchanged, fresh rows wanted first:
+    # Drain schedule (round 11 written; r12 instructions): the driver
+    # evaluates a ~50-query prefix per round. The r11 window = 1
+    # changed-computation query + 12 (r10-overflow) + 4 (r10-judge)
+    # + 12 (r9-new) + the first ~21 of (r10-new). FOR ROUND 12:
+    # rotate again — promote, in order, (a) any query whose
+    # computation changed in r12, (b) the (r10-new) tail past the
+    # r11 window (~10 queries), (c) the (r11-new) section (round-11
+    # additions — builder-proven at sf0.01+sf0.1, no driver row
+    # yet). After r12 every registered query has a driver row and
+    # staleness rotation restarts from (stale), stalest round first.
+    # (r11-changed) delete_where classification rebuilt this round
+    # (commit-log stats first, distributed footer fallback — VERDICT
+    # r10 perf_weak #1) — values unchanged, fresh row wanted first:
+    "manifest_retention_delete",
+    # (r10-overflow) never-driver-evaluated — missed the r10 window
+    "lineitem_leadtime_anova",
+    "trade_personalized_pagerank",
+    "tpch_nation_yoy_growth",
+    "events_rolling_active_users",
+    "corpus_bigram_coverage",
+    "nation_peak_coincidence",
+    "doc_normalized_dup",
+    "corpus_zipf_check",
+    "events_user_type_gini",
+    "events_dow_hour_matrix",
+    "orders_seasonal_index",
+    "doc_length_magnitude_profile",
+    # (r10-judge) no driver row yet, but judge-r9 hash-verified via
+    # the driver contract
+    "trade_assortativity",
+    "corpus_dsir_sample",
+    "doc_suffix_dup",
+    "multimodal_vad_segments",
+    # (r9-new) judge-r9 hash-verified round-9 additions
+    "events_range_join_bucketized",
+    "events_holt_forecast",
+    "stream_holt_forecast",
+    "embedding_mmr_select",
+    "dedup_fellegi_sunter",
+    "events_t_closeness",
+    "manifest_zorder_roundtrip",
+    "events_holt_backtest",
+    "dedup_lsh_eval",
+    "manifest_ivm_join",
+    "corpus_curation_funnel",
+    "multimodal_phash_neardup",
+    # (r10-new) added in round 10, judge-r10 hash-verified via the
+    # driver contract — first ~21 fill the r11 window, tail heads r12
+    "manifest_skipping_read",
+    "events_spearman_daily",
+    "events_mann_kendall",
+    "events_cm_join_size",
+    "events_hll_sliding_distinct",
+    "manifest_bloom_read",
+    "manifest_analyze_report",
+    "stream_hll_sliding_distinct",
+    "events_theil_sen_slope",
+    "train_epoch_shuffle_plan",
+    "ann_ivf_incremental",
+    "events_holt_winters_forecast",
+    "events_stl_decompose",
+    "events_conversion_lag",
+    "manifest_cost_estimate",
+    "manifest_drop_column_read",
+    "stream_manifest_cdc_read",
+    "decontaminate_bloom",
+    "multimodal_scene_cuts",
+    "events_sax_discords",
+    "corpus_dedup_token_savings",
+    "meter_grid_ramp_rates",
+    "stream_grid_ramp_rates",
+    "manifest_consistent_snapshot",
+    "events_forecast_model_select",
+    "nation_revenue_concentration",
+    "sample_neyman_allocation",
+    "trade_modularity",
+    "corpus_pack_boundary_report",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_recall",
+    # (r11-new) added in round 11 — never evaluated, tail of the
+    # r12 drain window (grown as the round progresses)
+    # (r10-evaluated) round-10 driver window — evaluated, 50/50
+    # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",
     "part_abc_analysis",
     "customer_rfm_segments",
     "user_value_rank_bands",
-    # (r10) never-driver-evaluated — round 10 driver prefix
     "meter_load_factor",
     "meter_diversity_factor",
     "events_user_archetypes",
@@ -144,72 +212,6 @@ _PRIORITY = [
     "events_attribution_position",
     "embedding_knn_loo_accuracy",
     "nation_product_complexity",
-    "lineitem_leadtime_anova",
-    "trade_personalized_pagerank",
-    "tpch_nation_yoy_growth",
-    "events_rolling_active_users",
-    "corpus_bigram_coverage",
-    "nation_peak_coincidence",
-    "doc_normalized_dup",
-    "corpus_zipf_check",
-    "events_user_type_gini",
-    "events_dow_hour_matrix",
-    "orders_seasonal_index",
-    "doc_length_magnitude_profile",
-    # (r10-judge) no driver row yet, but judge-r9 hash-verified via
-    # the driver contract — lowest urgency of the never-evaluated set
-    "trade_assortativity",
-    "corpus_dsir_sample",
-    "doc_suffix_dup",
-    "multimodal_vad_segments",
-    # (r9-new) judge-r9 hash-verified round-9 additions — tail of the
-    # drain; these + the window overflow form the ~26-query r11 window
-    "events_range_join_bucketized",
-    "events_holt_forecast",
-    "stream_holt_forecast",
-    "embedding_mmr_select",
-    "dedup_fellegi_sunter",
-    "events_t_closeness",
-    "manifest_zorder_roundtrip",
-    "events_holt_backtest",
-    "dedup_lsh_eval",
-    "manifest_ivm_join",
-    "corpus_curation_funnel",
-    "multimodal_phash_neardup",
-    # (r10-new) added in round 10 — never evaluated, tail of the r11
-    # drain window alongside the sections above
-    "manifest_skipping_read",
-    "events_spearman_daily",
-    "events_mann_kendall",
-    "events_cm_join_size",
-    "events_hll_sliding_distinct",
-    "manifest_bloom_read",
-    "manifest_analyze_report",
-    "stream_hll_sliding_distinct",
-    "events_theil_sen_slope",
-    "train_epoch_shuffle_plan",
-    "ann_ivf_incremental",
-    "events_holt_winters_forecast",
-    "events_stl_decompose",
-    "events_conversion_lag",
-    "manifest_cost_estimate",
-    "manifest_retention_delete",
-    "manifest_drop_column_read",
-    "stream_manifest_cdc_read",
-    "decontaminate_bloom",
-    "multimodal_scene_cuts",
-    "events_sax_discords",
-    "corpus_dedup_token_savings",
-    "meter_grid_ramp_rates",
-    "stream_grid_ramp_rates",
-    "manifest_consistent_snapshot",
-    "events_forecast_model_select",
-    "nation_revenue_concentration",
-    "sample_neyman_allocation",
-    "trade_modularity",
-    "corpus_pack_boundary_report",
-    "ann_filtered_topk",
-    "ann_filtered_ivf_recall",
     # (r9) round-9 driver window — evaluated, 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",
