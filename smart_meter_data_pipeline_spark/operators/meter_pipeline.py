@@ -1009,6 +1009,180 @@ WHERE meter_id % 11 <> 5""",
 )(manifest_cow_roundtrip)
 
 
+def manifest_upsert_partial_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partial-column MERGE under the driver gate: land the generator
+    day, then ``upsert_partial`` a batch carrying ONLY (pk, status) —
+    meters ≡2 mod 9 restated to status 'P' (their consumption /
+    production must CARRY FORWARD from the current image) plus one
+    genuinely new key (NULL in every unspecified column). One hash
+    over the final table proves restatement, carry-forward, and
+    new-key insertion at once (sources/manifest.py upsert_partial —
+    the ``UPDATE SET col = source.col`` half of Delta MERGE the plain
+    wholesale upsert rejects)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_up_part_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        partial = (
+            readings.filter(F.col("meter_id") % 9 == 2)
+            .select("reading_timestamp", "meter_id")
+            .withColumn("status", F.lit("P"))
+        )
+        new_key = spark.range(1).select(
+            F.lit("2024-01-02 00:00:00")
+            .cast("timestamp")
+            .alias("reading_timestamp"),
+            F.lit(777).cast("int").alias("meter_id"),
+            F.lit("N").alias("status"),
+        )
+        res = t.upsert_partial(spark, partial.unionByName(new_key))
+        n_restated = sum(
+            1 for m_ in range(1, N_METERS + 1) if m_ % 9 == 2
+        )
+        if res != {"updated": n_restated * N_TICKS, "inserted": 1}:
+            raise AssertionError(
+                f"upsert_partial counters off: {res} "
+                f"(wanted updated={n_restated * N_TICKS}, inserted=1)"
+            )
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_upsert_partial_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       reading_production_milliwatts,
+       CASE WHEN meter_id % 9 = 2 THEN 'P' ELSE status END AS status
+FROM readings
+UNION ALL
+SELECT TIMESTAMP '2024-01-02 00:00:00', CAST(777 AS INT),
+       CAST(NULL AS INT), CAST(NULL AS INT), 'N'""",
+)(manifest_upsert_partial_roundtrip)
+
+
+def manifest_upsert_if_newer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordering-guarded MERGE under the driver gate: a LATEST-STATE
+    table (one row per meter — the final generator tick, pk =
+    meter_id alone, version = reading_timestamp) fed a deliberately
+    out-of-order batch: meters ≡0 mod 4 arrive NEWER (+1 day, +111
+    mWh — must update), ≡1 mod 4 arrive STALE (−1 day — must be
+    dropped, never regressing the row), ≡2 mod 4 arrive as exact
+    ties (+222 mWh — update, idempotent-replay semantics), plus one
+    new meter. One hash over the final state covers
+    stale / newer / tie / new at once (sources/manifest.py
+    upsert_if_newer — the CDC consumer's late-feed guard). The
+    timestamp-free pk also exercises the round-11 date-prune
+    soundness rule (a moved row's OLD file must still be found)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_if_newer_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "latest"))
+        readings = gen_meter_readings(spark)
+        last_ts = f"timestampadd(MINUTE, {(N_TICKS - 1) * 15}, timestamp'{GEN_START}')"
+        latest = readings.filter(
+            F.col("reading_timestamp") == F.expr(last_ts)
+        )
+        pk = ["meter_id"]
+        t.idempotent_append(spark, latest, pk=pk)
+        m = F.col("meter_id")
+        cons = F.col("reading_consumption_milliwatts")
+        newer = (
+            latest.filter(m % 4 == 0)
+            .withColumn(
+                "reading_timestamp",
+                F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+            )
+            .withColumn(
+                "reading_consumption_milliwatts",
+                (cons + F.lit(111)).cast("int"),
+            )
+        )
+        stale = latest.filter(m % 4 == 1).withColumn(
+            "reading_timestamp",
+            F.expr("timestampadd(DAY, -1, reading_timestamp)"),
+        )
+        tie = latest.filter(m % 4 == 2).withColumn(
+            "reading_consumption_milliwatts",
+            (cons + F.lit(222)).cast("int"),
+        )
+        new_row = spark.range(1).select(
+            F.lit("2024-01-03 00:00:00")
+            .cast("timestamp")
+            .alias("reading_timestamp"),
+            F.lit(900).cast("int").alias("meter_id"),
+            F.lit(12345).cast("int").alias(
+                "reading_consumption_milliwatts"
+            ),
+            F.lit(None).cast("int").alias(
+                "reading_production_milliwatts"
+            ),
+            F.lit("V").alias("status"),
+        )
+        batch = (
+            newer.unionByName(stale)
+            .unionByName(tie)
+            .unionByName(new_row)
+        )
+        res = t.upsert_if_newer(
+            spark, batch, "reading_timestamp", pk=pk
+        )
+        if res != {"updated": 100, "inserted": 1, "skipped_stale": 50}:
+            raise AssertionError(
+                f"upsert_if_newer counters off: {res}"
+            )
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_upsert_if_newer_roundtrip",
+    f"""WITH {_readings_cte()},
+latest AS (
+  SELECT * FROM readings
+  WHERE reading_timestamp =
+        TIMESTAMP '{GEN_START}' + to_minutes({(N_TICKS - 1) * 15})
+)
+SELECT CASE WHEN meter_id % 4 = 0
+            THEN reading_timestamp + INTERVAL 1 DAY
+            ELSE reading_timestamp END AS reading_timestamp,
+       meter_id,
+       CAST(CASE WHEN meter_id % 4 = 0
+                 THEN reading_consumption_milliwatts + 111
+                 WHEN meter_id % 4 = 2
+                 THEN reading_consumption_milliwatts + 222
+                 ELSE reading_consumption_milliwatts END AS INT)
+           AS reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM latest
+UNION ALL
+SELECT TIMESTAMP '2024-01-03 00:00:00', CAST(900 AS INT),
+       CAST(12345 AS INT), CAST(NULL AS INT), 'V'""",
+)(manifest_upsert_if_newer_roundtrip)
+
+
 def manifest_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletes under the driver gate — the
     deletion-vector lifecycle end to end: append the generator day,

@@ -160,6 +160,8 @@ _PRIORITY = [
     "ann_filtered_ivf_recall",
     # (r11-new) added in round 11 — never evaluated, tail of the
     # r12 drain window (grown as the round progresses)
+    "manifest_upsert_partial_roundtrip",
+    "manifest_upsert_if_newer_roundtrip",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

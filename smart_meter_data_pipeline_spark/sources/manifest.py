@@ -65,6 +65,14 @@ class CommitConflictError(RuntimeError):
     """Raised when a writer exhausts its retries losing commit races."""
 
 
+class _SnapshotAdvancedError(RuntimeError):
+    """Internal: a fence-pinned mutation found the table advanced past
+    the snapshot its batch was derived from — the caller must
+    re-derive (re-enrich / re-filter) against the new image and try
+    again. Never escapes the public API: :meth:`upsert_partial` and
+    :meth:`upsert_if_newer` catch it inside their own retry loops."""
+
+
 class PendingTombstonesError(RuntimeError):
     """Raised when a physical-rewrite operation (CoW mutation,
     OPTIMIZE, RESTORE) runs over unapplied merge-on-read tombstones —
@@ -816,38 +824,54 @@ class ManifestTable:
     STATS_COLUMN = "meter_id"
 
     def _file_stats(self, rel_files: list[str]) -> dict:
-        """Per-file {column: [min, max]} over ``stats_columns``, read
-        from the parquet FOOTERS of just-staged files — no data scan,
-        ~1ms per file on the driver. This is the Delta/Iceberg
-        data-skipping move: the commit carries each file's key
-        ranges, so later mutations prune their candidate scan from
-        metadata alone. (Commits written before multi-column stats
-        hold the legacy ``{file: [min, max]}`` shape for the default
-        column — _prune_by_stats reads both.)"""
+        """Per-file ``{column: [min, max, null_count], "#rows": n}``
+        over ``stats_columns``, read from the parquet FOOTERS of
+        just-staged files — no data scan, ~1ms per file on the
+        driver. This is the Delta/Iceberg data-skipping move: the
+        commit carries each file's key ranges, so later mutations
+        prune their candidate scan from metadata alone, and (round
+        11) ``delete_where`` classifies whole-file retention drops
+        from the log without reopening any footer: the null count is
+        what proves a range-covered file is fully deletable (SQL
+        DELETE's three-valued WHERE never matches NULL) and
+        ``"#rows"`` prices the drop. Null counts are recorded only
+        when EVERY row group reports one (a 2-element ``[min, max]``
+        entry means nulls-unknown); a column with min/max missing in
+        ANY row group is not recorded at all — an under-covering
+        range would make skipping unsound. (Commits written before
+        multi-column stats hold the legacy ``{file: [min, max]}``
+        shape for the default column — _prune_by_stats reads both.)"""
         import pyarrow.parquet as pq
 
         wanted = set(self.stats_columns)
         out = {}
         for rel in rel_files:
             md = pq.read_metadata(os.path.join(self.data_dir, rel))
-            acc: dict[str, list] = {}
+            # name -> [mn, mx, nulls|None]; None key value = dropped
+            acc: dict[str, object] = {}
             for i in range(md.num_row_groups):
                 rg = md.row_group(i)
                 for j in range(rg.num_columns):
                     col = rg.column(j)
                     name = col.path_in_schema
-                    if name not in wanted:
+                    if name not in wanted or acc.get(name, 0) is None:
                         continue
                     s = col.statistics
                     if s is None or not s.has_min_max:
+                        acc[name] = None
                         continue
+                    nu = s.null_count
                     if name in acc:
-                        acc[name] = [
-                            min(acc[name][0], s.min),
-                            max(acc[name][1], s.max),
-                        ]
+                        cur = acc[name]
+                        cur[0] = min(cur[0], s.min)
+                        cur[1] = max(cur[1], s.max)
+                        cur[2] = (
+                            None
+                            if cur[2] is None or nu is None
+                            else cur[2] + nu
+                        )
                     else:
-                        acc[name] = [s.min, s.max]
+                        acc[name] = [s.min, s.max, nu]
             # Stats are an OPTIMIZATION: unsupported column types
             # simply skip file-skipping — an unguarded int() here
             # would turn every append on such a table into a hard
@@ -856,11 +880,19 @@ class ManifestTable:
             # pruning, the most common mutation slice), normalized by
             # the same helper the prune side uses.
             per_col = {}
-            for name, (mn, mx) in acc.items():
+            for name, e in acc.items():
+                if e is None:
+                    continue
+                mn, mx, nulls = e
                 lo, hi = self._stat_int(mn), self._stat_int(mx)
                 if lo is not None and hi is not None:
-                    per_col[name] = [lo, hi]
+                    per_col[name] = (
+                        [lo, hi, int(nulls)]
+                        if nulls is not None
+                        else [lo, hi]
+                    )
             if per_col:
+                per_col["#rows"] = md.num_rows
                 out[rel] = per_col
         return out
 
@@ -1354,6 +1386,7 @@ class ManifestTable:
         batch: DataFrame,
         pk: list[str] = PK,
         max_retries: int = 5,
+        _expected_fence: int | None = None,
     ) -> dict:
         """Copy-on-write MERGE — ``WHEN MATCHED THEN UPDATE SET *,
         WHEN NOT MATCHED THEN INSERT *`` keyed on ``pk``. The
@@ -1365,7 +1398,14 @@ class ManifestTable:
         batch rows append, one atomic commit carries both.
 
         Returns ``{"updated": n, "inserted": n}``."""
-        u, i = self._cow_mutation(spark, batch, batch, pk, max_retries)
+        u, i = self._cow_mutation(
+            spark,
+            batch,
+            batch,
+            pk,
+            max_retries,
+            expected_fence=_expected_fence,
+        )
         return {"updated": u, "inserted": i}
 
     def upsert_partial(
@@ -1385,31 +1425,60 @@ class ManifestTable:
         matched rows pick up their unspecified columns, genuinely new
         keys keep NULLs there, exactly Delta's
         ``UPDATE SET col = source.col`` semantics), then run the
-        standard full-row upsert. The enrichment is materialized
-        BEFORE the mutation so the carried-forward values come from
-        one consistent snapshot even if the upsert retries."""
-        current = self.read(spark)
-        missing = (
-            [
-                f.name
-                for f in current.schema.fields
-                if f.name not in set(batch.columns)
-            ]
-            if current is not None
-            else []
-        )
-        if current is None or not missing:
-            return self.upsert(spark, batch, pk, max_retries)
-        enriched = (
-            batch.alias("b")
-            .join(current.alias("t"), pk, "left")
-            .select(
-                *[F.col(f"b.{c}") for c in batch.columns],
-                *[F.col(f"t.{c}") for c in missing],
+        standard full-row upsert. The enrichment is FENCE-PINNED to
+        the snapshot it was derived from: the inner upsert may only
+        commit at that exact log position, so a concurrent writer
+        landing between the enrichment read and the commit forces a
+        full RE-ENRICHMENT against the new image instead of silently
+        overwriting the concurrent change with pre-snapshot
+        carried-forward values (the lost-update Delta MERGE raises a
+        concurrent-modification conflict for — here it retries with
+        fresh values, aborting only after ``max_retries``)."""
+        for _ in range(max_retries):
+            fence = self._fence(self.numbered_snapshot())
+            # read() lists again; if a commit lands in between, the
+            # image is NEWER than the fence and the fence-pinned
+            # commit below fails into a re-derive — never the
+            # reverse (commit numbers are dense, so the pinned
+            # fence succeeding proves no later state existed).
+            current = self.read(spark)
+            missing = (
+                [
+                    f.name
+                    for f in current.schema.fields
+                    if f.name not in set(batch.columns)
+                ]
+                if current is not None
+                else []
             )
-            .localCheckpoint(eager=True)
+            if current is None or not missing:
+                # nothing is derived from the snapshot (full-column
+                # batch, or empty table) — no pin needed, the plain
+                # upsert's own optimistic retries are sufficient
+                return self.upsert(spark, batch, pk, max_retries)
+            try:
+                enriched = (
+                    batch.alias("b")
+                    .join(current.alias("t"), pk, "left")
+                    .select(
+                        *[F.col(f"b.{c}") for c in batch.columns],
+                        *[F.col(f"t.{c}") for c in missing],
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                return self.upsert(
+                    spark,
+                    enriched,
+                    pk,
+                    max_retries,
+                    _expected_fence=fence,
+                )
+            except _SnapshotAdvancedError:
+                continue
+        raise CommitConflictError(
+            f"gave up after {max_retries} upsert_partial re-enrichment "
+            f"attempts on {self.table_dir}"
         )
-        return self.upsert(spark, enriched, pk, max_retries)
 
     def upsert_if_newer(
         self,
@@ -1426,25 +1495,52 @@ class ManifestTable:
         holds newer data). Batch rows older than the current row are
         DROPPED before the mutation (one pk-keyed left join against
         the current image); ties update (idempotent replay of the
-        newest batch stays a no-op in effect). Returns the plain
-        upsert counters plus ``skipped_stale``."""
-        current = self.read(spark)
-        if current is None:
-            res = self.upsert(spark, batch, pk, max_retries)
-            return dict(res, skipped_stale=0)
-        cur_v = current.select(
-            *pk, F.col(version_col).alias("_cur_v")
+        newest batch stays a no-op in effect). The staleness filter
+        is FENCE-PINNED to the snapshot it was evaluated against: a
+        concurrent upsert advancing a row's version between the guard
+        evaluation and the commit forces a RE-FILTER against the new
+        image — otherwise the retry would regress that row with the
+        batch's now-stale value, violating the method's own
+        never-regress contract. Returns the plain upsert counters
+        plus ``skipped_stale``."""
+        for _ in range(max_retries):
+            fence = self._fence(self.numbered_snapshot())
+            current = self.read(spark)
+            try:
+                if current is None:
+                    res = self.upsert(
+                        spark,
+                        batch,
+                        pk,
+                        max_retries,
+                        _expected_fence=fence,
+                    )
+                    return dict(res, skipped_stale=0)
+                cur_v = current.select(
+                    *pk, F.col(version_col).alias("_cur_v")
+                )
+                tagged = batch.join(cur_v, pk, "left").localCheckpoint(
+                    eager=True
+                )
+                fresh = tagged.filter(
+                    F.col("_cur_v").isNull()
+                    | (F.col(version_col) >= F.col("_cur_v"))
+                ).drop("_cur_v")
+                n_stale = tagged.count() - fresh.count()
+                res = self.upsert(
+                    spark,
+                    fresh,
+                    pk,
+                    max_retries,
+                    _expected_fence=fence,
+                )
+                return dict(res, skipped_stale=int(n_stale))
+            except _SnapshotAdvancedError:
+                continue
+        raise CommitConflictError(
+            f"gave up after {max_retries} upsert_if_newer re-filter "
+            f"attempts on {self.table_dir}"
         )
-        tagged = batch.join(cur_v, pk, "left").localCheckpoint(
-            eager=True
-        )
-        fresh = tagged.filter(
-            F.col("_cur_v").isNull()
-            | (F.col(version_col) >= F.col("_cur_v"))
-        ).drop("_cur_v")
-        n_stale = tagged.count() - fresh.count()
-        res = self.upsert(spark, fresh, pk, max_retries)
-        return dict(res, skipped_stale=int(n_stale))
 
     # -- merge-on-read mutations ---------------------------------------------
 
@@ -1580,7 +1676,7 @@ class ManifestTable:
                     .collect()
                 }
                 if "reading_timestamp" in in_keys.columns
-                else set()
+                else None  # timestamp-free pk: dates unknowable here
             )
             staged = self._stage(in_keys)
             for _ in range(max_retries):
@@ -1609,8 +1705,22 @@ class ManifestTable:
                         "dates": [],
                         "stats": {},
                         # CDC metadata: the delete logically changed
-                        # these dates even though no file moved.
-                        "removed_dates": sorted(key_dates),
+                        # these dates even though no file moved. A
+                        # timestamp-free pk can't name them — over-
+                        # approximate with every commit date so an
+                        # incremental consumer re-reads more, never
+                        # misses the change.
+                        "removed_dates": (
+                            sorted(key_dates)
+                            if key_dates is not None
+                            else sorted(
+                                {
+                                    d
+                                    for c in commits
+                                    for d in c.get("dates", [])
+                                }
+                            )
+                        ),
                         "batch_dates": [],
                         "tombstones": [
                             {"upto": fence, "rels": staged, "pk": list(pk)}
@@ -1641,6 +1751,7 @@ class ManifestTable:
         batch: DataFrame | None,
         pk: list[str],
         max_retries: int,
+        expected_fence: int | None = None,
     ) -> tuple[int, int]:
         """Shared copy-on-write engine for delete (``batch=None``) and
         upsert. Per attempt: one log listing supplies BOTH the
@@ -1657,18 +1768,41 @@ class ManifestTable:
         try:
             if in_keys.limit(1).count() == 0:
                 return 0, 0
-            key_dates = {
-                str(r["d"])
-                for r in in_keys.select(
-                    F.to_date("reading_timestamp").alias("d")
-                )
-                .distinct()
-                .collect()
-            }
+            # Date pruning is sound ONLY when the timestamp is part of
+            # the match key: then a matched row's date equals its
+            # batch key's date by definition. Under a timestamp-free
+            # pk (e.g. latest-state tables keyed on meter_id alone) a
+            # restatement MOVES the row to a new date — pruning by the
+            # batch's NEW dates would skip the file holding the stale
+            # OLD row and duplicate the key (the same unsoundness
+            # class as non-pk stats pruning, round-9 rule).
+            batch_dates_set: set[str] = set()
+            if "reading_timestamp" in in_keys.columns:
+                batch_dates_set = {
+                    str(r["d"])
+                    for r in in_keys.select(
+                        F.to_date("reading_timestamp").alias("d")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            ts_in_pk = "reading_timestamp" in pk
+            key_dates = batch_dates_set if ts_in_pk else None
             for _ in range(max_retries):
                 numbered = self.numbered_snapshot()
                 commits = [c for _, c in numbered]
                 fence = self._fence(numbered)
+                if expected_fence is not None and fence != expected_fence:
+                    # The batch was derived from (enriched against /
+                    # filtered by) a snapshot that no longer heads the
+                    # log — committing it would overwrite whatever the
+                    # concurrent writer changed with pre-snapshot
+                    # values (a lost update). Hand control back to the
+                    # caller to re-derive against the current image.
+                    raise _SnapshotAdvancedError(
+                        f"{self.table_dir} advanced past fence "
+                        f"{expected_fence} (now {fence})"
+                    )
                 if self._pending_tombstones(numbered):
                     raise PendingTombstonesError(
                         f"{self.table_dir} has pending merge-on-read "
@@ -1824,9 +1958,23 @@ class ManifestTable:
                         # CDC metadata: the dates the matched (removed
                         # or re-stated) rows lived on — the only
                         # record of a date a DELETE emptied entirely,
-                        # which the post-image diff cannot see.
+                        # which the post-image diff cannot see. With a
+                        # timestamp-free pk the matched rows may live
+                        # on dates OUTSIDE the batch's — over-
+                        # approximate with every commit date (CDC
+                        # consumers re-read more, never less).
                         "removed_dates": (
-                            sorted(key_dates) if n_matched else []
+                            []
+                            if not n_matched
+                            else sorted(batch_dates_set)
+                            if ts_in_pk
+                            else sorted(
+                                {
+                                    d
+                                    for c in commits
+                                    for d in c.get("dates", [])
+                                }
+                            )
                         ),
                         # The batch's own dates: with removed_dates
                         # this is the EXACT changed-date set of a
@@ -1834,7 +1982,9 @@ class ManifestTable:
                         # reading survivor files (whose full date
                         # range is mostly unchanged rows).
                         "batch_dates": (
-                            sorted(key_dates) if batch is not None else []
+                            sorted(batch_dates_set)
+                            if batch is not None
+                            else []
                         ),
                         "schema": (
                             in_keys.schema.json()
@@ -2628,6 +2778,95 @@ def vacuum_unreferenced(
         return sorted(would) if dry_run else removed
 
 
+def _classify_footers_distributed(
+    spark: SparkSession,
+    paths: list[str],
+    column: str,
+    lo_i,
+    hi_i,
+) -> list[tuple]:
+    """Footer-based retention classification for files the commit log
+    cannot classify (written before null-count tracking, or a column
+    outside ``stats_columns``) — run as a SPARK JOB over the path
+    list, one bounded ``(path, class, rows)`` tuple per file back to
+    the driver. This is the fallback half of stats-first
+    ``delete_where``: at 10⁵-10⁶ files a serial driver loop of
+    footer reads is a million metadata round-trips before a single
+    delete lands; distributing it prices the sweep at one short
+    all-executor stage. The closure is fully self-contained (inlined
+    stat normalization, imports inside) — Python workers launched
+    outside the repo cannot resolve package references.
+
+    Classes: ``drop`` (fully covered by [lo, hi], null-free — whole
+    file deletable by metadata), ``disjoint`` (untouched), and
+    ``rewrite`` (straddling, null-bearing, or footer-statless)."""
+    if not paths:
+        return []
+    sc = spark.sparkContext
+    n_slices = max(1, min(len(paths), sc.defaultParallelism * 4))
+    col_name = column
+
+    def _part(it):
+        import datetime as dtmod
+
+        import pyarrow.parquet as pq
+
+        def norm(v):
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return v
+            if isinstance(v, float):
+                return None if v != v else v
+            if isinstance(v, dtmod.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=dtmod.timezone.utc)
+                return int(v.timestamp() * 1_000_000)
+            return None
+
+        for p in it:
+            md = pq.read_metadata(p)
+            mn = mx = None
+            nulls = 0
+            known = True
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                got = False
+                for j in range(rg.num_columns):
+                    col = rg.column(j)
+                    if col.path_in_schema != col_name:
+                        continue
+                    got = True
+                    s = col.statistics
+                    if (
+                        s is None
+                        or not s.has_min_max
+                        or s.null_count is None
+                    ):
+                        known = False
+                        break
+                    smn, smx = norm(s.min), norm(s.max)
+                    if smn is None or smx is None:
+                        known = False
+                        break
+                    nulls += s.null_count
+                    mn = smn if mn is None else min(mn, smn)
+                    mx = smx if mx is None else max(mx, smx)
+                if not got or not known:
+                    known = False
+                    break
+            if not known or mn is None:
+                yield (p, "rewrite", 0)
+            elif mx < lo_i or mn > hi_i:
+                yield (p, "disjoint", 0)
+            elif lo_i <= mn and mx <= hi_i and nulls == 0:
+                yield (p, "drop", md.num_rows)
+            else:
+                yield (p, "rewrite", 0)
+
+    return sc.parallelize(paths, n_slices).mapPartitions(_part).collect()
+
+
 def delete_where(
     table: ManifestTable,
     spark: SparkSession,
@@ -2657,9 +2896,20 @@ def delete_where(
     MoR tombstones abort (raw-file reads); a lost put-if-absent
     discards the stage and reruns. Bounds as ints or timestamps
     (open ends allowed). Returns
-    ``{"files_dropped", "files_rewritten", "rows_deleted"}``."""
-    import pyarrow.parquet as pq
+    ``{"files_dropped", "files_rewritten", "rows_deleted"}``.
 
+    Classification is STATS-FIRST (round 11): when the commit log
+    already records ``column``'s [min, max, null_count] and the
+    file's row count (every commit since null-count tracking), the
+    file is classified with ZERO per-file IO — a retention sweep
+    over a million-file table is then one log listing, not a million
+    serial footer round-trips on the driver. Soundness is the same
+    immutability argument as read-path skipping: data files never
+    change, so recorded stats bound actual contents. Files the log
+    cannot classify (legacy commits without null counts, statless
+    columns) fall back to footer reads run DISTRIBUTED as a Spark
+    job — the driver collects one bounded classification tuple per
+    file, never the footers themselves."""
     lo_i = table._stat_int(lo) if lo is not None else -(2**62)
     hi_i = table._stat_int(hi) if hi is not None else 2**62
     for _ in range(max_retries):
@@ -2673,55 +2923,65 @@ def delete_where(
                 "copy-on-write mutations"
             )
         live = table._files(commits)
+        recorded: dict[str, object] = {}
+        for c in commits:
+            recorded.update(c.get("stats", {}))
         dropped: list[str] = []
         rewrite: list[str] = []
+        unknown: list[str] = []
         dropped_rows = 0
         for f in live:
             if not os.path.exists(f):
-                rewrite.append(f)
-                continue
-            md = pq.read_metadata(f)
-            mn = mx = None
-            nulls = 0
-            known = True
-            for i in range(md.num_row_groups):
-                rg = md.row_group(i)
-                got = False
-                for j in range(rg.num_columns):
-                    col = rg.column(j)
-                    if col.path_in_schema != column:
-                        continue
-                    got = True
-                    s = col.statistics
-                    if (
-                        s is None
-                        or not s.has_min_max
-                        or s.null_count is None
-                    ):
-                        known = False
-                        break
-                    smn, smx = (
-                        table._stat_int(s.min),
-                        table._stat_int(s.max),
-                    )
-                    if smn is None or smx is None:
-                        known = False
-                        break
-                    nulls += s.null_count
-                    mn = smn if mn is None else min(mn, smn)
-                    mx = smx if mx is None else max(mx, smx)
-                if not got or not known:
-                    known = False
-                    break
-            if not known or mn is None:
-                rewrite.append(f)
-            elif mx < lo_i or mn > hi_i:
-                continue  # disjoint: untouched
-            elif lo_i <= mn and mx <= hi_i and nulls == 0:
-                dropped.append(f)
-                dropped_rows += md.num_rows
+                # A live commit-log entry whose data file is gone is
+                # table corruption (a vacuum raced a reader, or the
+                # data dir was hand-pruned). Blindly scheduling it
+                # for rewrite would surface as an opaque
+                # PATH_NOT_FOUND from the rewrite read — fail fast
+                # with the integrity message instead.
+                raise FileNotFoundError(
+                    f"live file missing from data dir: {f} is "
+                    f"referenced by {table.table_dir}'s commit log "
+                    "but absent on disk — the table is corrupt "
+                    "(restore the file or repair the log before "
+                    "mutating)"
+                )
+            e = recorded.get(os.path.relpath(f, table.data_dir))
+            if isinstance(e, list):
+                e = {table.STATS_COLUMN: e}
+            ent = (e or {}).get(column)
+            nrows = (e or {}).get("#rows")
+            if ent is not None and len(ent) >= 3:
+                mn, mx, nulls = ent[0], ent[1], ent[2]
+                if mx < lo_i or mn > hi_i:
+                    continue  # disjoint: untouched
+                elif (
+                    lo_i <= mn
+                    and mx <= hi_i
+                    and nulls == 0
+                    and nrows is not None
+                ):
+                    dropped.append(f)
+                    dropped_rows += nrows
+                else:
+                    rewrite.append(f)
+            elif ent is not None:
+                # legacy [min, max] record: disjointness is still
+                # provable from the log; a covered/straddling file
+                # needs the footer's null count to decide drop vs
+                # rewrite
+                if ent[1] < lo_i or ent[0] > hi_i:
+                    continue
+                unknown.append(f)
             else:
-                rewrite.append(f)
+                unknown.append(f)
+        for path, cls, nrows in _classify_footers_distributed(
+            spark, unknown, column, lo_i, hi_i
+        ):
+            if cls == "drop":
+                dropped.append(path)
+                dropped_rows += nrows
+            elif cls == "rewrite":
+                rewrite.append(path)
         if not dropped and not rewrite:
             return {
                 "files_dropped": 0,
@@ -3148,7 +3408,9 @@ def estimate_read_rows(
         est = (est * sel_rows) // n if n else 0
     for col, vals in (where_in or {}).items():
         s = prof["columns"].get(col)
-        vals = [v for v in vals if v is not None]
+        # dedupe: IN semantics match each distinct value once, so a
+        # caller passing duplicates must not inflate the estimate
+        vals = {v for v in vals if v is not None}
         if not vals:
             est = 0
             break

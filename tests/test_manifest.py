@@ -933,8 +933,9 @@ def test_file_skipping_stats_prune_mutation_scans(spark, table_dir):
     for c in commits:
         assert set(c["stats"]) == set(c["added"])
         for per_col in c["stats"].values():
-            mn, mx = per_col["meter_id"]
-            assert mn <= mx
+            mn, mx, nulls = per_col["meter_id"]
+            assert mn <= mx and nulls == 0
+            assert per_col["#rows"] > 0
 
     live = t._files(commits)
     # a delete targeting meters 5001-5050 must prune ALL low-range files
@@ -1069,7 +1070,9 @@ def test_optimize_cluster_by_tightens_stats_and_skipping(spark, table_dir):
     # contents identical, ranges near-disjoint
     assert t.read(spark).count() == 200
     stats = commits[-1]["stats"]
-    ranges = sorted(per_col["meter_id"] for per_col in stats.values())
+    ranges = sorted(
+        per_col["meter_id"][:2] for per_col in stats.values()
+    )
     for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi <= lo2  # range-partitioned: no overlap beyond edges
 
@@ -1348,6 +1351,7 @@ def test_multi_column_stats_prune_on_any_disjoint_column(spark, table_dir):
             assert set(per_col) == {
                 "meter_id",
                 "reading_consumption_milliwatts",
+                "#rows",
             }
     live = t._files(commits)
     # meter range hits BOTH commits, but the consumption range only
@@ -2226,6 +2230,126 @@ def test_delete_where_drops_whole_files_metadata_only(spark, tmp_path):
     assert len(t.snapshot()) == n_commits
 
 
+def test_delete_where_stats_first_zero_driver_footer_io(
+    spark, tmp_path, monkeypatch
+):
+    """When the commit log's recorded stats cover the DELETE column
+    (min/max + null count + row count — every commit since round 11),
+    delete_where classifies every file from the LOG: zero driver-side
+    parquet-footer reads. Pinned by making pq.read_metadata raise in
+    the driver process — the distributed fallback's executor workers
+    import pyarrow fresh and are unaffected, so a failure here means
+    the driver loop came back."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    t = manifest.ManifestTable(
+        str(tmp_path / "sf_tbl"),
+        stats_columns=["meter_id", "reading_timestamp"],
+    )
+    for h in range(4):
+        rows = [
+            (dt.datetime(2024, 3, 1, h, m, 0), h * 100 + m, 1.0)
+            for m in range(10)
+        ]
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "reading_timestamp timestamp, meter_id bigint, v double",
+            ).repartition(1),
+        )
+
+    def boom(*a, **kw):
+        raise AssertionError(
+            "driver-side parquet footer read during stats-covered "
+            "delete_where classification"
+        )
+
+    monkeypatch.setattr(pq, "read_metadata", boom)
+    res = manifest.delete_where(
+        t,
+        spark,
+        "reading_timestamp",
+        hi=dt.datetime(2024, 3, 1, 1, 59, 59),
+    )
+    # classification AND the drop-only commit are metadata-only: two
+    # whole-file drops, no rewrite, no footer ever opened driver-side
+    assert res == {
+        "files_dropped": 2,
+        "files_rewritten": 0,
+        "rows_deleted": 20,
+    }
+    monkeypatch.undo()
+    assert t.read(spark).count() == 20
+
+
+def test_delete_where_statless_column_falls_back_distributed(
+    spark, tmp_path, monkeypatch
+):
+    """A column OUTSIDE stats_columns still classifies correctly via
+    the distributed footer fallback — and that fallback never runs a
+    footer read in the DRIVER process (the Spark job's workers do)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    t = manifest.ManifestTable(str(tmp_path / "fb_tbl"))
+    for k in range(3):
+        rows = [
+            (dt.datetime(2024, 3, 1, k, m, 0), m, k * 100 + m)
+            for m in range(10)
+        ]
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "reading_timestamp timestamp, meter_id bigint, v bigint",
+            ).repartition(1),
+        )
+
+    real = pq.read_metadata
+
+    def guarded(*a, **kw):
+        raise AssertionError(
+            "driver-side parquet footer read in delete_where fallback"
+        )
+
+    monkeypatch.setattr(pq, "read_metadata", guarded)
+    res = manifest.delete_where(t, spark, "v", hi=99)
+    monkeypatch.setattr(pq, "read_metadata", real)
+    # file k=0 (v 0..9) drops whole; k=1 (100..109), k=2 disjoint
+    assert res == {
+        "files_dropped": 1,
+        "files_rewritten": 0,
+        "rows_deleted": 10,
+    }
+    assert t.read(spark).count() == 20
+
+
+def test_delete_where_missing_live_file_fails_fast(spark, tmp_path):
+    """A live commit-log file missing on disk is table corruption —
+    delete_where raises the explicit integrity error instead of
+    queueing the path for a rewrite read that dies with an opaque
+    PATH_NOT_FOUND."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "corrupt_tbl"))
+    rows = [(dt.datetime(2024, 3, 1, 0, m, 0), m, 1.0) for m in range(5)]
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        ).repartition(1),
+    )
+    victim = t._files(t.snapshot())[0]
+    os.unlink(victim)
+    with pytest.raises(FileNotFoundError, match="live file missing"):
+        manifest.delete_where(t, spark, "meter_id", hi=100)
+
+
 def test_delete_where_null_rows_survive(spark, tmp_path):
     """SQL DELETE three-valued WHERE: NULL column values never match —
     a value-range-covered file holding NULLs must REWRITE (not drop)
@@ -2677,3 +2801,139 @@ def test_upsert_if_newer_drops_stale_rows(spark, tmp_path):
     assert got[2] == 222.0     # newer row landed
     assert got[3] == 333.0     # tie updates
     assert got[9] == 999.0     # new key inserted
+
+
+def test_upsert_timestamp_free_pk_never_date_prunes(spark, tmp_path):
+    """Date pruning is only sound when the timestamp is part of the
+    match key. Under pk=[meter_id], a restatement that MOVES a row to
+    a different date must still rewrite the file holding the old row
+    — a date-pruned candidate scan would miss it and duplicate the
+    key (the round-9 non-pk pruning rule, applied to dates)."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "dp_tbl"))
+    pk = ["meter_id"]
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 1), 1, 5.0)],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        ),
+        pk=pk,
+    )
+    # restate meter 1 onto a DIFFERENT calendar date
+    res = t.upsert(
+        spark,
+        spark.createDataFrame(
+            [(dt.datetime(2024, 4, 15), 1, 6.0)],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        ),
+        pk=pk,
+    )
+    assert res == {"updated": 1, "inserted": 0}
+    rows = t.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == 6.0
+    assert rows[0]["reading_timestamp"] == dt.datetime(2024, 4, 15)
+
+
+def test_upsert_partial_reenriches_after_concurrent_write(spark, tmp_path):
+    """Lost-update protection: a concurrent writer updating a
+    CARRIED-FORWARD column between the enrichment read and the commit
+    forces re-enrichment against the new image — the partial merge
+    must not overwrite the concurrent change with pre-snapshot
+    values. Deterministic via the pre-publish hook: the competing
+    full upsert lands exactly between our enrichment and our
+    put-if-absent, so the fence-pinned commit loses and re-derives."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "pr_tbl"))
+    ts = dt.datetime(2024, 3, 1, 0, 7, 0)
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [(ts, 7, 1.0, "orig")],
+            "reading_timestamp timestamp, meter_id bigint,"
+            " v double, tag string",
+        ),
+    )
+    partial = spark.createDataFrame(
+        [(ts, 7, 2.0)],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            manifest.ManifestTable(t.table_dir).upsert(
+                spark,
+                spark.createDataFrame(
+                    [(ts, 7, 1.0, "concurrent")],
+                    "reading_timestamp timestamp, meter_id bigint,"
+                    " v double, tag string",
+                ),
+            )
+
+    t._pre_publish_hook = hook
+    try:
+        res = t.upsert_partial(spark, partial)
+    finally:
+        t._pre_publish_hook = None
+    assert fired["n"] == 1
+    assert res == {"updated": 1, "inserted": 0}
+    row = t.read(spark).collect()[0]
+    # ours: v=2.0; theirs: tag="concurrent" — BOTH must survive
+    assert (row["v"], row["tag"]) == (2.0, "concurrent")
+
+
+def test_upsert_if_newer_refilters_after_concurrent_write(
+    spark, tmp_path
+):
+    """Never-regress under multi-writer: a concurrent upsert advances
+    a row's version after the staleness guard was evaluated but
+    before the commit — the fence-pinned retry re-joins against the
+    current image and now DROPS the batch row instead of regressing
+    the concurrent writer's newer value."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "nr_tbl"))
+    pk = ["meter_id"]
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 1), 1, 5.0)],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        ),
+        pk=pk,
+    )
+    batch = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 7), 1, 7.0)],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            manifest.ManifestTable(t.table_dir).upsert(
+                spark,
+                spark.createDataFrame(
+                    [(dt.datetime(2024, 3, 9), 1, 9.0)],
+                    "reading_timestamp timestamp,"
+                    " meter_id bigint, v double",
+                ),
+                pk=pk,
+            )
+
+    t._pre_publish_hook = hook
+    try:
+        res = t.upsert_if_newer(spark, batch, "reading_timestamp", pk=pk)
+    finally:
+        t._pre_publish_hook = None
+    assert fired["n"] == 1
+    # re-filter saw the concurrent 2024-03-09 row: batch row is stale
+    assert res == {"updated": 0, "inserted": 0, "skipped_stale": 1}
+    row = t.read(spark).collect()[0]
+    assert row["v"] == 9.0
+    assert row["reading_timestamp"] == dt.datetime(2024, 3, 9)

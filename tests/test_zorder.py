@@ -36,7 +36,7 @@ def _stat_widths(t):
     widths = {"meter_id": [], "v": []}
     for per_file in stats.values():
         for c in widths:
-            lo, hi = per_file[c]
+            lo, hi = per_file[c][:2]
             widths[c].append(float(hi) - float(lo))
     return {c: sum(w) / len(w) for c, w in widths.items()}
 
@@ -126,7 +126,7 @@ def test_zorder_three_columns_all_narrow(spark, tmp_path):
         out = {"meter_id": [], "v": [], "w": []}
         for per_file in stats.values():
             for c in out:
-                lo, hi = per_file[c]
+                lo, hi = per_file[c][:2]
                 out[c].append(hi - lo)
         return {c: sum(ws) / len(ws) for c, ws in out.items()}
 
