@@ -1073,6 +1073,84 @@ SELECT TIMESTAMP '2024-01-02 00:00:00', CAST(777 AS INT),
 )(manifest_upsert_partial_roundtrip)
 
 
+def manifest_cbo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE statistics layer CONSUMED under the driver gate: a
+    fact manifest table (the full generator day) joined to a
+    latest-state manifest table (one row per meter) through
+    ``cbo_join`` — both sides ANALYZEd, the build side chosen from
+    the persisted profiles' cardinality estimates, asserted to be
+    the 200-row latest side (a wrong decision here is the 100 TB
+    forced-fact-broadcast OOM). The returned join is hash-checked
+    against the relational twin, proving the CBO hint is
+    result-transparent (sources/manifest.py choose_build_side)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        analyze_table,
+        cbo_join,
+        choose_build_side,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_cbo_q_")
+    try:
+        fact = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        fact.idempotent_append(spark, readings)
+        latest_t = ManifestTable(os.path.join(workdir, "latest"))
+        last_ts = (
+            f"timestampadd(MINUTE, {(N_TICKS - 1) * 15}, "
+            f"timestamp'{GEN_START}')"
+        )
+        latest_t.idempotent_append(
+            spark,
+            readings.filter(
+                F.col("reading_timestamp") == F.expr(last_ts)
+            ).select(
+                "meter_id",
+                F.col("reading_consumption_milliwatts").alias(
+                    "final_consumption"
+                ),
+            ),
+            pk=["meter_id"],
+        )
+        analyze_table(fact, spark, exact_ndv=True)
+        analyze_table(latest_t, spark, exact_ndv=True)
+        d = choose_build_side(fact, latest_t)
+        if d["build"] != "right":
+            raise AssertionError(
+                f"CBO chose {d} — the 200-row latest side must build"
+            )
+        joined = cbo_join(
+            spark, fact, latest_t, ["meter_id"]
+        ).select(
+            F.col("reading_timestamp").alias("rt"),
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "final_consumption",
+        )
+        return joined.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_cbo_join",
+    f"""WITH {_readings_cte()},
+latest AS (
+  SELECT meter_id, reading_consumption_milliwatts AS final_consumption
+  FROM readings
+  WHERE reading_timestamp =
+        TIMESTAMP '{GEN_START}' + to_minutes({(N_TICKS - 1) * 15})
+)
+SELECT r.reading_timestamp AS rt, r.meter_id,
+       r.reading_consumption_milliwatts, l.final_consumption
+FROM readings r JOIN latest l ON l.meter_id = r.meter_id""",
+)(manifest_cbo_join)
+
+
 def manifest_upsert_if_newer_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -162,6 +162,7 @@ _PRIORITY = [
     # r12 drain window (grown as the round progresses)
     "manifest_upsert_partial_roundtrip",
     "ann_filtered_ivf_labelaware",
+    "manifest_cbo_join",
     "manifest_upsert_if_newer_roundtrip",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)

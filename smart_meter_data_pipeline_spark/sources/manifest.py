@@ -3427,6 +3427,91 @@ def estimate_read_rows(
     }
 
 
+def choose_build_side(
+    left: ManifestTable,
+    right: ManifestTable,
+    left_where: dict | None = None,
+    right_where: dict | None = None,
+    broadcast_threshold_rows: int = 500_000,
+) -> dict:
+    """The planning decision ANALYZE exists for: which side of a
+    manifest-to-manifest join to BUILD (broadcast), decided from the
+    persisted profiles' post-filter cardinality estimates — never
+    from reading data. Decision rule (documented in README):
+
+    1. estimate each side via :func:`estimate_read_rows` (range
+       selectivity = overlap/width, uniformity + independence); a
+       side with no ANALYZE profile estimates None;
+    2. broadcast the SMALLER estimated side iff its estimate is at or
+       under ``broadcast_threshold_rows`` (the rows-fit-in-one-
+       executor bound — at 100 TB a mis-broadcast fact is an OOM, so
+       an unknown/over-threshold side is never built);
+    3. both unknown or both over threshold → ``"none"``: leave the
+       strategy to AQE's runtime statistics.
+
+    Returns ``{"build": "left"|"right"|"none", "est_left",
+    "est_right", "threshold_rows", "reason"}`` so callers (and the
+    plan-contract test) can audit why."""
+
+    def _est(t: ManifestTable, w: dict | None):
+        try:
+            return estimate_read_rows(t, where=w)["est_rows"]
+        except ValueError:
+            return None
+
+    le = _est(left, left_where)
+    re_ = _est(right, right_where)
+    build, reason = "none", "both sides unknown or over threshold"
+    cands = [
+        (e, side)
+        for e, side in ((le, "left"), (re_, "right"))
+        if e is not None and e <= broadcast_threshold_rows
+    ]
+    if cands:
+        e, build = min(cands)
+        reason = (
+            f"estimated {e} rows <= threshold and <= other side"
+        )
+    return {
+        "build": build,
+        "est_left": le,
+        "est_right": re_,
+        "threshold_rows": broadcast_threshold_rows,
+        "reason": reason,
+    }
+
+
+def cbo_join(
+    spark: SparkSession,
+    left: ManifestTable,
+    right: ManifestTable,
+    on: list[str],
+    left_where: dict | None = None,
+    right_where: dict | None = None,
+    how: str = "inner",
+    broadcast_threshold_rows: int = 500_000,
+) -> DataFrame:
+    """Manifest-to-manifest join planned from ANALYZE statistics:
+    each side reads through :meth:`ManifestTable.read`'s zone-map
+    skipping for its filter, then :func:`choose_build_side` decides
+    the broadcast hint from the persisted profiles (see its decision
+    rule). The estimate CONSUMES the statistics layer end to end:
+    stale or missing profiles degrade to AQE, never to a forced
+    fact-side broadcast."""
+    decision = choose_build_side(
+        left, right, left_where, right_where, broadcast_threshold_rows
+    )
+    ldf = left.read(spark, where=left_where)
+    rdf = right.read(spark, where=right_where)
+    if ldf is None or rdf is None:
+        raise ValueError("cbo_join requires both tables to have commits")
+    if decision["build"] == "left":
+        ldf = F.broadcast(ldf)
+    elif decision["build"] == "right":
+        rdf = F.broadcast(rdf)
+    return ldf.join(rdf, on, how)
+
+
 def analyzed_stats(table: ManifestTable) -> tuple[dict | None, bool]:
     """The persisted ANALYZE profile and whether it is FRESH (computed
     at the current snapshot version). A planner treats a stale profile

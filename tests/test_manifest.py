@@ -2803,6 +2803,120 @@ def test_upsert_if_newer_drops_stale_rows(spark, tmp_path):
     assert got[9] == 999.0     # new key inserted
 
 
+def test_cbo_join_build_side_flips_with_stats(spark, tmp_path):
+    """ANALYZE has a consumer: cbo_join picks its broadcast build side
+    from the persisted profiles' post-filter cardinality estimates —
+    and the decision FLIPS when the stats say it should (two
+    equal-size tables; only the filtered side estimates under the
+    threshold). Auto-broadcast is disabled so the BroadcastExchange
+    in the plan can only come from the CBO decision."""
+    import contextlib
+    import datetime as dt
+    import io
+
+    def mk(name):
+        t = manifest.ManifestTable(
+            str(tmp_path / name), stats_columns=["meter_id"]
+        )
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                [
+                    (dt.datetime(2024, 3, 1, 0, 0, 0), m, float(m))
+                    for m in range(1, 2001)
+                ],
+                "reading_timestamp timestamp, meter_id bigint, v double",
+            ),
+        )
+        manifest.analyze_table(t, spark, exact_ndv=True)
+        return t
+
+    ta, tb = mk("cbo_a"), mk("cbo_b")
+    sel = {"meter_id": (1, 100)}  # ~100 of 2000 rows by uniformity
+
+    d = manifest.choose_build_side(
+        ta, tb, left_where=sel, broadcast_threshold_rows=500
+    )
+    assert d["build"] == "left" and d["est_left"] <= 500
+    assert d["est_right"] == 2000  # unfiltered side: full profile count
+
+    d2 = manifest.choose_build_side(
+        ta, tb, right_where=sel, broadcast_threshold_rows=500
+    )
+    assert d2["build"] == "right"
+
+    # both over threshold -> no forced broadcast (AQE decides)
+    d3 = manifest.choose_build_side(
+        ta, tb, broadcast_threshold_rows=500
+    )
+    assert d3["build"] == "none"
+
+    # a side with no ANALYZE profile is never built
+    t_raw = manifest.ManifestTable(str(tmp_path / "cbo_raw"))
+    t_raw.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 1), 1, 1.0)],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        ),
+    )
+    d4 = manifest.choose_build_side(
+        t_raw, tb, broadcast_threshold_rows=500
+    )
+    assert d4["build"] == "none" and d4["est_left"] is None
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p1 = plan(
+            manifest.cbo_join(
+                spark,
+                ta,
+                tb,
+                ["meter_id"],
+                left_where=sel,
+                broadcast_threshold_rows=500,
+            )
+        )
+        assert "BroadcastHashJoin" in p1 and "BuildLeft" in p1
+        p2 = plan(
+            manifest.cbo_join(
+                spark,
+                ta,
+                tb,
+                ["meter_id"],
+                right_where=sel,
+                broadcast_threshold_rows=500,
+            )
+        )
+        assert "BroadcastHashJoin" in p2 and "BuildRight" in p2
+        p3 = plan(
+            manifest.cbo_join(
+                spark,
+                ta,
+                tb,
+                ["meter_id"],
+                broadcast_threshold_rows=500,
+            )
+        )
+        assert "BroadcastHashJoin" not in p3  # SMJ floor: no hint
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # the join itself is semantically a plain join
+    got = manifest.cbo_join(
+        spark, ta, tb, ["meter_id"], left_where=sel,
+        broadcast_threshold_rows=500,
+    )
+    assert got.count() == 100
+
+
 def test_upsert_timestamp_free_pk_never_date_prunes(spark, tmp_path):
     """Date pruning is only sound when the timestamp is part of the
     match key. Under pk=[meter_id], a restatement that MOVES a row to
