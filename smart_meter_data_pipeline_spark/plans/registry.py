@@ -163,6 +163,7 @@ _PRIORITY = [
     "manifest_upsert_partial_roundtrip",
     "ann_filtered_ivf_labelaware",
     "manifest_cbo_join",
+    "stream_upsert_if_newer",
     "manifest_upsert_if_newer_roundtrip",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)

@@ -59,6 +59,7 @@ def start_ingest_stream(
     available_now: bool = True,
     quarantine_target: str | None = None,
     sink: str = "lock",
+    version_col: str = "reading_consumption_milliwatts",
 ) -> StreamingQuery:
     """readStream → classify → observe → foreachBatch idempotent append.
 
@@ -81,7 +82,20 @@ def start_ingest_stream(
       them). Within a batch the latest ``arrived_at`` per PK wins.
       Replays converge to the same row values (a retried batch
       rewrites matched rows to the identical post-image), so the
-      exactly-once guarantee holds in effect for all three."""
+      exactly-once guarantee holds in effect for all three.
+    - ``"manifest_upsert_if_newer"``: ordering-GUARDED streaming
+      MERGE (``ManifestTable.upsert_if_newer`` on ``version_col``) —
+      the sink for feeds that can arrive OUT OF ORDER across
+      micro-batches (replayed partitions, late redeliveries): a
+      batch row older than the landed row by ``version_col`` is
+      dropped, never regressing newer data — the guarantee plain
+      last-write-wins upsert cannot give once batch order stops
+      matching event order. The default version column is the
+      cumulative consumption register, monotone per meter by
+      construction (meters never run backwards), so a stale baseline
+      replayed AFTER a correction is rejected on value; CDC feeds
+      with an explicit sequence pass it as ``version_col``. Within a
+      batch the largest version per PK wins."""
     classified = classify(read_message_stream(spark, source_dir)).observe(
         "ingest",
         F.count(F.lit(1)).alias("consumed"),
@@ -113,6 +127,26 @@ def start_ingest_stream(
                     .drop("_rn")
                 )
                 ManifestTable(target).upsert(batch_df.sparkSession, latest)
+            elif sink == "manifest_upsert_if_newer":
+                from pyspark.sql import Window
+
+                from smart_meter_data_pipeline_spark.sources.manifest import (
+                    PK,
+                    ManifestTable,
+                )
+
+                w = Window.partitionBy(*PK).orderBy(
+                    F.col(version_col).desc(),
+                    F.col("arrived_at").desc(),
+                )
+                latest = (
+                    valid.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                ManifestTable(target).upsert_if_newer(
+                    batch_df.sparkSession, latest, version_col
+                )
             elif sink == "manifest":
                 from smart_meter_data_pipeline_spark.sources.manifest import (
                     idempotent_append_manifest,

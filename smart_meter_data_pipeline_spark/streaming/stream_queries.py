@@ -1901,6 +1901,77 @@ register("stream_restatement_upsert", _restatement_oracle())(
 )
 
 
+def stream_upsert_if_newer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordering-guarded streaming MERGE under the hash gate — the
+    OUT-OF-ORDER delivery the plain last-write-wins sink gets wrong:
+    the CORRECTED re-reads (meters ≡3 mod 7 at +10007) arrive in the
+    FIRST drain, the full stale baseline replays in a SECOND drain
+    over the same checkpoint (a replayed partition / late
+    redelivery). ``sink="manifest_upsert_if_newer"`` guards every
+    merge on the cumulative consumption register (monotone per meter
+    — meters never run backwards), so the stale baseline rows for
+    corrected meters are DROPPED on value while every other meter
+    inserts normally; ``manifest_upsert`` in this delivery order
+    would regress the corrections. Same oracle as
+    ``stream_restatement_upsert``: the end state must be identical
+    whichever order the deliveries arrived in."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        gen_meter_readings,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+    from smart_meter_data_pipeline_spark.streaming.ingest_stream import (
+        start_ingest_stream,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_ifnewer_")
+    src = os.path.join(workdir, "messages")
+    target = os.path.join(workdir, "fact")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        readings = gen_meter_readings(spark)
+        restated = readings.filter(F.col("meter_id") % 7 == 3).withColumn(
+            "reading_consumption_milliwatts",
+            F.col("reading_consumption_milliwatts") + F.lit(10007),
+        )
+        glob = os.path.join(src, "*", "*.txt")
+        # drain 1: ONLY the corrections
+        _wire_format(restated).select("value").coalesce(2).write.mode(
+            "overwrite"
+        ).text(os.path.join(src, "d_fix"))
+        q = start_ingest_stream(
+            spark, glob, target, ckpt,
+            available_now=True, sink="manifest_upsert_if_newer",
+        )
+        q.awaitTermination()
+        # drain 2: the stale full baseline replays AFTER the fix
+        _wire_format(readings).select("value").coalesce(4).write.mode(
+            "overwrite"
+        ).text(os.path.join(src, "d_stale"))
+        q2 = start_ingest_stream(
+            spark, glob, target, ckpt,
+            available_now=True, sink="manifest_upsert_if_newer",
+        )
+        q2.awaitTermination()
+        final = ManifestTable(target).read(spark).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register("stream_upsert_if_newer", _restatement_oracle())(
+    stream_upsert_if_newer
+)
+
+
 DQ_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 DQ_VALUE_LO, DQ_VALUE_HI = 0.0, 1000.0
 

@@ -329,3 +329,100 @@ def test_stream_restatement_upsert_sink(spark, tmp_path):
     assert mismatches == 0
     # the restatement landed as ONE copy-on-write commit
     assert any(c.get("removed") for c in t.snapshot())
+
+
+def test_stream_upsert_if_newer_out_of_order_batches(spark, tmp_path):
+    """Ordering-guarded streaming MERGE: corrections arrive in batch 1,
+    the STALE baseline replays in batch 2 (out-of-order delivery).
+    The guarded sink drops the stale rows on the monotone register
+    value and keeps the corrections; the plain last-write-wins upsert
+    sink, fed the identical sequence, REGRESSES them — the contrast
+    that motivates the sink. A third drain replaying the corrections
+    is an idempotent no-op in effect."""
+    from smart_meter_data_pipeline_spark.sources.manifest import ManifestTable
+
+    readings = gen_meter_readings(spark, n_meters=10, n_ticks=4)  # 40 rows
+    corrected = readings.filter(F.col("meter_id") <= 5).withColumn(
+        "reading_consumption_milliwatts",
+        F.col("reading_consumption_milliwatts") + F.lit(999_983),
+    )
+
+    def run(name, sink):
+        src = tmp_path / f"msgs_{name}"
+        target = str(tmp_path / f"fact_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        os.makedirs(src)
+        glob = str(src / "*" / "*.txt")
+        _wire_format(corrected).select("value").coalesce(1).write.text(
+            str(src / "d_fix")
+        )
+        start_ingest_stream(
+            spark, glob, target, ckpt, available_now=True, sink=sink
+        ).awaitTermination()
+        _wire_format(readings).select("value").coalesce(1).write.text(
+            str(src / "d_stale")
+        )
+        start_ingest_stream(
+            spark, glob, target, ckpt, available_now=True, sink=sink
+        ).awaitTermination()
+        return ManifestTable(target), src, glob, target, ckpt
+
+    t, src, glob, target, ckpt = run("guarded", "manifest_upsert_if_newer")
+    fact = t.read(spark)
+    assert fact.count() == 40
+    n_regressed = (
+        fact.filter(F.col("meter_id") <= 5)
+        .join(
+            corrected.select(
+                "reading_timestamp",
+                "meter_id",
+                F.col("reading_consumption_milliwatts").alias("want"),
+            ),
+            ["reading_timestamp", "meter_id"],
+        )
+        .filter(F.col("reading_consumption_milliwatts") != F.col("want"))
+        .count()
+    )
+    assert n_regressed == 0  # guard held: stale replay dropped
+
+    # idempotent replay of the corrections: same end state
+    _wire_format(corrected).select("value").coalesce(1).write.text(
+        str(src / "d_fix_replay")
+    )
+    start_ingest_stream(
+        spark, glob, target, ckpt,
+        available_now=True, sink="manifest_upsert_if_newer",
+    ).awaitTermination()
+    fact2 = ManifestTable(target).read(spark)
+    assert fact2.count() == 40
+    assert (
+        fact2.join(
+            fact.select(
+                "reading_timestamp",
+                "meter_id",
+                F.col("reading_consumption_milliwatts").alias("before"),
+            ),
+            ["reading_timestamp", "meter_id"],
+        )
+        .filter(F.col("reading_consumption_milliwatts") != F.col("before"))
+        .count()
+        == 0
+    )
+
+    # the CONTRAST: plain last-write-wins regresses in this order
+    t_plain, *_ = run("plain", "manifest_upsert")
+    regressed_plain = (
+        t_plain.read(spark)
+        .filter(F.col("meter_id") <= 5)
+        .join(
+            corrected.select(
+                "reading_timestamp",
+                "meter_id",
+                F.col("reading_consumption_milliwatts").alias("want"),
+            ),
+            ["reading_timestamp", "meter_id"],
+        )
+        .filter(F.col("reading_consumption_milliwatts") != F.col("want"))
+        .count()
+    )
+    assert regressed_plain == 20  # every corrected row regressed
