@@ -1261,6 +1261,111 @@ SELECT TIMESTAMP '2024-01-03 00:00:00', CAST(900 AS INT),
 )(manifest_upsert_if_newer_roundtrip)
 
 
+def manifest_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish through manifest BRANCHES under the driver
+    gate (sources/manifest.py ManifestBranch — Iceberg branch refs /
+    Netflix's WAP workflow; the metadata-only fork the reference's
+    single-writer Postgres sink never needs, and a 100 TB object-store
+    table cannot live without): land the generator day on main, fork
+    an ``audit`` branch, and run a full audit campaign ON THE BRANCH —
+    append the next synthetic day (meters ≡1 mod 6, +1 day, +7777
+    mWh), restate meters ≡4 mod 9 (+5003 mWh, carrying a NEW
+    ``audit_pass`` column — schema evolution rides the squash), and
+    copy-on-write DELETE meters ≡7 mod 13's original-day rows. Main
+    must stay byte-identical throughout (asserted mid-flight: row
+    count AND schema untouched — branch writes share data files but
+    never the main log). ``fast_forward`` then publishes the branch's
+    net effect as ONE optimistic squash commit; the hash is taken over
+    the MAIN read after publish, so isolation, branch CoW, evolution,
+    and atomic publish all sit under one oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_wap_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        n_base = readings.count()
+        t.idempotent_append(spark, readings)
+        t.create_branch("audit")
+        b = t.branch("audit")
+        m = F.col("meter_id")
+        cons = F.col("reading_consumption_milliwatts")
+        next_day = (
+            readings.filter(m % 6 == 1)
+            .withColumn(
+                "reading_timestamp",
+                F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+            )
+            .withColumn(
+                "reading_consumption_milliwatts",
+                (cons + F.lit(7777)).cast("int"),
+            )
+        )
+        b.idempotent_append(spark, next_day)
+        restated = (
+            readings.filter(m % 9 == 4)
+            .withColumn(
+                "reading_consumption_milliwatts",
+                (cons + F.lit(5003)).cast("int"),
+            )
+            .withColumn("audit_pass", F.lit("clean"))
+        )
+        b.upsert(spark, restated)
+        doomed = readings.filter(m % 13 == 7).select(
+            "reading_timestamp", "meter_id"
+        )
+        b.delete_keys(spark, doomed)
+        # the Audit step's isolation contract: nothing the branch did
+        # is visible through the main handle until publish
+        main_mid = t.read(spark)
+        if main_mid.count() != n_base or "audit_pass" in main_mid.columns:
+            raise AssertionError(
+                "branch write leaked into main before fast_forward"
+            )
+        res = b.fast_forward()
+        if res.get("published") != 1 or t.list_branches():
+            raise AssertionError(f"fast_forward did not publish: {res}")
+        final = t.read(spark).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+            "audit_pass",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_branch_wap",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id,
+       CAST(CASE WHEN meter_id % 9 = 4
+                 THEN reading_consumption_milliwatts + 5003
+                 ELSE reading_consumption_milliwatts END AS INT)
+           AS reading_consumption_milliwatts,
+       reading_production_milliwatts, status,
+       CASE WHEN meter_id % 9 = 4 THEN 'clean' ELSE NULL END
+           AS audit_pass
+FROM readings
+WHERE meter_id % 13 <> 7
+UNION ALL
+SELECT reading_timestamp + INTERVAL 1 DAY, meter_id,
+       CAST(reading_consumption_milliwatts + 7777 AS INT),
+       reading_production_milliwatts, status, NULL
+FROM readings
+WHERE meter_id % 6 = 1""",
+)(manifest_branch_wap)
+
+
 def manifest_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletes under the driver gate — the
     deletion-vector lifecycle end to end: append the generator day,
@@ -2529,6 +2634,97 @@ register(
     f"""WITH {_readings_cte()}
 SELECT * FROM readings""",
 )(manifest_zorder_roundtrip)
+
+
+def manifest_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE with the 2-D HILBERT curve under the driver gate
+    (sources/manifest.py `_hilbert_column` — the jump-free locality
+    upgrade over Z-order; Databricks liquid clustering's curve): land
+    the generator day as micro-batches, rewrite range-partitioned on
+    the Hilbert key over (meter_id, consumption), then serve a 2-D
+    range SLICE through the zone-map read path. In-query asserts:
+    the repack landed, BOTH clustered columns' mean per-file stats
+    range is under 60% of full span (the curve property), and the
+    slice's metadata-only skipping_report drops at least half the
+    files — tight bounding boxes are the entire point of the curve.
+    The oracle is the plain filtered generator, so pruned ≡ filter
+    exactness is hash-checked on the Hilbert layout."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        optimize_table,
+    )
+
+    cols = ["meter_id", "reading_consumption_milliwatts"]
+    slice_pred = {
+        "meter_id": (60, 120),
+        "reading_consumption_milliwatts": (20_000_000, 60_000_000),
+    }
+    workdir = tempfile.mkdtemp(prefix="manifest_hilbert_q_")
+    try:
+        t = ManifestTable(
+            os.path.join(workdir, "fact"), stats_columns=cols
+        )
+        readings = gen_meter_readings(spark)
+        for k in range(8):
+            t.idempotent_append(
+                spark, readings.filter(F.col("meter_id") % 8 == k)
+            )
+        n_before = len(t._files(t.snapshot()))
+        res = optimize_table(
+            t,
+            spark,
+            small_file_bytes=32 << 20,
+            target_partitions=16,
+            cluster_by=cols,
+            hilbert=True,
+        )
+        n_after = len(t._files(t.snapshot()))
+        if not (res["files_rewritten"] == n_before and n_after <= 16):
+            raise AssertionError(
+                f"hilbert optimize did not repack: {n_before} -> "
+                f"{n_after} ({res})"
+            )
+        stats = t.snapshot()[-1]["stats"]
+        for c in cols:
+            widths = [
+                s[c][1] - s[c][0] for s in stats.values() if c in s
+            ]
+            if not widths:
+                raise AssertionError(f"no stats recorded for {c}")
+            lo = min(s[c][0] for s in stats.values() if c in s)
+            hi = max(s[c][1] for s in stats.values() if c in s)
+            span = max(1, hi - lo)
+            mean_w = sum(widths) / len(widths)
+            if mean_w > 0.6 * span:
+                raise AssertionError(
+                    f"hilbert left {c} wide: mean width {mean_w} of "
+                    f"span {span}"
+                )
+        rep = t.skipping_report(where=slice_pred)
+        if rep["files_read"] > rep["files_live"] // 2:
+            raise AssertionError(
+                f"hilbert layout skipped too little on the 2-D "
+                f"slice: {rep}"
+            )
+        return t.read(spark, where=slice_pred).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_hilbert_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings
+WHERE meter_id BETWEEN 60 AND 120
+  AND reading_consumption_milliwatts
+      BETWEEN 20000000 AND 60000000""",
+)(manifest_hilbert_roundtrip)
 
 
 def manifest_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,6 +165,9 @@ _PRIORITY = [
     "manifest_cbo_join",
     "stream_upsert_if_newer",
     "manifest_upsert_if_newer_roundtrip",
+    "manifest_branch_wap",
+    "stream_branch_wap",
+    "manifest_hilbert_roundtrip",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

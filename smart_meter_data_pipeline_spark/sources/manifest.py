@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 COMMITS_DIRNAME = "_commits"
 DATA_DIRNAME = "_data"
 REFS_DIRNAME = "_refs"
+BRANCHES_DIRNAME = "_commits_branches"
 
 PK = ["reading_timestamp", "meter_id"]
 
@@ -252,16 +253,22 @@ class ManifestTable:
         (gaps where merged commits used to be); positional APIs
         (read(version=), diff, history) index the current log order,
         numbers anchor the optimistic-append fence."""
+        return self._read_log(self.commits_dir)
+
+    @staticmethod
+    def _read_log(log_dir: str) -> list[tuple[int, dict]]:
+        """Read one numbered commit-log directory (the main log or a
+        branch log — same file format, same immutability rules)."""
         for attempt in range(40):
             try:
                 names = sorted(
                     n
-                    for n in os.listdir(self.commits_dir)
+                    for n in os.listdir(log_dir)
                     if n.endswith(".json")
                 )
                 out = []
                 for n in names:
-                    with open(os.path.join(self.commits_dir, n)) as fh:
+                    with open(os.path.join(log_dir, n)) as fh:
                         out.append((int(n[: -len(".json")]), json.load(fh)))
                 return out
             except FileNotFoundError:
@@ -417,6 +424,92 @@ class ManifestTable:
             "addressable in the current log (a foreign/stale ref — the "
             "in-protocol compaction never merges tagged commits)"
         )
+
+    # -- branches ----------------------------------------------------------
+    #
+    # A branch is a MUTABLE named ref plus its own numbered commit log
+    # (Iceberg branch refs / the Write-Audit-Publish workflow): the
+    # branch's visible table = the main log frozen at the base commit
+    # number, followed by the branch's own commits. Data files are
+    # shared with the main table (immutable, uuid-staged — exactly the
+    # shallow-clone sharing argument), so branching is a metadata-only
+    # operation at any table size; only the branch's NEW writes cost
+    # bytes. Publishing is a SQUASH fast-forward: the branch's net
+    # file effect lands on main as one optimistic commit, so there is
+    # no partial-publish state to reason about.
+
+    def _branch_refs_dir(self) -> str:
+        return os.path.join(self.refs_dir, "branches")
+
+    def _branch_log_dir(self, name: str) -> str:
+        return os.path.join(self.table_dir, BRANCHES_DIRNAME, name)
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """Fork a writable branch at ``version`` (default: head).
+        Metadata-only: records {name, base commit NUMBER} put-if-absent
+        (one winner under concurrent same-name creators) and creates an
+        empty branch log. The base is pinned by stable commit number —
+        compaction treats branch bases as GC roots exactly like tags,
+        so the frozen prefix a branch reads can never be silently
+        widened by a base merge that swallows newer commits."""
+        if not self._TAG_NAME_RE.match(name or ""):
+            raise ValueError(
+                f"bad branch name {name!r}: use 1-64 chars of [A-Za-z0-9._-]"
+            )
+        numbered = self.numbered_snapshot()
+        if not numbered:
+            raise ValueError(
+                f"cannot branch an empty table: {self.table_dir}"
+            )
+        if version is None:
+            version = len(numbered) - 1
+        if version < 0 or version >= len(numbered):
+            raise ValueError(
+                f"version {version} out of range: table has "
+                f"{len(numbered)} commits"
+            )
+        payload = {
+            "name": name,
+            "base_commit_number": numbered[version][0],
+            "created_at": time.time(),
+        }
+        os.makedirs(self._branch_refs_dir(), exist_ok=True)
+        path = os.path.join(self._branch_refs_dir(), f"{name}.json")
+        if not _put_if_absent(path, json.dumps(payload).encode()):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(self._branch_log_dir(name), exist_ok=True)
+        return payload
+
+    def list_branches(self) -> list[dict]:
+        refs = self._branch_refs_dir()
+        if not os.path.isdir(refs):
+            return []
+        out = []
+        for n in sorted(os.listdir(refs)):
+            if n.endswith(".json"):
+                with open(os.path.join(refs, n)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def branch(self, name: str) -> "ManifestBranch":
+        path = os.path.join(self._branch_refs_dir(), f"{name}.json")
+        try:
+            with open(path) as fh:
+                ref = json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(f"no such branch: {name!r}") from None
+        return ManifestBranch(self, name, ref["base_commit_number"])
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the ref and the branch log. Branch-only data files
+        become unreferenced and the next vacuum sweeps them — the
+        audit-failed half of Write-Audit-Publish."""
+        path = os.path.join(self._branch_refs_dir(), f"{name}.json")
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            raise ValueError(f"no such branch: {name!r}") from None
+        shutil.rmtree(self._branch_log_dir(name), ignore_errors=True)
 
     def read(
         self,
@@ -2096,6 +2189,12 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
     Returns the number of commits merged."""
     from smart_meter_data_pipeline_spark.sources.txn import table_lock
 
+    if isinstance(table, ManifestBranch):
+        raise ValueError(
+            "compact_log is a main-table maintenance operation; a "
+            "branch's visible prefix is frozen main history and must "
+            "not be rewritten through a branch handle"
+        )
     with table_lock(table.table_dir):
         numbered = table.numbered_snapshot()
         if len(numbered) <= max(keep_last, 1):
@@ -2105,8 +2204,14 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         # commit must stay individually addressable, and the merged
         # base REUSES the lowest number — so merging a tagged commit
         # would silently point its tag at different content. Clamp the
-        # cut to before the oldest tagged commit.
-        tagged = {t["commit_number"] for t in table.list_tags()}
+        # cut to before the oldest tagged commit. Branch BASES are GC
+        # roots for the same reason, with a sharper failure mode: the
+        # merged base reuses number 0 while representing commits up to
+        # the cut, so merging past a branch base would silently widen
+        # the frozen prefix that branch reads.
+        tagged = {t["commit_number"] for t in table.list_tags()} | {
+            b["base_commit_number"] for b in table.list_branches()
+        }
         if tagged:
             for i in range(cut):
                 if numbered[i][0] in tagged:
@@ -2212,14 +2317,15 @@ def compact_log(table: ManifestTable, keep_last: int = 10) -> int:
         return cut
 
 
-Z_BITS = 10  # per-column bucket resolution of the Z-order key
+Z_BITS = 10  # per-column bucket resolution of the Z-order/Hilbert key
 
 
-def _zorder_column(spark: SparkSession, df, cols: list[str]):
-    """Bit-interleaved Z-order key over ``cols``: each column is
-    min/max-normalized to a {Z_BITS}-bit bucket (timestamps via epoch
-    seconds), then bucket bits are interleaved column-round-robin.
-    The min/max pass is one bounded aggregation over the files being
+def _bucket_sqls(df, cols: list[str]) -> list[str]:
+    """Min/max-normalized {Z_BITS}-bit bucket SQL per column
+    (timestamps via epoch seconds) — the shared front half of both
+    space-filling-curve keys. Returned as SQL strings so callers can
+    inline them into larger expressions (the Hilbert fold). The
+    min/max pass is one bounded aggregation over the files being
     rewritten (a 1-row collect — scalars, not data)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -2235,23 +2341,86 @@ def _zorder_column(spark: SparkSession, df, cols: list[str]):
         aggs.append(F.min(F.expr(col_sql(c))).alias(f"mn_{i}"))
         aggs.append(F.max(F.expr(col_sql(c))).alias(f"mx_{i}"))
     row = df.agg(*aggs).collect()[0]
-    n = len(cols)
     cap = (1 << Z_BITS) - 1
-    z = F.lit(0).cast("bigint")
+    out = []
     for ci, c in enumerate(cols):
         mn = row[f"mn_{ci}"] or 0
         mx = row[f"mx_{ci}"] or 0
         span = max(1, mx - mn)
-        bucket = F.expr(
+        out.append(
             f"CAST(greatest(least((({col_sql(c)} - {mn}) * {cap})"
             f" div {span}, {cap}), 0) AS BIGINT)"
         )
+    return out
+
+
+def _zorder_column(spark: SparkSession, df, cols: list[str]):
+    """Bit-interleaved Z-order key over ``cols``: each column's
+    {Z_BITS}-bit bucket bits are interleaved column-round-robin."""
+    from pyspark.sql import functions as F
+
+    buckets = [F.expr(s) for s in _bucket_sqls(df, cols)]
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for ci, bucket in enumerate(buckets):
         for b in range(Z_BITS):
             z = z + F.shiftleft(
                 F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
                 b * n + ci,
             ).cast("bigint")
     return z
+
+
+def _hilbert_column(spark: SparkSession, df, cols: list[str]):
+    """2-D HILBERT-curve key over ``cols`` — the locality upgrade
+    over Z-order (Databricks liquid clustering's curve): the Hilbert
+    curve has no Z-shaped jumps, so consecutive key ranges are always
+    edge-adjacent squares and each packed file's (col1, col2)
+    bounding box is tighter for the same file count — strictly better
+    metadata skipping on 2-D range slices, measured by the
+    comparative layout test (tests/test_zorder.py).
+
+    The classic xy2d transform (quadrant index + rotate/flip per
+    level, {Z_BITS} levels) runs as a Catalyst ``aggregate()`` fold
+    over the level sequence with an (x, y, d) accumulator struct —
+    the recurrence stays a LINEAR plan (unrolling it into nested
+    column expressions quadruples the tree per level: 4^{Z_BITS}
+    nodes OOMs the driver before a single row moves). Pure int64
+    arithmetic, JVM-side, no UDF; bucketization shares
+    :func:`_bucket_exprs` with Z-order. Validated bijective +
+    unit-step-adjacent against the reference xy2d for every grid
+    order up to 2^{Z_BITS} (tests/test_zorder.py)."""
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError(
+            "hilbert layout supports exactly 2 cluster columns "
+            f"(got {len(cols)}); use zorder for 3+"
+        )
+    x_sql, y_sql = _bucket_sqls(df, cols)
+    fold = f"""
+aggregate(
+  sequence({Z_BITS - 1}, 0, -1),
+  named_struct('x', {x_sql}, 'y', {y_sql}, 'd', CAST(0 AS BIGINT)),
+  (acc, b) -> named_struct(
+    'x', IF((acc.y & shiftleft(CAST(1 AS BIGINT), b)) = 0,
+            IF((acc.x & shiftleft(CAST(1 AS BIGINT), b)) > 0,
+               shiftleft(CAST(1 AS BIGINT), b) - 1 - acc.y, acc.y),
+            acc.x),
+    'y', IF((acc.y & shiftleft(CAST(1 AS BIGINT), b)) = 0,
+            IF((acc.x & shiftleft(CAST(1 AS BIGINT), b)) > 0,
+               shiftleft(CAST(1 AS BIGINT), b) - 1 - acc.x, acc.x),
+            acc.y),
+    'd', acc.d + shiftleft(CAST(1 AS BIGINT), 2 * b) *
+         ((CAST(3 AS BIGINT) *
+           IF((acc.x & shiftleft(CAST(1 AS BIGINT), b)) > 0,
+              CAST(1 AS BIGINT), CAST(0 AS BIGINT))) ^
+          IF((acc.y & shiftleft(CAST(1 AS BIGINT), b)) > 0,
+             CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+  ),
+  acc -> acc.d
+)"""
+    return F.expr(fold)
 
 
 def optimize_table(
@@ -2261,6 +2430,7 @@ def optimize_table(
     target_partitions: int | None = None,
     cluster_by: list[str] | None = None,
     zorder: bool = False,
+    hilbert: bool = False,
 ) -> dict:
     """Bin-packing file compaction — the OPTIMIZE of the manifest
     world, and the operational answer to the small-file problem a
@@ -2296,6 +2466,11 @@ def optimize_table(
     Delta/Iceberg OPTIMIZE ZORDER trade. Numeric and timestamp
     columns are supported (timestamps via epoch seconds); the
     transform is layout-only, rows untouched.
+
+    ``hilbert=True`` (exactly 2 ``cluster_by`` columns) swaps the
+    curve for the 2-D HILBERT key (:func:`_hilbert_column`) —
+    jump-free locality, tighter per-file bounding boxes than Z-order
+    at the same file count (the Databricks liquid-clustering curve).
 
     Runs under the table flock (serializes with other maintenance);
     publishes through put-if-absent at a fence from the SAME listing
@@ -2336,8 +2511,9 @@ def optimize_table(
             if schema is not None:
                 reader = reader.schema(schema)
             src_df = reader.parquet(*small)
-            if cluster_by and zorder and len(cluster_by) >= 2:
-                zcol = _zorder_column(spark, src_df, cluster_by)
+            if cluster_by and (zorder or hilbert) and len(cluster_by) >= 2:
+                curve = _hilbert_column if hilbert else _zorder_column
+                zcol = curve(spark, src_df, cluster_by)
                 packed = (
                     src_df.withColumn("__z", zcol)
                     .repartitionByRange(int(n_out), "__z")
@@ -2724,6 +2900,12 @@ def vacuum_unreferenced(
     production table."""
     from smart_meter_data_pipeline_spark.sources.txn import table_lock
 
+    if isinstance(table, ManifestBranch):
+        raise ValueError(
+            "vacuum_unreferenced is a main-table maintenance "
+            "operation (it sweeps the shared data dir); run it "
+            "through the parent table handle"
+        )
     if os.path.isdir(table.commits_dir + ".old"):
         raise RuntimeError(
             f"refusing to vacuum {table.table_dir}: stranded "
@@ -2744,6 +2926,24 @@ def vacuum_unreferenced(
             if t["upto"] > high
             for r in t["rels"]
         }
+        # Branch logs are GC roots: a branch's commits reference data
+        # files no main commit names (shared data dir — the point of
+        # metadata-only branching). Each branch view computes its OWN
+        # MoR high-water — branch commit numbers exceed main's, so
+        # folding them into one pool would wrongly raise main's
+        # high-water and sweep still-pending main tombstone keys.
+        for b in table.list_branches():
+            bv = table.branch(b["name"]).numbered_snapshot()
+            b_commits = [c for _, c in bv]
+            referenced |= {f for c in b_commits for f in c["added"]}
+            b_high = ManifestTable._mor_high_water(b_commits)
+            referenced |= {
+                r
+                for c in b_commits
+                for t in c.get("tombstones", [])
+                if t["upto"] > b_high
+                for r in t["rels"]
+            }
         removed = 0
         would: list[str] = []
         now = time.time()
@@ -3614,3 +3814,164 @@ def shallow_clone(source: ManifestTable, target_dir: str) -> ManifestTable:
     ):
         raise ValueError(f"clone target is not empty: {target_dir}")
     return clone
+
+
+class BranchDivergedError(CommitConflictError):
+    """Main advanced past the branch base — the fast-forward publish
+    would silently drop those commits, so it refuses instead."""
+
+
+class ManifestBranch(ManifestTable):
+    """A writable fork of a :class:`ManifestTable` — Iceberg branch
+    refs, i.e. the table half of Write-Audit-Publish.
+
+    The branch's visible log is the MAIN log frozen at the base commit
+    number followed by the branch's own numbered commits (kept in
+    ``_commits_branches/<name>/``). Every inherited read and write —
+    ``read``, time travel, ``idempotent_append``, ``upsert``/
+    ``delete_keys`` copy-on-write, skipping/Bloom pruning — works
+    unchanged because the whole machinery flows through
+    ``numbered_snapshot`` / ``_commit_path`` / ``_fence``, all of
+    which this subclass redirects to the composite view. Data files
+    live in the PARENT's data dir (immutable, uuid-staged), so
+    branching any size table costs one metadata ref and concurrent
+    branch/main writers can never collide on bytes, only on their own
+    log's put-if-absent — the same one-winner argument as the main
+    protocol, applied per log.
+
+    MAINTENANCE (compaction / vacuum) stays a main-table operation:
+    ``compact_log`` and ``vacuum_unreferenced`` refuse a branch
+    handle, compaction clamps its cut before any branch base (bases
+    are GC roots like tags), and vacuum counts branch-log references
+    as live. Publish is :meth:`fast_forward` — a SQUASH of the
+    branch's net file effect into one optimistic main commit."""
+
+    def __init__(self, parent: ManifestTable, name: str, base: int) -> None:
+        super().__init__(parent.table_dir)
+        self._parent = parent
+        self.branch_name = name
+        self.base_number = base
+        # Redirect the publish namespace to the branch log; data dir,
+        # refs dir and persisted table config stay shared.
+        self.commits_dir = self._branch_log_dir(name)
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    def numbered_snapshot(self) -> list[tuple[int, dict]]:
+        main = [
+            (n, c)
+            for n, c in self._read_log(self._parent.commits_dir)
+            if n <= self.base_number
+        ]
+        return main + self._read_log(self.commits_dir)
+
+    def next_commit_number(self) -> int:
+        return self._fence(self.numbered_snapshot())
+
+    def create_tag(self, name: str, version: int | None = None) -> dict:
+        raise ValueError(
+            "tags live on the main table (the refs namespace is "
+            "shared); tag the published commit after fast_forward()"
+        )
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        raise ValueError("cannot branch a branch — fork main instead")
+
+    def fast_forward(
+        self, retain_branch: bool = False, max_retries: int = 5
+    ) -> dict:
+        """Publish the branch onto main as ONE squash commit — the
+        "publish" of Write-Audit-Publish. Requires main's head to
+        still be the branch base (otherwise :class:`BranchDivergedError`
+        — this is a fast-forward, not a three-way merge); the commit
+        lands through the same put-if-absent fence as every other
+        writer, so a concurrent main append either loses to the
+        publish or makes it diverge — never a silent overwrite.
+
+        The squash records the branch's NET effect: files the branch
+        added (minus ones it later removed), removals of BASE files
+        the branch rewrote (copy-on-write upserts/deletes), carried
+        per-file stats/Bloom bitmaps, the union of branch dates, the
+        branch-evolved schema, and dropped-type tombstones. Per-commit
+        branch granularity is deliberately not replayed — a squash has
+        no partial-publish state, which is what makes the publish
+        atomic on an object store. Pending merge-on-read tombstones
+        anywhere in the branch view must be reorganized first (same
+        rule as clone)."""
+        numbered_view = self.numbered_snapshot()
+        if self._pending_tombstones(numbered_view):
+            raise PendingTombstonesError(
+                f"branch {self.branch_name!r} has pending merge-on-read "
+                "tombstones; run apply_tombstones() on the branch before "
+                "fast_forward (the squash commit must not resurrect "
+                "logically-deleted rows)"
+            )
+        bc = [c for _, c in self._read_log(self.commits_dir)]
+        if not bc:
+            return {"published": 0}
+        added_net = self._net_relfiles(bc)
+        added_in_branch = {f for c in bc for f in c["added"]}
+        removed_net: dict[str, None] = {}
+        for c in bc:
+            for f in c.get("removed", []):
+                if f not in added_in_branch:
+                    removed_net[f] = None
+        stats = {
+            rel: s
+            for c in bc
+            for rel, s in (c.get("stats") or {}).items()
+            if rel in set(added_net)
+        }
+        blooms = {
+            rel: b
+            for c in bc
+            for rel, b in (c.get("blooms") or {}).items()
+            if rel in set(added_net)
+        }
+        schema = self._evolved_schema([c for _, c in numbered_view])
+        dropped = {}
+        for c in bc:
+            dropped.update(c.get("dropped_types") or {})
+        payload = {
+            "added": added_net,
+            "removed": sorted(removed_net),
+            "count": sum(c.get("count", 0) for c in bc),
+            "dates": sorted({d for c in bc for d in c.get("dates", [])}),
+            "committed_at": time.time(),
+            "fast_forward_of": self.branch_name,
+            "squashed_from": len(bc),
+        }
+        if schema is not None:
+            payload["schema"] = schema.json()
+        if dropped:
+            payload["dropped_types"] = dropped
+        if stats:
+            payload["stats"] = stats
+        if blooms:
+            payload["blooms"] = blooms
+        for _ in range(max_retries):
+            main_numbered = self._parent.numbered_snapshot()
+            fence = self._fence(main_numbered)
+            if fence != self.base_number + 1:
+                raise BranchDivergedError(
+                    f"cannot fast-forward {self.branch_name!r}: main is "
+                    f"at fence {fence}, branch base is "
+                    f"{self.base_number} — main advanced since the "
+                    "branch; rebase by re-branching and re-applying"
+                )
+            payload["version"] = fence
+            if self._pre_publish_hook is not None:
+                self._pre_publish_hook()
+            if _put_if_absent(
+                self._parent._commit_path(fence),
+                json.dumps(payload).encode(),
+            ):
+                if not retain_branch:
+                    self._parent.delete_branch(self.branch_name)
+                return {"published": 1, "squashed_from": len(bc)}
+            # lost the fence race — re-listing either shows main still
+            # at base (the winner was a stray tmp retry artifact;
+            # attempt again) or advanced (diverged, next loop raises)
+        raise CommitConflictError(
+            f"gave up after {max_retries} fast-forward attempts on "
+            f"branch {self.branch_name!r}"
+        )

@@ -60,6 +60,7 @@ def start_ingest_stream(
     quarantine_target: str | None = None,
     sink: str = "lock",
     version_col: str = "reading_consumption_milliwatts",
+    branch: str | None = None,
 ) -> StreamingQuery:
     """readStream → classify → observe → foreachBatch idempotent append.
 
@@ -95,7 +96,31 @@ def start_ingest_stream(
       construction (meters never run backwards), so a stale baseline
       replayed AFTER a correction is rejected on value; CDC feeds
       with an explicit sequence pass it as ``version_col``. Within a
-      batch the largest version per PK wins."""
+      batch the largest version per PK wins.
+
+    ``branch`` routes every manifest-family sink's commits into the
+    named BRANCH of the target table (streaming Write-Audit-Publish:
+    the stream lands on an audit branch, main serves untouched until
+    ``fast_forward`` squash-publishes the drained result). Requires a
+    manifest sink; the flock path has no branch concept."""
+    if branch is not None and sink not in (
+        "manifest",
+        "manifest_upsert",
+        "manifest_upsert_if_newer",
+    ):
+        raise ValueError(
+            f"branch={branch!r} requires a manifest-family sink, "
+            f"got sink={sink!r}"
+        )
+
+    def _open_target(session):
+        from smart_meter_data_pipeline_spark.sources.manifest import (
+            ManifestTable,
+        )
+
+        t = ManifestTable(target)
+        return t.branch(branch) if branch is not None else t
+
     classified = classify(read_message_stream(spark, source_dir)).observe(
         "ingest",
         F.count(F.lit(1)).alias("consumed"),
@@ -126,7 +151,9 @@ def start_ingest_stream(
                     .filter(F.col("_rn") == 1)
                     .drop("_rn")
                 )
-                ManifestTable(target).upsert(batch_df.sparkSession, latest)
+                _open_target(batch_df.sparkSession).upsert(
+                    batch_df.sparkSession, latest
+                )
             elif sink == "manifest_upsert_if_newer":
                 from pyspark.sql import Window
 
@@ -144,16 +171,12 @@ def start_ingest_stream(
                     .filter(F.col("_rn") == 1)
                     .drop("_rn")
                 )
-                ManifestTable(target).upsert_if_newer(
+                _open_target(batch_df.sparkSession).upsert_if_newer(
                     batch_df.sparkSession, latest, version_col
                 )
             elif sink == "manifest":
-                from smart_meter_data_pipeline_spark.sources.manifest import (
-                    idempotent_append_manifest,
-                )
-
-                idempotent_append_manifest(
-                    batch_df.sparkSession, valid, target
+                _open_target(batch_df.sparkSession).idempotent_append(
+                    batch_df.sparkSession, valid
                 )
             else:
                 idempotent_append(batch_df.sparkSession, valid, target)

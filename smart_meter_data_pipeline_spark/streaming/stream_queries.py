@@ -1972,6 +1972,107 @@ register("stream_upsert_if_newer", _restatement_oracle())(
 )
 
 
+def stream_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Write-Audit-Publish: the checkpointed ingest stream
+    drains into a manifest BRANCH (``start_ingest_stream(...,
+    branch="staging")``) while main keeps serving the untouched
+    baseline; after the drain passes its audit, ``fast_forward``
+    squash-publishes the whole streamed day as ONE atomic main commit
+    (sources/manifest.py ManifestBranch — the Iceberg WAP pattern a
+    continuously-ingesting 100 TB table uses to gate bad feeds out of
+    the serving path). The feed is delivered TWICE (full redelivery
+    of the same day — at-least-once), so the branch's anti-join dedup
+    across its frozen-prefix + branch view is exercised too; main
+    isolation is asserted mid-flight, and the hash is over the main
+    read after publish."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        gen_meter_readings,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+    from smart_meter_data_pipeline_spark.streaming.ingest_stream import (
+        start_ingest_stream,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_swap_")
+    src = os.path.join(workdir, "messages")
+    target = os.path.join(workdir, "fact")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        readings = gen_meter_readings(spark)
+        t = ManifestTable(target)
+        t.idempotent_append(spark, readings)
+        n_base = readings.count()
+        t.create_branch("staging")
+        next_day = (
+            readings.filter(F.col("meter_id") % 5 == 2)
+            .withColumn(
+                "reading_timestamp",
+                F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+            )
+            .withColumn(
+                "reading_consumption_milliwatts",
+                (
+                    F.col("reading_consumption_milliwatts") + F.lit(333)
+                ).cast("int"),
+            )
+        )
+        for d in ("d1", "d1_redelivery"):
+            _wire_format(next_day).select("value").coalesce(2).write.mode(
+                "overwrite"
+            ).text(os.path.join(src, d))
+        q = start_ingest_stream(
+            spark,
+            os.path.join(src, "*", "*.txt"),
+            target,
+            ckpt,
+            available_now=True,
+            sink="manifest",
+            branch="staging",
+        )
+        q.awaitTermination()
+        if t.read(spark).count() != n_base:
+            raise AssertionError(
+                "streamed branch commits leaked into main before publish"
+            )
+        b = t.branch("staging")
+        res = b.fast_forward()
+        if res.get("published") != 1:
+            raise AssertionError(f"fast_forward did not publish: {res}")
+        final = t.read(spark).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _branch_wap_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _readings_cte,
+    )
+
+    return f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM readings
+UNION ALL
+SELECT reading_timestamp + INTERVAL 1 DAY, meter_id,
+       CAST(reading_consumption_milliwatts + 333 AS INT),
+       reading_production_milliwatts, status
+FROM readings
+WHERE meter_id % 5 = 2"""
+
+
+register("stream_branch_wap", _branch_wap_oracle())(stream_branch_wap)
+
+
 DQ_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 DQ_VALUE_LO, DQ_VALUE_HI = 0.0, 1000.0
 

@@ -3051,3 +3051,171 @@ def test_upsert_if_newer_refilters_after_concurrent_write(
     row = t.read(spark).collect()[0]
     assert row["v"] == 9.0
     assert row["reading_timestamp"] == dt.datetime(2024, 3, 9)
+
+
+# -- branches (Write-Audit-Publish) -------------------------------------
+
+
+def test_branch_isolated_writes_and_fast_forward(spark, table_dir):
+    """Branch appends/upserts/deletes are invisible through the main
+    handle until fast_forward squash-publishes them as one commit."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 20))
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.idempotent_append(spark, _valid_batch(spark, 20, 30))
+    b.delete_keys(
+        spark,
+        _valid_batch(spark, 0, 5).select("reading_timestamp", "meter_id"),
+    )
+    assert t.read(spark).count() == 20  # isolation
+    assert b.read(spark).count() == 25
+    main_commits_before = len(t.snapshot())
+    res = b.fast_forward()
+    assert res == {"published": 1, "squashed_from": 2}
+    assert len(t.snapshot()) == main_commits_before + 1  # ONE squash
+    assert t.read(spark).count() == 25
+    assert {r["meter_id"] for r in t.read(spark).collect()} == set(
+        range(5, 30)
+    )
+    assert t.list_branches() == []  # published branch is dropped
+
+
+def test_branch_time_travel_and_base_pinning(spark, table_dir):
+    """The branch view is main frozen at the base NUMBER: main commits
+    after the fork never appear, and time travel inside the branch
+    view resolves positionally across the frozen prefix + branch log."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    t.idempotent_append(spark, _valid_batch(spark, 100, 110))
+    b.idempotent_append(spark, _valid_batch(spark, 50, 55))
+    assert t.read(spark).count() == 20
+    assert b.read(spark).count() == 15
+    assert b.read(spark, version=0).count() == 10
+
+
+def test_branch_fast_forward_diverged_raises(spark, table_dir):
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    b.idempotent_append(spark, _valid_batch(spark, 50, 55))
+    t.idempotent_append(spark, _valid_batch(spark, 100, 105))
+    with pytest.raises(manifest.BranchDivergedError):
+        b.fast_forward()
+    # branch is intact after the refused publish
+    assert b.read(spark).count() == 15
+    assert t.read(spark).count() == 15
+    assert [x["name"] for x in t.list_branches()] == ["b"]
+
+
+def test_branch_fast_forward_loses_race_to_append(spark, table_dir):
+    """A main append landing between the divergence check and the
+    publish makes put-if-absent fail; the retry sees main advanced
+    and raises diverged — never a silent overwrite of the winner."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    b.idempotent_append(spark, _valid_batch(spark, 50, 55))
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t.idempotent_append(spark, _valid_batch(spark, 100, 105))
+
+    b._pre_publish_hook = hook
+    try:
+        with pytest.raises(manifest.BranchDivergedError):
+            b.fast_forward()
+    finally:
+        b._pre_publish_hook = None
+    assert fired["n"] == 1
+    assert t.read(spark).count() == 15  # the concurrent append won
+    assert b.read(spark).count() == 15  # 10 frozen base + 5 branch
+
+
+def test_branch_files_survive_vacuum_until_branch_deleted(
+    spark, table_dir
+):
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    b.idempotent_append(spark, _valid_batch(spark, 50, 55))
+    assert manifest.vacuum_unreferenced(t, ttl_s=0.0) == 0
+    assert b.read(spark).count() == 15
+    t.delete_branch("b")
+    assert manifest.vacuum_unreferenced(t, ttl_s=0.0) > 0
+    assert t.read(spark).count() == 10
+
+
+def test_branch_base_is_a_compaction_root(spark, table_dir):
+    """compact_log clamps its cut before any branch base — merging
+    past it would widen the frozen prefix the branch reads."""
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    for i in range(6):
+        t.idempotent_append(spark, _valid_batch(spark, 100 + i * 10, 105 + i * 10))
+    assert manifest.compact_log(t, keep_last=2) == 0  # clamped at base 0
+    assert b.read(spark).count() == 10
+    t.delete_branch("b")
+    assert manifest.compact_log(t, keep_last=2) > 0
+
+
+def test_branch_maintenance_guards(spark, table_dir):
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    with pytest.raises(ValueError, match="main-table maintenance"):
+        manifest.compact_log(b)
+    with pytest.raises(ValueError, match="main-table maintenance"):
+        manifest.vacuum_unreferenced(b)
+    with pytest.raises(ValueError, match="refs namespace is shared"):
+        b.create_tag("x")
+    with pytest.raises(ValueError, match="cannot branch a branch"):
+        b.create_branch("nested")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("b")
+    with pytest.raises(ValueError, match="no such branch"):
+        t.branch("nope")
+
+
+def test_branch_schema_evolution_rides_the_squash(spark, table_dir):
+    import pyspark.sql.functions as F
+
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    evolved = _valid_batch(spark, 0, 3).withColumn(
+        "audit_note", F.lit("checked")
+    )
+    b.upsert(spark, evolved)
+    assert "audit_note" not in t.read(spark).columns
+    b.fast_forward()
+    got = t.read(spark)
+    assert "audit_note" in got.columns
+    assert got.filter("audit_note = 'checked'").count() == 3
+
+
+def test_branch_pending_tombstones_block_fast_forward(spark, table_dir):
+    t = manifest.ManifestTable(table_dir)
+    t.idempotent_append(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    b.delete_keys_mor(
+        spark,
+        _valid_batch(spark, 0, 3).select("reading_timestamp", "meter_id"),
+    )
+    with pytest.raises(manifest.PendingTombstonesError):
+        b.fast_forward()
+    manifest.apply_tombstones(b, spark)
+    b.fast_forward()
+    assert t.read(spark).count() == 7

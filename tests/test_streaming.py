@@ -426,3 +426,59 @@ def test_stream_upsert_if_newer_out_of_order_batches(spark, tmp_path):
         .count()
     )
     assert regressed_plain == 20  # every corrected row regressed
+
+
+def test_stream_branch_sink_isolates_until_publish(spark, tmp_path):
+    """Streaming WAP: micro-batches routed onto a branch never touch
+    the main log; after fast_forward main holds baseline + streamed
+    day exactly once (redelivered feed dedups on the branch)."""
+    from smart_meter_data_pipeline_spark.sources.manifest import ManifestTable
+
+    src = tmp_path / "msgs"
+    target = str(tmp_path / "fact_manifest")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    baseline = gen_meter_readings(spark, n_meters=20, n_ticks=8)
+    t = ManifestTable(target)
+    t.idempotent_append(spark, baseline)
+    t.create_branch("staging")
+    next_day = baseline.withColumn(
+        "reading_timestamp",
+        F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+    )
+    wire = _wire_format(next_day).select("value")
+    wire.coalesce(2).write.mode("overwrite").text(str(src / "d1"))
+    wire.coalesce(2).write.mode("overwrite").text(str(src / "d1_redo"))
+
+    q = start_ingest_stream(
+        spark, str(src / "*" / "*.txt"), target, ckpt,
+        available_now=True, sink="manifest", branch="staging",
+    )
+    q.awaitTermination()
+
+    assert t.read(spark).count() == 20 * 8  # main untouched
+    b = t.branch("staging")
+    assert b.read(spark).count() == 20 * 8 * 2  # streamed day landed once
+    assert b.fast_forward()["published"] == 1
+    assert t.read(spark).count() == 20 * 8 * 2
+    assert (
+        t.read(spark)
+        .select("reading_timestamp", "meter_id")
+        .distinct()
+        .count()
+        == 20 * 8 * 2
+    )
+
+
+def test_stream_branch_requires_manifest_sink(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="manifest-family sink"):
+        start_ingest_stream(
+            spark,
+            str(tmp_path / "nope" / "*.txt"),
+            str(tmp_path / "t"),
+            str(tmp_path / "c"),
+            sink="lock",
+            branch="staging",
+        )

@@ -136,3 +136,97 @@ def test_zorder_three_columns_all_narrow(spark, tmp_path):
     assert wl["v"] >= 12 and wl["w"] >= 12, wl
     # z-order: EVERY axis well under the full range (15)
     assert wz["meter_id"] <= 10 and wz["v"] <= 10 and wz["w"] <= 10, wz
+
+
+# -- Hilbert curve ------------------------------------------------------
+
+
+def test_hilbert_key_matches_reference_xy2d(spark):
+    """The Catalyst aggregate() fold must reproduce the classic xy2d
+    transform exactly (bijective, unit-step-adjacent curve)."""
+    import random
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        Z_BITS,
+        _hilbert_column,
+    )
+
+    def xy2d(order, x, y):
+        d, s = 0, order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 1 << Z_BITS
+    random.seed(11)
+    pts = [(random.randrange(n), random.randrange(n)) for _ in range(500)]
+    pts += [(0, 0), (n - 1, n - 1), (0, n - 1), (n - 1, 0)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    col = _hilbert_column(spark, df, ["x", "y"])
+    got = df.select("x", "y", col.alias("d")).collect()
+    assert all(r["d"] == xy2d(n, r["x"], r["y"]) for r in got)
+
+
+def test_hilbert_narrows_both_columns_and_preserves_rows(spark, tmp_path):
+    t = _grid_table(spark, tmp_path / "th")
+    before = sorted(map(tuple, t.read(spark).collect()))
+    res = optimize_table(
+        t,
+        spark,
+        target_partitions=16,
+        cluster_by=["meter_id", "v"],
+        hilbert=True,
+    )
+    assert res["files_rewritten"] == 8 and res["files_created"] >= 8
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    w = _stat_widths(t)
+    assert w["meter_id"] <= 16 and w["v"] <= 16, w
+
+
+def test_hilbert_bounding_boxes_no_worse_than_zorder(spark, tmp_path):
+    """The locality claim, measured: at an UNALIGNED file count (no
+    power-of-two chunking to rescue Z-order), the mean per-file
+    bounding-box AREA of the Hilbert layout is at most that of the
+    Z-order layout (strictly smaller in practice — the curve has no
+    quadrant jumps)."""
+    def area(t):
+        stats = t.snapshot()[-1]["stats"]
+        areas = [
+            (s["meter_id"][1] - s["meter_id"][0] + 1)
+            * (s["v"][1] - s["v"][0] + 1)
+            for s in stats.values()
+        ]
+        return sum(areas) / len(areas)
+
+    th = _grid_table(spark, tmp_path / "h")
+    optimize_table(
+        th, spark, target_partitions=12,
+        cluster_by=["meter_id", "v"], hilbert=True,
+    )
+    tz = _grid_table(spark, tmp_path / "z")
+    optimize_table(
+        tz, spark, target_partitions=12,
+        cluster_by=["meter_id", "v"], zorder=True,
+    )
+    assert area(th) <= area(tz), (area(th), area(tz))
+
+
+def test_hilbert_requires_exactly_two_columns(spark, tmp_path):
+    import pytest
+
+    t = _grid_table(spark, tmp_path / "t3")
+    with pytest.raises(ValueError, match="exactly 2 cluster columns"):
+        optimize_table(
+            t,
+            spark,
+            target_partitions=8,
+            cluster_by=["meter_id", "v", "reading_timestamp"],
+            hilbert=True,
+        )
