@@ -567,11 +567,38 @@ def main() -> None:
             "manifest_skipping_read",
             lambda: mtz.read(spark, where=skip_where).count(),
         )
+        # 16b''. HILBERT curve on the same 2-D slice (round 11): the
+        # jump-free curve's tiles have tighter bounding boxes than
+        # Z-tiles at the same file count, so the same (meter × time)
+        # restatement should rewrite no more files — and the sliced
+        # read should open no more. Recorded side by side with the
+        # Z-order numbers so the curve choice is a measured trade.
+        mth = ManifestTable(
+            os.path.join(workdir, "fact_hilbert"), stats_columns=pk_cols
+        )
+        mth.idempotent_append(spark, readings)
+        optimize_table(
+            mth, spark, target_partitions=32, cluster_by=pk_cols,
+            hilbert=True,
+        )
+        h_commits_before = len(mth.snapshot())
+        leg(
+            "manifest_upsert_hilbert_2d",
+            lambda: mth.upsert(spark, slice_2d),
+            repeat=1,
+        )
+        h_first = mth.snapshot()[h_commits_before]
+        leg(
+            "manifest_skipping_read_hilbert",
+            lambda: mth.read(spark, where=skip_where).count(),
+        )
         manifest_zorder = {
             "zorder_files_rewritten": len(z_first.get("removed", [])),
+            "hilbert_files_rewritten": len(h_first.get("removed", [])),
             "lexico_files_rewritten": len(l_up.get("removed", [])),
             "files_live": 32,
             "skipping_read": mtz.skipping_report(skip_where),
+            "skipping_read_hilbert": mth.skipping_report(skip_where),
         }
 
         # 16c. Range retention DELETE (round 10): on a time-clustered

@@ -1366,6 +1366,81 @@ WHERE meter_id % 6 = 1""",
 )(manifest_branch_wap)
 
 
+def manifest_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY under the driver gate
+    (sources/manifest.py append_with_identity — Delta identity
+    columns, the object-store way): ids come from put-if-absent RANGE
+    allocations (one winner, zero write-time coordination) and the
+    per-row values from the distributed row-number kit (no
+    single-partition window at any batch size). Three appends: the
+    generator day (ids 1..N in pk order), a FULL REPLAY (claims a
+    range, inserts nothing — the allocation burns, which is exactly
+    Delta's documented gap semantics; asserted in-query via the
+    high-water), and a next-day subset (ids 2N+1.. — the gap is
+    visible in the hash). The oracle reproduces both tiers with
+    ROW_NUMBER, so uniqueness, ordering, and the gap are all under
+    one hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    n_day = N_METERS * N_TICKS
+    workdir = tempfile.mkdtemp(prefix="manifest_identity_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        n1 = t.append_with_identity(spark, readings)
+        n2 = t.append_with_identity(spark, readings)  # full replay
+        if (n1, n2) != (n_day, 0):
+            raise AssertionError(
+                f"identity appends wrote ({n1}, {n2}), wanted "
+                f"({n_day}, 0)"
+            )
+        if t.identity_high_water() != 2 * n_day:
+            raise AssertionError(
+                "replayed batch must burn its claimed range: "
+                f"high water {t.identity_high_water()} != {2 * n_day}"
+            )
+        next_day = readings.filter(
+            F.col("meter_id") % 4 == 1
+        ).withColumn(
+            "reading_timestamp",
+            F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+        )
+        t.append_with_identity(spark, next_day)
+        final = t.read(spark).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "row_id",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_identity_append",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       CAST(ROW_NUMBER() OVER
+            (ORDER BY reading_timestamp, meter_id) AS BIGINT)
+           AS row_id
+FROM readings
+UNION ALL
+SELECT reading_timestamp + INTERVAL 1 DAY, meter_id,
+       reading_consumption_milliwatts,
+       CAST({2 * N_METERS * N_TICKS} + ROW_NUMBER() OVER
+            (ORDER BY reading_timestamp, meter_id) AS BIGINT)
+FROM readings
+WHERE meter_id % 4 = 1""",
+)(manifest_identity_append)
+
+
 def manifest_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletes under the driver gate — the
     deletion-vector lifecycle end to end: append the generator day,

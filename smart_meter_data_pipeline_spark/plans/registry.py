@@ -168,6 +168,7 @@ _PRIORITY = [
     "manifest_branch_wap",
     "stream_branch_wap",
     "manifest_hilbert_roundtrip",
+    "manifest_identity_append",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

@@ -511,6 +511,112 @@ class ManifestTable:
             raise ValueError(f"no such branch: {name!r}") from None
         shutil.rmtree(self._branch_log_dir(name), ignore_errors=True)
 
+    # -- identity columns --------------------------------------------------
+    #
+    # GENERATED ALWAYS AS IDENTITY, the object-store way (Delta
+    # identity columns): uniqueness comes from a put-if-absent RANGE
+    # allocation — one winner per allocation file, zero coordination
+    # at write time — and the per-row values inside a claimed range
+    # come from the distributed row-number kit (no single-partition
+    # window anywhere). Ids are unique and monotone per allocation
+    # but NOT dense: a batch that deduplicates away after claiming
+    # its range leaves a gap, exactly the gap semantics Delta
+    # documents (and the price of lock-free allocation at 1000
+    # concurrent writers).
+
+    def _identity_dir(self) -> str:
+        return os.path.join(self.refs_dir, "identity")
+
+    def identity_high_water(self) -> int:
+        """First unallocated id (0 on a fresh sequence)."""
+        d = self._identity_dir()
+        if not os.path.isdir(d):
+            return 0
+        names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+        if not names:
+            return 0
+        with open(os.path.join(d, names[-1])) as fh:
+            last = json.load(fh)
+        return int(last["base"]) + int(last["count"])
+
+    def allocate_identity_range(self, n: int, max_retries: int = 40) -> int:
+        """Claim ``[base, base+n)`` from the table's identity
+        sequence. The allocation file is numbered like a commit and
+        published put-if-absent, so concurrent allocators get
+        disjoint ranges without a lock; losing the race costs one
+        re-list. The range is claimed BEFORE the data commits — a
+        failed or fully-duplicate append simply burns the range."""
+        if n <= 0:
+            raise ValueError(f"allocation size must be positive, got {n}")
+        d = self._identity_dir()
+        os.makedirs(d, exist_ok=True)
+        for _ in range(max_retries):
+            names = sorted(
+                x for x in os.listdir(d) if x.endswith(".json")
+            )
+            if names:
+                with open(os.path.join(d, names[-1])) as fh:
+                    last = json.load(fh)
+                base = int(last["base"]) + int(last["count"])
+                nxt = int(names[-1][: -len(".json")]) + 1
+            else:
+                base, nxt = 0, 0
+            payload = json.dumps(
+                {"base": base, "count": n, "created_at": time.time()}
+            ).encode()
+            if _put_if_absent(
+                os.path.join(d, f"{nxt:010d}.json"), payload
+            ):
+                return base
+        raise CommitConflictError(
+            f"gave up after {max_retries} identity allocations on "
+            f"{self.table_dir}"
+        )
+
+    def append_with_identity(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        id_col: str = "row_id",
+        pk: list[str] = PK,
+        order_cols: list[str] | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """PK-idempotent append that assigns ``id_col`` from the
+        identity sequence: ids = claimed base + the batch's
+        distributed row number ordered by ``order_cols`` (default:
+        the pk — any total order works; a deterministic one makes
+        the assignment reproducible). The id computation is the
+        range-partitioned two-pass prefix sum
+        (operators/common.py distributed_row_number) — no
+        ``Exchange SinglePartition`` at any batch size. Returns rows
+        written; duplicate rows dropped by the append leave their
+        claimed ids as gaps."""
+        from smart_meter_data_pipeline_spark.operators.common import (
+            distributed_row_number,
+        )
+
+        if id_col in batch.columns:
+            raise ValueError(
+                f"{id_col!r} is GENERATED ALWAYS AS IDENTITY — the "
+                "batch must not supply it"
+            )
+        clean = batch.dropDuplicates(pk)
+        n = clean.count()
+        if n == 0:
+            return 0
+        base = self.allocate_identity_range(n)
+        order_cols = order_cols or pk
+        withid = distributed_row_number(
+            clean, order_cols, "_idn"
+        ).withColumn(
+            id_col,
+            (F.lit(base).cast("bigint") + F.col("_idn")).cast("bigint"),
+        ).drop("_idn")
+        return self.idempotent_append(
+            spark, withid, pk=pk, max_retries=max_retries
+        )
+
     def read(
         self,
         spark: SparkSession,

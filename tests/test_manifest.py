@@ -3219,3 +3219,84 @@ def test_branch_pending_tombstones_block_fast_forward(spark, table_dir):
     manifest.apply_tombstones(b, spark)
     b.fast_forward()
     assert t.read(spark).count() == 7
+
+
+# -- identity columns ----------------------------------------------------
+
+
+def test_identity_append_assigns_unique_monotone_ids(spark, table_dir):
+    t = manifest.ManifestTable(table_dir)
+    n = t.append_with_identity(spark, _valid_batch(spark, 0, 20))
+    assert n == 20
+    got = t.read(spark).select("meter_id", "row_id").collect()
+    ids = sorted(r["row_id"] for r in got)
+    assert ids == list(range(1, 21))
+    # pk-ordered assignment is deterministic
+    by_meter = {r["meter_id"]: r["row_id"] for r in got}
+    metres = sorted(by_meter)
+    assert [by_meter[m] for m in metres] == ids
+
+
+def test_identity_replay_burns_range_next_append_gaps(spark, table_dir):
+    t = manifest.ManifestTable(table_dir)
+    t.append_with_identity(spark, _valid_batch(spark, 0, 10))
+    assert t.append_with_identity(spark, _valid_batch(spark, 0, 10)) == 0
+    assert t.identity_high_water() == 20  # replay claimed ids 11..20
+    t.append_with_identity(spark, _valid_batch(spark, 100, 105))
+    ids = sorted(
+        r["row_id"] for r in t.read(spark).select("row_id").collect()
+    )
+    assert ids == list(range(1, 11)) + list(range(21, 26))  # gap 11..20
+
+
+def test_identity_concurrent_allocations_are_disjoint(table_dir):
+    import threading
+
+    t = manifest.ManifestTable(table_dir)
+    bases = []
+    lock = threading.Lock()
+
+    def grab():
+        b = t.allocate_identity_range(100)
+        with lock:
+            bases.append(b)
+
+    threads = [threading.Thread(target=grab) for _ in range(12)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sorted(bases) == [i * 100 for i in range(12)]
+    assert t.identity_high_water() == 1200
+
+
+def test_identity_rejects_supplied_id_column(spark, table_dir):
+    import pyspark.sql.functions as F
+
+    t = manifest.ManifestTable(table_dir)
+    batch = _valid_batch(spark, 0, 5).withColumn("row_id", F.lit(1))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append_with_identity(spark, batch)
+
+
+def test_identity_assignment_plan_has_no_global_window(spark, table_dir):
+    """The id assignment must ride the distributed row-number kit —
+    range partition + pid-local window, never Exchange
+    SinglePartition."""
+    from smart_meter_data_pipeline_spark.operators.common import (
+        distributed_row_number,
+    )
+
+    import contextlib
+    import io
+
+    batch = _valid_batch(spark, 0, 50)
+    df = distributed_row_number(
+        batch, ["reading_timestamp", "meter_id"], "rid"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange SinglePartition" not in plan
+    assert "_pfx_pid" in plan
