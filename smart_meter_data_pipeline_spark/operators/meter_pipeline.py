@@ -1441,6 +1441,119 @@ WHERE meter_id % 4 = 1""",
 )(manifest_identity_append)
 
 
+def catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level MULTI-TABLE transaction under the driver gate
+    (sources/catalog.py — the Nessie model: one put-if-absent catalog
+    commit embeds every touched table's commit payload, and readers
+    resolve state through the catalog chain only). The reference gets
+    fact+dim atomicity for free from Postgres transactions
+    (consumer/meter_consumer.py's txn-per-batch); this is that
+    guarantee rebuilt for an object store, where no table-local
+    protocol can provide it. Scenario: txn1 lands the generator day
+    AND its meters dimension atomically; a CRASHED txn stages a
+    second day plus dim changes and dies before its catalog commit
+    (asserted invisible in BOTH tables — the atomic-failure half);
+    txn2 lands a next-day fact subset AND new dim rows together. The
+    hash is over fact ⋈ dim at the final catalog state, so per-table
+    contents, cross-table consistency, and the crashed txn's
+    invisibility all sit under one oracle; catalog version-0 reads
+    are asserted to show the txn1 state of both tables (pinned-
+    version cross-table consistency)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.catalog import Catalog
+
+    workdir = tempfile.mkdtemp(prefix="catalog_txn_q_")
+    try:
+        cat = Catalog(os.path.join(workdir, "cat"))
+        readings = gen_meter_readings(spark)
+        dim = (
+            readings.select("meter_id")
+            .distinct()
+            .withColumn("is_solar", F.col("meter_id") % 2 == 0)
+            .withColumn("zone", (F.col("meter_id") % 10).cast("int"))
+        )
+        t1 = cat.txn()
+        t1.append(spark, "fact", readings)
+        t1.append(spark, "dim_meters", dim, pk=["meter_id"])
+        t1.commit()
+        n_fact0 = cat.read(spark, "fact").count()
+        n_dim0 = cat.read(spark, "dim_meters").count()
+        next_day = readings.filter(F.col("meter_id") % 3 == 0).withColumn(
+            "reading_timestamp",
+            F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+        ).withColumn(
+            "reading_consumption_milliwatts",
+            (F.col("reading_consumption_milliwatts") + F.lit(101)).cast(
+                "int"
+            ),
+        )
+        new_dims = dim.withColumn(
+            "meter_id", (F.col("meter_id") + 1000).cast("int")
+        )
+        crashed = cat.txn()
+        crashed.append(spark, "fact", next_day)
+        crashed.append(spark, "dim_meters", new_dims, pk=["meter_id"])
+        # ...and dies before commit. Both tables must be untouched:
+        if (
+            cat.read(spark, "fact").count() != n_fact0
+            or cat.read(spark, "dim_meters").count() != n_dim0
+        ):
+            raise AssertionError("crashed txn leaked into a table")
+        t2 = cat.txn()
+        t2.append(spark, "fact", next_day)
+        t2.append(spark, "dim_meters", new_dims, pk=["meter_id"])
+        t2.commit()
+        # pinned-version cross-table consistency: catalog v0 shows
+        # BOTH tables as of txn1
+        if (
+            cat.read(spark, "fact", version=0).count() != n_fact0
+            or cat.read(spark, "dim_meters", version=0).count() != n_dim0
+        ):
+            raise AssertionError("catalog version pinning broken")
+        if cat.read(spark, "dim_meters").count() != 2 * n_dim0:
+            raise AssertionError("txn2 dim rows missing")
+        final = (
+            cat.read(spark, "fact")
+            .join(cat.read(spark, "dim_meters"), "meter_id")
+            .select(
+                "reading_timestamp",
+                "meter_id",
+                "reading_consumption_milliwatts",
+                "is_solar",
+                "zone",
+            )
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "catalog_multi_table_txn",
+    f"""WITH {_readings_cte()},
+dim AS (
+  SELECT DISTINCT meter_id, meter_id % 2 = 0 AS is_solar,
+         CAST(meter_id % 10 AS INT) AS zone
+  FROM readings
+),
+fact AS (
+  SELECT reading_timestamp, meter_id, reading_consumption_milliwatts
+  FROM readings
+  UNION ALL
+  SELECT reading_timestamp + INTERVAL 1 DAY, meter_id,
+         CAST(reading_consumption_milliwatts + 101 AS INT)
+  FROM readings
+  WHERE meter_id % 3 = 0
+)
+SELECT f.reading_timestamp, f.meter_id,
+       f.reading_consumption_milliwatts, d.is_solar, d.zone
+FROM fact f JOIN dim d USING (meter_id)""",
+)(catalog_multi_table_txn)
+
+
 def manifest_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletes under the driver gate — the
     deletion-vector lifecycle end to end: append the generator day,

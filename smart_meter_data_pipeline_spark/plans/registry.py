@@ -169,6 +169,7 @@ _PRIORITY = [
     "stream_branch_wap",
     "manifest_hilbert_roundtrip",
     "manifest_identity_append",
+    "catalog_multi_table_txn",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

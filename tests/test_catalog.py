@@ -1,0 +1,165 @@
+"""Catalog-level multi-table transactions: one put-if-absent catalog
+commit is the atomic unit across every touched table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_meter_data_pipeline_spark.sources.catalog import Catalog
+from smart_meter_data_pipeline_spark.sources.manifest import (
+    CommitConflictError,
+)
+
+
+def _facts(spark, lo, hi, day=1):
+    return spark.range(lo, hi).select(
+        F.expr(
+            f"timestamp'2024-01-0{day} 00:00:00'"
+            " + make_interval(0,0,0,0,0,0,id)"
+        ).alias("reading_timestamp"),
+        F.col("id").cast("int").alias("meter_id"),
+        (F.col("id") * 10).cast("int").alias("v"),
+    )
+
+
+def _dim(spark, lo=0, hi=10):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("meter_id"),
+        (F.col("id") % 2 == 0).alias("solar"),
+    )
+
+
+@pytest.fixture
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "cat"))
+
+
+def test_txn_is_atomic_across_tables(spark, cat):
+    t = cat.txn()
+    assert t.append(spark, "fact", _facts(spark, 0, 10)) == 10
+    assert t.append(spark, "dim", _dim(spark), pk=["meter_id"]) == 10
+    # nothing visible before the catalog commit
+    assert cat.read(spark, "fact") is None
+    assert cat.read(spark, "dim") is None
+    assert t.commit() == 2
+    assert cat.read(spark, "fact").count() == 10
+    assert cat.read(spark, "dim").count() == 10
+    assert cat.tables() == ["dim", "fact"]
+
+
+def test_crashed_txn_invisible_and_vacuumable(spark, cat):
+    t1 = cat.txn()
+    t1.append(spark, "fact", _facts(spark, 0, 10))
+    t1.commit()
+    t2 = cat.txn()
+    t2.append(spark, "fact", _facts(spark, 10, 20, day=2))
+    t2.append(spark, "dim", _dim(spark), pk=["meter_id"])
+    # crash: never commits
+    assert cat.read(spark, "fact").count() == 10
+    assert cat.read(spark, "dim") is None
+    swept = cat.vacuum(ttl_s=0.0)
+    assert swept > 0
+    assert cat.read(spark, "fact").count() == 10
+
+
+def test_txn_dedups_against_visible_and_own_stage(spark, cat):
+    t1 = cat.txn()
+    t1.append(spark, "fact", _facts(spark, 0, 10))
+    t1.commit()
+    t2 = cat.txn()
+    assert t2.append(spark, "fact", _facts(spark, 5, 15)) == 5
+    assert t2.append(spark, "fact", _facts(spark, 12, 18)) == 3
+    t2.commit()
+    got = cat.read(spark, "fact")
+    assert got.count() == 18
+    assert got.select("meter_id").distinct().count() == 18
+
+
+def test_version_pins_every_table_consistently(spark, cat):
+    t1 = cat.txn()
+    t1.append(spark, "fact", _facts(spark, 0, 10))
+    t1.append(spark, "dim", _dim(spark), pk=["meter_id"])
+    t1.commit()
+    t2 = cat.txn()
+    t2.append(spark, "fact", _facts(spark, 10, 20, day=2))
+    t2.append(spark, "dim", _dim(spark, 10, 20), pk=["meter_id"])
+    t2.commit()
+    assert cat.read(spark, "fact", version=0).count() == 10
+    assert cat.read(spark, "dim", version=0).count() == 10
+    assert cat.read(spark, "fact").count() == 20
+    assert cat.read(spark, "dim").count() == 20
+
+
+def test_lost_race_disjoint_recommits_same_stage(spark, cat):
+    seed = cat.txn()
+    seed.append(spark, "fact", _facts(spark, 0, 5))
+    seed.commit()
+    t = cat.txn()
+    t.append(spark, "fact", _facts(spark, 100, 105, day=3))
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            other = cat.txn()
+            other.append(spark, "fact", _facts(spark, 200, 205, day=4))
+            other.commit()
+
+    t._pre_publish_hook = hook
+    assert t.commit() == 1
+    assert fired["n"] == 1
+    assert cat.read(spark, "fact").count() == 15
+
+
+def test_lost_race_overlapping_aborts_and_discards(spark, cat):
+    seed = cat.txn()
+    seed.append(spark, "fact", _facts(spark, 0, 5))
+    seed.commit()
+    t = cat.txn()
+    t.append(spark, "fact", _facts(spark, 50, 55, day=5))
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            other = cat.txn()
+            other.append(spark, "fact", _facts(spark, 50, 55, day=5))
+            other.commit()
+
+    t._pre_publish_hook = hook
+    with pytest.raises(CommitConflictError):
+        t.commit()
+    assert cat.read(spark, "fact").count() == 10  # the winner's rows
+    # loser's stage discarded: vacuum finds nothing beyond tmp noise
+    handle = cat.table_handle("fact")
+    on_disk = {
+        os.path.join(d, f)
+        for d in os.listdir(handle.data_dir)
+        if os.path.isdir(os.path.join(handle.data_dir, d))
+        for f in os.listdir(os.path.join(handle.data_dir, d))
+        if f.endswith(".parquet")
+    }
+    referenced = {
+        f
+        for c in cat._table_commits("fact")
+        for f in c["added"]
+    }
+    assert on_disk == referenced
+
+
+def test_commit_twice_refused(spark, cat):
+    t = cat.txn()
+    t.append(spark, "fact", _facts(spark, 0, 3))
+    t.commit()
+    with pytest.raises(RuntimeError, match="already committed"):
+        t.commit()
+    with pytest.raises(RuntimeError, match="already committed"):
+        t.append(spark, "fact", _facts(spark, 3, 6))
+
+
+def test_empty_txn_commit_is_noop(spark, cat):
+    assert cat.txn().commit() == 0
+    assert cat.numbered_snapshot() == []
