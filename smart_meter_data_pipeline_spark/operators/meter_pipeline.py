@@ -1554,6 +1554,109 @@ FROM fact f JOIN dim d USING (meter_id)""",
 )(catalog_multi_table_txn)
 
 
+def catalog_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-CATALOG Write-Audit-Publish under the driver gate
+    (sources/catalog.py CatalogBranch — the full Nessie model): fork
+    the ENTIRE catalog, run a multi-table audit campaign on the
+    branch (one atomic branch txn appends a next-day fact slice —
+    meters ≡2 mod 7, +1 day, +77 mWh — AND its new dimension rows,
+    meter_id+500), serve main untouched throughout (asserted), then
+    ``fast_forward`` publishes the whole change-set as ONE main
+    catalog commit — fact and dim cross the serving boundary
+    together, which neither table-level branches nor plain catalog
+    txns alone can promise for an already-staged audit campaign. The
+    hash is over fact ⋈ dim at the published main state."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.catalog import Catalog
+
+    workdir = tempfile.mkdtemp(prefix="catalog_wap_q_")
+    try:
+        cat = Catalog(os.path.join(workdir, "cat"))
+        readings = gen_meter_readings(spark)
+        dim = (
+            readings.select("meter_id")
+            .distinct()
+            .withColumn("is_solar", F.col("meter_id") % 2 == 0)
+            .withColumn("zone", (F.col("meter_id") % 10).cast("int"))
+        )
+        t1 = cat.txn()
+        t1.append(spark, "fact", readings)
+        t1.append(spark, "dim_meters", dim, pk=["meter_id"])
+        t1.commit()
+        n_fact0 = cat.read(spark, "fact").count()
+        n_dim0 = cat.read(spark, "dim_meters").count()
+        cat.create_branch("audit")
+        b = cat.branch("audit")
+        next_day = readings.filter(F.col("meter_id") % 7 == 2).withColumn(
+            "reading_timestamp",
+            F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+        ).withColumn(
+            "reading_consumption_milliwatts",
+            (F.col("reading_consumption_milliwatts") + F.lit(77)).cast(
+                "int"
+            ),
+        )
+        new_dims = dim.withColumn(
+            "meter_id", (F.col("meter_id") + 500).cast("int")
+        )
+        bt = b.txn()
+        bt.append(spark, "fact", next_day)
+        bt.append(spark, "dim_meters", new_dims, pk=["meter_id"])
+        bt.commit()
+        if (
+            cat.read(spark, "fact").count() != n_fact0
+            or cat.read(spark, "dim_meters").count() != n_dim0
+        ):
+            raise AssertionError(
+                "branch txn leaked into the main catalog before publish"
+            )
+        res = b.fast_forward()
+        if res.get("published") != 1 or cat.list_branches():
+            raise AssertionError(f"fast_forward did not publish: {res}")
+        if cat.read(spark, "dim_meters").count() != 2 * n_dim0:
+            raise AssertionError("published dim rows missing")
+        final = (
+            cat.read(spark, "fact")
+            .join(cat.read(spark, "dim_meters"), "meter_id")
+            .select(
+                "reading_timestamp",
+                "meter_id",
+                "reading_consumption_milliwatts",
+                "is_solar",
+                "zone",
+            )
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "catalog_branch_wap",
+    f"""WITH {_readings_cte()},
+dim AS (
+  SELECT DISTINCT meter_id, meter_id % 2 = 0 AS is_solar,
+         CAST(meter_id % 10 AS INT) AS zone
+  FROM readings
+),
+fact AS (
+  SELECT reading_timestamp, meter_id, reading_consumption_milliwatts
+  FROM readings
+  UNION ALL
+  SELECT reading_timestamp + INTERVAL 1 DAY, meter_id,
+         CAST(reading_consumption_milliwatts + 77 AS INT)
+  FROM readings
+  WHERE meter_id % 7 = 2
+)
+SELECT f.reading_timestamp, f.meter_id,
+       f.reading_consumption_milliwatts, d.is_solar, d.zone
+FROM fact f JOIN dim d USING (meter_id)""",
+)(catalog_branch_wap)
+
+
 def manifest_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletes under the driver gate — the
     deletion-vector lifecycle end to end: append the generator day,

@@ -170,6 +170,7 @@ _PRIORITY = [
     "manifest_hilbert_roundtrip",
     "manifest_identity_append",
     "catalog_multi_table_txn",
+    "catalog_branch_wap",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

@@ -126,6 +126,75 @@ class Catalog:
     def txn(self) -> "CatalogTxn":
         return CatalogTxn(self)
 
+    # -- branches ----------------------------------------------------------
+    #
+    # Whole-CATALOG branches — the full Nessie/"git for data" model:
+    # a branch forks the entire catalog (every table at one chain
+    # position), transactions run against the branch's own chain, and
+    # fast_forward publishes the whole multi-table change-set as ONE
+    # main catalog commit. This is WAP at the catalog level: an audit
+    # campaign spanning fact AND dimensions serves from the branch,
+    # main stays pinned, and the publish is atomic across all of it.
+
+    def _branch_refs_dir(self) -> str:
+        return os.path.join(self.root, "_branch_refs")
+
+    def _branch_chain_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_catalog_branches", name)
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        numbered = self.numbered_snapshot()
+        if not numbered:
+            raise ValueError(f"cannot branch an empty catalog: {self.root}")
+        if version is None:
+            version = len(numbered) - 1
+        if version < 0 or version >= len(numbered):
+            raise ValueError(
+                f"version {version} out of range: catalog has "
+                f"{len(numbered)} commits"
+            )
+        payload = {
+            "name": name,
+            "base_commit_number": numbered[version][0],
+            "created_at": time.time(),
+        }
+        os.makedirs(self._branch_refs_dir(), exist_ok=True)
+        path = os.path.join(self._branch_refs_dir(), f"{name}.json")
+        if not _put_if_absent(path, json.dumps(payload).encode()):
+            raise ValueError(f"catalog branch {name!r} already exists")
+        os.makedirs(self._branch_chain_dir(name), exist_ok=True)
+        return payload
+
+    def list_branches(self) -> list[dict]:
+        refs = self._branch_refs_dir()
+        if not os.path.isdir(refs):
+            return []
+        out = []
+        for n in sorted(os.listdir(refs)):
+            if n.endswith(".json"):
+                with open(os.path.join(refs, n)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def branch(self, name: str) -> "CatalogBranch":
+        path = os.path.join(self._branch_refs_dir(), f"{name}.json")
+        try:
+            with open(path) as fh:
+                ref = json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(f"no such catalog branch: {name!r}") from None
+        return CatalogBranch(self, name, ref["base_commit_number"])
+
+    def delete_branch(self, name: str) -> None:
+        import shutil as _shutil
+
+        path = os.path.join(self._branch_refs_dir(), f"{name}.json")
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            raise ValueError(f"no such catalog branch: {name!r}") from None
+        _shutil.rmtree(self._branch_chain_dir(name), ignore_errors=True)
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, ttl_s: float = 3600.0) -> int:
@@ -136,8 +205,15 @@ class Catalog:
         handle: its own log is empty by design and the sweep would
         read everything as unreferenced — this method is the catalog
         half of that lifecycle.)"""
+        if isinstance(self, CatalogBranch):
+            raise ValueError(
+                "vacuum is a main-catalog maintenance operation (it "
+                "sweeps the shared data dirs); run it through the "
+                "parent catalog handle"
+            )
         removed = 0
         now = time.time()
+        branches = [self.branch(b["name"]) for b in self.list_branches()]
         for name in os.listdir(os.path.join(self.root, "tables")) if (
             os.path.isdir(os.path.join(self.root, "tables"))
         ) else []:
@@ -147,14 +223,30 @@ class Catalog:
                 for c in self._table_commits(name)
                 for f in c.get("added", [])
             }
+            # branch chains are GC roots: their txns reference files
+            # no main catalog commit names
+            for bc in branches:
+                referenced |= {
+                    f
+                    for c in bc._table_commits(name)
+                    for f in c.get("added", [])
+                }
             for d in os.listdir(t.data_dir):
                 p = os.path.join(t.data_dir, d)
                 if not os.path.isdir(p):
                     continue
-                for fname in os.listdir(p):
+                entries = os.listdir(p)
+                dir_has_live = any(
+                    os.path.join(d, f) in referenced for f in entries
+                )
+                for fname in entries:
                     rel = os.path.join(d, fname)
                     fp = os.path.join(p, fname)
                     if rel in referenced:
+                        continue
+                    # non-data markers (_SUCCESS) stay with a live
+                    # stage; they go only when the whole dir is dead
+                    if not fname.endswith(".parquet") and dir_has_live:
                         continue
                     if now - os.path.getmtime(fp) < ttl_s:
                         continue
@@ -331,4 +423,110 @@ class CatalogTxn:
         raise CommitConflictError(
             f"gave up after {max_retries} catalog commit attempts on "
             f"{self.cat.root}"
+        )
+
+
+class CatalogBranchDivergedError(CommitConflictError):
+    """Main catalog advanced past the branch base — the fast-forward
+    would drop those commits, so it refuses."""
+
+
+class CatalogBranch(Catalog):
+    """A writable fork of the WHOLE catalog: every table at the base
+    chain position, plus the branch's own catalog commits (kept in
+    ``_catalog_branches/<name>/``). Transactions, reads, version
+    pinning — everything inherited works against the composite chain
+    because it all flows through ``numbered_snapshot`` /
+    ``_commit_path``, both redirected here. Data files live in the
+    parent's table dirs (staging is table-local and uuid-named), so a
+    catalog branch costs one ref regardless of how many tables or
+    bytes the catalog holds.
+
+    :meth:`fast_forward` publishes the branch's whole multi-table
+    change-set as ONE main catalog commit (append-only squash: the
+    per-table payloads concatenate), giving catalog-level
+    Write-Audit-Publish: an audit campaign spanning fact AND
+    dimension changes serves from the branch, main stays pinned, and
+    the publish is atomic across every touched table."""
+
+    def __init__(self, parent: Catalog, name: str, base: int) -> None:
+        super().__init__(parent.root)
+        self._parent = parent
+        self.branch_name = name
+        self.base_number = base
+        self.commits_dir = self._branch_chain_dir(name)
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    def numbered_snapshot(self) -> list[tuple[int, dict]]:
+        main = [
+            (n, c)
+            for n, c in ManifestTable._read_log(self._parent.commits_dir)
+            if n <= self.base_number
+        ]
+        return main + ManifestTable._read_log(self.commits_dir)
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        raise ValueError(
+            "cannot branch a catalog branch — fork the main catalog"
+        )
+
+    def fast_forward(self, max_retries: int = 5) -> dict:
+        """Squash-publish the branch's commits onto the main catalog
+        as ONE commit. Requires main's head to still be the branch
+        base (:class:`CatalogBranchDivergedError` otherwise); the
+        publish rides the same put-if-absent fence as every
+        transaction, so a concurrent main txn either loses or makes
+        this diverge — never a silent overwrite. Append-only payloads
+        squash by concatenation per table (added/count/dates/stats
+        union; the last schema wins — consistent with how the chain
+        itself evolves schemas)."""
+        bc = [c for _, c in ManifestTable._read_log(self.commits_dir)]
+        if not bc:
+            return {"published": 0}
+        merged: dict[str, dict] = {}
+        for c in bc:
+            for name, p in c.get("tables", {}).items():
+                m = merged.get(name)
+                if m is None:
+                    merged[name] = {
+                        "added": list(p["added"]),
+                        "count": p["count"],
+                        "dates": sorted(p.get("dates", [])),
+                        "schema": p.get("schema"),
+                        "stats": dict(p.get("stats", {})),
+                    }
+                else:
+                    m["added"] = m["added"] + list(p["added"])
+                    m["count"] += p["count"]
+                    m["dates"] = sorted(
+                        set(m["dates"]) | set(p.get("dates", []))
+                    )
+                    m["schema"] = p.get("schema") or m["schema"]
+                    m["stats"] = {**m["stats"], **p.get("stats", {})}
+        payload = {
+            "tables": merged,
+            "committed_at": time.time(),
+            "fast_forward_of": self.branch_name,
+            "squashed_from": len(bc),
+        }
+        for _ in range(max_retries):
+            main_numbered = self._parent.numbered_snapshot()
+            fence = ManifestTable._fence(main_numbered)
+            if fence != self.base_number + 1:
+                raise CatalogBranchDivergedError(
+                    f"cannot fast-forward catalog branch "
+                    f"{self.branch_name!r}: main is at fence {fence}, "
+                    f"branch base is {self.base_number} — main "
+                    "advanced since the fork"
+                )
+            payload["version"] = fence
+            if _put_if_absent(
+                self._parent._commit_path(fence),
+                json.dumps(payload).encode(),
+            ):
+                self._parent.delete_branch(self.branch_name)
+                return {"published": 1, "squashed_from": len(bc)}
+        raise CommitConflictError(
+            f"gave up after {max_retries} fast-forward attempts on "
+            f"catalog branch {self.branch_name!r}"
         )

@@ -163,3 +163,84 @@ def test_commit_twice_refused(spark, cat):
 def test_empty_txn_commit_is_noop(spark, cat):
     assert cat.txn().commit() == 0
     assert cat.numbered_snapshot() == []
+
+
+# -- catalog branches (whole-catalog WAP) --------------------------------
+
+
+def test_catalog_branch_isolates_multi_table_changes(spark, cat):
+    t1 = cat.txn()
+    t1.append(spark, "fact", _facts(spark, 0, 10))
+    t1.append(spark, "dim", _dim(spark), pk=["meter_id"])
+    t1.commit()
+    cat.create_branch("audit")
+    b = cat.branch("audit")
+    bt = b.txn()
+    bt.append(spark, "fact", _facts(spark, 10, 20, day=2))
+    bt.append(spark, "dim", _dim(spark, 100, 110), pk=["meter_id"])
+    bt.commit()
+    assert cat.read(spark, "fact").count() == 10
+    assert cat.read(spark, "dim").count() == 10
+    assert b.read(spark, "fact").count() == 20
+    assert b.read(spark, "dim").count() == 20
+    # branch stage survives main vacuum
+    assert cat.vacuum(ttl_s=0.0) == 0
+    main_commits = len(cat.numbered_snapshot())
+    res = b.fast_forward()
+    assert res == {"published": 1, "squashed_from": 1}
+    assert len(cat.numbered_snapshot()) == main_commits + 1
+    assert cat.read(spark, "fact").count() == 20
+    assert cat.read(spark, "dim").count() == 20
+    assert cat.list_branches() == []
+
+
+def test_catalog_branch_diverged_refuses_publish(spark, cat):
+    seed = cat.txn()
+    seed.append(spark, "fact", _facts(spark, 0, 5))
+    seed.commit()
+    cat.create_branch("b")
+    b = cat.branch("b")
+    bt = b.txn()
+    bt.append(spark, "fact", _facts(spark, 50, 55, day=3))
+    bt.commit()
+    tm = cat.txn()
+    tm.append(spark, "fact", _facts(spark, 60, 65, day=4))
+    tm.commit()
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        CatalogBranchDivergedError,
+    )
+
+    with pytest.raises(CatalogBranchDivergedError):
+        b.fast_forward()
+    assert cat.read(spark, "fact").count() == 10
+    assert b.read(spark, "fact").count() == 10  # 5 frozen + 5 branch
+
+
+def test_deleted_catalog_branch_files_become_vacuumable(spark, cat):
+    seed = cat.txn()
+    seed.append(spark, "fact", _facts(spark, 0, 5))
+    seed.commit()
+    cat.create_branch("b")
+    b = cat.branch("b")
+    bt = b.txn()
+    bt.append(spark, "fact", _facts(spark, 50, 55, day=3))
+    bt.commit()
+    cat.delete_branch("b")
+    assert cat.vacuum(ttl_s=0.0) > 0
+    assert cat.read(spark, "fact").count() == 5
+
+
+def test_catalog_branch_guards(spark, cat):
+    seed = cat.txn()
+    seed.append(spark, "fact", _facts(spark, 0, 5))
+    seed.commit()
+    cat.create_branch("b")
+    b = cat.branch("b")
+    with pytest.raises(ValueError, match="cannot branch a catalog branch"):
+        b.create_branch("nested")
+    with pytest.raises(ValueError, match="main-catalog maintenance"):
+        b.vacuum(ttl_s=0.0)
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_branch("b")
+    with pytest.raises(ValueError, match="no such catalog branch"):
+        cat.branch("nope")
