@@ -5767,6 +5767,137 @@ WHERE rn = (n_pairs + 1) // 2
 )(events_theil_sen_slope)
 
 
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of daily REVENUE per event type —
+    the classical-regression companion to ``events_theil_sen_slope``'s
+    robust slope (same series family, L2 vs median-of-slopes): for
+    each type, regress the daily value total (exact cents — the
+    testdata's value column lives on a 2-dp grid) on the day index
+    and report the closed-form normal-equation solution
+    ``slope = (nΣdy − ΣdΣy) / (nΣd² − (Σd)²)``.
+
+    Determinism contract: everything is EXACT int64 — y in cents, the
+    four moment sums as plain integer SUMs, the slope/intercept
+    NUMERATORS and the shared DENOMINATOR emitted as exact integers
+    (so the regression is fully auditable), and the headline
+    ``slope_milli_cents_per_day`` via the sign-split floor division
+    idiom (truncating div == flooring // only on non-negative
+    operands). No transcendental, no float, nothing off the grid —
+    the reason a textbook `covar_pop/var_pop` formulation is banned
+    from hashed outputs here.
+
+    Scale shape: ONE fact scan → (type, day) partial-aggregated
+    rollup (bounded |types|·|days|) → per-type moment sums (bounded
+    |types| rows) → arithmetic on scalars. Magnitude audit (sf0.1):
+    Σdy ≈ 7·10^9 cent·days, slope_num ≤ n·Σdy ≈ 2·10^11, ×1000 ≈
+    2·10^14; intercept_num ≈ Σy·den ≈ 3·10^13 (emitted in plain
+    CENTS — a ×1000 there would cross 2^53 and corrupt DuckDB's
+    double-promoted ``//``) — exact int64 everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+            "y_cents"
+        )
+    )
+    moments = daily.select(
+        "event_type",
+        F.expr("CAST(datediff(day, DATE'2024-01-01') AS BIGINT)").alias(
+            "d"
+        ),
+        "y_cents",
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum(F.expr("d * d")).alias("sdd"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.expr("d * y_cents")).alias("sdy"),
+    )
+    return moments.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("sy").cast("bigint").alias("sum_y_cents"),
+        F.expr("CAST(n * sdy - sd * sy AS BIGINT)").alias("slope_num"),
+        F.expr("CAST(n * sdd - sd * sd AS BIGINT)").alias("den"),
+        F.expr(
+            "CAST(CASE WHEN n * sdy - sd * sy >= 0"
+            " THEN (1000 * (n * sdy - sd * sy))"
+            " div (n * sdd - sd * sd)"
+            " ELSE -((1000 * (sd * sy - n * sdy)"
+            " + (n * sdd - sd * sd) - 1)"
+            " div (n * sdd - sd * sd)) END AS BIGINT)"
+        ).alias("slope_milli_cents_per_day"),
+        F.expr(
+            "CAST(sy * (n * sdd - sd * sd)"
+            " - (n * sdy - sd * sy) * sd AS BIGINT)"
+        ).alias("intercept_num"),
+        # intercept in plain CENTS: the ×1000 milli scaling would push
+        # the numerator (~3·10^13 at sf0.1) past 2^53 for DuckDB's
+        # double-promoted // — cents keep it at ~10^13, exact both
+        # engines
+        F.expr(
+            "CAST(CASE WHEN sy * (n * sdd - sd * sd)"
+            " - (n * sdy - sd * sy) * sd >= 0"
+            " THEN (sy * (n * sdd - sd * sd)"
+            " - (n * sdy - sd * sy) * sd)"
+            " div (n * (n * sdd - sd * sd))"
+            " ELSE -(((n * sdy - sd * sy) * sd"
+            " - sy * (n * sdd - sd * sd)"
+            " + n * (n * sdd - sd * sd) - 1)"
+            " div (n * (n * sdd - sd * sd))) END AS BIGINT)"
+        ).alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+register(
+    "events_ols_trend",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS y_cents
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(date_diff('day', DATE '2024-01-01', day)) AS sd,
+         SUM(date_diff('day', DATE '2024-01-01', day)
+             * date_diff('day', DATE '2024-01-01', day)) AS sdd,
+         SUM(y_cents) AS sy,
+         SUM(date_diff('day', DATE '2024-01-01', day) * y_cents) AS sdy
+  FROM daily GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(sy AS BIGINT) AS sum_y_cents,
+       CAST(n * sdy - sd * sy AS BIGINT) AS slope_num,
+       CAST(n * sdd - sd * sd AS BIGINT) AS den,
+       CAST(CASE WHEN n * sdy - sd * sy >= 0
+            THEN CAST((1000 * (n * sdy - sd * sy))
+                      // (n * sdd - sd * sd) AS BIGINT)
+            ELSE -CAST((1000 * (sd * sy - n * sdy)
+                        + (n * sdd - sd * sd) - 1)
+                       // (n * sdd - sd * sd) AS BIGINT) END AS BIGINT)
+         AS slope_milli_cents_per_day,
+       CAST(sy * (n * sdd - sd * sd)
+            - (n * sdy - sd * sy) * sd AS BIGINT) AS intercept_num,
+       CAST(CASE WHEN sy * (n * sdd - sd * sd)
+                      - (n * sdy - sd * sy) * sd >= 0
+            THEN CAST((sy * (n * sdd - sd * sd)
+                       - (n * sdy - sd * sy) * sd)
+                      // (n * (n * sdd - sd * sd)) AS BIGINT)
+            ELSE -CAST(((n * sdy - sd * sy) * sd
+                        - sy * (n * sdd - sd * sd)
+                        + n * (n * sdd - sd * sd) - 1)
+                       // (n * (n * sdd - sd * sd)) AS BIGINT)
+            END AS BIGINT) AS intercept_cents
+FROM m
+ORDER BY event_type
+""",
+)(events_ols_trend)
+
+
 def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters ADDITIVE triple-exponential smoothing (level +
     trend + day-of-week seasonality, alpha = beta = gamma = 1/2) over

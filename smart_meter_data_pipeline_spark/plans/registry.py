@@ -171,6 +171,8 @@ _PRIORITY = [
     "manifest_identity_append",
     "catalog_multi_table_txn",
     "catalog_branch_wap",
+    "events_ols_trend",
+    "stream_catalog_txn",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

@@ -107,6 +107,7 @@ def start_ingest_stream(
         "manifest",
         "manifest_upsert",
         "manifest_upsert_if_newer",
+        "catalog_txn",
     ):
         raise ValueError(
             f"branch={branch!r} requires a manifest-family sink, "
@@ -174,6 +175,37 @@ def start_ingest_stream(
                 _open_target(batch_df.sparkSession).upsert_if_newer(
                     batch_df.sparkSession, latest, version_col
                 )
+            elif sink == "catalog_txn":
+                # multi-table exactly-once: the batch's fact rows AND
+                # its per-batch ingest-stats row land in ONE catalog
+                # commit, so a replayed batch can neither double-count
+                # stats nor leave stats and data disagreeing — the
+                # metrics-drift problem separate metric sinks have.
+                from smart_meter_data_pipeline_spark.sources.catalog import (
+                    Catalog,
+                )
+
+                session = batch_df.sparkSession
+                cat = Catalog(target)
+                base = (
+                    cat.branch(branch) if branch is not None else cat
+                )
+                txn = base.txn()
+                txn.append(session, "fact", valid)
+                stats_df = session.createDataFrame(
+                    [
+                        (
+                            int(batch_id),
+                            batch_df.count(),
+                            quarantine.count(),
+                        )
+                    ],
+                    "batch_id bigint, consumed bigint, rejected bigint",
+                )
+                txn.append(
+                    session, "ingest_stats", stats_df, pk=["batch_id"]
+                )
+                txn.commit()
             elif sink == "manifest":
                 _open_target(batch_df.sparkSession).idempotent_append(
                     batch_df.sparkSession, valid

@@ -2073,6 +2073,110 @@ WHERE meter_id % 5 = 2"""
 register("stream_branch_wap", _branch_wap_oracle())(stream_branch_wap)
 
 
+def stream_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MULTI-TABLE exactly-once: each micro-batch commits
+    its fact rows AND its per-batch ingest-stats row in ONE catalog
+    transaction (``sink="catalog_txn"`` → sources/catalog.py), so the
+    metrics table can never drift from the data table — the failure
+    mode of every separate-metrics-sink design under replay (the
+    reference keeps its stats in the consumer process,
+    consumer/meter_consumer.py's stats loop; an object-store
+    deployment needs them durable AND consistent). The feed is
+    delivered twice (full redelivery), then a second day arrives in a
+    second drain over the same checkpoint. In-query asserts:
+    Σconsumed over the stats table equals exactly the messages
+    DELIVERED (counting the redelivery — at-least-once input,
+    exactly-once effect), Σrejected = 0, and every catalog commit
+    touched fact and stats TOGETHER or stats alone (a fully-duplicate
+    batch still records its stats row) — never fact alone. The hash
+    is over the fact table at the final catalog state."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        gen_meter_readings,
+    )
+    from smart_meter_data_pipeline_spark.sources.catalog import Catalog
+    from smart_meter_data_pipeline_spark.streaming.ingest_stream import (
+        start_ingest_stream,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_cattxn_")
+    src = os.path.join(workdir, "messages")
+    target = os.path.join(workdir, "cat")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        readings = gen_meter_readings(spark)
+        n_day = readings.count()
+        glob = os.path.join(src, "*", "*.txt")
+        for d in ("d1", "d1_redelivery"):
+            _wire_format(readings).select("value").coalesce(2).write.mode(
+                "overwrite"
+            ).text(os.path.join(src, d))
+        q = start_ingest_stream(
+            spark, glob, target, ckpt,
+            available_now=True, sink="catalog_txn",
+        )
+        q.awaitTermination()
+        day2 = readings.filter(F.col("meter_id") % 6 == 5).withColumn(
+            "reading_timestamp",
+            F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+        )
+        _wire_format(day2).select("value").coalesce(2).write.mode(
+            "overwrite"
+        ).text(os.path.join(src, "d2"))
+        q2 = start_ingest_stream(
+            spark, glob, target, ckpt,
+            available_now=True, sink="catalog_txn",
+        )
+        q2.awaitTermination()
+        cat = Catalog(target)
+        n_day2 = day2.count()
+        stats = cat.read(spark, "ingest_stats").collect()
+        delivered = 2 * n_day + n_day2
+        if sum(r["consumed"] for r in stats) != delivered:
+            raise AssertionError(
+                f"stats drifted: consumed "
+                f"{sum(r['consumed'] for r in stats)} != {delivered}"
+            )
+        if sum(r["rejected"] for r in stats) != 0:
+            raise AssertionError("unexpected rejects")
+        for _, c in cat.numbered_snapshot():
+            touched = set(c.get("tables", {}))
+            if touched not in ({"fact", "ingest_stats"}, {"ingest_stats"}):
+                raise AssertionError(
+                    f"non-atomic commit touched {touched}"
+                )
+        final = cat.read(spark, "fact").select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _catalog_txn_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _readings_cte,
+    )
+
+    return f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM readings
+UNION ALL
+SELECT reading_timestamp + INTERVAL 1 DAY, meter_id,
+       reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM readings
+WHERE meter_id % 6 = 5"""
+
+
+register("stream_catalog_txn", _catalog_txn_oracle())(stream_catalog_txn)
+
+
 DQ_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 DQ_VALUE_LO, DQ_VALUE_HI = 0.0, 1000.0
 
