@@ -4249,3 +4249,106 @@ JOIN topk k ON k.c_nationkey = t.c_nationkey
 JOIN nation n ON n.n_nationkey = t.c_nationkey
 """,
 )(nation_revenue_concentration)
+
+
+def part_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per part — THE intermittent-demand forecast
+    (spare-parts / slow-movers), filling the gap the smoothing family
+    leaves: Holt/Holt-Winters assume a dense series, but a part that
+    ships 20 weeks out of 360 needs demand SIZE and inter-demand
+    INTERVAL smoothed separately, with updates only on demand
+    occurrences (Croston 1972):
+
+        z' = (q + z) div 2        (smoothed demand size, alpha = 1/2)
+        p' = (I + p) div 2        (smoothed interval, I = weeks since
+                                   last demand)
+
+    seeded z = q_1, p = 1; the per-week rate forecast is z/p. The
+    halving constant makes every update an integer floor (the Holt
+    int64 discipline), all operands non-negative — truncating div ==
+    flooring // with no sign-split needed.
+
+    Spark-first mechanics: one fact scan → (part, week) rollup →
+    per-part week-sorted array → ``aggregate()`` fold carrying
+    (z, p, prev_week) — JVM-side, sequential only within a key, every
+    part independent (embarrassingly parallel at 10^8 parts). The
+    fold input is bounded by the part's DEMAND weeks, which is the
+    whole point of the method. DuckDB twin: recursive CTE stepping
+    the same integers. Emits the exact fold state plus the
+    milli-rate ``(z*1000) div p``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "CAST(datediff(to_date(l_shipdate), DATE'1995-01-01')"
+            " div 7 AS BIGINT)"
+        ).alias("w"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    series = weekly.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_list(F.struct("w", "q"))).alias("s")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(s, 2, size(s) - 1),
+          named_struct('z', s[0].q, 'p', CAST(1 AS BIGINT),
+                       'prev', s[0].w),
+          (acc, x) -> named_struct(
+            'z', (x.q + acc.z) div 2,
+            'p', ((x.w - acc.prev) + acc.p) div 2,
+            'prev', x.w
+          )
+        )
+        """
+    )
+    staged = series.select(
+        F.col("l_partkey").cast("bigint").alias("partkey"),
+        F.size("s").cast("bigint").alias("n_demand_weeks"),
+        fold.alias("st"),
+    )
+    return staged.select(
+        "partkey",
+        "n_demand_weeks",
+        F.col("st.z").cast("bigint").alias("z_qty"),
+        F.col("st.p").cast("bigint").alias("p_weeks"),
+        F.expr("CAST((st.z * 1000) div st.p AS BIGINT)").alias(
+            "croston_milli_per_week"
+        ),
+    )
+
+
+register(
+    "part_croston_forecast",
+    """
+WITH RECURSIVE weekly AS (
+  SELECT l_partkey,
+         CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS w,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+idx AS (
+  SELECT l_partkey, w, q,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY w) AS i,
+         count(*) OVER (PARTITION BY l_partkey) AS n
+  FROM weekly
+),
+step AS (
+  SELECT l_partkey, i, n, q AS z, CAST(1 AS BIGINT) AS p, w AS prev
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT s.l_partkey, x.i, s.n,
+         CAST((x.q + s.z) // 2 AS BIGINT),
+         CAST(((x.w - s.prev) + s.p) // 2 AS BIGINT),
+         x.w
+  FROM step s JOIN idx x
+    ON x.l_partkey = s.l_partkey AND x.i = s.i + 1
+)
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(n AS BIGINT) AS n_demand_weeks,
+       CAST(z AS BIGINT) AS z_qty,
+       CAST(p AS BIGINT) AS p_weeks,
+       CAST((z * 1000) // p AS BIGINT) AS croston_milli_per_week
+FROM step WHERE i = n
+""",
+)(part_croston_forecast)

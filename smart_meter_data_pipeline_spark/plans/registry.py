@@ -173,6 +173,7 @@ _PRIORITY = [
     "catalog_branch_wap",
     "events_ols_trend",
     "stream_catalog_txn",
+    "part_croston_forecast",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",
