@@ -827,3 +827,68 @@ FROM scenes
 GROUP BY 1, 2
 """,
 )(multimodal_scene_cuts)
+
+
+def multimodal_dup_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video DUPLICATE-SCENE detection — the reused-footage
+    screen (shared intros/outros/stock clips) a video training
+    pipeline runs so oversampled segments don't dominate a corpus
+    that deduped only whole files (multimodal_dup_groups) or whole
+    near-dups (multimodal_phash_neardup): two docs share a duplicate
+    scene when a scene's exact fingerprint — (n_frames,
+    scene_energy), the byte-exact length+content surrogate of a real
+    pipeline's per-scene perceptual hash — matches across different
+    docs. Composes the audited scene decomposition
+    (multimodal_scene_cuts) and reports per doc pair the shared-scene
+    count and their total energy; 1-frame scenes are excluded (too
+    little content to call reuse).
+
+    Scale shape: the only join is the fingerprint EQUI-join (bounded
+    by fingerprint-bucket occupancy — never all-pairs), over the
+    scene-count-sized rollup; payload bytes never shuffle. Oracle:
+    composed verbatim from the scene-cut oracle (constituent fixes
+    propagate)."""
+    scenes = multimodal_scene_cuts(spark, sf_dir).filter(
+        F.col("n_frames") >= 2
+    )
+    a = scenes.select(
+        F.col("doc_id").alias("doc_a"),
+        "n_frames",
+        "scene_energy",
+    )
+    b = scenes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_frames").alias("nf_b"),
+        F.col("scene_energy").alias("se_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("n_frames") == F.col("nf_b"))
+        & (F.col("scene_energy") == F.col("se_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_scenes"),
+        F.sum("scene_energy").cast("bigint").alias("shared_energy"),
+    )
+
+
+def _dup_scenes_oracle() -> str:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    return f"""
+WITH scenes AS ({ORACLES["multimodal_scene_cuts"]}),
+kept AS (SELECT * FROM scenes WHERE n_frames >= 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_scenes,
+       CAST(SUM(a.scene_energy) AS BIGINT) AS shared_energy
+FROM kept a JOIN kept b
+  ON a.n_frames = b.n_frames AND a.scene_energy = b.scene_energy
+     AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+register("multimodal_dup_scenes", _dup_scenes_oracle())(
+    multimodal_dup_scenes
+)

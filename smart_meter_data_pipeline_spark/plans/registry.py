@@ -174,6 +174,7 @@ _PRIORITY = [
     "events_ols_trend",
     "stream_catalog_txn",
     "part_croston_forecast",
+    "multimodal_dup_scenes",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",
