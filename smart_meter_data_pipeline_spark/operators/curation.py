@@ -2363,6 +2363,134 @@ FROM diffs
 )(events_t_closeness)
 
 
+DP_CLAMP = 5  # per-user contribution cap (the sensitivity bound)
+DP_SUPPRESS_K = 50  # released counts below this are suppressed
+
+
+def events_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-STYLE count release per event type — the
+    MECHANISM entry next to the privacy family's metrics (k-anonymity
+    / l-diversity / t-closeness measure a table; this releases one):
+
+    1. SENSITIVITY BOUNDING: each user contributes at most {DP_CLAMP}
+       events per type (LEAST(count, C) per (type, user) — the
+       contribution clamp every real DP aggregation starts with,
+       bounding one user's influence on the released count).
+    2. CALIBRATED NOISE: an integer Irwin-Hall sample — the sum of 12
+       uniform bytes of md5(type || release-salt) minus 1530 (exactly
+       centered), floor-scaled by 64 (sigma ≈ 4 counts ≈ C, i.e.
+       noise on the order of one user's maximum influence). The hash
+       seed makes the release DETERMINISTIC PER (type, salt) — the
+       property a production system needs anyway so replayed jobs
+       don't leak fresh noise draws (and what makes the release
+       hash-checkable; a cryptographic DP deployment swaps the seed
+       source, not the plumbing).
+    3. k-SUPPRESSION: released counts under {DP_SUPPRESS_K} are
+       dropped entirely (small cells are where noisy releases still
+       re-identify).
+
+    All integer: byte decode via hex nibbles (×16 guard-casted for
+    ANSI), the possibly-negative noise scaled with the sign-split
+    floor-division idiom. One scan → (type, user) partial-agg →
+    |types| rows of scalar arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(DP_CLAMP))
+        .cast("bigint")
+        .alias("lc")
+    )
+    clamped = per_user.groupBy("event_type").agg(
+        F.sum("lc").alias("true_clamped")
+    )
+    noisy = clamped.withColumn(
+        "h",
+        F.md5(
+            F.concat(F.col("event_type"), F.lit(":dp-release-1")).cast(
+                "binary"
+            )
+        ),
+    ).withColumn(
+        "raw_noise",
+        F.expr(
+            " + ".join(
+                f"(CAST((position(substring(h, {2 * i + 1}, 1)"
+                f" IN '0123456789abcdef') - 1) AS BIGINT) * 16"
+                f" + CAST(position(substring(h, {2 * i + 2}, 1)"
+                f" IN '0123456789abcdef') - 1 AS BIGINT))"
+                for i in range(12)
+            )
+            + " - CAST(1530 AS BIGINT)"
+        ),
+    ).withColumn(
+        "noise",
+        F.expr(
+            "CAST(CASE WHEN raw_noise >= 0 THEN raw_noise div 64"
+            " ELSE -((-raw_noise + 63) div 64) END AS BIGINT)"
+        ),
+    )
+    return (
+        noisy.select(
+            "event_type",
+            F.col("true_clamped").cast("bigint").alias("clamped_count"),
+            F.col("noise").cast("bigint").alias("noise"),
+            (F.col("true_clamped") + F.col("noise"))
+            .cast("bigint")
+            .alias("released_count"),
+        )
+        .filter(F.col("released_count") >= DP_SUPPRESS_K)
+        .orderBy("event_type")
+    )
+
+
+def _dp_release_oracle() -> str:
+    nibble = " + ".join(
+        f"(CAST((position(substring(h, {2 * i + 1}, 1)"
+        f" IN '0123456789abcdef') - 1) AS BIGINT) * 16"
+        f" + CAST(position(substring(h, {2 * i + 2}, 1)"
+        f" IN '0123456789abcdef') - 1 AS BIGINT))"
+        for i in range(12)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         LEAST(COUNT(*), {DP_CLAMP}) AS lc
+  FROM events GROUP BY 1, 2
+),
+clamped AS (
+  SELECT event_type, CAST(SUM(lc) AS BIGINT) AS true_clamped
+  FROM per_user GROUP BY 1
+),
+noisy AS (
+  SELECT event_type, true_clamped,
+         md5(event_type || ':dp-release-1') AS h
+  FROM clamped
+),
+scaled AS (
+  SELECT event_type, true_clamped,
+         ({nibble} - CAST(1530 AS BIGINT)) AS raw_noise
+  FROM noisy
+),
+rel AS (
+  SELECT event_type, true_clamped,
+         CAST(CASE WHEN raw_noise >= 0
+              THEN CAST(raw_noise // 64 AS BIGINT)
+              ELSE -CAST((-raw_noise + 63) // 64 AS BIGINT)
+              END AS BIGINT) AS noise
+  FROM scaled
+)
+SELECT event_type,
+       CAST(true_clamped AS BIGINT) AS clamped_count,
+       CAST(noise AS BIGINT) AS noise,
+       CAST(true_clamped + noise AS BIGINT) AS released_count
+FROM rel
+WHERE true_clamped + noise >= {DP_SUPPRESS_K}
+ORDER BY event_type
+"""
+
+
+register("events_dp_release", _dp_release_oracle())(events_dp_release)
+
+
 # ---------------------------------------------------------------------------
 # Curation funnel report (round 9)
 # ---------------------------------------------------------------------------

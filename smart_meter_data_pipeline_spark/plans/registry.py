@@ -175,6 +175,7 @@ _PRIORITY = [
     "stream_catalog_txn",
     "part_croston_forecast",
     "multimodal_dup_scenes",
+    "events_dp_release",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",
