@@ -263,6 +263,78 @@ class Catalog:
         return removed
 
 
+def compact_catalog(cat: Catalog, keep_last: int = 10) -> int:
+    """Catalog-chain compaction — the same merged-base move as the
+    manifest's ``compact_log``, trivialized by append-only payloads:
+    all commits except the newest ``keep_last`` merge into one base
+    commit whose per-table payloads are the CONCATENATION of the
+    merged prefix's (added/count/dates/stats union, last schema
+    wins). The base reuses the lowest commit number; tail numbers are
+    untouched, so the transaction fence stays monotone and a lost
+    put-if-absent remains the only way to miss concurrent content.
+    Catalog-BRANCH bases are GC roots (the clamp rule tags have on
+    the manifest log): merging past one would silently widen the
+    frozen prefix that branch reads. Positional version pinning
+    coarsens for the merged range — the granularity trade every log
+    cleanup makes. Returns the number of commits merged."""
+    if isinstance(cat, CatalogBranch):
+        raise ValueError(
+            "compact_catalog is a main-catalog maintenance operation"
+        )
+    numbered = cat.numbered_snapshot()
+    if len(numbered) <= max(keep_last, 1):
+        return 0
+    cut = len(numbered) - keep_last
+    bases = {b["base_commit_number"] for b in cat.list_branches()}
+    if bases:
+        for i in range(cut):
+            if numbered[i][0] in bases:
+                cut = i
+                break
+    if cut < 2:
+        return 0
+    base = numbered[:cut]
+    merged: dict[str, dict] = {}
+    for _, c in base:
+        for name, p in c.get("tables", {}).items():
+            m = merged.get(name)
+            if m is None:
+                merged[name] = {
+                    "added": list(p["added"]),
+                    "count": p["count"],
+                    "dates": sorted(p.get("dates", [])),
+                    "schema": p.get("schema"),
+                    "stats": dict(p.get("stats", {})),
+                }
+            else:
+                m["added"] = m["added"] + list(p["added"])
+                m["count"] += p["count"]
+                m["dates"] = sorted(
+                    set(m["dates"]) | set(p.get("dates", []))
+                )
+                m["schema"] = p.get("schema") or m["schema"]
+                m["stats"] = {**m["stats"], **p.get("stats", {})}
+    base_num = base[0][0]
+    payload = {
+        "version": base_num,
+        "tables": merged,
+        "compacted_from": cut,
+        "committed_at": base[-1][1].get("committed_at"),
+    }
+    tmp = cat._commit_path(base_num) + f".compacting.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, cat._commit_path(base_num))
+    for num, _ in base[1:]:
+        try:
+            os.unlink(cat._commit_path(num))
+        except FileNotFoundError:
+            pass
+    return cut
+
+
 class CatalogTxn:
     """Collects staged appends across tables, then publishes ONE
     catalog commit. Usage::

@@ -281,3 +281,58 @@ def test_streaming_catalog_txn_keeps_stats_consistent(spark, cat, tmp_path):
     for _, c in cat.numbered_snapshot():
         touched = set(c.get("tables", {}))
         assert touched in ({"fact", "ingest_stats"}, {"ingest_stats"})
+
+
+def test_compact_catalog_preserves_contents_and_clamps_at_branch(
+    spark, cat
+):
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        compact_catalog,
+    )
+
+    for i in range(8):
+        t = cat.txn()
+        t.append(spark, "fact", _facts(spark, i * 10, i * 10 + 5))
+        t.commit()
+    before = sorted(
+        r["meter_id"] for r in cat.read(spark, "fact").collect()
+    )
+    assert compact_catalog(cat, keep_last=2) == 6
+    assert len(cat.numbered_snapshot()) == 3
+    assert (
+        sorted(r["meter_id"] for r in cat.read(spark, "fact").collect())
+        == before
+    )
+    # the transaction fence stays monotone after compaction
+    t = cat.txn()
+    t.append(spark, "fact", _facts(spark, 500, 505, day=6))
+    t.commit()
+    assert cat.read(spark, "fact").count() == 45
+    # branch bases clamp the cut
+    cat.create_branch("b", version=0)
+    assert compact_catalog(cat, keep_last=1) == 0
+    cat.delete_branch("b")
+    assert compact_catalog(cat, keep_last=1) > 0
+    assert cat.read(spark, "fact").count() == 45
+
+
+def test_catalog_read_pushes_filters_to_scan(spark, cat):
+    """The catalog read is a plain schema'd parquet scan — predicates
+    must reach the scan (PushedFilters), column pruning must hold."""
+    import contextlib
+    import io
+
+    t = cat.txn()
+    t.append(spark, "fact", _facts(spark, 0, 50))
+    t.commit()
+    df = (
+        cat.read(spark, "fact")
+        .filter(F.col("meter_id") > 25)
+        .select("meter_id")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(meter_id), GreaterThan(meter_id,25)]" in plan
+    assert "ReadSchema: struct<meter_id:int>" in plan
