@@ -369,9 +369,38 @@ class CatalogTxn:
             raise RuntimeError("transaction already committed")
         t = self.cat.table_handle(name)
         clean = batch.dropDuplicates(pk)
-        visible = self.cat.read(spark, name)
-        if visible is not None:
-            clean = clean.join(visible.select(*pk), pk, "left_anti")
+        # Date-pruned validation scan (the manifest append's move):
+        # the anti-join reads only files from commits whose recorded
+        # dates overlap the batch's — sound here without any caveat
+        # because catalog payloads are append-only (no removals whose
+        # skipping could resurrect files). A statless/dateless batch
+        # anti-joins everything, the safe direction.
+        batch_dates: set[str] | None = None
+        if "reading_timestamp" in clean.columns:
+            batch_dates = {
+                str(r["d"])
+                for r in clean.select(
+                    F.to_date("reading_timestamp").alias("d")
+                )
+                .distinct()
+                .collect()
+            }
+        commits = self.cat._table_commits(name)
+        if batch_dates is not None:
+            commits = [
+                c
+                for c in commits
+                if not c.get("dates") or set(c["dates"]) & batch_dates
+            ]
+        files = t._files(commits) if commits else []
+        if files:
+            schema = ManifestTable._evolved_schema(commits)
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            clean = clean.join(
+                reader.parquet(*files).select(*pk), pk, "left_anti"
+            )
         prior = self._payloads.get(name)
         if prior is not None and prior["added"]:
             staged_prior = spark.read.parquet(

@@ -336,3 +336,25 @@ def test_catalog_read_pushes_filters_to_scan(spark, cat):
     plan = buf.getvalue()
     assert "PushedFilters: [IsNotNull(meter_id), GreaterThan(meter_id,25)]" in plan
     assert "ReadSchema: struct<meter_id:int>" in plan
+
+
+def test_txn_append_prunes_validation_scan_by_dates(spark, cat):
+    """The anti-join must read only files from commits whose dates
+    overlap the batch — O(batch's range), not O(table)."""
+    for day in (1, 2, 3):
+        t = cat.txn()
+        t.append(spark, "fact", _facts(spark, day * 100, day * 100 + 5, day=day))
+        t.commit()
+    txn = cat.txn()
+    # day-3 batch, half duplicate: validation must still be exact
+    assert txn.append(spark, "fact", _facts(spark, 300, 310, day=3)) == 5
+    txn.commit()
+    assert cat.read(spark, "fact").count() == 20
+    # structural half: the commits whose dates can't overlap never
+    # feed the scan (checked via the helper the append uses)
+    commits = cat._table_commits("fact")
+    overlapping = [
+        c for c in commits if set(c["dates"]) & {"2024-01-03"}
+    ]
+    assert len(overlapping) == 2  # day-3 seed + the new append
+    assert len(commits) == 4

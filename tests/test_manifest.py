@@ -3300,3 +3300,23 @@ def test_identity_assignment_plan_has_no_global_window(spark, table_dir):
     plan = buf.getvalue()
     assert "Exchange SinglePartition" not in plan
     assert "_pfx_pid" in plan
+
+
+def test_identity_ranges_disjoint_across_branch_and_main(spark, table_dir):
+    """The identity sequence is a TABLE property shared by main and
+    every branch (allocation files live in the shared refs dir), so
+    ids stay globally unique across a branch's life and survive the
+    squash publish without collisions."""
+    t = manifest.ManifestTable(table_dir)
+    t.append_with_identity(spark, _valid_batch(spark, 0, 10))
+    t.create_branch("b")
+    b = t.branch("b")
+    b.append_with_identity(spark, _valid_batch(spark, 100, 105))
+    t.append_with_identity(spark, _valid_batch(spark, 200, 205))
+    main_ids = {r["row_id"] for r in t.read(spark).collect()}
+    branch_ids = {r["row_id"] for r in b.read(spark).collect()}
+    # branch view = frozen main prefix + branch commits: its ids and
+    # main's POST-FORK ids never collide
+    assert len(main_ids) == 15 and len(branch_ids) == 15
+    assert not (branch_ids - main_ids) & (main_ids - branch_ids)
+    assert t.identity_high_water() == 20
