@@ -349,6 +349,7 @@ class CatalogTxn:
         self.cat = cat
         self._payloads: dict[str, dict] = {}
         self._pks: dict[str, list[str]] = {}
+        self._spark: SparkSession | None = None
         self._committed = False
         # test seam, same contract as ManifestTable._pre_publish_hook
         self._pre_publish_hook = None
@@ -367,6 +368,7 @@ class CatalogTxn:
         until :meth:`commit`."""
         if self._committed:
             raise RuntimeError("transaction already committed")
+        self._spark = spark
         t = self.cat.table_handle(name)
         clean = batch.dropDuplicates(pk)
         # Date-pruned validation scan (the manifest append's move):
@@ -485,7 +487,10 @@ class CatalogTxn:
             # lost to, per staged table
             numbered = self.cat.numbered_snapshot()
             new_chain = numbered[validated_len:]
-            spark = SparkSession.getActiveSession()
+            # captured at append time: getActiveSession() is
+            # THREAD-LOCAL and returns None on a worker thread, where
+            # concurrent transactions naturally run
+            spark = self._spark
             for name, p in self._payloads.items():
                 t = self.cat.table_handle(name)
                 new_commits = [

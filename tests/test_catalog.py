@@ -358,3 +358,43 @@ def test_txn_append_prunes_validation_scan_by_dates(spark, cat):
     ]
     assert len(overlapping) == 2  # day-3 seed + the new append
     assert len(commits) == 4
+
+
+def test_catalog_concurrent_txns_serialize(spark, cat):
+    """N threads committing disjoint-key multi-table txns: every one
+    lands (retries resolve through the fence), chain length == N,
+    and both tables hold exactly the union."""
+    import threading
+
+    seed = cat.txn()
+    seed.append(spark, "fact", _facts(spark, 0, 5))
+    seed.commit()
+    errs = []
+
+    def work(i):
+        try:
+            t = cat.txn()
+            t.append(
+                spark, "fact",
+                _facts(spark, 100 + i * 10, 100 + i * 10 + 5, day=2),
+            )
+            t.append(
+                spark, "dim", _dim(spark, i * 10, i * 10 + 5),
+                pk=["meter_id"],
+            )
+            t.commit(max_retries=40)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert len(cat.numbered_snapshot()) == 7  # seed + 6 txns
+    assert cat.read(spark, "fact").count() == 5 + 30
+    assert cat.read(spark, "dim").count() == 30
+    # atomic pairing held for every commit
+    for _, c in cat.numbered_snapshot()[1:]:
+        assert set(c["tables"]) == {"fact", "dim"}
