@@ -2452,3 +2452,118 @@ def _register_lsh_eval() -> None:
 
 
 _register_lsh_eval()
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 14, return_rounds: bool = False
+):
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the scale path next to :func:`connected_components`'s min-label
+    propagation. Min-label needs O(diameter) rounds: fine for the
+    near-dup clique graphs LSH emits, but the PATH-shaped graphs
+    sorted-neighborhood dedup produces (adjacent-pair edges → chains
+    as long as the duplicate run) make diameter the corpus run
+    length. Star alternation contracts chains in O(log n) rounds
+    regardless of diameter, each round two joins + one aggregation
+    shuffled on node id, with the edge set only ever SHRINKING toward
+    the final stars.
+
+    large-star(u): m = min(N(u) ∪ {u}); every neighbor v > u
+    re-points to m. small-star(u) over (u > v)-oriented edges:
+    m = min(Γ⁻(u)); u and its smaller neighbors re-point to m.
+    Fixed point = stars centered at component minima (the paper's
+    invariant: both ops preserve connectivity and never raise a
+    node's reachable minimum).
+
+    Input: (a, b) undirected edges. Output: (node, component) with
+    component = min node id in the component (identical relation to
+    :func:`connected_components` — test-pinned)."""
+    e = (
+        edges.selectExpr("a AS u", "b AS v")
+        .filter("u <> v")
+        .selectExpr(
+            "CASE WHEN u > v THEN u ELSE v END AS u",
+            "CASE WHEN u > v THEN v ELSE u END AS v",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.selectExpr("a AS node")
+        .unionAll(edges.selectExpr("b AS node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        # large-star over symmetric neighborhoods
+        sym = e.unionAll(e.selectExpr("v AS u", "u AS v"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter("v > u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter("u <> v")
+            .distinct()
+        )
+        # small-star over (u > v)-oriented edges
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        e_new = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter("u <> v")
+            .unionAll(mins2.selectExpr("u", "m AS v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        if (
+            e_new.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e_new).limit(1).count() == 0
+        ):
+            e = e_new
+            break
+        e = e_new
+    labels = nodes.join(
+        e.selectExpr("u AS node", "v AS _ptr"), "node", "left"
+    ).select(
+        "node", F.coalesce("_ptr", F.col("node")).alias("component")
+    )
+    return (labels, rounds) if return_rounds else labels
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` served through the star-alternation CC —
+    the same relation reached by a diameter-independent physical
+    algorithm (proof pattern: different execution path, identical
+    oracle, like ``meter_sim_source_scan``). At 100 TB this is the
+    variant that survives chain-shaped duplicate runs; the oracle is
+    ``dedup_clusters``'s recursive-CTE reachability verbatim."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)
+    comp = connected_components_star(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _register_clusters_star() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("dedup_clusters_star", ORACLES["dedup_clusters"])(
+        dedup_clusters_star
+    )
+
+
+_register_clusters_star()

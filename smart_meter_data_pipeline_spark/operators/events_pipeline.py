@@ -1489,3 +1489,146 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_days, sax) AS INT)
 FROM head
 """,
 )(events_sax_discords)
+
+
+# ---------------------------------------------------------------------------
+# Demand-response baseline (CAISO/utility "10-in-10")
+# ---------------------------------------------------------------------------
+
+DR_EVENT_DAYS = ("2024-01-20", "2024-01-27")
+DR_HOURS = (17, 18, 19, 20)
+DR_BASELINE_DAYS = 10
+
+
+def events_dr_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-response settlement baseline — the utility "10-in-10"
+    method (CAISO/PJM customer-baseline-load): for each DR event day
+    and event-window hour, the baseline is the average same-hour load
+    over the 10 most recent prior NON-EVENT days, and the settled
+    reduction is baseline − actual. This is the missing half of the
+    meter pipeline's peak analytics (peak shaving SELECTS who to
+    curtail; this SETTLES what they actually shed), run on the events
+    table (user activity ~ metered load, hour-of-day grid).
+
+    Scale shape: one scan → (day, hour) partial-aggregated rollup
+    (≤ days×24 rows at ANY corpus size — the fact table never leaves
+    its aggregation), then a broadcast-sized self-join of that rollup
+    against the 8 event cells ranked per cell. No window over fact
+    cardinality, no driver loop. Exactness: per-cell loads are
+    exact-decimal sums; the baseline divides the exact sum by the day
+    COUNT as the final double op (deterministic; house float rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(dsum("value", "load"))
+        .localCheckpoint(eager=False)
+    )
+    evt_days = [F.lit(d).cast("date") for d in DR_EVENT_DAYS]
+    is_evt = F.col("d").isin(*[F.lit(d) for d in DR_EVENT_DAYS])
+    pool = daily.filter(~is_evt).select(
+        F.col("d").alias("pool_d"), F.col("hr").alias("pool_hr"), "load"
+    )
+    grid = (
+        spark.range(len(DR_EVENT_DAYS) * len(DR_HOURS))
+        .select(
+            F.element_at(
+                F.array(*evt_days), (F.col("id") % 2 + 1).cast("int")
+            ).alias("event_day"),
+            F.element_at(
+                F.array(*[F.lit(h) for h in DR_HOURS]),
+                (F.col("id") / 2 + 1).cast("int"),
+            ).alias("hr"),
+        )
+    )
+    w = Window.partitionBy("event_day", "hr").orderBy(
+        F.col("pool_d").desc()
+    )
+    cand = (
+        grid.join(
+            pool,
+            (F.col("pool_hr") == F.col("hr"))
+            & (F.col("pool_d") < F.col("event_day")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DR_BASELINE_DAYS)
+    )
+    base = cand.groupBy("event_day", "hr").agg(
+        F.count("*").cast("bigint").alias("n_baseline_days"),
+        dsum("load", "baseline_sum"),
+    )
+    actual = daily.filter(is_evt).select(
+        F.col("d").alias("event_day"),
+        F.col("hr").alias("a_hr"),
+        F.col("load").alias("actual_load"),
+    )
+    return (
+        base.join(
+            actual,
+            (base["event_day"] == actual["event_day"])
+            & (F.col("a_hr") == F.col("hr")),
+            "left",
+        )
+        .select(
+            base["event_day"],
+            "hr",
+            "n_baseline_days",
+            (
+                F.col("baseline_sum")
+                / F.col("n_baseline_days").cast("double")
+            ).alias("baseline_load"),
+            F.coalesce(F.col("actual_load"), F.lit(0.0)).alias(
+                "actual_load"
+            ),
+            (
+                F.col("baseline_sum")
+                / F.col("n_baseline_days").cast("double")
+                - F.coalesce(F.col("actual_load"), F.lit(0.0))
+            ).alias("reduction"),
+        )
+    )
+
+
+register(
+    "events_dr_baseline",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS load
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT CAST(ed AS DATE) AS event_day, hr
+  FROM (VALUES ('2024-01-20'), ('2024-01-27')) e(ed),
+       (VALUES (17), (18), (19), (20)) h(hr)
+),
+cand AS (
+  SELECT g.event_day, g.hr, p.load,
+         ROW_NUMBER() OVER (PARTITION BY g.event_day, g.hr
+                            ORDER BY p.d DESC) AS rk
+  FROM grid g
+  JOIN daily p
+    ON p.hr = g.hr AND p.d < g.event_day
+   AND p.d NOT IN (DATE '2024-01-20', DATE '2024-01-27')
+),
+base AS (
+  SELECT event_day, hr, CAST(COUNT(*) AS BIGINT) AS n_baseline_days,
+         CAST(SUM(CAST(load AS DECIMAL(25,6))) AS DOUBLE) AS baseline_sum
+  FROM cand WHERE rk <= {DR_BASELINE_DAYS}
+  GROUP BY 1, 2
+)
+SELECT b.event_day,
+       CAST(b.hr AS INT) AS hr,
+       b.n_baseline_days,
+       b.baseline_sum / CAST(b.n_baseline_days AS DOUBLE)
+         AS baseline_load,
+       COALESCE(a.load, 0.0) AS actual_load,
+       b.baseline_sum / CAST(b.n_baseline_days AS DOUBLE)
+         - COALESCE(a.load, 0.0) AS reduction
+FROM base b
+LEFT JOIN daily a
+  ON a.d = b.event_day AND a.hr = b.hr
+""",
+)(events_dr_baseline)

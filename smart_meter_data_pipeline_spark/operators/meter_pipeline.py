@@ -2156,6 +2156,87 @@ WHERE meter_id BETWEEN 40 AND 90
 )(manifest_skipping_read)
 
 
+_PLAN_CASE = (
+    "CASE meter_id % 4 WHEN 0 THEN 'basic' WHEN 1 THEN 'timeofuse' "
+    "WHEN 2 THEN 'solar_net' ELSE 'prepaid' END"
+)
+
+
+def manifest_dict_skipping_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read-path DICTIONARY data skipping under the driver gate — the
+    string complement of ``manifest_skipping_read``'s zone maps: land
+    the generator day with a derived ``tariff_plan`` STRING column
+    (meter_id % 4 → four plans), appended one plan per batch so each
+    file's recorded distinct-value dictionary is a single plan, then
+    ``read(where_in={tariff_plan: ['timeofuse']})`` — a categorical
+    point lookup that
+
+    - asserts the dictionaries actually SKIPPED files
+      (``skipping_report``: files_read < files_live — zone maps and
+      Blooms are numeric-only, so only the dictionary index can skip
+      here),
+    - asserts the pruned read equals the unpruned
+      ``read().filter(...)`` in count (skipping is an IO
+      optimization, never the correctness filter),
+    - returns the pruned read against the plain filtered generator
+      oracle, so a skip that hides a matching row breaks the hash.
+
+    At 100 TB this is the fleet/source/region slice read: a
+    low-cardinality string partition-ish column without physical
+    partitioning — the commit log's per-file dictionaries open
+    O(matching) files from metadata alone (Delta/Iceberg categorical
+    data-skipping semantics; sources/manifest.py _file_blooms list
+    encoding)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_dict_q_")
+    try:
+        t = ManifestTable(
+            os.path.join(workdir, "fact"),
+            dict_columns=["tariff_plan"],
+        )
+        readings = gen_meter_readings(spark).withColumn(
+            "tariff_plan", F.expr(_PLAN_CASE)
+        )
+        for plan in ("basic", "timeofuse", "solar_net", "prepaid"):
+            t.idempotent_append(
+                spark, readings.filter(F.col("tariff_plan") == plan)
+            )
+        rep = t.skipping_report(where_in={"tariff_plan": ["timeofuse"]})
+        if not (0 < rep["files_read"] < rep["files_live"]):
+            raise AssertionError(f"dictionaries skipped nothing: {rep}")
+        pruned = t.read(spark, where_in={"tariff_plan": ["timeofuse"]})
+        n_plain = (
+            t.read(spark)
+            .filter(F.col("tariff_plan") == "timeofuse")
+            .count()
+        )
+        if pruned.count() != n_plain:
+            raise AssertionError(
+                f"pruned read {pruned.count()} rows != filtered {n_plain}"
+            )
+        return pruned.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_dict_skipping_read",
+    f"""WITH {_readings_cte()}
+SELECT *, {_PLAN_CASE} AS tariff_plan
+FROM readings
+WHERE meter_id % 4 = 1""",
+)(manifest_dict_skipping_read)
+
+
 def manifest_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom point-lookup reads under the driver gate — the
     needle-in-haystack case zone maps CANNOT handle: the generator day
@@ -3318,3 +3399,139 @@ SELECT reading_timestamp, r.meter_id, reading_consumption_milliwatts,
 FROM readings r
 WHERE r.meter_id % 2 = 0 AND r.meter_id <= {N_METERS // 2}""",
 )(manifest_consistent_snapshot)
+
+
+# ---------------------------------------------------------------------------
+# Time-of-use billing with demand charges
+# ---------------------------------------------------------------------------
+
+# Integer TOU rates in NANO-currency per mWh (420 n$/mWh = 0.42 $/kWh):
+# the flat 0.28 the reference hard-codes (01_create_schema.sql tariff
+# seed) becomes the shoulder rate, bracketed by a peak and an off-peak
+# band — the standard utility TOU ladder. Demand is charged at
+# 8000 n$/mWh-per-hour = $8 per kW of the billing-period maximum
+# hourly draw. All-integer so every charge is exact until one final
+# division to currency.
+TOU_PEAK_NANO = 420  # 17:00-22:00
+TOU_SHOULDER_NANO = 280  # 07:00-17:00
+TOU_OFFPEAK_NANO = 150  # nights
+TOU_DEMAND_NANO = 8000  # per mWh of max hourly draw ($8/kW)
+
+
+def meter_tou_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-use billing with a demand charge — the tariff structure
+    the reference's flat-rate ``fact_customer_billing_daily`` is the
+    degenerate case of (reference parity: the 0.28 rate join at
+    fact_customer_billing_daily.sql:88-96 generalized to a 3-band TOU
+    ladder + a capacity price signal). Per meter over the generator
+    day: energy by TOU band (peak/shoulder/off-peak kWh), the banded
+    energy charge, the billing demand (max hourly draw, kW) and its
+    demand charge — the two lines every commercial-tariff bill carries.
+
+    Exactness: interval deltas are integer mWh; band rates are integer
+    nano-currency per mWh, so the energy charge accumulates as an
+    exact BIGINT and demand as an exact integer max; each output
+    converts with ONE final division (deterministic double op).
+
+    Scale shape: stg's LAG window shuffles once on meter_id; the
+    hourly rollup and the per-meter rollup both reuse that
+    partitioning (two-level hash agg, map-side partials; no global
+    window, no dim join on the fact side)."""
+    stg = stg_transform(gen_meter_readings(spark))
+    hr = F.hour("reading_timestamp")
+    rate = (
+        F.when((hr >= 17) & (hr < 22), F.lit(TOU_PEAK_NANO))
+        .when((hr >= 7) & (hr < 17), F.lit(TOU_SHOULDER_NANO))
+        .otherwise(F.lit(TOU_OFFPEAK_NANO))
+    )
+    hourly = (
+        stg.select(
+            "meter_id",
+            hr.alias("hr"),
+            rate.alias("rate_nano"),
+            "consumption_delta_mwh",
+        )
+        .groupBy("meter_id", "hr", "rate_nano")
+        .agg(F.sum("consumption_delta_mwh").alias("h_mwh"))
+    )
+    band = F.col("rate_nano")
+    per_meter = hourly.groupBy("meter_id").agg(
+        F.sum(F.when(band == TOU_PEAK_NANO, F.col("h_mwh"))).alias(
+            "_peak_mwh"
+        ),
+        F.sum(
+            F.when(band == TOU_SHOULDER_NANO, F.col("h_mwh"))
+        ).alias("_shoulder_mwh"),
+        F.sum(F.when(band == TOU_OFFPEAK_NANO, F.col("h_mwh"))).alias(
+            "_off_mwh"
+        ),
+        F.sum(F.col("h_mwh") * F.col("rate_nano")).alias("_energy_nano"),
+        F.max("h_mwh").alias("_max_h_mwh"),
+    )
+    return per_meter.select(
+        "meter_id",
+        (F.col("_peak_mwh").cast("double") / 1000000.0).alias("peak_kwh"),
+        (F.col("_shoulder_mwh").cast("double") / 1000000.0).alias(
+            "shoulder_kwh"
+        ),
+        (F.col("_off_mwh").cast("double") / 1000000.0).alias(
+            "offpeak_kwh"
+        ),
+        (F.col("_max_h_mwh").cast("double") / 1000000.0).alias(
+            "billing_demand_kw"
+        ),
+        (F.col("_energy_nano").cast("double") / 1000000000.0).alias(
+            "energy_charge"
+        ),
+        (
+            (F.col("_max_h_mwh") * TOU_DEMAND_NANO).cast("double")
+            / 1000000000.0
+        ).alias("demand_charge"),
+        (
+            (
+                F.col("_energy_nano")
+                + F.col("_max_h_mwh") * TOU_DEMAND_NANO
+            ).cast("double")
+            / 1000000000.0
+        ).alias("total_charge"),
+    )
+
+
+register(
+    "meter_tou_billing",
+    f"""{_stg_cte()},
+hourly AS (
+  SELECT meter_id, EXTRACT(hour FROM reading_timestamp) AS hr,
+         CASE WHEN EXTRACT(hour FROM reading_timestamp) BETWEEN 17 AND 21
+              THEN {TOU_PEAK_NANO}
+              WHEN EXTRACT(hour FROM reading_timestamp) BETWEEN 7 AND 16
+              THEN {TOU_SHOULDER_NANO}
+              ELSE {TOU_OFFPEAK_NANO} END AS rate_nano,
+         CAST(SUM(consumption_delta_mwh) AS BIGINT) AS h_mwh
+  FROM stg GROUP BY 1, 2, 3
+),
+per_meter AS (
+  SELECT meter_id,
+         CAST(SUM(CASE WHEN rate_nano = {TOU_PEAK_NANO}
+                       THEN h_mwh END) AS BIGINT) AS peak_mwh,
+         CAST(SUM(CASE WHEN rate_nano = {TOU_SHOULDER_NANO}
+                       THEN h_mwh END) AS BIGINT) AS shoulder_mwh,
+         CAST(SUM(CASE WHEN rate_nano = {TOU_OFFPEAK_NANO}
+                       THEN h_mwh END) AS BIGINT) AS off_mwh,
+         CAST(SUM(h_mwh * rate_nano) AS BIGINT) AS energy_nano,
+         CAST(MAX(h_mwh) AS BIGINT) AS max_h_mwh
+  FROM hourly GROUP BY 1
+)
+SELECT meter_id,
+       CAST(peak_mwh AS DOUBLE) / 1000000.0 AS peak_kwh,
+       CAST(shoulder_mwh AS DOUBLE) / 1000000.0 AS shoulder_kwh,
+       CAST(off_mwh AS DOUBLE) / 1000000.0 AS offpeak_kwh,
+       CAST(max_h_mwh AS DOUBLE) / 1000000.0 AS billing_demand_kw,
+       CAST(energy_nano AS DOUBLE) / 1000000000.0 AS energy_charge,
+       CAST(max_h_mwh * {TOU_DEMAND_NANO} AS DOUBLE) / 1000000000.0
+         AS demand_charge,
+       CAST(energy_nano + max_h_mwh * {TOU_DEMAND_NANO} AS DOUBLE)
+         / 1000000000.0 AS total_charge
+FROM per_meter
+""",
+)(meter_tou_billing)

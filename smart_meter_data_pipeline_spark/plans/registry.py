@@ -177,6 +177,11 @@ _PRIORITY = [
     "part_croston_forecast",
     "multimodal_dup_scenes",
     "events_dp_release",
+    "manifest_dict_skipping_read",
+    "meter_tou_billing",
+    "events_dr_baseline",
+    "embedding_sq_recall",
+    "dedup_clusters_star",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

@@ -119,6 +119,7 @@ class ManifestTable:
         stats_columns: list[str] | None = None,
         constraints: list[dict] | None = None,
         bloom_columns: list[str] | None = None,
+        dict_columns: list[str] | None = None,
     ) -> None:
         self.table_dir = table_dir
         # Columns whose per-file [min, max] footers are recorded in
@@ -148,6 +149,19 @@ class ManifestTable:
         # them, from metadata alone. Off by default (costs one column
         # read per staged file at write time).
         self.bloom_columns = list(bloom_columns) if bloom_columns else []
+        # Optional per-file DICTIONARY index for low-cardinality
+        # STRING columns (the string complement of the Bloom index —
+        # zone maps and blooms are numeric-only here): every commit
+        # records the file's sorted distinct-value list when it has
+        # ≤ DICT_MAX_VALUES distinct values, and a read's
+        # ``where_in={col: [...]}`` skips files whose recorded
+        # dictionary is disjoint from the lookup set. Rides the SAME
+        # commit channel as the blooms (one membership-index map per
+        # file, value type selects the encoding: hex bitmap = bloom,
+        # list = dictionary), so every metadata carry-through path —
+        # log compaction, clone, branch publish, MoR reorg, retention
+        # rewrite — preserves it with zero extra code.
+        self.dict_columns = list(dict_columns) if dict_columns else []
         self.commits_dir = os.path.join(table_dir, COMMITS_DIRNAME)
         self.data_dir = os.path.join(table_dir, DATA_DIRNAME)
         self.refs_dir = os.path.join(table_dir, REFS_DIRNAME)
@@ -167,6 +181,7 @@ class ManifestTable:
             for k, v in (
                 ("stats_columns", stats_columns),
                 ("bloom_columns", bloom_columns),
+                ("dict_columns", dict_columns),
                 ("constraints", constraints),
             )
             if v
@@ -182,11 +197,14 @@ class ManifestTable:
             self.stats_columns = list(persisted["stats_columns"])
         if not bloom_columns and persisted.get("bloom_columns"):
             self.bloom_columns = list(persisted["bloom_columns"])
+        if not dict_columns and persisted.get("dict_columns"):
+            self.dict_columns = list(persisted["dict_columns"])
         if not constraints and persisted.get("constraints"):
             self.constraints = list(persisted["constraints"])
         want = {
             "stats_columns": self.stats_columns,
             "bloom_columns": self.bloom_columns,
+            "dict_columns": self.dict_columns,
             "constraints": self.constraints,
         }
         if explicit and {
@@ -1113,13 +1131,23 @@ class ManifestTable:
             for seed in range(1, cls.BLOOM_HASHES + 1)
         ]
 
+    # A string column qualifies for the dictionary index only while a
+    # file holds at most this many distinct values — above it the
+    # list would bloat every commit for a column that is not actually
+    # categorical, so the file records nothing and is never skipped.
+    DICT_MAX_VALUES = 32
+
     def _file_blooms(self, rel_files: list[str]) -> dict:
-        """Per-file {column: hex bitmap} over ``bloom_columns``, read
-        from the just-staged files' column data (pyarrow, no Spark
-        job). Unlike the min/max stats this touches the column's
-        values, so it is opt-in; non-integer columns are skipped the
-        same way non-integral stats are."""
-        if not self.bloom_columns:
+        """Per-file membership indexes over ``bloom_columns`` +
+        ``dict_columns``, read from the just-staged files' column
+        data (pyarrow, no Spark job): integer columns record a hex
+        Bloom bitmap, low-cardinality string columns record their
+        sorted distinct-value list (≤ DICT_MAX_VALUES, else nothing).
+        Unlike the min/max stats this touches the columns' values, so
+        both indexes are opt-in; a column whose values don't match
+        its index's type is skipped the same way non-integral stats
+        are."""
+        if not self.bloom_columns and not self.dict_columns:
             return {}
         import pyarrow.parquet as pq
 
@@ -1128,11 +1156,12 @@ class ManifestTable:
             path = os.path.join(self.data_dir, rel)
             try:
                 tbl = pq.read_table(path, columns=[
-                    c for c in self.bloom_columns
+                    c
+                    for c in (*self.bloom_columns, *self.dict_columns)
                 ])
             except Exception:
                 continue
-            per_col: dict[str, str] = {}
+            per_col: dict[str, object] = {}
             for c in self.bloom_columns:
                 if c not in tbl.column_names:
                     continue
@@ -1148,6 +1177,23 @@ class ManifestTable:
                         bits |= 1 << pos
                 if ok and bits:
                     per_col[c] = f"{bits:x}"
+            for c in self.dict_columns:
+                if c not in tbl.column_names:
+                    continue
+                seen: set = set()
+                ok = True
+                for v in tbl.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    if not isinstance(v, str):
+                        ok = False
+                        break
+                    seen.add(v)
+                    if len(seen) > self.DICT_MAX_VALUES:
+                        ok = False
+                        break
+                if ok and seen:
+                    per_col[c] = sorted(seen)
             if per_col:
                 out[rel] = per_col
         return out
@@ -1159,21 +1205,28 @@ class ManifestTable:
         key_values: dict[str, list],
     ) -> list[str]:
         """Drop candidate files whose recorded bloom proves they
-        contain NONE of the mutation's key values on some bloom
-        column. Complements :meth:`_prune_by_stats`: ranges skip
-        clustered tables, blooms skip POINT lookups on unclustered
-        ones. Files without a bloom record are always kept — skipping
-        is an optimization, never a correctness filter."""
-        key_values = {
+        contain NONE of the mutation's key values on some membership
+        index: integer sets test the Bloom bitmap, string sets test
+        the recorded dictionary list. Complements
+        :meth:`_prune_by_stats`: ranges skip clustered tables,
+        membership indexes skip POINT lookups on unclustered ones.
+        Files without a record are always kept — skipping is an
+        optimization, never a correctness filter."""
+        int_sets = {
             c: vs
             for c, vs in key_values.items()
             if vs and all(isinstance(v, int) for v in vs)
         }
-        if not key_values:
+        str_sets = {
+            c: set(vs)
+            for c, vs in key_values.items()
+            if vs and all(isinstance(v, str) for v in vs)
+        }
+        if not int_sets and not str_sets:
             return files
         key_pos = {
             c: [self._bloom_positions(v) for v in vs]
-            for c, vs in key_values.items()
+            for c, vs in int_sets.items()
         }
         recorded: dict[str, dict] = {}
         for c in commits:
@@ -1187,7 +1240,9 @@ class ManifestTable:
                 continue
             disjoint = False
             for col, poss in key_pos.items():
-                if col not in e:
+                # value type selects the encoding — an int lookup
+                # only ever tests a hex-bitmap record
+                if not isinstance(e.get(col), str):
                     continue
                 bits = int(e[col], 16)
                 if not any(
@@ -1195,6 +1250,13 @@ class ManifestTable:
                 ):
                     disjoint = True
                     break
+            if not disjoint:
+                for col, wanted in str_sets.items():
+                    if not isinstance(e.get(col), list):
+                        continue
+                    if not wanted.intersection(e[col]):
+                        disjoint = True
+                        break
             if not disjoint:
                 kept.append(f)
         return kept
@@ -3883,6 +3945,7 @@ def shallow_clone(source: ManifestTable, target_dir: str) -> ManifestTable:
         stats_columns=source.stats_columns,
         constraints=source.constraints,
         bloom_columns=source.bloom_columns,
+        dict_columns=source.dict_columns,
     )
     if clone.snapshot():
         raise ValueError(f"clone target is not empty: {target_dir}")

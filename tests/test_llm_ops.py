@@ -841,3 +841,55 @@ def test_phash_oracle_is_byte_true_on_non_ascii(spark, tmp_path):
     assert got == want, (got, want)
     # the exact unicode duplicate must land at hamming 0
     assert (1, 2, 0) in got
+
+
+def test_star_cc_matches_minlabel_and_contracts_chains(spark):
+    """Large-star/small-star CC: (a) identical labels to min-label
+    propagation on a mixed graph; (b) a 256-node PATH — where
+    min-label needs ~diameter rounds — converges in O(log n)
+    alternations with every node labeled 0."""
+    from smart_meter_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a int, b int",
+    )
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    mini = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert star == mini
+
+    n = 256
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a int, b int"
+    )
+    labels, rounds = connected_components_star(
+        path, max_iter=14, return_rounds=True
+    )
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # diameter is 255; star alternation must be way under it
+    assert rounds <= 12, rounds
+
+
+def test_star_cc_empty_and_selfloop(spark):
+    from smart_meter_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([(5, 5), (7, 8)], "a int, b int")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    # the self-loop node is still a (singleton) node; 7-8 cluster to 7
+    assert got == {5: 5, 7: 7, 8: 7}
+

@@ -121,3 +121,131 @@ def test_bloom_off_by_default_and_optional(spark, tmp_path):
     # pruning with no records keeps everything
     files = t._files(t.snapshot())
     assert t._prune_by_bloom(files, t.snapshot(), {"meter_id": [1]}) == files
+
+
+# ---------------------------------------------------------------------------
+# Dictionary index: the string complement of the Bloom index
+# ---------------------------------------------------------------------------
+
+
+def _mk_str(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "reading_timestamp timestamp, meter_id bigint, plan string",
+    )
+
+
+def _plan_table(spark, tmp_path, plans=("basic", "tou", "solar")):
+    """One file per plan — each file's dictionary is a single value,
+    so a plan point lookup can skip everything else."""
+    t = ManifestTable(str(tmp_path / "dtbl"), dict_columns=["plan"])
+    minute = 0
+    for p in plans:
+        rows = []
+        for j in range(20):
+            rows.append((TS + dt.timedelta(minutes=minute), minute, p))
+            minute += 1
+        t.idempotent_append(spark, _mk_str(spark, rows).coalesce(1))
+    return t
+
+
+def test_dict_recorded_and_prunes_string_lookup(spark, tmp_path):
+    t = _plan_table(spark, tmp_path)
+    commits = t.snapshot()
+    recorded = {}
+    for c in commits:
+        recorded.update(c.get("blooms", {}))
+    assert len(recorded) == 3
+    assert all(r["plan"] in (["basic"], ["tou"], ["solar"]) for r in recorded.values())
+    files = t._files(commits)
+    # the dictionary is EXACT membership: exactly one file survives
+    kept = t._prune_by_bloom(files, commits, {"plan": ["tou"]})
+    assert len(kept) == 1
+    # two-value lookup keeps exactly the two matching files
+    kept2 = t._prune_by_bloom(files, commits, {"plan": ["tou", "solar"]})
+    assert len(kept2) == 2
+    # unknown value keeps nothing
+    assert t._prune_by_bloom(files, commits, {"plan": ["nope"]}) == []
+
+
+def test_dict_read_equals_plain_filter(spark, tmp_path):
+    t = _plan_table(spark, tmp_path)
+    rep = t.skipping_report(where_in={"plan": ["solar"]})
+    assert rep["files_skipped"] == 2 and rep["files_read"] == 1
+    pruned = t.read(spark, where_in={"plan": ["solar"]})
+    plain = t.read(spark).filter("plan = 'solar'")
+    assert sorted(r.meter_id for r in pruned.collect()) == sorted(
+        r.meter_id for r in plain.collect()
+    )
+
+
+def test_dict_high_cardinality_file_records_nothing(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "hc"), dict_columns=["plan"])
+    rows = [
+        (TS + dt.timedelta(minutes=i), i, f"plan_{i}")
+        for i in range(ManifestTable.DICT_MAX_VALUES + 5)
+    ]
+    t.idempotent_append(spark, _mk_str(spark, rows).coalesce(1))
+    recorded = {}
+    for c in t.snapshot():
+        recorded.update(c.get("blooms", {}))
+    # too many distinct values -> no dictionary for that file
+    assert all("plan" not in e for e in recorded.values())
+    # and the unprunable read is still correct
+    files = t._files(t.snapshot())
+    assert (
+        t._prune_by_bloom(files, t.snapshot(), {"plan": ["plan_3"]})
+        == files
+    )
+    assert t.read(spark, where_in={"plan": ["plan_3"]}).count() == 1
+
+
+def test_dict_survives_compaction_and_clone_and_reopen(spark, tmp_path):
+    t = _plan_table(spark, tmp_path)
+    assert compact_log(t, keep_last=1) > 0
+    files = t._files(t.snapshot())
+    assert len(t._prune_by_bloom(files, t.snapshot(), {"plan": ["tou"]})) == 1
+    clone = shallow_clone(t, str(tmp_path / "dclone"))
+    cfiles = clone._files(clone.snapshot())
+    assert (
+        len(clone._prune_by_bloom(cfiles, clone.snapshot(), {"plan": ["tou"]}))
+        == 1
+    )
+    assert clone.dict_columns == ["plan"]
+    # bare reopen loads the persisted dict config
+    t2 = ManifestTable(str(tmp_path / "dtbl"))
+    assert t2.dict_columns == ["plan"]
+
+
+def test_dict_and_bloom_coexist_per_file(spark, tmp_path):
+    t = ManifestTable(
+        str(tmp_path / "both"),
+        bloom_columns=["meter_id"],
+        dict_columns=["plan"],
+    )
+    rows = [(TS + dt.timedelta(minutes=i), i, "basic") for i in range(10)]
+    t.idempotent_append(spark, _mk_str(spark, rows).coalesce(1))
+    rows2 = [
+        (TS + dt.timedelta(minutes=10 + i), 100 + i, "tou") for i in range(10)
+    ]
+    t.idempotent_append(spark, _mk_str(spark, rows2).coalesce(1))
+    recorded = {}
+    for c in t.snapshot():
+        recorded.update(c.get("blooms", {}))
+    assert all(
+        isinstance(e["meter_id"], str) and isinstance(e["plan"], list)
+        for e in recorded.values()
+    )
+    files = t._files(t.snapshot())
+    # int lookup rides the bitmap, string lookup rides the list —
+    # together they prune to the single intersecting file (or none)
+    kept = t._prune_by_bloom(
+        files, t.snapshot(), {"meter_id": [5], "plan": ["basic"]}
+    )
+    assert len(kept) == 1
+    assert (
+        t._prune_by_bloom(
+            files, t.snapshot(), {"meter_id": [5], "plan": ["tou"]}
+        )
+        == []
+    )
