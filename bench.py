@@ -630,6 +630,35 @@ def main() -> None:
         )
         manifest_retention = dict(ret_res)
 
+        # 16d. Dictionary-index categorical read (round 11): four
+        # tariff plans appended one per batch, then a single-plan
+        # point read that the string dictionaries prune to ~1/4 of
+        # the live files from metadata alone (zone maps and Blooms
+        # are numeric-only — without the dictionary this read opens
+        # every file). Recorded with the skipping report so the
+        # skip ratio is a scalar next to the timing.
+        from pyspark.sql import functions as _F
+
+        mtd = ManifestTable(
+            os.path.join(workdir, "fact_dict"),
+            dict_columns=["tariff_plan"],
+        )
+        plan_col = _F.expr(
+            "CASE meter_id % 4 WHEN 0 THEN 'basic' WHEN 1 THEN "
+            "'timeofuse' WHEN 2 THEN 'solar_net' ELSE 'prepaid' END"
+        )
+        tagged = readings.withColumn("tariff_plan", plan_col)
+        for _plan in ("basic", "timeofuse", "solar_net", "prepaid"):
+            mtd.idempotent_append(
+                spark, tagged.filter(_F.col("tariff_plan") == _plan)
+            )
+        dict_in = {"tariff_plan": ["timeofuse"]}
+        leg(
+            "manifest_dict_read",
+            lambda: mtd.read(spark, where_in=dict_in).count(),
+        )
+        manifest_dict = mtd.skipping_report(where_in=dict_in)
+
         # 17. Bloom runtime-filter semi-join (r8 scale_ops): 8 KiB
         # bitset from the selective order filter prunes the lineitem
         # probe BEFORE its shuffle; result identical to the plain join.
@@ -717,6 +746,7 @@ def main() -> None:
         "manifest_clustered": manifest_clustered,
         "manifest_zorder": manifest_zorder,
         "manifest_retention": manifest_retention,
+        "manifest_dict": manifest_dict,
         "manifest_mor": manifest_mor,
         "repeat": 2,
         "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},

@@ -1144,3 +1144,38 @@ def test_concentration_topk_is_salted_two_phase(spark, sf_dir):
     assert "salt" in p
     assert "Exchange SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_tou_billing_two_level_agg_no_global_window(spark, sf_dir):
+    """TOU billing must stay a two-level hash agg over stg's meter_id
+    shuffle: no single-partition exchange (a global window over the
+    fact would funnel every meter through one task), no cartesian,
+    no Python in the hot path."""
+    from smart_meter_data_pipeline_spark.operators import meter_pipeline
+
+    p = _plan(meter_pipeline.meter_tou_billing(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dr_baseline_fact_collapses_before_join(spark, sf_dir):
+    """The 10-in-10 baseline's ranking join must run over the
+    checkpointed (day, hour) rollup, never the fact table: the final
+    plan carries ZERO parquet scans (the rollup is an ExistingRDD cut)
+    and no single-partition exchange — the window partitions on the
+    8-cell event grid."""
+    p = _plan(events_pipeline.events_dr_baseline(spark, sf_dir))
+    assert p.count("Scan parquet  (") == 0
+    assert "Exchange SinglePartition" not in p
+
+
+def test_sq_recall_broadcasts_scales_and_queries(spark, sf_dir):
+    """SQ8 scoring must broadcast the 1-row scales array and the tiny
+    query side — the corpus never shuffles for the join — and stay
+    JVM-side (quantize/dot are transform/aggregate exprs, no Python)."""
+    p = _plan(similarity.embedding_sq_recall(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
