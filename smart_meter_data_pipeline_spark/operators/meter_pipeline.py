@@ -3535,3 +3535,150 @@ SELECT meter_id,
 FROM per_meter
 """,
 )(meter_tou_billing)
+
+
+def manifest_retention_mor_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read retention DELETE under the driver gate — the
+    sweep for UNCLUSTERED tables, where ``delete_where``'s CoW mode
+    degenerates to rewriting everything (every hash-layout file
+    straddles the cutoff): land the generator day unclustered, then
+    ``delete_where(..., mode="mor")`` on the first six hours and
+    assert ZERO files dropped or rewritten — the whole delete is one
+    atomic metadata commit carrying the matching pk tuples as a keyed
+    tombstone. The tombstone-taxed read is hash-checked against the
+    relational filter, then ``apply_tombstones`` reconciles the debt
+    and the reconciled read must stay identical (asserted in-query) —
+    the full delete → read-tax → reorg lifecycle under one oracle
+    (sources/manifest.py delete_where mode="mor")."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        apply_tombstones,
+        delete_where,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_ret_mor_q_")
+    try:
+        t = ManifestTable(
+            os.path.join(workdir, "fact"),
+            stats_columns=["reading_timestamp"],
+        )
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        res = delete_where(
+            t,
+            spark,
+            "reading_timestamp",
+            hi=_dt.datetime(2024, 1, 1, 5, 59, 59),
+            mode="mor",
+        )
+        if res["files_rewritten"] != 0:
+            raise AssertionError(f"MoR delete rewrote files: {res}")
+        if res["keys_tombstoned"] == 0:
+            raise AssertionError(f"nothing tombstoned: {res}")
+        taxed = t.read(spark).localCheckpoint(eager=True)
+        reorg = apply_tombstones(t, spark)
+        if reorg["rows_deleted"] != res["keys_tombstoned"]:
+            raise AssertionError(
+                f"reorg reconciled {reorg} but the delete tombstoned "
+                f"{res['keys_tombstoned']} keys"
+            )
+        reconciled = t.read(spark)
+        if reconciled.count() != taxed.count():
+            raise AssertionError(
+                "reconciled read diverged from the tombstone-taxed one"
+            )
+        return reconciled.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_retention_mor_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT * FROM readings
+WHERE reading_timestamp > TIMESTAMP '2024-01-01 05:59:59'""",
+)(manifest_retention_mor_roundtrip)
+
+
+def manifest_vacuum_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The delete → compact → VACUUM reclamation lifecycle under the
+    driver gate — the one table-format maintenance flow that
+    physically destroys bytes, so it is exactly where a bug turns
+    into data loss: land the generator day, CoW-upsert a restatement
+    (originals leave the live set but stay REFERENCED as history),
+    prove vacuum sweeps nothing while history still names them,
+    compact the log (netting the removals out), dry-run the sweep,
+    run it for real, and assert dry-run/actual agree and the swept
+    files are gone from disk. The post-vacuum read is hash-checked
+    against the restatement oracle — reclamation must never change
+    visible contents (sources/manifest.py vacuum_unreferenced;
+    Delta VACUUM semantics)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        compact_log,
+        vacuum_unreferenced,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_vacuum_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        readings = gen_meter_readings(spark)
+        t.idempotent_append(spark, readings)
+        restated = readings.filter(F.col("meter_id") % 7 == 3).withColumn(
+            "reading_consumption_milliwatts",
+            F.col("reading_consumption_milliwatts") + F.lit(10007),
+        )
+        t.upsert(spark, restated)
+        if vacuum_unreferenced(t, ttl_s=0.0, dry_run=True):
+            raise AssertionError(
+                "vacuum would sweep files still referenced by history"
+            )
+        compact_log(t, keep_last=0)
+        dry = vacuum_unreferenced(t, ttl_s=0.0, dry_run=True)
+        if not dry:
+            raise AssertionError(
+                "compaction netted nothing — no reclaimable files"
+            )
+        n = vacuum_unreferenced(t, ttl_s=0.0)
+        if n != len(dry):
+            raise AssertionError(
+                f"dry-run promised {len(dry)} files, sweep removed {n}"
+            )
+        still_there = [
+            r
+            for r in dry
+            if os.path.exists(os.path.join(t.data_dir, r))
+        ]
+        if still_there:
+            raise AssertionError(
+                f"swept files still on disk: {still_there[:3]}"
+            )
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_vacuum_roundtrip",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id,
+       CAST(CASE WHEN meter_id % 7 = 3
+                 THEN reading_consumption_milliwatts + 10007
+                 ELSE reading_consumption_milliwatts END AS INT)
+           AS reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM readings""",
+)(manifest_vacuum_roundtrip)

@@ -1818,3 +1818,67 @@ SELECT doc_id, lang,
 FROM feat
 """,
 )(doc_lix_readability)
+
+
+FEAT_DIMS = 32  # hashing-trick feature width
+
+
+def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (feature hashing, Weinberger et al.) — the
+    fixed-width featurizer every large-scale linear/GBDT pipeline
+    uses when the vocabulary is unbounded: each token hashes to one
+    of {FEAT_DIMS} dimensions (first two md5 nibbles) with a signed
+    contribution (third nibble's parity), so collisions cancel in
+    expectation and no vocabulary dictionary ever exists — the whole
+    featurizer is stateless and embarrassingly parallel, which is
+    exactly why it scales where a fitted CountVectorizer (a
+    vocab-sized broadcast + a fit pass) does not.
+
+    Output: sparse (doc_id, dim, weight) rows, zero-weight cells
+    omitted. Everything integer (portable nibble decode, signed
+    counts) — no float anywhere, so the hash gate is exact.
+
+    Scale shape: explode → (doc, dim) partial-agg; one shuffle keyed
+    by (doc_id, dim); no fit pass, no dictionary join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    dim = F.expr(
+        f"(((instr('{_HEXD}', substr(md5(tok), 1, 1)) - 1) * 16"
+        f" + (instr('{_HEXD}', substr(md5(tok), 2, 1)) - 1))"
+        f" % {FEAT_DIMS})"
+    )
+    sign = F.expr(
+        f"CASE WHEN (instr('{_HEXD}', substr(md5(tok), 3, 1)) - 1) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    return (
+        tok.select(
+            "doc_id", dim.cast("int").alias("dim"), sign.alias("s")
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+register(
+    "doc_hashed_features",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST((((instr('{_HEXD}', substr(md5(tok), 1, 1)) - 1) * 16
+               + (instr('{_HEXD}', substr(md5(tok), 2, 1)) - 1))
+              % {FEAT_DIMS}) AS INT) AS dim,
+         CASE WHEN (instr('{_HEXD}', substr(md5(tok), 3, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok
+)
+SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
+FROM scored GROUP BY 1, 2 HAVING SUM(s) <> 0
+""",
+)(doc_hashed_features)

@@ -85,11 +85,12 @@ _PRIORITY = [
     # + 12 (r9-new) + the first ~21 of (r10-new). FOR ROUND 12:
     # rotate again — promote, in order, (a) any query whose
     # computation changed in r12, (b) the (r10-new) tail past the
-    # r11 window (~10 queries), (c) the (r11-new) section (16
-    # round-11 additions — every one builder-proven at sf0.01 AND
-    # sf0.1, no driver row yet). (b)+(c) ≈ 26 fits one window with
-    # room; after r12 every registered query has a driver row and
-    # staleness rotation restarts from (stale), stalest round first.
+    # r11 window (~10 queries), (c) the (r11-new) section (25
+    # round-11 additions — every one builder-proven at sf0.001,
+    # sf0.01 AND sf0.1, no driver row yet). (b)+(c) ≈ 35 fits one
+    # window with room; after r12 every registered query has a
+    # driver row and staleness rotation restarts from (stale),
+    # stalest round first.
     # (r11-changed) delete_where classification rebuilt this round
     # (commit-log stats first, distributed footer fallback — VERDICT
     # r10 perf_weak #1) — values unchanged, fresh row wanted first:
@@ -182,6 +183,10 @@ _PRIORITY = [
     "events_dr_baseline",
     "embedding_sq_recall",
     "dedup_clusters_star",
+    "manifest_retention_mor_roundtrip",
+    "stream_bottomk_sample",
+    "manifest_vacuum_roundtrip",
+    "doc_hashed_features",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

@@ -3242,6 +3242,8 @@ def delete_where(
     lo=None,
     hi=None,
     max_retries: int = 20,
+    mode: str = "cow",
+    pk: list[str] = PK,
 ) -> dict:
     """Range DELETE with whole-file drops — the retention /
     right-to-be-forgotten sweep (``DELETE WHERE ts < cutoff``) priced
@@ -3277,7 +3279,22 @@ def delete_where(
     cannot classify (legacy commits without null counts, statless
     columns) fall back to footer reads run DISTRIBUTED as a Spark
     job — the driver collects one bounded classification tuple per
-    file, never the footers themselves."""
+    file, never the footers themselves.
+
+    ``mode="mor"`` (round 11) changes how STRADDLERS are settled:
+    instead of a copy-on-write rewrite, the matching rows' pk tuples
+    are staged as a standard keyed tombstone, published in the SAME
+    commit as the whole-file drops — one atomic metadata commit,
+    zero data files rewritten. This is the retention sweep for
+    UNCLUSTERED tables, where every file straddles the cutoff and
+    CoW mode would rewrite the whole table: cost is one predicate
+    scan of the straddlers (key projection only), and
+    :func:`apply_tombstones` reconciles the read tax later, exactly
+    the ``delete_keys_mor`` lifecycle. Both modes abort on pending
+    tombstones (the straddler scan reads files raw, and the drop
+    accounting assumes no logically-deleted rows)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     lo_i = table._stat_int(lo) if lo is not None else -(2**62)
     hi_i = table._stat_int(hi) if hi is not None else 2**62
     for _ in range(max_retries):
@@ -3357,6 +3374,84 @@ def delete_where(
                 "rows_deleted": 0,
             }
         ev_schema = table._evolved_schema(commits)
+        if mode == "mor":
+            if ev_schema is not None:
+                missing = [
+                    c
+                    for c in pk
+                    if c not in {f.name for f in ev_schema.fields}
+                ]
+                if missing:
+                    raise ValueError(
+                        f"tombstone pk columns {missing} do not "
+                        "exist in the table schema"
+                    )
+            staged_keys: list[str] = []
+            n_del_keys = 0
+            if rewrite:
+                reader = spark.read
+                if ev_schema is not None:
+                    reader = reader.schema(ev_schema)
+                src = reader.parquet(*rewrite)
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (F.col(column) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(column) <= F.lit(hi))
+                matching = (
+                    src.filter(cond).select(*pk).dropDuplicates(pk)
+                )
+                n_del_keys = matching.count()
+                if n_del_keys:
+                    staged_keys = table._stage(matching)
+            if not dropped and not n_del_keys:
+                return {
+                    "files_dropped": 0,
+                    "files_rewritten": 0,
+                    "rows_deleted": 0,
+                    "keys_tombstoned": 0,
+                }
+            if table._pre_publish_hook is not None:
+                table._pre_publish_hook()
+            payload = json.dumps(
+                {
+                    "version": fence,
+                    "added": [],
+                    "removed": sorted(
+                        os.path.relpath(f, table.data_dir)
+                        for f in dropped
+                    ),
+                    "count": 0,
+                    "dates": [],
+                    "stats": {},
+                    "blooms": {},
+                    "removed_dates": sorted(
+                        {d for c in commits for d in c.get("dates", [])}
+                    ),
+                    "tombstones": (
+                        [
+                            {
+                                "upto": fence,
+                                "rels": staged_keys,
+                                "pk": list(pk),
+                            }
+                        ]
+                        if staged_keys
+                        else []
+                    ),
+                    "schema": None,
+                    "committed_at": time.time(),
+                }
+            ).encode()
+            if _put_if_absent(table._commit_path(fence), payload):
+                return {
+                    "files_dropped": len(dropped),
+                    "files_rewritten": 0,
+                    "rows_deleted": dropped_rows + n_del_keys,
+                    "keys_tombstoned": n_del_keys,
+                }
+            table._discard_stage_all(staged_keys)
+            continue
         staged: list[str] = []
         n_rewrite_orig = 0
         n_survivors = 0

@@ -527,3 +527,108 @@ def topk_user_counters(events_stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SAMPLE_SHARDS = 8
+SAMPLE_K = 32  # global sample size; state is K rows PER SHARD forever
+
+
+def bottomk_sample_state(events_stream: DataFrame) -> DataFrame:
+    """Distributed streaming UNIFORM SAMPLE via bottom-k-by-hash — the
+    reservoir-sampling equivalent that is exactly reproducible: the
+    sample is the k events with the smallest portable hash
+    (md5 of the event id), so any two runs — and the batch oracle —
+    agree on the EXACT member set, which a classic random-swap
+    reservoir cannot promise.
+
+    Sharding by ``event_id % SAMPLE_SHARDS`` keeps per-shard bottom-k
+    state (k rows per shard, forever — bounded by construction); the
+    global bottom-k is a batch-side merge of shard candidates, exact
+    by the same argument as distributed top-k: every global bottom-k
+    member is within its own shard's bottom-k. Emits each shard's
+    current sample per micro-batch tagged with a sequence number; the
+    drain keeps the highest-seq snapshot per shard."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("seq", LongType()),
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("h", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("event_ids", ArrayType(LongType())),
+            StructField("user_ids", ArrayType(LongType())),
+            StructField("hs", ArrayType(StringType())),
+        ]
+    )
+    k = SAMPLE_K
+
+    def _fn(key, pdfs, state):
+        # closure references NOTHING from this package (by-value
+        # pickling rule — workers launched outside the repo have no
+        # package on sys.path)
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        (shard,) = key
+        if state.exists:
+            seq, eids, uids, hs = state.get
+            items = list(zip(hs, eids, uids))
+        else:
+            seq, items = 0, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for eid, uid in zip(pdf["event_id"], pdf["user_id"]):
+                eid, uid = int(eid), int(uid)
+                h = _hashlib.md5(str(eid).encode()).hexdigest()
+                items.append((h, eid, uid))
+            items.sort()
+            del items[k:]
+        items.sort()
+        del items[k:]
+        seq += 1
+        state.update(
+            (
+                seq,
+                [e for _, e, _ in items],
+                [u for _, _, u in items],
+                [h for h, _, _ in items],
+            )
+        )
+        if items:
+            yield _pd.DataFrame(
+                {
+                    "shard": shard,
+                    "seq": seq,
+                    "event_id": [e for _, e, _ in items],
+                    "user_id": [u for _, _, u in items],
+                    "h": [h for h, _, _ in items],
+                }
+            )
+
+    sharded = events_stream.withColumn(
+        "shard", F.col("event_id") % SAMPLE_SHARDS
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -3469,3 +3469,91 @@ def _register_stream_grid_ramp() -> None:
 
 
 _register_stream_grid_ramp()
+
+
+def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming uniform sample via distributed bottom-k-by-hash (see
+    :func:`~..streaming.stateful.bottomk_sample_state`): two
+    time-ordered deliveries force the per-shard reservoirs to persist
+    across micro-batches; the drain keeps each shard's final snapshot
+    and merges the global bottom-k batch-side. Exactly reproducible —
+    the fully drained stream hash-equals the batch ``ORDER BY
+    md5(event_id) LIMIT k`` oracle, which a random-swap reservoir
+    could never do."""
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+    from smart_meter_data_pipeline_spark.streaming.stateful import (
+        SAMPLE_K,
+        bottomk_sample_state,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_bksample_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_0")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(workdir, "chunk_1")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(workdir, "*"))
+        )
+        sink = f"bksample_{uuid.uuid4().hex[:8]}"
+        q = (
+            bottomk_sample_state(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql import Window
+
+        snaps = spark.table(sink)
+        latest = snaps.withColumn(
+            "max_seq",
+            F.max("seq").over(Window.partitionBy("shard")),
+        ).filter(F.col("seq") == F.col("max_seq"))
+        ranked = latest.withColumn(
+            "sample_rank",
+            F.row_number()
+            .over(Window.orderBy("h", "event_id"))
+            .cast("int"),
+        )
+        return (
+            ranked.filter(F.col("sample_rank") <= SAMPLE_K)
+            .select("sample_rank", "event_id", "user_id", "h")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_bottomk_sample() -> None:
+    from smart_meter_data_pipeline_spark.streaming.stateful import SAMPLE_K
+
+    register(
+        "stream_bottomk_sample",
+        f"""
+WITH hashed AS (
+  SELECT event_id, user_id, md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_id, user_id, h,
+         ROW_NUMBER() OVER (ORDER BY h, event_id) AS rk
+  FROM hashed
+)
+SELECT CAST(rk AS INT) AS sample_rank, event_id, user_id, h
+FROM ranked WHERE rk <= {SAMPLE_K}
+""",
+    )(stream_bottomk_sample)
+
+
+_register_bottomk_sample()

@@ -3320,3 +3320,116 @@ def test_identity_ranges_disjoint_across_branch_and_main(spark, table_dir):
     assert len(main_ids) == 15 and len(branch_ids) == 15
     assert not (branch_ids - main_ids) & (main_ids - branch_ids)
     assert t.identity_high_water() == 20
+
+
+def test_delete_where_mor_tombstones_straddlers_one_commit(
+    spark, tmp_path
+):
+    """mode='mor': whole-file drops and the straddlers' keyed
+    tombstone land in ONE atomic commit; zero files rewritten; the
+    taxed read equals the relational filter; apply_tombstones
+    reconciles without changing membership; re-inserting a deleted
+    key AFTER the sweep survives it (origin > upto)."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(str(tmp_path / "mor_ret"))
+    for h in range(8):
+        rows = [
+            (dt.datetime(2024, 3, 1, h, m, 0), h * 100 + m, 1.0)
+            for m in range(30)
+        ]
+        t.idempotent_append(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "reading_timestamp timestamp, meter_id bigint, v double",
+            ).repartition(1),
+        )
+    live_before = set(t._files(t.snapshot()))
+    n_commits_before = len(t.snapshot())
+    res = manifest.delete_where(
+        t,
+        spark,
+        "reading_timestamp",
+        hi=dt.datetime(2024, 3, 1, 3, 14, 59),
+        mode="mor",
+    )
+    assert res == {
+        "files_dropped": 3,
+        "files_rewritten": 0,
+        "rows_deleted": 3 * 30 + 15,
+        "keys_tombstoned": 15,
+    }
+    # exactly ONE commit carries both the drops and the tombstone
+    assert len(t.snapshot()) == n_commits_before + 1
+    last = t.snapshot()[-1]
+    assert len(last["removed"]) == 3
+    assert len(last["tombstones"]) == 1
+    df = t.read(spark)
+    assert df.count() == 8 * 30 - res["rows_deleted"]
+    assert (
+        df.filter(
+            "reading_timestamp < timestamp'2024-03-01 03:15:00'"
+        ).count()
+        == 0
+    )
+    # the straddler file was NOT rewritten (still live, same path)
+    live_after = set(t._files(t.snapshot()))
+    assert len(live_before & live_after) == 5  # straddler + 4 disjoint
+    # a deleted key re-inserted after the sweep survives it
+    reinsert = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1, 3, 0, 0), 300, 9.0)],
+        "reading_timestamp timestamp, meter_id bigint, v double",
+    )
+    t.idempotent_append(spark, reinsert)
+    assert (
+        t.read(spark)
+        .filter("meter_id = 300 AND v = 9.0")
+        .count()
+        == 1
+    )
+    n_logical = t.read(spark).count()
+    r = manifest.apply_tombstones(t, spark)
+    assert r["rows_deleted"] == 15
+    assert t.read(spark).count() == n_logical
+
+
+def test_delete_where_mor_guards(spark, tmp_path):
+    """Unknown mode and a pk column missing from the table schema
+    both refuse before anything stages; a pure no-op commits
+    nothing."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    t = manifest.ManifestTable(str(tmp_path / "mor_guard"))
+    t.idempotent_append(
+        spark,
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 1, 0, 0, 0), 1, 1.0)],
+            "reading_timestamp timestamp, meter_id bigint, v double",
+        ),
+    )
+    with _pytest.raises(ValueError, match="mode must be"):
+        manifest.delete_where(
+            t, spark, "meter_id", lo=0, mode="positional"
+        )
+    with _pytest.raises(ValueError, match="do not exist"):
+        manifest.delete_where(
+            t,
+            spark,
+            "meter_id",
+            lo=0,
+            mode="mor",
+            pk=["reading_timestamp", "no_such_col"],
+        )
+    n_commits = len(t.snapshot())
+    assert manifest.delete_where(
+        t, spark, "meter_id", lo=10_000, mode="mor"
+    ) == {
+        "files_dropped": 0,
+        "files_rewritten": 0,
+        "rows_deleted": 0,
+        "keys_tombstoned": 0,
+    }
+    assert len(t.snapshot()) == n_commits
