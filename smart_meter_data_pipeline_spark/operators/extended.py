@@ -6412,3 +6412,104 @@ def _register_model_select() -> None:
 
 
 _register_model_select()
+
+
+AUC_ERR_THRESHOLD = 14  # label: user emitted at least this many errors
+
+
+def events_auc_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed AUC — the model-eval primitive every
+    training pipeline needs at scale, computed WITHOUT the global
+    sort that makes naive rank-based AUC a single-partition funnel:
+    AUC = P(score_pos > score_neg) + ½P(tie) is a PAIR COUNT, and
+    pair counting factors through the per-DISTINCT-SCORE rollup —
+    Σ_s p_s·neg_below(s) + ½·p_s·n_s — so the only window runs over
+    the distinct integer score levels (bounded by construction, the
+    count-of-counts argument), never the user table.
+
+    Demo classifier: per-user activity (event count, integer score)
+    predicting heavy error emitters (label: ≥{AUC_ERR_THRESHOLD}
+    error events). Everything integer until one final division
+    (num2 = 2·Σpairs to avoid halves); degenerate single-class data
+    emits NULL auc rather than a fake number.
+
+    Scale shape: one fact scan → per-user rollup (partial agg) →
+    distinct-score rollup (≤ max activity levels) → bounded window +
+    scalar divide. No sort over users, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            >= AUC_ERR_THRESHOLD
+        ).cast("int").alias("label"),
+    )
+    by_score = users.groupBy("score").agg(
+        F.sum("label").alias("p_s"),
+        F.sum(1 - F.col("label")).alias("n_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    contrib = by_score.withColumn(
+        "neg_below", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    ).select(
+        (
+            F.col("p_s") * (2 * F.col("neg_below"))
+            + F.col("p_s") * F.col("n_s")
+        ).alias("num2_part"),
+        "p_s",
+        "n_s",
+    )
+    totals = contrib.agg(
+        F.sum("num2_part").cast("bigint").alias("auc_num2"),
+        F.sum("p_s").cast("bigint").alias("n_pos"),
+        F.sum("n_s").cast("bigint").alias("n_neg"),
+    )
+    return totals.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("auc_num2").cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )
+
+
+register(
+    "events_auc_activity",
+    f"""
+WITH users AS (
+  SELECT user_id, COUNT(*) AS score,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              >= {AUC_ERR_THRESHOLD} AS INT) AS label
+  FROM events GROUP BY 1
+),
+by_score AS (
+  SELECT score, SUM(label) AS p_s, SUM(1 - label) AS n_s
+  FROM users GROUP BY 1
+),
+contrib AS (
+  SELECT p_s, n_s,
+         COALESCE(SUM(n_s) OVER (ORDER BY score
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS neg_below
+  FROM by_score
+),
+totals AS (
+  SELECT CAST(SUM(p_s * (2 * neg_below) + p_s * n_s) AS BIGINT)
+           AS auc_num2,
+         CAST(SUM(p_s) AS BIGINT) AS n_pos,
+         CAST(SUM(n_s) AS BIGINT) AS n_neg
+  FROM contrib
+)
+SELECT n_pos, n_neg, auc_num2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(auc_num2 AS DOUBLE)
+                 / CAST(2.0 * n_pos * n_neg AS DOUBLE)
+       END AS auc
+FROM totals
+""",
+)(events_auc_activity)
