@@ -609,7 +609,16 @@ def main() -> None:
             delete_where,
         )
 
-        mtr = ManifestTable(os.path.join(workdir, "fact_retention"))
+        # stats on the retention column → the sweep classifies every
+        # file from the commit log (the round-11 stats-first path,
+        # zero per-file IO); without it the leg would measure the
+        # distributed-footer FALLBACK, whose ~0.4s Spark-job constant
+        # is the price of statless columns, not of the feature
+        # (tests cover the fallback; the leg records the shipped path)
+        mtr = ManifestTable(
+            os.path.join(workdir, "fact_retention"),
+            stats_columns=["reading_timestamp"],
+        )
         mtr.idempotent_append(spark, readings)
         optimize_table(
             mtr, spark, target_partitions=24,
