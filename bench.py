@@ -309,6 +309,21 @@ def main() -> None:
             "sec": round(time.monotonic() - t0, 3),
         }
 
+        # SQ-int8 (round 11): the memory rung UNDER PQ — per-dim
+        # scalar quantization with exact integer dot ranking; its
+        # recall isolates the quantization loss (no index involved),
+        # the honest number next to the index-loss dials above.
+        from pyspark.sql import functions as _Fsq
+
+        t0 = time.monotonic()
+        sq = similarity.embedding_sq_recall(spark, SF_DIR).agg(
+            _Fsq.sum("n_hits").alias("h"), _Fsq.count("*").alias("q")
+        ).collect()[0]
+        ivf_recall["sq8_brute"] = {
+            "recall_at_k": round(sq["h"] / (sq["q"] * similarity.TOP_K), 4),
+            "sec": round(time.monotonic() - t0, 3),
+        }
+
         # IVF×PQ (coarse pruning over compressed ADC scoring + exact
         # re-rank) — the composed billion-vector serving shape; its
         # recall dial is nprobe, reported alongside the flat-IVF sweep.
