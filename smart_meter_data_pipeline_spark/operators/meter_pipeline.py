@@ -3682,3 +3682,102 @@ SELECT reading_timestamp, meter_id,
        reading_production_milliwatts, status
 FROM readings""",
 )(manifest_vacuum_roundtrip)
+
+
+def catalog_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level TAGS — cross-table releases — under the driver
+    gate (sources/catalog.py create_tag / read(tag=)): one named ref
+    pins EVERY table to one chain position, so "serve release-1" is
+    a single name instead of N per-table versions that might not even
+    be mutually consistent. Scenario: txn1 lands fact + dim
+    atomically and is tagged ``release-1``; txn2 lands a next-day
+    fact slice AND new dim rows; the tagged read of BOTH tables must
+    show exactly the release state while latest moved on (asserted);
+    catalog-chain compaction must preserve the tagged view (tag
+    numbers are GC-root clamps, asserted by re-reading after
+    ``compact_catalog``). The hash is over fact ⋈ dim AT THE TAG —
+    the released serving state, not the head."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        Catalog,
+        compact_catalog,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="catalog_tag_q_")
+    try:
+        cat = Catalog(os.path.join(workdir, "cat"))
+        readings = gen_meter_readings(spark)
+        dim = (
+            readings.select("meter_id")
+            .distinct()
+            .withColumn("is_solar", F.col("meter_id") % 2 == 0)
+            .withColumn("zone", (F.col("meter_id") % 10).cast("int"))
+        )
+        t1 = cat.txn()
+        t1.append(spark, "fact", readings)
+        t1.append(spark, "dim_meters", dim, pk=["meter_id"])
+        t1.commit()
+        cat.create_tag("release-1")
+        next_day = readings.filter(F.col("meter_id") % 3 == 0).withColumn(
+            "reading_timestamp",
+            F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+        )
+        new_dims = dim.withColumn(
+            "meter_id", (F.col("meter_id") + 1000).cast("int")
+        )
+        t2 = cat.txn()
+        t2.append(spark, "fact", next_day)
+        t2.append(spark, "dim_meters", new_dims, pk=["meter_id"])
+        t2.commit()
+        n_fact_rel = cat.read(spark, "fact", tag="release-1").count()
+        n_dim_rel = cat.read(
+            spark, "dim_meters", tag="release-1"
+        ).count()
+        if cat.read(spark, "fact").count() == n_fact_rel:
+            raise AssertionError("head did not move past the release")
+        if cat.read(spark, "dim_meters").count() != 2 * n_dim_rel:
+            raise AssertionError("txn2 dim rows missing from head")
+        compact_catalog(cat, keep_last=0)
+        if (
+            cat.read(spark, "fact", tag="release-1").count()
+            != n_fact_rel
+            or cat.read(spark, "dim_meters", tag="release-1").count()
+            != n_dim_rel
+        ):
+            raise AssertionError(
+                "chain compaction changed the tagged release view"
+            )
+        final = (
+            cat.read(spark, "fact", tag="release-1")
+            .join(
+                cat.read(spark, "dim_meters", tag="release-1"),
+                "meter_id",
+            )
+            .select(
+                "reading_timestamp",
+                "meter_id",
+                "reading_consumption_milliwatts",
+                "is_solar",
+                "zone",
+            )
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "catalog_tag_read",
+    f"""WITH {_readings_cte()},
+dim AS (
+  SELECT DISTINCT meter_id, meter_id % 2 = 0 AS is_solar,
+         CAST(meter_id % 10 AS INT) AS zone
+  FROM readings
+)
+SELECT r.reading_timestamp, r.meter_id,
+       r.reading_consumption_milliwatts, d.is_solar, d.zone
+FROM readings r JOIN dim d USING (meter_id)""",
+)(catalog_tag_read)

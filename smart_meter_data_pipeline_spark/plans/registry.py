@@ -188,6 +188,7 @@ _PRIORITY = [
     "manifest_vacuum_roundtrip",
     "doc_hashed_features",
     "events_auc_activity",
+    "catalog_tag_read",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

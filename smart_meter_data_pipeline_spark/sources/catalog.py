@@ -103,13 +103,23 @@ class Catalog:
         return out
 
     def read(
-        self, spark: SparkSession, name: str, version: int | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        tag: str | None = None,
     ) -> DataFrame | None:
         """``name``'s catalog-visible contents (None before its first
         committed transaction). ``version`` time-travels the WHOLE
         CATALOG, not one table — version k shows every table as of
         catalog commit k, which is what makes cross-table reads at a
-        pinned version mutually consistent by construction."""
+        pinned version mutually consistent by construction. ``tag``
+        reads a named catalog release (:meth:`create_tag`) — the same
+        whole-catalog pin by name."""
+        if version is not None and tag is not None:
+            raise ValueError("pass at most one of version / tag")
+        if tag is not None:
+            version = self.version_of_tag(tag)
         t = self.table_handle(name)
         commits = self._table_commits(name, version)
         if not commits:
@@ -125,6 +135,87 @@ class Catalog:
 
     def txn(self) -> "CatalogTxn":
         return CatalogTxn(self)
+
+    # -- tags ----------------------------------------------------------------
+    #
+    # Catalog-level tags — cross-table RELEASES: one named ref pins
+    # EVERY table to one chain position, so "serve release-1" is a
+    # single name instead of N per-table version numbers that might
+    # not even be mutually consistent. Tags store the chain commit
+    # NUMBER (not the position): compaction may merge positions away,
+    # and the clamp below guarantees the tagged number's prefix
+    # content survives any merge, so a tag resolves forever.
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self.root, "_tags")
+
+    def create_tag(self, name: str, version: int | None = None) -> dict:
+        """Tag the catalog at positional chain ``version`` (default:
+        latest). Immutable — put-if-absent, so two writers cannot
+        silently move a release."""
+        if isinstance(self, CatalogBranch):
+            raise ValueError(
+                "tags are main-catalog refs; tag through the parent"
+            )
+        numbered = self.numbered_snapshot()
+        if not numbered:
+            raise ValueError("cannot tag an empty catalog")
+        if version is None:
+            version = len(numbered) - 1
+        if version < 0 or version >= len(numbered):
+            raise ValueError(
+                f"version {version} out of range: catalog has "
+                f"{len(numbered)} commits"
+            )
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        ref = {
+            "name": name,
+            "commit_number": numbered[version][0],
+            "created_at": time.time(),
+        }
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        if not _put_if_absent(path, json.dumps(ref).encode()):
+            raise ValueError(f"catalog tag already exists: {name}")
+        return ref
+
+    def list_tags(self) -> list[dict]:
+        d = self._tags_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self._tags_dir(), f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no such catalog tag: {name}") from None
+
+    def version_of_tag(self, name: str) -> int:
+        """The tag's POSITIONAL chain version, resolved at read time:
+        compaction shifts positions, so the stored commit NUMBER maps
+        to 'the last position whose number is <= the tagged number' —
+        exactly the prefix the clamp preserves."""
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        try:
+            with open(path) as fh:
+                num = json.load(fh)["commit_number"]
+        except FileNotFoundError:
+            raise ValueError(f"no such catalog tag: {name}") from None
+        numbered = self.numbered_snapshot()
+        pos = None
+        for i, (n, _) in enumerate(numbered):
+            if n <= num:
+                pos = i
+        if pos is None:
+            raise ValueError(
+                f"catalog tag {name!r} points before the current chain"
+            )
+        return pos
 
     # -- branches ----------------------------------------------------------
     #
@@ -289,6 +380,18 @@ def compact_catalog(cat: Catalog, keep_last: int = 10) -> int:
     if bases:
         for i in range(cut):
             if numbered[i][0] in bases:
+                cut = i
+                break
+    # Tag numbers are GC roots too, with STRICT clamp semantics:
+    # merging a commit numbered past a tag would fold post-tag
+    # content into the base the tag's prefix resolves through,
+    # silently changing the release. Merging everything <= the tag
+    # number is safe (prefix content is exactly the tag's view).
+    tag_nums = {t["commit_number"] for t in cat.list_tags()}
+    if tag_nums:
+        min_tag = min(tag_nums)
+        for i in range(cut):
+            if numbered[i][0] > min_tag:
                 cut = i
                 break
     if cut < 2:

@@ -398,3 +398,75 @@ def test_catalog_concurrent_txns_serialize(spark, cat):
     # atomic pairing held for every commit
     for _, c in cat.numbered_snapshot()[1:]:
         assert set(c["tables"]) == {"fact", "dim"}
+
+
+def _one_txn(spark, cat, lo, hi, day=1):
+    tx = cat.txn()
+    tx.append(spark, "fact", _facts(spark, lo, hi, day))
+    tx.commit()
+
+
+def test_catalog_tag_pins_release_and_survives_compaction(spark, cat):
+    """A mid-chain tag: commits numbered <= the tag merge (real
+    compaction happens), commits past it never do, and the tagged
+    read resolves to the same rows before and after."""
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        compact_catalog,
+    )
+
+    _one_txn(spark, cat, 0, 10)
+    _one_txn(spark, cat, 10, 20)
+    ref = cat.create_tag("release-1", version=1)
+    assert ref["commit_number"] == 1
+    _one_txn(spark, cat, 20, 30)
+    _one_txn(spark, cat, 30, 40)
+    assert cat.read(spark, "fact", tag="release-1").count() == 20
+    assert cat.read(spark, "fact").count() == 40
+    n_before = len(cat.numbered_snapshot())
+    merged = compact_catalog(cat, keep_last=0)
+    # only the two commits <= the tag number merge
+    assert merged == 2
+    assert len(cat.numbered_snapshot()) == n_before - 1
+    assert cat.read(spark, "fact", tag="release-1").count() == 20
+    assert cat.read(spark, "fact").count() == 40
+    # chain numbers past the tag are intact (fence monotone)
+    assert [n for n, _ in cat.numbered_snapshot()] == [0, 2, 3]
+
+
+def test_catalog_tag_guards(spark, cat):
+    _one_txn(spark, cat, 0, 5)
+    cat.create_tag("r1")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_tag("r1")
+    with pytest.raises(ValueError, match="out of range"):
+        cat.create_tag("r2", version=7)
+    with pytest.raises(ValueError, match="no such"):
+        cat.version_of_tag("nope")
+    with pytest.raises(ValueError, match="no such"):
+        cat.delete_tag("nope")
+    with pytest.raises(ValueError, match="at most one"):
+        cat.read(spark, "fact", version=0, tag="r1")
+    assert [t["name"] for t in cat.list_tags()] == ["r1"]
+    cat.delete_tag("r1")
+    assert cat.list_tags() == []
+    br = cat.create_branch("audit")
+    with pytest.raises(ValueError, match="main-catalog|parent"):
+        cat.branch("audit").create_tag("r3")
+    assert br["name"] == "audit"
+
+
+def test_catalog_tag_versus_branch_clamps_compose(spark, cat):
+    """Both clamp kinds present: compaction stops at whichever root
+    comes first."""
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        compact_catalog,
+    )
+
+    _one_txn(spark, cat, 0, 5)
+    _one_txn(spark, cat, 5, 10)
+    cat.create_tag("early", version=0)  # number 0 — clamps everything
+    _one_txn(spark, cat, 10, 15)
+    assert compact_catalog(cat, keep_last=0) == 0
+    cat.delete_tag("early")
+    assert compact_catalog(cat, keep_last=0) == 3
+    assert cat.read(spark, "fact").count() == 15
