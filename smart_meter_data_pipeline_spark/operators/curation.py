@@ -3226,3 +3226,125 @@ FROM per_l
 GROUP BY context_len
 """,
 )(corpus_pack_boundary_report)
+
+
+# RR keep-probability p = 12/16: first md5 nibble of the event id
+# below 12 keeps the true type; otherwise the response is uniform
+# over ALL k types (second nibble mod k), the classic Warner /
+# uniform-response mechanism.
+RR_KEEP_NIBBLES = 12
+RR_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL differential privacy next to ``events_dp_release``'s
+    central mechanism: RANDOMIZED RESPONSE (Warner 1965) — each row
+    independently keeps its true event type with p = 3/4 or answers
+    uniformly over all k types, so no single released row proves
+    anything about its user, yet the histogram inverts to an unbiased
+    estimate: E[obs_t] = p·n_t + (1−p)·n/k ⇒
+    n̂_t = (obs_t − (1−p)·n/k)/p, emitted here as the exact integer
+    numerator (20·obs_t − n) with denominator 15 (one final
+    division). The per-row coin is the portable md5-nibble hash of
+    the event id — deterministic replays release the SAME bits, the
+    property production local-DP needs so re-runs don't leak fresh
+    randomness (same argument as the central release's seeded noise).
+
+    Scale shape: one scan → per-type released counts (partial agg);
+    the estimator is scalar arithmetic over k rows."""
+    from smart_meter_data_pipeline_spark.operators.text import _HEXD
+
+    k = len(RR_TYPES)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    n1 = f"(instr('{_HEXD}', substr(md5(CAST(event_id AS STRING)), 1, 1)) - 1)"
+    n2 = f"(instr('{_HEXD}', substr(md5(CAST(event_id AS STRING)), 2, 1)) - 1)"
+    arr = ", ".join(f"'{t}'" for t in RR_TYPES)
+    released = ev.select(
+        "event_type",
+        F.expr(
+            f"CASE WHEN {n1} < {RR_KEEP_NIBBLES} THEN event_type "
+            f"ELSE element_at(array({arr}), CAST({n2} % {k} AS INT) + 1) "
+            "END"
+        ).alias("released_type"),
+    )
+    truth = released.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    obs = released.groupBy(
+        F.col("released_type").alias("event_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_observed"))
+    n_total = released.groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = truth.join(obs, "event_type", "full").crossJoin(
+        F.broadcast(n_total)
+    )
+    est_num = (
+        F.lit(20) * F.coalesce(F.col("n_observed"), F.lit(0))
+        - F.col("n")
+    ).cast("bigint")
+    return joined.select(
+        "event_type",
+        F.coalesce(F.col("n_true"), F.lit(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.coalesce(F.col("n_observed"), F.lit(0))
+        .cast("bigint")
+        .alias("n_observed"),
+        est_num.alias("est_num20"),
+        (est_num.cast("double") / 15.0).alias("n_estimated"),
+        (
+            est_num.cast("double") / 15.0
+            - F.coalesce(F.col("n_true"), F.lit(0)).cast("double")
+        ).alias("est_error"),
+    )
+
+
+def _register_randomized_response() -> None:
+    from smart_meter_data_pipeline_spark.operators.text import _HEXD
+
+    k = len(RR_TYPES)
+    arr = ", ".join(f"'{t}'" for t in RR_TYPES)
+    n1 = "(instr('" + _HEXD + "', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)"
+    n2 = "(instr('" + _HEXD + "', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1)"
+    register(
+        "events_randomized_response",
+        f"""
+WITH released AS (
+  SELECT event_type,
+         CASE WHEN {n1} < {RR_KEEP_NIBBLES} THEN event_type
+              ELSE list_extract([{arr}], CAST({n2} % {k} AS INT) + 1)
+         END AS released_type
+  FROM events
+),
+truth AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM released GROUP BY 1
+),
+obs AS (
+  SELECT released_type AS event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_observed
+  FROM released GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n FROM released)
+SELECT COALESCE(t.event_type, o.event_type) AS event_type,
+       CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(o.n_observed, 0) AS BIGINT) AS n_observed,
+       CAST(20 * COALESCE(o.n_observed, 0) - tot.n AS BIGINT)
+         AS est_num20,
+       CAST(20 * COALESCE(o.n_observed, 0) - tot.n AS DOUBLE) / 15.0
+         AS n_estimated,
+       CAST(20 * COALESCE(o.n_observed, 0) - tot.n AS DOUBLE) / 15.0
+         - CAST(COALESCE(t.n_true, 0) AS DOUBLE) AS est_error
+FROM truth t
+FULL JOIN obs o ON t.event_type = o.event_type
+CROSS JOIN tot
+""",
+    )(events_randomized_response)
+
+
+_register_randomized_response()
