@@ -3781,3 +3781,64 @@ SELECT r.reading_timestamp, r.meter_id,
        r.reading_consumption_milliwatts, d.is_solar, d.zone
 FROM readings r JOIN dim d USING (meter_id)""",
 )(catalog_tag_read)
+
+
+ROLLOVER_MODULUS = 2**24  # register width of the simulated meter
+
+
+def meter_rollover_correction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Counter ROLLOVER correction — the VEE (validate-estimate-edit)
+    step real AMI pipelines run before any delta math: a physical
+    meter register is a fixed-width counter that wraps to zero at its
+    modulus, and a naive LAG delta across the wrap goes hugely
+    negative, corrupting every downstream rollup. Simulated here by
+    wrapping the generator's cumulative counters at 2^24 (the max
+    interval draw ~1.5e6 mWh is far below the modulus, so a wrap is
+    unambiguous — the width condition real registers satisfy), then
+    corrected per interval with delta = (wrapped_delta + M) % M.
+
+    The proof is the HASH: the corrected deltas must equal the true
+    (unwrapped) stg deltas row-for-row — the oracle never sees the
+    wrapped counters. Wraps actually occurring is asserted in-query
+    (a correction that never fires is vacuous evidence).
+
+    Scale shape: identical to stg — one meter-partitioned LAG window,
+    all integer arithmetic."""
+    readings = gen_meter_readings(spark)
+    m = ROLLOVER_MODULUS
+    wrapped = readings.select(
+        "reading_timestamp",
+        "meter_id",
+        (F.col("reading_consumption_milliwatts") % m).alias("w"),
+    )
+    win = Window.partitionBy("meter_id").orderBy("reading_timestamp")
+    deltas = wrapped.select(
+        "reading_timestamp",
+        "meter_id",
+        F.coalesce(
+            F.col("w") - F.lag("w").over(win), F.col("w")
+        ).alias("raw_delta"),
+    )
+    n_wraps = deltas.filter(F.col("raw_delta") < 0).count()
+    if n_wraps == 0:
+        raise AssertionError(
+            "no rollovers occurred — the correction is untested"
+        )
+    return deltas.select(
+        "reading_timestamp",
+        "meter_id",
+        ((F.col("raw_delta") + m) % m)
+        .cast("bigint")
+        .alias("consumption_delta_mwh"),
+    )
+
+
+register(
+    "meter_rollover_correction",
+    f"""{_stg_cte()}
+SELECT reading_timestamp, meter_id,
+       CAST(consumption_delta_mwh AS BIGINT) AS consumption_delta_mwh
+FROM stg""",
+)(meter_rollover_correction)

@@ -190,6 +190,7 @@ _PRIORITY = [
     "events_auc_activity",
     "catalog_tag_read",
     "events_randomized_response",
+    "meter_rollover_correction",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",
