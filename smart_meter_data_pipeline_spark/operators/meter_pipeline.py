@@ -3842,3 +3842,93 @@ SELECT reading_timestamp, meter_id,
        CAST(consumption_delta_mwh AS BIGINT) AS consumption_delta_mwh
 FROM stg""",
 )(meter_rollover_correction)
+
+
+def manifest_cdc_replica_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC REPLICATION closed end-to-end: a follower table that sees
+    ONLY the leader's row-level change feed must converge to the
+    leader, or the feed is lossy — the completeness guarantee every
+    downstream replica, cache, and search index build rests on.
+    Scenario = ``manifest_cow_roundtrip``'s exactly (append →
+    evolving restatement MERGE → delete), replayed version by
+    version: inserts/update-postimages upsert into the follower,
+    deletes delete by pk, pre-images are ignored (they exist for
+    consumers that need the old value, not for state convergence).
+    The hash runs over the FOLLOWER's final read against the
+    leader-state oracle, so a single dropped / duplicated / misordered
+    change row breaks it. Schema evolution rides the feed (the
+    restatement adds ``correction_source``; the follower learns the
+    column from the feed's evolved schema, never from the leader's
+    log)."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_cdc_replica_q_")
+    try:
+        leader = ManifestTable(os.path.join(workdir, "leader"))
+        readings = gen_meter_readings(spark)
+        leader.idempotent_append(spark, readings)
+        restated = (
+            readings.filter(F.col("meter_id") % 7 == 3)
+            .withColumn(
+                "reading_consumption_milliwatts",
+                F.col("reading_consumption_milliwatts") + F.lit(10007),
+            )
+            .withColumn("correction_source", F.lit("restated"))
+        )
+        leader.upsert(spark, restated)
+        doomed = readings.filter(F.col("meter_id") % 11 == 5).select(
+            "reading_timestamp", "meter_id"
+        )
+        leader.delete_keys(spark, doomed)
+
+        follower = ManifestTable(os.path.join(workdir, "follower"))
+        n_versions = len(leader.snapshot())
+        for v in range(n_versions):
+            feed = leader.change_feed(spark, v - 1, v)
+            if feed is None:
+                continue
+            feed = feed.localCheckpoint(eager=True)
+            upserts = feed.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).drop("_change_type")
+            if upserts.limit(1).count():
+                if follower.read(spark) is None:
+                    follower.idempotent_append(spark, upserts)
+                else:
+                    follower.upsert(spark, upserts)
+            deletes = feed.filter(
+                F.col("_change_type") == "delete"
+            ).select("reading_timestamp", "meter_id")
+            if deletes.limit(1).count():
+                follower.delete_keys(spark, deletes)
+        final = follower.read(spark).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+            "correction_source",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_cdc_replica() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register(
+        "manifest_cdc_replica_roundtrip",
+        ORACLES["manifest_cow_roundtrip"],
+    )(manifest_cdc_replica_roundtrip)
+
+
+_register_cdc_replica()
