@@ -4695,3 +4695,133 @@ GROUP BY 1
 
 
 _register_sq_recall()
+
+
+N_HARD_ANCHORS = 50
+
+
+def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the step that separates a usable
+    contrastive dataset from a trivial one (random negatives are
+    already far away; the gradient signal lives in the near-misses):
+    for each anchor, the hardest negative is its nearest
+    DIFFERENT-label neighbor and the reference positive its nearest
+    SAME-label neighbor, with the margin (pos − neg cosine) attached
+    — margin < 0 flags anchors whose nearest neighbor is already a
+    wrong-label vector, exactly the triplets a fine-tune needs first.
+    Complements ``train_contrastive_triplets``' hash-stride negatives
+    (cheap, uniform) with the similarity-aware miner.
+
+    Scale shape: the anchor set broadcasts ({N_HARD_ANCHORS} rows);
+    the corpus scans once with per-row norms; two windowed top-1s
+    over the anchor-keyed pair stream (partition key = anchor —
+    bounded fan-in per task). At 100 TB the corpus side drops into
+    the label-aware IVF path unchanged (``ann_filtered_ivf_labelaware``
+    serves 'nearest with label != L' by probing posting lists)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", _dot("embedding", "embedding")
+    )
+    anchors = emb.filter(F.col("vec_id") < N_HARD_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm2").alias("a_norm2"),
+        F.col("label").alias("a_label"),
+    )
+    pairs = (
+        emb.join(
+            F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+        )
+        .withColumn("dot", _dot("a_emb", "embedding"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot") / (F.sqrt("a_norm2") * F.sqrt("norm2")), 12
+            ),
+        )
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            "label",
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    neg = (
+        pairs.filter(F.col("label") != F.col("a_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("hard_negative_id"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    pos = (
+        pairs.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    return neg.join(pos, "anchor_id", "inner").select(
+        "anchor_id",
+        "positive_id",
+        "pos_cosine",
+        "hard_negative_id",
+        "neg_cosine",
+        (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+    )
+
+
+register(
+    "train_hard_negatives",
+    f"""
+WITH pairs AS (
+  SELECT a.vec_id AS anchor_id, a.label AS a_label,
+         e.vec_id, e.label, a.embedding AS ae, e.embedding AS ee
+  FROM embeddings a, embeddings e
+  WHERE a.vec_id < {N_HARD_ANCHORS} AND e.vec_id <> a.vec_id
+),
+un AS (
+  SELECT anchor_id, a_label, vec_id, label,
+         CAST(unnest(ae) AS DOUBLE) AS x,
+         CAST(unnest(ee) AS DOUBLE) AS y
+  FROM pairs
+),
+cosines AS (
+  SELECT anchor_id, a_label, vec_id, label,
+         round(
+           CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE)
+           / (sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE))
+              * sqrt(CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE))),
+           12) AS cosine
+  FROM un GROUP BY 1, 2, 3, 4
+),
+neg AS (
+  SELECT anchor_id, vec_id AS hard_negative_id, cosine AS neg_cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cosine DESC, vec_id) AS rk
+    FROM cosines WHERE label <> a_label
+  ) WHERE rk = 1
+),
+pos AS (
+  SELECT anchor_id, vec_id AS positive_id, cosine AS pos_cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cosine DESC, vec_id) AS rk
+    FROM cosines WHERE label = a_label
+  ) WHERE rk = 1
+)
+SELECT n.anchor_id, p.positive_id, p.pos_cosine,
+       n.hard_negative_id, n.neg_cosine,
+       p.pos_cosine - n.neg_cosine AS margin
+FROM neg n JOIN pos p USING (anchor_id)
+""",
+)(train_hard_negatives)

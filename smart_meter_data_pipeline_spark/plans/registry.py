@@ -192,6 +192,7 @@ _PRIORITY = [
     "events_randomized_response",
     "meter_rollover_correction",
     "manifest_cdc_replica_roundtrip",
+    "train_hard_negatives",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",
