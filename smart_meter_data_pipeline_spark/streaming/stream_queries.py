@@ -3557,3 +3557,113 @@ FROM ranked WHERE rk <= {SAMPLE_K}
 
 
 _register_bottomk_sample()
+
+
+def stream_dr_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_dr_baseline``: the (day, hour) load
+    rollup runs as a streaming aggregation in complete mode — state is
+    days×24 rows BY CONSTRUCTION (the calendar bounds it, the
+    ``stream_hist_quantiles`` argument), nothing to evict — and the
+    10-in-10 ranking/settlement math runs batch over the drained
+    rollup, byte-identical to the batch operator's second half. In
+    production the stream maintains the rolling baseline table the
+    settlement job reads the morning after an event day; a fully
+    drained stream hash-equals the batch oracle."""
+    from smart_meter_data_pipeline_spark.operators.events_pipeline import (
+        DR_BASELINE_DAYS,
+        DR_EVENT_DAYS,
+        DR_HOURS,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("load_dec"))
+    sink = f"stream_drb_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    rolled = spark.table(sink).select(
+        "d", "hr", F.col("load_dec").cast("double").alias("load")
+    )
+    evt_days = [F.lit(x).cast("date") for x in DR_EVENT_DAYS]
+    is_evt = F.col("d").isin(*[F.lit(x) for x in DR_EVENT_DAYS])
+    pool = rolled.filter(~is_evt).select(
+        F.col("d").alias("pool_d"), F.col("hr").alias("pool_hr"), "load"
+    )
+    grid = spark.range(len(DR_EVENT_DAYS) * len(DR_HOURS)).select(
+        F.element_at(
+            F.array(*evt_days), (F.col("id") % 2 + 1).cast("int")
+        ).alias("event_day"),
+        F.element_at(
+            F.array(*[F.lit(h) for h in DR_HOURS]),
+            (F.col("id") / 2 + 1).cast("int"),
+        ).alias("hr"),
+    )
+    w = Window.partitionBy("event_day", "hr").orderBy(
+        F.col("pool_d").desc()
+    )
+    cand = (
+        grid.join(
+            pool,
+            (F.col("pool_hr") == F.col("hr"))
+            & (F.col("pool_d") < F.col("event_day")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DR_BASELINE_DAYS)
+    )
+    base = cand.groupBy("event_day", "hr").agg(
+        F.count("*").cast("bigint").alias("n_baseline_days"),
+        F.sum(F.col("load").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("baseline_sum"),
+    )
+    actual = rolled.filter(is_evt).select(
+        F.col("d").alias("event_day"),
+        F.col("hr").alias("a_hr"),
+        F.col("load").alias("actual_load"),
+    )
+    out = (
+        base.join(
+            actual,
+            (base["event_day"] == actual["event_day"])
+            & (F.col("a_hr") == F.col("hr")),
+            "left",
+        )
+        .select(
+            base["event_day"],
+            "hr",
+            "n_baseline_days",
+            (
+                F.col("baseline_sum")
+                / F.col("n_baseline_days").cast("double")
+            ).alias("baseline_load"),
+            F.coalesce(F.col("actual_load"), F.lit(0.0)).alias(
+                "actual_load"
+            ),
+            (
+                F.col("baseline_sum")
+                / F.col("n_baseline_days").cast("double")
+                - F.coalesce(F.col("actual_load"), F.lit(0.0))
+            ).alias("reduction"),
+        )
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _register_stream_dr_baseline() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register("stream_dr_baseline", ORACLES["events_dr_baseline"])(
+        stream_dr_baseline
+    )
+
+
+_register_stream_dr_baseline()
