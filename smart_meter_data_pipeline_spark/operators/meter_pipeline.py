@@ -3932,3 +3932,112 @@ def _register_cdc_replica() -> None:
 
 
 _register_cdc_replica()
+
+
+def manifest_index_point_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact SECONDARY INDEX under the driver gate (sources/index.py
+    — the Hyperspace shape: index an EXISTING table post-hoc, no
+    rewrite, no write-time opt-in): the generator day gains a derived
+    high-cardinality STRING ``account_code`` (200 distinct — past the
+    dictionary's per-file budget on unclustered layouts, non-integer
+    so the Bloom can't hash it, unordered so zone maps can't bound
+    it), gets meter-clustered by OPTIMIZE, then a posting index is
+    built and a two-account point read is served through it:
+
+    - asserts the index actually skipped (files_read < files_live),
+    - appends a SECOND day WITHOUT refreshing and hash-checks the
+      stale-index read over BOTH days — unindexed files are read
+      unconditionally, so refresh lag can never lose rows (the
+      soundness rule every index here follows),
+    - refreshes and asserts the skip returns.
+
+    The reference gets this from its Postgres PK index for free
+    (01_create_schema.sql); this is the immutable-parquet rebuild."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.index import (
+        index_point_read,
+        refresh_index,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        optimize_table,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_idx_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        acct = F.concat(
+            F.lit("AC"), F.lpad(F.col("meter_id").cast("string"), 5, "0")
+        )
+        day1 = gen_meter_readings(spark).withColumn("account_code", acct)
+        t.idempotent_append(spark, day1)
+        optimize_table(
+            t, spark, target_partitions=16, cluster_by=["meter_id"]
+        )
+        refresh_index(t, spark, "account_code")
+        probe = ["AC00017", "AC00091"]
+        _, rep = index_point_read(t, spark, "account_code", probe)
+        if not (0 < rep["files_read"] < rep["files_live"]):
+            raise AssertionError(f"index skipped nothing: {rep}")
+        day2 = day1.withColumn(
+            "reading_timestamp",
+            F.expr("timestampadd(DAY, 1, reading_timestamp)"),
+        )
+        t.idempotent_append(spark, day2)
+        stale_df, stale_rep = index_point_read(
+            t, spark, "account_code", probe
+        )
+        if stale_rep["files_unindexed"] == 0:
+            raise AssertionError(
+                f"staleness case not exercised: {stale_rep}"
+            )
+        res = refresh_index(t, spark, "account_code")
+        if res["files_indexed"] == 0:
+            raise AssertionError("refresh indexed nothing")
+        fresh_df, fresh_rep = index_point_read(
+            t, spark, "account_code", probe
+        )
+        # day 2 appended UNCLUSTERED, so its files genuinely contain
+        # the probe accounts — the refresh's guarantee is that the
+        # unconditional-read set empties and the candidate set never
+        # grows, not that unclustered data becomes skippable
+        if fresh_rep["files_unindexed"] != 0:
+            raise AssertionError(f"refresh left files unindexed: {fresh_rep}")
+        if fresh_rep["files_read"] > stale_rep["files_read"]:
+            raise AssertionError(
+                f"refresh grew the candidate set: {fresh_rep} "
+                f"vs stale {stale_rep}"
+            )
+        if fresh_df.count() != stale_df.count():
+            raise AssertionError(
+                "stale and fresh index reads disagree"
+            )
+        return fresh_df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_index_point_read",
+    f"""WITH {_readings_cte()},
+tagged AS (
+  SELECT *, 'AC' || lpad(CAST(meter_id AS VARCHAR), 5, '0')
+           AS account_code
+  FROM readings
+),
+both_days AS (
+  SELECT * FROM tagged
+  UNION ALL
+  SELECT reading_timestamp + INTERVAL 1 DAY, meter_id,
+         reading_consumption_milliwatts, reading_production_milliwatts,
+         status, account_code
+  FROM tagged
+)
+SELECT * FROM both_days
+WHERE account_code IN ('AC00017', 'AC00091')""",
+)(manifest_index_point_read)

@@ -194,6 +194,7 @@ _PRIORITY = [
     "manifest_cdc_replica_roundtrip",
     "train_hard_negatives",
     "stream_dr_baseline",
+    "manifest_index_point_read",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",
