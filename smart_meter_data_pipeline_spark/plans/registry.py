@@ -195,6 +195,7 @@ _PRIORITY = [
     "train_hard_negatives",
     "stream_dr_baseline",
     "manifest_index_point_read",
+    "stream_index_maintenance",
     # (r10-evaluated) round-10 driver window — evaluated, 50/50
     # hash-match (4 changed-computation + 46 never-evaluated)
     "orders_rfm_segments",

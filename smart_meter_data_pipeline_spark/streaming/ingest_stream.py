@@ -61,6 +61,7 @@ def start_ingest_stream(
     sink: str = "lock",
     version_col: str = "reading_consumption_milliwatts",
     branch: str | None = None,
+    index_column: str | None = None,
 ) -> StreamingQuery:
     """readStream → classify → observe → foreachBatch idempotent append.
 
@@ -103,6 +104,17 @@ def start_ingest_stream(
     the stream lands on an audit branch, main serves untouched until
     ``fast_forward`` squash-publishes the drained result). Requires a
     manifest sink; the flock path has no branch concept."""
+    if index_column is not None and (
+        branch is not None
+        or sink
+        not in ("manifest", "manifest_upsert", "manifest_upsert_if_newer")
+    ):
+        raise ValueError(
+            "index_column requires a table-level manifest sink on "
+            f"main (got sink={sink!r}, branch={branch!r}) — the "
+            "posting index lives on the main table and an audit "
+            "branch's files are not visible to it until publish"
+        )
     if branch is not None and sink not in (
         "manifest",
         "manifest_upsert",
@@ -212,6 +224,26 @@ def start_ingest_stream(
                 )
             else:
                 idempotent_append(batch_df.sparkSession, valid, target)
+            if index_column is not None:
+                # per-batch secondary-index maintenance: the refresh
+                # is incremental (only this batch's new files scan)
+                # and pk-idempotent, so a replayed batch re-lands
+                # nothing — and a crash BETWEEN commit and refresh
+                # just leaves the index stale, which the read path
+                # serves correctly anyway (unindexed files are read
+                # unconditionally; sources/index.py soundness rule)
+                from smart_meter_data_pipeline_spark.sources.index import (
+                    refresh_index,
+                )
+                from smart_meter_data_pipeline_spark.sources.manifest import (
+                    ManifestTable,
+                )
+
+                refresh_index(
+                    ManifestTable(target),
+                    batch_df.sparkSession,
+                    index_column,
+                )
             if quarantine_target is not None:
                 (
                     quarantine.withColumn("batch_id", F.lit(batch_id))

@@ -3667,3 +3667,94 @@ def _register_stream_dr_baseline() -> None:
 
 
 _register_stream_dr_baseline()
+
+
+def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SECONDARY-INDEX maintenance: two time-split
+    deliveries drain through the manifest sink with
+    ``index_column="meter_id"`` — every micro-batch commit is
+    followed by an incremental posting-index refresh (only that
+    batch's files scan; pk-idempotent, so replays re-land nothing;
+    a crash between commit and refresh merely leaves the index
+    stale, which the read path serves correctly by reading unindexed
+    files unconditionally). After the drain the index must be FRESH
+    (zero unindexed files, asserted) and a point read served through
+    it hash-equals the relational filter — the streaming half of the
+    Hyperspace story: the index keeps up with ingest instead of
+    being rebuilt nightly."""
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        gen_meter_readings,
+    )
+    from smart_meter_data_pipeline_spark.sources.index import (
+        index_point_read,
+    )
+    from smart_meter_data_pipeline_spark.streaming.ingest_stream import (
+        start_ingest_stream,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_idx_stream_")
+    src = os.path.join(workdir, "messages")
+    target = os.path.join(workdir, "fact")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        readings = gen_meter_readings(spark)
+        cut = F.lit("2024-01-01 12:00:00").cast("timestamp")
+        _wire_format(
+            readings.filter(F.col("reading_timestamp") < cut)
+        ).select("value").coalesce(2).write.mode("overwrite").text(
+            os.path.join(src, "d1")
+        )
+        _wire_format(
+            readings.filter(F.col("reading_timestamp") >= cut)
+        ).select("value").coalesce(2).write.mode("overwrite").text(
+            os.path.join(src, "d2")
+        )
+        q = start_ingest_stream(
+            spark,
+            os.path.join(src, "*", "*.txt"),
+            target,
+            ckpt,
+            available_now=True,
+            sink="manifest",
+            index_column="meter_id",
+        )
+        q.awaitTermination()
+        from smart_meter_data_pipeline_spark.sources.manifest import (
+            ManifestTable,
+        )
+
+        out, rep = index_point_read(
+            ManifestTable(target), spark, "meter_id", [17, 91]
+        )
+        if rep["files_unindexed"] != 0:
+            raise AssertionError(
+                f"index stale after full drain: {rep}"
+            )
+        final = out.select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "reading_production_milliwatts",
+            "status",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_index_maintenance() -> None:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _readings_cte,
+    )
+
+    register(
+        "stream_index_maintenance",
+        f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM readings WHERE meter_id IN (17, 91)""",
+    )(stream_index_maintenance)
+
+
+_register_stream_index_maintenance()
