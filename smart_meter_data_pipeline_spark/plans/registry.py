@@ -85,12 +85,13 @@ _PRIORITY = [
     # + 12 (r9-new) + the first ~21 of (r10-new). FOR ROUND 12:
     # rotate again — promote, in order, (a) any query whose
     # computation changed in r12, (b) the (r10-new) tail past the
-    # r11 window (~10 queries), (c) the (r11-new) section (25
+    # r11 window (~10 queries), (c) the (r11-new) section (32
     # round-11 additions — every one builder-proven at sf0.001,
-    # sf0.01 AND sf0.1, no driver row yet). (b)+(c) ≈ 35 fits one
-    # window with room; after r12 every registered query has a
-    # driver row and staleness rotation restarts from (stale),
-    # stalest round first.
+    # sf0.01 AND sf0.1, no driver row yet; the whole registry was
+    # also driver-contract-proven in-session at sf0.01, see
+    # PROGRESS). (b)+(c) ≈ 42 fits one ~50 window; after r12 every
+    # registered query has a driver row and staleness rotation
+    # restarts from (stale), stalest round first.
     # (r11-changed) delete_where classification rebuilt this round
     # (commit-log stats first, distributed footer fallback — VERDICT
     # r10 perf_weak #1) — values unchanged, fresh row wanted first:
