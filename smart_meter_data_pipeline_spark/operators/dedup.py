@@ -2526,8 +2526,27 @@ def connected_components_star(
             and e.exceptAll(e_new).limit(1).count() == 0
         ):
             e = e_new
+            converged = True
             break
         e = e_new
+    else:
+        converged = False
+    if not converged:
+        # Exhausting max_iter without the fixed point means e is NOT
+        # a star set: nodes can hold multiple outgoing pointers, so
+        # the join below would emit duplicate (node, component) rows
+        # with non-minimal labels — silently wrong (round-11 advice).
+        # Alternation converges in O(log² n) rounds w.h.p. (Kiveris
+        # et al. Thm 3), so 14 covers any real graph; exhaustion
+        # signals a pathological input or a too-small override — fail
+        # loudly, never return garbage labels. (Min-label propagation
+        # is NOT a safe fallback here: it needs O(diameter) rounds,
+        # which is exactly the regime this operator exists to avoid.)
+        raise RuntimeError(
+            "connected_components_star: no fixed point after "
+            f"{max_iter} large-star/small-star alternations — raise "
+            "max_iter (convergence is O(log^2 n) rounds w.h.p.)"
+        )
     labels = nodes.join(
         e.selectExpr("u AS node", "v AS _ptr"), "node", "left"
     ).select(

@@ -1500,49 +1500,40 @@ DR_HOURS = (17, 18, 19, 20)
 DR_BASELINE_DAYS = 10
 
 
-def events_dr_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Demand-response settlement baseline — the utility "10-in-10"
-    method (CAISO/PJM customer-baseline-load): for each DR event day
-    and event-window hour, the baseline is the average same-hour load
-    over the 10 most recent prior NON-EVENT days, and the settled
-    reduction is baseline − actual. This is the missing half of the
-    meter pipeline's peak analytics (peak shaving SELECTS who to
-    curtail; this SETTLES what they actually shed), run on the events
-    table (user activity ~ metered load, hour-of-day grid).
-
-    Scale shape: one scan → (day, hour) partial-aggregated rollup
-    (≤ days×24 rows at ANY corpus size — the fact table never leaves
-    its aggregation), then a broadcast-sized self-join of that rollup
-    against the 8 event cells ranked per cell. No window over fact
-    cardinality, no driver loop. Exactness: per-cell loads are
-    exact-decimal sums; the baseline divides the exact sum by the day
-    COUNT as the final double op (deterministic; house float rule)."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.to_date("ts").alias("d"),
-            F.hour("ts").alias("hr"),
-        )
-        .agg(dsum("value", "load"))
-        .localCheckpoint(eager=False)
-    )
+def dr_event_grid(spark: SparkSession) -> DataFrame:
+    """The |DR_EVENT_DAYS| × |DR_HOURS| event-cell frame, with the
+    div/mod factors DERIVED from the tuples' lengths (round-12
+    advice: a hardcoded factor silently builds a wrong grid when the
+    event calendar changes). Shared by the batch settlement and its
+    streaming twin."""
+    n_days = len(DR_EVENT_DAYS)
     evt_days = [F.lit(d).cast("date") for d in DR_EVENT_DAYS]
+    return spark.range(n_days * len(DR_HOURS)).select(
+        F.element_at(
+            F.array(*evt_days),
+            (F.col("id") % n_days + 1).cast("int"),
+        ).alias("event_day"),
+        F.element_at(
+            F.array(*[F.lit(h) for h in DR_HOURS]),
+            (F.floor(F.col("id") / n_days) + 1).cast("int"),
+        ).alias("hr"),
+    )
+
+
+def dr_settlement(rolled: DataFrame) -> DataFrame:
+    """The 10-in-10 ranking + settlement half over a (d, hr, load)
+    rollup — shared verbatim by :func:`events_dr_baseline` and the
+    streaming twin (``stream_dr_baseline``), so the two entry points
+    can never drift (round-12 advice: the twin carried a ~60-line
+    copy). The rollup is calendar-bounded (≤ days×24 rows), so every
+    frame here is broadcast-sized; the rank-1..10 window runs over
+    pool days per event cell, never over fact rows."""
+    spark = rolled.sparkSession
     is_evt = F.col("d").isin(*[F.lit(d) for d in DR_EVENT_DAYS])
-    pool = daily.filter(~is_evt).select(
+    pool = rolled.filter(~is_evt).select(
         F.col("d").alias("pool_d"), F.col("hr").alias("pool_hr"), "load"
     )
-    grid = (
-        spark.range(len(DR_EVENT_DAYS) * len(DR_HOURS))
-        .select(
-            F.element_at(
-                F.array(*evt_days), (F.col("id") % 2 + 1).cast("int")
-            ).alias("event_day"),
-            F.element_at(
-                F.array(*[F.lit(h) for h in DR_HOURS]),
-                (F.col("id") / 2 + 1).cast("int"),
-            ).alias("hr"),
-        )
-    )
+    grid = dr_event_grid(spark)
     w = Window.partitionBy("event_day", "hr").orderBy(
         F.col("pool_d").desc()
     )
@@ -1559,7 +1550,7 @@ def events_dr_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_baseline_days"),
         dsum("load", "baseline_sum"),
     )
-    actual = daily.filter(is_evt).select(
+    actual = rolled.filter(is_evt).select(
         F.col("d").alias("event_day"),
         F.col("hr").alias("a_hr"),
         F.col("load").alias("actual_load"),
@@ -1589,6 +1580,35 @@ def events_dr_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction"),
         )
     )
+
+
+def events_dr_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-response settlement baseline — the utility "10-in-10"
+    method (CAISO/PJM customer-baseline-load): for each DR event day
+    and event-window hour, the baseline is the average same-hour load
+    over the 10 most recent prior NON-EVENT days, and the settled
+    reduction is baseline − actual. This is the missing half of the
+    meter pipeline's peak analytics (peak shaving SELECTS who to
+    curtail; this SETTLES what they actually shed), run on the events
+    table (user activity ~ metered load, hour-of-day grid).
+
+    Scale shape: one scan → (day, hour) partial-aggregated rollup
+    (≤ days×24 rows at ANY corpus size — the fact table never leaves
+    its aggregation), then a broadcast-sized self-join of that rollup
+    against the 8 event cells ranked per cell. No window over fact
+    cardinality, no driver loop. Exactness: per-cell loads are
+    exact-decimal sums; the baseline divides the exact sum by the day
+    COUNT as the final double op (deterministic; house float rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(dsum("value", "load"))
+        .localCheckpoint(eager=False)
+    )
+    return dr_settlement(daily)
 
 
 register(

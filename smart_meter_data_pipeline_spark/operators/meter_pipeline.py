@@ -3947,6 +3947,12 @@ def manifest_index_point_read(
     built and a two-account point read is served through it:
 
     - asserts the index actually skipped (files_read < files_live),
+    - asserts the index skipped ON ITSELF (round 12): postings are
+      range-clustered by value at refresh and the posting table
+      records string min/max per file, so the lookup opens a strict
+      subset of POSTING files too — without this, every "indexed"
+      probe of a million-file table would full-scan a posting table
+      that is itself ~10⁹ rows,
     - appends a SECOND day WITHOUT refreshing and hash-checks the
       stale-index read over BOTH days — unindexed files are read
       unconditionally, so refresh lag can never lose rows (the
@@ -3979,11 +3985,19 @@ def manifest_index_point_read(
         optimize_table(
             t, spark, target_partitions=16, cluster_by=["meter_id"]
         )
-        refresh_index(t, spark, "account_code")
+        refresh_index(t, spark, "account_code", posting_partitions=8)
         probe = ["AC00017", "AC00091"]
         _, rep = index_point_read(t, spark, "account_code", probe)
         if not (0 < rep["files_read"] < rep["files_live"]):
             raise AssertionError(f"index skipped nothing: {rep}")
+        if not (
+            0
+            < rep["posting_files_read"]
+            < rep["posting_files_live"]
+        ):
+            raise AssertionError(
+                f"posting table skipped nothing on itself: {rep}"
+            )
         day2 = day1.withColumn(
             "reading_timestamp",
             F.expr("timestampadd(DAY, 1, reading_timestamp)"),
@@ -4020,6 +4034,102 @@ def manifest_index_point_read(
         return fresh_df.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def manifest_index_gc_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Posting-index LIFECYCLE under the driver gate (round 12 —
+    closing the round-11 "index grows without bound" completion):
+    land the generator day with a derived ``account_code``, index it,
+    then a copy-on-write restatement (meters ≡2 mod 9 → status 'P')
+    rewrites files and strands their postings; a second refresh
+    indexes the rewrite's new files, ``vacuum_index`` GCs the stale
+    postings (asserted non-zero, then asserted GONE by an anti-join
+    against the live file set), and the final point read — one
+    restated account, one untouched — is served through the cleaned
+    index with zero unindexed files and hash-checked against the
+    relational filter. sources/index.py:vacuum_index rides the
+    posting table's own delete_keys_mor + apply_tombstones, so the
+    GC is itself the manifest mutation protocol, not a bespoke
+    rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.index import (
+        _index_table,
+        index_point_read,
+        refresh_index,
+        vacuum_index,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_idx_gc_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        acct = F.concat(
+            F.lit("AC"), F.lpad(F.col("meter_id").cast("string"), 5, "0")
+        )
+        day1 = gen_meter_readings(spark).withColumn("account_code", acct)
+        t.idempotent_append(spark, day1)
+        refresh_index(t, spark, "account_code", posting_partitions=8)
+        up = day1.filter(F.col("meter_id") % 9 == 2).withColumn(
+            "status", F.lit("P")
+        )
+        t.upsert(spark, up)
+        refresh_index(t, spark, "account_code", posting_partitions=4)
+        rep = vacuum_index(t, spark, "account_code")
+        if rep["postings_removed"] == 0:
+            raise AssertionError(
+                "CoW rewrite stranded no postings — GC not exercised"
+            )
+        idx = _index_table(t, "account_code")
+        live_rels = sorted(
+            os.path.relpath(f, t.data_dir)
+            for f in t._files([c for _, c in t.numbered_snapshot()])
+        )
+        n_stale = (
+            idx.read(spark)
+            .join(
+                spark.createDataFrame(
+                    [(r,) for r in live_rels], "rel_file string"
+                ),
+                "rel_file",
+                "left_anti",
+            )
+            .count()
+        )
+        if n_stale != 0:
+            raise AssertionError(
+                f"{n_stale} stale postings survived vacuum_index"
+            )
+        probe = ["AC00002", "AC00017"]
+        out, rep2 = index_point_read(t, spark, "account_code", probe)
+        if rep2["files_unindexed"] != 0:
+            raise AssertionError(f"index stale after refresh: {rep2}")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_index_gc_roundtrip",
+    f"""WITH {_readings_cte()},
+tagged AS (
+  SELECT *, 'AC' || lpad(CAST(meter_id AS VARCHAR), 5, '0')
+           AS account_code
+  FROM readings
+)
+SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       reading_production_milliwatts,
+       CASE WHEN meter_id % 9 = 2 THEN 'P' ELSE status END AS status,
+       account_code
+FROM tagged
+WHERE account_code IN ('AC00002', 'AC00017')""",
+)(manifest_index_gc_roundtrip)
 
 
 register(

@@ -4697,6 +4697,212 @@ GROUP BY 1
 _register_sq_recall()
 
 
+def ann_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × SQ8 — the COMBINED serving rung (round 12, closing the
+    round-11 gap: ``embedding_sq_recall`` isolated the quantization
+    loss and claimed the int8 column "drops into the IVF paths
+    unchanged", but no query actually served the combination). This
+    is FAISS's ``IVF{IVF_NLIST},SQ8``: coarse probing stays FLOAT
+    (queries keep their full-precision embedding; only the CORPUS is
+    compressed — probing cost is |centroids|-bounded so compressing
+    it buys nothing), and the within-cell ranking runs on the int8
+    codes with the exact integer dot product. Recall@{TOP_K} is
+    reported against the float-exact brute-force baseline, so the
+    number now carries BOTH losses (index truncation + quantization)
+    — the figure a capacity plan actually needs.
+
+    Scale shape: scales are one 64-double broadcast; the probe join
+    is broadcast-sized (N_QUERIES × NPROBE rows carrying the query
+    codes); candidates come from an equi-join on cell_id against a
+    NPROBE/{IVF_NLIST} corpus fraction — at 100 TB the scan never
+    touches un-probed cells and moves 4×-smaller vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cells = ivf_cell_assignments(emb)
+    scales = (
+        emb.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.max(F.abs(F.col("v").cast("double"))).alias("s"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))),
+                lambda t: t.s,
+            ).alias("scales")
+        )
+    )
+    quant = emb.crossJoin(F.broadcast(scales)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CAST(CASE WHEN scales[i] > 0 THEN "
+            "floor(CAST(x AS DOUBLE) * 127.0 / scales[i]) "
+            "ELSE 0 END AS BIGINT))"
+        ).alias("qv"),
+    )
+    qe = quant.join(cells, "vec_id")
+    raw = emb.withColumn("norm2", _dot("embedding", "embedding"))
+    cent = raw.filter(_ivf_seed_pred()).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    q = raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dot", _dot("q_embedding", "c_embedding"))
+        .withColumn(
+            "c_cos",
+            F.round(
+                F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("c_norm2")),
+                12,
+            ),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= NPROBE)
+        .select("query_id", F.col("centroid_id").alias("probe_cell"))
+    )
+    qq = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    probe_codes = probes.join(qq, "query_id")
+    scored = qe.join(
+        F.broadcast(probe_codes),
+        (F.col("cell_id") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "aggregate(zip_with(q_qv, qv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    sq_top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = ann_topk_cosine(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("e_neighbor")
+    )
+    return (
+        exact.join(
+            sq_top,
+            (exact["query_id"] == sq_top["query_id"])
+            & (F.col("e_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy(exact["query_id"])
+        .agg(
+            F.count(sq_top["neighbor_id"]).cast("bigint").alias("n_hits"),
+            (
+                F.count(sq_top["neighbor_id"]) * (1000 // TOP_K)
+            ).cast("bigint").alias("recall_permille"),
+        )
+    )
+
+
+def _register_ivf_sq8_recall() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register(
+        "ann_ivf_sq8_recall",
+        f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding
+  FROM embeddings WHERE {_IVF_SEED_SQL}
+),
+acand AS (
+  SELECT e.vec_id AS l_id, c.centroid_id AS r_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.embedding) AS DOUBLE) AS y
+  FROM embeddings e, cent c
+),
+adots AS ({_IVF_DOTS.format(pairs_sql="SELECT * FROM acand")}),
+acells AS (
+  SELECT l_id AS vec_id, r_id AS cell_id,
+         row_number() OVER (
+           PARTITION BY l_id
+           ORDER BY round(dot / (sqrt(nl) * sqrt(nr)), 12) DESC, r_id
+         ) AS rn
+  FROM adots
+),
+cells AS (SELECT vec_id, cell_id FROM acells WHERE rn = 1),
+qcand AS (
+  SELECT q.vec_id AS l_id, c.centroid_id AS r_id,
+         CAST(unnest(q.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.embedding) AS DOUBLE) AS y
+  FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+),
+qdots AS ({_IVF_DOTS.format(pairs_sql="SELECT * FROM qcand")}),
+qprobes AS (
+  SELECT l_id AS query_id, r_id AS cell_id,
+         row_number() OVER (
+           PARTITION BY l_id
+           ORDER BY round(dot / (sqrt(nl) * sqrt(nr)), 12) DESC, r_id
+         ) AS rn
+  FROM qdots
+),
+probes AS (SELECT query_id, cell_id FROM qprobes WHERE rn <= {NPROBE}),
+expl AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+scales AS (
+  SELECT d, MAX(ABS(v)) AS s FROM expl GROUP BY 1
+),
+quant AS (
+  SELECT e.vec_id, e.d,
+         CAST(CASE WHEN s.s > 0 THEN FLOOR(e.v * 127.0 / s.s)
+              ELSE 0 END AS BIGINT) AS qv
+  FROM expl e JOIN scales s USING (d)
+),
+sq_dots AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id,
+         CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS score
+  FROM probes p
+  JOIN cells cl ON cl.cell_id = p.cell_id AND cl.vec_id <> p.query_id
+  JOIN quant qa ON qa.vec_id = p.query_id
+  JOIN quant qb ON qb.vec_id = cl.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2
+),
+sq_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rk
+    FROM sq_dots
+  ) WHERE rk <= {TOP_K}
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["ann_topk_cosine"]}) t
+)
+SELECT e.query_id,
+       CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(s.neighbor_id) * {1000 // TOP_K} AS BIGINT)
+         AS recall_permille
+FROM exact_top e
+LEFT JOIN sq_top s
+  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+GROUP BY 1
+""",
+    )(ann_ivf_sq8_recall)
+
+
+_register_ivf_sq8_recall()
+
+
 N_HARD_ANCHORS = 50
 
 

@@ -765,6 +765,19 @@ class ManifestTable:
                         for c, vs in where_in.items()
                     },
                 )
+                # Posting-index consultation (round 12): a CURRENT
+                # read whose where_in column carries a secondary
+                # index intersects with the index's exact candidate
+                # set — point reads through the STANDARD read path
+                # get posting-exact pruning, no dedicated API needed.
+                # Current-only: time-travel snapshots must not
+                # consult it (vacuum_index keeps postings only for
+                # currently-live files). Lazy import keeps the
+                # module dependency one-way (index -> manifest).
+                if version is None:
+                    files = self._prune_by_posting_index(
+                        spark, files, where_in, numbered
+                    )
             if not files:
                 if schema is not None:
                     return spark.createDataFrame([], schema)
@@ -808,6 +821,40 @@ class ManifestTable:
         if not fields:
             return None
         return StructType(list(fields.values()))
+
+    def _prune_by_posting_index(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        where_in: dict,
+        numbered: list[tuple[int, dict]],
+    ) -> list[str]:
+        """Intersect the candidate files with every consulted
+        secondary index's exact candidate set (sources/index.py).
+        Only columns that HAVE a refreshed index directory consult
+        it; the index set is ``(postings ∩ live) ∪ unindexed``, an
+        over-approximation of the files containing the values, so
+        intersecting stays sound on the current snapshot."""
+        for col, vs in where_in.items():
+            idx_dir = os.path.join(self.table_dir, "_indexes", col)
+            if not os.path.isdir(idx_dir):
+                continue
+            from smart_meter_data_pipeline_spark.sources.index import (
+                index_candidate_files,
+            )
+
+            cand, _ = index_candidate_files(
+                self,
+                spark,
+                col,
+                [v for v in vs if v is not None],
+                numbered,
+            )
+            cand_set = set(cand)
+            files = [f for f in files if f in cand_set]
+            if not files:
+                break
+        return files
 
     def skipping_report(
         self, where: dict | None = None, where_in: dict | None = None
@@ -1102,6 +1149,19 @@ class ManifestTable:
                     continue
                 mn, mx, nulls = e
                 lo, hi = self._stat_int(mn), self._stat_int(mx)
+                if (
+                    lo is None
+                    and hi is None
+                    and isinstance(mn, str)
+                    and isinstance(mx, str)
+                ):
+                    # STRING min/max (round 12): recorded verbatim —
+                    # parquet writers that truncate statistics keep
+                    # min a prefix (a sound lower bound) and bump the
+                    # truncated max above the true max (a sound upper
+                    # bound), so skipping stays an over-approximation
+                    # either way. JSON stores them natively.
+                    lo, hi = mn, mx
                 if lo is not None and hi is not None:
                     per_col[name] = (
                         [lo, hi, int(nulls)]
@@ -1314,6 +1374,29 @@ class ManifestTable:
         return None
 
     @staticmethod
+    def _stat_key(v):
+        """``_stat_int`` widened with STRINGS (round 12): a string
+        stat passes through as-is. Parquet string min/max are
+        byte-lexicographic over UTF-8, which orders identically to
+        Python's codepoint comparison, so recorded string bounds and
+        query string bounds compare soundly — what makes the posting
+        index's range-clustered string ``v`` column zone-map
+        prunable. Comparisons MUST still be type-homogeneous
+        (``_stats_comparable``): a string never compares against a
+        numeric sentinel."""
+        if isinstance(v, str):
+            return v
+        return ManifestTable._stat_int(v)
+
+    @staticmethod
+    def _stats_comparable(a, b) -> bool:
+        """True when two stat values live in the same order domain
+        (both strings or both numbers) — the guard that keeps a
+        mixed-type comparison from raising instead of falling back
+        to keep-the-file."""
+        return isinstance(a, str) == isinstance(b, str)
+
+    @staticmethod
     def _batch_key_ranges(keys: DataFrame, stat_cols: list[str]) -> dict:
         """Engine-side {col: (min, max)} over the mutation batch's key
         frame. TIMESTAMP columns are reduced to UTC epoch MICROSECONDS
@@ -1361,13 +1444,15 @@ class ManifestTable:
         Legacy single-column entries (``[min, max]`` lists) are read
         as the default column's range."""
         key_ranges = {
-            c: (self._stat_int(mn), self._stat_int(mx))
+            c: (self._stat_key(mn), self._stat_key(mx))
             for c, (mn, mx) in key_ranges.items()
         }
         key_ranges = {
             c: (mn, mx)
             for c, (mn, mx) in key_ranges.items()
-            if mn is not None and mx is not None
+            if mn is not None
+            and mx is not None
+            and self._stats_comparable(mn, mx)
         }
         if not key_ranges:
             return files
@@ -1385,6 +1470,11 @@ class ManifestTable:
                 e = {self.STATS_COLUMN: e}
             disjoint = any(
                 col in e
+                # type-heterogeneous record vs range (a string stat
+                # against a numeric open-bound sentinel): keep the
+                # file — skipping is an optimization, never a filter
+                and self._stats_comparable(e[col][0], mn)
+                and self._stats_comparable(e[col][1], mx)
                 and (e[col][1] < mn or e[col][0] > mx)
                 for col, (mn, mx) in key_ranges.items()
             )
@@ -1405,6 +1495,8 @@ class ManifestTable:
         batch: DataFrame,
         pk: list[str] = PK,
         max_retries: int = 20,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
     ) -> int:
         """PK-idempotent append through the commit log — the
         ``MERGE WHEN NOT MATCHED THEN INSERT`` of the manifest world.
@@ -1464,6 +1556,25 @@ class ManifestTable:
                     self._discard_stage(staged)
                     return 0
                 if not staged:
+                    if cluster_by:
+                        # write-time clustering (round 12): the
+                        # dedup/anti-join shuffles hash-partition the
+                        # batch, so without this the staged files each
+                        # span the whole key range and the per-file
+                        # stats prune nothing. Range-repartition +
+                        # sort as the LAST op before staging, so each
+                        # file covers a narrow slice — the incremental
+                        # OPTIMIZE (cluster_by=...) that costs one
+                        # extra batch-sized shuffle instead of a
+                        # table-sized rewrite later.
+                        fresh = fresh.repartitionByRange(
+                            *(
+                                [cluster_partitions]
+                                if cluster_partitions
+                                else []
+                            ),
+                            *cluster_by,
+                        ).sortWithinPartitions(*cluster_by)
                     fresh = fresh.persist()
                     staged = self._stage(fresh)
                 if self._pre_publish_hook is not None:
@@ -3297,6 +3408,17 @@ def delete_where(
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     lo_i = table._stat_int(lo) if lo is not None else -(2**62)
     hi_i = table._stat_int(hi) if hi is not None else 2**62
+    if (lo is not None and lo_i is None) or (
+        hi is not None and hi_i is None
+    ):
+        # fail fast with the real constraint instead of a TypeError
+        # deep in the classification loop — the retention predicate
+        # is numeric/timestamp by design (string zone maps serve the
+        # READ path only)
+        raise ValueError(
+            "delete_where bounds must be int, float, or timestamp; "
+            f"got lo={lo!r} hi={hi!r}"
+        )
     for _ in range(max_retries):
         numbered = table.numbered_snapshot()
         commits = [c for _, c in numbered]
@@ -3335,6 +3457,14 @@ def delete_where(
                 e = {table.STATS_COLUMN: e}
             ent = (e or {}).get(column)
             nrows = (e or {}).get("#rows")
+            if ent is not None and not table._stats_comparable(
+                ent[0], lo_i
+            ):
+                # string-typed record vs the numeric bounds (round 12
+                # string zone maps serve reads only): the log cannot
+                # classify — footer fallback settles it as "rewrite"
+                unknown.append(f)
+                continue
             if ent is not None and len(ent) >= 3:
                 mn, mx, nulls = ent[0], ent[1], ent[2]
                 if mx < lo_i or mn > hi_i:

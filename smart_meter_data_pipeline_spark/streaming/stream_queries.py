@@ -3565,14 +3565,13 @@ def stream_dr_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     days×24 rows BY CONSTRUCTION (the calendar bounds it, the
     ``stream_hist_quantiles`` argument), nothing to evict — and the
     10-in-10 ranking/settlement math runs batch over the drained
-    rollup, byte-identical to the batch operator's second half. In
+    rollup through the SAME ``dr_settlement`` the batch operator
+    uses (shared code, round-12 advice — the twins cannot drift). In
     production the stream maintains the rolling baseline table the
     settlement job reads the morning after an event day; a fully
     drained stream hash-equals the batch oracle."""
     from smart_meter_data_pipeline_spark.operators.events_pipeline import (
-        DR_BASELINE_DAYS,
-        DR_EVENT_DAYS,
-        DR_HOURS,
+        dr_settlement,
     )
 
     ev = _events_stream(spark, sf_dir)
@@ -3588,74 +3587,10 @@ def stream_dr_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    from pyspark.sql import Window
-
     rolled = spark.table(sink).select(
         "d", "hr", F.col("load_dec").cast("double").alias("load")
     )
-    evt_days = [F.lit(x).cast("date") for x in DR_EVENT_DAYS]
-    is_evt = F.col("d").isin(*[F.lit(x) for x in DR_EVENT_DAYS])
-    pool = rolled.filter(~is_evt).select(
-        F.col("d").alias("pool_d"), F.col("hr").alias("pool_hr"), "load"
-    )
-    grid = spark.range(len(DR_EVENT_DAYS) * len(DR_HOURS)).select(
-        F.element_at(
-            F.array(*evt_days), (F.col("id") % 2 + 1).cast("int")
-        ).alias("event_day"),
-        F.element_at(
-            F.array(*[F.lit(h) for h in DR_HOURS]),
-            (F.col("id") / 2 + 1).cast("int"),
-        ).alias("hr"),
-    )
-    w = Window.partitionBy("event_day", "hr").orderBy(
-        F.col("pool_d").desc()
-    )
-    cand = (
-        grid.join(
-            pool,
-            (F.col("pool_hr") == F.col("hr"))
-            & (F.col("pool_d") < F.col("event_day")),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= DR_BASELINE_DAYS)
-    )
-    base = cand.groupBy("event_day", "hr").agg(
-        F.count("*").cast("bigint").alias("n_baseline_days"),
-        F.sum(F.col("load").cast("decimal(25,6)"))
-        .cast("double")
-        .alias("baseline_sum"),
-    )
-    actual = rolled.filter(is_evt).select(
-        F.col("d").alias("event_day"),
-        F.col("hr").alias("a_hr"),
-        F.col("load").alias("actual_load"),
-    )
-    out = (
-        base.join(
-            actual,
-            (base["event_day"] == actual["event_day"])
-            & (F.col("a_hr") == F.col("hr")),
-            "left",
-        )
-        .select(
-            base["event_day"],
-            "hr",
-            "n_baseline_days",
-            (
-                F.col("baseline_sum")
-                / F.col("n_baseline_days").cast("double")
-            ).alias("baseline_load"),
-            F.coalesce(F.col("actual_load"), F.lit(0.0)).alias(
-                "actual_load"
-            ),
-            (
-                F.col("baseline_sum")
-                / F.col("n_baseline_days").cast("double")
-                - F.coalesce(F.col("actual_load"), F.lit(0.0))
-            ).alias("reduction"),
-        )
-    )
-    return out.localCheckpoint(eager=True)
+    return dr_settlement(rolled).localCheckpoint(eager=True)
 
 
 def _register_stream_dr_baseline() -> None:

@@ -880,6 +880,32 @@ def test_star_cc_matches_minlabel_and_contracts_chains(spark):
     assert rounds <= 12, rounds
 
 
+def test_star_cc_exhaustion_raises_not_garbage(spark):
+    """max_iter too small to reach the fixed point: the function must
+    NOT return the intermediate (non-star) edge set as labels — it
+    raises instead (round-11 advice: the silent exhaustion returned
+    wrong labels, including duplicate rows per node)."""
+    import pytest
+
+    from smart_meter_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 64
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a int, b int"
+    )
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components_star(path, max_iter=1)
+    # and a sufficient budget on the same input stays correct
+    labels = connected_components_star(path)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["node"]: r["component"] for r in rows} == {
+        i: 0 for i in range(n)
+    }
+
+
 def test_star_cc_empty_and_selfloop(spark):
     from smart_meter_data_pipeline_spark.operators.dedup import (
         connected_components_star,

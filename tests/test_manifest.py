@@ -1132,8 +1132,10 @@ def test_diff_reads_under_evolved_schema(spark, table_dir):
 def test_file_stats_non_integer_column_skips_not_breaks(spark, table_dir):
     """File-skipping stats are an optimization: a table whose stats
     column (meter_id) is non-integral must still append/commit — the
-    stats map just stays empty for those files (the unguarded int()
-    cast used to raise and break every write)."""
+    unguarded int() cast used to raise and break every write. Since
+    round 12, STRING columns additionally record string min/max
+    (UTF-8 zone maps — what makes the posting index prune itself);
+    other unsupported types still just skip."""
     from pyspark.sql import functions as F
 
     t = manifest.ManifestTable(table_dir)
@@ -1142,8 +1144,21 @@ def test_file_stats_non_integer_column_skips_not_breaks(spark, table_dir):
     )
     assert t.idempotent_append(spark, batch) == 10
     (c,) = t.snapshot()
-    assert c.get("stats", {}) == {}
+    for e in c.get("stats", {}).values():
+        mn, mx = e["meter_id"][0], e["meter_id"][1]
+        assert isinstance(mn, str) and isinstance(mx, str)
+        assert mn <= mx and mn.startswith("M-")
     assert t.read(spark).count() == 10
+    # an array-typed stats column: nothing recorded, append still fine
+    t2 = manifest.ManifestTable(
+        table_dir + "_arr", stats_columns=["arr"]
+    )
+    batch2 = _valid_batch(spark, 1, 11).withColumn(
+        "arr", F.array(F.col("meter_id"))
+    )
+    assert t2.idempotent_append(spark, batch2) == 10
+    (c2,) = t2.snapshot()
+    assert all("arr" not in e for e in c2.get("stats", {}).values())
 
 
 def test_changed_dates_is_metadata_only_and_mutation_exact(
@@ -2018,6 +2033,60 @@ def test_read_where_applies_pending_mor_tombstones(spark, tmp_path):
     got = t.read(spark, where={"meter_id": (25, 44)})
     assert got.count() == 15
     assert got.filter("meter_id BETWEEN 30 AND 34").count() == 0
+
+
+def test_string_zone_maps_prune_and_stay_exact(spark, tmp_path):
+    """Round 12: STRING stats columns record per-file UTF-8 min/max,
+    so a range-clustered string column zone-map-prunes both
+    ``where_in`` point sets and ``where`` ranges, and the pruned read
+    always equals the plain filter. Mixed-type comparisons (string
+    record vs numeric sentinel) must keep the file, never raise."""
+    import datetime as dt
+
+    t = manifest.ManifestTable(
+        str(tmp_path / "str_tbl"), stats_columns=["code", "meter_id"]
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(800).select(
+        F.col("id").alias("meter_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id AS INT),"
+            " timestamp'2024-03-01 00:00:00')"
+        ).alias("reading_timestamp"),
+        F.concat(
+            F.lit("AC"), F.lpad(F.col("id").cast("string"), 5, "0")
+        ).alias("code"),
+    )
+    t.idempotent_append(
+        spark, df, pk=["meter_id"], cluster_by=["code"],
+        cluster_partitions=8,
+    )
+    rep = t.skipping_report(where_in={"code": ["AC00017", "AC00091"]})
+    assert rep["files_live"] == 8
+    assert rep["files_read"] < 8
+    got = t.read(spark, where_in={"code": ["AC00017", "AC00091"]})
+    assert sorted(r.code for r in got.collect()) == [
+        "AC00017", "AC00091",
+    ]
+    # string RANGE predicate prunes too, result equals plain filter
+    rng = t.read(spark, where={"code": ("AC00700", "AC00710")})
+    assert rng.count() == 11
+    rep2 = t.skipping_report(where={"code": ("AC00700", "AC00710")})
+    assert 0 < rep2["files_read"] < 8
+    # open-ended string bound: numeric sentinel is type-incompatible
+    # with the string record — no pruning, correct rows, no raise
+    half = t.read(spark, where={"code": ("AC00400", None)})
+    assert half.count() == 400
+    # delete_where on string bounds: clean error, not a TypeError
+    with pytest.raises(ValueError, match="delete_where bounds"):
+        manifest.delete_where(t, spark, "code", lo="AC00100")
+    # numeric retention on a table CARRYING string stats still works
+    rep3 = manifest.delete_where(
+        t, spark, "meter_id", hi=99, pk=["meter_id"]
+    )
+    assert rep3["rows_deleted"] == 100
+    assert t.read(spark).count() == 700
 
 
 def test_read_where_in_bloom_point_lookup(spark, tmp_path):
