@@ -79,78 +79,32 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     the local replica at sf0.01+sf0.1 this round;
 # (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
-    # Drain schedule (round 11 written; r12 instructions): the driver
-    # evaluates a ~50-query prefix per round. The r11 window = 1
-    # changed-computation query + 12 (r10-overflow) + 4 (r10-judge)
-    # + 12 (r9-new) + the first ~21 of (r10-new). FOR ROUND 12:
-    # rotate again — promote, in order, (a) any query whose
-    # computation changed in r12, (b) the (r10-new) tail past the
-    # r11 window (~10 queries), (c) the (r11-new) section (32
-    # round-11 additions — every one builder-proven at sf0.001,
-    # sf0.01 AND sf0.1, no driver row yet; the whole registry was
-    # also driver-contract-proven in-session at sf0.01, see
-    # PROGRESS). (b)+(c) ≈ 42 fits one ~50 window; after r12 every
-    # registered query has a driver row and staleness rotation
-    # restarts from (stale), stalest round first.
-    # (r11-changed) delete_where classification rebuilt this round
-    # (commit-log stats first, distributed footer fallback — VERDICT
-    # r10 perf_weak #1) — values unchanged, fresh row wanted first:
+    # Drain schedule (round 12 written; r13 instructions): the driver
+    # evaluates a ~50-query prefix per round. The r12 window below is
+    # 49 queries = 3 changed-computation + 2 r12-new + the 10-query
+    # (r10-new) tail + all 32 (r11-new) — after r12 EVERY registered
+    # query has a driver artifact row. FOR ROUND 13: staleness
+    # rotation restarts — promote (a) any query whose computation
+    # changed in r13 and the r13-new additions, then (b) the (stale)
+    # section below (latest rows r5-r8, stalest first), which is
+    # already ordered for the r13 window; (r9-evaluated),
+    # (r10-evaluated), (r11-evaluated) follow in that order.
+    # (r12-changed) computation changed this round — fresh rows
+    # wanted first: delete_where gained the string-stats type guards
+    # and _prune_by_stats normalizes through _stat_key; the two
+    # skipping reads exercise the where_in path that now consults
+    # posting indexes (inert here — no index dir — but the branch is
+    # on their path). Values unchanged, re-proven at sf0.01+sf0.1.
     "manifest_retention_delete",
-    # (r10-overflow) never-driver-evaluated — missed the r10 window
-    "lineitem_leadtime_anova",
-    "trade_personalized_pagerank",
-    "tpch_nation_yoy_growth",
-    "events_rolling_active_users",
-    "corpus_bigram_coverage",
-    "nation_peak_coincidence",
-    "doc_normalized_dup",
-    "corpus_zipf_check",
-    "events_user_type_gini",
-    "events_dow_hour_matrix",
-    "orders_seasonal_index",
-    "doc_length_magnitude_profile",
-    # (r10-judge) no driver row yet, but judge-r9 hash-verified via
-    # the driver contract
-    "trade_assortativity",
-    "corpus_dsir_sample",
-    "doc_suffix_dup",
-    "multimodal_vad_segments",
-    # (r9-new) judge-r9 hash-verified round-9 additions
-    "events_range_join_bucketized",
-    "events_holt_forecast",
-    "stream_holt_forecast",
-    "embedding_mmr_select",
-    "dedup_fellegi_sunter",
-    "events_t_closeness",
-    "manifest_zorder_roundtrip",
-    "events_holt_backtest",
-    "dedup_lsh_eval",
-    "manifest_ivm_join",
-    "corpus_curation_funnel",
-    "multimodal_phash_neardup",
-    # (r10-new) added in round 10, judge-r10 hash-verified via the
-    # driver contract — first ~21 fill the r11 window, tail heads r12
     "manifest_skipping_read",
-    "events_spearman_daily",
-    "events_mann_kendall",
-    "events_cm_join_size",
-    "events_hll_sliding_distinct",
     "manifest_bloom_read",
-    "manifest_analyze_report",
-    "stream_hll_sliding_distinct",
-    "events_theil_sen_slope",
-    "train_epoch_shuffle_plan",
-    "ann_ivf_incremental",
-    "events_holt_winters_forecast",
-    "events_stl_decompose",
-    "events_conversion_lag",
-    "manifest_cost_estimate",
-    "manifest_drop_column_read",
-    "stream_manifest_cdc_read",
-    "decontaminate_bloom",
-    "multimodal_scene_cuts",
-    "events_sax_discords",
-    "corpus_dedup_token_savings",
+    # (r12-new) added in round 12 — builder-proven at sf0.001,
+    # sf0.01 AND sf0.1 via tests/test_oracle_parity.py
+    "ann_ivf_sq8_recall",
+    "manifest_index_gc_roundtrip",
+    # (r10-new tail) the 10 round-10 additions past the r11 window —
+    # never driver-evaluated; whole registry builder-proven at
+    # sf0.01 via the driver contract this round (see PROGRESS)
     "meter_grid_ramp_rates",
     "stream_grid_ramp_rates",
     "manifest_consistent_snapshot",
@@ -161,8 +115,12 @@ _PRIORITY = [
     "corpus_pack_boundary_report",
     "ann_filtered_topk",
     "ann_filtered_ivf_recall",
-    # (r11-new) added in round 11 — never evaluated, tail of the
-    # r12 drain window (grown as the round progresses)
+    # (r11-new) added in round 11 — never driver-evaluated; includes
+    # the round-12 changed-computation queries
+    # manifest_index_point_read / stream_index_maintenance (index
+    # serve path rebuilt), dedup_clusters_star (exhaustion raise),
+    # events_dr_baseline / stream_dr_baseline (shared settlement),
+    # all re-proven at sf0.001+sf0.01+sf0.1 this round
     "manifest_upsert_partial_roundtrip",
     "ann_filtered_ivf_labelaware",
     "manifest_cbo_join",
@@ -197,110 +155,8 @@ _PRIORITY = [
     "stream_dr_baseline",
     "manifest_index_point_read",
     "stream_index_maintenance",
-    # (r10-evaluated) round-10 driver window — evaluated, 50/50
-    # hash-match (4 changed-computation + 46 never-evaluated)
-    "orders_rfm_segments",
-    "part_abc_analysis",
-    "customer_rfm_segments",
-    "user_value_rank_bands",
-    "meter_load_factor",
-    "meter_diversity_factor",
-    "events_user_archetypes",
-    "orders_growth_accounting",
-    "manifest_tag_read",
-    "cluster_topic_words",
-    "lineitem_bloom_semijoin",
-    "dedup_prefix_filter_join",
-    "embedding_matryoshka_recall",
-    "events_k_anonymity",
-    "manifest_clone_roundtrip",
-    "train_split_leakage_safe",
-    "events_ab_assignment_srm",
-    "doc_rank_fusion",
-    "events_type_hour_independence_chi2",
-    "events_outlier_ensemble",
-    "events_encoding_advisor",
-    "sample_weighted_priority",
-    "events_bitmap_distinct",
-    "events_hll_overlap",
-    "events_runs_test",
-    "events_mann_whitney_u",
-    "dedup_sorted_neighborhood",
-    "corpus_inverted_index",
-    "manifest_mor_roundtrip",
-    "train_kfold_assign",
-    "events_l_diversity",
-    "trade_common_neighbors",
-    "sample_reservoir_per_key",
-    "doc_lix_readability",
-    "events_bot_score",
-    "stream_bot_score",
-    "events_bollinger_breakouts",
-    "events_cuped_adjustment",
-    "events_diff_in_diff",
-    "events_ab_mde",
-    "part_demand_curve",
-    "stream_jsonl_sink_roundtrip",
-    "meter_peak_shaving",
-    "events_haar_energy",
-    "trade_hits_scores",
-    "events_spc_xbar_r",
-    "corpus_kmv_distinct",
-    "events_attribution_position",
-    "embedding_knn_loo_accuracy",
-    "nation_product_complexity",
-    # (r9) round-9 driver window — evaluated, 50/50 hash-match
-    "manifest_asof_read",
-    "trade_label_propagation",
-    "events_markov_stationary",
-    "doc_lm_commonness",
-    "doc_hashed_ngram_score",
-    "embedding_pair_sim_hist",
-    "doc_winnowing",
-    "tpch_important_parts",
-    "tpch_min_cost_supplier",
-    "dedup_edit_distance",
-    "events_motif_vcp",
-    "orders_cohort_ltv",
-    "corpus_countmin_estimate",
-    "events_key_skew_report",
-    "ann_recall_report",
-    "quality_filter_ablation",
-    "tpch_late_by_priority",
-    "orders_open_backlog",
-    "region_nation_revenue_share",
-    "train_contrastive_triplets",
-    "stream_motif_vcp",
-    "source_lang_simpson",
-    "nation_repeat_customer_rate",
-    "events_ks_distance",
-    "events_daily_metrics_long",
-    "doc_char_ngram_diversity",
-    "kmeans_silhouette",
-    "multimodal_dup_groups",
-    "events_type_crosscorr",
-    "events_value_equidepth_bins",
-    "supplier_delivery_consistency",
-    "events_attribution_last_touch",
-    "lineitem_price_index",
-    "corpus_token_collocation",
-    "tpch_product_profit",
-    "events_user_streaks",
-    "embedding_kcenter_coreset",
-    "doc_maxcover_selection",
-    "trade_degree_distribution",
-    "events_hll_registers",
-    "stream_hll_registers",
-    "events_hll_daily_rollup",
-    "corpus_source_minhash_jaccard",
-    "customer_value_migration",
-    "orders_dow_uniformity_chi2",
-    "part_price_size_skyline",
-    "trade_graph_densification",
-    "events_welch_ttest",
-    "orders_cumulative_customers",
-    "corpus_tokenizer_fertility",
-    # (stale) evaluated queries, stalest round first (r5 -> r8)
+    # (stale) evaluated queries, stalest round first (r5 -> r8) —
+    # HEAD OF THE R13 WINDOW after r13's changed/new queries
     "daily_customer_billing",
     "hourly_nation_load",
     "stream_static_join",
@@ -497,6 +353,157 @@ _PRIORITY = [
     "multimodal_shard_pack",
     "orders_gap_survival",
     "nation_load_duration_curve",
+    # (r9-evaluated) round-9 driver window — 50/50 hash-match
+    "manifest_asof_read",
+    "trade_label_propagation",
+    "events_markov_stationary",
+    "doc_lm_commonness",
+    "doc_hashed_ngram_score",
+    "embedding_pair_sim_hist",
+    "doc_winnowing",
+    "tpch_important_parts",
+    "tpch_min_cost_supplier",
+    "dedup_edit_distance",
+    "events_motif_vcp",
+    "orders_cohort_ltv",
+    "corpus_countmin_estimate",
+    "events_key_skew_report",
+    "ann_recall_report",
+    "quality_filter_ablation",
+    "tpch_late_by_priority",
+    "orders_open_backlog",
+    "region_nation_revenue_share",
+    "train_contrastive_triplets",
+    "stream_motif_vcp",
+    "source_lang_simpson",
+    "nation_repeat_customer_rate",
+    "events_ks_distance",
+    "events_daily_metrics_long",
+    "doc_char_ngram_diversity",
+    "kmeans_silhouette",
+    "multimodal_dup_groups",
+    "events_type_crosscorr",
+    "events_value_equidepth_bins",
+    "supplier_delivery_consistency",
+    "events_attribution_last_touch",
+    "lineitem_price_index",
+    "corpus_token_collocation",
+    "tpch_product_profit",
+    "events_user_streaks",
+    "embedding_kcenter_coreset",
+    "doc_maxcover_selection",
+    "trade_degree_distribution",
+    "events_hll_registers",
+    "stream_hll_registers",
+    "events_hll_daily_rollup",
+    "corpus_source_minhash_jaccard",
+    "customer_value_migration",
+    "orders_dow_uniformity_chi2",
+    "part_price_size_skyline",
+    "trade_graph_densification",
+    "events_welch_ttest",
+    "orders_cumulative_customers",
+    "corpus_tokenizer_fertility",
+    # (r10-evaluated) round-10 driver window — 50/50 hash-match
+    "orders_rfm_segments",
+    "part_abc_analysis",
+    "customer_rfm_segments",
+    "user_value_rank_bands",
+    "meter_load_factor",
+    "meter_diversity_factor",
+    "events_user_archetypes",
+    "orders_growth_accounting",
+    "manifest_tag_read",
+    "cluster_topic_words",
+    "lineitem_bloom_semijoin",
+    "dedup_prefix_filter_join",
+    "embedding_matryoshka_recall",
+    "events_k_anonymity",
+    "manifest_clone_roundtrip",
+    "train_split_leakage_safe",
+    "events_ab_assignment_srm",
+    "doc_rank_fusion",
+    "events_type_hour_independence_chi2",
+    "events_outlier_ensemble",
+    "events_encoding_advisor",
+    "sample_weighted_priority",
+    "events_bitmap_distinct",
+    "events_hll_overlap",
+    "events_runs_test",
+    "events_mann_whitney_u",
+    "dedup_sorted_neighborhood",
+    "corpus_inverted_index",
+    "manifest_mor_roundtrip",
+    "train_kfold_assign",
+    "events_l_diversity",
+    "trade_common_neighbors",
+    "sample_reservoir_per_key",
+    "doc_lix_readability",
+    "events_bot_score",
+    "stream_bot_score",
+    "events_bollinger_breakouts",
+    "events_cuped_adjustment",
+    "events_diff_in_diff",
+    "events_ab_mde",
+    "part_demand_curve",
+    "stream_jsonl_sink_roundtrip",
+    "meter_peak_shaving",
+    "events_haar_energy",
+    "trade_hits_scores",
+    "events_spc_xbar_r",
+    "corpus_kmv_distinct",
+    "events_attribution_position",
+    "embedding_knn_loo_accuracy",
+    "nation_product_complexity",
+    # (r11-evaluated) round-11 driver window — 50/50 hash-match
+    # (minus the three promoted into (r12-changed) above)
+    "lineitem_leadtime_anova",
+    "trade_personalized_pagerank",
+    "tpch_nation_yoy_growth",
+    "events_rolling_active_users",
+    "corpus_bigram_coverage",
+    "nation_peak_coincidence",
+    "doc_normalized_dup",
+    "corpus_zipf_check",
+    "events_user_type_gini",
+    "events_dow_hour_matrix",
+    "orders_seasonal_index",
+    "doc_length_magnitude_profile",
+    "trade_assortativity",
+    "corpus_dsir_sample",
+    "doc_suffix_dup",
+    "multimodal_vad_segments",
+    "events_range_join_bucketized",
+    "events_holt_forecast",
+    "stream_holt_forecast",
+    "embedding_mmr_select",
+    "dedup_fellegi_sunter",
+    "events_t_closeness",
+    "manifest_zorder_roundtrip",
+    "events_holt_backtest",
+    "dedup_lsh_eval",
+    "manifest_ivm_join",
+    "corpus_curation_funnel",
+    "multimodal_phash_neardup",
+    "events_spearman_daily",
+    "events_mann_kendall",
+    "events_cm_join_size",
+    "events_hll_sliding_distinct",
+    "manifest_analyze_report",
+    "stream_hll_sliding_distinct",
+    "events_theil_sen_slope",
+    "train_epoch_shuffle_plan",
+    "ann_ivf_incremental",
+    "events_holt_winters_forecast",
+    "events_stl_decompose",
+    "events_conversion_lag",
+    "manifest_cost_estimate",
+    "manifest_drop_column_read",
+    "stream_manifest_cdc_read",
+    "decontaminate_bloom",
+    "multimodal_scene_cuts",
+    "events_sax_discords",
+    "corpus_dedup_token_savings",
 ]
 
 
