@@ -47,6 +47,18 @@ mor_delete 0.905 vs driver-r9's 1.67). The `summary.gated_legs` /
 `load_avg_start_1m` scalars now ride the tail so a loaded driver run
 is distinguishable in BENCH_r{N}.json itself.
 
+Round-11 driver "regressions" on the MoR legs, resolved (VERDICT r11
+#2): BENCH_r11's manifest_mor_delete +88% / manifest_mor_reorg +58%
+were LOAD NOISE, not the round-11 stats-first delete_where / MoR-mode
+rework. Measured round 12 by an INTERLEAVED A/B (r10 code 9647926 in
+a worktree vs HEAD, 2 full bench runs each, alternating A B A B on
+the same box): mor_delete r10-mean 0.927 vs HEAD-mean 0.904 (HEAD
+FASTER), mor_reorg 3.33 vs 3.80 (+14%, inside the canary band:
+bloom_semijoin — untouched since r8 — moved +12% in the same runs,
+and HEAD's run-2 reorg 3.447 matched r10's 3.414 at equal load).
+BENCH_r11 itself recorded load_avg_start_1m 7.2 vs r10's 4.0 — the
+uniform-regression signature the r9/r10 A/B already established.
+
 tpch_pricing_summary floor (r7 ask #6, profiled r8): the leg's
 ~1.2-1.3 s is NOT a regression in this repo's code — session.py,
 readers.py, common.py and the query are byte-identical to round 5's
@@ -321,6 +333,21 @@ def main() -> None:
         ).collect()[0]
         ivf_recall["sq8_brute"] = {
             "recall_at_k": round(sq["h"] / (sq["q"] * similarity.TOP_K), 4),
+            "sec": round(time.monotonic() - t0, 3),
+        }
+
+        # IVF × SQ8 — the combined serving rung (round 12): float
+        # coarse probing, int8 within-cell ranking. Its recall vs the
+        # float-exact truth carries BOTH losses (index truncation +
+        # quantization) — the capacity-planning number; compare
+        # against nprobe_4 (index loss alone) and sq8_brute
+        # (quantization loss alone) to see the composition.
+        t0 = time.monotonic()
+        sq2 = similarity.ann_ivf_sq8_recall(spark, SF_DIR).agg(
+            _Fsq.sum("n_hits").alias("h"), _Fsq.count("*").alias("q")
+        ).collect()[0]
+        ivf_recall["ivf_sq8"] = {
+            "recall_at_k": round(sq2["h"] / (sq2["q"] * similarity.TOP_K), 4),
             "sec": round(time.monotonic() - t0, 3),
         }
 
@@ -683,6 +710,50 @@ def main() -> None:
         )
         manifest_dict = mtd.skipping_report(where_in=dict_in)
 
+        # 16e. Posting-index point read (round 12): a high-cardinality
+        # STRING account column on a meter-clustered layout — past the
+        # dictionary budget, unhashable by the int Bloom — indexed
+        # post-hoc, then a two-account lookup served through the
+        # STANDARD read path (read(where_in=) consults the index).
+        # Scalars record the data-file skip AND the posting table's
+        # own zone-map skip (the round-12 self-indexing fix: without
+        # it every lookup scans the whole posting table).
+        from smart_meter_data_pipeline_spark.sources.index import (
+            index_point_read,
+            refresh_index,
+        )
+
+        mti = ManifestTable(os.path.join(workdir, "fact_indexed"))
+        acct_col = _F.concat(
+            _F.lit("AC"),
+            _F.lpad(_F.col("meter_id").cast("string"), 6, "0"),
+        )
+        mti.idempotent_append(
+            spark, readings.withColumn("account_code", acct_col)
+        )
+        optimize_table(
+            mti, spark, target_partitions=32, cluster_by=["meter_id"]
+        )
+        idx_build = {}
+        leg(
+            "manifest_index_refresh",
+            lambda: idx_build.update(
+                refresh_index(spark=spark, table=mti, column="account_code")
+            ),
+            repeat=1,
+        )
+        idx_probe = ["AC000017", "AC000091"]
+        leg(
+            "manifest_index_read",
+            lambda: mti.read(
+                spark, where_in={"account_code": idx_probe}
+            ).count(),
+        )
+        _, idx_rep = index_point_read(
+            mti, spark, "account_code", idx_probe
+        )
+        manifest_index = dict(idx_rep, **idx_build)
+
         # 17. Bloom runtime-filter semi-join (r8 scale_ops): 8 KiB
         # bitset from the selective order filter prunes the lineitem
         # probe BEFORE its shuffle; result identical to the plain join.
@@ -771,6 +842,7 @@ def main() -> None:
         "manifest_zorder": manifest_zorder,
         "manifest_retention": manifest_retention,
         "manifest_dict": manifest_dict,
+        "manifest_index": manifest_index,
         "manifest_mor": manifest_mor,
         "repeat": 2,
         "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},

@@ -1882,3 +1882,81 @@ SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
 FROM scored GROUP BY 1, 2 HAVING SUM(s) <> 0
 """,
 )(doc_hashed_features)
+
+
+def corpus_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index full-text search under the driver gate (round
+    12, sources/index.py:refresh_text_index / text_index_search): the
+    documents corpus lands in a manifest table, a token→file posting
+    index is built ONCE (the per-file tokenization cost paid at
+    refresh, never per search), and a two-token ALL-mode search
+    ('dup' AND 'vector') is served through it — candidate files are
+    the INTERSECTION of the tokens' posting sets (a file holding a
+    matching doc must contain every token), unindexed files are
+    always candidates (the staleness rule), and the row-level token
+    predicate applies on top, so the result hash-equals the plain
+    whitespace-token filter. The posting table pruning ITSELF is
+    asserted in-query (token-range-clustered postings + string zone
+    maps — the round-12 self-indexing rule): at a million-file corpus
+    the posting table is the size the index must not scan.
+
+    This is the lakehouse needle-in-a-haystack primitive a 100 TB
+    text corpus needs: "which files mention TOKEN" from metadata +
+    one bounded posting lookup, not a corpus scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.index import (
+        refresh_text_index,
+        text_index_search,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="corpus_text_idx_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "docs"))
+        docs = load_table(spark, sf_dir, "documents")
+        t.idempotent_append(
+            spark,
+            docs,
+            pk=["doc_id"],
+            cluster_by=["doc_id"],
+            cluster_partitions=8,
+        )
+        res = refresh_text_index(
+            t, spark, "text", posting_partitions=8
+        )
+        if res["postings"] == 0:
+            raise AssertionError("text refresh produced no postings")
+        out, rep = text_index_search(
+            t, spark, "text", ["dup", "vector"], mode="all"
+        )
+        if not (
+            0
+            < rep["posting_files_read"]
+            < rep["posting_files_live"]
+        ):
+            raise AssertionError(
+                f"posting table skipped nothing on itself: {rep}"
+            )
+        if rep["files_unindexed"] != 0:
+            raise AssertionError(f"index stale after refresh: {rep}")
+        return out.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "corpus_text_index_search",
+    """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'dup')
+  AND list_contains(string_split(text, ' '), 'vector')
+""",
+)(corpus_text_index_search)

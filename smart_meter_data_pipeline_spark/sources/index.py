@@ -83,6 +83,73 @@ def _load_meta(table: ManifestTable, column: str) -> dict:
         return {"indexed_upto": -1}
 
 
+def _rel_file_expr(table: ManifestTable):
+    """Data-dir-relative file name from ``_metadata.file_path``. The
+    path carries a scheme ("file:/..." locally, "s3a://..." on object
+    storage) — anchor on the data-dir marker instead of assuming the
+    scheme's shape."""
+    marker = table.data_dir + "/"
+    return F.expr(
+        "substring(_metadata.file_path, "
+        f"instr(_metadata.file_path, '{marker}') "
+        f"+ {len(marker)})"
+    ).alias("rel_file")
+
+
+def _refresh_generic(
+    table: ManifestTable,
+    spark: SparkSession,
+    index_name: str,
+    posting_builder,
+    posting_partitions: int | None,
+) -> dict:
+    """The shared refresh protocol behind the exact-value and
+    inverted-text indexes: pick the live files newer than the last
+    refresh, hand them to ``posting_builder(new_files) -> (v,
+    rel_file) frame``, land the postings pk-idempotently clustered by
+    ``v``, then advance ``indexed_upto`` atomically."""
+    numbered = table.numbered_snapshot()
+    if not numbered:
+        return {"files_indexed": 0, "postings": 0, "indexed_upto": -1}
+    commits = [c for _, c in numbered]
+    upto = numbered[-1][0]
+    meta = _load_meta(table, index_name)
+    origins = table._file_origins(numbered)
+    live = table._files(commits)
+    new_files = [
+        f for f in live if origins.get(f, 0) > meta["indexed_upto"]
+    ]
+    idx = _index_table(table, index_name)
+    n_postings = 0
+    if new_files:
+        postings = posting_builder(new_files)
+        # posting-file count scales with the refresh's data-file
+        # count (~one posting file per 8 data files, capped): enough
+        # range slices that a lookup opens O(1) of them, few enough
+        # that incremental refreshes don't accumulate tiny files;
+        # override for tables whose per-file posting volume is known
+        n_parts = posting_partitions or max(
+            1, min(64, (len(new_files) + 7) // 8)
+        )
+        n_postings = idx.idempotent_append(
+            spark,
+            postings,
+            pk=["v", "rel_file"],
+            cluster_by=["v"],
+            cluster_partitions=n_parts,
+        )
+    os.makedirs(_index_table_dir(table, index_name), exist_ok=True)
+    tmp = _meta_path(table, index_name) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"indexed_upto": upto}, fh)
+    os.replace(tmp, _meta_path(table, index_name))
+    return {
+        "files_indexed": len(new_files),
+        "postings": n_postings,
+        "indexed_upto": upto,
+    }
+
+
 def refresh_index(
     table: ManifestTable,
     spark: SparkSession,
@@ -100,62 +167,57 @@ def refresh_index(
     narrow value slice and the point lookup's zone maps prune the
     posting table itself. Returns
     ``{"files_indexed": n, "postings": m, "indexed_upto": k}``."""
-    numbered = table.numbered_snapshot()
-    if not numbered:
-        return {"files_indexed": 0, "postings": 0, "indexed_upto": -1}
-    commits = [c for _, c in numbered]
-    upto = numbered[-1][0]
-    meta = _load_meta(table, column)
-    origins = table._file_origins(numbered)
-    live = table._files(commits)
-    new_files = [
-        f for f in live if origins.get(f, 0) > meta["indexed_upto"]
-    ]
-    idx = _index_table(table, column)
-    n_postings = 0
-    if new_files:
-        # _metadata.file_path carries a scheme ("file:/..." locally,
-        # "s3a://..." on object storage) — anchor on the data-dir
-        # marker instead of assuming the scheme's shape
-        marker = table.data_dir + "/"
-        postings = (
+
+    def build(new_files: list[str]):
+        return (
             spark.read.parquet(*new_files)
-            .select(
-                F.col(column).alias("v"),
-                F.expr(
-                    "substring(_metadata.file_path, "
-                    f"instr(_metadata.file_path, '{marker}') "
-                    f"+ {len(marker)})"
-                ).alias("rel_file"),
-            )
+            .select(F.col(column).alias("v"), _rel_file_expr(table))
             .filter(F.col("v").isNotNull())
             .distinct()
         )
-        # posting-file count scales with the refresh's data-file
-        # count (~one posting file per 8 data files, capped): enough
-        # range slices that a lookup opens O(1) of them, few enough
-        # that incremental refreshes don't accumulate tiny files;
-        # override for tables whose per-file posting volume is known
-        n_parts = posting_partitions or max(
-            1, min(64, (len(new_files) + 7) // 8)
+
+    return _refresh_generic(
+        table, spark, column, build, posting_partitions
+    )
+
+
+def refresh_text_index(
+    table: ManifestTable,
+    spark: SparkSession,
+    column: str,
+    posting_partitions: int | None = None,
+) -> dict:
+    """Inverted TEXT index: (token → data file) posting lists over a
+    whitespace-tokenized string column, maintained under the same
+    incremental/idempotent/atomic protocol as the exact-value index
+    (its own index name ``{column}__tokens``, so both kinds coexist
+    on one column). This is needle-in-a-haystack full-text file
+    pruning for a 100 TB corpus: "which files contain documents
+    mentioning TOKEN" from the index alone, with the per-file token
+    explosion paid ONCE at refresh, never per search. Postings are
+    token-range-clustered, so a token lookup zone-map-prunes the
+    posting table itself (the round-12 self-indexing rule)."""
+
+    def build(new_files: list[str]):
+        return (
+            spark.read.parquet(*new_files)
+            .select(
+                F.explode(
+                    F.split(F.col(column), " +")
+                ).alias("v"),
+                _rel_file_expr(table),
+            )
+            .filter(F.col("v") != "")
+            .distinct()
         )
-        n_postings = idx.idempotent_append(
-            spark,
-            postings,
-            pk=["v", "rel_file"],
-            cluster_by=["v"],
-            cluster_partitions=n_parts,
-        )
-    os.makedirs(_index_table_dir(table, column), exist_ok=True)
-    tmp = _meta_path(table, column) + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump({"indexed_upto": upto}, fh)
-    os.replace(tmp, _meta_path(table, column))
-    return {
-        "files_indexed": len(new_files),
-        "postings": n_postings,
-        "indexed_upto": upto,
-    }
+
+    return _refresh_generic(
+        table,
+        spark,
+        column + "__tokens",
+        build,
+        posting_partitions,
+    )
 
 
 def index_candidate_files(
@@ -164,10 +226,13 @@ def index_candidate_files(
     column: str,
     values: list,
     numbered: list | None = None,
+    index_name: str | None = None,
 ) -> tuple[list[str], dict]:
     """The sound candidate-file set for ``column IN (values)`` on the
     CURRENT snapshot: ``(postings ∩ live) ∪ unindexed-files`` — the
-    shared core of :func:`index_point_read`, also consulted by
+    shared core of :func:`index_point_read` and
+    :func:`text_index_search` (``index_name`` selects which posting
+    table; default the exact-value index), also consulted by
     ``ManifestTable.read(where_in=...)`` (round 12) so plain reads
     get posting-exact pruning without the dedicated API. Returns
     ``(absolute file paths, report)``. CURRENT-only by contract: a
@@ -176,11 +241,12 @@ def index_candidate_files(
     rewritten files could be wrongly dropped)."""
     if numbered is None:
         numbered = table.numbered_snapshot()
+    name = index_name or column
     commits = [c for _, c in numbered]
     live = table._files(commits)
     origins = table._file_origins(numbered)
-    meta = _load_meta(table, column)
-    idx = _index_table(table, column)
+    meta = _load_meta(table, name)
+    idx = _index_table(table, name)
     vals = [v for v in values if v is not None]
     posted: set[str] = set()
     posting_rep = {"files_live": 0, "files_read": 0}
@@ -256,8 +322,96 @@ def index_point_read(
     return df, report
 
 
+def text_index_search(
+    table: ManifestTable,
+    spark: SparkSession,
+    column: str,
+    tokens: list[str],
+    mode: str = "any",
+) -> tuple[DataFrame | None, dict]:
+    """Full-text token search served through the inverted index
+    (:func:`refresh_text_index`). ``mode="any"`` unions the tokens'
+    candidate files; ``mode="all"`` INTERSECTS them — a file holding
+    a document that contains every token must itself contain every
+    token, so the intersection is still a sound superset (and far
+    tighter). Unindexed files are always candidates (the staleness
+    rule), candidates are read with pending MoR tombstones
+    reconciled, and the row-level token predicate applies on top, so
+    the result equals the plain whitespace-token filter at any
+    refresh lag."""
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    numbered = table.numbered_snapshot()
+    if not numbered:
+        return None, {"files_live": 0, "files_read": 0}
+    commits = [c for _, c in numbered]
+    name = column + "__tokens"
+    live = table._files(commits)
+    origins = table._file_origins(numbered)
+    meta = _load_meta(table, name)
+    idx = _index_table(table, name)
+    toks = [t for t in tokens if t]
+    by_tok: dict[str, set] = {t: set() for t in toks}
+    posting_rep = {"files_live": 0, "files_read": 0}
+    if toks:
+        idx_df = idx.read(spark, where_in={"v": toks})
+        if idx_df is not None:
+            posting_rep = idx.skipping_report(where_in={"v": toks})
+            for r in (
+                idx_df.select("v", "rel_file").distinct().collect()
+            ):
+                by_tok[r["v"]].add(r["rel_file"])
+    unindexed = {
+        f for f in live if origins.get(f, 0) > meta["indexed_upto"]
+    }
+    per_tok = [
+        {
+            f
+            for f in live
+            if origins.get(f, 0) <= meta["indexed_upto"]
+            and os.path.relpath(f, table.data_dir) in by_tok[t]
+        }
+        | unindexed
+        for t in toks
+    ]
+    if not per_tok:
+        cand_set: set = set()
+    elif mode == "any":
+        cand_set = set().union(*per_tok)
+    else:
+        cand_set = set.intersection(*per_tok)
+    candidates = sorted(cand_set)
+    report = {
+        "files_live": len(live),
+        "files_read": len(candidates),
+        "files_unindexed": len(unindexed),
+        "posting_files_live": posting_rep["files_live"],
+        "posting_files_read": posting_rep["files_read"],
+    }
+    schema = ManifestTable._evolved_schema(commits)
+    if not candidates:
+        empty = (
+            spark.createDataFrame([], schema)
+            if schema is not None
+            else None
+        )
+        return empty, report
+    arr = F.split(F.col(column), " +")
+    conds = [F.array_contains(arr, t) for t in toks]
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = (pred | c) if mode == "any" else (pred & c)
+    df = table._read_files_with_tombstones(
+        spark, numbered, candidates, schema
+    ).filter(pred)
+    return df, report
+
+
 def vacuum_index(
-    table: ManifestTable, spark: SparkSession, column: str
+    table: ManifestTable,
+    spark: SparkSession,
+    column: str,
+    index_name: str | None = None,
 ) -> dict:
     """Garbage-collect STALE postings — entries whose data file is no
     longer live (copy-on-write rewrites, OPTIMIZE, retention drops).
@@ -277,7 +431,7 @@ def vacuum_index(
     )
 
     numbered = table.numbered_snapshot()
-    idx = _index_table(table, column)
+    idx = _index_table(table, index_name or column)
     idx_df = idx.read(spark)
     if not numbered or idx_df is None:
         return {"postings_removed": 0}

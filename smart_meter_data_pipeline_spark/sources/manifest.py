@@ -857,14 +857,20 @@ class ManifestTable:
         return files
 
     def skipping_report(
-        self, where: dict | None = None, where_in: dict | None = None
+        self,
+        where: dict | None = None,
+        where_in: dict | None = None,
+        spark: SparkSession | None = None,
     ) -> dict:
         """Metadata-only dry run of ``read(where=..., where_in=...)``'s
         file skipping: how many live files the zone maps + blooms keep
         vs skip. The observability half of read-path data skipping —
         tests and the bench assert on it without reading a byte of
-        data."""
-        commits = self.snapshot()
+        data. Pass ``spark`` to ALSO consult secondary posting
+        indexes the way ``read`` does (that part reads the posting
+        table, so it is no longer metadata-only — hence opt-in)."""
+        numbered = self.numbered_snapshot()
+        commits = [c for _, c in numbered]
         files = self._files(commits)
         key_ranges = {
             col: (
@@ -887,6 +893,10 @@ class ManifestTable:
                     for c, vs in where_in.items()
                 },
             )
+            if spark is not None:
+                kept = self._prune_by_posting_index(
+                    spark, kept, where_in, numbered
+                )
         return {
             "files_live": len(files),
             "files_read": len(kept),
@@ -2296,24 +2306,29 @@ class ManifestTable:
                 # validation miss those rows and double-insert); count
                 # = rows the added files physically hold.
                 if staged:
-                    stat = (
-                        spark.read.parquet(
-                            *(
-                                os.path.join(self.data_dir, f)
-                                for f in staged
-                            )
+                    sdf = spark.read.parquet(
+                        *(
+                            os.path.join(self.data_dir, f)
+                            for f in staged
                         )
-                        .agg(
-                            F.count(F.lit(1)).alias("n"),
+                    )
+                    # dateless tables (no reading_timestamp) record
+                    # no dates — same guard as idempotent_append
+                    aggs = [F.count(F.lit(1)).alias("n")]
+                    has_ts = "reading_timestamp" in sdf.columns
+                    if has_ts:
+                        aggs.append(
                             F.collect_set(
                                 F.to_date("reading_timestamp").cast(
                                     "string"
                                 )
-                            ).alias("dates"),
+                            ).alias("dates")
                         )
-                        .collect()[0]
+                    stat = sdf.agg(*aggs).collect()[0]
+                    n_staged = stat["n"]
+                    added_dates = (
+                        sorted(stat["dates"]) if has_ts else []
                     )
-                    n_staged, added_dates = stat["n"], sorted(stat["dates"])
                 else:
                     n_staged, added_dates = 0, []
                 if self._pre_publish_hook is not None:
@@ -3600,23 +3615,25 @@ def delete_where(
             survivors = src.filter(~cond | F.col(column).isNull())
             staged = table._stage(survivors)
             if staged:
-                stat = (
-                    spark.read.parquet(
-                        *(
-                            os.path.join(table.data_dir, f)
-                            for f in staged
-                        )
+                sdf = spark.read.parquet(
+                    *(
+                        os.path.join(table.data_dir, f)
+                        for f in staged
                     )
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
+                )
+                # dateless tables record no dates (same guard as
+                # idempotent_append / _cow_mutation)
+                aggs = [F.count(F.lit(1)).alias("n")]
+                has_ts = "reading_timestamp" in sdf.columns
+                if has_ts:
+                    aggs.append(
                         F.collect_set(
                             F.to_date("reading_timestamp").cast("string")
-                        ).alias("dates"),
+                        ).alias("dates")
                     )
-                    .collect()[0]
-                )
+                stat = sdf.agg(*aggs).collect()[0]
                 n_survivors = stat["n"]
-                added_dates = sorted(stat["dates"])
+                added_dates = sorted(stat["dates"]) if has_ts else []
         removed_rel = sorted(
             os.path.relpath(f, table.data_dir)
             for f in dropped + rewrite

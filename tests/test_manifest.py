@@ -2035,6 +2035,29 @@ def test_read_where_applies_pending_mor_tombstones(spark, tmp_path):
     assert got.filter("meter_id BETWEEN 30 AND 34").count() == 0
 
 
+def test_cow_mutations_on_dateless_tables(spark, tmp_path):
+    """upsert / delete_where(mode='cow') on a table WITHOUT
+    reading_timestamp: the stage-stats aggregation must not assume
+    the date column exists (round-12 latent bug — found by the text
+    index's docs table, which is (doc_id, text))."""
+    from pyspark.sql import functions as F
+
+    t = manifest.ManifestTable(
+        str(tmp_path / "dateless"), stats_columns=["k"]
+    )
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.idempotent_append(spark, df, pk=["k"])
+    up = df.filter("k < 10").withColumn("v", F.col("v") + 1000)
+    t.upsert(spark, up, pk=["k"])
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[0] == 1000 and got[50] == 100 and len(got) == 100
+    rep = manifest.delete_where(t, spark, "k", lo=90, pk=["k"])
+    assert rep["rows_deleted"] == 10
+    assert t.read(spark).count() == 90
+
+
 def test_string_zone_maps_prune_and_stay_exact(spark, tmp_path):
     """Round 12: STRING stats columns record per-file UTF-8 min/max,
     so a range-clustered string column zone-map-prunes both

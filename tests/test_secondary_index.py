@@ -199,6 +199,13 @@ def test_plain_read_where_in_consults_posting_index(spark, tmp_path):
     probe = ["AC00017", "AC00091"]
     got = t.read(spark, where_in={"account_code": probe})
     assert len(got.inputFiles()) < n_live
+    # observability: the spark-armed skipping report sees the same
+    # posting-pruned candidate count the read actually opened
+    rep = t.skipping_report(
+        where_in={"account_code": probe}, spark=spark
+    )
+    assert rep["files_read"] == len(got.inputFiles())
+    assert rep["files_live"] == n_live
     want = t.read(spark).filter(F.col("account_code").isin(probe))
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
@@ -253,3 +260,75 @@ def test_vacuum_index_drops_stale_postings(spark, tmp_path):
         "postings_removed": 0
     }
     assert n_before > 0
+
+
+def test_text_index_modes_skipping_staleness(spark, tmp_path):
+    """Inverted text index: ANY unions / ALL intersects candidate
+    sets, file skipping is real on a clustered rare token, unindexed
+    files are searched unconditionally, and vacuum_index works on the
+    text index's own posting table via index_name."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        refresh_text_index,
+        text_index_search,
+        vacuum_index,
+    )
+
+    t = ManifestTable(str(tmp_path / "docs"))
+    df = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, F.lit("alpha beta needle"))
+        .otherwise(F.lit("alpha beta gamma"))
+        .alias("text"),
+    )
+    t.idempotent_append(
+        spark, df, pk=["doc_id"], cluster_by=["doc_id"],
+        cluster_partitions=8,
+    )
+    n_live = len(t._files(t.snapshot()))
+    assert n_live == 8
+    r = refresh_text_index(t, spark, "text", posting_partitions=4)
+    assert r["postings"] > 0
+    # rare token: needle lives in the low-doc_id slice only
+    out, rep = text_index_search(t, spark, "text", ["needle"])
+    assert out.count() == 50
+    assert rep["files_read"] < rep["files_live"] == 8
+    assert 0 < rep["posting_files_read"] < rep["posting_files_live"]
+    # ANY: union of candidates, all matching rows
+    out_any, _ = text_index_search(
+        t, spark, "text", ["needle", "gamma"], mode="any"
+    )
+    assert out_any.count() == 800
+    # ALL: intersection — 'alpha' is everywhere, 'needle' only low
+    out_all, rep_all = text_index_search(
+        t, spark, "text", ["needle", "alpha"], mode="all"
+    )
+    assert out_all.count() == 50
+    assert rep_all["files_read"] == rep["files_read"]
+    # absent token in ALL mode: zero candidates, empty frame
+    out0, rep0 = text_index_search(
+        t, spark, "text", ["needle", "zzz_absent"], mode="all"
+    )
+    assert rep0["files_read"] == 0 and out0.count() == 0
+    # staleness: new docs with a brand-new token found unrefreshed
+    extra = spark.range(800, 850).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha fresh_token").alias("text"),
+    )
+    t.idempotent_append(spark, extra, pk=["doc_id"])
+    out2, rep2 = text_index_search(t, spark, "text", ["fresh_token"])
+    assert rep2["files_unindexed"] > 0
+    assert out2.count() == 50
+    refresh_text_index(t, spark, "text")
+    out3, rep3 = text_index_search(t, spark, "text", ["fresh_token"])
+    assert rep3["files_unindexed"] == 0
+    assert out3.count() == 50
+    # GC on the text index: CoW-restate the low slice, vacuum by name
+    up = t.read(spark).filter("doc_id < 10").withColumn(
+        "text", F.lit("alpha beta needle edited")
+    )
+    t.upsert(spark, up, pk=["doc_id"])
+    refresh_text_index(t, spark, "text")
+    gc = vacuum_index(t, spark, "text", index_name="text__tokens")
+    assert gc["postings_removed"] > 0
+    out4, _ = text_index_search(t, spark, "text", ["edited"])
+    assert out4.count() == 10
