@@ -4115,6 +4115,87 @@ def manifest_index_gc_roundtrip(
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def manifest_delete_by_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-accelerated DELETE under the driver gate (round 12,
+    sources/index.py:delete_values_mor) — the right-to-be-forgotten
+    sweep on a NON-pk, non-clustered-key column: erase two accounts
+    from the generator day where the candidate scan is POSTING-EXACT
+    (opens only the files that contain the accounts — asserted
+    in-query), the matching pk tuples land as one merge-on-read
+    tombstone (zero data files rewritten — asserted from the commit
+    log), and ``apply_tombstones`` reconciles the debt before the
+    final read. One hash over the final table proves the erase:
+    every other account's rows intact, the erased accounts gone.
+    The reference gets DELETE WHERE from Postgres for free; this is
+    that statement rebuilt for immutable parquet with the index
+    supplying the candidate set."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.index import (
+        delete_values_mor,
+        refresh_index,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        apply_tombstones,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_del_val_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        acct = F.concat(
+            F.lit("AC"), F.lpad(F.col("meter_id").cast("string"), 5, "0")
+        )
+        day1 = gen_meter_readings(spark).withColumn("account_code", acct)
+        t.idempotent_append(
+            spark,
+            day1,
+            cluster_by=["account_code"],
+            cluster_partitions=16,
+        )
+        refresh_index(t, spark, "account_code", posting_partitions=8)
+        n, rep = delete_values_mor(
+            t, spark, "account_code", ["AC00017", "AC00091"]
+        )
+        if n != 2 * N_TICKS:
+            raise AssertionError(
+                f"deleted {n} keys, wanted {2 * N_TICKS}"
+            )
+        if not (0 < rep["files_read"] < rep["files_live"]):
+            raise AssertionError(
+                f"candidate scan was not posting-pruned: {rep}"
+            )
+        delete_commit = t.snapshot()[-1]
+        if delete_commit.get("added") and not delete_commit.get(
+            "tombstones"
+        ):
+            raise AssertionError(
+                "delete commit rewrote data files — expected a "
+                "metadata-only MoR tombstone"
+            )
+        apply_tombstones(t, spark)
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_delete_by_value",
+    f"""WITH {_readings_cte()},
+tagged AS (
+  SELECT *, 'AC' || lpad(CAST(meter_id AS VARCHAR), 5, '0')
+           AS account_code
+  FROM readings
+)
+SELECT * FROM tagged
+WHERE account_code NOT IN ('AC00017', 'AC00091')""",
+)(manifest_delete_by_value)
+
+
 register(
     "manifest_index_gc_roundtrip",
     f"""WITH {_readings_cte()},

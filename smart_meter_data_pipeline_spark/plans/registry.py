@@ -81,7 +81,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _PRIORITY = [
     # Drain schedule (round 12 written; r13 instructions): the driver
     # evaluates a ~50-query prefix per round. The r12 window below is
-    # 50 queries = 3 changed-computation + 3 r12-new + the 10-query
+    # 51 queries = 3 changed-computation + 4 r12-new + the 10-query
     # (r10-new) tail + all 34 (r11-new) — after r12 EVERY registered
     # query has a driver artifact row. FOR ROUND 13: staleness
     # rotation restarts — promote (a) any query whose computation
@@ -103,6 +103,7 @@ _PRIORITY = [
     "ann_ivf_sq8_recall",
     "manifest_index_gc_roundtrip",
     "corpus_text_index_search",
+    "manifest_delete_by_value",
     # (r10-new tail) the 10 round-10 additions past the r11 window —
     # never driver-evaluated; whole registry builder-proven at
     # sf0.01 via the driver contract this round (see PROGRESS)

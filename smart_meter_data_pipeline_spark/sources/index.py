@@ -449,3 +449,34 @@ def vacuum_index(
     if n:
         apply_tombstones(idx, spark)
     return {"postings_removed": n}
+
+
+def delete_values_mor(
+    table: ManifestTable,
+    spark: SparkSession,
+    column: str,
+    values: list,
+    pk: list[str] | None = None,
+) -> tuple[int, dict]:
+    """DELETE WHERE ``column IN (values)`` served through the posting
+    index — the right-to-be-forgotten sweep on a NON-clustered,
+    non-pk column (erase an account from a 100 TB fact table): the
+    candidate scan is posting-exact (opens only files that contain
+    the values, plus any unindexed tail), the matching rows' pk
+    tuples land as a merge-on-read tombstone (one metadata commit,
+    zero data files rewritten), and ``apply_tombstones`` reconciles
+    later, exactly the ``delete_keys_mor`` lifecycle. Soundness is
+    the index read's: candidates over-approximate the files holding
+    the values, the row filter picks the true matches, and the
+    tombstone governs by pk with the origin-number rule, so rows
+    (re-)inserted after the delete survive it — standard
+    statement-snapshot DELETE semantics. Returns ``(n_keys,
+    candidate_report)``."""
+    from smart_meter_data_pipeline_spark.sources.manifest import PK
+
+    pk = list(pk) if pk else list(PK)
+    df, rep = index_point_read(table, spark, column, values)
+    if df is None:
+        return 0, rep
+    n = table.delete_keys_mor(spark, df.select(*pk), pk=pk)
+    return n, rep

@@ -332,3 +332,54 @@ def test_text_index_modes_skipping_staleness(spark, tmp_path):
     assert gc["postings_removed"] > 0
     out4, _ = text_index_search(t, spark, "text", ["edited"])
     assert out4.count() == 10
+
+
+def test_delete_values_mor_posting_exact(spark, tmp_path):
+    """Index-served DELETE by a non-pk value: candidate scan is
+    posting-exact, the tombstone is O(matching keys), rows re-inserted
+    after the delete survive it."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        delete_values_mor,
+        refresh_index,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        apply_tombstones,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(2000).select(
+        (F.col("id") % 500).alias("meter_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("reading_timestamp"),
+        F.concat(
+            F.lit("AC"),
+            F.lpad((F.col("id") % 500).cast("string"), 5, "0"),
+        ).alias("account_code"),
+    )
+    t.idempotent_append(
+        spark, df, cluster_by=["account_code"], cluster_partitions=8
+    )
+    refresh_index(t, spark, "account_code", posting_partitions=4)
+    n, rep = delete_values_mor(
+        t, spark, "account_code", ["AC00017", "AC00091"]
+    )
+    assert n == 8  # 4 rows per account x 2 accounts
+    assert rep["files_read"] < rep["files_live"]
+    got = t.read(spark)
+    assert got.count() == 1992
+    assert got.filter(
+        F.col("account_code").isin(["AC00017", "AC00091"])
+    ).count() == 0
+    # re-insert one deleted account AFTER the delete: survives it
+    back = df.filter(F.col("account_code") == "AC00017").withColumn(
+        "reading_timestamp",
+        F.expr("timestampadd(DAY, 30, reading_timestamp)"),
+    )
+    t.idempotent_append(spark, back)
+    assert t.read(spark).filter(
+        F.col("account_code") == "AC00017"
+    ).count() == 4
+    apply_tombstones(t, spark)
+    assert t.read(spark).count() == 1996
