@@ -1179,3 +1179,29 @@ def test_sq_recall_broadcasts_scales_and_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert "Exchange SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_ivf_sq8_broadcasts_probes_no_python(spark, sf_dir):
+    """The combined IVF x SQ8 rung: centroids/probes/scales ride
+    broadcasts, candidates come from an equi-join on cell_id (never a
+    cartesian against the corpus), ranking partitions per query —
+    no single-partition exchange, no Python in the hot path."""
+    from smart_meter_data_pipeline_spark.operators import similarity
+
+    p = _plan(similarity.ann_ivf_sq8_recall(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_gap_interpolate_windows_stay_per_meter(spark, sf_dir):
+    """Linear interpolation runs two per-meter windows over the
+    bounded tick grid: everything partitions on meter_id — no
+    single-partition exchange, no Python, and the integer est math
+    stays JVM-side."""
+    from smart_meter_data_pipeline_spark.operators import extended
+
+    p = _plan(extended.meter_gap_interpolate(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
