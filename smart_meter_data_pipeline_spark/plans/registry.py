@@ -81,12 +81,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _PRIORITY = [
     # Drain schedule (round 12 written; r13 instructions): the driver
     # evaluates a ~50-query prefix per round. The r12 window below is
-    # 52 queries = 3 changed-computation + 5 r12-new + the 10-query
+    # 53 queries = 3 changed-computation + 6 r12-new + the 10-query
     # (r10-new) tail + all 34 (r11-new) — after r12 EVERY registered
     # query has a driver artifact row. FOR ROUND 13: staleness
     # rotation restarts — promote (a) any (r11-new) tail entries a
-    # ~50-row driver window left past its edge (the window is 52, so
-    # up to ~2 may overflow — check CORRECTNESS_r12 for which), then
+    # ~50-row driver window left past its edge (the window is 53, so
+    # up to ~3 may overflow — check CORRECTNESS_r12 for which), then
     # (b) any query whose computation changed in r13 and the r13-new
     # additions, then (c) the (stale) section below (latest rows
     # r5-r8, stalest first), which is already ordered for the r13
@@ -108,6 +108,7 @@ _PRIORITY = [
     "corpus_text_index_search",
     "manifest_delete_by_value",
     "meter_gap_interpolate",
+    "stream_text_index_maintenance",
     # (r10-new tail) the 10 round-10 additions past the r11 window —
     # never driver-evaluated; whole registry builder-proven at
     # sf0.01 via the driver contract this round (see PROGRESS)

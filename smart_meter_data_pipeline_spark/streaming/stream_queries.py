@@ -3693,3 +3693,102 @@ FROM readings WHERE meter_id IN (17, 91)""",
 
 
 _register_stream_index_maintenance()
+
+
+def stream_text_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming INVERTED-TEXT-INDEX maintenance — the corpus twin of
+    ``stream_index_maintenance``: the documents table arrives as a
+    two-chunk file stream (maxFilesPerTrigger=1, so the drain runs
+    two micro-batches), each batch lands in the manifest table
+    through the pk-idempotent sink and is followed by an INCREMENTAL
+    ``refresh_text_index`` (only that batch's files tokenize; posting
+    appends are pk-idempotent so a replay re-lands nothing; a crash
+    between commit and refresh leaves the index stale, which the
+    search serves correctly by reading unindexed files
+    unconditionally). After the drain the index must be FRESH (zero
+    unindexed files, asserted), BOTH refreshes must have indexed
+    files (incrementality, asserted), and a two-token ALL search
+    served through the index hash-equals the relational token filter
+    — the ingestion story for a 100 TB corpus whose full-text index
+    keeps up with arrival instead of being rebuilt nightly."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        refresh_text_index,
+        text_index_search,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+    from smart_meter_data_pipeline_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="stream_text_idx_")
+    src = os.path.join(workdir, "docs_src")
+    ckpt = os.path.join(workdir, "ckpt")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "c1")
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "c2")
+        )
+        t = ManifestTable(os.path.join(workdir, "docs"))
+        refreshes: list[dict] = []
+
+        def _land(batch_df, epoch_id):
+            t.idempotent_append(
+                spark,
+                batch_df,
+                pk=["doc_id"],
+                cluster_by=["doc_id"],
+                cluster_partitions=4,
+            )
+            refreshes.append(
+                refresh_text_index(
+                    t, spark, "text", posting_partitions=4
+                )
+            )
+
+        physical = spark.read.parquet(os.path.join(src, "c1")).schema
+        stream = (
+            spark.readStream.schema(physical)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        indexed_per_batch = [r["files_indexed"] for r in refreshes]
+        if len(refreshes) < 2 or min(indexed_per_batch) == 0:
+            raise AssertionError(
+                f"refresh was not incremental per batch: {refreshes}"
+            )
+        out, rep = text_index_search(
+            t, spark, "text", ["dup", "vector"], mode="all"
+        )
+        if rep["files_unindexed"] != 0:
+            raise AssertionError(
+                f"index stale after full drain: {rep}"
+            )
+        return out.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _register_stream_text_index() -> None:
+    from smart_meter_data_pipeline_spark.plans.registry import ORACLES
+
+    register(
+        "stream_text_index_maintenance",
+        ORACLES["corpus_text_index_search"],
+    )(stream_text_index_maintenance)
+
+
+_register_stream_text_index()
