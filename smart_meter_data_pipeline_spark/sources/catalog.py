@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -424,7 +425,10 @@ def compact_catalog(cat: Catalog, keep_last: int = 10) -> int:
         "compacted_from": cut,
         "committed_at": base[-1][1].get("committed_at"),
     }
-    tmp = cat._commit_path(base_num) + f".compacting.{os.getpid()}"
+    # unique per writer, not per process (two THREADS share a pid —
+    # the round-12 index-refresh race class), though compaction also
+    # serializes under the chain lock
+    tmp = cat._commit_path(base_num) + f".compacting.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
         fh.flush()

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -139,7 +140,10 @@ def _refresh_generic(
             cluster_partitions=n_parts,
         )
     os.makedirs(_index_table_dir(table, index_name), exist_ok=True)
-    tmp = _meta_path(table, index_name) + f".tmp.{os.getpid()}"
+    # unique per WRITER, not per process: two threads sharing a pid
+    # (a concurrent-refresh race) must not clobber each other's tmp
+    # file between write and rename
+    tmp = _meta_path(table, index_name) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump({"indexed_upto": upto}, fh)
     os.replace(tmp, _meta_path(table, index_name))

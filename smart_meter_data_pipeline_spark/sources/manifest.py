@@ -210,7 +210,7 @@ class ManifestTable:
         if explicit and {
             k: persisted.get(k) for k in want
         } != want:
-            tmp = cfg_path + f".tmp.{os.getpid()}"
+            tmp = cfg_path + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
                 # merge, don't replace: other persisted sections
                 # (e.g. ANALYZE statistics) survive a reopen that
@@ -3873,7 +3873,7 @@ def analyze_table(
             with open(cfg_path) as fh:
                 persisted = json.load(fh)
     persisted["analyze"] = result
-    tmp = cfg_path + f".tmp.{os.getpid()}"
+    tmp = cfg_path + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(persisted, fh)
     os.replace(tmp, cfg_path)
@@ -3969,7 +3969,7 @@ def analyze_incremental(
             with open(cfg_path) as fh:
                 persisted = json.load(fh)
     persisted["analyze"] = prof
-    tmp = cfg_path + f".tmp.{os.getpid()}"
+    tmp = cfg_path + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(persisted, fh)
     os.replace(tmp, cfg_path)

@@ -3783,6 +3783,12 @@ def stream_text_index_maintenance(
 
 
 def _register_stream_text_index() -> None:
+    # the oracle is registered by operators/text.py — import it first
+    # so this module loads standalone (a test importing stream_queries
+    # directly must not depend on registry load order)
+    from smart_meter_data_pipeline_spark.operators import (  # noqa: F401
+        text,
+    )
     from smart_meter_data_pipeline_spark.plans.registry import ORACLES
 
     register(

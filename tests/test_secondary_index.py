@@ -383,3 +383,96 @@ def test_delete_values_mor_posting_exact(spark, tmp_path):
     ).count() == 4
     apply_tombstones(t, spark)
     assert t.read(spark).count() == 1996
+
+
+def test_concurrent_refresh_index_stays_exact(spark, tmp_path):
+    """Two racing refreshes: posting appends are pk-idempotent and the
+    meta advance is atomic, so whatever interleaving wins, the lookup
+    stays exact and no posting is double-landed."""
+    import threading
+
+    from smart_meter_data_pipeline_spark.sources.index import (
+        _index_table,
+    )
+
+    t, df = _tbl(spark, tmp_path)
+    errs: list = []
+
+    def go():
+        try:
+            refresh_index(t, spark, "meter_id")
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=go) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    idx = _index_table(t, "meter_id")
+    postings = idx.read(spark)
+    assert postings.count() == postings.dropDuplicates(
+        ["v", "rel_file"]
+    ).count()
+    out, rep = index_point_read(t, spark, "meter_id", [17])
+    assert out.count() == 5
+    assert rep["files_unindexed"] == 0
+
+
+def test_read_where_in_index_composes_with_mor(spark, tmp_path):
+    """Composition of the two round-12 read-path features: a plain
+    read(where_in=) on an indexed column, WITH a pending MoR delete —
+    the posting prune and the tombstone anti-join must both apply,
+    and the result equals the unpruned filter."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(4000).select(
+        (F.col("id") % 2000).alias("meter_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("reading_timestamp"),
+        F.concat(
+            F.lit("AC"),
+            F.lpad((F.col("id") % 2000).cast("string"), 5, "0"),
+        ).alias("account_code"),
+    )
+    t.idempotent_append(spark, df.repartition(16))
+    refresh_index(t, spark, "account_code")
+    probe = ["AC00017", "AC00091"]
+    doomed = df.filter(
+        (F.col("account_code") == "AC00017")
+        & (F.col("meter_id") == 17)
+    ).select("meter_id", "reading_timestamp").limit(1)
+    assert t.delete_keys_mor(
+        spark, doomed, pk=["meter_id", "reading_timestamp"]
+    ) == 1
+    got = t.read(spark, where_in={"account_code": probe})
+    want = t.read(spark).filter(F.col("account_code").isin(probe))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 3  # 2 rows/account x 2 - 1 deleted
+
+
+def test_text_search_any_with_absent_token(spark, tmp_path):
+    """ANY-mode with one absent token degrades to the present token's
+    result — union with the empty posting set, row filter on top."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        refresh_text_index,
+        text_index_search,
+    )
+
+    t = ManifestTable(str(tmp_path / "docs"))
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, F.lit("alpha needle"))
+        .otherwise(F.lit("alpha gamma"))
+        .alias("text"),
+    )
+    t.idempotent_append(spark, df, pk=["doc_id"])
+    refresh_text_index(t, spark, "text")
+    out, _ = text_index_search(
+        t, spark, "text", ["needle", "zzz_absent"], mode="any"
+    )
+    assert out.count() == 10
