@@ -53,7 +53,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smart_meter_data_pipeline_spark.sources.manifest import ManifestTable
+from smart_meter_data_pipeline_spark.sources.manifest import (
+    ManifestTable,
+    optimize_table,
+)
 
 INDEXES_DIRNAME = "_indexes"
 
@@ -140,17 +143,26 @@ def _refresh_generic(
             cluster_partitions=n_parts,
         )
     os.makedirs(_index_table_dir(table, index_name), exist_ok=True)
-    # unique per WRITER, not per process: two threads sharing a pid
-    # (a concurrent-refresh race) must not clobber each other's tmp
-    # file between write and rename
-    tmp = _meta_path(table, index_name) + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump({"indexed_upto": upto}, fh)
-    os.replace(tmp, _meta_path(table, index_name))
+    # Monotonic advance: concurrent refreshes last-writer-win on the
+    # meta file, and a slow refresh derived from an OLDER snapshot
+    # must not regress indexed_upto past a racing refresh's newer
+    # value (reads would stay sound — files just look 'unindexed' —
+    # but freshness asserts like files_unindexed == 0 would flake).
+    # Re-read right before the rename and write max(existing, ours);
+    # skip the write entirely when the persisted value already won.
+    current = _load_meta(table, index_name)["indexed_upto"]
+    if upto > current:
+        # unique per WRITER, not per process: two threads sharing a
+        # pid (a concurrent-refresh race) must not clobber each
+        # other's tmp file between write and rename
+        tmp = _meta_path(table, index_name) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"indexed_upto": max(upto, current)}, fh)
+        os.replace(tmp, _meta_path(table, index_name))
     return {
         "files_indexed": len(new_files),
         "postings": n_postings,
-        "indexed_upto": upto,
+        "indexed_upto": max(upto, current),
     }
 
 
@@ -224,6 +236,56 @@ def refresh_text_index(
     )
 
 
+def _guarded_meta(table: ManifestTable, name: str, numbered: list) -> dict:
+    """The index meta, with the SNAPSHOT-RACE guard (round 13): a
+    reader pairs ITS snapshot with freshly-loaded index state, so if
+    a CoW rewrite + refresh + vacuum all land between the read's
+    ``numbered_snapshot()`` and its index consult, a file live in the
+    read's snapshot can have its postings GC'd while its origin is
+    <= the NEW indexed_upto — posting pruning would briefly become a
+    correctness filter. Any commit that could strand the snapshot
+    necessarily advances indexed_upto past the snapshot's head
+    commit number, so ``indexed_upto > head`` detects exactly the
+    dangerous interleaving: treat every file as unindexed (read all,
+    prune nothing) for this one consult."""
+    meta = _load_meta(table, name)
+    if numbered and meta["indexed_upto"] > numbered[-1][0]:
+        return {"indexed_upto": -1}
+    return meta
+
+
+def _posting_df_caps(
+    idx_df, vals: list, cap: int
+) -> tuple[dict, set]:
+    """Per-value posting counts (one JVM-side aggregation — only
+    ``len(vals)`` rows reach the driver) and the values whose
+    document frequency meets ``cap``. A value posted in most files
+    prunes (almost) nothing, and collecting its posting list would be
+    an O(n_files) driver transfer for zero benefit — the same
+    hot-shingle cap dedup's LSH uses. Capped values are served as
+    "all indexed files" WITHOUT collecting their postings."""
+    counts = {
+        r["v"]: r["n"]
+        for r in idx_df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    capped = {v for v in vals if counts.get(v, 0) >= cap}
+    return counts, capped
+
+
+def _default_df_cap(n_indexed_files: int) -> int:
+    # Cap only at >=90% occupancy: there the posting list buys <=1.1x
+    # IO (stopword regime — the collect is O(n_files) for nothing),
+    # while anything rarer keeps its exact pruning. Deliberately NOT
+    # lower: capping serves "all indexed files", and a mid-occupancy
+    # value (e.g. half the files) still prunes 2x — worth the collect,
+    # and the existing point-read guarantee (a FRESHER index never
+    # grows the candidate set) holds only if capping kicks in where
+    # the posting set is already ~everything.
+    return max(2, (9 * n_indexed_files + 9) // 10)
+
+
 def index_candidate_files(
     table: ManifestTable,
     spark: SparkSession,
@@ -231,6 +293,8 @@ def index_candidate_files(
     values: list,
     numbered: list | None = None,
     index_name: str | None = None,
+    want_report: bool = True,
+    df_cap: int | None = None,
 ) -> tuple[list[str], dict]:
     """The sound candidate-file set for ``column IN (values)`` on the
     CURRENT snapshot: ``(postings ∩ live) ∪ unindexed-files`` — the
@@ -242,35 +306,66 @@ def index_candidate_files(
     ``(absolute file paths, report)``. CURRENT-only by contract: a
     time-travel read must not consult the index (vacuum_index keeps
     postings only for currently-live files, so an old snapshot's
-    rewritten files could be wrongly dropped)."""
+    rewritten files could be wrongly dropped).
+
+    ``want_report=False`` (the plain-read path) skips the posting
+    table's own ``skipping_report`` — a second posting-metadata pass
+    whose numbers only observability callers use. ``df_cap`` bounds
+    the posting collect: any value posted in >= cap indexed files
+    (default: 90% of them) is served as "all indexed files" without
+    collecting its posting list — a high-occupancy value prunes
+    nothing, and its collect would be O(n_files) driver-side."""
     if numbered is None:
         numbered = table.numbered_snapshot()
     name = index_name or column
     commits = [c for _, c in numbered]
     live = table._files(commits)
     origins = table._file_origins(numbered)
-    meta = _load_meta(table, name)
+    meta = _guarded_meta(table, name, numbered)
     idx = _index_table(table, name)
     vals = [v for v in values if v is not None]
-    posted: set[str] = set()
-    posting_rep = {"files_live": 0, "files_read": 0}
-    if vals:
-        idx_df = idx.read(spark, where_in={"v": vals})
-        if idx_df is not None:
-            posting_rep = idx.skipping_report(where_in={"v": vals})
-            posted = {
-                r["rel_file"]
-                for r in idx_df.select("rel_file").distinct().collect()
-            }
     unindexed = [
         f for f in live if origins.get(f, 0) > meta["indexed_upto"]
     ]
-    indexed_hits = [
-        f
-        for f in live
-        if origins.get(f, 0) <= meta["indexed_upto"]
-        and os.path.relpath(f, table.data_dir) in posted
+    indexed_live = [
+        f for f in live if origins.get(f, 0) <= meta["indexed_upto"]
     ]
+    posted: set[str] | None = set()
+    posting_rep = {"files_live": 0, "files_read": 0}
+    n_capped = 0
+    if vals and indexed_live:
+        idx_df = idx.read(spark, where_in={"v": vals})
+        if idx_df is not None:
+            if want_report:
+                posting_rep = idx.skipping_report(
+                    where_in={"v": vals}
+                )
+            cap = (
+                df_cap
+                if df_cap is not None
+                else _default_df_cap(len(indexed_live))
+            )
+            _, capped = _posting_df_caps(idx_df, vals, cap)
+            n_capped = len(capped)
+            if capped:
+                # one capped value already makes the union every
+                # indexed file — nothing left to prune or collect
+                posted = None
+            else:
+                posted = {
+                    r["rel_file"]
+                    for r in idx_df.select("rel_file")
+                    .distinct()
+                    .collect()
+                }
+    if posted is None:
+        indexed_hits = indexed_live
+    else:
+        indexed_hits = [
+            f
+            for f in indexed_live
+            if os.path.relpath(f, table.data_dir) in posted
+        ]
     candidates = sorted(set(indexed_hits) | set(unindexed))
     report = {
         "files_live": len(live),
@@ -278,6 +373,7 @@ def index_candidate_files(
         "files_unindexed": len(unindexed),
         "posting_files_live": posting_rep["files_live"],
         "posting_files_read": posting_rep["files_read"],
+        "df_capped_values": n_capped,
     }
     return candidates, report
 
@@ -352,29 +448,55 @@ def text_index_search(
     name = column + "__tokens"
     live = table._files(commits)
     origins = table._file_origins(numbered)
-    meta = _load_meta(table, name)
+    meta = _guarded_meta(table, name, numbered)
     idx = _index_table(table, name)
     toks = [t for t in tokens if t]
     by_tok: dict[str, set] = {t: set() for t in toks}
-    posting_rep = {"files_live": 0, "files_read": 0}
-    if toks:
-        idx_df = idx.read(spark, where_in={"v": toks})
-        if idx_df is not None:
-            posting_rep = idx.skipping_report(where_in={"v": toks})
-            for r in (
-                idx_df.select("v", "rel_file").distinct().collect()
-            ):
-                by_tok[r["v"]].add(r["rel_file"])
     unindexed = {
         f for f in live if origins.get(f, 0) > meta["indexed_upto"]
     }
+    indexed_live = {
+        f for f in live if origins.get(f, 0) <= meta["indexed_upto"]
+    }
+    capped: set[str] = set()
+    posting_rep = {"files_live": 0, "files_read": 0}
+    if toks and indexed_live:
+        idx_df = idx.read(spark, where_in={"v": toks})
+        if idx_df is not None:
+            posting_rep = idx.skipping_report(where_in={"v": toks})
+            # df-cap (round 13): a stopword-frequency token is posted
+            # in ~every file — its posting list collect would be
+            # O(n_files) driver-side and prune nothing. Count per
+            # token first (JVM-side, len(toks) rows back), serve
+            # capped tokens as "all indexed files", and RE-read the
+            # posting table for only the uncapped tokens so the
+            # hot token's posting files aren't even scanned twice.
+            _, capped = _posting_df_caps(
+                idx_df, toks, _default_df_cap(len(indexed_live))
+            )
+            uncapped = [t for t in toks if t not in capped]
+            if uncapped:
+                sub = idx.read(spark, where_in={"v": uncapped})
+                if sub is not None:
+                    for r in (
+                        sub.select("v", "rel_file")
+                        .distinct()
+                        .collect()
+                    ):
+                        by_tok[r["v"]].add(r["rel_file"])
+    rel_indexed = {
+        f: os.path.relpath(f, table.data_dir) for f in indexed_live
+    }
     per_tok = [
-        {
-            f
-            for f in live
-            if origins.get(f, 0) <= meta["indexed_upto"]
-            and os.path.relpath(f, table.data_dir) in by_tok[t]
-        }
+        (
+            indexed_live
+            if t in capped
+            else {
+                f
+                for f, rel in rel_indexed.items()
+                if rel in by_tok[t]
+            }
+        )
         | unindexed
         for t in toks
     ]
@@ -391,6 +513,7 @@ def text_index_search(
         "files_unindexed": len(unindexed),
         "posting_files_live": posting_rep["files_live"],
         "posting_files_read": posting_rep["files_read"],
+        "df_capped_tokens": len(capped),
     }
     schema = ManifestTable._evolved_schema(commits)
     if not candidates:
@@ -453,6 +576,106 @@ def vacuum_index(
     if n:
         apply_tombstones(idx, spark)
     return {"postings_removed": n}
+
+
+def optimize_index(
+    table: ManifestTable,
+    spark: SparkSession,
+    column: str,
+    index_name: str | None = None,
+    posting_partitions: int | None = None,
+    only_if_more_than: int | None = None,
+) -> dict:
+    """Compact the posting table — the index's OPTIMIZE (round 13).
+
+    Each incremental refresh writes its OWN ``v``-clustered slice
+    set, and slices from different refreshes OVERLAP (text tokens
+    especially: every batch contains the common tokens, so every
+    refresh's posting files span the whole token range). After N
+    refreshes a lookup therefore opens ~O(N) posting files — the
+    measured skip ratio decays linearly with refresh count, and
+    ``vacuum_index`` only removes STALE postings, never merges live
+    ones. This pass rides the posting table's own ``optimize_table``
+    with ``cluster_by=["v"]``: one global re-cluster rewrites all
+    live posting files into disjoint ``v`` ranges, restoring the
+    O(1)-posting-files-per-lookup property whatever the refresh
+    history. Layout-only (rows untouched), one copy-on-write commit,
+    fence-raced like every OPTIMIZE.
+
+    ``only_if_more_than`` makes it a self-triggering maintenance
+    hook: skip (cheap metadata check) unless the live posting-file
+    count exceeds the threshold — call it after every refresh and it
+    fires every ~K refreshes. ``posting_partitions`` overrides the
+    output file count (default: the refresh sizing rule against the
+    live posting-file count). Returns ``optimize_table``'s dict plus
+    ``posting_files_before`` / ``posting_files_after``."""
+    idx = _index_table(table, index_name or column)
+    commits = idx.snapshot()
+    before = len(idx._files(commits))
+    if only_if_more_than is not None and before <= only_if_more_than:
+        return {
+            "files_rewritten": 0,
+            "files_created": 0,
+            "skipped": True,
+            "posting_files_before": before,
+            "posting_files_after": before,
+        }
+    n_parts = posting_partitions or max(1, min(64, (before + 7) // 8))
+    rep = optimize_table(
+        idx,
+        spark,
+        small_file_bytes=1 << 40,
+        target_partitions=n_parts,
+        cluster_by=["v"],
+    )
+    after = len(idx._files(idx.snapshot()))
+    return {
+        **rep,
+        "posting_files_before": before,
+        "posting_files_after": after,
+    }
+
+
+def maintain_index(
+    table: ManifestTable,
+    spark: SparkSession,
+    column: str,
+    text: bool = False,
+    posting_partitions: int | None = None,
+    max_posting_files: int = 32,
+) -> dict:
+    """One-call index maintenance — the composition a scheduled
+    100 TB maintenance window runs per indexed column: incremental
+    refresh (index the files new since last time), vacuum (GC
+    postings stranded by CoW rewrites / retention — skipped when the
+    refresh saw no new files, since only table commits can strand
+    postings), then compaction (re-cluster the posting table, but
+    ONLY when fragmentation crossed ``max_posting_files`` — the
+    self-triggering ``only_if_more_than`` hook, so steady-state calls
+    are metadata-only). ``text=True`` maintains the inverted-text
+    index (``{column}__tokens``) instead of the exact-value one.
+    Returns the three sub-reports merged."""
+    index_name = column + "__tokens" if text else None
+    if text:
+        ref = refresh_text_index(
+            table, spark, column, posting_partitions
+        )
+    else:
+        ref = refresh_index(table, spark, column, posting_partitions)
+    gc = (
+        vacuum_index(table, spark, column, index_name=index_name)
+        if ref["files_indexed"]
+        else {"postings_removed": 0}
+    )
+    opt = optimize_index(
+        table,
+        spark,
+        column,
+        index_name=index_name,
+        posting_partitions=posting_partitions,
+        only_if_more_than=max_posting_files,
+    )
+    return {"refresh": ref, "vacuum": gc, "optimize": opt}
 
 
 def delete_values_mor(

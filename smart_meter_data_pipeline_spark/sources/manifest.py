@@ -834,11 +834,30 @@ class ManifestTable:
         Only columns that HAVE a refreshed index directory consult
         it; the index set is ``(postings ∩ live) ∪ unindexed``, an
         over-approximation of the files containing the values, so
-        intersecting stays sound on the current snapshot."""
+        intersecting stays sound on the current snapshot.
+
+        Selectivity-aware bypass (round 13): the posting lookup pays
+        for itself only when the values live in FEW files. With an
+        ANALYZE profile present, estimate the matching rows under the
+        planner's uniformity rule (``estimate_read_rows``) — when the
+        estimate exceeds ~ln2 rows per live file, the expected
+        file-hit fraction is over one half and zone-map/Bloom pruning
+        (already applied) is all the read should pay for; skip the
+        index consult entirely. No profile → consult (the index was
+        built to be used); the consult itself stays bounded via the
+        df-cap inside ``index_candidate_files``. Purely a performance
+        decision — both branches return a sound candidate superset."""
         for col, vs in where_in.items():
             idx_dir = os.path.join(self.table_dir, "_indexes", col)
             if not os.path.isdir(idx_dir):
                 continue
+            try:
+                est = estimate_read_rows(self, where_in={col: vs})
+                # est/F >= ln2 (~2/3) => expected hit fraction > 50%
+                if 3 * est["est_rows"] >= 2 * max(1, len(files)):
+                    continue
+            except ValueError:
+                pass  # never analyzed: no estimate, consult the index
             from smart_meter_data_pipeline_spark.sources.index import (
                 index_candidate_files,
             )
@@ -849,6 +868,7 @@ class ManifestTable:
                 col,
                 [v for v in vs if v is not None],
                 numbered,
+                want_report=False,
             )
             cand_set = set(cand)
             files = [f for f in files if f in cand_set]

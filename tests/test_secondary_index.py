@@ -476,3 +476,231 @@ def test_text_search_any_with_absent_token(spark, tmp_path):
         t, spark, "text", ["needle", "zzz_absent"], mode="any"
     )
     assert out.count() == 10
+
+
+def test_optimize_index_restores_o1_posting_reads(spark, tmp_path):
+    """Round-13 compaction: N incremental refreshes write OVERLAPPING
+    v-range slices, so a point lookup opens ~O(N) posting files;
+    optimize_index re-clusters the posting table into disjoint ranges
+    and the lookup is O(1) again — with identical results."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        optimize_index,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for b in range(8):
+        df = spark.range(400).select(
+            (F.col("id") % 100).alias("meter_id"),
+            F.expr(
+                f"timestampadd(MINUTE, CAST(id AS INT),"
+                f" timestamp'2024-01-0{b + 1} 00:00:00')"
+            ).alias("reading_timestamp"),
+            (F.col("id") * 3 + b).alias("v"),
+        )
+        t.idempotent_append(spark, df.repartition(2))
+        # every batch holds every meter -> each refresh's 4 posting
+        # files span the whole meter range, overlapping prior ones
+        refresh_index(t, spark, "meter_id", posting_partitions=4)
+    out_before, rep_before = index_point_read(t, spark, "meter_id", [17])
+    n_before = out_before.count()
+    assert n_before == 8 * 4  # 4 rows per batch
+    assert rep_before["posting_files_live"] >= 8
+    # fragmentation: the lookup opens ~one posting file per refresh
+    assert rep_before["posting_files_read"] >= 4
+    # self-triggering hook: below threshold -> metadata-only no-op
+    skip = optimize_index(
+        t, spark, "meter_id", only_if_more_than=10**6
+    )
+    assert skip["skipped"] and skip["files_rewritten"] == 0
+    rep = optimize_index(
+        t, spark, "meter_id", posting_partitions=4,
+        only_if_more_than=8,
+    )
+    assert rep["files_rewritten"] >= 8
+    assert rep["posting_files_after"] <= 4
+    out_after, rep_after = index_point_read(t, spark, "meter_id", [17])
+    assert out_after.count() == n_before
+    assert rep_after["posting_files_read"] <= 2
+    assert rep_after["files_read"] == rep_before["files_read"]
+    assert sorted(map(tuple, out_after.collect())) == sorted(
+        map(tuple, out_before.collect())
+    )
+
+
+def test_text_search_hot_token_df_capped(spark, tmp_path):
+    """Round-13 df-cap: a stopword-frequency token's posting list is
+    never collected driver-side — it is served as 'all indexed files'
+    (it prunes nothing anyway), while a rare token still prunes, and
+    ALL-mode intersection with a rare token stays tight."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        refresh_text_index,
+        text_index_search,
+    )
+
+    t = ManifestTable(str(tmp_path / "docs"))
+    df = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 40, F.lit("common needle"))
+        .otherwise(F.lit("common filler"))
+        .alias("text"),
+    )
+    t.idempotent_append(
+        spark, df, pk=["doc_id"], cluster_by=["doc_id"],
+        cluster_partitions=8,
+    )
+    refresh_text_index(t, spark, "text", posting_partitions=4)
+    # hot token alone: correct rows, capped, zero pruning (expected)
+    out, rep = text_index_search(t, spark, "text", ["common"])
+    assert out.count() == 800
+    assert rep["df_capped_tokens"] == 1
+    assert rep["files_read"] == rep["files_live"]
+    # hot+rare in ALL mode: the rare token's postings still prune
+    out2, rep2 = text_index_search(
+        t, spark, "text", ["common", "needle"], mode="all"
+    )
+    assert out2.count() == 40
+    assert rep2["df_capped_tokens"] == 1
+    assert rep2["files_read"] < rep2["files_live"]
+
+
+def test_index_df_cap_high_occupancy_value(spark, tmp_path):
+    """Value-index df-cap: a value present in every file is served
+    without a posting collect; results identical to the plain read."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(4000).select(
+        (F.col("id") % 800).alias("meter_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("reading_timestamp"),
+        F.when(F.col("id") % 5 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("rare_"), F.col("id")))
+        .alias("tag"),
+    )
+    t.idempotent_append(spark, df.repartition(8))
+    refresh_index(t, spark, "tag")
+    out, rep = index_point_read(t, spark, "tag", ["hot"])
+    assert out.count() == 800
+    assert rep["df_capped_values"] == 1
+    assert rep["files_read"] == rep["files_live"]
+    # rare value: no cap, posting-exact pruning as before
+    out2, rep2 = index_point_read(t, spark, "tag", ["rare_7"])
+    assert out2.count() == 1
+    assert rep2["df_capped_values"] == 0
+    assert rep2["files_read"] <= 2
+
+
+def test_index_meta_monotonic_and_snapshot_race_guard(spark, tmp_path):
+    """Round-13 advice fixes: (a) a refresh derived from an OLDER
+    snapshot never regresses indexed_upto; (b) a consult whose
+    snapshot is OLDER than the index state (indexed_upto > the
+    snapshot's head commit) treats every file as unindexed — posting
+    pruning can never become a correctness filter mid-race."""
+    import json as _json
+
+    from smart_meter_data_pipeline_spark.sources.index import (
+        _load_meta,
+        _meta_path,
+        index_candidate_files,
+    )
+
+    t, _ = _tbl(spark, tmp_path)
+    refresh_index(t, spark, "meter_id")
+    head = t.numbered_snapshot()[-1][0]
+    # simulate a racing refresh that advanced the meta past our head
+    with open(_meta_path(t, "meter_id"), "w") as fh:
+        _json.dump({"indexed_upto": head + 5}, fh)
+    # (a) a re-run refresh (same snapshot) must not regress the meta
+    r = refresh_index(t, spark, "meter_id")
+    assert r["indexed_upto"] == head + 5
+    assert _load_meta(t, "meter_id")["indexed_upto"] == head + 5
+    # (b) the consult sees indexed_upto > its snapshot head: every
+    # live file is unindexed for this read (read all, prune nothing)
+    cand, rep = index_candidate_files(t, spark, "meter_id", [17])
+    assert rep["files_unindexed"] == rep["files_live"]
+    assert rep["files_read"] == rep["files_live"]
+    out, _ = index_point_read(t, spark, "meter_id", [17])
+    assert out.count() == 5
+
+
+def test_read_where_in_selectivity_bypass(spark, tmp_path, monkeypatch):
+    """Round-13 bypass: with an ANALYZE profile, a low-selectivity
+    IN-list (most rows match) skips the posting-index consult —
+    zone-map/Bloom pruning is all the read pays for — while a rare
+    value still consults it. Identical results both ways."""
+    import smart_meter_data_pipeline_spark.sources.index as idxmod
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        analyze_table,
+    )
+
+    t, df = _tbl(spark, tmp_path)
+    refresh_index(t, spark, "meter_id")
+    analyze_table(t, spark, columns=["meter_id"])
+    calls = []
+    orig = idxmod.index_candidate_files
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(idxmod, "index_candidate_files", spy)
+    wide = list(range(600))
+    got_wide = t.read(spark, where_in={"meter_id": wide})
+    want_wide = t.read(spark).filter(F.col("meter_id").isin(wide))
+    assert got_wide.count() == want_wide.count() == 3000
+    assert calls == []  # est >= ~2/3 row/file -> bypassed
+    got = t.read(spark, where_in={"meter_id": [17]})
+    want = t.read(spark).filter(F.col("meter_id") == 17)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert calls == [1]  # rare value -> consulted
+
+
+def test_maintain_index_composition(spark, tmp_path):
+    """maintain_index = refresh + (vacuum iff new files) + (compact
+    iff fragmented): steady-state calls are metadata-only no-ops,
+    churn triggers exactly the needed passes, results stay exact."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        maintain_index,
+    )
+
+    t, df = _tbl(spark, tmp_path)
+    r1 = maintain_index(
+        spark=spark, table=t, column="meter_id",
+        posting_partitions=4, max_posting_files=8,
+    )
+    assert r1["refresh"]["files_indexed"] > 0
+    assert r1["optimize"].get("skipped")  # 4 files < threshold
+    # steady state: nothing new -> refresh/vacuum/compact all no-op
+    r2 = maintain_index(
+        spark=spark, table=t, column="meter_id", max_posting_files=8,
+    )
+    assert r2["refresh"]["files_indexed"] == 0
+    assert r2["vacuum"]["postings_removed"] == 0
+    assert r2["optimize"].get("skipped")
+    # churn: three more appends+refreshes fragment past the threshold
+    for b in range(3):
+        day = df.withColumn(
+            "reading_timestamp",
+            F.expr(f"timestampadd(DAY, {b + 1}, reading_timestamp)"),
+        )
+        t.idempotent_append(spark, day.repartition(4))
+        maintain_index(
+            spark=spark, table=t, column="meter_id",
+            posting_partitions=4, max_posting_files=8,
+        )
+    # a CoW rewrite strands postings; the next maintenance GCs them
+    up = t.read(spark).filter("meter_id = 17").withColumn(
+        "v", F.col("v") + 1
+    )
+    t.upsert(spark, up)
+    r3 = maintain_index(
+        spark=spark, table=t, column="meter_id",
+        posting_partitions=4, max_posting_files=8,
+    )
+    assert r3["vacuum"]["postings_removed"] > 0
+    assert r3["optimize"]["posting_files_after"] <= 8
+    out, rep = index_point_read(t, spark, "meter_id", [17])
+    assert rep["files_unindexed"] == 0
+    assert out.count() == 4 * 5  # 5 rows/day x 4 days
