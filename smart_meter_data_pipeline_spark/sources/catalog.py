@@ -27,10 +27,18 @@ chain ONLY, so:
   conflict rule, applied per touched table) and either recommits the
   same staged files at the next number or aborts with a conflict.
 
-Scope: transactional APPENDs (the multi-table ingest case). Row-level
-mutations stay single-table operations on :class:`ManifestTable` —
-the same split Nessie itself had for years (multi-table commits,
-single-table merges).
+Scope (round 13): transactional APPENDs (the multi-table ingest
+case) AND copy-on-write MUTATIONS — :meth:`CatalogTxn.upsert` /
+:meth:`CatalogTxn.delete_where` stage rewrites exactly like the
+manifest CoW engine, the payload carries ``removed`` alongside
+``added``, and one catalog commit lands a fact restatement and its
+dimension update atomically (the reference's "every batch is a
+Postgres txn" property — consumer/meter_consumer.py:132-135 — for
+coupled multi-table changes). Conflict rule at the fence: a txn
+that MUTATED a table aborts if any commit it lost to also removed
+files from that table (its rewrite was derived from a state that no
+longer exists); append-only interleavings revalidate by key overlap
+like appends do.
 
 At 100 TB the catalog chain stays metadata-bounded the same way the
 manifest log does: payloads are O(files touched), the chain is
@@ -355,13 +363,56 @@ class Catalog:
         return removed
 
 
+def _squash_payloads(payloads: list[dict]) -> dict:
+    """Replay a table's per-commit payloads into ONE payload — the
+    shared merge behind :func:`compact_catalog` and
+    :meth:`CatalogBranch.fast_forward`. With append-only payloads
+    this was plain concatenation; with mutations (round 13) it is a
+    replay: a ``removed`` entry drops the file (and its stats) if a
+    prior payload in the window added it, else it CARRIES THROUGH to
+    the squashed ``removed`` (a branch mutation can remove a file
+    main's prefix added — the squash commit must still remove it).
+    ``count`` stays the concatenated sum (rows ever appended in the
+    window — informational; readers resolve content from
+    added/removed only); the last schema wins, dates/stats union over
+    SURVIVING files."""
+    added: dict[str, None] = {}
+    removed: list[str] = []
+    stats: dict = {}
+    dates: set = set()
+    count = 0
+    schema = None
+    for p in payloads:
+        for r in p.get("removed", []):
+            if r in added:
+                added.pop(r)
+                stats.pop(r, None)
+            else:
+                removed.append(r)
+        for f in p["added"]:
+            added[f] = None
+        count += p["count"]
+        dates |= set(p.get("dates", []))
+        schema = p.get("schema") or schema
+        stats.update(p.get("stats", {}))
+    return {
+        "added": list(added),
+        "removed": removed,
+        "count": count,
+        "dates": sorted(dates),
+        "schema": schema,
+        "stats": {f: s for f, s in stats.items() if f in added},
+    }
+
+
 def compact_catalog(cat: Catalog, keep_last: int = 10) -> int:
     """Catalog-chain compaction — the same merged-base move as the
-    manifest's ``compact_log``, trivialized by append-only payloads:
-    all commits except the newest ``keep_last`` merge into one base
-    commit whose per-table payloads are the CONCATENATION of the
-    merged prefix's (added/count/dates/stats union, last schema
-    wins). The base reuses the lowest commit number; tail numbers are
+    manifest's ``compact_log``: all commits except the newest
+    ``keep_last`` merge into one base commit whose per-table payloads
+    are the REPLAY of the merged prefix's (:func:`_squash_payloads` —
+    removals net out the files mutations rewrote, making them
+    vacuum-reclaimable; dates/stats union, last schema wins). The
+    base reuses the lowest commit number; tail numbers are
     untouched, so the transaction fence stays monotone and a lost
     put-if-absent remains the only way to miss concurrent content.
     Catalog-BRANCH bases are GC roots (the clamp rule tags have on
@@ -398,26 +449,16 @@ def compact_catalog(cat: Catalog, keep_last: int = 10) -> int:
     if cut < 2:
         return 0
     base = numbered[:cut]
-    merged: dict[str, dict] = {}
+    by_table: dict[str, list[dict]] = {}
     for _, c in base:
         for name, p in c.get("tables", {}).items():
-            m = merged.get(name)
-            if m is None:
-                merged[name] = {
-                    "added": list(p["added"]),
-                    "count": p["count"],
-                    "dates": sorted(p.get("dates", [])),
-                    "schema": p.get("schema"),
-                    "stats": dict(p.get("stats", {})),
-                }
-            else:
-                m["added"] = m["added"] + list(p["added"])
-                m["count"] += p["count"]
-                m["dates"] = sorted(
-                    set(m["dates"]) | set(p.get("dates", []))
-                )
-                m["schema"] = p.get("schema") or m["schema"]
-                m["stats"] = {**m["stats"], **p.get("stats", {})}
+            by_table.setdefault(name, []).append(p)
+    # Replay-merge (not concatenation): a CoW mutation in the merged
+    # prefix removes files an earlier commit added — the base must
+    # hold the NET file set or readers would resurrect deleted rows.
+    merged = {
+        name: _squash_payloads(ps) for name, ps in by_table.items()
+    }
     base_num = base[0][0]
     payload = {
         "version": base_num,
@@ -443,23 +484,115 @@ def compact_catalog(cat: Catalog, keep_last: int = 10) -> int:
 
 
 class CatalogTxn:
-    """Collects staged appends across tables, then publishes ONE
-    catalog commit. Usage::
+    """Collects staged appends AND copy-on-write mutations across
+    tables, then publishes ONE catalog commit. Usage::
 
         txn = catalog.txn()
         txn.append(spark, "fact", fact_batch)
-        txn.append(spark, "dim_meters", dim_batch, pk=["meter_id"])
-        txn.commit()   # both visible, atomically — or neither
-    """
+        txn.upsert(spark, "fact", restated_rows)
+        txn.upsert(spark, "dim_meters", dim_rows, pk=["meter_id"])
+        txn.delete_where(spark, "fact", "reading_value < 0")
+        txn.commit()   # all visible, atomically — or none
+
+    Members see the txn's own earlier stages (read-your-own-writes):
+    each operation resolves the table from the catalog chain PLUS the
+    txn's accumulated payload, so an upsert after an append restates
+    the appended rows too. Mutations of files this txn itself staged
+    rewrite the STAGE (the removed stage file is discarded, never
+    listed in the commit's ``removed`` — a published removal may only
+    name chain-visible files)."""
 
     def __init__(self, cat: Catalog) -> None:
         self.cat = cat
         self._payloads: dict[str, dict] = {}
         self._pks: dict[str, list[str]] = {}
+        self._mutated: set[str] = set()
+        # chain length all staged work has been validated against;
+        # commit() revalidates anything that landed past it (the
+        # append→commit gap is a race window too, not just lost
+        # put-if-absent attempts inside commit)
+        self._validated_len: int | None = None
         self._spark: SparkSession | None = None
         self._committed = False
         # test seam, same contract as ManifestTable._pre_publish_hook
         self._pre_publish_hook = None
+
+    def _visible_commits(self, name: str) -> list[dict]:
+        """The table's payloads as THIS txn sees them: the catalog
+        chain plus our own accumulated stage."""
+        commits = self.cat._table_commits(name)
+        p = self._payloads.get(name)
+        if p is not None:
+            commits = commits + [p]
+        return commits
+
+    def _note_chain_len(self) -> None:
+        n = len(self.cat.numbered_snapshot())
+        if self._validated_len is None:
+            self._validated_len = n
+        else:
+            self._validated_len = min(self._validated_len, n)
+
+    def _merge_payload(
+        self,
+        name: str,
+        t: ManifestTable,
+        spark: SparkSession,
+        staged: list[str],
+        removed: list[str],
+        schema_json: str | None,
+    ) -> None:
+        """Fold one operation's (staged, removed) into the table's
+        accumulated payload. A removal of a file WE staged earlier
+        rewrites the stage in place (file discarded, not published);
+        removals of chain files publish in ``removed``. Dates and
+        count are recomputed from the payload's current staged files
+        (one bounded agg — txn-sized, never table-sized)."""
+        prior = self._payloads.get(name) or {
+            "added": [],
+            "removed": [],
+            "count": 0,
+            "dates": [],
+            "schema": None,
+            "stats": {},
+        }
+        prior_added = list(prior["added"])
+        prior_stats = dict(prior["stats"])
+        removed_chain: list[str] = []
+        for r in removed:
+            if r in prior_added:
+                prior_added.remove(r)
+                prior_stats.pop(r, None)
+                t._discard_stage([r])
+            else:
+                removed_chain.append(r)
+        added = prior_added + staged
+        stats = {**prior_stats, **t._file_stats(staged)}
+        count, dates = 0, []
+        if added:
+            sdf = spark.read.parquet(
+                *(os.path.join(t.data_dir, f) for f in added)
+            )
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if "reading_timestamp" in sdf.columns:
+                aggs.append(
+                    F.collect_set(
+                        F.to_date("reading_timestamp").cast("string")
+                    ).alias("ds")
+                )
+            row = sdf.agg(*aggs).collect()[0]
+            count = row["n"]
+            dates = sorted(row["ds"]) if "ds" in row.__fields__ else []
+        self._payloads[name] = {
+            "added": added,
+            "removed": sorted(
+                set(prior.get("removed", [])) | set(removed_chain)
+            ),
+            "count": count,
+            "dates": dates,
+            "schema": schema_json or prior.get("schema"),
+            "stats": stats,
+        }
 
     def append(
         self,
@@ -470,20 +603,21 @@ class CatalogTxn:
     ) -> int:
         """Stage a PK-idempotent append to ``name`` inside this
         transaction: dedupe within the batch, anti-join against the
-        CATALOG-visible state and against rows already staged for
-        ``name`` by this txn, stage the survivors. Nothing is visible
-        until :meth:`commit`."""
+        txn-visible state (catalog chain + rows already staged for
+        ``name`` by this txn), stage the survivors. Nothing is
+        visible until :meth:`commit`."""
         if self._committed:
             raise RuntimeError("transaction already committed")
         self._spark = spark
+        self._note_chain_len()
         t = self.cat.table_handle(name)
         clean = batch.dropDuplicates(pk)
-        # Date-pruned validation scan (the manifest append's move):
-        # the anti-join reads only files from commits whose recorded
-        # dates overlap the batch's — sound here without any caveat
-        # because catalog payloads are append-only (no removals whose
-        # skipping could resurrect files). A statless/dateless batch
-        # anti-joins everything, the safe direction.
+        # Date-pruned validation scan (the manifest append's move).
+        # The date filter applies at the FILE level inside _files
+        # (add-side only — removals always replay), never by dropping
+        # whole commits: a mutation commit whose dates don't overlap
+        # can still REMOVE an overlapping file, and skipping its
+        # removal would anti-join the batch against deleted rows.
         batch_dates: set[str] | None = None
         if "reading_timestamp" in clean.columns:
             batch_dates = {
@@ -494,14 +628,8 @@ class CatalogTxn:
                 .distinct()
                 .collect()
             }
-        commits = self.cat._table_commits(name)
-        if batch_dates is not None:
-            commits = [
-                c
-                for c in commits
-                if not c.get("dates") or set(c["dates"]) & batch_dates
-            ]
-        files = t._files(commits) if commits else []
+        commits = self._visible_commits(name)
+        files = t._files(commits, batch_dates) if commits else []
         if files:
             schema = ManifestTable._evolved_schema(commits)
             reader = spark.read
@@ -510,49 +638,186 @@ class CatalogTxn:
             clean = clean.join(
                 reader.parquet(*files).select(*pk), pk, "left_anti"
             )
-        prior = self._payloads.get(name)
-        if prior is not None and prior["added"]:
-            staged_prior = spark.read.parquet(
-                *(os.path.join(t.data_dir, f) for f in prior["added"])
-            )
-            clean = clean.join(staged_prior.select(*pk), pk, "left_anti")
         clean = clean.persist()
         try:
             n = clean.count()
             if n == 0:
                 return 0
-            if "reading_timestamp" in clean.columns:
-                dates = sorted(
+            staged = t._stage(clean)
+            self._merge_payload(
+                name, t, spark, staged, [], clean.schema.json()
+            )
+            self._pks[name] = list(pk)
+            return n
+        finally:
+            clean.unpersist()
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        name: str,
+        batch: DataFrame,
+        pk: list[str] = PK,
+    ) -> tuple[int, int]:
+        """Copy-on-write MERGE inside the transaction — matched rows
+        (by ``pk``) are replaced by batch rows, the rest insert, and
+        the rewrite publishes with everything else in the txn's ONE
+        catalog commit. The txn-local CoW engine mirrors the manifest
+        one (sources/manifest.py ``_cow_mutation``): full-column
+        UPDATE SET * contract, pk-only stats pruning of candidate
+        files, survivors staged under the evolved schema. Returns
+        ``(n_matched, n_inserted)``."""
+        if self._committed:
+            raise RuntimeError("transaction already committed")
+        self._spark = spark
+        self._note_chain_len()
+        t = self.cat.table_handle(name)
+        commits = self._visible_commits(name)
+        clean = batch.dropDuplicates(pk).persist()
+        try:
+            if clean.limit(1).count() == 0:
+                return 0, 0
+            t._check_constraints(clean)
+            t._check_schema_compat(clean, commits)
+            tbl_schema = ManifestTable._evolved_schema(commits)
+            if tbl_schema is not None:
+                missing = [
+                    f.name
+                    for f in tbl_schema.fields
+                    if f.name not in set(clean.columns)
+                ]
+                if missing:
+                    raise ValueError(
+                        "upsert batch is missing table columns "
+                        f"{missing}: matched rows are replaced "
+                        "wholesale (UPDATE SET *) — join the batch "
+                        "against catalog.read() to carry forward "
+                        "unchanged values"
+                    )
+            # date pruning only when the timestamp is a MATCH key
+            # (manifest rule: under a timestamp-free pk a restatement
+            # MOVES rows across dates)
+            key_dates: set[str] | None = None
+            if (
+                "reading_timestamp" in pk
+                and "reading_timestamp" in clean.columns
+            ):
+                key_dates = {
                     str(r["d"])
                     for r in clean.select(
                         F.to_date("reading_timestamp").alias("d")
                     )
                     .distinct()
                     .collect()
-                )
-            else:
-                dates = []
-            staged = t._stage(clean)
-            payload = {
-                "added": staged,
-                "count": n,
-                "dates": dates,
-                "schema": clean.schema.json(),
-                "stats": t._file_stats(staged),
-            }
-            if prior is not None:
-                payload = {
-                    "added": prior["added"] + staged,
-                    "count": prior["count"] + n,
-                    "dates": sorted(set(prior["dates"]) | set(dates)),
-                    "schema": clean.schema.json(),
-                    "stats": {**prior["stats"], **payload["stats"]},
                 }
-            self._payloads[name] = payload
+            cand = t._files(commits, key_dates)
+            stat_cols = [
+                c
+                for c in t.stats_columns
+                if c in pk and c in clean.columns
+            ]
+            key_ranges = t._batch_key_ranges(clean, stat_cols)
+            cand = t._prune_by_stats(cand, commits, key_ranges)
+            staged: list[str] = []
+            removed_rel: list[str] = []
+            n_matched = 0
+            tagged = None
+            if cand:
+                reader = spark.read
+                if tbl_schema is not None:
+                    reader = reader.schema(tbl_schema)
+                tagged = reader.parquet(*cand).withColumn(
+                    "_file", F.input_file_name()
+                )
+                matched = tagged.join(
+                    clean.select(*pk), pk, "left_semi"
+                )
+                n_matched = matched.count()
+                if n_matched:
+                    affected = [
+                        r["_file"]
+                        for r in matched.select("_file")
+                        .distinct()
+                        .collect()
+                    ]
+                    removed_rel = sorted(
+                        t._rel(u) for u in affected
+                    )
+                    survivors = (
+                        tagged.filter(F.col("_file").isin(affected))
+                        .join(clean.select(*pk), pk, "left_anti")
+                        .drop("_file")
+                    )
+                    staged = t._stage(survivors)
+            n_inserted = (
+                clean.join(tagged.select(*pk), pk, "left_anti").count()
+                if tagged is not None
+                else clean.count()
+            )
+            staged = staged + t._stage(clean)
+            self._merge_payload(
+                name, t, spark, staged, removed_rel,
+                clean.schema.json(),
+            )
             self._pks[name] = list(pk)
-            return n
+            self._mutated.add(name)
+            return n_matched, n_inserted
         finally:
             clean.unpersist()
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        cond,
+        pk: list[str] = PK,
+    ) -> int:
+        """Copy-on-write DELETE inside the transaction: rows where
+        ``cond`` (a SQL string or Column) is TRUE leave the table;
+        affected files rewrite to survivors, and the removal lands
+        with the rest of the txn atomically. NULL ``cond`` keeps the
+        row (SQL DELETE semantics). Returns the matched-row count."""
+        if self._committed:
+            raise RuntimeError("transaction already committed")
+        self._spark = spark
+        self._note_chain_len()
+        t = self.cat.table_handle(name)
+        commits = self._visible_commits(name)
+        cond_col = F.expr(cond) if isinstance(cond, str) else cond
+        files = t._files(commits) if commits else []
+        if not files:
+            return 0
+        schema = ManifestTable._evolved_schema(commits)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        tagged = reader.parquet(*files).withColumn(
+            "_file", F.input_file_name()
+        )
+        matched = tagged.filter(cond_col)
+        n_matched = matched.count()
+        if n_matched == 0:
+            return 0
+        affected = [
+            r["_file"]
+            for r in matched.select("_file").distinct().collect()
+        ]
+        removed_rel = sorted(t._rel(u) for u in affected)
+        survivors = (
+            tagged.filter(F.col("_file").isin(affected))
+            .filter(
+                F.coalesce(cond_col, F.lit(False)) == F.lit(False)
+            )
+            .drop("_file")
+        )
+        staged = t._stage(survivors)
+        self._merge_payload(
+            name, t, spark, staged, removed_rel,
+            schema.json() if schema is not None else None,
+        )
+        self._pks.setdefault(name, list(pk))
+        self._mutated.add(name)
+        return n_matched
 
     def abort(self) -> None:
         """Discard every staged file; the transaction never happened."""
@@ -561,23 +826,90 @@ class CatalogTxn:
             t._discard_stage_all(p["added"])
         self._payloads.clear()
 
+    def _revalidate(self, new_chain: list[tuple[int, dict]]) -> None:
+        """Per-table conflict check against the commits that landed
+        after this txn's staged work was derived. Append-only
+        interleavings revalidate by key overlap (re-reading our own
+        staged files — bounded by the txn's size, never the table's);
+        a table this txn MUTATED additionally aborts if any such
+        commit removed files from it — our rewrite was derived from a
+        file set that no longer heads the chain, and recommitting it
+        could drop the concurrent writer's change (a lost update).
+        Raises :class:`CommitConflictError` after discarding the
+        stage."""
+        # captured at stage time: getActiveSession() is THREAD-LOCAL
+        # and returns None on a worker thread, where concurrent
+        # transactions naturally run
+        spark = self._spark
+        for name, p in self._payloads.items():
+            t = self.cat.table_handle(name)
+            new_commits = [
+                c.get("tables", {}).get(name) for _, c in new_chain
+            ]
+            new_commits = [c for c in new_commits if c is not None]
+            if not new_commits:
+                continue
+            if name in self._mutated and any(
+                c.get("removed") for c in new_commits
+            ):
+                self.abort()
+                raise CommitConflictError(
+                    f"catalog txn mutated table {name!r} but a "
+                    "concurrent commit also removed files from it; "
+                    "staged files discarded — re-run the "
+                    "transaction against the new state"
+                )
+            new_files = t._files(new_commits)
+            if not new_files or not p["added"]:
+                continue
+            pk = self._pks[name]
+            ours = spark.read.parquet(
+                *(os.path.join(t.data_dir, f) for f in p["added"])
+            ).select(*pk)
+            clash = (
+                ours.join(
+                    spark.read.parquet(*new_files).select(*pk),
+                    pk,
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if clash:
+                self.abort()
+                raise CommitConflictError(
+                    f"catalog txn lost a key-overlapping race on "
+                    f"table {name!r}; staged files discarded — "
+                    "re-run the transaction against the new state"
+                )
+
     def commit(self, max_retries: int = 20) -> int:
         """Publish every staged table in ONE put-if-absent catalog
         commit. Fence invariant as in the manifest append: the fence
-        and the validation state come from the same chain listing; a
-        lost race re-validates each staged table's keys against the
-        commits that won (re-reading our own staged files — bounded
-        by the txn's size) and recommits the same files at the next
-        number when disjoint, or discards and raises on a genuine
-        key conflict. Returns the number of tables committed."""
+        and the validation state come from the same chain listing.
+        Anything that landed since the txn's FIRST staged operation
+        is validated before the first attempt (the append→commit gap
+        is a race window too); a lost put-if-absent re-validates
+        against exactly the commits it lost to and recommits the same
+        staged files at the next number when compatible, or discards
+        and raises on a genuine conflict (key overlap for appends;
+        any concurrent file removal for mutated tables). Returns the
+        number of tables committed."""
         if self._committed:
             raise RuntimeError("transaction already committed")
         if not self._payloads:
             return 0
         numbered = self.cat.numbered_snapshot()
-        fence = ManifestTable._fence(numbered)
-        validated_len = len(numbered)
+        validated_len = (
+            self._validated_len
+            if self._validated_len is not None
+            else len(numbered)
+        )
         for _ in range(max_retries):
+            if len(numbered) > validated_len:
+                self._revalidate(numbered[validated_len:])
+                validated_len = len(numbered)
+            fence = ManifestTable._fence(numbered)
             payload = json.dumps(
                 {
                     "version": fence,
@@ -590,48 +922,7 @@ class CatalogTxn:
             if _put_if_absent(self.cat._commit_path(fence), payload):
                 self._committed = True
                 return len(self._payloads)
-            # lost the race — validate only against the commits we
-            # lost to, per staged table
             numbered = self.cat.numbered_snapshot()
-            new_chain = numbered[validated_len:]
-            # captured at append time: getActiveSession() is
-            # THREAD-LOCAL and returns None on a worker thread, where
-            # concurrent transactions naturally run
-            spark = self._spark
-            for name, p in self._payloads.items():
-                t = self.cat.table_handle(name)
-                new_commits = [
-                    c.get("tables", {}).get(name)
-                    for _, c in new_chain
-                ]
-                new_commits = [c for c in new_commits if c is not None]
-                if not new_commits:
-                    continue
-                new_files = t._files(new_commits)
-                if not new_files:
-                    continue
-                pk = self._pks[name]
-                ours = spark.read.parquet(
-                    *(os.path.join(t.data_dir, f) for f in p["added"])
-                ).select(*pk)
-                clash = (
-                    ours.join(
-                        spark.read.parquet(*new_files).select(*pk),
-                        pk,
-                        "left_semi",
-                    )
-                    .limit(1)
-                    .count()
-                )
-                if clash:
-                    self.abort()
-                    raise CommitConflictError(
-                        f"catalog txn lost a key-overlapping race on "
-                        f"table {name!r}; staged files discarded — "
-                        "re-run the transaction against the new state"
-                    )
-            fence = ManifestTable._fence(numbered)
-            validated_len = len(numbered)
         self.abort()
         raise CommitConflictError(
             f"gave up after {max_retries} catalog commit attempts on "
@@ -689,33 +980,26 @@ class CatalogBranch(Catalog):
         base (:class:`CatalogBranchDivergedError` otherwise); the
         publish rides the same put-if-absent fence as every
         transaction, so a concurrent main txn either loses or makes
-        this diverge — never a silent overwrite. Append-only payloads
-        squash by concatenation per table (added/count/dates/stats
-        union; the last schema wins — consistent with how the chain
-        itself evolves schemas)."""
+        this diverge — never a silent overwrite. Payloads squash by
+        per-table REPLAY (:func:`_squash_payloads`): branch-internal
+        add-then-remove pairs net out, and a branch mutation's
+        removal of a main-prefix file carries through to the squash
+        commit; the last schema wins — consistent with how the chain
+        itself evolves schemas."""
         bc = [c for _, c in ManifestTable._read_log(self.commits_dir)]
         if not bc:
             return {"published": 0}
-        merged: dict[str, dict] = {}
+        by_table: dict[str, list[dict]] = {}
         for c in bc:
             for name, p in c.get("tables", {}).items():
-                m = merged.get(name)
-                if m is None:
-                    merged[name] = {
-                        "added": list(p["added"]),
-                        "count": p["count"],
-                        "dates": sorted(p.get("dates", [])),
-                        "schema": p.get("schema"),
-                        "stats": dict(p.get("stats", {})),
-                    }
-                else:
-                    m["added"] = m["added"] + list(p["added"])
-                    m["count"] += p["count"]
-                    m["dates"] = sorted(
-                        set(m["dates"]) | set(p.get("dates", []))
-                    )
-                    m["schema"] = p.get("schema") or m["schema"]
-                    m["stats"] = {**m["stats"], **p.get("stats", {})}
+                by_table.setdefault(name, []).append(p)
+        # replay-merge: a branch mutation may remove files MAIN's
+        # prefix added — _squash_payloads carries those removals
+        # through to the squash commit instead of dropping them
+        merged = {
+            name: _squash_payloads(ps)
+            for name, ps in by_table.items()
+        }
         payload = {
             "tables": merged,
             "committed_at": time.time(),

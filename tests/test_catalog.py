@@ -470,3 +470,207 @@ def test_catalog_tag_versus_branch_clamps_compose(spark, cat):
     cat.delete_tag("early")
     assert compact_catalog(cat, keep_last=0) == 3
     assert cat.read(spark, "fact").count() == 15
+
+
+# -- round 13: transactions beyond appends --------------------------------
+
+
+def test_txn_upsert_and_dim_update_land_atomically(spark, cat):
+    """The reference's Postgres-txn property for coupled writes: a
+    fact RESTATEMENT and a dimension update publish in ONE catalog
+    commit — pre-commit neither is visible, post-commit both are."""
+    t0 = cat.txn()
+    t0.append(spark, "fact", _facts(spark, 0, 20))
+    t0.append(spark, "dim", _dim(spark), pk=["meter_id"])
+    t0.commit()
+    chain_before = len(cat.numbered_snapshot())
+
+    restated = _facts(spark, 0, 5).withColumn(
+        "v", (F.col("v") * 100).cast("int")
+    )
+    dim_upd = _dim(spark, 0, 5).withColumn("solar", F.lit(True))
+    txn = cat.txn()
+    n_matched, n_inserted = txn.upsert(spark, "fact", restated)
+    assert (n_matched, n_inserted) == (5, 0)
+    assert txn.upsert(spark, "dim", dim_upd, pk=["meter_id"]) == (5, 0)
+    # staged but invisible: both tables still show pre-txn values
+    assert (
+        cat.read(spark, "fact").filter("v >= 1000").count() == 0
+    )
+    assert (
+        cat.read(spark, "dim").filter("solar").count() == 5
+    )
+    assert txn.commit() == 2
+    # exactly ONE chain commit landed both changes
+    assert len(cat.numbered_snapshot()) == chain_before + 1
+    fact = cat.read(spark, "fact")
+    assert fact.count() == 20  # restatement, not insertion
+    assert fact.filter("v >= 1000").count() == 4  # id 0 -> v=0
+    # ids 0-4 forced True; 6,8 already True -> 7
+    assert cat.read(spark, "dim").filter("solar").count() == 7
+    # whole-catalog time travel still sees the pre-txn image
+    old = cat.read(spark, "fact", version=chain_before - 1)
+    assert old.filter("v >= 1000").count() == 0
+
+
+def test_txn_delete_where_cow_and_read_your_own_writes(spark, cat):
+    """delete_where inside a txn: NULL predicate keeps the row (SQL
+    DELETE), and a later member of the SAME txn sees the deletion
+    (read-your-own-writes through the accumulated payload)."""
+    t0 = cat.txn()
+    t0.append(spark, "fact", _facts(spark, 0, 20))
+    t0.commit()
+    txn = cat.txn()
+    assert txn.delete_where(spark, "fact", "meter_id < 8") == 8
+    # re-append a deleted key in the same txn: the validation
+    # anti-join must see the deletion, so the row re-lands
+    assert txn.append(spark, "fact", _facts(spark, 3, 4)) == 1
+    txn.commit()
+    got = cat.read(spark, "fact")
+    assert got.count() == 13
+    assert sorted(
+        r["meter_id"] for r in got.select("meter_id").collect()
+    ) == [3] + list(range(8, 20))
+
+
+def test_txn_mutation_conflict_on_concurrent_removal(spark, cat):
+    """A txn that MUTATED a table aborts when a commit it lost to
+    also removed files from that table — recommitting a rewrite
+    derived from the old file set would drop the winner's change."""
+    t0 = cat.txn()
+    t0.append(spark, "fact", _facts(spark, 0, 20))
+    t0.commit()
+    txn = cat.txn()
+    txn.upsert(
+        spark,
+        "fact",
+        _facts(spark, 0, 5).withColumn("v", F.lit(777).cast("int")),
+    )
+    fired = []
+
+    def interloper():
+        if fired:
+            return
+        fired.append(1)
+        other = cat.txn()
+        other.delete_where(spark, "fact", "meter_id >= 15")
+        other.commit()
+
+    txn._pre_publish_hook = interloper
+    with pytest.raises(CommitConflictError, match="also removed"):
+        txn.commit()
+    # loser's stage discarded; winner's delete intact, no 777s
+    got = cat.read(spark, "fact")
+    assert got.count() == 15
+    assert got.filter("v = 777").count() == 0
+    swept = cat.vacuum(ttl_s=0.0)
+    assert cat.read(spark, "fact").count() == 15 or swept >= 0
+
+
+def test_txn_append_commit_gap_is_revalidated(spark, cat):
+    """Keys validated at append() time are RE-validated at commit()
+    against anything that landed in between — the gap between staging
+    and publishing is a race window, not a free pass."""
+    t0 = cat.txn()
+    t0.append(spark, "fact", _facts(spark, 0, 10))
+    t0.commit()
+    slow = cat.txn()
+    slow.append(spark, "fact", _facts(spark, 10, 15, day=2))
+    # a whole other txn lands the SAME keys while slow sits staged
+    fast = cat.txn()
+    fast.append(spark, "fact", _facts(spark, 10, 15, day=2))
+    fast.commit()
+    with pytest.raises(CommitConflictError, match="key-overlapping"):
+        slow.commit()
+    assert cat.read(spark, "fact").count() == 15
+
+
+def test_txn_mutation_lost_race_append_only_recommits(spark, cat):
+    """A mutated txn that loses the fence to an APPEND-ONLY commit
+    with disjoint keys recommits the same staged rewrite — only
+    removals (or key overlap) conflict."""
+    t0 = cat.txn()
+    t0.append(spark, "fact", _facts(spark, 0, 10))
+    t0.commit()
+    txn = cat.txn()
+    txn.upsert(
+        spark,
+        "fact",
+        _facts(spark, 0, 3).withColumn("v", F.lit(555).cast("int")),
+    )
+    fired = []
+
+    def interloper():
+        if fired:
+            return
+        fired.append(1)
+        other = cat.txn()
+        other.append(spark, "fact", _facts(spark, 100, 105, day=3))
+        other.commit()
+
+    txn._pre_publish_hook = interloper
+    txn.commit()
+    got = cat.read(spark, "fact")
+    assert got.count() == 15
+    assert got.filter("v = 555").count() == 3
+
+
+def test_compact_catalog_replays_mutations(spark, cat):
+    """Compaction nets mutation removals out of the merged base —
+    contents identical, rewritten originals become unreferenced (the
+    delete -> compact -> vacuum lifecycle at catalog level)."""
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        compact_catalog,
+    )
+
+    t0 = cat.txn()
+    t0.append(spark, "fact", _facts(spark, 0, 20))
+    t0.commit()
+    for lo in (0, 5):
+        txn = cat.txn()
+        txn.upsert(
+            spark,
+            "fact",
+            _facts(spark, lo, lo + 5).withColumn(
+                "v", (F.col("v") + 1).cast("int")
+            ),
+        )
+        txn.commit()
+    txn = cat.txn()
+    txn.delete_where(spark, "fact", "meter_id >= 18")
+    txn.commit()
+    before = sorted(map(tuple, cat.read(spark, "fact").collect()))
+    assert compact_catalog(cat, keep_last=1) >= 2
+    after = sorted(map(tuple, cat.read(spark, "fact").collect()))
+    assert after == before
+    assert len(after) == 18
+    # originals the mutations rewrote are no longer referenced
+    assert cat.vacuum(ttl_s=0.0) > 0
+    assert sorted(
+        map(tuple, cat.read(spark, "fact").collect())
+    ) == before
+
+
+def test_catalog_branch_mutation_fast_forwards(spark, cat):
+    """A branch txn's CoW delete of main-prefix files carries its
+    removals through the squash — catalog-level WAP for mutations."""
+    t0 = cat.txn()
+    t0.append(spark, "fact", _facts(spark, 0, 20))
+    t0.append(spark, "dim", _dim(spark), pk=["meter_id"])
+    t0.commit()
+    cat.create_branch("audit")
+    br = cat.branch("audit")
+    txn = br.txn()
+    assert txn.delete_where(spark, "fact", "meter_id < 4") == 4
+    txn.upsert(
+        spark, "dim",
+        _dim(spark, 0, 2).withColumn("solar", F.lit(False)),
+        pk=["meter_id"],
+    )
+    txn.commit()
+    # main unchanged while the branch serves the audited image
+    assert cat.read(spark, "fact").count() == 20
+    assert br.read(spark, "fact").count() == 16
+    br.fast_forward()
+    assert cat.read(spark, "fact").count() == 16
+    assert cat.read(spark, "dim").filter("solar").count() == 4
