@@ -4232,3 +4232,258 @@ both_days AS (
 SELECT * FROM both_days
 WHERE account_code IN ('AC00017', 'AC00091')""",
 )(manifest_index_point_read)
+
+
+def catalog_txn_restatement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog transactions BEYOND appends under the driver gate
+    (round 13, sources/catalog.py CatalogTxn.upsert/delete_where) —
+    the reference's "every batch is a Postgres transaction" property
+    (consumer/meter_consumer.py:132-135) for coupled multi-table
+    MUTATIONS: a fact RESTATEMENT (meters ≡3 mod 7 flagged 'X') and
+    its dimension update (zone-2 tariff multiplier → 999) land in ONE
+    catalog commit. Asserted in-query: the staged mutation is
+    invisible pre-commit (no 'X' rows, no 999 multipliers); the
+    publish adds EXACTLY one chain commit; a second, crashed
+    transaction (delete staged, never committed) changes nothing;
+    whole-catalog time travel to the pre-txn version still shows the
+    un-restated image. The hash is over fact ⋈ dim at the head — the
+    post-restatement serving state both engines must agree on."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.catalog import Catalog
+
+    workdir = tempfile.mkdtemp(prefix="catalog_txn_restate_q_")
+    try:
+        cat = Catalog(os.path.join(workdir, "cat"))
+        readings = gen_meter_readings(spark)
+        dim = (
+            readings.select("meter_id")
+            .distinct()
+            .withColumn("zone", (F.col("meter_id") % 4).cast("int"))
+            .withColumn(
+                "multiplier_permille",
+                (F.lit(100) + (F.col("meter_id") % 4) * 10).cast("int"),
+            )
+        )
+        t0 = cat.txn()
+        t0.append(spark, "fact", readings)
+        t0.append(spark, "dim_meters", dim, pk=["meter_id"])
+        t0.commit()
+        chain_before = len(cat.numbered_snapshot())
+
+        restated = readings.filter(F.col("meter_id") % 7 == 3).withColumn(
+            "status", F.lit("X")
+        )
+        dim_upd = dim.filter(F.col("zone") == 2).withColumn(
+            "multiplier_permille", F.lit(999).cast("int")
+        )
+        txn = cat.txn()
+        n_matched, n_inserted = txn.upsert(spark, "fact", restated)
+        if n_inserted != 0 or n_matched == 0:
+            raise AssertionError(
+                f"restatement should only match: {n_matched}/{n_inserted}"
+            )
+        txn.upsert(spark, "dim_meters", dim_upd, pk=["meter_id"])
+        # staged but INVISIBLE: both tables still show the old image
+        if cat.read(spark, "fact").filter("status = 'X'").count() != 0:
+            raise AssertionError("restatement visible before commit")
+        if (
+            cat.read(spark, "dim_meters")
+            .filter("multiplier_permille = 999")
+            .count()
+            != 0
+        ):
+            raise AssertionError("dim update visible before commit")
+        txn.commit()
+        if len(cat.numbered_snapshot()) != chain_before + 1:
+            raise AssertionError(
+                "fact restatement + dim update did not land as ONE "
+                "catalog commit"
+            )
+        # crashed txn: a staged-but-never-committed delete is invisible
+        crashed = cat.txn()
+        crashed.delete_where(spark, "fact", "meter_id = 1")
+        n_head = cat.read(spark, "fact").count()
+        crashed.abort()
+        if n_head != readings.count():
+            raise AssertionError("crashed txn leaked into the head")
+        # whole-catalog time travel: pre-txn image is un-restated
+        old = cat.read(spark, "fact", version=chain_before - 1)
+        if old.filter("status = 'X'").count() != 0:
+            raise AssertionError(
+                "time travel to the pre-txn version shows the "
+                "restatement"
+            )
+        final = (
+            cat.read(spark, "fact")
+            .join(cat.read(spark, "dim_meters"), "meter_id")
+            .select(
+                "reading_timestamp",
+                "meter_id",
+                "reading_consumption_milliwatts",
+                "status",
+                "zone",
+                "multiplier_permille",
+            )
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "catalog_txn_restatement",
+    f"""WITH {_readings_cte()},
+dim AS (
+  SELECT DISTINCT meter_id, CAST(meter_id % 4 AS INT) AS zone,
+         CAST(CASE WHEN meter_id % 4 = 2 THEN 999
+              ELSE 100 + (meter_id % 4) * 10 END AS INT)
+           AS multiplier_permille
+  FROM readings
+)
+SELECT r.reading_timestamp, r.meter_id,
+       r.reading_consumption_milliwatts,
+       CASE WHEN r.meter_id % 7 = 3 THEN 'X' ELSE r.status END
+         AS status,
+       d.zone, d.multiplier_permille
+FROM readings r JOIN dim d USING (meter_id)""",
+)(catalog_txn_restatement)
+
+
+def manifest_index_retention_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPLETE age-out story for an indexed fact table (round
+    13): three daily commits each followed by an incremental index
+    refresh (three OVERLAPPING posting slice sets — the fragmentation
+    regime), then retention ``delete_where(ts <= day-1 end)`` drops
+    the aged day's files METADATA-ONLY (asserted: files_dropped > 0,
+    files_rewritten == 0 — day-clustered appends make retention a
+    partition drop), ``vacuum_index`` GCs the dropped files' postings
+    (asserted non-zero, then asserted GONE by an anti-join against
+    the live set), and ``optimize_index`` merges the remaining
+    overlapping slices back to O(1)-posting-files-per-lookup
+    (asserted: fewer posting files after, and the final lookup opens
+    at most 2). The final point read — served through the compacted
+    index with zero unindexed files — is hash-checked against the
+    surviving two days. At 100 TB this is the weekly maintenance
+    window: retention sweep, index GC, index compaction, all
+    metadata-bounded except one posting-table rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.index import (
+        _index_table,
+        index_point_read,
+        optimize_index,
+        refresh_index,
+        vacuum_index,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        delete_where,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_idx_retention_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        acct = F.concat(
+            F.lit("AC"), F.lpad(F.col("meter_id").cast("string"), 5, "0")
+        )
+        day1 = gen_meter_readings(spark).withColumn("account_code", acct)
+        for shift in (0, 1, 2):
+            day = day1.withColumn(
+                "reading_timestamp",
+                F.expr(
+                    f"timestampadd(DAY, {shift}, reading_timestamp)"
+                ),
+            )
+            t.idempotent_append(spark, day)
+            refresh_index(
+                t, spark, "account_code", posting_partitions=4
+            )
+        import datetime as _dt
+
+        cutoff = _dt.datetime(2024, 1, 1, 23, 59, 59)
+        rep = delete_where(
+            t, spark, "reading_timestamp", hi=cutoff
+        )
+        if rep["files_dropped"] == 0 or rep["files_rewritten"] != 0:
+            raise AssertionError(
+                f"retention was not a metadata-only partition drop: {rep}"
+            )
+        refresh_index(t, spark, "account_code")
+        gc = vacuum_index(t, spark, "account_code")
+        if gc["postings_removed"] == 0:
+            raise AssertionError(
+                "aged-out files stranded no postings — GC not exercised"
+            )
+        idx = _index_table(t, "account_code")
+        live_rels = sorted(
+            os.path.relpath(f, t.data_dir)
+            for f in t._files([c for _, c in t.numbered_snapshot()])
+        )
+        n_stale = (
+            idx.read(spark)
+            .join(
+                spark.createDataFrame(
+                    [(r,) for r in live_rels], "rel_file string"
+                ),
+                "rel_file",
+                "left_anti",
+            )
+            .count()
+        )
+        if n_stale != 0:
+            raise AssertionError(
+                f"{n_stale} aged-out postings survived vacuum_index"
+            )
+        opt = optimize_index(
+            t, spark, "account_code", posting_partitions=2
+        )
+        if not (
+            opt["posting_files_after"] < opt["posting_files_before"]
+        ):
+            raise AssertionError(
+                f"index compaction merged nothing: {opt}"
+            )
+        probe = ["AC00005", "AC00123"]
+        out, rep2 = index_point_read(t, spark, "account_code", probe)
+        if rep2["files_unindexed"] != 0:
+            raise AssertionError(f"index stale after lifecycle: {rep2}")
+        if rep2["posting_files_read"] > 2:
+            raise AssertionError(
+                f"compacted lookup still opens {rep2} posting files"
+            )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_index_retention_lifecycle",
+    f"""WITH {_readings_cte()},
+tagged AS (
+  SELECT *, 'AC' || lpad(CAST(meter_id AS VARCHAR), 5, '0')
+           AS account_code
+  FROM readings
+),
+surviving_days AS (
+  SELECT reading_timestamp + INTERVAL 1 DAY AS reading_timestamp,
+         meter_id, reading_consumption_milliwatts,
+         reading_production_milliwatts, status, account_code
+  FROM tagged
+  UNION ALL
+  SELECT reading_timestamp + INTERVAL 2 DAY, meter_id,
+         reading_consumption_milliwatts, reading_production_milliwatts,
+         status, account_code
+  FROM tagged
+)
+SELECT * FROM surviving_days
+WHERE account_code IN ('AC00005', 'AC00123')""",
+)(manifest_index_retention_lifecycle)

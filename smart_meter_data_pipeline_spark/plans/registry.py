@@ -79,89 +79,45 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     the local replica at sf0.01+sf0.1 this round;
 # (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
-    # Drain schedule (round 12 written; r13 instructions): the driver
-    # evaluates a ~50-query prefix per round. The r12 window below is
-    # 53 queries = 3 changed-computation + 6 r12-new + the 10-query
-    # (r10-new) tail + all 34 (r11-new) — after r12 EVERY registered
-    # query has a driver artifact row. FOR ROUND 13: staleness
-    # rotation restarts — promote (a) any (r11-new) tail entries a
-    # ~50-row driver window left past its edge (the window is 53, so
-    # up to ~3 may overflow — check CORRECTNESS_r12 for which), then
-    # (b) any query whose computation changed in r13 and the r13-new
-    # additions, then (c) the (stale) section below (latest rows
-    # r5-r8, stalest first), which is already ordered for the r13
-    # window; (r9-evaluated), (r10-evaluated), (r11-evaluated)
-    # follow in that order.
-    # (r12-changed) computation changed this round — fresh rows
-    # wanted first: delete_where gained the string-stats type guards
-    # and _prune_by_stats normalizes through _stat_key; the two
-    # skipping reads exercise the where_in path that now consults
-    # posting indexes (inert here — no index dir — but the branch is
-    # on their path). Values unchanged, re-proven at sf0.01+sf0.1.
-    "manifest_retention_delete",
-    "manifest_skipping_read",
-    "manifest_bloom_read",
-    # (r12-new) added in round 12 — builder-proven at sf0.001,
-    # sf0.01 AND sf0.1 via tests/test_oracle_parity.py
-    "ann_ivf_sq8_recall",
+    # Drain schedule (round 13 written): the driver evaluates a ~50-
+    # query prefix per round. The r13 window below is 17 + ~33 of the
+    # (stale r5-r8) section = (a) the 3 queries CORRECTNESS_r12's
+    # window edge left without any driver row (the VERDICT r12 ask —
+    # two of the three also sit on the r13-changed index path), (b)
+    # the 11 queries whose COMPUTATION changed in r13 (index lookups:
+    # df-cap + snapshot-race guard + opt-in posting report; catalog
+    # txns: mutation support, append->commit revalidation, replay
+    # squash; read(where_in=): selectivity bypass branch — all values
+    # unchanged, re-proven at sf0.01+sf0.1 this round), (c) the 3
+    # r13-new queries, then (d) the (stale) section (latest rows
+    # r5-r8, stalest first). FOR ROUND 14: promote any r13-window
+    # overflow first, then r14-changed/new, then continue the (stale)
+    # section where the r13 window's edge left it; (r9/r10/r11/r12-
+    # evaluated) follow in that order.
+    # (never-evaluated) the r12 window-tail overflow — head of the
+    # window per VERDICT r12 #4:
+    "manifest_index_point_read",
+    "stream_dr_baseline",
+    "stream_index_maintenance",
+    # (r13-changed) index serve path (sources/index.py):
     "manifest_index_gc_roundtrip",
-    "corpus_text_index_search",
     "manifest_delete_by_value",
-    "meter_gap_interpolate",
+    "corpus_text_index_search",
     "stream_text_index_maintenance",
-    # (r10-new tail) the 10 round-10 additions past the r11 window —
-    # never driver-evaluated; whole registry builder-proven at
-    # sf0.01 via the driver contract this round (see PROGRESS)
-    "meter_grid_ramp_rates",
-    "stream_grid_ramp_rates",
-    "manifest_consistent_snapshot",
-    "events_forecast_model_select",
-    "nation_revenue_concentration",
-    "sample_neyman_allocation",
-    "trade_modularity",
-    "corpus_pack_boundary_report",
-    "ann_filtered_topk",
-    "ann_filtered_ivf_recall",
-    # (r11-new) added in round 11 — never driver-evaluated; includes
-    # the round-12 changed-computation queries
-    # manifest_index_point_read / stream_index_maintenance (index
-    # serve path rebuilt), dedup_clusters_star (exhaustion raise),
-    # events_dr_baseline / stream_dr_baseline (shared settlement),
-    # all re-proven at sf0.001+sf0.01+sf0.1 this round
-    "manifest_upsert_partial_roundtrip",
-    "ann_filtered_ivf_labelaware",
-    "manifest_cbo_join",
-    "stream_upsert_if_newer",
-    "manifest_upsert_if_newer_roundtrip",
-    "manifest_branch_wap",
-    "stream_branch_wap",
-    "manifest_hilbert_roundtrip",
-    "manifest_identity_append",
+    # (r13-changed) catalog txn machinery (sources/catalog.py):
     "catalog_multi_table_txn",
     "catalog_branch_wap",
-    "events_ols_trend",
     "stream_catalog_txn",
-    "part_croston_forecast",
-    "multimodal_dup_scenes",
-    "events_dp_release",
-    "manifest_dict_skipping_read",
-    "meter_tou_billing",
-    "events_dr_baseline",
-    "embedding_sq_recall",
-    "dedup_clusters_star",
-    "manifest_retention_mor_roundtrip",
-    "stream_bottomk_sample",
-    "manifest_vacuum_roundtrip",
-    "doc_hashed_features",
-    "events_auc_activity",
     "catalog_tag_read",
-    "events_randomized_response",
-    "meter_rollover_correction",
-    "manifest_cdc_replica_roundtrip",
-    "train_hard_negatives",
-    "stream_dr_baseline",
-    "manifest_index_point_read",
-    "stream_index_maintenance",
+    # (r13-changed) read(where_in=) selectivity-bypass branch:
+    "manifest_skipping_read",
+    "manifest_bloom_read",
+    "manifest_dict_skipping_read",
+    # (r13-new) builder-proven at sf0.001, sf0.01 AND sf0.1 via
+    # tests/test_oracle_parity.py
+    "catalog_txn_restatement",
+    "manifest_index_retention_lifecycle",
+    "stream_catalog_restatement",
     # (stale) evaluated queries, stalest round first (r5 -> r8) —
     # HEAD OF THE R13 WINDOW after r13's changed/new queries
     "daily_customer_billing",
@@ -360,6 +316,50 @@ _PRIORITY = [
     "multimodal_shard_pack",
     "orders_gap_survival",
     "nation_load_duration_curve",
+    # (r12-evaluated) r12's remaining changed/new rows, fresh as of
+    # r12 (the rest of the r12 window sits in the sections below or
+    # was promoted to the r13-changed head):
+    "manifest_retention_delete",
+    "ann_ivf_sq8_recall",
+    "meter_gap_interpolate",
+    # (r12-evaluated, ex r10-new tail) first driver rows r12:
+    "meter_grid_ramp_rates",
+    "stream_grid_ramp_rates",
+    "manifest_consistent_snapshot",
+    "events_forecast_model_select",
+    "nation_revenue_concentration",
+    "sample_neyman_allocation",
+    "trade_modularity",
+    "corpus_pack_boundary_report",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_recall",
+    # (r12-evaluated, ex r11-new) first driver rows r12:
+    "manifest_upsert_partial_roundtrip",
+    "ann_filtered_ivf_labelaware",
+    "manifest_cbo_join",
+    "stream_upsert_if_newer",
+    "manifest_upsert_if_newer_roundtrip",
+    "manifest_branch_wap",
+    "stream_branch_wap",
+    "manifest_hilbert_roundtrip",
+    "manifest_identity_append",
+    "events_ols_trend",
+    "part_croston_forecast",
+    "multimodal_dup_scenes",
+    "events_dp_release",
+    "meter_tou_billing",
+    "events_dr_baseline",
+    "embedding_sq_recall",
+    "dedup_clusters_star",
+    "manifest_retention_mor_roundtrip",
+    "stream_bottomk_sample",
+    "manifest_vacuum_roundtrip",
+    "doc_hashed_features",
+    "events_auc_activity",
+    "events_randomized_response",
+    "meter_rollover_correction",
+    "manifest_cdc_replica_roundtrip",
+    "train_hard_negatives",
     # (r9-evaluated) round-9 driver window — 50/50 hash-match
     "manifest_asof_read",
     "trade_label_propagation",

@@ -3798,3 +3798,122 @@ def _register_stream_text_index() -> None:
 
 
 _register_stream_text_index()
+
+
+def stream_catalog_restatement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming multi-table MUTATIONS (round 13): each micro-batch of
+    quality CORRECTIONS (meters ≡2 mod 5 re-flagged 'C') applies a
+    fact RESTATEMENT and the matching dimension update through ONE
+    ``CatalogTxn`` — ``txn.upsert("fact") + txn.upsert("dim_meters")
+    + commit()`` per batch (sources/catalog.py, the round-13
+    beyond-appends scope). The correction feed is delivered TWICE
+    (full redelivery chunk): the second application matches the
+    already-corrected rows and replaces them with identical values —
+    upsert idempotence is what makes at-least-once delivery safe for
+    mutations, where the append sinks use anti-join dedup. In-query
+    asserts: every post-seed catalog commit touched fact and
+    dim_meters TOGETHER (never one alone — the drift the reference's
+    per-batch Postgres txn rules out, consumer/meter_consumer.py:
+    132-135); the fact row count never grew (corrections matched,
+    nothing inserted); the dim flags exactly the corrected meters.
+    The hash is fact ⋈ dim at the final catalog state."""
+    from smart_meter_data_pipeline_spark.sources.catalog import Catalog
+
+    workdir = tempfile.mkdtemp(prefix="smart_meter_catrestate_")
+    src = os.path.join(workdir, "corrections")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        readings = gen_meter_readings(spark)
+        n_day = readings.count()
+        cat = Catalog(os.path.join(workdir, "cat"))
+        dim = (
+            readings.select("meter_id")
+            .distinct()
+            .withColumn("corrected", F.lit(0).cast("int"))
+        )
+        seed = cat.txn()
+        seed.append(spark, "fact", readings)
+        seed.append(spark, "dim_meters", dim, pk=["meter_id"])
+        seed.commit()
+        n_seed_commits = len(cat.numbered_snapshot())
+
+        corrections = readings.filter(F.col("meter_id") % 5 == 2).withColumn(
+            "status", F.lit("C")
+        )
+        for chunk in ("c1", "c1_redelivery"):
+            corrections.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, chunk)
+            )
+
+        def apply_batch(bdf, _epoch) -> None:
+            if bdf.isEmpty():
+                return
+            sp = bdf.sparkSession
+            txn = cat.txn()
+            txn.upsert(sp, "fact", bdf)
+            dim_upd = (
+                bdf.select("meter_id")
+                .distinct()
+                .withColumn("corrected", F.lit(1).cast("int"))
+            )
+            txn.upsert(sp, "dim_meters", dim_upd, pk=["meter_id"])
+            txn.commit()
+
+        q = (
+            spark.readStream.schema(corrections.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        numbered = cat.numbered_snapshot()
+        if len(numbered) <= n_seed_commits:
+            raise AssertionError("no correction batch committed")
+        for _, c in numbered[n_seed_commits:]:
+            touched = set(c.get("tables", {}))
+            if touched != {"fact", "dim_meters"}:
+                raise AssertionError(
+                    f"non-atomic correction commit touched {touched}"
+                )
+        fact = cat.read(spark, "fact")
+        if fact.count() != n_day:
+            raise AssertionError(
+                "correction upserts inserted instead of restating"
+            )
+        final = fact.join(
+            cat.read(spark, "dim_meters"), "meter_id"
+        ).select(
+            "reading_timestamp",
+            "meter_id",
+            "reading_consumption_milliwatts",
+            "status",
+            "corrected",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _catalog_restatement_oracle() -> str:
+    from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
+        _readings_cte,
+    )
+
+    return f"""WITH {_readings_cte()}
+SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       CASE WHEN meter_id % 5 = 2 THEN 'C' ELSE status END AS status,
+       CAST(CASE WHEN meter_id % 5 = 2 THEN 1 ELSE 0 END AS INT)
+         AS corrected
+FROM readings"""
+
+
+register(
+    "stream_catalog_restatement", _catalog_restatement_oracle()
+)(stream_catalog_restatement)
