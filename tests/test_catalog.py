@@ -674,3 +674,51 @@ def test_catalog_branch_mutation_fast_forwards(spark, cat):
     br.fast_forward()
     assert cat.read(spark, "fact").count() == 16
     assert cat.read(spark, "dim").filter("solar").count() == 4
+
+
+def test_catalog_concurrent_mutations_retry_to_serial(spark, cat):
+    """Contending MUTATORS serialize through retry-from-scratch: a
+    txn that mutated a table aborts (stage discarded) when it loses
+    the fence to another mutation's commit, and the caller's retry —
+    re-deriving the rewrite from the new state — converges. End
+    state: every thread's disjoint restatement applied exactly once,
+    one chain commit per winner, no leaked staged rows."""
+    import threading
+
+    seed = cat.txn()
+    seed.append(spark, "fact", _facts(spark, 0, 40))
+    seed.commit()
+    errs = []
+
+    def work(i):
+        for _ in range(8):
+            try:
+                tx = cat.txn()
+                tx.upsert(
+                    spark,
+                    "fact",
+                    _facts(spark, i * 10, i * 10 + 10).withColumn(
+                        "v", (F.col("v") + 100000).cast("int")
+                    ),
+                )
+                tx.commit(max_retries=40)
+                return
+            except CommitConflictError:
+                continue  # stage was discarded; re-derive and retry
+        errs.append(f"thread {i} never committed")
+
+    threads = [
+        threading.Thread(target=work, args=(i,)) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    got = cat.read(spark, "fact")
+    assert got.count() == 40  # restated, never duplicated
+    assert got.filter("v < 100000").count() == 0
+    assert len(cat.numbered_snapshot()) == 5  # seed + 4 winners
+    # nothing staged leaked: vacuum finds only the losers' discards
+    cat.vacuum(ttl_s=0.0)
+    assert got.count() == 40
