@@ -117,6 +117,8 @@ class Catalog:
         name: str,
         version: int | None = None,
         tag: str | None = None,
+        where: dict | None = None,
+        where_in: dict | None = None,
     ) -> DataFrame | None:
         """``name``'s catalog-visible contents (None before its first
         committed transaction). ``version`` time-travels the WHOLE
@@ -124,7 +126,19 @@ class Catalog:
         catalog commit k, which is what makes cross-table reads at a
         pinned version mutually consistent by construction. ``tag``
         reads a named catalog release (:meth:`create_tag`) — the same
-        whole-catalog pin by name."""
+        whole-catalog pin by name.
+
+        ``where={col: (lo, hi)}`` / ``where_in={col: [v, ...]}`` add
+        zone-map FILE pruning (round 13) against the per-file stats
+        every catalog payload records, exactly like
+        ``ManifestTable.read``: at a 100 TB catalog a sliced read
+        must skip files from metadata, not open everything and let
+        the row filter discard it. The row predicate always applies
+        on top, so the pruned read equals the plain filtered read
+        (skipping is an optimization, never a correctness filter).
+        Stats columns follow the table's persisted config (configure
+        once via ``ManifestTable(path, stats_columns=[...])`` on the
+        handle's directory)."""
         if version is not None and tag is not None:
             raise ValueError("pass at most one of version / tag")
         if tag is not None:
@@ -137,10 +151,66 @@ class Catalog:
         if not files:
             return None
         schema = ManifestTable._evolved_schema(commits)
+        row_filters = []
+        if where or where_in:
+            key_ranges: dict[str, tuple] = {}
+            for col, (lo, hi) in (where or {}).items():
+                key_ranges[col] = (
+                    lo if lo is not None else -(2**62),
+                    hi if hi is not None else 2**62,
+                )
+                if lo is not None:
+                    row_filters.append(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    row_filters.append(F.col(col) <= F.lit(hi))
+            for col, vals in (where_in or {}).items():
+                vals = [v for v in vals if v is not None]
+                row_filters.append(F.col(col).isin(vals))
+                if vals and col not in key_ranges:
+                    key_ranges[col] = (min(vals), max(vals))
+            files = t._prune_by_stats(files, commits, key_ranges)
+            if not files:
+                if schema is not None:
+                    return spark.createDataFrame([], schema)
+                files = t._files(commits)[:1]
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*files)
+        df = reader.parquet(*files)
+        for f in row_filters:
+            df = df.filter(f)
+        return df
+
+    def skipping_report(
+        self,
+        name: str,
+        where: dict | None = None,
+        where_in: dict | None = None,
+    ) -> dict:
+        """Metadata-only dry run of :meth:`read`'s file skipping for
+        one table — how many live files the payload zone maps keep vs
+        skip. The observability half of catalog data skipping; no
+        data is read."""
+        t = self.table_handle(name)
+        commits = self._table_commits(name)
+        files = t._files(commits)
+        key_ranges = {
+            col: (
+                lo if lo is not None else -(2**62),
+                hi if hi is not None else 2**62,
+            )
+            for col, (lo, hi) in (where or {}).items()
+        }
+        for col, vals in (where_in or {}).items():
+            vals = [v for v in vals if v is not None]
+            if vals and col not in key_ranges:
+                key_ranges[col] = (min(vals), max(vals))
+        kept = t._prune_by_stats(files, commits, key_ranges)
+        return {
+            "files_live": len(files),
+            "files_read": len(kept),
+            "files_skipped": len(files) - len(kept),
+        }
 
     def txn(self) -> "CatalogTxn":
         return CatalogTxn(self)

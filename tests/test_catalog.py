@@ -722,3 +722,56 @@ def test_catalog_concurrent_mutations_retry_to_serial(spark, cat):
     # nothing staged leaked: vacuum finds only the losers' discards
     cat.vacuum(ttl_s=0.0)
     assert got.count() == 40
+
+
+def test_catalog_read_prunes_files_by_stats(spark, cat):
+    """Round-13: catalog reads skip FILES by the payload zone maps —
+    a day-sliced read of a three-day table opens only that day's
+    files (asserted metadata-only via skipping_report), and the
+    pruned read equals the plain filtered read. Stats columns follow
+    the handle directory's persisted table config."""
+    import datetime as dt
+    import os
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    # persist the stats config BEFORE the first append: every txn's
+    # table_handle reopen then records reading_timestamp zone maps
+    ManifestTable(
+        os.path.join(cat.root, "tables", "fact"),
+        stats_columns=["reading_timestamp"],
+    )
+    for day in (1, 2, 3):
+        tx = cat.txn()
+        tx.append(spark, "fact", _facts(spark, 0, 10, day=day))
+        tx.commit()
+    lo = dt.datetime(2024, 1, 2)
+    hi = dt.datetime(2024, 1, 2, 23, 59, 59)
+    rep = cat.skipping_report("fact", where={"reading_timestamp": (lo, hi)})
+    assert rep["files_skipped"] > 0
+    assert rep["files_read"] < rep["files_live"]
+    got = cat.read(spark, "fact", where={"reading_timestamp": (lo, hi)})
+    want = cat.read(spark, "fact").filter(
+        (F.col("reading_timestamp") >= lo)
+        & (F.col("reading_timestamp") <= hi)
+    )
+    assert got.count() == want.count() == 10
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # disjoint slice: zero candidate files, empty frame, right schema
+    far_lo, far_hi = dt.datetime(2030, 1, 1), dt.datetime(2030, 1, 2)
+    rep0 = cat.skipping_report(
+        "fact", where={"reading_timestamp": (far_lo, far_hi)}
+    )
+    assert rep0["files_read"] == 0
+    got0 = cat.read(
+        spark, "fact", where={"reading_timestamp": (far_lo, far_hi)}
+    )
+    assert got0.count() == 0
+    assert set(got0.columns) == set(want.columns)
+    # where_in row filter applies even without stats for the column
+    got_in = cat.read(spark, "fact", where_in={"meter_id": [3, 7]})
+    assert got_in.count() == 6  # 2 meters x 3 days
