@@ -4487,3 +4487,72 @@ surviving_days AS (
 SELECT * FROM surviving_days
 WHERE account_code IN ('AC00005', 'AC00123')""",
 )(manifest_index_retention_lifecycle)
+
+
+def catalog_sliced_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level zone-map file skipping under the driver gate
+    (round 13, sources/catalog.py read(where=)): three daily
+    transactions land a fact table through the catalog chain (stats
+    config persisted on the handle directory, so every txn's reopen
+    records reading_timestamp zone maps), then the day-2 sliced read
+    must SKIP files from payload metadata alone (asserted via
+    ``skipping_report`` — files_skipped > 0 with a strict subset
+    read) and hash-match the plain filtered read. At a 100 TB catalog
+    this is the difference between a report opening one day's files
+    and opening the table."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.catalog import Catalog
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="catalog_slice_q_")
+    try:
+        cat = Catalog(os.path.join(workdir, "cat"))
+        ManifestTable(
+            os.path.join(cat.root, "tables", "fact"),
+            stats_columns=["reading_timestamp"],
+        )
+        day1 = gen_meter_readings(spark)
+        for shift in (0, 1, 2):
+            txn = cat.txn()
+            txn.append(
+                spark,
+                "fact",
+                day1.withColumn(
+                    "reading_timestamp",
+                    F.expr(
+                        f"timestampadd(DAY, {shift}, reading_timestamp)"
+                    ),
+                ),
+            )
+            txn.commit()
+        lo = _dt.datetime(2024, 1, 2)
+        hi = _dt.datetime(2024, 1, 2, 23, 59, 59)
+        rep = cat.skipping_report(
+            "fact", where={"reading_timestamp": (lo, hi)}
+        )
+        if not (0 < rep["files_read"] < rep["files_live"]):
+            raise AssertionError(
+                f"catalog slice skipped nothing: {rep}"
+            )
+        out = cat.read(
+            spark, "fact", where={"reading_timestamp": (lo, hi)}
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "catalog_sliced_read",
+    f"""WITH {_readings_cte()}
+SELECT reading_timestamp + INTERVAL 1 DAY AS reading_timestamp,
+       meter_id, reading_consumption_milliwatts,
+       reading_production_milliwatts, status
+FROM readings""",
+)(catalog_sliced_read)
