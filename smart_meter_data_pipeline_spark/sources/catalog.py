@@ -681,6 +681,13 @@ class CatalogTxn:
         self._spark = spark
         self._note_chain_len()
         t = self.cat.table_handle(name)
+        # Same write screens as the manifest append (round 13): the
+        # table's persisted CHECK constraints gate the batch before
+        # anything stages, and schema evolution stays additive-only —
+        # a type-changed column would make the chain's evolved-schema
+        # reader produce unreadable mixed-type files later.
+        t._check_constraints(batch)
+        t._check_schema_compat(batch, self._visible_commits(name))
         clean = batch.dropDuplicates(pk)
         # Date-pruned validation scan (the manifest append's move).
         # The date filter applies at the FILE level inside _files
@@ -834,6 +841,73 @@ class CatalogTxn:
             return n_matched, n_inserted
         finally:
             clean.unpersist()
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys: DataFrame,
+        pk: list[str] = PK,
+    ) -> int:
+        """Copy-on-write DELETE by KEY FRAME inside the transaction —
+        the GDPR-by-key member: ``keys`` (a DataFrame of pk tuples,
+        arbitrarily large — never an IN-list) anti-joins the affected
+        files' rows out, with pk-only stats pruning bounding the
+        candidate scan. Lands with the rest of the txn atomically.
+        Returns the matched-row count."""
+        if self._committed:
+            raise RuntimeError("transaction already committed")
+        self._spark = spark
+        self._note_chain_len()
+        t = self.cat.table_handle(name)
+        commits = self._visible_commits(name)
+        in_keys = keys.dropDuplicates(pk).persist()
+        try:
+            if in_keys.limit(1).count() == 0:
+                return 0
+            files = t._files(commits) if commits else []
+            if not files:
+                return 0
+            stat_cols = [
+                c
+                for c in t.stats_columns
+                if c in pk and c in in_keys.columns
+            ]
+            key_ranges = t._batch_key_ranges(in_keys, stat_cols)
+            cand = t._prune_by_stats(files, commits, key_ranges)
+            if not cand:
+                return 0
+            schema = ManifestTable._evolved_schema(commits)
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            tagged = reader.parquet(*cand).withColumn(
+                "_file", F.input_file_name()
+            )
+            matched = tagged.join(in_keys.select(*pk), pk, "left_semi")
+            n_matched = matched.count()
+            if n_matched == 0:
+                return 0
+            affected = [
+                r["_file"]
+                for r in matched.select("_file").distinct().collect()
+            ]
+            removed_rel = sorted(t._rel(u) for u in affected)
+            survivors = (
+                tagged.filter(F.col("_file").isin(affected))
+                .join(in_keys.select(*pk), pk, "left_anti")
+                .drop("_file")
+            )
+            staged = t._stage(survivors)
+            self._merge_payload(
+                name, t, spark, staged, removed_rel,
+                schema.json() if schema is not None else None,
+            )
+            self._pks.setdefault(name, list(pk))
+            self._mutated.add(name)
+            return n_matched
+        finally:
+            in_keys.unpersist()
 
     def delete_where(
         self,

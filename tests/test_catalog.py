@@ -775,3 +775,53 @@ def test_catalog_read_prunes_files_by_stats(spark, cat):
     # where_in row filter applies even without stats for the column
     got_in = cat.read(spark, "fact", where_in={"meter_id": [3, 7]})
     assert got_in.count() == 6  # 2 meters x 3 days
+
+
+def test_txn_delete_keys_and_write_screens(spark, cat):
+    """delete_keys erases a pk frame inside the txn; catalog appends
+    run the same write screens as the manifest append (additive-only
+    schema evolution, CHECK constraints from the handle's persisted
+    table config)."""
+    import os
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    t0 = cat.txn()
+    t0.append(spark, "fact", _facts(spark, 0, 20))
+    t0.commit()
+    # key-frame delete + a dim update in ONE commit
+    doomed = _facts(spark, 0, 20).filter("meter_id % 4 = 1").select(
+        "reading_timestamp", "meter_id"
+    )
+    txn = cat.txn()
+    assert txn.delete_keys(spark, "fact", doomed) == 5
+    txn.append(spark, "dim", _dim(spark), pk=["meter_id"])
+    txn.commit()
+    got = cat.read(spark, "fact")
+    assert got.count() == 15
+    assert got.filter("meter_id % 4 = 1").count() == 0
+    # schema screen: a type-changed column is rejected before staging
+    bad = _facts(spark, 50, 55).withColumn(
+        "v", F.col("v").cast("string")
+    )
+    t2 = cat.txn()
+    with pytest.raises(ValueError, match="additive-only"):
+        t2.append(spark, "fact", bad)
+    with pytest.raises(ValueError, match="additive-only"):
+        t2.upsert(spark, "fact", bad)
+    # constraint screen: persisted CHECK config gates catalog appends
+    ManifestTable(
+        os.path.join(cat.root, "tables", "guarded"),
+        constraints=[{"kind": "non_negative", "column": "v"}],
+    )
+    t3 = cat.txn()
+    with pytest.raises(ValueError, match="non_negative|constraint"):
+        t3.append(
+            spark,
+            "guarded",
+            _facts(spark, 0, 5).withColumn(
+                "v", F.lit(-1).cast("int")
+            ),
+        )
