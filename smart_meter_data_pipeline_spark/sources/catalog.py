@@ -433,6 +433,118 @@ class Catalog:
         return removed
 
 
+def optimize_catalog_table(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_partitions: int | None = None,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE for a CATALOG table (round 13) — the small-file
+    compaction the chain-resolved world was missing: the streaming
+    ``catalog_txn`` sink lands one file set per micro-batch, and at a
+    100 TB catalog those accumulate just like manifest micro-batch
+    ingest. Live files under ``small_file_bytes`` are read once,
+    rewritten right-sized (optionally range-clustered on
+    ``cluster_by``), and swapped in with ONE catalog commit carrying
+    ``added`` + ``removed`` — rows untouched, so readers before and
+    after see identical contents, old chain versions still
+    time-travel, and the originals become reclaimable once
+    ``compact_catalog`` nets them out of the base (the same
+    delete → compact → vacuum lifecycle). Publishes through the
+    put-if-absent fence like every transaction: a lost race discards
+    the stage and re-plans against the new chain; concurrent MUTATORS
+    that lose to this commit abort by the removed-files rule (their
+    rewrite basis changed), concurrent appends recommit unaffected.
+    Returns ``{"files_rewritten", "files_created", "rounds"}``."""
+    for attempt in range(5):
+        numbered = cat.numbered_snapshot()
+        t = cat.table_handle(name)
+        commits = [
+            c.get("tables", {}).get(name) for _, c in numbered
+        ]
+        commits = [c for c in commits if c is not None]
+        live = t._files(commits)
+        small = [
+            f
+            for f in live
+            if os.path.exists(f)
+            and os.path.getsize(f) < small_file_bytes
+        ]
+        if len(small) <= 1:
+            return {
+                "files_rewritten": 0,
+                "files_created": 0,
+                "rounds": attempt,
+            }
+        total = sum(os.path.getsize(f) for f in small)
+        n_out = target_partitions or max(1, total // small_file_bytes)
+        schema = ManifestTable._evolved_schema(commits)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        src_df = reader.parquet(*small)
+        if cluster_by:
+            packed = src_df.repartitionByRange(
+                int(n_out), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            packed = src_df.repartition(int(n_out))
+        staged = t._stage(packed)
+        sdf = spark.read.parquet(
+            *(os.path.join(t.data_dir, f) for f in staged)
+        )
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if "reading_timestamp" in sdf.columns:
+            aggs.append(
+                F.collect_set(
+                    F.to_date("reading_timestamp").cast("string")
+                ).alias("ds")
+            )
+        row = sdf.agg(*aggs).collect()[0]
+        payload = json.dumps(
+            {
+                "version": ManifestTable._fence(numbered),
+                "tables": {
+                    name: {
+                        "added": staged,
+                        "removed": sorted(
+                            os.path.relpath(f, t.data_dir)
+                            for f in small
+                        ),
+                        "count": row["n"],
+                        "dates": (
+                            sorted(row["ds"])
+                            if "ds" in row.__fields__
+                            else []
+                        ),
+                        "schema": (
+                            schema.json()
+                            if schema is not None
+                            else None
+                        ),
+                        "stats": t._file_stats(staged),
+                    }
+                },
+                "optimize": True,
+                "committed_at": time.time(),
+            }
+        ).encode()
+        if _put_if_absent(
+            cat._commit_path(ManifestTable._fence(numbered)), payload
+        ):
+            return {
+                "files_rewritten": len(small),
+                "files_created": len(staged),
+                "rounds": attempt + 1,
+            }
+        t._discard_stage_all(staged)
+    raise CommitConflictError(
+        f"optimize gave up after 5 attempts on catalog table {name!r}"
+    )
+
+
 def _squash_payloads(payloads: list[dict]) -> dict:
     """Replay a table's per-commit payloads into ONE payload — the
     shared merge behind :func:`compact_catalog` and

@@ -825,3 +825,38 @@ def test_txn_delete_keys_and_write_screens(spark, cat):
                 "v", F.lit(-1).cast("int")
             ),
         )
+
+
+def test_optimize_catalog_table_roundtrip(spark, cat):
+    """Catalog-table OPTIMIZE: many small per-txn file sets rewrite
+    to few, contents identical, pre-optimize chain versions still
+    time-travel, and compact+vacuum reclaims the originals."""
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        compact_catalog,
+        optimize_catalog_table,
+    )
+
+    for day in (1, 2, 3):
+        tx = cat.txn()
+        tx.append(spark, "fact", _facts(spark, 0, 10, day=day))
+        tx.commit()
+    before = sorted(map(tuple, cat.read(spark, "fact").collect()))
+    t = cat.table_handle("fact")
+    n_files_before = len(
+        t._files([c["tables"]["fact"] for _, c in cat.numbered_snapshot()
+                  if "fact" in c.get("tables", {})])
+    )
+    rep = optimize_catalog_table(
+        cat, spark, "fact", target_partitions=1
+    )
+    assert rep["files_rewritten"] == n_files_before
+    assert rep["files_created"] < n_files_before
+    after = sorted(map(tuple, cat.read(spark, "fact").collect()))
+    assert after == before
+    # pre-optimize chain version still serves the original image
+    v_pre = len(cat.numbered_snapshot()) - 2
+    assert cat.read(spark, "fact", version=v_pre).count() == 30
+    # compact the chain, then vacuum reclaims the rewritten originals
+    assert compact_catalog(cat, keep_last=0) >= 2
+    assert cat.vacuum(ttl_s=0.0) > 0
+    assert sorted(map(tuple, cat.read(spark, "fact").collect())) == before
