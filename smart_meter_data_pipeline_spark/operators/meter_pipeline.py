@@ -4556,3 +4556,110 @@ SELECT reading_timestamp + INTERVAL 1 DAY AS reading_timestamp,
        reading_production_milliwatts, status
 FROM readings""",
 )(catalog_sliced_read)
+
+
+def manifest_cbo_mcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware cardinality estimation under the driver gate (round
+    13, sources/manifest.py analyze_table(mcv_columns=) +
+    estimate_read_rows): a tag column where one value ('HOT', every
+    tenth meter) holds ~10% of the table breaks uniform-over-NDV in
+    both directions — the hot value under-estimates ~ndv-fold, every
+    rare value over-estimates. The MCV list (top-k exact frequencies,
+    ties broken by value so both engines build the SAME list) gives
+    MCV members their exact counts and leaves the uniform rule to the
+    remainder mass. Output: one row per probe with the engine's
+    metadata-only estimate NEXT TO the true count — the oracle
+    recomputes both from first principles, so any drift in the
+    estimator arithmetic (integer flooring, remainder-mass
+    accounting, tie-break order) breaks the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+        analyze_table,
+        estimate_read_rows,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="manifest_cbo_mcv_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "fact"))
+        tag = F.when(
+            F.col("meter_id") % 10 == 0, F.lit("HOT")
+        ).otherwise(
+            F.concat(
+                F.lit("AC"),
+                F.lpad(F.col("meter_id").cast("string"), 5, "0"),
+            )
+        )
+        day1 = gen_meter_readings(spark).withColumn("tag", tag)
+        t.idempotent_append(spark, day1)
+        prof = analyze_table(
+            t, spark, exact_ndv=True, mcv_columns=["tag"], mcv_k=4
+        )
+        mcv = prof["columns"]["tag"]["mcv"]
+        if mcv[0][0] != "HOT":
+            raise AssertionError(f"HOT not at the top of the MCV: {mcv}")
+        probes = {
+            "hot": ["HOT"],
+            "rare": ["AC00177"],
+            "mix": ["HOT", "AC00177"],
+        }
+        full = t.read(spark)
+        rows = []
+        for name, vals in sorted(probes.items()):
+            est = estimate_read_rows(t, where_in={"tag": vals})
+            actual = full.filter(F.col("tag").isin(vals)).count()
+            rows.append((name, est["est_rows"], actual))
+        return spark.createDataFrame(
+            rows, "probe string, est_rows bigint, actual_rows bigint"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "manifest_cbo_mcv",
+    f"""WITH {_readings_cte()},
+tagged AS (
+  SELECT CASE WHEN meter_id % 10 = 0 THEN 'HOT'
+         ELSE 'AC' || lpad(CAST(meter_id AS VARCHAR), 5, '0') END AS tag
+  FROM readings
+),
+col_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(COUNT(DISTINCT tag) AS BIGINT) AS ndv
+  FROM tagged
+),
+freq AS (
+  SELECT tag, CAST(COUNT(*) AS BIGINT) AS f FROM tagged GROUP BY tag
+),
+mcv AS (
+  SELECT tag, f FROM freq ORDER BY f DESC, tag LIMIT 4
+),
+mcv_tot AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS mt, CAST(COUNT(*) AS BIGINT) AS k
+  FROM mcv
+),
+probes AS (
+  SELECT 'hot' AS probe, ['HOT'] AS vals
+  UNION ALL SELECT 'mix', ['HOT', 'AC00177']
+  UNION ALL SELECT 'rare', ['AC00177']
+),
+est AS (
+  SELECT p.probe,
+    CAST(
+      COALESCE((SELECT SUM(m.f) FROM mcv m
+                WHERE list_contains(p.vals, m.tag)), 0)
+      + CAST(((s.nn - t.mt)
+              * (SELECT COUNT(*) FROM unnest(p.vals) u(v)
+                 WHERE v NOT IN (SELECT tag FROM mcv)))
+             // (s.ndv - t.k) AS BIGINT)
+    AS BIGINT) AS est_rows,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM tagged g
+     WHERE list_contains(p.vals, g.tag)) AS actual_rows
+  FROM probes p, col_stats s, mcv_tot t
+)
+SELECT probe, est_rows, actual_rows FROM est""",
+)(manifest_cbo_mcv)

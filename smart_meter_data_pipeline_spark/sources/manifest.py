@@ -3819,6 +3819,8 @@ def analyze_table(
     spark: SparkSession,
     columns: list[str] | None = None,
     exact_ndv: bool = False,
+    mcv_columns: list[str] | None = None,
+    mcv_k: int = 16,
 ) -> dict:
     """ANALYZE TABLE — table-level optimizer statistics in ONE scan:
     row count plus per-column null count, NDV, and (for integer /
@@ -3839,7 +3841,18 @@ def analyze_table(
     micros ENGINE-side (``unix_micros``) — never a driver-side
     datetime conversion (the ``_batch_key_ranges`` timezone rule).
     Doubles report null/NDV only (same int-first discipline as the
-    file stats)."""
+    file stats).
+
+    ``mcv_columns`` (round 13) opts named INT/STRING columns into a
+    MOST-COMMON-VALUES list — the Postgres-style skew statistic: the
+    top ``mcv_k`` values by exact frequency (ties broken by value, so
+    the list is deterministic and oracle-reproducible), stored as
+    ``[value, count]`` pairs. Uniform-over-NDV estimation is wrong in
+    BOTH directions on skewed columns (a hot value under-estimated
+    ~ndv-fold, a rare one over-estimated); the MCV gives the hot
+    values their exact counts and leaves the uniform rule to the
+    remainder mass. Each MCV column costs one NDV-bounded rollup on
+    top of the single stats scan — that bound is why it is opt-in."""
     from pyspark.sql import types as T
 
     df = table.read(spark)
@@ -3880,6 +3893,29 @@ def analyze_table(
             s["min"] = int(row[f"mn{i}"])
             s["max"] = int(row[f"mx{i}"])
         col_stats[c] = s
+    for c in mcv_columns or []:
+        if c not in col_stats or not isinstance(
+            fields.get(c),
+            (T.IntegerType, T.LongType, T.ShortType, T.StringType),
+        ):
+            continue  # JSON-portable value types only
+        top = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .orderBy(F.desc("__f"), F.col(c))
+            .limit(int(mcv_k))
+            .collect()
+        )
+        col_stats[c]["mcv"] = [
+            [
+                int(r[c])
+                if not isinstance(r[c], str)
+                else r[c],
+                int(r["__f"]),
+            ]
+            for r in top
+        ]
     result = {
         "version": len(table.snapshot()) - 1,
         "n_rows": int(row["__n"]),
@@ -3974,6 +4010,25 @@ def analyze_incremental(
                 if row[f"mn{i}"] is not None:
                     old["min"] = min(old["min"], int(row[f"mn{i}"]))
                     old["max"] = max(old["max"], int(row[f"mx{i}"]))
+            if old.get("mcv"):
+                # MCV counts are additive for values already IN the
+                # list (one bounded isin rollup over the delta); a
+                # NEW value rising into the top-k is invisible until
+                # a full re-analyze — flag the list as stale (lower
+                # bounds), the same hint semantics as ndv_stale.
+                mcv_vals = [v for v, _ in old["mcv"]]
+                delta_freq = {
+                    r[c]: r["__f"]
+                    for r in delta.filter(F.col(c).isin(mcv_vals))
+                    .groupBy(c)
+                    .agg(F.count(F.lit(1)).alias("__f"))
+                    .collect()
+                }
+                old["mcv"] = [
+                    [v, cnt + int(delta_freq.get(v, 0))]
+                    for v, cnt in old["mcv"]
+                ]
+                old["mcv_stale"] = True
             merged[c] = old
         prof = dict(
             prof,
@@ -4007,7 +4062,11 @@ def estimate_read_rows(
     [min, max] under the uniformity assumption
     (``rows ≈ n_nonnull · overlap / width``, exact integer
     cross-multiplication, floored), an IN predicate's is
-    ``n_nonnull · k / ndv``; conjuncts multiply (independence
+    ``n_nonnull · k / ndv`` — except that values found in the
+    column's MCV list (``analyze_table(mcv_columns=...)``) use their
+    EXACT frequencies and only the misses fall back to uniform over
+    the remainder mass (Postgres's skew rule); conjuncts multiply
+    (independence
     assumption — both assumptions are the textbook CBO defaults and
     both are stated in the output so a consumer knows what it got).
     Metadata-only: no data is read. Raises if the table was never
@@ -4047,7 +4106,22 @@ def estimate_read_rows(
         if s is None or not s.get("ndv"):
             continue
         nn = n - s["null_count"]
-        sel_rows = min((nn * len(vals)) // s["ndv"], nn)
+        mcv = s.get("mcv")
+        if mcv:
+            # Skew-aware split (round 13): MCV members contribute
+            # their EXACT counts; the rest fall back to uniform over
+            # the remainder mass (rows and NDV both net of the MCV) —
+            # the Postgres selectivity rule, all-integer.
+            freq = {v: c for v, c in mcv}
+            hits = sum(freq.get(v, 0) for v in vals)
+            n_miss = sum(1 for v in vals if v not in freq)
+            rest_rows = max(0, nn - sum(freq.values()))
+            rest_ndv = max(1, s["ndv"] - len(freq))
+            sel_rows = min(
+                hits + (rest_rows * n_miss) // rest_ndv, nn
+            )
+        else:
+            sel_rows = min((nn * len(vals)) // s["ndv"], nn)
         est = (est * sel_rows) // n if n else 0
     return {
         "est_rows": int(est),

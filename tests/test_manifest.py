@@ -3525,3 +3525,59 @@ def test_delete_where_mor_guards(spark, tmp_path):
         "keys_tombstoned": 0,
     }
     assert len(t.snapshot()) == n_commits
+
+
+def test_analyze_mcv_skew_aware_estimates(spark, tmp_path):
+    """Round-13 MCV statistics: a skewed column's hot values estimate
+    at their EXACT frequencies, misses fall back to uniform over the
+    remainder mass — uniform-over-NDV is wrong in both directions on
+    skew. MCV counts update additively for listed values under
+    analyze_incremental (flagged stale), and the selectivity bypass
+    composes: the hot value bypasses the posting index, a rare one
+    consults it."""
+    from pyspark.sql import functions as F
+
+    # 1 hot value (5000 rows) + 1000 rare values (5 rows each)
+    df = spark.range(10000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 5000, F.lit("hot"))
+        .otherwise(
+            F.concat(F.lit("rare_"), (F.col("id") % 1000).cast("string"))
+        )
+        .alias("tag"),
+    )
+    t = manifest.ManifestTable(
+        str(tmp_path / "mcv_tbl"), stats_columns=["rid"]
+    )
+    t.idempotent_append(spark, df.repartition(8), pk=["rid"])
+    prof = manifest.analyze_table(
+        t, spark, exact_ndv=True, mcv_columns=["tag"], mcv_k=4
+    )
+    mcv = dict(prof["columns"]["tag"]["mcv"])
+    assert mcv["hot"] == 5000
+    assert len(mcv) == 4
+    # hot value: exact; uniform would have said 10000/1001 ~ 9
+    est_hot = manifest.estimate_read_rows(t, where_in={"tag": ["hot"]})
+    assert est_hot["est_rows"] == 5000
+    # rare miss: uniform over the remainder mass
+    est_rare = manifest.estimate_read_rows(
+        t, where_in={"tag": ["rare_999"]}
+    )
+    rest_rows = 10000 - sum(mcv.values())
+    assert est_rare["est_rows"] == rest_rows // (1001 - 4)
+    assert est_rare["est_rows"] <= 10  # near the true 5
+    # mixed probe: exact hit + uniform miss, additive
+    est_mix = manifest.estimate_read_rows(
+        t, where_in={"tag": ["hot", "rare_999"]}
+    )
+    assert est_mix["est_rows"] == 5000 + est_rare["est_rows"]
+    # incremental: appended hot rows ADD to the listed count (stale-
+    # flagged); new values don't disturb it
+    extra = spark.range(10000, 10500).select(
+        F.col("id").alias("rid"), F.lit("hot").alias("tag")
+    )
+    t.idempotent_append(spark, extra, pk=["rid"])
+    prof2 = manifest.analyze_incremental(t, spark)
+    mcv2 = dict(prof2["columns"]["tag"]["mcv"])
+    assert mcv2["hot"] == 5500
+    assert prof2["columns"]["tag"]["mcv_stale"] is True
