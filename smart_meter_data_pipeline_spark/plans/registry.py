@@ -109,10 +109,14 @@ _PRIORITY = [
     "catalog_branch_wap",
     "stream_catalog_txn",
     "catalog_tag_read",
-    # (r13-changed) read(where_in=) selectivity-bypass branch:
+    # (r13-changed) read(where_in=) selectivity-bypass branch, plus
+    # the ANALYZE/estimator surface the MCV work touched (values
+    # unchanged without mcv opt-in; re-proven at sf0.01+sf0.1):
     "manifest_skipping_read",
     "manifest_bloom_read",
     "manifest_dict_skipping_read",
+    "manifest_cost_estimate",
+    "manifest_analyze_report",
     # (r13-new) builder-proven at sf0.001, sf0.01 AND sf0.1 via
     # tests/test_oracle_parity.py
     "catalog_txn_restatement",
@@ -498,7 +502,6 @@ _PRIORITY = [
     "events_mann_kendall",
     "events_cm_join_size",
     "events_hll_sliding_distinct",
-    "manifest_analyze_report",
     "stream_hll_sliding_distinct",
     "events_theil_sen_slope",
     "train_epoch_shuffle_plan",
@@ -506,7 +509,6 @@ _PRIORITY = [
     "events_holt_winters_forecast",
     "events_stl_decompose",
     "events_conversion_lag",
-    "manifest_cost_estimate",
     "manifest_drop_column_read",
     "stream_manifest_cdc_read",
     "decontaminate_bloom",
