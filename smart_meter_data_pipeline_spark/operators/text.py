@@ -1960,3 +1960,119 @@ WHERE list_contains(string_split(text, ' '), 'dup')
   AND list_contains(string_split(text, ' '), 'vector')
 """,
 )(corpus_text_index_search)
+
+
+def corpus_text_index_hot_token(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The df-cap under the driver gate (round 13,
+    sources/index.py:_posting_df_caps): the corpus's single MOST
+    FREQUENT token — picked deterministically in-query (highest
+    count, ties by token) so both engines choose the same word — is
+    posted in ~every file, and its posting list would be an
+    O(n_files) driver collect that prunes nothing; the lookup must
+    COUNT first and serve it as "all indexed files" (asserted:
+    ``df_capped_tokens >= 1``). The other search term is a sentinel
+    token carried only by 20 deterministic "needle" documents
+    (derived from the 20 lowest doc_ids, re-keyed and re-texted
+    identically in both engines) appended as their own commit — so
+    in ALL mode the capped token contributes "all files" to the
+    intersection while the needle postings keep the read bounded to
+    the appended files (asserted: a strict-subset read, at ANY scale
+    factor — the closed synthetic vocabulary makes every REAL token
+    near-every-file, which is itself why the cap exists). The row
+    predicate applies on top, so the result hash-equals the plain
+    two-token filter — the cap is a pure IO decision, invisible in
+    the relation."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_meter_data_pipeline_spark.sources.index import (
+        refresh_text_index,
+        text_index_search,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="corpus_text_hot_q_")
+    try:
+        t = ManifestTable(os.path.join(workdir, "docs"))
+        docs = load_table(spark, sf_dir, "documents")
+        hot = (
+            docs.select(
+                F.explode(F.split(F.col("text"), " +")).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.col("tok"))
+            .limit(1)
+            .collect()[0]["tok"]
+        )
+        needles = (
+            docs.orderBy("doc_id")
+            .limit(20)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .withColumn(
+                "text",
+                F.concat(
+                    F.lit(hot + " zzqneedle x"),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .withColumn("n_chars", F.length("text").cast("bigint"))
+        )
+        t.idempotent_append(
+            spark,
+            docs,
+            pk=["doc_id"],
+            cluster_by=["doc_id"],
+            cluster_partitions=8,
+        )
+        t.idempotent_append(spark, needles, pk=["doc_id"])
+        refresh_text_index(t, spark, "text", posting_partitions=8)
+        out, rep = text_index_search(
+            t, spark, "text", [hot, "zzqneedle"], mode="all"
+        )
+        if rep["df_capped_tokens"] < 1:
+            raise AssertionError(
+                f"most frequent token {hot!r} was not df-capped: {rep}"
+            )
+        if not (0 < rep["files_read"] < rep["files_live"]):
+            raise AssertionError(
+                f"needle postings pruned nothing: {rep}"
+            )
+        return out.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "corpus_text_index_hot_token",
+    """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hot AS (
+  SELECT tok FROM toks WHERE tok <> ''
+  GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 1
+),
+base AS (
+  SELECT * FROM documents ORDER BY doc_id LIMIT 20
+),
+needles AS (
+  SELECT b.doc_id + 10000000 AS doc_id,
+         h.tok || ' zzqneedle x'
+           || CAST(b.doc_id + 10000000 AS VARCHAR) AS text,
+         b.lang, b.source
+  FROM base b, hot h
+)
+SELECT doc_id, text, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM needles
+""",
+)(corpus_text_index_hot_token)

@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
     # Drain schedule (round 13 written): the driver evaluates a ~50-
-    # query prefix per round. The r13 window below is 19 + ~31 of the
+    # query prefix per round. The r13 window below is 22 + ~28 of the
     # (stale r5-r8) section = (a) the 3 queries CORRECTNESS_r12's
     # window edge left without any driver row (the VERDICT r12 ask —
     # two of the three also sit on the r13-changed index path), (b)
@@ -88,7 +88,7 @@ _PRIORITY = [
     # df-cap + snapshot-race guard + opt-in posting report; catalog
     # txns: mutation support, append->commit revalidation, replay
     # squash; read(where_in=): selectivity bypass branch — all values
-    # unchanged, re-proven at sf0.01+sf0.1 this round), (c) the 5
+    # unchanged, re-proven at sf0.01+sf0.1 this round), (c) the 6
     # r13-new queries, then (d) the (stale) section (latest rows
     # r5-r8, stalest first). FOR ROUND 14: promote any r13-window
     # overflow first, then r14-changed/new, then continue the (stale)
@@ -124,6 +124,7 @@ _PRIORITY = [
     "stream_catalog_restatement",
     "catalog_sliced_read",
     "manifest_cbo_mcv",
+    "corpus_text_index_hot_token",
     # (stale) evaluated queries, stalest round first (r5 -> r8) —
     # HEAD OF THE R13 WINDOW after r13's changed/new queries
     "daily_customer_billing",
