@@ -345,6 +345,108 @@ GROUP BY 1
 register("validation_summary", _VALIDATION_SQL)(validation_summary)
 
 
+def ingest_wire_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end S4/F1 totality under the gate: wire JSON →
+    ``parse_messages`` → ``classify`` → per-reason counts, on a
+    deterministic adversarial fixture derived from the events table.
+
+    Each event row becomes one wire message; ``event_id % 7`` picks a
+    mutation that must land in exactly one quarantine bucket (first
+    violated rule wins, mirroring consumer/meter_consumer.py:198-224 +
+    01_create_schema.sql:84-93):
+
+    - ``% 7 == 0``: malformed OR out-of-domain timestamp string —
+      split by ``% 14`` between ``'not-a-timestamp'`` (the input that
+      crashed the whole batch under ANSI mode before the
+      ``try_to_timestamp`` fix) and ``'3000-01-01'`` (parses, but
+      outside the pandas-interop domain guard) → ``bad_timestamp``;
+    - ``% 7 == 1``: status ``'X'`` → ``bad_status``;
+    - ``% 7 == 2``: negative consumption → ``negative_reading``;
+    - ``% 7 == 3``: meter_id omitted → ``missing_required``;
+    - ``% 7 == 4``: non-JSON garbage → ``malformed_json``;
+    - ``% 7 == 5``: both readings absent → ``no_reading``;
+    - ``% 7 == 6``: clean → valid (``'ok'``).
+
+    The oracle re-derives the buckets from the mutation rule alone, so
+    any crash or misclassification in the parse/validate path is a
+    hash mismatch — this is the driver-gate proof of the quarantine
+    branches the registered fixtures never exercised before round 14.
+    """
+    from smart_meter_data_pipeline_spark.sources.ingest import (
+        classify,
+        parse_messages,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    m7 = F.pmod("event_id", F.lit(7))
+    m14 = F.pmod("event_id", F.lit(14))
+    ts_str = (
+        F.when(m14 == 0, F.lit("not-a-timestamp"))
+        .when(m14 == 7, F.lit("3000-01-01 00:00:00"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    )
+    status = F.when(m7 == 1, F.lit("X")).otherwise(
+        F.element_at(
+            F.array(F.lit("V"), F.lit("E"), F.lit("R")),
+            (F.pmod("event_id", F.lit(3)) + 1).cast("int"),
+        )
+    )
+    cons = (
+        F.when(m7 == 2, F.lit(-1))
+        .when(m7 == 5, F.lit(None))
+        .otherwise(F.pmod("event_id", F.lit(1000)))
+        .cast("int")
+    )
+    meter = (
+        F.when(m7 == 3, F.lit(None))
+        .otherwise(F.pmod("event_id", F.lit(1000000)))
+        .cast("int")
+    )
+    envelope = F.to_json(
+        F.struct(
+            meter.alias("meter_id"),
+            ts_str.alias("reading_timestamp"),
+            cons.alias("reading_consumption_milliwatts"),
+            F.lit(None).cast("int").alias("reading_production_milliwatts"),
+            status.alias("status"),
+        )
+    )
+    wire = F.when(
+        m7 == 4,
+        F.concat(F.lit("@@garbage@@"), F.col("event_id").cast("string")),
+    ).otherwise(envelope)
+    classified = classify(parse_messages(ev.select(wire.alias("value"))))
+    return (
+        classified.select(
+            F.coalesce("reject_reason", F.lit("ok")).alias("reject_reason")
+        )
+        .groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_WIRE_QUARANTINE_SQL = """
+SELECT CASE
+         WHEN event_id % 7 = 4 THEN 'malformed_json'
+         WHEN event_id % 7 = 3 THEN 'missing_required'
+         WHEN event_id % 7 = 0 THEN 'bad_timestamp'
+         WHEN event_id % 7 = 1 THEN 'bad_status'
+         WHEN event_id % 7 = 2 THEN 'negative_reading'
+         WHEN event_id % 7 = 5 THEN 'no_reading'
+         ELSE 'ok' END AS reject_reason,
+       COUNT(*) AS n_rows
+FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1
+"""
+
+register("ingest_wire_quarantine", _WIRE_QUARANTINE_SQL)(
+    ingest_wire_quarantine
+)
+
+
 def dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idempotent-ingest semantics: T1 / S5.
 

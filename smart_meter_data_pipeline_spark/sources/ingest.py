@@ -74,7 +74,20 @@ def classify(parsed: DataFrame) -> DataFrame:
     malformed JSON → required fields → timestamp parse → status enum →
     non-negative readings → at-least-one-reading.
     """
-    ts = F.to_timestamp("reading_timestamp")
+    # try_to_timestamp, not to_timestamp: Spark 4 runs ANSI mode by
+    # default, where to_timestamp('garbage') throws CAST_INVALID_INPUT
+    # and kills the whole batch. Validation must be TOTAL — a malformed
+    # timestamp is a per-row quarantine (consumer:198-224), never a
+    # batch failure.
+    ts = F.try_to_timestamp("reading_timestamp")
+    # Interop domain guard: a timestamp Spark parses but pandas cannot
+    # represent (datetime64[ns] spans 1677-09-21..2262-04-11) would
+    # crash every Arrow->pandas hop downstream (applyInPandas*,
+    # collect to Python datetime) — the same class of per-row input
+    # the reference's catch-all quarantines (consumer:217-224). Bound
+    # the VALID domain one day inside the pandas range; outside it is
+    # bad_timestamp, not a poison row in the fact table.
+    ts_in_domain = ts.between("1677-09-22 00:00:00", "2262-04-10 23:59:59")
     status = F.coalesce(F.col("status"), F.lit("V"))  # consumer:58, :125
     return (
         parsed.withColumn("_ts", ts)
@@ -86,7 +99,7 @@ def classify(parsed: DataFrame) -> DataFrame:
                 F.col("meter_id").isNull() | F.col("reading_timestamp").isNull(),
                 "missing_required",
             )
-            .when(F.col("_ts").isNull(), "bad_timestamp")
+            .when(F.col("_ts").isNull() | ~ts_in_domain, "bad_timestamp")
             .when(~F.col("_status").isin(*VALID_STATUS), "bad_status")
             .when(
                 (F.col("reading_consumption_milliwatts") < 0)

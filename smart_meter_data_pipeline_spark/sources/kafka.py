@@ -102,7 +102,10 @@ def from_wire(records: DataFrame) -> DataFrame:
     return records.select(
         F.from_json(F.col("value").cast("string"), WIRE_SCHEMA).alias("r")
     ).select(
-        F.to_timestamp("r.reading_timestamp").alias("reading_timestamp"),
+        # try_to_timestamp: the wire string is untrusted; under ANSI
+        # mode to_timestamp would throw on a malformed envelope instead
+        # of yielding the NULL this docstring promises.
+        F.try_to_timestamp("r.reading_timestamp").alias("reading_timestamp"),
         F.col("r.meter_id").alias("meter_id"),
         F.col("r.reading_consumption_milliwatts").alias(
             "reading_consumption_milliwatts"

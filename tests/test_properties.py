@@ -156,8 +156,15 @@ _messages = st.one_of(
 )
 
 
+# The two ingest-boundary properties guard the engine's front door
+# against adversarial input; 5 examples/run let the ANSI
+# to_timestamp crash hide for 13 rounds, so they get a bigger draw
+# budget than the rest of the suite.
+_INGEST_SETTINGS = dict(_SETTINGS, max_examples=25)
+
+
 @given(msgs=st.lists(_messages, min_size=1, max_size=32))
-@settings(**_SETTINGS)
+@settings(**_INGEST_SETTINGS)
 def test_ingest_validation_is_total_partition(spark, msgs):
     """The validation gate must be TOTAL on arbitrary input: every
     Kafka message lands in exactly one of (valid, quarantine) — no
@@ -181,6 +188,39 @@ def test_ingest_validation_is_total_partition(spark, msgs):
         assert prod is None or prod >= 0
     for r in quarantine.collect():
         assert r["reject_reason"] is not None
+
+
+@given(msgs=st.lists(_messages, min_size=1, max_size=32))
+@settings(**_INGEST_SETTINGS)
+def test_wire_parse_is_total(spark, msgs):
+    """from_wire must be TOTAL on arbitrary wire bytes (the docstring's
+    'invalid envelopes yield NULL fields' promise): no row may crash
+    the batch under ANSI mode, every input yields exactly one output
+    row, and an unparseable timestamp string surfaces as NULL (for the
+    downstream validator to quarantine), never as an exception."""
+    import json
+
+    from smart_meter_data_pipeline_spark.sources.kafka import from_wire
+
+    raw = spark.createDataFrame([(m,) for m in msgs], ["value"])
+    # Collect null-flags, not the raw timestamp: from_wire is a
+    # parse-only stage whose output may hold instants Spark represents
+    # but Python datetime cannot (year -1000); the DOMAIN bound lives
+    # in the downstream validator (ingest.classify), not here.
+    out = from_wire(raw).select(
+        F.isnull("reading_timestamp").alias("ts_null"),
+        F.isnull("meter_id").alias("id_null"),
+    ).collect()
+    assert len(out) == len(msgs)
+    for r, m in zip(out, msgs):
+        try:
+            env = json.loads(m)
+            ok_env = isinstance(env, dict)
+        except (ValueError, TypeError):
+            ok_env = False
+        if not ok_env:
+            assert r["ts_null"]
+            assert r["id_null"]
 
 
 @given(rows=st.lists(st.tuples(_salts, _meters, _ticks), min_size=1, max_size=64))
