@@ -1980,10 +1980,18 @@ def corpus_text_index_hot_token(
     intersection while the needle postings keep the read bounded to
     the appended files (asserted: a strict-subset read, at ANY scale
     factor — the closed synthetic vocabulary makes every REAL token
-    near-every-file, which is itself why the cap exists). The row
-    predicate applies on top, so the result hash-equals the plain
-    two-token filter — the cap is a pure IO decision, invisible in
-    the relation."""
+    near-every-file, which is itself why the cap exists). The cap is
+    EXPLICIT (round 14, advisor): the needle commit is pinned to 2
+    files, every needle text contains the hot token, and the hot
+    token occurs in >=1 base file by definition of "most frequent",
+    so ``df(hot) >= 3 > df(zzqneedle) = 2`` holds by construction —
+    ``df_cap=3`` caps exactly the hot token at any corpus
+    distribution, instead of betting the default 90% threshold on
+    the natural top token reaching ~every base file (a driver-time
+    AssertionError if it missed a couple). Capping is a sound
+    superset whatever the occupancy, and the row predicate applies
+    on top, so the result hash-equals the plain two-token filter —
+    the cap is a pure IO decision, invisible in the relation."""
     import os
     import shutil
     import tempfile
@@ -2031,10 +2039,16 @@ def corpus_text_index_hot_token(
             cluster_by=["doc_id"],
             cluster_partitions=8,
         )
-        t.idempotent_append(spark, needles, pk=["doc_id"])
+        t.idempotent_append(
+            spark,
+            needles,
+            pk=["doc_id"],
+            cluster_by=["doc_id"],
+            cluster_partitions=2,
+        )
         refresh_text_index(t, spark, "text", posting_partitions=8)
         out, rep = text_index_search(
-            t, spark, "text", [hot, "zzqneedle"], mode="all"
+            t, spark, "text", [hot, "zzqneedle"], mode="all", df_cap=3
         )
         if rep["df_capped_tokens"] < 1:
             raise AssertionError(

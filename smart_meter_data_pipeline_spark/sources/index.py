@@ -150,14 +150,19 @@ def _refresh_generic(
     # but freshness asserts like files_unindexed == 0 would flake).
     # Re-read right before the rename and write max(existing, ours);
     # skip the write entirely when the persisted value already won.
-    current = _load_meta(table, index_name)["indexed_upto"]
+    persisted = _load_meta(table, index_name)
+    current = persisted["indexed_upto"]
     if upto > current:
         # unique per WRITER, not per process: two threads sharing a
         # pid (a concurrent-refresh race) must not clobber each
-        # other's tmp file between write and rename
+        # other's tmp file between write and rename. Merge over the
+        # persisted meta: vacuum_index owns other keys
+        # (vacuumed_at_head) that a refresh must not drop.
         tmp = _meta_path(table, index_name) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"indexed_upto": max(upto, current)}, fh)
+            json.dump(
+                {**persisted, "indexed_upto": max(upto, current)}, fh
+            )
         os.replace(tmp, _meta_path(table, index_name))
     return {
         "files_indexed": len(new_files),
@@ -247,9 +252,23 @@ def _guarded_meta(table: ManifestTable, name: str, numbered: list) -> dict:
     necessarily advances indexed_upto past the snapshot's head
     commit number, so ``indexed_upto > head`` detects exactly the
     dangerous interleaving: treat every file as unindexed (read all,
-    prune nothing) for this one consult."""
+    prune nothing) for this one consult.
+
+    Second trigger (round 14): a BARE ``vacuum_index`` after a CoW /
+    retention commit GCs postings for files that are no longer live
+    NOW but still live in an older reader's snapshot — and it does so
+    WITHOUT advancing ``indexed_upto`` (only a refresh does that), so
+    the first trigger never fires. ``vacuum_index`` therefore stamps
+    the chain head it vacuumed at (``vacuumed_at_head``); a reader
+    whose snapshot head is older than that stamp may be missing GC'd
+    postings for files live in ITS snapshot, so it too falls back to
+    treat-all-unindexed."""
     meta = _load_meta(table, name)
-    if numbered and meta["indexed_upto"] > numbered[-1][0]:
+    head = numbered[-1][0] if numbered else -1
+    if numbered and (
+        meta["indexed_upto"] > head
+        or meta.get("vacuumed_at_head", -1) > head
+    ):
         return {"indexed_upto": -1}
     return meta
 
@@ -428,6 +447,7 @@ def text_index_search(
     column: str,
     tokens: list[str],
     mode: str = "any",
+    df_cap: int | None = None,
 ) -> tuple[DataFrame | None, dict]:
     """Full-text token search served through the inverted index
     (:func:`refresh_text_index`). ``mode="any"`` unions the tokens'
@@ -438,7 +458,11 @@ def text_index_search(
     rule), candidates are read with pending MoR tombstones
     reconciled, and the row-level token predicate applies on top, so
     the result equals the plain whitespace-token filter at any
-    refresh lag."""
+    refresh lag. ``df_cap`` overrides the default 90%-occupancy
+    document-frequency cap (serving a capped token as "all indexed
+    files" is ALWAYS a sound superset, so callers who know a token is
+    hot may cap it explicitly instead of betting on the default
+    threshold)."""
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
     numbered = table.numbered_snapshot()
@@ -472,7 +496,11 @@ def text_index_search(
             # posting table for only the uncapped tokens so the
             # hot token's posting files aren't even scanned twice.
             _, capped = _posting_df_caps(
-                idx_df, toks, _default_df_cap(len(indexed_live))
+                idx_df,
+                toks,
+                df_cap
+                if df_cap is not None
+                else _default_df_cap(len(indexed_live)),
             )
             uncapped = [t for t in toks if t not in capped]
             if uncapped:
@@ -575,6 +603,30 @@ def vacuum_index(
     n = idx.delete_keys_mor(spark, stale, pk=["v", "rel_file"])
     if n:
         apply_tombstones(idx, spark)
+        # Stamp the chain head this vacuum's live set came from: a
+        # reader on an OLDER snapshot may hold files whose postings
+        # were just GC'd, and nothing else advances the index meta on
+        # a bare vacuum — _guarded_meta uses this stamp to fall back
+        # to treat-all-unindexed for such readers (see its docstring).
+        # Monotonic max, merged over the persisted meta so a racing
+        # refresh's indexed_upto is never dropped.
+        name = index_name or column
+        persisted = _load_meta(table, name)
+        head = numbered[-1][0]
+        if head > persisted.get("vacuumed_at_head", -1):
+            os.makedirs(_index_table_dir(table, name), exist_ok=True)
+            tmp = _meta_path(table, name) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        **persisted,
+                        "vacuumed_at_head": max(
+                            head, persisted.get("vacuumed_at_head", -1)
+                        ),
+                    },
+                    fh,
+                )
+            os.replace(tmp, _meta_path(table, name))
     return {"postings_removed": n}
 
 
@@ -647,9 +699,11 @@ def maintain_index(
     """One-call index maintenance — the composition a scheduled
     100 TB maintenance window runs per indexed column: incremental
     refresh (index the files new since last time), vacuum (GC
-    postings stranded by CoW rewrites / retention — skipped when the
-    refresh saw no new files, since only table commits can strand
-    postings), then compaction (re-cluster the posting table, but
+    postings stranded by CoW rewrites / retention — ALWAYS run: a
+    metadata-only retention ``delete_where`` removes files without
+    adding any, so "refresh indexed 0 files" does NOT imply nothing
+    was stranded, and the no-op case costs one metadata-sized
+    anti-join), then compaction (re-cluster the posting table, but
     ONLY when fragmentation crossed ``max_posting_files`` — the
     self-triggering ``only_if_more_than`` hook, so steady-state calls
     are metadata-only). ``text=True`` maintains the inverted-text
@@ -662,11 +716,7 @@ def maintain_index(
         )
     else:
         ref = refresh_index(table, spark, column, posting_partitions)
-    gc = (
-        vacuum_index(table, spark, column, index_name=index_name)
-        if ref["files_indexed"]
-        else {"postings_removed": 0}
-    )
+    gc = vacuum_index(table, spark, column, index_name=index_name)
     opt = optimize_index(
         table,
         spark,

@@ -658,9 +658,10 @@ def test_read_where_in_selectivity_bypass(spark, tmp_path, monkeypatch):
 
 
 def test_maintain_index_composition(spark, tmp_path):
-    """maintain_index = refresh + (vacuum iff new files) + (compact
-    iff fragmented): steady-state calls are metadata-only no-ops,
-    churn triggers exactly the needed passes, results stay exact."""
+    """maintain_index = refresh + vacuum (always — see the
+    metadata-only-retention test) + (compact iff fragmented):
+    steady-state calls are cheap no-ops, churn triggers exactly the
+    needed passes, results stay exact."""
     from smart_meter_data_pipeline_spark.sources.index import (
         maintain_index,
     )
@@ -704,3 +705,99 @@ def test_maintain_index_composition(spark, tmp_path):
     out, rep = index_point_read(t, spark, "meter_id", [17])
     assert rep["files_unindexed"] == 0
     assert out.count() == 4 * 5  # 5 rows/day x 4 days
+
+
+def test_bare_vacuum_guards_older_snapshots(spark, tmp_path):
+    """Round-14 advisor fix: a BARE vacuum_index (no refresh) after a
+    CoW rewrite GCs postings for files still live in an OLDER
+    reader's snapshot, without advancing indexed_upto — so the
+    indexed_upto race guard alone never fires. vacuum_index now
+    stamps the chain head it vacuumed at; a consult whose snapshot
+    head is older than that stamp must treat every file as unindexed
+    (read all, prune nothing) instead of silently missing the GC'd
+    files' rows."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        _load_meta,
+        index_candidate_files,
+        vacuum_index,
+    )
+
+    t, _ = _tbl(spark, tmp_path)
+    refresh_index(t, spark, "meter_id")
+    numbered_old = t.numbered_snapshot()
+    old_head = numbered_old[-1][0]
+    old_live = set(t._files([c for _, c in numbered_old]))
+    # CoW rewrite removes files from the CURRENT live set...
+    up = t.read(spark).filter("meter_id = 17").withColumn(
+        "v", F.col("v") + 1
+    )
+    t.upsert(spark, up)
+    # ...and a bare vacuum (no refresh!) GCs their postings
+    rep = vacuum_index(t, spark, "meter_id")
+    assert rep["postings_removed"] > 0
+    meta = _load_meta(t, "meter_id")
+    assert meta.get("vacuumed_at_head", -1) > old_head
+    assert meta["indexed_upto"] <= old_head  # first guard blind here
+    # the OLD-snapshot consult must fall back to treat-all-unindexed
+    cand, crep = index_candidate_files(
+        t, spark, "meter_id", [17], numbered=numbered_old
+    )
+    assert set(cand) == old_live
+    assert crep["files_unindexed"] == crep["files_live"]
+    # the CURRENT-snapshot consult is unaffected and exact
+    out, _ = index_point_read(t, spark, "meter_id", [17])
+    assert out.count() == 5
+
+
+def test_maintain_index_vacuums_after_metadata_only_retention(
+    spark, tmp_path
+):
+    """Round-14 advisor fix: a metadata-only retention delete_where
+    removes files without ADDING any, so the next maintenance's
+    refresh indexes 0 files — gating vacuum on files_indexed left the
+    dropped files' postings stranded for every window until some
+    data-adding commit. maintain_index now always vacuums (the no-op
+    case is one metadata-sized anti-join)."""
+    from smart_meter_data_pipeline_spark.sources.index import (
+        maintain_index,
+    )
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        delete_where,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(4000).select(
+        (F.col("id") % 800).alias("meter_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("reading_timestamp"),
+        F.col("id").alias("v"),
+    )
+    # two appends with disjoint v ranges around the retention cut so
+    # every file is either fully covered (dropped metadata-only) or
+    # fully disjoint (untouched) — no straddling CoW rewrite, which
+    # would add a file and mask the files_indexed==0 path under test
+    t.idempotent_append(
+        spark,
+        df.filter("v < 1000"),
+        cluster_by=["v"],
+        cluster_partitions=2,
+    )
+    t.idempotent_append(
+        spark,
+        df.filter("v >= 1000"),
+        cluster_by=["v"],
+        cluster_partitions=6,
+    )
+    maintain_index(spark=spark, table=t, column="meter_id")
+    delete_where(
+        t, spark, "v", hi=999, pk=["reading_timestamp", "meter_id"]
+    )
+    m = maintain_index(spark=spark, table=t, column="meter_id")
+    assert m["refresh"]["files_indexed"] == 0
+    assert m["vacuum"]["postings_removed"] > 0
+    out, prep = index_point_read(t, spark, "meter_id", [17])
+    assert prep["files_unindexed"] == 0
+    # ids 17, 817, 1617, 2417, 3217 — the first two fell to retention
+    assert out.count() == 3
