@@ -79,82 +79,43 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     the local replica at sf0.01+sf0.1 this round;
 # (4) r5/r6/r7-latest keep registration order after these.
 _PRIORITY = [
-    # Drain schedule (round 13 written): the driver evaluates a ~50-
-    # query prefix per round. The r13 window below is 22 + ~28 of the
-    # (stale r5-r8) section = (a) the 3 queries CORRECTNESS_r12's
-    # window edge left without any driver row (the VERDICT r12 ask —
-    # two of the three also sit on the r13-changed index path), (b)
-    # the 11 queries whose COMPUTATION changed in r13 (index lookups:
-    # df-cap + snapshot-race guard + opt-in posting report; catalog
-    # txns: mutation support, append->commit revalidation, replay
-    # squash; read(where_in=): selectivity bypass branch — all values
-    # unchanged, re-proven at sf0.01+sf0.1 this round), (c) the 6
-    # r13-new queries, then (d) the (stale) section (latest rows
-    # r5-r8, stalest first). FOR ROUND 14: promote any r13-window
-    # overflow first, then r14-changed/new, then continue the (stale)
-    # section where the r13 window's edge left it; (r9/r10/r11/r12-
-    # evaluated) follow in that order.
-    # (never-evaluated) the r12 window-tail overflow — head of the
-    # window per VERDICT r12 #4:
-    "manifest_index_point_read",
-    "stream_dr_baseline",
-    "stream_index_maintenance",
-    # (r13-changed) index serve path (sources/index.py):
-    "manifest_index_gc_roundtrip",
-    "manifest_delete_by_value",
-    "corpus_text_index_search",
-    "stream_text_index_maintenance",
-    # (r13-changed) catalog txn machinery (sources/catalog.py):
-    "catalog_multi_table_txn",
-    "catalog_branch_wap",
-    "stream_catalog_txn",
-    "catalog_tag_read",
-    # (r13-changed) read(where_in=) selectivity-bypass branch, plus
-    # the ANALYZE/estimator surface the MCV work touched (values
-    # unchanged without mcv opt-in; re-proven at sf0.01+sf0.1):
-    "manifest_skipping_read",
-    "manifest_bloom_read",
-    "manifest_dict_skipping_read",
-    "manifest_cost_estimate",
-    "manifest_analyze_report",
-    # (r13-new) builder-proven at sf0.001, sf0.01 AND sf0.1 via
-    # tests/test_oracle_parity.py
-    "catalog_txn_restatement",
-    "manifest_index_retention_lifecycle",
-    "stream_catalog_restatement",
-    "catalog_sliced_read",
-    "manifest_cbo_mcv",
+    # Drain schedule (round 14 written): the driver evaluates a ~50-
+    # query prefix per round. Per VERDICT r13 #3 the r14 window spends
+    # almost everything on the stale r5-r8 section: (a) the 3 r14-new
+    # queries (each builder-proven at sf0.001+sf0.01+sf0.1 and needing
+    # a first driver row — they pin the round's engine fixes under the
+    # gate: ANSI-total ingest validation incl. the pandas-interop
+    # timestamp domain, MCV-driven join planning + salt advisory, and
+    # the index lifecycle over catalog transactions), (b) 4 r14-
+    # changed queries whose in-query asserts or computation path
+    # changed (explicit df_cap + pinned needle commit; vacuum-always +
+    # vacuumed_at_head stamp; classify try_to_timestamp + domain
+    # guard; choose_build_side skew field) — all values re-proven at
+    # sf0.01 via the full 404/404 contract sweep and at sf0.1 via the
+    # parity suite this round, (c) then the (stale) section continues
+    # where the r13 window's edge left it (r13 drained through
+    # meter_dims; the remainder starts at meter_gap_fill). The other
+    # r13/r14-changed-file queries (index serve path, catalog txn
+    # machinery) already have fresh r13 rows and unchanged values, so
+    # they sit in (r13-evaluated) below the stale section. FOR ROUND
+    # 15: promote any r14 window overflow, then r15-changed/new, then
+    # continue the (stale) section; (r13/r9/r10/r11/r12-evaluated)
+    # follow in that order.
+    # (r14-new) builder-proven at sf0.001, sf0.01 AND sf0.1 via
+    # tests/test_oracle_parity.py:
+    "ingest_wire_quarantine",
+    "manifest_cbo_skew_salt",
+    "catalog_index_lifecycle",
+    # (r14-changed) asserts/computation changed this round — values
+    # unchanged, re-proven at sf0.01 + sf0.1 by the builder:
     "corpus_text_index_hot_token",
+    "manifest_index_retention_lifecycle",
+    "stream_ingest_daily",
+    "manifest_cbo_join",
     # (stale) evaluated queries, stalest round first (r5 -> r8) —
-    # HEAD OF THE R13 WINDOW after r13's changed/new queries
-    "daily_customer_billing",
-    "hourly_nation_load",
-    "stream_static_join",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "corpus_build_pipeline",
-    "cumulative_user_value",
-    "customers_with_error",
-    "customers_without_purchase",
-    "daily_user_rollup",
-    "dedup_embedding_cosine",
-    "dedup_keep_best",
-    "event_type_pivot",
-    "event_value_percentiles",
-    "events_anomaly_zscore",
-    "events_asof_orders",
-    "events_cube",
-    "events_json_props",
-    "events_ohlc_hourly",
-    "events_range_frame",
-    "events_range_pairs",
-    "events_rollup",
-    "events_sessionized",
-    "kmeans_fixed_rounds",
-    "meter_billing_daily",
-    "meter_dims",
+    # HEAD OF THE R14 WINDOW after the r14 new/changed head; the
+    # r13-drained prefix (through meter_dims) now sits in
+    # (r13-evaluated) below
     "meter_gap_fill",
     "meter_grid_load_hourly",
     "meter_quality_checks",
@@ -168,7 +129,6 @@ _PRIORITY = [
     "stream_grid_incremental",
     "stream_hourly_events",
     "stream_incremental_deltas",
-    "stream_ingest_daily",
     "stream_session_windows",
     "stream_stream_interval_join",
     "top_value_users",
@@ -323,6 +283,56 @@ _PRIORITY = [
     "multimodal_shard_pack",
     "orders_gap_survival",
     "nation_load_duration_curve",
+    # (r13-evaluated) round-13 driver window — 50/50 hash-match
+    # (minus the two promoted into (r14-changed) above):
+    "manifest_index_point_read",
+    "stream_dr_baseline",
+    "stream_index_maintenance",
+    "manifest_index_gc_roundtrip",
+    "manifest_delete_by_value",
+    "corpus_text_index_search",
+    "stream_text_index_maintenance",
+    "catalog_multi_table_txn",
+    "catalog_branch_wap",
+    "stream_catalog_txn",
+    "catalog_tag_read",
+    "manifest_skipping_read",
+    "manifest_bloom_read",
+    "manifest_dict_skipping_read",
+    "manifest_cost_estimate",
+    "manifest_analyze_report",
+    "catalog_txn_restatement",
+    "stream_catalog_restatement",
+    "catalog_sliced_read",
+    "manifest_cbo_mcv",
+    "daily_customer_billing",
+    "hourly_nation_load",
+    "stream_static_join",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "corpus_build_pipeline",
+    "cumulative_user_value",
+    "customers_with_error",
+    "customers_without_purchase",
+    "daily_user_rollup",
+    "dedup_embedding_cosine",
+    "dedup_keep_best",
+    "event_type_pivot",
+    "event_value_percentiles",
+    "events_anomaly_zscore",
+    "events_asof_orders",
+    "events_cube",
+    "events_json_props",
+    "events_ohlc_hourly",
+    "events_range_frame",
+    "events_range_pairs",
+    "events_rollup",
+    "events_sessionized",
+    "kmeans_fixed_rounds",
+    "meter_billing_daily",
+    "meter_dims",
     # (r12-evaluated) r12's remaining changed/new rows, fresh as of
     # r12 (the rest of the r12 window sits in the sections below or
     # was promoted to the r13-changed head):
@@ -343,7 +353,6 @@ _PRIORITY = [
     # (r12-evaluated, ex r11-new) first driver rows r12:
     "manifest_upsert_partial_roundtrip",
     "ann_filtered_ivf_labelaware",
-    "manifest_cbo_join",
     "stream_upsert_if_newer",
     "manifest_upsert_if_newer_roundtrip",
     "manifest_branch_wap",

@@ -554,9 +554,14 @@ def _squash_payloads(payloads: list[dict]) -> dict:
     prior payload in the window added it, else it CARRIES THROUGH to
     the squashed ``removed`` (a branch mutation can remove a file
     main's prefix added — the squash commit must still remove it).
-    ``count`` stays the concatenated sum (rows ever appended in the
-    window — informational; readers resolve content from
-    added/removed only); the last schema wins, dates/stats union over
+    ``count`` is recomputed from the SURVIVING files' footer stats
+    (``"#rows"``) when every survivor carries them — the concatenated
+    sum double-counts after a delete→optimize→compact lifecycle
+    (optimize's payload re-counts the rows it rewrote), and a
+    consumer trusting ``count`` would see inflated totals. Survivors
+    without row stats (legacy payloads) fall back to the concatenated
+    sum, flagged ``count_is_upper_bound`` so no consumer mistakes it
+    for live rows. The last schema wins, dates/stats union over
     SURVIVING files."""
     added: dict[str, None] = {}
     removed: list[str] = []
@@ -577,14 +582,24 @@ def _squash_payloads(payloads: list[dict]) -> dict:
         dates |= set(p.get("dates", []))
         schema = p.get("schema") or schema
         stats.update(p.get("stats", {}))
-    return {
+    surviving_stats = {f: s for f, s in stats.items() if f in added}
+    rows = [
+        s.get("#rows") if isinstance(s, dict) else None
+        for s in (surviving_stats.get(f) for f in added)
+    ]
+    out = {
         "added": list(added),
         "removed": removed,
         "count": count,
         "dates": sorted(dates),
         "schema": schema,
-        "stats": {f: s for f, s in stats.items() if f in added},
+        "stats": surviving_stats,
     }
+    if all(r is not None for r in rows):
+        out["count"] = sum(rows)
+    else:
+        out["count_is_upper_bound"] = True
+    return out
 
 
 def compact_catalog(cat: Catalog, keep_last: int = 10) -> int:
@@ -1283,3 +1298,45 @@ class CatalogBranch(Catalog):
             f"gave up after {max_retries} fast-forward attempts on "
             f"catalog branch {self.branch_name!r}"
         )
+
+
+class CatalogTableView(ManifestTable):
+    """Read/maintenance ManifestTable VIEW of one catalog table: the
+    commit "log" is the catalog chain's embedded payloads for
+    ``name``, numbered by CATALOG commit number (round 14).
+
+    Why it exists: the secondary/text index machinery
+    (``sources/index.py``) speaks the manifest log protocol —
+    ``numbered_snapshot()`` for the fence, ``_file_origins`` for the
+    origin > indexed_upto staleness rule, ``_files`` for the live
+    set. A catalog table's OWN manifest log is deliberately empty
+    (the catalog holds the log), so handing ``table_handle(name)`` to
+    the index would index nothing. This view re-points the log
+    accessors at the catalog chain, and every log-replaying consumer
+    — index refresh/consult/vacuum/compact, ``maintain_index``,
+    skipping reports — composes with catalog transactions unchanged:
+    a CatalogTxn CoW upsert's rewritten files carry the txn's catalog
+    commit number as their origin, so they read as UNINDEXED until
+    the next refresh, exactly like a plain manifest upsert.
+
+    WRITE operations must keep going through :class:`CatalogTxn` —
+    the view's mutation methods would publish to the table's unused
+    private log and diverge from the catalog. Index maintenance is
+    safe: postings live in their own manifest table under the table
+    dir, and the only non-posting writes are the index meta files."""
+
+    def __init__(self, cat: Catalog, name: str) -> None:
+        super().__init__(os.path.join(cat.root, "tables", name))
+        self._cat = cat
+        self._name = name
+
+    def numbered_snapshot(self) -> list[tuple[int, dict]]:
+        out = []
+        for num, c in self._cat.numbered_snapshot():
+            p = c.get("tables", {}).get(self._name)
+            if p is not None:
+                out.append((num, p))
+        return out
+
+    def snapshot(self) -> list[dict]:
+        return [c for _, c in self.numbered_snapshot()]

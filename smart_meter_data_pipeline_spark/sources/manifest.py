@@ -322,7 +322,13 @@ class ManifestTable:
         whose recorded dates don't overlap contribute no ADDS — but
         their REMOVALS always apply (skipping a removal would read a
         deleted file back into existence; date pruning is an add-side
-        optimization only). Path-deduped: during an in-place log
+        optimization only). A commit with an EMPTY or missing dates
+        list overlaps every probe: empty means "dates unknown" (a
+        table written before the column existed, or rows with NULL
+        dates), and the safe direction for unknown is contribute-adds
+        — skipping would let a dated dedup anti-join miss those
+        files' keys and re-admit duplicates. Path-deduped: during an
+        in-place log
         compaction (or after a crash mid-compaction) the merged base
         and a not-yet-unlinked merged commit can both name the same
         file — it must be read once, not twice."""
@@ -330,7 +336,8 @@ class ManifestTable:
         for c in commits:
             for f in c.get("removed", []):
                 files.pop(os.path.join(self.data_dir, f), None)
-            if dates is not None and not (set(c["dates"]) & dates):
+            c_dates = set(c.get("dates") or ())
+            if dates is not None and c_dates and not (c_dates & dates):
                 continue
             for f in c["added"]:
                 files[os.path.join(self.data_dir, f)] = None
@@ -1198,9 +1205,13 @@ class ManifestTable:
                         if nulls is not None
                         else [lo, hi]
                     )
-            if per_col:
-                per_col["#rows"] = md.num_rows
-                out[rel] = per_col
+            # "#rows" is recorded UNCONDITIONALLY (round 14): row
+            # counts come from the footer even when no column has
+            # usable min/max, and squash/compact recompute live-row
+            # counts from survivors' "#rows" — a statless file would
+            # silently degrade that exact count to an upper bound.
+            per_col["#rows"] = md.num_rows
+            out[rel] = per_col
         return out
 
     # Bloom index shape: m bits / k hashes sized for ~4K distinct
@@ -4137,6 +4148,11 @@ def choose_build_side(
     left_where: dict | None = None,
     right_where: dict | None = None,
     broadcast_threshold_rows: int = 500_000,
+    left_where_in: dict | None = None,
+    right_where_in: dict | None = None,
+    on: list[str] | None = None,
+    n_shuffle_partitions: int = 32,
+    skew_factor: int = 2,
 ) -> dict:
     """The planning decision ANALYZE exists for: which side of a
     manifest-to-manifest join to BUILD (broadcast), decided from the
@@ -4144,8 +4160,12 @@ def choose_build_side(
     from reading data. Decision rule (documented in README):
 
     1. estimate each side via :func:`estimate_read_rows` (range
-       selectivity = overlap/width, uniformity + independence); a
-       side with no ANALYZE profile estimates None;
+       selectivity = overlap/width, uniformity + independence,
+       MCV-exact frequencies for IN-list members — round 13's skew
+       statistics feed straight into this decision: a side filtered
+       to a HOT key estimates its true mass, where uniform-over-NDV
+       would call it broadcastable and OOM an executor at 100 TB);
+       a side with no ANALYZE profile estimates None;
     2. broadcast the SMALLER estimated side iff its estimate is at or
        under ``broadcast_threshold_rows`` (the rows-fit-in-one-
        executor bound — at 100 TB a mis-broadcast fact is an OOM, so
@@ -4153,18 +4173,32 @@ def choose_build_side(
     3. both unknown or both over threshold → ``"none"``: leave the
        strategy to AQE's runtime statistics.
 
-    Returns ``{"build": "left"|"right"|"none", "est_left",
-    "est_right", "threshold_rows", "reason"}`` so callers (and the
-    plan-contract test) can audit why."""
+    Join-key SKEW advisory (round 14): when ``on`` names the join
+    keys and the decision is a SHUFFLE join (``build == "none"``),
+    each side's MCV list is screened for keys whose exact count
+    overfills an average shuffle partition by ``skew_factor``×
+    (``count · n_shuffle_partitions > skew_factor · n_rows``). AQE's
+    skew splitting cannot split a SINGLE key's hash bucket, so the
+    planner recommends the static fix: ``skew`` carries the hot
+    keys, the side to salt, and an ``n_salts`` sized to spread the
+    hottest key back to ~average partition mass (the
+    ``operators.skew.salted_join`` kit). A broadcast decision gets
+    ``skew: None`` — no shuffle on the key, nothing to overfill.
 
-    def _est(t: ManifestTable, w: dict | None):
+    Returns ``{"build": "left"|"right"|"none", "est_left",
+    "est_right", "threshold_rows", "reason", "skew"}`` so callers
+    (and the plan-contract test) can audit why."""
+
+    def _est(t: ManifestTable, w: dict | None, wi: dict | None):
         try:
-            return estimate_read_rows(t, where=w)["est_rows"]
+            return estimate_read_rows(t, where=w, where_in=wi)[
+                "est_rows"
+            ]
         except ValueError:
             return None
 
-    le = _est(left, left_where)
-    re_ = _est(right, right_where)
+    le = _est(left, left_where, left_where_in)
+    re_ = _est(right, right_where, right_where_in)
     build, reason = "none", "both sides unknown or over threshold"
     cands = [
         (e, side)
@@ -4176,12 +4210,44 @@ def choose_build_side(
         reason = (
             f"estimated {e} rows <= threshold and <= other side"
         )
+    skew = None
+    if on and build == "none":
+        for side, tbl in (("left", left), ("right", right)):
+            prof, _fresh = analyzed_stats(tbl)
+            n = (prof or {}).get("n_rows") or 0
+            if not n:
+                continue
+            hot = [
+                {"column": col, "value": v, "count": int(cnt)}
+                for col in on
+                for v, cnt in (
+                    (prof["columns"].get(col) or {}).get("mcv") or []
+                )
+                if cnt * n_shuffle_partitions > skew_factor * n
+            ]
+            if hot and (skew is None or n > skew["side_rows"]):
+                worst = max(h["count"] for h in hot)
+                skew = {
+                    "side": side,
+                    "side_rows": n,
+                    "keys": hot,
+                    "n_salts": min(
+                        64,
+                        max(
+                            2,
+                            -(-worst * n_shuffle_partitions // n),
+                        ),
+                    ),
+                    "n_shuffle_partitions": n_shuffle_partitions,
+                    "skew_factor": skew_factor,
+                }
     return {
         "build": build,
         "est_left": le,
         "est_right": re_,
         "threshold_rows": broadcast_threshold_rows,
         "reason": reason,
+        "skew": skew,
     }
 
 
@@ -4194,6 +4260,8 @@ def cbo_join(
     right_where: dict | None = None,
     how: str = "inner",
     broadcast_threshold_rows: int = 500_000,
+    salt_skew: bool = True,
+    n_shuffle_partitions: int = 32,
 ) -> DataFrame:
     """Manifest-to-manifest join planned from ANALYZE statistics:
     each side reads through :meth:`ManifestTable.read`'s zone-map
@@ -4201,14 +4269,51 @@ def cbo_join(
     the broadcast hint from the persisted profiles (see its decision
     rule). The estimate CONSUMES the statistics layer end to end:
     stale or missing profiles degrade to AQE, never to a forced
-    fact-side broadcast."""
+    fact-side broadcast.
+
+    When the decision is a shuffle join AND the profiles flag a hot
+    join key (round 14 — see ``choose_build_side``'s skew advisory),
+    ``salt_skew=True`` routes a single-key inner/left join through
+    ``operators.skew.salted_join`` with the recommended ``n_salts``:
+    result-identical (order and column order aside), but the hot
+    key's rows spread over ``n_salts`` sub-buckets BEFORE the
+    exchange — the one skew shape AQE cannot split at any scale.
+    Multi-key joins and join types where side-swapping or right-side
+    replication would change semantics keep the plain join (the
+    advisory still rides the decision dict for the caller)."""
     decision = choose_build_side(
-        left, right, left_where, right_where, broadcast_threshold_rows
+        left,
+        right,
+        left_where,
+        right_where,
+        broadcast_threshold_rows,
+        on=on,
+        n_shuffle_partitions=n_shuffle_partitions,
     )
     ldf = left.read(spark, where=left_where)
     rdf = right.read(spark, where=right_where)
     if ldf is None or rdf is None:
         raise ValueError("cbo_join requires both tables to have commits")
+    sk = decision.get("skew")
+    if (
+        salt_skew
+        and decision["build"] == "none"
+        and sk
+        and len(on) == 1
+    ):
+        from smart_meter_data_pipeline_spark.operators.skew import (
+            salted_join,
+        )
+
+        if sk["side"] == "left" and how in ("inner", "left"):
+            return salted_join(
+                ldf, rdf, on[0], n_salts=sk["n_salts"], how=how
+            )
+        if sk["side"] == "right" and how == "inner":
+            # inner is symmetric: salt the skewed side as the left
+            return salted_join(
+                rdf, ldf, on[0], n_salts=sk["n_salts"], how="inner"
+            )
     if decision["build"] == "left":
         ldf = F.broadcast(ldf)
     elif decision["build"] == "right":

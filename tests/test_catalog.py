@@ -860,3 +860,115 @@ def test_optimize_catalog_table_roundtrip(spark, cat):
     assert compact_catalog(cat, keep_last=0) >= 2
     assert cat.vacuum(ttl_s=0.0) > 0
     assert sorted(map(tuple, cat.read(spark, "fact").collect())) == before
+
+
+def test_dateless_history_still_dedups_dated_batch(spark, cat):
+    """Round-14 advisor fix: a table whose early commits predate the
+    timestamp column records dates=[] in those payloads. A later
+    DATED batch's validation anti-join prunes files by date — and an
+    empty dates list must mean "overlaps every probe" (dates
+    unknown), not "overlaps nothing": skipping those commits' adds
+    would let duplicate pks slip straight through the dedup."""
+    t = cat.txn()
+    dateless = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("meter_id"),
+        (F.col("id") * 10).cast("int").alias("v"),
+    )
+    assert t.append(spark, "fact", dateless, pk=["meter_id"]) == 10
+    t.commit()
+    # additive evolution: the batch carries reading_timestamp, so the
+    # validation scan is date-pruned — ids 5..9 are duplicates and
+    # must be dropped against the dateless history
+    dated = spark.range(5, 15).select(
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,0,id)"
+        ).alias("reading_timestamp"),
+        F.col("id").cast("int").alias("meter_id"),
+        (F.col("id") * 10).cast("int").alias("v"),
+    )
+    t2 = cat.txn()
+    assert t2.append(spark, "fact", dated, pk=["meter_id"]) == 5
+    t2.commit()
+    got = cat.read(spark, "fact")
+    assert got.count() == 15
+    assert got.select("meter_id").distinct().count() == 15
+
+
+def test_squashed_count_matches_live_rows_after_mutations(spark, cat):
+    """Round-14 advisor fix: _squash_payloads' count was the
+    concatenated sum, which double-counts rows that a
+    delete -> optimize lifecycle rewrote. The squashed count is now
+    recomputed from surviving files' footer row stats, so a
+    compacted base's payload count equals live rows."""
+    import json as _json
+
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        compact_catalog,
+        optimize_catalog_table,
+    )
+
+    t = cat.txn()
+    t.append(spark, "fact", _facts(spark, 0, 100))
+    t.commit()
+    t2 = cat.txn()
+    t2.delete_where(spark, "fact", "meter_id >= 80")
+    t2.commit()
+    optimize_catalog_table(cat, spark, "fact")
+    for i in range(6):
+        tx = cat.txn()
+        tx.append(spark, "fact", _facts(spark, 100 + i, 101 + i))
+        tx.commit()
+    assert compact_catalog(cat, keep_last=2) > 0
+    live = cat.read(spark, "fact").count()
+    base_num, base = cat.numbered_snapshot()[0]
+    payload = base["tables"]["fact"]
+    assert not payload.get("count_is_upper_bound")
+    tail_counts = sum(
+        c["tables"].get("fact", {}).get("count", 0)
+        for _, c in cat.numbered_snapshot()[1:]
+    )
+    assert payload["count"] + tail_counts == live
+
+
+def test_catalog_index_guard_under_mutation_vacuum_race(spark, cat):
+    """Round-14: the index snapshot-race guards must hold when the
+    mutation engine is a CatalogTxn instead of a plain manifest
+    upsert. A reader pins its (catalog) snapshot, a txn CoW-upsert
+    lands, and a BARE vacuum GCs the rewritten files' postings —
+    the reader's consult must fall back to treat-all-unindexed
+    (vacuumed_at_head stamp) instead of pruning files live in ITS
+    snapshot; a current-snapshot consult stays exact throughout."""
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        CatalogTableView,
+    )
+    from smart_meter_data_pipeline_spark.sources.index import (
+        index_candidate_files,
+        index_point_read,
+        refresh_index,
+        vacuum_index,
+    )
+
+    tx = cat.txn()
+    tx.append(spark, "fact", _facts(spark, 0, 2000))
+    tx.commit()
+    view = CatalogTableView(cat, "fact")
+    refresh_index(view, spark, "meter_id")
+    numbered_old = view.numbered_snapshot()
+    old_live = set(view._files([c for _, c in numbered_old]))
+    restated = _facts(spark, 0, 2000).filter(
+        F.col("meter_id") < 100
+    ).withColumn("v", F.col("v") + 1)
+    tx2 = cat.txn()
+    tx2.upsert(spark, "fact", restated)
+    tx2.commit()
+    rep = vacuum_index(view, spark, "meter_id")
+    assert rep["postings_removed"] > 0
+    cand, crep = index_candidate_files(
+        view, spark, "meter_id", [17], numbered=numbered_old
+    )
+    assert set(cand) == old_live
+    assert crep["files_unindexed"] == crep["files_live"]
+    out, rep2 = index_point_read(view, spark, "meter_id", [17])
+    assert out.count() == 1
+    assert out.collect()[0]["v"] == 171
