@@ -59,6 +59,27 @@ and HEAD's run-2 reorg 3.447 matched r10's 3.414 at equal load).
 BENCH_r11 itself recorded load_avg_start_1m 7.2 vs r10's 4.0 — the
 uniform-regression signature the r9/r10 A/B already established.
 
+Round-13 driver "regression" on meter_ingest_day (+45.6%, summary
+ingest_rows_per_sec −31%), resolved (VERDICT r13 #2): measured round 14
+by the documented INTERLEAVED A/B (r12 code f857c3f in a worktree vs
+HEAD, two full bench runs each, alternating A B A B on the same box).
+meter_ingest_day best-of-run: r12 {1.672, 1.290} vs HEAD
+{4.273*, 1.073} — HEAD's clean run is FASTER than both r12 runs and
+faster than BENCH_r12's own 1.104, on a leg whose code is byte-
+identical between the two trees (gen_meter_readings + parquet write;
+ingest.py untouched on that path). *HEAD run 1 is a discarded box-
+state outlier: it started on the load tail of the A run that finished
+seconds before (load_avg 3.2 rising to 5.8) and shows the uniform
+early-leg inflation signature (meter_ingest_bucketed 3.3→22.3s,
+meter_marts_rebuild 3.4→12.3s — legs also untouched since r12) while
+its LATE legs are normal; the canary bloom_semijoin moved +10% in the
+same run. The two band-edge code-touched legs from VERDICT r13 are
+inside noise in the same A/B: manifest_upsert_clustered mean 2.66
+(r12) vs 2.56 (HEAD — faster), manifest_index_read {0.251, 0.181} vs
+{0.210, 0.333} (±0.15s absolute on a 0.2s leg, canary band ±12%).
+BENCH_r13's own waited_legs: 7 vs r12's 2 — the same loaded-driver
+signature r9/r11 resolved to. No code action.
+
 tpch_pricing_summary floor (r7 ask #6, profiled r8): the leg's
 ~1.2-1.3 s is NOT a regression in this repo's code — session.py,
 readers.py, common.py and the query are byte-identical to round 5's

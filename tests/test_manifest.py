@@ -3581,3 +3581,88 @@ def test_analyze_mcv_skew_aware_estimates(spark, tmp_path):
     mcv2 = dict(prof2["columns"]["tag"]["mcv"])
     assert mcv2["hot"] == 5500
     assert prof2["columns"]["tag"]["mcv_stale"] is True
+
+
+def test_cbo_skew_advisory_and_salted_join(spark, tmp_path):
+    """Round-14: a shuffle decision screens the join keys' MCVs for
+    single keys that overfill an average shuffle partition and emits
+    a salt advisory; cbo_join routes the single-key inner join
+    through salted_join with the recommended n_salts — plan carries
+    the salt column, result equals the plain join. A broadcast
+    decision gets no advisory (no shuffle on the key)."""
+    import contextlib
+    import datetime as dt
+    import io
+
+    t_fact = manifest.ManifestTable(str(tmp_path / "skw_fact"))
+    # meter 7 holds half the fact rows — the single-key hot bucket
+    t_fact.idempotent_append(
+        spark,
+        spark.range(4000).select(
+            F.expr(
+                "timestamp'2024-03-01 00:00:00'"
+                " + make_interval(0,0,0,0,0,0,id)"
+            ).alias("reading_timestamp"),
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("meter_id"),
+            F.col("id").cast("double").alias("v"),
+        ),
+    )
+    t_dim = manifest.ManifestTable(str(tmp_path / "skw_dim"))
+    t_dim.idempotent_append(
+        spark,
+        spark.range(4000).select(
+            F.col("id").alias("meter_id"),
+            (F.col("id") % 5).alias("zone"),
+        ),
+        pk=["meter_id"],
+    )
+    manifest.analyze_table(
+        t_fact, spark, exact_ndv=True, mcv_columns=["meter_id"]
+    )
+    manifest.analyze_table(t_dim, spark, exact_ndv=True)
+    d = manifest.choose_build_side(
+        t_fact, t_dim, broadcast_threshold_rows=100, on=["meter_id"]
+    )
+    assert d["build"] == "none"
+    sk = d["skew"]
+    assert sk and sk["side"] == "left"
+    assert 7 in [k["value"] for k in sk["keys"]]
+    assert 2 <= sk["n_salts"] <= 64
+    # broadcast decision -> no advisory (no key shuffle to overfill)
+    d2 = manifest.choose_build_side(
+        t_fact,
+        t_dim,
+        broadcast_threshold_rows=10_000,
+        on=["meter_id"],
+    )
+    assert d2["build"] != "none" and d2["skew"] is None
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    joined = manifest.cbo_join(
+        spark, t_fact, t_dim, ["meter_id"],
+        broadcast_threshold_rows=100,
+    )
+    assert "_salt" in plan(joined)
+    want = (
+        t_fact.read(spark)
+        .join(t_dim.read(spark), "meter_id")
+        .groupBy("zone")
+        .count()
+    )
+    got = joined.groupBy("zone").count()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # salt_skew=False keeps the plain shuffle join
+    plain = manifest.cbo_join(
+        spark, t_fact, t_dim, ["meter_id"],
+        broadcast_threshold_rows=100, salt_skew=False,
+    )
+    assert "_salt" not in plan(plain)
