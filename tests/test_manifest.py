@@ -3591,8 +3591,9 @@ def test_cbo_skew_advisory_and_salted_join(spark, tmp_path):
     the salt column, result equals the plain join. A broadcast
     decision gets no advisory (no shuffle on the key)."""
     import contextlib
-    import datetime as dt
     import io
+
+    from pyspark.sql import functions as F
 
     t_fact = manifest.ManifestTable(str(tmp_path / "skw_fact"))
     # meter 7 holds half the fact rows — the single-key hot bucket
