@@ -1340,3 +1340,13 @@ class CatalogTableView(ManifestTable):
 
     def snapshot(self) -> list[dict]:
         return [c for _, c in self.numbered_snapshot()]
+
+    def _fence(self, numbered):  # noqa: ARG002 — guard, not a fence
+        # Every manifest mutation fences before publishing; fencing
+        # through the view means someone is about to commit to the
+        # table's PRIVATE log, which catalog readers ignore — the
+        # write would be silently invisible. Fail loud instead.
+        raise TypeError(
+            "CatalogTableView is read/maintenance-only: route writes "
+            f"through Catalog.txn() (table {self._name!r})"
+        )

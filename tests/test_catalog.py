@@ -972,3 +972,31 @@ def test_catalog_index_guard_under_mutation_vacuum_race(spark, cat):
     out, rep2 = index_point_read(view, spark, "meter_id", [17])
     assert out.count() == 1
     assert out.collect()[0]["v"] == 171
+
+
+def test_catalog_table_view_refuses_direct_writes(spark, cat):
+    """Round-14: the view's log accessors read the CATALOG chain, so a
+    direct mutation would publish to the table's private (ignored)
+    log and silently vanish from catalog reads. Every mutation fences
+    before publishing — the view's fence raises instead."""
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        CatalogTableView,
+    )
+    from smart_meter_data_pipeline_spark.sources.index import (
+        maintain_index,
+    )
+
+    tx = cat.txn()
+    tx.append(spark, "fact", _facts(spark, 0, 100))
+    tx.commit()
+    view = CatalogTableView(cat, "fact")
+    with pytest.raises(TypeError, match="read/maintenance-only"):
+        view.idempotent_append(spark, _facts(spark, 100, 110, day=2))
+    with pytest.raises(TypeError, match="read/maintenance-only"):
+        view.upsert(
+            spark, _facts(spark, 0, 5).withColumn("v", F.lit(0))
+        )
+    # reads and index maintenance stay fully functional
+    assert view.read(spark).count() == 100
+    m = maintain_index(spark=spark, table=view, column="meter_id")
+    assert m["refresh"]["files_indexed"] > 0
