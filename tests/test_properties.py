@@ -608,3 +608,131 @@ def test_analyze_incremental_matches_full_on_appends(spark, tmp_path):
         assert fi.get("min") == fc.get("min"), c
         assert fi.get("max") == fc.get("max"), c
         assert fi["ndv"] <= fc["ndv"]
+
+
+# -- commit-replay properties (round 14, no SparkSession needed) ----------
+
+_file_universe = [f"f{i:02d}.parquet" for i in range(12)]
+
+
+@st.composite
+def _payload_chains(draw):
+    """A random catalog-table payload chain: each payload adds fresh
+    files (with #rows stats) and may remove currently-live ones —
+    the add/remove shapes appends, CoW mutations, OPTIMIZE, and
+    retention drops all produce."""
+    n = draw(st.integers(min_value=1, max_value=6))
+    live: list[str] = []
+    fresh = iter(_file_universe)
+    payloads = []
+    for _ in range(n):
+        removed = draw(
+            st.lists(
+                st.sampled_from(live) if live else st.nothing(),
+                unique=True,
+                max_size=len(live),
+            )
+        ) if live else []
+        n_add = draw(st.integers(min_value=0, max_value=2))
+        added = [next(fresh, None) for _ in range(n_add)]
+        added = [f for f in added if f is not None]
+        rows = {
+            f: draw(st.integers(min_value=0, max_value=50))
+            for f in added
+        }
+        live = [f for f in live if f not in removed] + added
+        payloads.append(
+            {
+                "added": added,
+                "removed": removed,
+                "count": sum(rows.values()),
+                "dates": draw(
+                    st.lists(
+                        st.sampled_from(["2024-01-01", "2024-01-02"]),
+                        unique=True,
+                        max_size=2,
+                    )
+                ),
+                "stats": {
+                    f: {"#rows": r, "meter_id": [0, 9]}
+                    for f, r in rows.items()
+                },
+                "schema": None,
+            }
+        )
+    return payloads
+
+
+@given(payloads=_payload_chains())
+@settings(**_SETTINGS)
+def test_squash_payloads_replay_equivalence(payloads):
+    """_squash_payloads must be a faithful REPLAY: the squashed
+    payload's live set equals sequential replay, carried-through
+    removals are exactly the in-window removals of files the window
+    never added, stats cover only survivors, and (round 14) count
+    equals the sum of surviving files' #rows — never the concatenated
+    sum that double-counts rewrite lifecycles."""
+    from smart_meter_data_pipeline_spark.sources.catalog import (
+        _squash_payloads,
+    )
+
+    sq = _squash_payloads(payloads)
+    live: list[str] = []
+    ever_added: set[str] = set()
+    carried: list[str] = []
+    rows: dict[str, int] = {}
+    for p in payloads:
+        for f in p["removed"]:
+            if f in live:
+                live.remove(f)
+            if f not in ever_added:
+                carried.append(f)
+        for f in p["added"]:
+            live.append(f)
+            ever_added.add(f)
+        rows.update(
+            {f: s["#rows"] for f, s in p.get("stats", {}).items()}
+        )
+    assert sorted(sq["added"]) == sorted(live)
+    assert sorted(sq["removed"]) == sorted(carried)
+    assert set(sq["stats"]) == set(live)
+    assert not sq.get("count_is_upper_bound")
+    assert sq["count"] == sum(rows[f] for f in live)
+
+
+@given(payloads=_payload_chains(), probe=st.sampled_from(
+    [None, {"2024-01-01"}, {"2024-01-02"}, {"2024-01-03"}]
+))
+@settings(**_SETTINGS)
+def test_files_date_pruning_is_sound(tmp_path, payloads, probe):
+    """ManifestTable._files date pruning properties: (a) removals
+    ALWAYS apply (a pruned replay never resurrects a deleted file),
+    (b) the pruned set is a subset of the unpruned live set, (c) a
+    commit whose dates list is EMPTY contributes its adds to every
+    probe (round 14 — dates-unknown must overlap everything), and
+    (d) files added by commits whose dates overlap the probe are
+    always present."""
+    from smart_meter_data_pipeline_spark.sources.manifest import (
+        ManifestTable,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    full = set(t._files(payloads))
+    pruned = set(t._files(payloads, probe))
+    assert pruned <= full
+    # replay by hand to classify
+    live: dict[str, dict] = {}
+    for p in payloads:
+        for f in p["removed"]:
+            live.pop(f, None)
+        for f in p["added"]:
+            live[f] = p
+    import os as _os
+
+    for f, p in live.items():
+        absf = _os.path.join(t.data_dir, f)
+        dates = set(p.get("dates") or ())
+        if probe is None or not dates or (dates & probe):
+            assert absf in pruned, (f, p["dates"], probe)
+    if probe is None:
+        assert pruned == full
