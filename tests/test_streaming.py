@@ -4,6 +4,7 @@ across micro-batches, progress listener, and stream-vs-batch parity."""
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -18,6 +19,20 @@ from smart_meter_data_pipeline_spark.streaming.stream_queries import (
     _wire_format,
     stream_hourly_events,
 )
+
+
+def _eventually(predicate, timeout: float = 20.0, interval: float = 0.2):
+    """StreamingQueryListener events are delivered on the py4j callback
+    thread ASYNCHRONOUSLY — ``awaitTermination`` returning does not
+    guarantee the Python listener has seen the last batch's progress
+    yet. Poll briefly before asserting on listener state (the r14 full
+    suite caught exactly this race once in ~3 green runs)."""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return predicate()
 
 
 def test_stream_ingest_redelivery(spark, tmp_path):
@@ -45,6 +60,9 @@ def test_stream_ingest_redelivery(spark, tmp_path):
     fact = spark.read.parquet(target)
     assert fact.count() == 20 * 8  # duplicates dropped
     assert fact.select("reading_timestamp", "meter_id").distinct().count() == 20 * 8
+    _eventually(
+        lambda: sum(p["numInputRows"] for p in rec.progress) == 2 * 20 * 8
+    )
     assert sum(p["numInputRows"] for p in rec.progress) == 2 * 20 * 8
 
 
@@ -210,6 +228,13 @@ def test_stream_quarantine_and_lag_report(spark, tmp_path):
     assert reasons == ["bad_status", "malformed_json"]
     assert set(qrows.columns) >= {"reject_reason", "batch_id"}
 
+    def _consumed() -> int:
+        return sum(
+            (p["observedMetrics"].get("ingest") or {}).get("consumed", 0)
+            for p in rec.progress
+        )
+
+    _eventually(lambda: _consumed() >= 4)
     report = rec.lag_report()
     assert report["backlog"] == 0
     assert report["pct_consumed"] == 100.0
