@@ -555,13 +555,23 @@ def _ivf_seed_pred(nlist: int = IVF_NLIST):
     )
 
 
-def ivf_cell_assignments(emb: DataFrame) -> DataFrame:
+def ivf_cell_assignments(
+    emb: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(vec_id, cell_id): nearest deterministic centroid by cosine.
 
     The centroid set is tiny relative to the corpus → broadcast; the
     argmax is a map-side-combinable ``max(struct(...))`` aggregation,
     NOT a row_number window, so assignment at 100 TB is one partial
-    aggregation over the scan — no sort shuffle of the pair space."""
+    aggregation over the scan — no sort shuffle of the pair space.
+
+    ``carry`` (r14, guide §2.4): column names of ``emb`` (plus the
+    derived ``norm2``) to carry THROUGH the argmax aggregation — every
+    row of a vec_id group holds the same value, so ``F.first`` is
+    value-deterministic. Callers that would otherwise equi-join the
+    assignment straight back to the corpus (an exchange + sort of the
+    embedding payload on both sides) instead get the payload delivered
+    by the aggregation's own shuffle."""
     e = emb.withColumn("norm2", _dot("embedding", "embedding"))
     cent = e.filter(_ivf_seed_pred()).select(
         F.col("vec_id").alias("centroid_id"),
@@ -579,10 +589,13 @@ def ivf_cell_assignments(emb: DataFrame) -> DataFrame:
     best = scored.groupBy("vec_id").agg(
         F.max(
             F.struct(F.col("cos_c"), (-F.col("centroid_id")).alias("neg_cid"))
-        ).alias("s")
+        ).alias("s"),
+        *[F.first(c).alias(c) for c in carry],
     )
     return best.select(
-        "vec_id", (-F.col("s.neg_cid")).cast("bigint").alias("cell_id")
+        "vec_id",
+        (-F.col("s.neg_cid")).cast("bigint").alias("cell_id"),
+        *carry,
     )
 
 
@@ -599,8 +612,11 @@ def ann_ivf_topk(
     an equi-join on cell_id against a ``nprobe``/{IVF_NLIST}
     fraction of the corpus; final ranking partitions by query_id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = ivf_cell_assignments(emb)
-    e = emb.join(cells, "vec_id").withColumn("norm2", _dot("embedding", "embedding"))
+    # carry the embedding + norm through the assignment aggregation
+    # (r14): the old `emb.join(cells, "vec_id")` re-attached the
+    # payload with a corpus-sized exchange + sort on BOTH sides; the
+    # carried columns ride the argmax's existing shuffle instead.
+    e = ivf_cell_assignments(emb, carry=("embedding", "norm2"))
 
     # cent/q come from the raw table, NOT from `e` — deriving them from
     # the cells join would recompute the whole assignment aggregation
@@ -921,52 +937,85 @@ SELECT (SELECT COUNT(*) FROM embeddings) AS corpus_n,
 
 KMEANS_FIXED_ITERS = 2
 
+# Exact-decimal dot product on the quantized DECIMAL(12,6) grid, array
+# form. The fold accumulator is pinned to DECIMAL(35,12) — the exact
+# result type of the groupBy SUM over DECIMAL(25,12) products it
+# replaces (Sum widens precision by 10) — so every downstream
+# expression (dist2 = norm2 + c_norm2 − 2·dot → DECIMAL(38,12), the
+# eps compare, inertia_micro) keeps the same VALUE and the same
+# declared precision as the exploded (vec_id, pos, v) formulation the
+# DuckDB oracle mirrors. All values here are ≤ ~70 at scale 12, far
+# inside DECIMAL(35,12), so the fold is exact — no double anywhere.
+_GRID_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS DECIMAL(35,12)),"
+    " (acc, v) -> CAST(acc + v AS DECIMAL(35,12)))"
+)
+
+
+def _grid_dot(a: str, b: str):
+    """Exact-decimal dot of two DECIMAL(12,6)-array columns."""
+    return F.expr(_GRID_DOT.format(a=a, b=b))
+
+
+def _grid_el_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, varr, norm2): the corpus on the quantized decimal grid
+    in ARRAY form — one row per vector, norm2 computed per-row (no
+    shuffle), the grid identical to the oracle's exploded CTE."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double"), 6).cast("decimal(12,6)"),
+            ).alias("varr"),
+        )
+        .withColumn("norm2", _grid_dot("varr", "varr"))
+    )
+
 
 def _fixed_kmeans_assignment(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared quantized-decimal Lloyd pipeline: returns ``(el, final)``
-    where ``el`` is the exploded DECIMAL(12,6) vector grid
-    (vec_id, pos, v) and ``final`` the assignment after
-    ``KMEANS_FIXED_ITERS`` rounds (vec_id, cluster_id, dist2 — dist2
-    exact decimal). Consumed by :func:`kmeans_fixed_rounds` (inertia
-    rollup) and :func:`dedup_semantic` (intra-cluster pair pruning);
-    both hash-check the full iterative computation against DuckDB
-    twins generated by :func:`_kmeans_fixed_oracle`."""
-    el = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
-        .select(
-            "vec_id",
-            "pos",
-            F.round(F.col("vf").cast("double"), 6)
-            .cast("decimal(12,6)")
-            .alias("v"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    norm2 = el.groupBy("vec_id").agg(
-        F.sum(F.col("v") * F.col("v")).alias("norm2")
-    )
-    cent = el.filter(F.col("vec_id") % KMEANS_STRIDE == 0).select(
-        F.col("vec_id").alias("cluster_id"), "pos", F.col("v").alias("cv")
+    """Shared quantized-decimal Lloyd pipeline: returns
+    ``(el_arr, final, cent_arr, norm2)`` where ``el_arr`` is the
+    DECIMAL(12,6) vector grid in array form (vec_id, varr, norm2),
+    ``final`` the assignment after ``KMEANS_FIXED_ITERS`` rounds
+    (vec_id, cluster_id, dist2 — dist2 exact decimal), ``cent_arr``
+    the final centroids (cluster_id, carr). Consumed by
+    :func:`kmeans_fixed_rounds` (inertia rollup), :func:`dedup_semantic`
+    (intra-cluster pair pruning) and :func:`kmeans_silhouette`; all
+    hash-check the full iterative computation against DuckDB twins
+    generated by :func:`_kmeans_fixed_oracle`.
+
+    r14 optimization (guide §2.3/§2.4, §3.1): the assignment step used
+    to EXPLODE vectors to (vec_id, pos, v) and equi-join centroids on
+    ``pos`` — 64 distinct join keys, n·64·K intermediate rows, then a
+    (vec_id, cluster_id)-grouped dot aggregation plus two more joins
+    to attach norms: ~5 exchanges per Lloyd round, the widest of them
+    carrying 64× the corpus row count. Array form computes the same
+    exact-decimal dot per (vector, centroid) against a BROADCAST
+    centroid set (K·dim model state — the same shape the float
+    production path :func:`kmeans_embeddings` has always used), so one
+    Lloyd assignment is now broadcast-join → project → one partial-agg
+    argmin exchange. dedup_semantic's physical plan dropped from 62
+    exchanges to single digits; values are bit-identical because the
+    fold accumulator pins the SUM's decimal type (see ``_GRID_DOT``)."""
+    el_arr = _grid_el_arr(spark, sf_dir).localCheckpoint(eager=True)
+    norm2 = el_arr.select("vec_id", "norm2")
+    cent_arr = el_arr.filter(F.col("vec_id") % KMEANS_STRIDE == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("varr").alias("carr")
     )
 
-    def _assign(centroids: DataFrame) -> DataFrame:
-        c_norm2 = centroids.groupBy("cluster_id").agg(
-            F.sum(F.col("cv") * F.col("cv")).alias("c_norm2")
-        )
-        dots = (
-            el.join(centroids, "pos")
-            .groupBy("vec_id", "cluster_id")
-            .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
-        )
-        scored = (
-            dots.join(norm2, "vec_id")
-            .join(c_norm2, "cluster_id")
-            .withColumn(
-                "dist2", F.col("norm2") + F.col("c_norm2") - 2 * F.col("dot")
-            )
+    def _assign(centroids_arr: DataFrame) -> DataFrame:
+        c = centroids_arr.withColumn("c_norm2", _grid_dot("carr", "carr"))
+        scored = el_arr.crossJoin(F.broadcast(c)).select(
+            "vec_id",
+            "cluster_id",
+            (
+                F.col("norm2") + F.col("c_norm2") - 2 * _grid_dot("varr", "carr")
+            ).alias("dist2"),
         )
         best = scored.groupBy("vec_id").agg(
             F.min(F.struct("dist2", "cluster_id")).alias("s")
@@ -978,9 +1027,12 @@ def _fixed_kmeans_assignment(
         )
 
     for _ in range(KMEANS_FIXED_ITERS):
-        assign = _assign(cent)
+        assign = _assign(cent_arr)
+        # Update step: explode ONLY here (linear, K·dim output groups),
+        # then reassemble the new centroids into array form.
         cent = (
-            assign.join(el, "vec_id")
+            assign.join(el_arr, "vec_id")
+            .select("cluster_id", F.posexplode("varr").alias("pos", "v"))
             .groupBy("cluster_id", "pos")
             .agg(
                 F.round(
@@ -991,8 +1043,14 @@ def _fixed_kmeans_assignment(
             )
             .localCheckpoint(eager=True)
         )
+        cent_arr = cent.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("carr")
+        )
 
-    return el, _assign(cent), cent, norm2
+    return el_arr, _assign(cent_arr), cent_arr, norm2
 
 
 def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,10 +1075,10 @@ def kmeans_fixed_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     - output: (cluster_id, n_members, inertia_micro = ⌊Σdist2 × 1e6⌋)
       — all integers, bulletproof to hash.
 
-    This is the verification twin; ``kmeans_embeddings`` (array +
-    broadcast-centroid form) remains the production/scale path. The
-    exploded equi-join shape here is still fully distributed (shuffle
-    bounded by n·K per round), just chosen for exactness over speed.
+    This is the verification twin; ``kmeans_embeddings`` remains the
+    float production path. Since r14 both share the SAME array +
+    broadcast-centroid plan shape (one argmin exchange per round) —
+    this one just runs every reduction in exact decimal on the grid.
     """
     el, final, _cent, _norm2 = _fixed_kmeans_assignment(spark, sf_dir)
     return final.groupBy("cluster_id").agg(
@@ -1137,16 +1195,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     always survives. Output is per-document:
     ``(vec_id, cluster_id, n_close_prior, kept)``.
 
-    Scale: the intra-cluster self-join shuffles on (cluster_id, pos),
-    so candidate volume is Σ|cluster|², not n² — and the deterministic
+    Scale: the intra-cluster self-join shuffles on cluster_id (array
+    rows — one per vector, r14), so candidate volume is Σ|cluster|²,
+    not n² — and the deterministic
     seed rule (every KMEANS_STRIDE-th vector) already grows K
     proportionally with the corpus, holding cluster sizes at ~stride
     and the pair stage at ~stride·n, linear in n. All
     arithmetic is the same quantized-decimal grid as
     :func:`kmeans_fixed_rounds`, so the FULL pipeline — Lloyd rounds
     included — hash-matches the DuckDB twin."""
-    el, members, _cent, _norm2 = _fixed_kmeans_assignment(spark, sf_dir)
-    return _semantic_prune(el, members)
+    el_arr, members, _cent, _norm2 = _fixed_kmeans_assignment(spark, sf_dir)
+    return _semantic_prune(el_arr, members)
 
 
 def semantic_save_assignment(
@@ -1172,57 +1231,63 @@ def dedup_semantic_serve(
     then the intra-cluster prune. Row-identical to the full pipeline
     because the assignment is the only Lloyd output the prune
     consumes (asserted in tests and measured in bench)."""
-    el = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
-        .select(
-            "vec_id",
-            "pos",
-            F.round(F.col("vf").cast("double"), 6)
-            .cast("decimal(12,6)")
-            .alias("v"),
-        )
-    )
+    el_arr = _grid_el_arr(spark, sf_dir)
     members = spark.read.parquet(assignment_path)
-    return _semantic_prune(el, members)
+    return _semantic_prune(el_arr, members)
 
 
-def _semantic_prune(el: DataFrame, members: DataFrame) -> DataFrame:
-    """The SemDeDup pairwise stage: intra-cluster (cluster_id, pos)
-    equi-join → exact-decimal squared L2 → keep-lowest-id rule.
-    Candidate volume is Σ|cluster|², never n² (see dedup_semantic)."""
-    norm2 = el.groupBy("vec_id").agg(
-        F.sum(F.col("v") * F.col("v")).alias("norm2")
-    )
-    elc = el.join(members.select("vec_id", "cluster_id"), "vec_id")
+def _semantic_prune(el_arr: DataFrame, members: DataFrame) -> DataFrame:
+    """The SemDeDup pairwise stage: intra-cluster equi-join on
+    cluster_id → exact-decimal squared L2 → keep-lowest-id rule.
+    Candidate volume is Σ|cluster|², never n² (see dedup_semantic).
+
+    r14 optimization (guide §2.3): the pair stage used to join the
+    EXPLODED grid on (cluster_id, pos) — 64× the pair count in
+    intermediate rows — then aggregate each pair's dot across 64 rows
+    and re-join both norms. Array form shuffles one row per vector
+    into the cluster-keyed self-join, computes each pair's dot with
+    the same exact-decimal fold, and needs no norm joins (norm2 rides
+    the row). Same values, same types (see ``_GRID_DOT``), two fewer
+    exchanges and 64× fewer pair-stage rows."""
+    eps = F.lit(SEMDEDUP_EPS).cast("decimal(12,6)")
+    # elc feeds BOTH sides of the pair self-join and members feeds the
+    # final left join too — without the checkpoint each consumer
+    # recomputes the whole upstream subtree (for the full pipeline,
+    # that is one entire extra Lloyd assignment). One materialization
+    # of (vec_id, varr, norm2, cluster_id) — corpus-row-bounded, the
+    # same size class as the el_arr checkpoint (r14, guide §5).
+    elc = el_arr.join(
+        members.select("vec_id", "cluster_id"), "vec_id"
+    ).localCheckpoint(eager=True)
     x = elc.select(
-        "cluster_id", "pos",
-        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+        "cluster_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("varr").alias("va"),
+        F.col("norm2").alias("na"),
     )
     y = elc.select(
-        "cluster_id", "pos",
-        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        "cluster_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("varr").alias("vb"),
+        F.col("norm2").alias("nb"),
     )
-    dots = (
-        x.join(y, ["cluster_id", "pos"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("cluster_id", "a_id", "b_id")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-    )
-    eps = F.lit(SEMDEDUP_EPS).cast("decimal(12,6)")
     close = (
-        dots.join(norm2.select(F.col("vec_id").alias("a_id"),
-                               F.col("norm2").alias("na")), "a_id")
-        .join(norm2.select(F.col("vec_id").alias("b_id"),
-                           F.col("norm2").alias("nb")), "b_id")
-        .filter(F.col("na") + F.col("nb") - 2 * F.col("dot") <= eps)
+        x.join(y, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.col("na") + F.col("nb") - 2 * _grid_dot("va", "vb") <= eps
+        )
     )
     n_prior = close.groupBy("b_id").agg(
         F.count(F.lit(1)).alias("n_close_prior")
     )
+    # The per-doc tail reads (vec_id, cluster_id) from the CHECKPOINTED
+    # elc, not from `members` — row-identical (the corpus join keys on
+    # the unique vec_id every assignment row has) and it spares a third
+    # recomputation of the assignment subtree.
+    mem = elc.select("vec_id", "cluster_id")
     return (
-        members.select("vec_id", "cluster_id")
-        .join(n_prior, members.vec_id == n_prior.b_id, "left")
+        mem.join(n_prior, mem.vec_id == n_prior.b_id, "left")
         .select(
             "vec_id",
             "cluster_id",
@@ -2673,21 +2738,17 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     by n·K, identical to one Lloyd assignment round — then vec-keyed
     and cluster-keyed rollups. Nothing new beyond what one more Lloyd
     iteration would cost."""
-    el, final, cent, norm2 = _fixed_kmeans_assignment(spark, sf_dir)
-    c_norm2 = cent.groupBy("cluster_id").agg(
-        F.sum(F.col("cv") * F.col("cv")).alias("c_norm2")
-    )
-    dots = (
-        el.join(cent, "pos")
-        .groupBy("vec_id", "cluster_id")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
-    )
-    scored = (
-        dots.join(norm2, "vec_id")
-        .join(c_norm2, "cluster_id")
-        .withColumn(
-            "dist2", F.col("norm2") + F.col("c_norm2") - 2 * F.col("dot")
-        )
+    el_arr, final, cent_arr, _norm2 = _fixed_kmeans_assignment(spark, sf_dir)
+    # Same array-form broadcast scoring as one Lloyd assignment round
+    # (see _fixed_kmeans_assignment, r14): exact-decimal dist2 per
+    # (vector, centroid) with no explode and no norm joins.
+    c = cent_arr.withColumn("c_norm2", _grid_dot("carr", "carr"))
+    scored = el_arr.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cluster_id",
+        (
+            F.col("norm2") + F.col("c_norm2") - 2 * _grid_dot("varr", "carr")
+        ).alias("dist2"),
     )
     ab = (
         scored.join(
@@ -3441,10 +3502,9 @@ def embedding_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine are ``ann_topk_cosine``'s contract; votes and accuracies
     are integers (milli)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = ivf_cell_assignments(emb)
-    e = emb.join(cells, "vec_id").withColumn(
-        "norm2", _dot("embedding", "embedding")
-    )
+    # carry payload columns through the assignment aggregation (r14):
+    # no corpus-sized join-back exchange — see ivf_cell_assignments.
+    e = ivf_cell_assignments(emb, carry=("embedding", "label", "norm2"))
     raw = emb.withColumn("norm2", _dot("embedding", "embedding"))
     cent = raw.filter(_ivf_seed_pred()).select(
         F.col("vec_id").alias("centroid_id"),
@@ -4060,10 +4120,9 @@ def ann_filtered_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     label equi-condition; the comparison joins two ≤N_QUERIES·k-row
     frames."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = ivf_cell_assignments(emb)
-    e = emb.join(cells, "vec_id").withColumn(
-        "norm2", _dot("embedding", "embedding")
-    )
+    # carry payload columns through the assignment aggregation (r14):
+    # no corpus-sized join-back exchange — see ivf_cell_assignments.
+    e = ivf_cell_assignments(emb, carry=("embedding", "label", "norm2"))
     raw = emb.withColumn("norm2", _dot("embedding", "embedding"))
     cent = raw.filter(_ivf_seed_pred()).select(
         F.col("vec_id").alias("centroid_id"),
@@ -4298,10 +4357,9 @@ def ann_filtered_ivf_labelaware(
     join is the same broadcast equi-join on (cell, label) the
     collapse path uses."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = ivf_cell_assignments(emb)
-    e = emb.join(cells, "vec_id").withColumn(
-        "norm2", _dot("embedding", "embedding")
-    )
+    # carry payload columns through the assignment aggregation (r14):
+    # no corpus-sized join-back exchange — see ivf_cell_assignments.
+    e = ivf_cell_assignments(emb, carry=("embedding", "label", "norm2"))
     posting = e.groupBy("cell_id", "label").agg(
         F.count(F.lit(1)).alias("n_vecs")
     )

@@ -1124,6 +1124,19 @@ class ManifestTable:
 
     STATS_COLUMN = "meter_id"
 
+    def _footer_rows(self, rel_files: list[str]) -> int:
+        """Σ ``num_rows`` over the files' parquet FOOTERS — the
+        driver-side (~1ms/file, no Spark job) way to count rows of a
+        known file list. Exact: the footer row count is authoritative
+        for an immutable file. Used where a count action would re-scan
+        data purely for bookkeeping (r14, guide §1.2)."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(os.path.join(self.data_dir, f)).num_rows
+            for f in rel_files
+        )
+
     def _file_stats(self, rel_files: list[str]) -> dict:
         """Per-file ``{column: [min, max, null_count], "#rows": n}``
         over ``stats_columns``, read from the parquet FOOTERS of
@@ -1563,24 +1576,27 @@ class ManifestTable:
         self._check_constraints(batch)
         in_batch = batch.dropDuplicates(pk).persist()
         try:
-            n_batch = in_batch.count()
-            if n_batch == 0:
-                return 0
             # Dateless tables (dimensions — no reading_timestamp):
             # None disables date pruning, so validation anti-joins
             # against ALL files (the safe direction) and the commit
-            # records no dates.
+            # records no dates. Batch count and distinct dates come
+            # from ONE per-date rollup job (r14, guide §1.2) instead
+            # of a count action plus a separate distinct collect.
             if "reading_timestamp" in in_batch.columns:
-                batch_dates = {
-                    str(r["d"])
-                    for r in in_batch.select(
+                per_date = (
+                    in_batch.groupBy(
                         F.to_date("reading_timestamp").alias("d")
                     )
-                    .distinct()
+                    .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
-                }
+                )
+                n_batch = sum(r["n"] for r in per_date)
+                batch_dates = {str(r["d"]) for r in per_date}
             else:
+                n_batch = in_batch.count()
                 batch_dates = None
+            if n_batch == 0:
+                return 0
             numbered = self.numbered_snapshot()
             commits = [c for _, c in numbered]
             self._check_schema_compat(in_batch, commits)
@@ -2076,21 +2092,24 @@ class ManifestTable:
         Returns the number of distinct key tuples recorded."""
         in_keys = keys.select(*pk).dropDuplicates(pk).persist()
         try:
-            n_keys = in_keys.count()
-            if n_keys == 0:
-                return 0
-            key_dates = (
-                {
-                    str(r["d"])
-                    for r in in_keys.select(
+            # key count + distinct dates from ONE per-date rollup job
+            # (r14, guide §1.2) — was a count action plus a separate
+            # distinct collect over the same frame.
+            if "reading_timestamp" in in_keys.columns:
+                per_date = (
+                    in_keys.groupBy(
                         F.to_date("reading_timestamp").alias("d")
                     )
-                    .distinct()
+                    .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
-                }
-                if "reading_timestamp" in in_keys.columns
-                else None  # timestamp-free pk: dates unknowable here
-            )
+                )
+                n_keys = sum(r["n"] for r in per_date)
+                key_dates = {str(r["d"]) for r in per_date}
+            else:
+                n_keys = in_keys.count()
+                key_dates = None  # timestamp-free pk: dates unknowable
+            if n_keys == 0:
+                return 0
             staged = self._stage(in_keys)
             for _ in range(max_retries):
                 numbered = self.numbered_snapshot()
@@ -2179,8 +2198,6 @@ class ManifestTable:
             self._check_constraints(batch)
         in_keys = keys.dropDuplicates(pk).persist()
         try:
-            if in_keys.limit(1).count() == 0:
-                return 0, 0
             # Date pruning is sound ONLY when the timestamp is part of
             # the match key: then a matched row's date equals its
             # batch key's date by definition. Under a timestamp-free
@@ -2189,16 +2206,25 @@ class ManifestTable:
             # batch's NEW dates would skip the file holding the stale
             # OLD row and duplicate the key (the same unsoundness
             # class as non-pk stats pruning, round-9 rule).
+            # Emptiness, total key count and distinct dates come from
+            # ONE per-date rollup job (r14, guide §1.2); n_total_keys
+            # also serves the pure-insert n_inserted branch below, so
+            # a no-match upsert pays no extra count action.
             batch_dates_set: set[str] = set()
             if "reading_timestamp" in in_keys.columns:
-                batch_dates_set = {
-                    str(r["d"])
-                    for r in in_keys.select(
+                per_date_keys = (
+                    in_keys.groupBy(
                         F.to_date("reading_timestamp").alias("d")
                     )
-                    .distinct()
+                    .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
-                }
+                )
+                n_total_keys = sum(r["n"] for r in per_date_keys)
+                batch_dates_set = {str(r["d"]) for r in per_date_keys}
+            else:
+                n_total_keys = in_keys.count()
+            if n_total_keys == 0:
+                return 0, 0
             ts_in_pk = "reading_timestamp" in pk
             key_dates = batch_dates_set if ts_in_pk else None
             for _ in range(max_retries):
@@ -2292,14 +2318,21 @@ class ManifestTable:
                     matched = tagged.join(
                         in_keys.select(*pk), pk, "left_semi"
                     )
-                    n_matched = matched.count()
+                    # ONE job for n_matched AND the affected-file list
+                    # (r14, guide §1.2): these used to be two separate
+                    # actions — a count, then a distinct-_file collect —
+                    # each paying the full candidate scan + semi-join.
+                    # The per-file rollup returns both from one scan;
+                    # the collect is metadata-scale (≤ one row per
+                    # candidate file).
+                    per_file = (
+                        matched.groupBy("_file")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    )
+                    n_matched = sum(r["n"] for r in per_file)
                     if n_matched:
-                        affected_uris = [
-                            r["_file"]
-                            for r in matched.select("_file")
-                            .distinct()
-                            .collect()
-                        ]
+                        affected_uris = [r["_file"] for r in per_file]
                         removed_rel = sorted(
                             self._rel(u) for u in affected_uris
                         )
@@ -2319,13 +2352,29 @@ class ManifestTable:
                     # in_keys IS the deduped batch (upsert passes the
                     # batch as its key frame): every batch row lands —
                     # matched ones as the post-image of their rewritten
-                    # files' rows, the rest as inserts.
-                    n_inserted = (
-                        in_keys.join(tagged.select(*pk), pk, "left_anti")
-                        .count()
-                        if cand
-                        else in_keys.count()
-                    )
+                    # files' rows, the rest as inserts. The insert-
+                    # detection anti-join probes only the AFFECTED
+                    # files (r14): a file holding ≥1 matching row is by
+                    # definition affected, so candidate-but-unaffected
+                    # files cannot contain any batch key — re-scanning
+                    # them here was pure waste.
+                    if cand and n_matched:
+                        # The isin() is a per-row chain of URI string
+                        # compares — worth it only when it actually
+                        # drops files; a full-table restatement
+                        # (every candidate affected) skips it.
+                        probe = (
+                            tagged.filter(
+                                F.col("_file").isin(affected_uris)
+                            )
+                            if len(affected_uris) < len(cand)
+                            else tagged
+                        ).select(*pk)
+                        n_inserted = in_keys.join(
+                            probe, pk, "left_anti"
+                        ).count()
+                    else:
+                        n_inserted = n_total_keys
                     staged = staged + self._stage(in_keys)
                 else:
                     n_inserted = 0
@@ -2995,8 +3044,15 @@ def apply_tombstones(
                 ]
                 if not affected_uris:
                     continue
+                # rows_deleted bookkeeping from parquet FOOTERS (r14):
+                # n_before is the affected files' total rows and
+                # n_after the staged survivors' — both exact from
+                # footer metadata (~1ms/file on the driver), replacing
+                # two count jobs that re-read every affected/staged
+                # file purely for the report scalar.
+                grp_removed = sorted(table._rel(u) for u in affected_uris)
+                n_before = table._footer_rows(grp_removed)
                 survivors = tagged.filter(F.col("_file").isin(affected_uris))
-                n_before = survivors.count()
                 for t in tombs:
                     survivors = survivors.join(
                         table._tombstone_keys(spark, t), t["pk"], "left_anti"
@@ -3004,14 +3060,8 @@ def apply_tombstones(
                 survivors = survivors.drop("_file")
                 staged = table._stage(survivors)
                 staged_all += staged
-                removed_rel += sorted(table._rel(u) for u in affected_uris)
-                n_after = (
-                    spark.read.parquet(
-                        *(os.path.join(table.data_dir, f) for f in staged)
-                    ).count()
-                    if staged
-                    else 0
-                )
+                removed_rel += grp_removed
+                n_after = table._footer_rows(staged)
                 n_deleted += n_before - n_after
             if staged_all and "reading_timestamp" in (
                 f.name for f in (ev_schema.fields if ev_schema else [])
@@ -3033,9 +3083,7 @@ def apply_tombstones(
                 )
                 n_staged, added_dates = stat["n"], sorted(stat["dates"])
             elif staged_all:
-                n_staged = spark.read.parquet(
-                    *(os.path.join(table.data_dir, f) for f in staged_all)
-                ).count()
+                n_staged = table._footer_rows(staged_all)
                 # no timestamp column to derive dates from: record the
                 # union of all commit dates (over-approximation is safe
                 # for add-side pruning)

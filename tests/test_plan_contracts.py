@@ -194,8 +194,9 @@ def test_tpch_top_supplier_max_is_broadcast_not_window(spark, sf_dir):
 
 def test_dedup_semantic_no_cartesian_and_no_python(spark, sf_dir):
     """SemDeDup's intra-cluster pair stage must stay an equi-join on
-    (cluster_id, pos) — never a cartesian pair enumeration — and all
-    arithmetic stays JVM-side decimal."""
+    cluster_id — never a cartesian pair enumeration (the hinted
+    broadcasts of the bounded centroid set are the only nested-loop
+    sites) — and all arithmetic stays JVM-side decimal."""
     p = _plan(similarity.dedup_semantic(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
