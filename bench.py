@@ -1,9 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+The FINAL stdout line is ONE compact JSON line (scalars only, ~1.5 KB
+— sized to survive the driver's bounded tail capture, VERDICT r14 #1):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-leg sec...}, "sf": <sf>}
+   "queries": {...per-leg sec...}, "sf": <sf>, "summary": {...}}
+The line BEFORE it carries the full detail payload (IVF recall sweep,
+raw per-leg runs, load-gate log, manifest reports) as its own JSON
+object under a single "detail" key.
 
 Baseline mapping (BASELINE.md): the reference claims ~10K rec/sec per
 consumer, ~40K rec/sec aggregate ingest on 4 partitions, and
@@ -960,13 +964,41 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     ingest_rows = BENCH_METERS * 96
-    # Key ORDER is deliberate: the driver records only a bounded TAIL
-    # of stdout, so the per-leg timings (the whole point of the bench)
-    # go LAST, and the gate log keeps only legs that actually waited —
-    # round 7 lost all driver-side perf visibility when a
-    # every-leg-x-4-fields gate map pushed `queries` out of the tail
-    # window.
     gated_only = {k: v for k, v in load_gate.items() if v["waits"] > 0}
+    # VERDICT r14 #1 (measurement contract): the driver records only a
+    # bounded TAIL of stdout and parses the LAST line — BENCH_r13's
+    # single giant line (per-leg best-of arrays + the full IVF recall
+    # sweep) grew past the tail window and its FRONT was truncated, so
+    # the round never parsed and PERF r14 had no prev-vs-now geomean.
+    # Fix: the detail payload (recall sweep, raw leg runs, gate log,
+    # manifest reports) now goes on its OWN preceding line — one JSON
+    # object, no "metric" key, so nothing mistakes it for the result —
+    # and the FINAL line is a compact (~1.5 KB) scalar-only object
+    # that always fits the tail: metric/value/unit/sf, ingest rate,
+    # per-leg scalar seconds (the same leg names as every prior
+    # round), and the load-health summary scalars.
+    detail = {
+        "detail": {
+            "ivf_recall": ivf_recall,
+            "semantic_serve": {
+                "assignment_build_sec": semantic_assignment_build_sec,
+                "serve_vs_full_mismatched_rows": serve_mismatches,
+            },
+            "manifest_clustered": manifest_clustered,
+            "manifest_zorder": manifest_zorder,
+            "manifest_retention": manifest_retention,
+            "manifest_dict": manifest_dict,
+            "manifest_index": manifest_index,
+            "manifest_index_compact": manifest_index_compact,
+            "manifest_mor": manifest_mor,
+            "skew_join": skew_join,
+            "repeat": 2,
+            "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},
+            "load_avg_start": load_avg_start,
+            "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+            "leg_runs": leg_runs,
+        }
+    }
     result = {
         "metric": "bench_total_wall",
         "value": total,
@@ -974,46 +1006,27 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest_rows": ingest_rows,
         "ingest_rows_per_sec": round(ingest_rows / timings["meter_ingest_day"]),
-        "ivf_recall": ivf_recall,
-        "semantic_serve": {
-            "assignment_build_sec": semantic_assignment_build_sec,
-            "serve_vs_full_mismatched_rows": serve_mismatches,
-        },
-        "manifest_clustered": manifest_clustered,
-        "manifest_zorder": manifest_zorder,
-        "manifest_retention": manifest_retention,
-        "manifest_dict": manifest_dict,
-        "manifest_index": manifest_index,
-        "manifest_index_compact": manifest_index_compact,
-        "manifest_mor": manifest_mor,
-        "skew_join": skew_join,
-        "repeat": 2,
-        "load_gate": {"max_load": MAX_LOAD, "gated_legs": gated_only},
-        "load_avg_start": load_avg_start,
-        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-        "leg_runs": leg_runs,
         "queries": timings,
-        # Compact headline echo at the VERY END of the line (round-8
-        # verdict ask #4): the driver's bounded tail window cuts the
-        # front of the JSON off, so the early headline fields
-        # (value/ingest_rows_per_sec/ivf_recall) vanish from
-        # BENCH_r{N}.json — this tail summary keeps them visible
-        # alongside the per-leg timings.
+        # Health/correctness scalars that must survive in the tail
+        # (VERDICT r9 #2): a regressed leg with waited/gated legs > 0
+        # is load noise first, plan change second; the three
+        # mismatched-row asserts prove the optimized variants still
+        # compute identical results on the benched data.
         "summary": {
             "total": total,
             "ingest_rows_per_sec": round(
                 ingest_rows / timings["meter_ingest_day"]
             ),
-            # scalars only — the full ivf_recall dict lives in its own
-            # top-level key; repeating ~1 KB of it here would push the
-            # leg timings back out of the driver's bounded tail window
             "pq_adc_recall": ivf_recall.get("pq_adc", {}).get(
                 "recall_at_k"
             ),
-            # VERDICT r9 #2: whether ANY leg ran while the box was
-            # still loaded must survive in the driver's bounded tail —
-            # a regressed leg with gated_legs>0 is load noise first,
-            # plan change second.
+            "serve_vs_full_mismatched_rows": serve_mismatches,
+            "skew_mismatched_rows": skew_join[
+                "salted_vs_plain_mismatched_rows"
+            ],
+            "clustered_mismatched_rows": manifest_clustered[
+                "mismatched_rows"
+            ],
             "gated_legs": sum(
                 1 for v in load_gate.values() if v["gated_through"]
             ),
@@ -1021,6 +1034,7 @@ def main() -> None:
             "load_avg_start_1m": load_avg_start[0],
         },
     }
+    print(json.dumps(detail))
     print(json.dumps(result))
 
 

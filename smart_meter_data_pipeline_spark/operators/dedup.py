@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as SqlWindow
 
 from smart_meter_data_pipeline_spark.operators.text import (
     SHINGLE_WIDTH,
@@ -589,11 +590,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Scale notes: each round is one join + one aggregation, shuffled on
     node id; rounds needed = O(log(diameter)) for the min-label scheme
     on near-dup graphs (components are tiny cliques, so 2-3 rounds in
-    practice). Labels are checkpointed per round to cut lineage; the
-    loop exits early when a round changes nothing (count of changed
-    labels — one scalar action per round, no data to the driver)."""
-    sym = edges.selectExpr("a AS src", "b AS dst").unionAll(
-        edges.selectExpr("b AS src", "a AS dst")
+    practice). Labels are checkpointed per round to cut lineage, and
+    (r15, guide §2.4/§5) the convergence count RIDES the checkpoint
+    materialization: the per-round ``localCheckpoint`` is LAZY, so the
+    ``n_changed`` count action is the job that materializes it — one
+    job per round instead of checkpoint-job + count-job. ``sym`` is
+    materialized once up front instead of re-deriving the two-way
+    union from ``edges`` in every round's join."""
+    sym = (
+        edges.selectExpr("a AS src", "b AS dst")
+        .unionAll(edges.selectExpr("b AS src", "a AS dst"))
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -620,7 +627,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     < F.col("component")
                 ).alias("_changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # This count is the FIRST action on the lazily-checkpointed
+        # frame: it computes every partition, so it materializes the
+        # checkpoint and returns the convergence scalar in one job.
         n_changed = updated.filter("_changed").count()
         labels = updated.drop("_changed")
         if n_changed == 0:
@@ -644,11 +654,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).localCheckpoint(eager=True)
     comp = connected_components(pairs)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, "component").select(
+    # Cluster sizes as a COUNT window over component (r15, guide §2.4):
+    # the groupBy + join-back shape re-keyed the labels twice; the
+    # window attaches the same bigint count with ONE component-keyed
+    # exchange and no join.
+    return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
-        "cluster_size",
+        F.count(F.lit(1))
+        .over(SqlWindow.partitionBy("component"))
+        .alias("cluster_size"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
 

@@ -946,6 +946,16 @@ KMEANS_FIXED_ITERS = 2
 # declared precision as the exploded (vec_id, pos, v) formulation the
 # DuckDB oracle mirrors. All values here are ≤ ~70 at scale 12, far
 # inside DECIMAL(35,12), so the fold is exact — no double anywhere.
+#
+# Interpreted-vs-codegen (r15, VERDICT r14 #9 — measured, fold kept):
+# the higher-order fold does not whole-stage-codegen, so a fixed-width
+# 64-step nested expression chain
+# (CAST(... + a[i]*b[i] AS DECIMAL(35,12)) × 64) was A/B'd at sf0.1.
+# The chain was ~2× SLOWER on both Lloyd consumers (dedup_semantic
+# best 12.5s vs 5.9s, kmeans_fixed_rounds 7.0s vs 3.5s, best-of-3 × 2
+# alternations): 64 nested CheckOverflow/decimal casts dominate
+# whatever codegen saves — BigDecimal arithmetic is the floor either
+# way. Documented negative; the fold stays.
 _GRID_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
     " CAST(0 AS DECIMAL(35,12)),"
@@ -1248,7 +1258,23 @@ def _semantic_prune(el_arr: DataFrame, members: DataFrame) -> DataFrame:
     into the cluster-keyed self-join, computes each pair's dot with
     the same exact-decimal fold, and needs no norm joins (norm2 rides
     the row). Same values, same types (see ``_GRID_DOT``), two fewer
-    exchanges and 64× fewer pair-stage rows."""
+    exchanges and 64× fewer pair-stage rows.
+
+    Memory behavior of the ``elc``/``el_arr`` checkpoints at scale
+    (r15, VERDICT r14 #10): ``localCheckpoint`` stores deserialized
+    partitions at MEMORY_AND_DISK — measured at sf0.1 as
+    "Disk Memory Deserialized 1x", el_arr 1.29 MB / elc 1.27 MB for
+    2 000 × 64-d rows ≈ 644 B/row (64 decimal elements + norm2 +
+    ids). Partitions that do not fit executor storage SPILL TO LOCAL
+    DISK — the materialization degrades to disk-backed, it does not
+    OOM — and the lineage cut is exactly what prevents the far more
+    expensive alternative (a second full Lloyd assignment per
+    consumer). At 10⁹ vectors that is ~600 GB cluster-wide, i.e.
+    ~1.2 GB/executor on a 500-executor deployment, inside a normal
+    storage fraction; a deployment that cannot afford executor-local
+    recompute-on-failure semantics should swap the two
+    ``localCheckpoint`` calls for reliable ``checkpoint()`` — a
+    config-level trade, not a plan change."""
     eps = F.lit(SEMDEDUP_EPS).cast("decimal(12,6)")
     # elc feeds BOTH sides of the pair self-join and members feeds the
     # final left join too — without the checkpoint each consumer
@@ -3500,7 +3526,16 @@ def embedding_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the exact-decimal dot/norm fold and the round-12
     cosine are ``ann_topk_cosine``'s contract; votes and accuracies
-    are integers (milli)."""
+    are integers (milli).
+
+    Top-k selection (r15, VERDICT r14 #8 — examined, left alone): the
+    row_number-over-window + rank filter already executes as
+    TakeOrdered-style per-group selection — Spark inserts
+    ``WindowGroupLimit`` below the exchange (10 of them in this
+    query's physical plan, plans/r15/embedding_knn_loo_accuracy_*),
+    so each map task ships at most k rows per query before the
+    shuffle. A hand-rolled limit-per-group cannot beat that shape;
+    measured ±noise in r14 accordingly. Documented negative."""
     emb = load_table(spark, sf_dir, "embeddings")
     # carry payload columns through the assignment aggregation (r14):
     # no corpus-sized join-back exchange — see ivf_cell_assignments.

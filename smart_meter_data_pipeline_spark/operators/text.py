@@ -223,13 +223,30 @@ def shingles(
     until the downstream aggregation).
 
     ``distribute_by_shingle`` (r14, guide §2.4): hash-distribute the
-    raw stream by ``shingle`` BEFORE the distinct. hashpartitioning
+    stream by ``shingle`` BEFORE the distinct. hashpartitioning
     on ``shingle`` satisfies the distinct's (doc_id, shingle)
     clustering requirement AND a downstream shingle-keyed window/agg,
     so both ride ONE exchange instead of two. Worth it only when the
-    consumer is shingle-keyed (doc_ngram_novelty); the raw stream
-    carries within-doc repeats the partial-agg path would have
-    deduped map-side, which for natural text is a few percent."""
+    consumer is shingle-keyed (doc_ngram_novelty).
+
+    Skew bound on that exchange (r15, guide §2.5 — VERDICT r14 #3):
+    the r14 shape shipped RAW occurrences, so a hyper-common shingle
+    concentrated Σ occurrences on one partition where the old
+    partial-agg path concentrated only Σ distinct docs. The stream is
+    now deduped WITHIN EACH DOC before the exchange
+    (``array_distinct`` over the per-doc shingle array — docs are
+    single rows, so per-doc dedup IS the per-partition partial dedup),
+    which restores the Σ-distinct-docs bound — the minimum any exact
+    shingle-keyed df computation must ship — while keeping the single
+    shared exchange. Cost: the per-doc shingle array is materialized
+    per row (~width× the text bytes, transient) instead of streamed
+    through explode."""
+    if distribute_by_shingle:
+        return (
+            _doc_distinct_shingles(docs, width)
+            .repartition("shingle")
+            .distinct()
+        )
     raw = (
         docs.select(
             "doc_id",
@@ -242,9 +259,27 @@ def shingles(
             "doc_id", F.expr(f"substr(text, pos, {width})").alias("shingle")
         )
     )
-    if distribute_by_shingle:
-        raw = raw.repartition("shingle")
     return raw.distinct()
+
+
+def _doc_distinct_shingles(docs: DataFrame, width: int) -> DataFrame:
+    """(doc_id, shingle) with shingles deduped PER DOC, before any
+    shuffle: the element set per doc is identical to the explode+substr
+    stream (same ``sequence`` positions, same ``substr`` semantics),
+    minus within-doc repeats. One row per (input doc row, distinct
+    shingle) — the bounded exchange input the hot-shingle fixture
+    test pins."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {width - 1}),"
+                    f" p -> substr(text, p, {width}))"
+                )
+            )
+        ).alias("shingle"),
+    )
 
 
 def _shingles_sql(width: int = SHINGLE_WIDTH, relation: str = "documents") -> str:
@@ -364,13 +399,14 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     that saves re-computing the shingle set a second time (Spark does
     not reuse the subtree) and the join's extra exchange: one distinct
     on (doc, shingle), one shuffle+sort on shingle for the window, one
-    re-key to doc_id. Three exchanges total, one scan of the text. A
-    hyper-common shingle concentrates its group in one window
-    partition, exactly as the equivalent join shuffle would — no worse
-    skew, half the plan. r14: the distinct and the window share one
+    re-key to doc_id. r14: the distinct and the window share one
     shingle-keyed exchange (``distribute_by_shingle`` — two exchanges
     total on the shingle table instead of three; measured −25% at
-    sf0.1 with hash-identical output)."""
+    sf0.1 with hash-identical output). r15: the shared exchange's
+    input is deduped per doc BEFORE the shuffle, so a hyper-common
+    shingle's partition receives at most one row per containing doc —
+    the same Σ-distinct-docs concentration the window fundamentally
+    requires, never Σ raw occurrences (see :func:`shingles`)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs, distribute_by_shingle=True)
     dfd = sh.withColumn(

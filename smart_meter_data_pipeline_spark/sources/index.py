@@ -190,11 +190,15 @@ def refresh_index(
     ``{"files_indexed": n, "postings": m, "indexed_upto": k}``."""
 
     def build(new_files: list[str]):
+        # No .distinct() here (r15, guide §2.4): the landing
+        # idempotent_append dedups on pk=(v, rel_file) anyway — the
+        # same keys — so a distinct here was a second full aggregation
+        # over the posting stream. The append's dropDuplicates still
+        # partial-aggregates map-side, so shuffle bytes are unchanged.
         return (
             spark.read.parquet(*new_files)
             .select(F.col(column).alias("v"), _rel_file_expr(table))
             .filter(F.col("v").isNotNull())
-            .distinct()
         )
 
     return _refresh_generic(
@@ -220,6 +224,8 @@ def refresh_text_index(
     posting table itself (the round-12 self-indexing rule)."""
 
     def build(new_files: list[str]):
+        # No .distinct() — the landing append dedups on the same
+        # (v, rel_file) pk; see refresh_index.
         return (
             spark.read.parquet(*new_files)
             .select(
@@ -229,7 +235,6 @@ def refresh_text_index(
                 _rel_file_expr(table),
             )
             .filter(F.col("v") != "")
-            .distinct()
         )
 
     return _refresh_generic(

@@ -1137,6 +1137,30 @@ class ManifestTable:
             for f in rel_files
         )
 
+    def _recorded_rows(
+        self, commits: list[dict], rel_files: list[str]
+    ) -> int:
+        """Σ rows over ``rel_files`` from the commit log's recorded
+        per-file ``"#rows"`` stats (r15, VERDICT r14 #7) — zero I/O
+        for any file committed since stats tracking; only files with
+        no usable record (legacy ``[min, max]`` entries, pre-stats
+        commits) fall back to one footer read each. Exact either way:
+        the recorded count came from the same immutable footer."""
+        recorded: dict[str, object] = {}
+        for c in commits:
+            recorded.update(c.get("stats", {}))
+        total = 0
+        missing: list[str] = []
+        for rel in rel_files:
+            e = recorded.get(rel)
+            if isinstance(e, dict) and isinstance(e.get("#rows"), int):
+                total += e["#rows"]
+            else:
+                missing.append(rel)
+        if missing:
+            total += self._footer_rows(missing)
+        return total
+
     def _file_stats(self, rel_files: list[str]) -> dict:
         """Per-file ``{column: [min, max, null_count], "#rows": n}``
         over ``stats_columns``, read from the parquet FOOTERS of
@@ -1601,7 +1625,7 @@ class ManifestTable:
             commits = [c for _, c in numbered]
             self._check_schema_compat(in_batch, commits)
             fresh, n = self._anti_join(
-                spark, in_batch, numbered, batch_dates, pk
+                spark, in_batch, numbered, batch_dates, pk, n_batch
             )
             staged: list[str] = []
             # Fence by NUMBER, not position: compaction leaves gaps in
@@ -1680,7 +1704,8 @@ class ManifestTable:
                         commits = [c for _, c in numbered]
                         validated_through = self._fence(numbered)
                         fresh, n = self._anti_join(
-                            spark, in_batch, numbered, batch_dates, pk
+                            spark, in_batch, numbered, batch_dates, pk,
+                            n_batch,
                         )
                         staged = []
             self._discard_stage(staged)
@@ -2492,9 +2517,15 @@ class ManifestTable:
         numbered: list[tuple[int, dict]],
         batch_dates: set[str],
         pk: list[str],
+        n_batch: int | None = None,
     ) -> tuple[DataFrame, int]:
         files = self._files([c for _, c in numbered], batch_dates)
         if not files:
+            # Nothing to validate against: fresh == in_batch, whose
+            # count the caller already paid for (r15, guide §1.2) —
+            # skip the recount job on every first append.
+            if n_batch is not None:
+                return in_batch, n_batch
             fresh = in_batch
         else:
             # Tombstone-aware: a key deleted by a pending merge-on-read
@@ -2993,97 +3024,134 @@ def apply_tombstones(
                     groups.setdefault(i, []).append(f)
             staged_all: list[str] = []
             removed_rel: list[str] = []
+            staged_stats: dict[str, dict] = {}
             n_deleted = 0
-            for i, grp in sorted(groups.items()):
-                tombs = pending[i:]
-                # File skipping: keep a file only if its recorded stats
-                # intersect at least one applicable tombstone's key
-                # range — a narrow-key delete rewrites only its range.
-                cand: set[str] = set()
-                for t in tombs:
-                    keys = table._tombstone_keys(spark, t)
-                    # pk-only pruning (round-9 fix, same rule as the
-                    # CoW path): the anti-join matches on the
-                    # tombstone's recorded pk — extra key-frame
-                    # columns must not skip files
-                    t_pk = set(t.get("pk", []))
-                    stat_cols = [
-                        c
-                        for c in table.stats_columns
-                        if c in t_pk and c in keys.columns
-                    ]
-                    if not stat_cols:
-                        cand.update(grp)
+            # Each tombstone's key frame is built ONCE per attempt and
+            # persisted (r15, VERDICT r14 #4): the same frame feeds
+            # the range/bloom pruning, the affected-detection
+            # semi-join and the survivor anti-join — and is reused
+            # across origin groups — where before every consumer
+            # re-read the key parquet from scratch.
+            tkeys = [
+                table._tombstone_keys(spark, t).persist() for t in pending
+            ]
+            try:
+                for i, grp in sorted(groups.items()):
+                    tombs = pending[i:]
+                    # File skipping: keep a file only if its recorded
+                    # stats intersect at least one applicable
+                    # tombstone's key range — a narrow-key delete
+                    # rewrites only its range.
+                    cand: set[str] = set()
+                    for j, t in enumerate(tombs, start=i):
+                        keys = tkeys[j]
+                        # pk-only pruning (round-9 fix, same rule as
+                        # the CoW path): the anti-join matches on the
+                        # tombstone's recorded pk — extra key-frame
+                        # columns must not skip files
+                        t_pk = set(t.get("pk", []))
+                        stat_cols = [
+                            c
+                            for c in table.stats_columns
+                            if c in t_pk and c in keys.columns
+                        ]
+                        if not stat_cols:
+                            cand.update(grp)
+                            continue
+                        ranges = table._batch_key_ranges(keys, stat_cols)
+                        pruned = table._prune_by_stats(
+                            grp, commits, ranges
+                        )
+                        pruned = table._prune_candidates_by_bloom(
+                            pruned,
+                            commits,
+                            keys.select(
+                                *[c for c in keys.columns if c in t_pk]
+                            ),
+                        )
+                        cand.update(pruned)
+                    if not cand:
                         continue
-                    ranges = table._batch_key_ranges(keys, stat_cols)
-                    pruned = table._prune_by_stats(grp, commits, ranges)
-                    pruned = table._prune_candidates_by_bloom(
-                        pruned,
-                        commits,
-                        keys.select(*[c for c in keys.columns if c in t_pk]),
+                    reader = spark.read
+                    if ev_schema is not None:
+                        reader = reader.schema(ev_schema)
+                    tagged = reader.parquet(*sorted(cand)).withColumn(
+                        "_file", F.input_file_name()
                     )
-                    cand.update(pruned)
-                if not cand:
-                    continue
-                reader = spark.read
-                if ev_schema is not None:
-                    reader = reader.schema(ev_schema)
-                tagged = reader.parquet(*sorted(cand)).withColumn(
-                    "_file", F.input_file_name()
-                )
-                affected = None
-                for t in tombs:
-                    m = tagged.join(
-                        table._tombstone_keys(spark, t), t["pk"], "left_semi"
-                    ).select("_file")
-                    affected = (
-                        m if affected is None else affected.unionByName(m)
+                    affected = None
+                    for j, t in enumerate(tombs, start=i):
+                        m = tagged.join(
+                            tkeys[j], t["pk"], "left_semi"
+                        ).select("_file")
+                        affected = (
+                            m
+                            if affected is None
+                            else affected.unionByName(m)
+                        )
+                    affected_uris = [
+                        r["_file"] for r in affected.distinct().collect()
+                    ]
+                    if not affected_uris:
+                        continue
+                    # rows_deleted bookkeeping without data scans:
+                    # n_before from the commit log's recorded "#rows"
+                    # stats (r15 — footer fallback only for statless
+                    # files), n_after from the staged survivors'
+                    # footer stats, which the commit payload needs
+                    # anyway (computed once here, reused there).
+                    grp_removed = sorted(
+                        table._rel(u) for u in affected_uris
                     )
-                affected_uris = [
-                    r["_file"] for r in affected.distinct().collect()
-                ]
-                if not affected_uris:
-                    continue
-                # rows_deleted bookkeeping from parquet FOOTERS (r14):
-                # n_before is the affected files' total rows and
-                # n_after the staged survivors' — both exact from
-                # footer metadata (~1ms/file on the driver), replacing
-                # two count jobs that re-read every affected/staged
-                # file purely for the report scalar.
-                grp_removed = sorted(table._rel(u) for u in affected_uris)
-                n_before = table._footer_rows(grp_removed)
-                survivors = tagged.filter(F.col("_file").isin(affected_uris))
-                for t in tombs:
-                    survivors = survivors.join(
-                        table._tombstone_keys(spark, t), t["pk"], "left_anti"
+                    n_before = table._recorded_rows(commits, grp_removed)
+                    survivors = tagged.filter(
+                        F.col("_file").isin(affected_uris)
                     )
-                survivors = survivors.drop("_file")
-                staged = table._stage(survivors)
-                staged_all += staged
-                removed_rel += grp_removed
-                n_after = table._footer_rows(staged)
-                n_deleted += n_before - n_after
+                    for j, t in enumerate(tombs, start=i):
+                        survivors = survivors.join(
+                            tkeys[j], t["pk"], "left_anti"
+                        )
+                    survivors = survivors.drop("_file")
+                    staged = table._stage(survivors)
+                    staged_all += staged
+                    removed_rel += grp_removed
+                    st = table._file_stats(staged)
+                    staged_stats.update(st)
+                    n_after = sum(v["#rows"] for v in st.values())
+                    n_deleted += n_before - n_after
+            finally:
+                for k in tkeys:
+                    k.unpersist()
             if staged_all and "reading_timestamp" in (
                 f.name for f in (ev_schema.fields if ev_schema else [])
             ):
-                stat = (
-                    spark.read.parquet(
+                # count from the staged footers' stats (already read
+                # for the commit payload — zero extra I/O); the scan
+                # below reads ONLY the timestamp column for the dates
+                # set (r15 — was count + collect_set over a full scan).
+                n_staged = sum(
+                    v["#rows"] for v in staged_stats.values()
+                )
+                added_dates = sorted(
+                    r["d"]
+                    for r in spark.read.parquet(
                         *(
                             os.path.join(table.data_dir, f)
                             for f in staged_all
                         )
                     )
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.collect_set(
-                            F.to_date("reading_timestamp").cast("string")
-                        ).alias("dates"),
+                    .select(
+                        F.to_date("reading_timestamp")
+                        .cast("string")
+                        .alias("d")
                     )
-                    .collect()[0]
+                    .where(F.col("d").isNotNull())
+                    .distinct()
+                    .collect()
                 )
-                n_staged, added_dates = stat["n"], sorted(stat["dates"])
             elif staged_all:
-                n_staged = table._footer_rows(staged_all)
+                n_staged = sum(
+                    v["#rows"] for v in staged_stats.values()
+                )
                 # no timestamp column to derive dates from: record the
                 # union of all commit dates (over-approximation is safe
                 # for add-side pruning)
@@ -3099,7 +3167,10 @@ def apply_tombstones(
                     "removed": sorted(removed_rel),
                     "count": n_staged,
                     "dates": added_dates,
-                    "stats": table._file_stats(staged_all),
+                    # per-group footer stats, computed once in the
+                    # rewrite loop (r15 — was a second footer pass
+                    # over every staged file here)
+                    "stats": staged_stats,
                     "blooms": table._file_blooms(staged_all),
                     # Logical content is unchanged by the apply — the
                     # deletes were already visible via the tombstones —

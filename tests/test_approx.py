@@ -5,11 +5,14 @@ per SURVEY §2.4/A5)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from smart_meter_data_pipeline_spark.sources.readers import load_table
 
 
+@pytest.mark.slow
 def test_approx_count_distinct_bound(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]

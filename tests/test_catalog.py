@@ -246,6 +246,7 @@ def test_catalog_branch_guards(spark, cat):
         cat.branch("nope")
 
 
+@pytest.mark.slow
 def test_streaming_catalog_txn_keeps_stats_consistent(spark, cat, tmp_path):
     """The catalog_txn sink: a replayed drain can neither double-count
     the stats table nor leave it disagreeing with the fact table."""
@@ -283,6 +284,7 @@ def test_streaming_catalog_txn_keeps_stats_consistent(spark, cat, tmp_path):
         assert touched in ({"fact", "ingest_stats"}, {"ingest_stats"})
 
 
+@pytest.mark.slow
 def test_compact_catalog_preserves_contents_and_clamps_at_branch(
     spark, cat
 ):
@@ -360,6 +362,7 @@ def test_txn_append_prunes_validation_scan_by_dates(spark, cat):
     assert len(commits) == 4
 
 
+@pytest.mark.slow
 def test_catalog_concurrent_txns_serialize(spark, cat):
     """N threads committing disjoint-key multi-table txns: every one
     lands (retries resolve through the fence), chain length == N,
@@ -676,6 +679,7 @@ def test_catalog_branch_mutation_fast_forwards(spark, cat):
     assert cat.read(spark, "dim").filter("solar").count() == 4
 
 
+@pytest.mark.slow
 def test_catalog_concurrent_mutations_retry_to_serial(spark, cat):
     """Contending MUTATORS serialize through retry-from-scratch: a
     txn that mutated a table aborts (stage discarded) when it loses

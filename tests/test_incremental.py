@@ -3,6 +3,8 @@ the changed partitions."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 
@@ -23,6 +25,7 @@ from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
 )
 
 
+@pytest.mark.slow
 def test_incremental_refresh_matches_full(spark, tmp_path):
     n_meters, days = 25, 3
     readings = gen_meter_readings(spark, n_meters=n_meters, n_ticks=96 * days)
@@ -88,6 +91,7 @@ def test_incremental_refresh_matches_full(spark, tmp_path):
     assert full_grid.exceptAll(inc_grid).count() == 0
 
 
+@pytest.mark.slow
 def test_backfill_invalidates_successor_day(spark, tmp_path):
     """A backfill that rewrites day D's facts must leave day D+1's mart
     equal to a full rebuild: D+1's first delta reads D's LAST reading,

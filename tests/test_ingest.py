@@ -75,6 +75,7 @@ def test_check_constraint_violations(spark):
     assert reasons == ["bad_status", "negative_reading", "no_reading"]
 
 
+@pytest.mark.slow
 def test_redelivery_idempotent(spark, tmp_target):
     """Writing the same batch twice (and overlapping supersets) leaves
     exactly one copy of each PK — the ON CONFLICT DO NOTHING contract."""
@@ -97,6 +98,7 @@ def test_in_batch_duplicates_deduped(spark, tmp_target):
     assert stats["written"] == 1
 
 
+@pytest.mark.slow
 def test_concurrent_writers_no_duplicates(spark, tmp_target):
     """Two writers appending OVERLAPPING batches at the same time must
     land exactly one copy of each PK — the multi-consumer guarantee the
@@ -256,6 +258,7 @@ def test_table_lock_mutual_exclusion_stress(tmp_path):
     assert max(concurrency) == 1  # mutual exclusion held throughout
 
 
+@pytest.mark.slow
 def test_sink_schema_evolution(spark, tmp_target):
     """Additive schema evolution: a later batch carrying a new column
     appends cleanly; mergeSchema reads surface the union schema with

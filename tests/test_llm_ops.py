@@ -11,6 +11,7 @@ from smart_meter_data_pipeline_spark.operators.text import shingles
 from smart_meter_data_pipeline_spark.sources.readers import load_table
 
 
+@pytest.mark.slow
 def test_minhash_lsh_recalls_exact_pairs(spark, sf_dir):
     """Every pair the exact n-gram Jaccard finds above threshold must
     be recalled by the MinHash-LSH path at these settings (planted
@@ -27,6 +28,7 @@ def test_minhash_lsh_recalls_exact_pairs(spark, sf_dir):
     assert lsh == exact
 
 
+@pytest.mark.slow
 def test_simhash_near_pairs_cover_planted_dups(spark, sf_dir):
     """Planted near-dups (≈0.99 shingle jaccard) must collide within
     Hamming ≤ 7 on the simhash; random pairs must not (background
@@ -459,6 +461,7 @@ def test_pair_jaccard_hot_shingle_df_bounded(spark):
     assert capped < uncapped / 2
 
 
+@pytest.mark.slow
 def test_ivfpq_index_parquet_roundtrip(spark, sf_dir, tmp_path):
     """build → save → load → search must equal the in-session search:
     the persisted index is a drop-in replacement (the production
@@ -514,6 +517,7 @@ def test_temperature_sample_flattens_sources(spark, sf_dir):
     assert probs == sorted(probs, reverse=True)
 
 
+@pytest.mark.slow
 def test_ivfpq_incremental_encode_matches_batch(spark, sf_dir):
     """Fold-in equality: building an index on a base corpus and
     incrementing it with held-out vectors must produce bit-identical
@@ -800,6 +804,7 @@ def test_phash_block_quantized_bit_stays_discriminative(spark, sf_dir):
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_phash_oracle_is_byte_true_on_non_ascii(spark, tmp_path):
     """ADVICE r10: the DuckDB oracle must hash BYTES, not characters —
     block size came from octet_length(encode(text)) but the old
@@ -880,6 +885,7 @@ def test_star_cc_matches_minlabel_and_contracts_chains(spark):
     assert rounds <= 12, rounds
 
 
+@pytest.mark.slow
 def test_star_cc_exhaustion_raises_not_garbage(spark):
     """max_iter too small to reach the fixed point: the function must
     NOT return the intermediate (non-star) edge set as labels — it
@@ -919,3 +925,50 @@ def test_star_cc_empty_and_selfloop(spark):
     # the self-loop node is still a (singleton) node; 7-8 cluster to 7
     assert got == {5: 5, 7: 7, 8: 7}
 
+
+
+def test_shingle_distribute_hot_shingle_bounded_and_identical(spark):
+    """r15 skew fix (VERDICT r14 #3): the distribute_by_shingle path
+    dedups shingles WITHIN each doc before the shingle-keyed exchange,
+    so a hyper-common shingle ships <= one row per containing doc —
+    never its raw occurrence count — while the output stays identical
+    to the plain formulation."""
+    from smart_meter_data_pipeline_spark.operators.text import (
+        _doc_distinct_shingles,
+        shingles,
+    )
+
+    # doc 1: pathological hot shingle — 'ab' * 3000 has ~6000 raw
+    # 12-gram occurrences but only 2 distinct shingles; docs 2/3 share
+    # fragments so cross-doc df > 1 paths are exercised too.
+    docs = spark.createDataFrame(
+        [
+            (1, "ab" * 3000),
+            (2, "ab" * 20 + "the quick brown fox jumps over it"),
+            (3, "the quick brown fox naps under it"),
+        ],
+        "doc_id int, text string",
+    )
+    pre_exchange = _doc_distinct_shingles(docs, 12)
+    per_doc_distinct = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 11)
+            ).alias("pos"),
+            "text",
+        )
+        .select("doc_id", F.expr("substr(text, pos, 12)").alias("shingle"))
+        .distinct()
+        .count()
+    )
+    # bounded: exactly one row per (doc, distinct shingle) reaches the
+    # exchange — the hot doc contributes 2 rows, not ~6000
+    assert pre_exchange.count() == per_doc_distinct
+    assert (
+        pre_exchange.filter(F.col("doc_id") == 1).count() == 2
+    )
+    plain = shingles(docs)
+    distributed = shingles(docs, distribute_by_shingle=True)
+    assert distributed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(distributed).count() == 0

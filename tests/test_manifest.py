@@ -134,6 +134,7 @@ def test_date_pruned_validation(spark, table_dir):
     assert t.read(spark).count() == 20
 
 
+@pytest.mark.slow
 def test_crashed_writer_leaves_no_trace_and_retry_is_exact(spark, table_dir):
     """Crash injection at the worst instant: a writer dies AFTER its
     data files are fully staged but BEFORE its commit file lands. The
@@ -269,6 +270,7 @@ def test_changed_dates_since_drives_incremental_refresh(spark, table_dir):
     assert changed_dates_since(spark, t, 2) == []
 
 
+@pytest.mark.slow
 def test_compact_log_preserves_contents_and_bounds_metadata(spark, table_dir):
     """Compaction merges old commits into one base: same table
     contents, same dedup behavior afterwards, commit count bounded."""
@@ -314,6 +316,7 @@ def test_vacuum_sweeps_only_stale_unreferenced_stages(spark, table_dir):
     assert t.read(spark).count() == 10
 
 
+@pytest.mark.slow
 def test_compaction_never_reuses_commit_numbers(spark, table_dir):
     """The append/compaction race soundness rests on commit numbers
     being monotone: after compaction leaves gaps, the next append must
@@ -416,6 +419,7 @@ def test_deterministic_disjoint_commit_between_validate_and_publish(
     assert len(added) == len(set(added))
 
 
+@pytest.mark.slow
 def test_deterministic_compaction_between_validate_and_publish(
     spark, table_dir
 ):
@@ -449,6 +453,7 @@ def test_deterministic_compaction_between_validate_and_publish(
     assert nums == [0, 4, 5, 6]  # base, kept tail, the append at max+1
 
 
+@pytest.mark.slow
 def test_crash_mid_compaction_reads_stay_exact_and_heal(
     spark, table_dir, monkeypatch
 ):
@@ -555,6 +560,7 @@ def test_upsert_updates_matches_and_inserts_rest(spark, table_dir):
     assert t.history()[-1]["n_removed"] >= 1
 
 
+@pytest.mark.slow
 def test_delete_keys_then_reinsert_lands(spark, table_dir):
     """Copy-on-write DELETE removes exactly the matched PKs; a later
     append of the same PK is NOT treated as a duplicate (the
@@ -578,6 +584,7 @@ def test_delete_keys_then_reinsert_lands(spark, table_dir):
     assert t.read(spark).count() == 30
 
 
+@pytest.mark.slow
 def test_mutation_loses_race_to_append_and_retries(spark, table_dir):
     """Deterministic interleaving: an append lands between an upsert's
     validation and its publish. The upsert must lose put-if-absent,
@@ -616,6 +623,7 @@ def test_mutation_loses_race_to_append_and_retries(spark, table_dir):
         assert (m, 1500) in vals
 
 
+@pytest.mark.slow
 def test_compaction_nets_out_removed_files_then_vacuum_reclaims(
     spark, table_dir
 ):
@@ -744,6 +752,7 @@ def test_schema_evolution_through_upsert(spark, table_dir):
         assert rows[m][0] == 1500 and rows[m][1] is None
 
 
+@pytest.mark.slow
 def test_optimize_bin_packs_small_files(spark, table_dir):
     """OPTIMIZE: many small live files are rewritten into few
     right-sized ones in ONE copy-on-write commit — contents
@@ -1399,6 +1408,7 @@ def test_multi_column_stats_prune_on_any_disjoint_column(spark, table_dir):
     assert t.read(spark).count() == 90
 
 
+@pytest.mark.slow
 def test_change_feed_classifies_row_level_changes(spark, table_dir):
     """Row-level CDF from the snapshot file difference: updates carry
     pre+post images, deletes the pre-image, appends inserts — and
@@ -1978,6 +1988,7 @@ def _skip_table(spark, tmp_path, stats_cols):
     return t
 
 
+@pytest.mark.slow
 def test_read_where_skips_files_and_matches_filter(spark, tmp_path):
     """Zone-map skipping on the READ path: disjoint per-file meter
     ranges must let a narrow range read open only its files, and the
@@ -2014,6 +2025,7 @@ def test_read_where_skips_files_and_matches_filter(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_read_where_non_stats_column_filters_but_keeps_all_files(spark, tmp_path):
     """A `where` column without recorded stats must keep every file —
     the row filter alone provides the semantics (skipping is an
@@ -2121,6 +2133,7 @@ def test_string_zone_maps_prune_and_stay_exact(spark, tmp_path):
     assert t.read(spark).count() == 700
 
 
+@pytest.mark.slow
 def test_read_where_in_bloom_point_lookup(spark, tmp_path):
     """Bloom point-lookup on the READ path: hash-sharded files whose
     meter ranges all overlap (zone maps keep everything) but whose
@@ -2167,6 +2180,7 @@ def test_read_where_in_bloom_point_lookup(spark, tmp_path):
     assert t.read(spark, where_in={"meter_id": [10_000]}).count() == 0
 
 
+@pytest.mark.slow
 def test_analyze_table_persists_and_staleness(spark, tmp_path):
     """ANALYZE profile: exact stats persisted in _table.json, FRESH
     through a bare reopen AND through a reopen that re-pins skipping
@@ -2280,6 +2294,7 @@ def test_analyze_incremental_updates_from_delta_only(spark, tmp_path):
     assert "ndv_stale" not in full2["columns"]["meter_id"]
 
 
+@pytest.mark.slow
 def test_delete_where_drops_whole_files_metadata_only(spark, tmp_path):
     """Range retention DELETE: fully-covered null-free files drop by
     metadata alone, the straddler rewrites, disjoint files are
@@ -2386,6 +2401,7 @@ def test_delete_where_stats_first_zero_driver_footer_io(
     assert t.read(spark).count() == 20
 
 
+@pytest.mark.slow
 def test_delete_where_statless_column_falls_back_distributed(
     spark, tmp_path, monkeypatch
 ):
@@ -2477,6 +2493,7 @@ def test_delete_where_null_rows_survive(spark, tmp_path):
     assert left.filter("v IS NULL").count() == 4
 
 
+@pytest.mark.slow
 def test_delete_where_guards_and_race(spark, tmp_path):
     """Pending MoR tombstones abort; a competing append between
     listing and publish forces a clean retry that still lands."""
@@ -2521,6 +2538,7 @@ def test_delete_where_guards_and_race(spark, tmp_path):
     assert got.filter("meter_id = 900").count() == 1
 
 
+@pytest.mark.slow
 def test_alter_drop_column_metadata_only(spark, tmp_path):
     """ALTER TABLE DROP COLUMN: marker-commit drop, time travel keeps
     the column, same-type re-add works, type-changing re-add and
@@ -2601,6 +2619,7 @@ def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     assert t.read(spark).count() == 1
 
 
+@pytest.mark.slow
 def test_manifest_cdc_starting_version(spark, tmp_path):
     """manifest_cdc startingVersion: a consumer attaching at commit N
     streams only commits >= N (no history backfill)."""
@@ -2780,6 +2799,7 @@ def test_manifest_cdc_streams_evolved_schema(spark, tmp_path):
     assert rows == {1: None, 2: "n2"}
 
 
+@pytest.mark.slow
 def test_read_skipping_survives_compaction_and_optimize(spark, tmp_path):
     """Zone maps must keep working across the maintenance lifecycle:
     log compaction carries per-file stats for surviving files, and an
@@ -3052,6 +3072,7 @@ def test_upsert_timestamp_free_pk_never_date_prunes(spark, tmp_path):
     assert rows[0]["reading_timestamp"] == dt.datetime(2024, 4, 15)
 
 
+@pytest.mark.slow
 def test_upsert_partial_reenriches_after_concurrent_write(spark, tmp_path):
     """Lost-update protection: a concurrent writer updating a
     CARRIED-FORWARD column between the enrichment read and the commit
@@ -3254,6 +3275,7 @@ def test_branch_files_survive_vacuum_until_branch_deleted(
     assert t.read(spark).count() == 10
 
 
+@pytest.mark.slow
 def test_branch_base_is_a_compaction_root(spark, table_dir):
     """compact_log clamps its cut before any branch base — merging
     past it would widen the frozen prefix the branch reads."""
@@ -3338,6 +3360,7 @@ def test_identity_append_assigns_unique_monotone_ids(spark, table_dir):
     assert [by_meter[m] for m in metres] == ids
 
 
+@pytest.mark.slow
 def test_identity_replay_burns_range_next_append_gaps(spark, table_dir):
     t = manifest.ManifestTable(table_dir)
     t.append_with_identity(spark, _valid_batch(spark, 0, 10))
@@ -3403,6 +3426,7 @@ def test_identity_assignment_plan_has_no_global_window(spark, table_dir):
     assert "_pfx_pid" in plan
 
 
+@pytest.mark.slow
 def test_identity_ranges_disjoint_across_branch_and_main(spark, table_dir):
     """The identity sequence is a TABLE property shared by main and
     every branch (allocation files live in the shared refs dir), so
@@ -3423,6 +3447,7 @@ def test_identity_ranges_disjoint_across_branch_and_main(spark, table_dir):
     assert t.identity_high_water() == 20
 
 
+@pytest.mark.slow
 def test_delete_where_mor_tombstones_straddlers_one_commit(
     spark, tmp_path
 ):

@@ -3,6 +3,8 @@ unclustered tables where min/max stats cannot prune."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from smart_meter_data_pipeline_spark.sources.manifest import (
@@ -37,6 +39,7 @@ def _interleaved_table(spark, tmp_path, n_files=4, per_file=40):
     return t
 
 
+@pytest.mark.slow
 def test_blooms_recorded_and_prune_point_lookups(spark, tmp_path):
     t = _interleaved_table(spark, tmp_path)
     commits = t.snapshot()
@@ -69,6 +72,7 @@ def test_blooms_recorded_and_prune_point_lookups(spark, tmp_path):
     assert len(kept_missing) <= 1  # at most an FP
 
 
+@pytest.mark.slow
 def test_bloom_pruned_cow_delete_correct_and_bounded(spark, tmp_path):
     t = _interleaved_table(spark, tmp_path)
     n_before = t.read(spark).count()
@@ -83,6 +87,7 @@ def test_bloom_pruned_cow_delete_correct_and_bounded(spark, tmp_path):
     assert len(last["removed"]) == 1
 
 
+@pytest.mark.slow
 def test_bloom_survives_compaction_and_clone(spark, tmp_path):
     t = _interleaved_table(spark, tmp_path)
     assert compact_log(t, keep_last=1) > 0
@@ -149,6 +154,7 @@ def _plan_table(spark, tmp_path, plans=("basic", "tou", "solar")):
     return t
 
 
+@pytest.mark.slow
 def test_dict_recorded_and_prunes_string_lookup(spark, tmp_path):
     t = _plan_table(spark, tmp_path)
     commits = t.snapshot()
@@ -168,6 +174,7 @@ def test_dict_recorded_and_prunes_string_lookup(spark, tmp_path):
     assert t._prune_by_bloom(files, commits, {"plan": ["nope"]}) == []
 
 
+@pytest.mark.slow
 def test_dict_read_equals_plain_filter(spark, tmp_path):
     t = _plan_table(spark, tmp_path)
     rep = t.skipping_report(where_in={"plan": ["solar"]})
@@ -179,6 +186,7 @@ def test_dict_read_equals_plain_filter(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_dict_high_cardinality_file_records_nothing(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "hc"), dict_columns=["plan"])
     rows = [
@@ -200,6 +208,7 @@ def test_dict_high_cardinality_file_records_nothing(spark, tmp_path):
     assert t.read(spark, where_in={"plan": ["plan_3"]}).count() == 1
 
 
+@pytest.mark.slow
 def test_dict_survives_compaction_and_clone_and_reopen(spark, tmp_path):
     t = _plan_table(spark, tmp_path)
     assert compact_log(t, keep_last=1) > 0
@@ -217,6 +226,7 @@ def test_dict_survives_compaction_and_clone_and_reopen(spark, tmp_path):
     assert t2.dict_columns == ["plan"]
 
 
+@pytest.mark.slow
 def test_dict_and_bloom_coexist_per_file(spark, tmp_path):
     t = ManifestTable(
         str(tmp_path / "both"),

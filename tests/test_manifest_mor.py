@@ -391,3 +391,36 @@ def test_optimize_zorder_losing_race_to_mor_tombstone_raises(spark, table):
     )
     assert res["files_created"] >= 1
     assert table.read(spark).count() == 90
+
+
+def test_recorded_rows_matches_footers_with_legacy_fallback(spark, table):
+    """r15 (VERDICT r14 #7): apply_tombstones' n_before bookkeeping
+    reads the commit log's recorded "#rows" stats instead of reopening
+    parquet footers; files whose stats entry predates row-count
+    tracking (legacy [min, max] list shape) fall back to one footer
+    read and the sum stays exact either way."""
+    commits = table.snapshot()
+    files = [f for c in commits for f in c.get("added", [])]
+    footer_total = table._footer_rows(files)
+    assert table._recorded_rows(commits, files) == footer_total
+    # legacy shape: stats entry is a bare [min, max] list -> fallback
+    legacy = [dict(c) for c in commits]
+    for c in legacy:
+        c["stats"] = {f: [0, 1] for f in c.get("stats", {})}
+    assert table._recorded_rows(legacy, files) == footer_total
+    # missing stats entirely -> same fallback
+    for c in legacy:
+        c.pop("stats", None)
+    assert table._recorded_rows(legacy, files) == footer_total
+
+
+def test_apply_tombstones_rows_deleted_exact(spark, table):
+    """rows_deleted must equal the tombstoned row count when every
+    governed key exists exactly once (the stats-based n_before /
+    staged-stats n_after bookkeeping is exact, not an estimate)."""
+    doomed = _keys(spark, 3)
+    n_doomed = doomed.count()
+    table.delete_keys_mor(spark, doomed)
+    rep = apply_tombstones(table, spark)
+    assert rep["rows_deleted"] == n_doomed
+    assert rep["applied_tombstones"] == 1

@@ -66,6 +66,7 @@ def test_overflow_guard(registered, spark):
         _src(spark, n_ticks=100000).collect()
 
 
+@pytest.mark.slow
 def test_stream_reader_drains_to_batch_deltas(registered, spark, tmp_path):
     """availableNow drains the streaming source across multiple
     micro-batches (offset-sliced tick ranges); the union of emitted
@@ -118,6 +119,7 @@ def test_stream_reader_drains_to_batch_deltas(registered, spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_checkpoint_recovery_exactly_once(registered, spark, tmp_path):
     """Kill the stream mid-drain, restart from the same checkpoint:
     the sink must end with every (meter, tick) row exactly once —

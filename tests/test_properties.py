@@ -7,6 +7,8 @@ rather than hand-picked."""
 
 from __future__ import annotations
 
+import pytest
+
 from decimal import Decimal
 
 from hypothesis import HealthCheck, given, settings
@@ -165,6 +167,7 @@ _INGEST_SETTINGS = dict(_SETTINGS, max_examples=25)
 
 @given(msgs=st.lists(_messages, min_size=1, max_size=32))
 @settings(**_INGEST_SETTINGS)
+@pytest.mark.slow
 def test_ingest_validation_is_total_partition(spark, msgs):
     """The validation gate must be TOTAL on arbitrary input: every
     Kafka message lands in exactly one of (valid, quarantine) — no
@@ -192,6 +195,7 @@ def test_ingest_validation_is_total_partition(spark, msgs):
 
 @given(msgs=st.lists(_messages, min_size=1, max_size=32))
 @settings(**_INGEST_SETTINGS)
+@pytest.mark.slow
 def test_wire_parse_is_total(spark, msgs):
     """from_wire must be TOTAL on arbitrary wire bytes (the docstring's
     'invalid envelopes yield NULL fields' promise): no row may crash
@@ -341,6 +345,7 @@ def test_shard_pack_partitions_exactly_and_bounds_overflow(
     k=st.integers(min_value=1, max_value=4),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_kcore_peel_round_invariants(spark, edges, k):
     """One peel round on an arbitrary bipartite edge list: the
     surviving edge set (a) is a subset of the input, (b) contains
@@ -427,6 +432,7 @@ def test_drawdown_matches_sequential_reference(spark, vals):
     width=st.integers(min_value=0, max_value=30),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_delete_where_equals_filter_property(
     spark, tmp_path_factory, vals, n_files, lo, width
 ):
@@ -487,6 +493,7 @@ def test_delete_where_equals_filter_property(
     use_in=st.booleans(),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_read_where_equals_filter_property(
     spark, tmp_path_factory, vals, n_files, lo, width, use_in
 ):

@@ -2,12 +2,15 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from smart_meter_data_pipeline_spark.operators import similarity
 from tests.oracle import assert_parity, run_oracle
 
 
+@pytest.mark.slow
 def test_knn_loo_brute_matches_its_oracle(spark, sf_dir):
     """The exhaustive O(n²) LOO eval is no longer registered (its plan
     is not scale-safe) but stays the ground-truth cross-check: it must

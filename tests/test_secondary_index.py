@@ -3,6 +3,8 @@ lookups with stale-index soundness over every mutation kind."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -66,6 +68,7 @@ def test_index_stale_reads_unindexed_unconditionally(spark, tmp_path):
     assert out2.count() == 10
 
 
+@pytest.mark.slow
 def test_index_survives_cow_rewrite(spark, tmp_path):
     """A CoW upsert moves rows into NEW files: stale postings point
     at removed files (ignored via the live-set intersection) and the
@@ -101,6 +104,7 @@ def test_index_refresh_is_idempotent(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_index_point_read_respects_mor_tombstones(spark, tmp_path):
     """Pending merge-on-read deletes must be invisible through the
     index: the indexed read equals read().filter(...) mid-lifecycle
@@ -216,6 +220,7 @@ def test_plain_read_where_in_consults_posting_index(spark, tmp_path):
     assert tt.count() == got.count()
 
 
+@pytest.mark.slow
 def test_vacuum_index_drops_stale_postings(spark, tmp_path):
     """A CoW upsert strands postings at removed files; vacuum_index
     GCs them and the lookup stays exact with a smaller index."""
@@ -707,6 +712,7 @@ def test_maintain_index_composition(spark, tmp_path):
     assert out.count() == 4 * 5  # 5 rows/day x 4 days
 
 
+@pytest.mark.slow
 def test_bare_vacuum_guards_older_snapshots(spark, tmp_path):
     """Round-14 advisor fix: a BARE vacuum_index (no refresh) after a
     CoW rewrite GCs postings for files still live in an OLDER
@@ -749,6 +755,7 @@ def test_bare_vacuum_guards_older_snapshots(spark, tmp_path):
     assert out.count() == 5
 
 
+@pytest.mark.slow
 def test_maintain_index_vacuums_after_metadata_only_retention(
     spark, tmp_path
 ):

@@ -3,6 +3,8 @@ regardless of micro-batch slicing."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import uuid
 
@@ -15,6 +17,7 @@ from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
 from smart_meter_data_pipeline_spark.streaming.stateful import incremental_deltas
 
 
+@pytest.mark.slow
 def test_incremental_deltas_match_batch(spark, tmp_path):
     """Split one day of readings into 4 time-ordered chunks delivered
     as separate files; the stateful operator's accumulated output must
@@ -65,9 +68,9 @@ def test_incremental_deltas_match_batch(spark, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
 
 
-import pytest
 
 
+@pytest.mark.slow
 def test_incremental_deltas_mixed_null_sequences(spark, tmp_path):
     """Meters whose counters are intermittently NULL must still match
     batch LAG semantics: a NULL-previous row falls back to the
@@ -154,6 +157,7 @@ def test_incremental_deltas_mixed_null_sequences(spark, tmp_path):
 
 
 @pytest.mark.parametrize("n_chunks", [1, 3, 8])
+@pytest.mark.slow
 def test_incremental_deltas_chunking_invariant(spark, tmp_path, n_chunks):
     """The stateful operator's output must be identical no matter how
     the stream is sliced into micro-batches (1 = single batch, 8 =
@@ -202,6 +206,7 @@ def test_incremental_deltas_chunking_invariant(spark, tmp_path, n_chunks):
     assert batch.exceptAll(streamed).count() == 0
 
 
+@pytest.mark.slow
 def test_incremental_deltas_restart_from_checkpoint(spark, tmp_path):
     """State must survive a full query stop/restart: drain chunk 0 with
     availableNow (parquet sink + checkpoint), stop, deliver chunk 1,

@@ -3,6 +3,8 @@ across micro-batches, progress listener, and stream-vs-batch parity."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -356,6 +358,7 @@ def test_stream_restatement_upsert_sink(spark, tmp_path):
     assert any(c.get("removed") for c in t.snapshot())
 
 
+@pytest.mark.slow
 def test_stream_upsert_if_newer_out_of_order_batches(spark, tmp_path):
     """Ordering-guarded streaming MERGE: corrections arrive in batch 1,
     the STALE baseline replays in batch 2 (out-of-order delivery).

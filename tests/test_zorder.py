@@ -4,6 +4,8 @@ only the first."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from smart_meter_data_pipeline_spark.sources.manifest import (
@@ -41,6 +43,7 @@ def _stat_widths(t):
     return {c: sum(w) / len(w) for c, w in widths.items()}
 
 
+@pytest.mark.slow
 def test_zorder_narrows_both_columns(spark, tmp_path):
     tz = _grid_table(spark, tmp_path / "tz")
     before = sorted(map(tuple, tz.read(spark).collect()))
@@ -69,6 +72,7 @@ def test_zorder_narrows_both_columns(spark, tmp_path):
     assert wz["v"] <= 16
 
 
+@pytest.mark.slow
 def test_zorder_single_column_falls_back_to_range_cluster(spark, tmp_path):
     t = _grid_table(spark, tmp_path / "t1")
     res = optimize_table(
@@ -78,6 +82,7 @@ def test_zorder_single_column_falls_back_to_range_cluster(spark, tmp_path):
     assert _stat_widths(t)["meter_id"] <= 8
 
 
+@pytest.mark.slow
 def test_zorder_three_columns_all_narrow(spark, tmp_path):
     """3-D Z-order: EVERY clustered column's per-file stats range must
     narrow (≈ cube-root-of-file-count per axis), where lexicographic
@@ -174,6 +179,7 @@ def test_hilbert_key_matches_reference_xy2d(spark):
     assert all(r["d"] == xy2d(n, r["x"], r["y"]) for r in got)
 
 
+@pytest.mark.slow
 def test_hilbert_narrows_both_columns_and_preserves_rows(spark, tmp_path):
     t = _grid_table(spark, tmp_path / "th")
     before = sorted(map(tuple, t.read(spark).collect()))
@@ -190,6 +196,7 @@ def test_hilbert_narrows_both_columns_and_preserves_rows(spark, tmp_path):
     assert w["meter_id"] <= 16 and w["v"] <= 16, w
 
 
+@pytest.mark.slow
 def test_hilbert_bounding_boxes_no_worse_than_zorder(spark, tmp_path):
     """The locality claim, measured: at an UNALIGNED file count (no
     power-of-two chunking to rescue Z-order), the mean per-file
