@@ -899,6 +899,7 @@ def test_dateless_history_still_dedups_dated_batch(spark, cat):
     assert got.select("meter_id").distinct().count() == 15
 
 
+@pytest.mark.slow
 def test_squashed_count_matches_live_rows_after_mutations(spark, cat):
     """Round-14 advisor fix: _squash_payloads' count was the
     concatenated sum, which double-counts rows that a

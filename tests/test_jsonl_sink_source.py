@@ -22,6 +22,7 @@ def registered(spark):
     return spark
 
 
+@pytest.mark.slow
 def test_commit_publishes_files_and_manifest(registered, spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").repartition(3)
     out = str(tmp_path / "corpus_sink")

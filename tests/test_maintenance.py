@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -12,6 +14,7 @@ from smart_meter_data_pipeline_spark.operators.meter_pipeline import (
 from smart_meter_data_pipeline_spark.sources.maintenance import compact_table
 
 
+@pytest.mark.slow
 def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
     target = str(tmp_path / "fact")
     readings = gen_meter_readings(spark, n_meters=50, n_ticks=96).withColumn(

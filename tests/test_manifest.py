@@ -669,6 +669,7 @@ def test_compaction_nets_out_removed_files_then_vacuum_reclaims(
     assert t.read(spark).count() == 30
 
 
+@pytest.mark.slow
 def test_schema_evolution_additive_columns(spark, table_dir):
     """Additive schema evolution: a later batch carrying a NEW column
     commits; reads use the union schema from COMMIT METADATA (not
@@ -799,6 +800,7 @@ def test_optimize_bin_packs_small_files(spark, table_dir):
     assert t.read(spark).count() == len(before) + 19 + 5
 
 
+@pytest.mark.slow
 def test_optimize_loses_fence_race_to_append_and_retries(spark, table_dir):
     """A lock-free append landing between optimize's file selection
     and its publish must cost optimize only a clean retry — no lost
@@ -984,6 +986,7 @@ def test_file_skipping_stats_prune_mutation_scans(spark, table_dir):
     assert left == set(range(1, 101)) | set(range(5051, 5101))
 
 
+@pytest.mark.slow
 def test_concurrent_upserts_serialize_cleanly(spark, table_dir):
     """Mutation-vs-mutation: a competing upsert lands between this
     upsert's validation and its publish. The loser must discard its
@@ -1035,6 +1038,7 @@ def test_concurrent_upserts_serialize_cleanly(spark, table_dir):
         assert (m, 1500) in vals  # untouched rows intact
 
 
+@pytest.mark.slow
 def test_optimize_cluster_by_tightens_stats_and_skipping(spark, table_dir):
     """OPTIMIZE with cluster_by (the ZORDER role): the rewrite is
     range-partitioned + sorted on the key, so every packed file

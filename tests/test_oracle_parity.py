@@ -41,10 +41,8 @@ _SMOKE_MUST = [
     "embedding_knn_loo_accuracy",
     "manifest_mor_roundtrip",
     "manifest_cow_roundtrip",
-    "manifest_optimize_roundtrip",
     "manifest_index_gc_roundtrip",
     "catalog_index_lifecycle",
-    "stream_billing_incremental",
     "stream_ingest_daily",
     "events_sessionized",
     "meter_gap_fill",

@@ -295,6 +295,7 @@ def test_stream_foreachbatch_manifest_sink_exactly_once(spark, tmp_path):
     assert on_disk == committed
 
 
+@pytest.mark.slow
 def test_stream_restatement_upsert_sink(spark, tmp_path):
     """Streaming MERGE: a restatement feed (same PKs, corrected
     values) drains through foreachBatch → ManifestTable.upsert.

@@ -225,6 +225,7 @@ def test_hilbert_bounding_boxes_no_worse_than_zorder(spark, tmp_path):
     assert area(th) <= area(tz), (area(th), area(tz))
 
 
+@pytest.mark.slow
 def test_hilbert_requires_exactly_two_columns(spark, tmp_path):
     import pytest
 
